@@ -1,0 +1,1359 @@
+"""Forecast model library: pure-numpy implementations of the 33 model types.
+
+Parity target: the reference's model enum and semantics
+(``crates/anofox-fcst-core/src/forecast.rs:93-306``; model table in
+``docs/api/07-forecasting.md:130-230``). The reference delegates model math to
+the external ``anofox-forecast`` crates.io crate whose algorithms mirror
+Nixtla ``statsforecast``; we re-implement the published algorithms directly in
+numpy (statsforecast is not available in this environment).
+
+Everything here is deterministic: optimizations use golden-section / fixed
+grid + Nelder-Mead with fixed starting simplexes; no RNG anywhere except
+bootstrap (seeded).
+
+Conventions shared with the pure-SQL fast path in
+``anofox_forecast_spark.operators.forecast`` (and with the DuckDB oracle SQL):
+
+- NULL policy: interior NaNs linearly interpolated by position, edge NaNs
+  filled with nearest valid value (ref ``imputation.rs:62`` via
+  ``forecast.rs:514``); series with < 3 valid points raise ``ValueError``
+  (ref ``forecast.rs:520-523``).
+- Intervals at confidence level ``cl``: ``point ± z * sigma_h`` with
+  ``z = norm_ppf(0.5 + cl/2)``; per-model ``sigma_h`` documented on each
+  function.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Small numeric utilities (scipy-free)
+# ---------------------------------------------------------------------------
+
+def norm_ppf(p: float) -> float:
+    """Inverse normal CDF (Acklam's rational approximation, ~1e-9 accurate)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0,1)")
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def golden_section(f, lo: float, hi: float, tol: float = 1e-5, max_iter: int = 100) -> float:
+    """Deterministic scalar minimizer on [lo, hi]."""
+    gr = (math.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c = b - gr * (b - a)
+    d = a + gr * (b - a)
+    fc, fd = f(c), f(d)
+    for _ in range(max_iter):
+        if abs(b - a) < tol:
+            break
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = f(d)
+    return (a + b) / 2.0
+
+
+def nelder_mead(f, x0, bounds=None, tol: float = 1e-6, max_iter: int = 200):
+    """Tiny deterministic Nelder–Mead with box-bound clipping."""
+    x0 = np.asarray(x0, dtype=float)
+    n = len(x0)
+
+    def clip(x):
+        if bounds is None:
+            return x
+        return np.clip(x, [b[0] for b in bounds], [b[1] for b in bounds])
+
+    simplex = [clip(x0)]
+    for i in range(n):
+        xi = x0.copy()
+        xi[i] = xi[i] + (0.1 if xi[i] == 0 else 0.1 * abs(xi[i]) + 0.05)
+        simplex.append(clip(xi))
+    fvals = [f(x) for x in simplex]
+    for _ in range(max_iter):
+        order = np.argsort(fvals, kind="stable")
+        simplex = [simplex[i] for i in order]
+        fvals = [fvals[i] for i in order]
+        if abs(fvals[-1] - fvals[0]) < tol:
+            break
+        centroid = np.mean(simplex[:-1], axis=0)
+        xr = clip(centroid + (centroid - simplex[-1]))
+        fr = f(xr)
+        if fr < fvals[0]:
+            xe = clip(centroid + 2.0 * (centroid - simplex[-1]))
+            fe = f(xe)
+            if fe < fr:
+                simplex[-1], fvals[-1] = xe, fe
+            else:
+                simplex[-1], fvals[-1] = xr, fr
+        elif fr < fvals[-2]:
+            simplex[-1], fvals[-1] = xr, fr
+        else:
+            xc = clip(centroid + 0.5 * (simplex[-1] - centroid))
+            fc = f(xc)
+            if fc < fvals[-1]:
+                simplex[-1], fvals[-1] = xc, fc
+            else:
+                best = simplex[0]
+                simplex = [best] + [clip(best + 0.5 * (s - best)) for s in simplex[1:]]
+                fvals = [fvals[0]] + [f(s) for s in simplex[1:]]
+    i = int(np.argmin(fvals))
+    return simplex[i]
+
+
+# ---------------------------------------------------------------------------
+# Canonical model names + alias parsing (ref forecast.rs:148-259)
+# ---------------------------------------------------------------------------
+
+CANONICAL_MODELS = [
+    "AutoETS", "AutoARIMA", "AutoTheta", "AutoMFLES", "AutoMSTL", "AutoTBATS",
+    "Naive", "SMA", "SeasonalNaive", "SES", "SESOptimized", "RandomWalkDrift",
+    "Holt", "HoltWinters", "SeasonalES", "SeasonalESOptimized", "SeasonalWindowAverage",
+    "Theta", "OptimizedTheta", "DynamicTheta", "DynamicOptimizedTheta",
+    "ETS", "ARIMA", "MFLES", "MSTL", "TBATS",
+    "CrostonClassic", "CrostonOptimized", "CrostonSBA", "ADIDA", "IMAPA", "TSB",
+    "Laplace",
+]
+
+_ALIASES = {
+    "autoets": "AutoETS", "auto_ets": "AutoETS", "auto": "AutoETS",
+    "autoarima": "AutoARIMA", "auto_arima": "AutoARIMA",
+    "autotheta": "AutoTheta", "auto_theta": "AutoTheta",
+    "automfles": "AutoMFLES", "auto_mfles": "AutoMFLES",
+    "automstl": "AutoMSTL", "auto_mstl": "AutoMSTL",
+    "autotbats": "AutoTBATS", "auto_tbats": "AutoTBATS",
+    "naive": "Naive",
+    "sma": "SMA",
+    "seasonalnaive": "SeasonalNaive", "seasonal_naive": "SeasonalNaive", "snaive": "SeasonalNaive",
+    "ses": "SES",
+    "sesoptimized": "SESOptimized", "ses_optimized": "SESOptimized",
+    "randomwalkdrift": "RandomWalkDrift", "random_walk_drift": "RandomWalkDrift",
+    "rwd": "RandomWalkDrift", "drift": "RandomWalkDrift",
+    "randomwalkwithdrift": "RandomWalkDrift", "random_walk_with_drift": "RandomWalkDrift",
+    "holt": "Holt",
+    "holtwinters": "HoltWinters", "holt_winters": "HoltWinters", "hw": "HoltWinters",
+    "seasonales": "SeasonalES", "seasonal_es": "SeasonalES",
+    "seasonalesoptimized": "SeasonalESOptimized", "seasonal_es_optimized": "SeasonalESOptimized",
+    "seasonalwindowaverage": "SeasonalWindowAverage",
+    "seasonal_window_average": "SeasonalWindowAverage", "swa": "SeasonalWindowAverage",
+    "theta": "Theta",
+    "optimizedtheta": "OptimizedTheta", "optimized_theta": "OptimizedTheta", "otm": "OptimizedTheta",
+    "dynamictheta": "DynamicTheta", "dynamic_theta": "DynamicTheta", "dstm": "DynamicTheta",
+    "dynamicoptimizedtheta": "DynamicOptimizedTheta",
+    "dynamic_optimized_theta": "DynamicOptimizedTheta",
+    "ets": "ETS",
+    "arima": "ARIMA",
+    "mfles": "MFLES", "mstl": "MSTL", "tbats": "TBATS",
+    "crostonclassic": "CrostonClassic", "croston_classic": "CrostonClassic",
+    "croston": "CrostonClassic",
+    "crostonoptimized": "CrostonOptimized", "croston_optimized": "CrostonOptimized",
+    "crostonsba": "CrostonSBA", "croston_sba": "CrostonSBA", "sba": "CrostonSBA",
+    "adida": "ADIDA", "imapa": "IMAPA", "tsb": "TSB",
+    "laplace": "Laplace",
+}
+
+
+def canonical_model(name: str) -> str:
+    if name in CANONICAL_MODELS:
+        return name
+    key = name.strip().lower()
+    if key in _ALIASES:
+        return _ALIASES[key]
+    raise ValueError(f"Unknown model: {name}")
+
+
+# Models whose point forecast + intervals are pure Spark SQL (no Python).
+# SES is excluded: its level recurrence isn't expressible as a stable
+# closed-form SQL aggregate; it runs on the (still fast) pandas-UDF path.
+SQL_PATH_MODELS = {"Naive", "SeasonalNaive", "SMA", "SeasonalWindowAverage",
+                   "RandomWalkDrift"}
+
+SEASONAL_MODELS = {"SeasonalNaive", "SeasonalWindowAverage", "HoltWinters",
+                   "SeasonalES", "SeasonalESOptimized", "MSTL", "AutoMSTL",
+                   "MFLES", "AutoMFLES", "TBATS", "AutoTBATS"}
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (ref forecast.rs:512-523, imputation.rs:62)
+# ---------------------------------------------------------------------------
+
+def interpolate_nulls(y: np.ndarray) -> np.ndarray:
+    """Linear position-based interpolation of NaNs; edges take nearest valid."""
+    y = np.asarray(y, dtype=float).copy()
+    mask = np.isnan(y)
+    if not mask.any():
+        return y
+    valid = ~mask
+    if valid.sum() == 0:
+        return y
+    idx = np.arange(len(y))
+    y[mask] = np.interp(idx[mask], idx[valid], y[valid])
+    return y
+
+
+def validate_series(y: np.ndarray) -> np.ndarray:
+    y = interpolate_nulls(y)
+    if np.isfinite(y).sum() < 3:
+        raise ValueError("series must have at least 3 valid points")
+    return y
+
+
+def detect_seasonality(y: np.ndarray, max_period: int | None = None) -> int:
+    """Periodogram-based dominant period (ref seasonality.rs:323-380).
+
+    Returns 1 when no significant period is found.
+    """
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    if n < 8:
+        return 1
+    x = y - y.mean()
+    # detrend linearly to avoid the trend dominating low frequencies
+    t = np.arange(n, dtype=float)
+    beta = np.polyfit(t, x, 1)
+    x = x - np.polyval(beta, t)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n)
+    spec[0] = 0.0
+    if max_period is None:
+        max_period = n // 2
+    best, best_power = 1, 0.0
+    total = spec.sum()
+    if total <= 0:
+        return 1
+    for i in range(1, len(spec)):
+        if freqs[i] <= 0:
+            continue
+        period = 1.0 / freqs[i]
+        if period < 2 or period > max_period:
+            continue
+        if spec[i] > best_power:
+            best_power = spec[i]
+            best = int(round(period))
+    # significance: dominant peak must carry a non-trivial share of variance
+    if best_power / total < 0.1:
+        return 1
+    return max(best, 1)
+
+
+# ---------------------------------------------------------------------------
+# Result container
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ForecastResult:
+    point: np.ndarray
+    lower: np.ndarray
+    upper: np.ndarray
+    model_name: str
+    fitted: np.ndarray | None = None
+    residuals: np.ndarray | None = None
+    params: dict = field(default_factory=dict)
+    aic: float = float("nan")
+    bic: float = float("nan")
+
+
+def _sigma(res: np.ndarray) -> float:
+    res = res[np.isfinite(res)]
+    if len(res) < 2:
+        return 0.0
+    return float(np.std(res, ddof=1))
+
+
+def _interval(point: np.ndarray, width: np.ndarray, cl: float):
+    z = norm_ppf(0.5 + cl / 2.0)
+    return point - z * width, point + z * width
+
+
+def _aic_bic(sse: float, n: int, k: int):
+    if n <= 0 or sse <= 0:
+        return float("nan"), float("nan")
+    aic = n * math.log(sse / n) + 2 * k
+    bic = n * math.log(sse / n) + k * math.log(n)
+    return aic, bic
+
+
+# ---------------------------------------------------------------------------
+# Basic models — interval conventions shared with the SQL fast path
+# ---------------------------------------------------------------------------
+
+def _naive(y, h, cl, **kw):
+    steps = np.arange(1, h + 1, dtype=float)
+    point = np.full(h, y[-1])
+    fitted = np.concatenate([[np.nan], y[:-1]])
+    sig = _sigma(np.diff(y))
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    return ForecastResult(point, lo, up, "Naive", fitted, y - fitted)
+
+
+def _random_walk_drift(y, h, cl, **kw):
+    n = len(y)
+    drift = (y[-1] - y[0]) / (n - 1) if n > 1 else 0.0
+    steps = np.arange(1, h + 1, dtype=float)
+    point = y[-1] + drift * steps
+    fitted = np.concatenate([[np.nan], y[:-1] + drift])
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    return ForecastResult(point, lo, up, "RandomWalkDrift", fitted, res,
+                          params={"drift": drift})
+
+
+def _sma(y, h, cl, window=5, **kw):
+    w = int(window)
+    w = max(1, min(w, len(y)))
+    point = np.full(h, float(np.mean(y[-w:])))
+    fitted = np.full(len(y), np.nan)
+    c = np.concatenate([[0.0], np.cumsum(y)])
+    for t in range(w, len(y)):
+        fitted[t] = (c[t] - c[t - w]) / w
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, np.full(h, sig), cl)
+    return ForecastResult(point, lo, up, "SMA", fitted, res, params={"window": w})
+
+
+def _seasonal_naive(y, h, cl, season_length=1, **kw):
+    m = max(int(season_length), 1)
+    n = len(y)
+    if n < m:
+        m = max(n, 1)
+    steps = np.arange(1, h + 1)
+    idx = n - m + ((steps - 1) % m)
+    point = y[idx]
+    fitted = np.full(n, np.nan)
+    if n > m:
+        fitted[m:] = y[:-m]
+    res = y - fitted
+    sig = _sigma(res)
+    width = sig * np.sqrt(((steps - 1) // m + 1).astype(float))
+    lo, up = _interval(point, width, cl)
+    return ForecastResult(point, lo, up, "SeasonalNaive", fitted, res,
+                          params={"seasonal_period": m})
+
+
+def _seasonal_window_average(y, h, cl, season_length=1, window=2, **kw):
+    m = max(int(season_length), 1)
+    w = max(int(window), 1)
+    n = len(y)
+    phase_means = np.full(m, np.nan)
+    for ph in range(m):
+        # positions with this phase relative to the series end
+        pos = np.arange(n - 1 - ph, -1, -m)[:w]
+        if len(pos):
+            phase_means[ph] = float(np.mean(y[pos]))
+    steps = np.arange(1, h + 1)
+    # step s continues the cycle: phase (counting back from end) is m-1-((s-1)%m)
+    point = phase_means[(m - 1 - ((steps - 1) % m)) % m][...]
+    fitted = np.full(n, np.nan)
+    if n > m:
+        fitted[m:] = y[:-m]
+    res = y - fitted
+    sig = _sigma(res)
+    width = sig * np.sqrt(((steps - 1) // m + 1).astype(float))
+    lo, up = _interval(point, width, cl)
+    return ForecastResult(point, lo, up, "SeasonalWindowAverage", fitted, res,
+                          params={"seasonal_period": m, "window": w})
+
+
+def _ses_filter(y, alpha, l0=None):
+    n = len(y)
+    fitted = np.empty(n)
+    level = y[0] if l0 is None else l0
+    fitted[0] = level
+    for t in range(1, n):
+        level = alpha * y[t - 1] + (1 - alpha) * level
+        fitted[t] = level
+    final = alpha * y[-1] + (1 - alpha) * level
+    return fitted, final
+
+
+def _ses(y, h, cl, alpha=0.3, _name="SES", **kw):
+    a = float(alpha)
+    fitted, level = _ses_filter(y, a)
+    point = np.full(h, level)
+    res = y - fitted
+    sig = _sigma(res)
+    steps = np.arange(1, h + 1, dtype=float)
+    width = sig * np.sqrt(1.0 + (steps - 1) * a * a)
+    lo, up = _interval(point, width, cl)
+    sse = float(np.nansum(res ** 2))
+    aic, bic = _aic_bic(sse, len(y), 1)
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"alpha": a}, aic=aic, bic=bic)
+
+
+def _ses_optimized(y, h, cl, **kw):
+    def sse(a):
+        fitted, _ = _ses_filter(y, a)
+        return float(np.nansum((y - fitted) ** 2))
+    a = golden_section(sse, 0.01, 0.99)
+    out = _ses(y, h, cl, alpha=a, _name="SESOptimized")
+    return out
+
+
+def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt", **kw):
+    """Holt's linear method; optimizes (alpha, beta) by SSE when not given."""
+    def filt(a, b, ph):
+        n = len(y)
+        level, trend = y[0], (y[1] - y[0]) if n > 1 else 0.0
+        fitted = np.empty(n)
+        fitted[0] = level
+        for t in range(1, n):
+            f = level + ph * trend
+            fitted[t] = f
+            newl = a * y[t] + (1 - a) * f
+            trend = b * (newl - level) * ph + (1 - b) * ph * trend
+            level = newl
+        return fitted, level, trend
+
+    ph = float(phi) if damped else 1.0
+    if alpha is None or beta is None:
+        def sse(x):
+            f, _, _ = filt(x[0], x[1], ph)
+            return float(np.nansum((y - f) ** 2))
+        a, b = nelder_mead(sse, [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
+    else:
+        a, b = float(alpha), float(beta)
+    fitted, level, trend = filt(a, b, ph)
+    steps = np.arange(1, h + 1, dtype=float)
+    if damped:
+        damp = np.cumsum(ph ** steps)
+        point = level + damp * trend
+    else:
+        point = level + steps * trend
+    res = y - fitted
+    sig = _sigma(res)
+    width = sig * np.sqrt(steps)
+    lo, up = _interval(point, width, cl)
+    sse_v = float(np.nansum(res ** 2))
+    aic, bic = _aic_bic(sse_v, len(y), 2 + (1 if damped else 0))
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"alpha": a, "beta": b, "phi": ph}, aic=aic, bic=bic)
+
+
+def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
+                  multiplicative=False, _name="HoltWinters", **kw):
+    """Additive (or multiplicative) Holt-Winters; optimizes free params by SSE."""
+    m = max(int(season_length), 1)
+    n = len(y)
+    if m < 2 or n < 2 * m:
+        return _holt(y, h, cl, alpha=alpha, beta=beta, _name=_name)
+
+    def filt(a, b, g):
+        level = float(np.mean(y[:m]))
+        trend = (np.mean(y[m:2 * m]) - np.mean(y[:m])) / m
+        if multiplicative:
+            seas = np.array([y[i] / level if level != 0 else 1.0 for i in range(m)])
+        else:
+            seas = np.array([y[i] - level for i in range(m)])
+        fitted = np.empty(n)
+        for t in range(n):
+            s = seas[t % m]
+            f = (level + trend) * s if multiplicative else level + trend + s
+            fitted[t] = f
+            if multiplicative:
+                newl = a * (y[t] / s if s != 0 else y[t]) + (1 - a) * (level + trend)
+                seas[t % m] = g * (y[t] / newl if newl != 0 else s) + (1 - g) * s
+            else:
+                newl = a * (y[t] - s) + (1 - a) * (level + trend)
+                seas[t % m] = g * (y[t] - newl) + (1 - g) * s
+            trend = b * (newl - level) + (1 - b) * trend
+            level = newl
+        return fitted, level, trend, seas
+
+    if alpha is None or beta is None or gamma is None:
+        def sse(x):
+            f, _, _, _ = filt(*x)
+            v = float(np.nansum((y - f) ** 2))
+            return v if math.isfinite(v) else 1e300
+        a, b, g = nelder_mead(sse, [0.3, 0.05, 0.1],
+                              bounds=[(0.01, 0.99), (0.01, 0.99), (0.01, 0.99)])
+    else:
+        a, b, g = float(alpha), float(beta), float(gamma)
+    fitted, level, trend, seas = filt(a, b, g)
+    steps = np.arange(1, h + 1, dtype=float)
+    seas_f = np.array([seas[(n + s - 1) % m] for s in range(1, h + 1)])
+    if multiplicative:
+        point = (level + steps * trend) * seas_f
+    else:
+        point = level + steps * trend + seas_f
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    sse_v = float(np.nansum(res ** 2))
+    aic, bic = _aic_bic(sse_v, n, 3 + m)
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"alpha": a, "beta": b, "gamma": g,
+                                  "seasonal_period": m}, aic=aic, bic=bic)
+
+
+def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
+    """Per-phase simple exponential smoothing (no trend)."""
+    m = max(int(season_length), 1)
+    n = len(y)
+
+    def filt(a):
+        levels = np.full(m, np.nan)
+        fitted = np.empty(n)
+        for t in range(n):
+            ph = t % m
+            if np.isnan(levels[ph]):
+                levels[ph] = y[t]
+                fitted[t] = np.nan
+            else:
+                fitted[t] = levels[ph]
+                levels[ph] = a * y[t] + (1 - a) * levels[ph]
+        return fitted, levels
+
+    name = "SeasonalESOptimized" if optimized else "SeasonalES"
+    if optimized:
+        def sse(a):
+            f, _ = filt(a)
+            return float(np.nansum((y - f) ** 2))
+        alpha = golden_section(sse, 0.01, 0.99)
+    a = float(alpha)
+    fitted, levels = filt(a)
+    steps = np.arange(1, h + 1)
+    point = np.array([levels[(n + s - 1) % m] for s in steps])
+    point = np.where(np.isnan(point), np.nanmean(y), point)
+    res = y - fitted
+    sig = _sigma(res)
+    width = sig * np.sqrt(1.0 + (steps - 1) * a * a)
+    lo, up = _interval(point, width, cl)
+    return ForecastResult(point, lo, up, name, fitted, res,
+                          params={"alpha": a, "seasonal_period": m})
+
+
+# ---------------------------------------------------------------------------
+# ETS family (innovations state space, additive error; grid/NM-optimized)
+# ---------------------------------------------------------------------------
+
+_ETS_SPECS = ["NNN", "ANN", "AAN", "AAdN", "ANA", "AAA", "AAdA", "MNN", "MAN", "MNM", "MAM"]
+
+
+def _parse_ets_spec(spec: str):
+    s = spec.replace("d", "D")
+    if len(s) == 4 and s[2] == "D":  # e.g. AADA from AAdA
+        err, trend, seas, damped = s[0], s[1], s[3], True
+    elif len(s) == 3:
+        err, trend, seas, damped = s[0], s[1], s[2], False
+    else:
+        raise ValueError(f"invalid ETS spec: {spec}")
+    return err, trend, seas, damped
+
+
+def _ets(y, h, cl, model="AAA", season_length=1, _name="ETS", **kw):
+    """ETS with explicit spec string (ref forecast.rs ets_spec; default AAA).
+
+    Additive-error likelihood; M-error specs share point forecasts with their
+    A-error twins (documented simplification).
+    """
+    err, trend, seas, damped = _parse_ets_spec(model)
+    m = max(int(season_length), 1)
+    if seas != "N" and (m < 2 or len(y) < 2 * m):
+        seas = "N"
+    if seas == "A" or seas == "M":
+        base = _holt_winters(y, h, cl, season_length=m, multiplicative=(seas == "M"),
+                             _name=_name)
+    elif trend == "A":
+        base = _holt(y, h, cl, damped=damped, _name=_name)
+    elif trend == "N":
+        base = _ses_optimized(y, h, cl)
+        base.model_name = _name
+    else:
+        base = _ses_optimized(y, h, cl)
+        base.model_name = _name
+    base.params["spec"] = model
+    base.params["seasonal_period"] = m
+    return base
+
+
+def _auto_ets(y, h, cl, season_length=1, model_pool=None, **kw):
+    m = max(int(season_length), 1)
+    pool = model_pool or (["ANN", "AAN", "AAdN"] + (["ANA", "AAA", "AAdA"] if m >= 2 else []))
+    best, best_aic = None, float("inf")
+    for spec in pool:
+        try:
+            r = _ets(y, h, cl, model=spec, season_length=m, _name="AutoETS")
+            k = {"ANN": 1, "AAN": 2, "AAdN": 3, "ANA": 1 + m, "AAA": 3 + m,
+                 "AAdA": 4 + m}.get(spec, 3)
+            sse = float(np.nansum(np.asarray(r.residuals, dtype=float) ** 2))
+            aic, _ = _aic_bic(sse, len(y), k)
+        except Exception:
+            continue
+        if math.isfinite(aic) and aic < best_aic:
+            best, best_aic = r, aic
+            best.params["spec"] = spec
+            best.aic = aic
+    if best is None:
+        best = _ses_optimized(y, h, cl)
+        best.model_name = "AutoETS"
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Theta family (Assimakopoulos & Nikolopoulos 2000; Fiorucci et al. 2016)
+# ---------------------------------------------------------------------------
+
+def _seasonal_decompose_mult(y, m):
+    """Classical multiplicative seasonal indices via centered MA."""
+    n = len(y)
+    if m < 2 or n < 2 * m:
+        return np.ones(n), np.ones(m)
+    k = m // 2
+    ma = np.full(n, np.nan)
+    c = np.concatenate([[0.0], np.cumsum(y)])
+    for t in range(k, n - k):
+        if m % 2 == 0:
+            s = (c[t + k] - c[t - k]) - 0.5 * y[t - k] + 0.5 * y[t + k]
+            # centered MA of even order: average of two adjacent MAs
+            s = (c[t + k] - c[t - k] + c[t + k + 1] - c[t - k + 1]) / 2.0
+            ma[t] = s / m
+        else:
+            ma[t] = (c[t + k + 1] - c[t - k]) / m
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(ma != 0, y / ma, np.nan)
+    idx = np.full(m, 1.0)
+    for ph in range(m):
+        vals = ratio[ph::m]
+        vals = vals[np.isfinite(vals)]
+        if len(vals):
+            idx[ph] = float(np.mean(vals))
+    s = idx.sum()
+    if s != 0:
+        idx = idx * m / s
+    seasonal = np.array([idx[t % m] for t in range(n)])
+    return seasonal, idx
+
+
+def _seasonality_test(y, m):
+    """ACF-based seasonality check used by Theta (90% band)."""
+    n = len(y)
+    if m < 2 or n < 3 * m:
+        return False
+    x = y - y.mean()
+    denom = float(np.sum(x * x))
+    if denom == 0:
+        return False
+    acfs = [float(np.sum(x[: n - k] * x[k:]) / denom) for k in range(1, m + 1)]
+    crit = 1.645 * math.sqrt((1 + 2 * sum(a * a for a in acfs[:-1])) / n)
+    return abs(acfs[m - 1]) > crit
+
+
+def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
+           _name=None, **kw):
+    """Standard/optimized/dynamic Theta.
+
+    STheta: deseasonalize (multiplicative, if seasonal), theta-decompose,
+    SES on the theta(=2) line, recombine with the linear-trend theta(0) line.
+    Optimized: search theta in [1,5] (and SES alpha). Dynamic: the theta0
+    line is re-estimated at each origin (approximated by weighting with the
+    expanding mean — Fiorucci DSTM).
+    """
+    m = max(int(season_length), 1)
+    n = len(y)
+    seasonal = _seasonality_test(y, m) if m >= 2 else False
+    if seasonal:
+        seas, idx = _seasonal_decompose_mult(y, m)
+        seas = np.where(seas == 0, 1.0, seas)
+        x = y / seas
+    else:
+        x = y.copy()
+        idx = None
+    t = np.arange(n, dtype=float)
+    b1, b0 = np.polyfit(t, x, 1)
+
+    def run(th, a):
+        # theta line: theta*x + (1-theta)*trendline
+        theta_line = th * x + (1 - th) * (b0 + b1 * t)
+        fitted, level = _ses_filter(theta_line, a)
+        return theta_line, fitted, level
+
+    if optimized:
+        def sse(p):
+            th, a = p
+            theta_line, fitted, _ = run(th, a)
+            comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
+            return float(np.nansum((x - comb) ** 2))
+        th, a = nelder_mead(sse, [2.0, 0.3], bounds=[(1.0, 5.0), (0.01, 0.99)])
+    else:
+        th = float(theta)
+        def sse_a(a):
+            theta_line, fitted, _ = run(th, a)
+            comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
+            return float(np.nansum((x - comb) ** 2))
+        a = golden_section(sse_a, 0.01, 0.99)
+
+    theta_line, fitted_ses, level = run(th, a)
+    steps = np.arange(1, h + 1, dtype=float)
+    ses_fc = np.full(h, level)
+    if dynamic:
+        # dynamic theta: drift term shrinks with horizon via expanding weight
+        trend_fc = b0 + b1 * (n - 1 + steps * 0.5)
+    else:
+        trend_fc = b0 + b1 * (n - 1 + steps)
+    point_x = ses_fc / th + (1 - 1 / th) * trend_fc
+    fitted_x = fitted_ses / th + (1 - 1 / th) * (b0 + b1 * t)
+    if seasonal:
+        seas_f = np.array([idx[(nn) % m] for nn in range(n, n + h)])
+        point = point_x * seas_f
+        fitted = fitted_x * seas
+    else:
+        point = point_x
+        fitted = fitted_x
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    if _name is None:
+        _name = ("DynamicOptimizedTheta" if dynamic and optimized else
+                 "DynamicTheta" if dynamic else
+                 "OptimizedTheta" if optimized else "Theta")
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"theta": th, "alpha": a, "seasonal_period": m,
+                                  "variant": _name})
+
+
+def _auto_theta(y, h, cl, season_length=1, **kw):
+    cands = [
+        _theta(y, h, cl, season_length=season_length, _name="AutoTheta"),
+        _theta(y, h, cl, season_length=season_length, optimized=True, _name="AutoTheta"),
+        _theta(y, h, cl, season_length=season_length, dynamic=True, _name="AutoTheta"),
+        _theta(y, h, cl, season_length=season_length, dynamic=True, optimized=True,
+               _name="AutoTheta"),
+    ]
+    sses = [float(np.nansum(np.asarray(c.residuals) ** 2)) for c in cands]
+    best = cands[int(np.argmin(sses))]
+    return best
+
+
+# ---------------------------------------------------------------------------
+# ARIMA (CSS-estimated), AutoARIMA (small deterministic order search)
+# ---------------------------------------------------------------------------
+
+def _difference(y, d):
+    for _ in range(d):
+        y = np.diff(y)
+    return y
+
+
+def _arima_css(x, p, q, max_iter=80):
+    """Conditional-sum-of-squares ARMA(p,q) fit on (already differenced,
+    mean-adjusted) series. Returns (phi, theta, const, residuals, sse)."""
+    n = len(x)
+    mean = float(np.mean(x)) if n else 0.0
+    xc = x - mean
+
+    def css(params):
+        phi = params[:p]
+        th = params[p:p + q]
+        e = np.zeros(n)
+        for t in range(n):
+            acc = xc[t]
+            for i in range(p):
+                if t - i - 1 >= 0:
+                    acc -= phi[i] * xc[t - i - 1]
+            for j in range(q):
+                if t - j - 1 >= 0:
+                    acc -= th[j] * e[t - j - 1]
+            e[t] = acc
+        return e
+
+    if p + q == 0:
+        e = xc.copy()
+        return np.zeros(0), np.zeros(0), mean, e, float(np.sum(e ** 2))
+
+    # init: AR via OLS on lags, MA zero
+    x0 = np.zeros(p + q)
+    if p > 0 and n > p + 1:
+        X = np.column_stack([xc[p - i - 1: n - i - 1] for i in range(p)])
+        yv = xc[p:]
+        try:
+            coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
+            x0[:p] = np.clip(coef, -0.95, 0.95)
+        except np.linalg.LinAlgError:
+            pass
+
+    def objective(params):
+        e = css(params)
+        v = float(np.sum(e ** 2))
+        return v if math.isfinite(v) else 1e300
+
+    bounds = [(-0.99, 0.99)] * (p + q)
+    sol = nelder_mead(objective, x0, bounds=bounds, max_iter=max_iter)
+    e = css(sol)
+    return sol[:p], sol[p:p + q], mean, e, float(np.sum(e ** 2))
+
+
+def _arima(y, h, cl, p=1, d=0, q=0, _name="ARIMA", **kw):
+    n0 = len(y)
+    x = _difference(y, d)
+    phi, th, mean, e, sse = _arima_css(x, int(p), int(q))
+    p_, q_ = len(phi), len(th)
+    xc = x - mean
+    # iterate forecasts on the differenced scale
+    hist = list(xc)
+    errs = list(e)
+    fc_diff = []
+    for s in range(h):
+        acc = 0.0
+        for i in range(p_):
+            v = hist[-i - 1] if len(hist) > i else 0.0
+            acc += phi[i] * v
+        for j in range(q_):
+            idx = len(errs) - j - 1 + s  # future errors are 0
+            if s - j - 1 < 0 and len(errs) + s - j - 1 < len(errs):
+                acc += th[j] * errs[len(errs) + s - j - 1]
+        fc_diff.append(acc)
+        hist.append(acc)
+    fc_diff = np.array(fc_diff) + mean
+    # integrate back
+    point = fc_diff.copy()
+    if d > 0:
+        tails = [y]
+        for _ in range(d - 1):
+            tails.append(np.diff(tails[-1]))
+        for dd in range(d - 1, -1, -1):
+            last = tails[dd][-1]
+            point = last + np.cumsum(point)
+    sig2 = sse / max(len(x) - p_ - q_ - 1, 1)
+    sig = math.sqrt(max(sig2, 0.0))
+    # psi weights for variance (AR recursion on MA(inf))
+    psi = np.zeros(h)
+    psi_full = np.zeros(h + 1)
+    psi_full[0] = 1.0
+    for s in range(1, h + 1):
+        acc = th[s - 1] if s - 1 < q_ else 0.0
+        for i in range(min(p_, s)):
+            acc += phi[i] * psi_full[s - i - 1]
+        psi_full[s] = acc
+    var = np.cumsum(psi_full[:-1] ** 2) * sig2
+    width = np.sqrt(var)
+    if d > 0:
+        width = width * np.sqrt(np.arange(1, h + 1, dtype=float))
+    fitted_diff = xc - e + mean
+    fitted = np.full(n0, np.nan)
+    fitted[n0 - len(fitted_diff):] = fitted_diff if d == 0 else np.nan
+    lo, up = _interval(point, width, cl)
+    k = p_ + q_ + 1
+    aic, bic = _aic_bic(sse, len(x), k)
+    return ForecastResult(point, lo, up, _name, fitted, None,
+                          params={"p": p_, "d": d, "q": q_, "phi": list(map(float, phi)),
+                                  "theta": list(map(float, th)), "mean": mean},
+                          aic=aic, bic=bic)
+
+
+def _auto_arima(y, h, cl, season_length=1, **kw):
+    """Deterministic small-grid AutoARIMA: d by variance-minimization (0..2),
+    (p,q) over a fixed grid, selected by AICc on the CSS residuals."""
+    best, best_aicc = None, float("inf")
+    vars_ = []
+    for d in range(3):
+        xd = _difference(y, d)
+        vars_.append(np.var(xd) if len(xd) > 2 else float("inf"))
+    d = int(np.argmin(vars_))
+    for p in range(4):
+        for q in range(3):
+            if p + q == 0 and d == 0:
+                continue
+            try:
+                x = _difference(y, d)
+                if len(x) < p + q + 3:
+                    continue
+                phi, th, mean, e, sse = _arima_css(x, p, q)
+                n = len(x)
+                k = p + q + 1
+                aic, _ = _aic_bic(sse, n, k)
+                denom = n - k - 1
+                aicc = aic + (2 * k * (k + 1)) / denom if denom > 0 else float("inf")
+            except Exception:
+                continue
+            if math.isfinite(aicc) and aicc < best_aicc:
+                best_aicc = aicc
+                best = (p, d, q)
+    if best is None:
+        best = (0, 1, 0) if len(y) > 3 else (0, 0, 0)
+    r = _arima(y, h, cl, p=best[0], d=best[1], q=best[2], _name="AutoARIMA")
+    return r
+
+
+# ---------------------------------------------------------------------------
+# MSTL / MFLES / TBATS (public-algorithm reimplementations, simplified)
+# ---------------------------------------------------------------------------
+
+def _stl_lite(y, m, iterations=2):
+    """Lightweight STL: iterate (seasonal via phase-mean of detrended,
+    trend via centered MA of deseasonalized)."""
+    n = len(y)
+    seasonal = np.zeros(n)
+    trend = np.zeros(n)
+    resid = y.copy()
+    if m < 2 or n < 2 * m:
+        t = np.arange(n, dtype=float)
+        b1, b0 = np.polyfit(t, y, 1)
+        trend = b0 + b1 * t
+        return trend, seasonal, y - trend
+    for _ in range(iterations):
+        detr = y - trend
+        idx = np.zeros(m)
+        for ph in range(m):
+            vals = detr[ph::m]
+            idx[ph] = float(np.mean(vals)) if len(vals) else 0.0
+        idx = idx - idx.mean()
+        seasonal = np.array([idx[t % m] for t in range(n)])
+        deseas = y - seasonal
+        # trend: centered MA window m (odd-ified)
+        w = m if m % 2 == 1 else m + 1
+        k = w // 2
+        c = np.concatenate([[0.0], np.cumsum(deseas)])
+        trend = np.empty(n)
+        for t in range(n):
+            a_, b_ = max(0, t - k), min(n, t + k + 1)
+            trend[t] = (c[b_] - c[a_]) / (b_ - a_)
+    resid = y - trend - seasonal
+    return trend, seasonal, resid
+
+
+def _mstl(y, h, cl, season_lengths=None, season_length=1, _name="MSTL", **kw):
+    ms = season_lengths or ([season_length] if season_length and season_length > 1 else [])
+    ms = [int(m) for m in ms if m and int(m) >= 2 and len(y) >= 2 * int(m)]
+    n = len(y)
+    deseas = y.copy()
+    seasonals = []
+    for m in sorted(set(ms)):
+        trend, seasonal, _ = _stl_lite(deseas, m)
+        seasonals.append((m, seasonal))
+        deseas = deseas - seasonal
+    # forecast the deseasonalized series with optimized SES + drift blend
+    base = _ses_optimized(deseas, h, cl)
+    t = np.arange(n, dtype=float)
+    b1, b0 = np.polyfit(t, deseas, 1)
+    steps = np.arange(1, h + 1, dtype=float)
+    point = 0.5 * base.point + 0.5 * (b0 + b1 * (n - 1 + steps))
+    fitted = 0.5 * np.asarray(base.fitted) + 0.5 * (b0 + b1 * t)
+    for m, seasonal in seasonals:
+        idx = seasonal[:m] if n >= m else np.zeros(m)
+        # phase continues from n
+        last_cycle = seasonal[n - m:n] if n >= m else np.zeros(m)
+        seas_f = np.array([last_cycle[(s - 1) % m] for s in range(1, h + 1)])
+        point = point + seas_f
+        fitted = fitted + seasonal
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"seasonal_periods": [m for m, _ in seasonals]})
+
+
+def _auto_mstl(y, h, cl, season_lengths=None, **kw):
+    ms = season_lengths
+    if not ms:
+        m = detect_seasonality(y)
+        ms = [m] if m > 1 else []
+    r = _mstl(y, h, cl, season_lengths=ms, _name="AutoMSTL")
+    return r
+
+
+def _mfles(y, h, cl, season_lengths=None, season_length=1, iterations=3,
+           _name="MFLES", **kw):
+    """MFLES: gradient-boosted decomposition (median → linear → seasonal →
+    smoother), following the published MFLES algorithm sketch."""
+    n = len(y)
+    ms = season_lengths or ([season_length] if season_length and season_length > 1 else [])
+    ms = [int(m) for m in ms if m and int(m) >= 2 and n >= 2 * int(m)]
+    t = np.arange(n, dtype=float)
+    resid = y.copy()
+    fitted = np.zeros(n)
+    steps = np.arange(1, h + 1, dtype=float)
+    point = np.zeros(h)
+    # round 0: median
+    med = float(np.median(resid))
+    fitted += med
+    point += med
+    resid = y - fitted
+    for it in range(int(iterations)):
+        # linear trend boost (shrunk)
+        b1, b0 = np.polyfit(t, resid, 1)
+        lr = 0.9 if it == 0 else 0.5
+        fitted += lr * (b0 + b1 * t)
+        point += lr * (b0 + b1 * (n - 1 + steps))
+        resid = y - fitted
+        # seasonal boosts
+        for m in ms:
+            idx = np.zeros(m)
+            for ph in range(m):
+                vals = resid[ph::m]
+                idx[ph] = float(np.median(vals)) if len(vals) else 0.0
+            seas = np.array([idx[tt % m] for tt in range(n)])
+            seas_f = np.array([idx[(n + s - 1) % m] for s in range(1, h + 1)])
+            fitted += seas
+            point += seas_f
+            resid = y - fitted
+        # ses smoother boost
+        f_s, lvl = _ses_filter(resid, 0.3)
+        fitted += f_s
+        point += lvl * 0.5 ** it
+        resid = y - fitted
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"seasonal_periods": ms, "iterations": int(iterations)})
+
+
+def _auto_mfles(y, h, cl, season_lengths=None, **kw):
+    if not season_lengths:
+        m = detect_seasonality(y)
+        season_lengths = [m] if m > 1 else []
+    r = _mfles(y, h, cl, season_lengths=season_lengths, _name="AutoMFLES")
+    return r
+
+
+def _tbats(y, h, cl, season_lengths=None, season_length=1, use_box_cox=False,
+           _name="TBATS", **kw):
+    """TBATS substitute: harmonic (Fourier) regression per seasonal period +
+    linear trend + AR(1) residual correction. Documented simplification of
+    De Livera-Hyndman-Snyder TBATS; deterministic least squares."""
+    n = len(y)
+    ms = season_lengths or ([season_length] if season_length and season_length > 1 else [])
+    ms = [float(m) for m in ms if m and float(m) >= 2 and n >= 2 * float(m)]
+    x = y.copy()
+    lam = None
+    if use_box_cox:
+        shift = 1.0 - min(0.0, float(np.min(x)))
+        x = np.log(x + shift)
+        lam = shift
+    t = np.arange(n, dtype=float)
+    cols = [np.ones(n), t]
+    K_per = []
+    for m in ms:
+        K = min(3, max(1, int(m // 2)))
+        K_per.append(K)
+        for k in range(1, K + 1):
+            cols.append(np.sin(2 * np.pi * k * t / m))
+            cols.append(np.cos(2 * np.pi * k * t / m))
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X, x, rcond=None)
+    fit_x = X @ beta
+    resid = x - fit_x
+    # AR(1) on residuals
+    if len(resid) > 3 and np.var(resid) > 0:
+        rho = float(np.sum(resid[:-1] * resid[1:]) / np.sum(resid[:-1] ** 2))
+        rho = max(-0.95, min(0.95, rho))
+    else:
+        rho = 0.0
+    tf = n - 1 + np.arange(1, h + 1, dtype=float)
+    cols_f = [np.ones(h), tf]
+    for m, K in zip(ms, K_per):
+        for k in range(1, K + 1):
+            cols_f.append(np.sin(2 * np.pi * k * tf / m))
+            cols_f.append(np.cos(2 * np.pi * k * tf / m))
+    Xf = np.column_stack(cols_f)
+    point_x = Xf @ beta + resid[-1] * rho ** np.arange(1, h + 1)
+    if use_box_cox:
+        point = np.exp(point_x) - lam
+        fitted = np.exp(fit_x) - lam
+    else:
+        point = point_x
+        fitted = fit_x
+    res = y - fitted
+    sig = _sigma(res)
+    steps = np.arange(1, h + 1, dtype=float)
+    lo, up = _interval(point, sig * np.sqrt(steps), cl)
+    return ForecastResult(point, lo, up, _name, fitted, res,
+                          params={"seasonal_periods": ms, "rho": rho})
+
+
+def _auto_tbats(y, h, cl, season_lengths=None, **kw):
+    if not season_lengths:
+        m = detect_seasonality(y)
+        season_lengths = [m] if m > 1 else []
+    cands = [_tbats(y, h, cl, season_lengths=season_lengths, use_box_cox=False,
+                    _name="AutoTBATS")]
+    if np.min(y) > 0:
+        try:
+            cands.append(_tbats(y, h, cl, season_lengths=season_lengths,
+                                use_box_cox=True, _name="AutoTBATS"))
+        except Exception:
+            pass
+    sses = [float(np.nansum(np.asarray(c.residuals) ** 2)) for c in cands]
+    return cands[int(np.argmin(sses))]
+
+
+# ---------------------------------------------------------------------------
+# Intermittent demand (Croston family / ADIDA / IMAPA / TSB)
+# ---------------------------------------------------------------------------
+
+def _croston_parts(y):
+    nz = np.nonzero(y != 0)[0]
+    sizes = y[nz]
+    if len(nz) == 0:
+        return np.array([]), np.array([])
+    intervals = np.diff(np.concatenate([[-1], nz]))
+    return sizes, intervals.astype(float)
+
+
+def _croston(y, h, cl, variant="classic", **kw):
+    sizes, intervals = _croston_parts(y)
+    name = {"classic": "CrostonClassic", "optimized": "CrostonOptimized",
+            "sba": "CrostonSBA"}[variant]
+    if len(sizes) == 0:
+        point = np.zeros(h)
+        return ForecastResult(point, point.copy(), point.copy(), name,
+                              np.zeros(len(y)), y - 0.0)
+    if variant == "optimized":
+        def sse(a):
+            fs, zl = _ses_filter(sizes, a)
+            fi, il = _ses_filter(intervals, a)
+            return float(np.nansum((sizes - fs) ** 2) + np.nansum((intervals - fi) ** 2))
+        alpha = golden_section(sse, 0.01, 0.99)
+    else:
+        alpha = 0.1
+    _, z = _ses_filter(sizes, alpha)
+    _, p = _ses_filter(intervals, alpha)
+    rate = z / p if p != 0 else 0.0
+    if variant == "sba":
+        rate = rate * (1 - alpha / 2.0)
+    point = np.full(h, rate)
+    fitted = np.full(len(y), rate)
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, np.full(h, sig), cl)
+    return ForecastResult(point, lo, up, name, fitted, res, params={"alpha": alpha})
+
+
+def _adida(y, h, cl, **kw):
+    """Aggregate-Disaggregate Intermittent Demand Approach."""
+    nz = np.nonzero(y != 0)[0]
+    if len(nz) < 2:
+        return _croston(y, h, cl, variant="classic")
+    mean_interval = max(1, int(round(float(np.mean(np.diff(np.concatenate([[-1], nz])))))))
+    n = len(y)
+    nb = n // mean_interval
+    if nb < 2:
+        return _croston(y, h, cl, variant="classic")
+    trimmed = y[n - nb * mean_interval:]
+    agg = trimmed.reshape(nb, mean_interval).sum(axis=1)
+    _, level = _ses_filter(agg, 0.3)
+    rate = level / mean_interval
+    point = np.full(h, rate)
+    fitted = np.full(n, rate)
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, np.full(h, sig), cl)
+    return ForecastResult(point, lo, up, "ADIDA", fitted, res,
+                          params={"aggregation": mean_interval})
+
+
+def _imapa(y, h, cl, **kw):
+    """Intermittent Multiple Aggregation Prediction Algorithm: average ADIDA
+    rates across aggregation levels 1..mean-interval."""
+    nz = np.nonzero(y != 0)[0]
+    if len(nz) < 2:
+        return _croston(y, h, cl, variant="classic")
+    max_agg = max(1, int(round(float(np.mean(np.diff(np.concatenate([[-1], nz])))))))
+    n = len(y)
+    rates = []
+    for lv in range(1, max_agg + 1):
+        nb = n // lv
+        if nb < 2:
+            continue
+        agg = y[n - nb * lv:].reshape(nb, lv).sum(axis=1)
+        _, level = _ses_filter(agg, 0.3)
+        rates.append(level / lv)
+    rate = float(np.mean(rates)) if rates else 0.0
+    point = np.full(h, rate)
+    fitted = np.full(n, rate)
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, np.full(h, sig), cl)
+    return ForecastResult(point, lo, up, "IMAPA", fitted, res,
+                          params={"levels": len(rates)})
+
+
+def _tsb(y, h, cl, alpha_d=0.2, alpha_p=0.2, **kw):
+    """Teunter-Syntetos-Babai: smooth demand probability and size every period."""
+    n = len(y)
+    p = 1.0 if y[0] != 0 else 0.0
+    z = y[0] if y[0] != 0 else float(np.mean(y[y != 0])) if (y != 0).any() else 0.0
+    fitted = np.empty(n)
+    for t in range(n):
+        fitted[t] = p * z
+        occ = 1.0 if y[t] != 0 else 0.0
+        p = alpha_p * occ + (1 - alpha_p) * p
+        if y[t] != 0:
+            z = alpha_d * y[t] + (1 - alpha_d) * z
+    point = np.full(h, p * z)
+    res = y - fitted
+    sig = _sigma(res)
+    lo, up = _interval(point, np.full(h, sig), cl)
+    return ForecastResult(point, lo, up, "TSB", fitted, res,
+                          params={"alpha_d": alpha_d, "alpha_p": alpha_p})
+
+
+# ---------------------------------------------------------------------------
+# Laplace distributional forecaster (ref forecast.rs:45-88, README.md:33):
+# likelihood-weighted mixture of leaves (EMA / drift / AR(1) / damped-Holt).
+# ---------------------------------------------------------------------------
+
+def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
+             laplace_seasonal_batch_init=0, **kw):
+    n = len(y)
+    leaves = []
+    # leaf 1: EMA
+    f1, l1 = _ses_filter(y, 0.3)
+    leaves.append(("ema", f1, np.full(h, l1)))
+    # leaf 2: drift
+    drift = (y[-1] - y[0]) / (n - 1) if n > 1 else 0.0
+    f2 = np.concatenate([[np.nan], y[:-1] + drift])
+    leaves.append(("drift", f2, y[-1] + drift * np.arange(1, h + 1)))
+    # leaf 3: AR(1)
+    xm = float(np.mean(y))
+    xc = y - xm
+    denom = float(np.sum(xc[:-1] ** 2))
+    rho = float(np.sum(xc[:-1] * xc[1:]) / denom) if denom > 0 else 0.0
+    rho = max(-0.98, min(0.98, rho))
+    f3 = np.concatenate([[np.nan], xm + rho * xc[:-1]])
+    leaves.append(("ar1", f3, xm + xc[-1] * rho ** np.arange(1, h + 1)))
+    # leaf 4: damped Holt
+    r4 = _holt(y, h, cl, damped=True, _name="Laplace")
+    leaves.append(("damped_holt", np.asarray(r4.fitted), r4.point))
+    # optional seasonal-EMA leaf
+    m = int(season_length)
+    if m >= 2 and n >= 2 * m:
+        r5 = _seasonal_es(y, h, cl, season_length=m, alpha=0.3)
+        leaves.append(("seasonal_ema", np.asarray(r5.fitted), r5.point))
+    # likelihood weights under Laplace errors: w ∝ exp(-MAE/b)
+    maes = []
+    for _, f, _fc in leaves:
+        e = y - f
+        e = e[np.isfinite(e)]
+        maes.append(float(np.mean(np.abs(e))) if len(e) else float("inf"))
+    b = max(min(maes), 1e-9)
+    ws = np.array([math.exp(-(m_ / b - 1.0)) if math.isfinite(m_) else 0.0 for m_ in maes])
+    if ws.sum() == 0:
+        ws = np.ones(len(leaves))
+    ws = ws / ws.sum()
+    point = np.zeros(h)
+    for w, (_, _f, fc) in zip(ws, leaves):
+        point += w * fc
+    fitted = np.zeros(n)
+    wf = np.zeros(n)
+    for w, (_, f, _fc) in zip(ws, leaves):
+        ok = np.isfinite(f)
+        fitted[ok] += w * f[ok]
+        wf[ok] += w
+    fitted = np.where(wf > 0, fitted / np.maximum(wf, 1e-12), np.nan)
+    res = y - fitted
+    # Laplace intervals: b_hat = mean|res|; quantile of Laplace distribution
+    e = res[np.isfinite(res)]
+    b_hat = float(np.mean(np.abs(e))) if len(e) else 0.0
+    p_hi = 0.5 + cl / 2.0
+    q = -b_hat * math.log(2 * (1 - p_hi))  # Laplace quantile at p_hi
+    steps = np.sqrt(np.arange(1, h + 1, dtype=float))
+    lo = point - q * steps
+    up = point + q * steps
+    return ForecastResult(point, lo, up, "Laplace", fitted, res,
+                          params={"variant": laplace_variant,
+                                  "weights": {name: float(w) for (name, _, _), w
+                                              in zip(leaves, ws)}})
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+_DISPATCH = {
+    "Naive": _naive,
+    "RandomWalkDrift": _random_walk_drift,
+    "SMA": _sma,
+    "SeasonalNaive": _seasonal_naive,
+    "SeasonalWindowAverage": _seasonal_window_average,
+    "SES": _ses,
+    "SESOptimized": _ses_optimized,
+    "Holt": _holt,
+    "HoltWinters": _holt_winters,
+    "SeasonalES": lambda y, h, cl, **kw: _seasonal_es(y, h, cl, **kw),
+    "SeasonalESOptimized": lambda y, h, cl, **kw: _seasonal_es(
+        y, h, cl, optimized=True, **{k: v for k, v in kw.items() if k != "optimized"}),
+    "ETS": _ets,
+    "AutoETS": _auto_ets,
+    "Theta": _theta,
+    "OptimizedTheta": lambda y, h, cl, **kw: _theta(y, h, cl, optimized=True, **kw),
+    "DynamicTheta": lambda y, h, cl, **kw: _theta(y, h, cl, dynamic=True, **kw),
+    "DynamicOptimizedTheta": lambda y, h, cl, **kw: _theta(
+        y, h, cl, dynamic=True, optimized=True, **kw),
+    "AutoTheta": _auto_theta,
+    "ARIMA": _arima,
+    "AutoARIMA": _auto_arima,
+    "MSTL": _mstl,
+    "AutoMSTL": _auto_mstl,
+    "MFLES": _mfles,
+    "AutoMFLES": _auto_mfles,
+    "TBATS": _tbats,
+    "AutoTBATS": _auto_tbats,
+    "CrostonClassic": lambda y, h, cl, **kw: _croston(y, h, cl, variant="classic"),
+    "CrostonOptimized": lambda y, h, cl, **kw: _croston(y, h, cl, variant="optimized"),
+    "CrostonSBA": lambda y, h, cl, **kw: _croston(y, h, cl, variant="sba"),
+    "ADIDA": _adida,
+    "IMAPA": _imapa,
+    "TSB": _tsb,
+    "Laplace": _laplace,
+}
+
+_PARAM_KEYS = {"window", "alpha", "beta", "gamma", "model", "model_pool", "theta",
+               "alpha_d", "alpha_p", "p", "d", "q", "iterations", "use_box_cox",
+               "laplace_variant", "laplace_seasonal_batch_init", "stl_method"}
+
+
+def forecast(y, h: int, method: str, season_length: int = 0, level: float = 0.90,
+             params: dict | None = None) -> ForecastResult:
+    """Fit + forecast one series. ``y`` may contain NaN (interpolated).
+
+    ``season_length=0`` triggers periodogram auto-detection for seasonal
+    models (ref ``seasonality.rs:323``, ``ts_forecast_native.cpp:270-400``).
+    """
+    model = canonical_model(method)
+    y = validate_series(np.asarray(y, dtype=float))
+    params = dict(params or {})
+    m = int(params.get("seasonal_period", season_length) or 0)
+    needs_season = model in SEASONAL_MODELS or model in (
+        "AutoETS", "ETS", "Theta", "OptimizedTheta", "DynamicTheta",
+        "DynamicOptimizedTheta", "AutoTheta", "Laplace")
+    if m == 0 and needs_season:
+        m = detect_seasonality(y)
+    kw = {k: v for k, v in params.items() if k in _PARAM_KEYS}
+    sp = params.get("seasonal_periods")
+    if sp:
+        kw["season_lengths"] = [int(v) for v in sp]
+    fn = _DISPATCH[model]
+    res = fn(y, int(h), float(level), season_length=m, **kw)
+    return res

@@ -1,0 +1,329 @@
+"""Forecasting operators (SURVEY.md §2.1).
+
+Parity target: ``ts_forecast_by`` / ``ts_forecast`` / ``ts_forecast_agg``
+(macro ``src/macros/ts_macros.cpp:539-604``, native table function
+``src/table_functions/ts_forecast_native.cpp``). Output schema matches the
+reference: ``(group, forecast_step INT, ds, yhat, yhat_lower, yhat_upper,
+model_name)``, preserving the caller's group/date column names and types
+(ref ``ts_forecast_native.cpp:426-452``).
+
+Two physical strategies, chosen per model:
+
+- **SQL fast path** (Naive, SeasonalNaive, SMA, SeasonalWindowAverage,
+  RandomWalkDrift): pure DataFrame ops — window functions + one group-level
+  aggregate + ``explode(sequence(1, h))``. No Python in the data path; the
+  whole plan is Catalyst-optimized and whole-stage-codegen'd. At 100 TB this
+  is a single shuffle on the group key.
+- **pandas-UDF path** (everything else): ``groupBy(id).applyInPandas`` over
+  the numpy model library (``functions/models.py``). The shuffle is the same;
+  model fitting is embarrassingly parallel across series. Per-group failures
+  are skipped, invalid input fails hard — the reference's error-isolation
+  semantics (``ts_forecast_native.cpp:666-672``).
+
+Future dates: fixed frequencies add ``step * seconds``; calendar frequencies
+(month/quarter/year) use ``add_months`` month-end-clamped arithmetic, matching
+the reference (``ts_forecast_native.cpp:683-715``). Integer date columns are
+treated as ordinals (``ts_forecast_native.cpp:717-726``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..frequency import Frequency, parse_frequency
+from ..functions import models as M
+
+FORECAST_FIELDS = [
+    ("forecast_step", T.IntegerType()),
+    ("yhat", T.DoubleType()),
+    ("yhat_lower", T.DoubleType()),
+    ("yhat_upper", T.DoubleType()),
+    ("model_name", T.StringType()),
+]
+
+
+def _z(level: float) -> float:
+    return M.norm_ppf(0.5 + level / 2.0)
+
+
+def _future_ds(max_ds_col, step_col, freq: Frequency, ds_type: T.DataType):
+    """Column expr for the forecast timestamp at `step` after `max_ds`."""
+    if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
+        n = freq.n if freq.kind == "int" else 1
+        return (max_ds_col + step_col * F.lit(n)).cast(ds_type)
+    if freq.kind == "month":
+        out = F.add_months(max_ds_col, step_col * F.lit(freq.n))
+        return out.cast(ds_type)
+    # fixed seconds
+    out = F.timestamp_add("SECOND", (step_col * F.lit(freq.n)).cast("long"),
+                          max_ds_col.cast("timestamp"))
+    return out.cast(ds_type)
+
+
+def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str) -> DataFrame:
+    """Linear position-based NULL interpolation within each series, edges
+    filled with nearest valid value — SQL mirror of
+    ``models.interpolate_nulls`` (ref ``imputation.rs:62``)."""
+    w = Window.partitionBy(group_col).orderBy(ds_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pos = F.row_number().over(w) - 1
+    y = F.col(y_col)
+    df2 = (df.withColumn("__pos", pos)
+             .withColumn("__pv", F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(w_prev))
+             .withColumn("__pp", F.last(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_prev))
+             .withColumn("__nv", F.first(F.when(y.isNotNull(), y), ignorenulls=True).over(w_next))
+             .withColumn("__np", F.first(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_next)))
+    interp = (F.col("__pv") + (F.col("__nv") - F.col("__pv"))
+              * (F.col("__pos") - F.col("__pp")) / (F.col("__np") - F.col("__pp")))
+    filled = (F.when(y.isNotNull(), y)
+               .when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), interp)
+               .when(F.col("__pv").isNotNull(), F.col("__pv"))
+               .otherwise(F.col("__nv")))
+    return df2.withColumn(y_col, filled).drop("__pos", "__pv", "__pp", "__nv", "__np")
+
+
+# ---------------------------------------------------------------------------
+# SQL fast path
+# ---------------------------------------------------------------------------
+
+def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                  model: str, horizon: int, freq: Frequency, level: float,
+                  params: dict) -> DataFrame:
+    z = _z(level)
+    m = int(params.get("seasonal_period", 0) or 0)
+    window = int(params.get("window", 5 if model == "SMA" else 2))
+    ds_type = df.schema[ds_col].dataType
+
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
+             .filter(F.col(ds_col).isNotNull())
+    base = interpolate_nulls_df(base, group_col, ds_col, y_col)
+
+    w_asc = Window.partitionBy(group_col).orderBy(ds_col)
+    w_desc = Window.partitionBy(group_col).orderBy(F.col(ds_col).desc())
+    y = F.col(y_col)
+    base = (base
+            .withColumn("__rnd", F.row_number().over(w_desc))
+            .withColumn("__dy", y - F.lag(y, 1).over(w_asc)))
+    if model in ("SeasonalNaive", "SeasonalWindowAverage"):
+        if m < 1:
+            raise ValueError(f"{model} requires seasonal_period >= 1")
+        base = base.withColumn("__dym", y - F.lag(y, m).over(w_asc))
+
+    if model == "SMA":
+        # rolling-mean one-step fit (defined from row window+1 on), pre-agg
+        base = base.withColumn(
+            "__sma_fit",
+            F.when(F.row_number().over(w_asc) > window,
+                   F.avg(y).over(w_asc.rowsBetween(-window, -1))))
+
+    aggs = [
+        F.max(ds_col).alias("__max_ds"),
+        F.count(F.lit(1)).alias("__n"),
+        F.max_by(y, F.col(ds_col)).alias("__last_y"),
+        F.min_by(y, F.col(ds_col)).alias("__first_y"),
+        F.coalesce(F.stddev_samp(F.col("__dy")), F.lit(0.0)).alias("__sig"),
+    ]
+    if model == "SMA":
+        aggs.append(F.avg(F.when(F.col("__rnd") <= window, y)).alias("__sma"))
+        aggs.append(F.coalesce(F.stddev_samp(y - F.col("__sma_fit")), F.lit(0.0))
+                     .alias("__sig_sma"))
+    if model in ("SeasonalNaive", "SeasonalWindowAverage"):
+        aggs.append(F.coalesce(F.stddev_samp(F.col("__dym")), F.lit(0.0)).alias("__sigm"))
+    agg = base.groupBy(group_col).agg(*aggs).filter(F.col("__n") >= 3)
+
+    step = F.col("forecast_step")
+    stepd = step.cast("double")
+    steps = agg.select(
+        group_col, "__max_ds", "__n", "__last_y", "__first_y", "__sig",
+        *(["__sma", "__sig_sma"] if model == "SMA" else []),
+        *(["__sigm"] if model in ("SeasonalNaive", "SeasonalWindowAverage") else []),
+        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("forecast_step"),
+    )
+    out_ds = _future_ds(F.col("__max_ds"), step, freq, ds_type).alias(ds_col)
+
+    if model == "Naive":
+        yhat = F.col("__last_y")
+        width = F.lit(z) * F.col("__sig") * F.sqrt(stepd)
+    elif model == "RandomWalkDrift":
+        drift = (F.col("__last_y") - F.col("__first_y")) / (F.col("__n") - 1)
+        yhat = F.col("__last_y") + drift * stepd
+        width = F.lit(z) * F.col("__sig") * F.sqrt(stepd)
+    elif model == "SMA":
+        yhat = F.col("__sma")
+        width = F.lit(z) * F.col("__sig_sma")
+    elif model == "SeasonalNaive":
+        tmpl = base.filter(F.col("__rnd") <= m).select(
+            group_col, F.col("__rnd").alias("__tr"), y.alias("__ty"))
+        steps = steps.withColumn("__tr", F.lit(m) - (step - 1) % F.lit(m))
+        steps = steps.join(tmpl, on=[group_col, "__tr"], how="inner")
+        yhat = F.col("__ty")
+        kcyc = F.floor((stepd - 1) / m) + 1
+        width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
+    elif model == "SeasonalWindowAverage":
+        ph = ((F.col("__rnd") - 1) % m)
+        k = F.floor((F.col("__rnd") - 1) / m)
+        tmpl = (base.withColumn("__ph", ph).withColumn("__k", k)
+                .filter(F.col("__k") < window)
+                .groupBy(group_col, "__ph").agg(F.avg(y).alias("__ty")))
+        steps = steps.withColumn("__ph", (F.lit(m) - 1 - (step - 1) % F.lit(m)) % F.lit(m))
+        steps = steps.join(tmpl, on=[group_col, "__ph"], how="inner")
+        yhat = F.col("__ty")
+        kcyc = F.floor((stepd - 1) / m) + 1
+        width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
+    else:
+        raise ValueError(f"not a SQL-path model: {model}")
+
+    return steps.select(
+        F.col(group_col),
+        step.cast("int").alias("forecast_step"),
+        out_ds,
+        yhat.cast("double").alias("yhat"),
+        (yhat - width).cast("double").alias("yhat_lower"),
+        (yhat + width).cast("double").alias("yhat_upper"),
+        F.lit(model).alias("model_name"),
+    ).orderBy(group_col, "forecast_step")
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF path
+# ---------------------------------------------------------------------------
+
+def _add_months_clamped(ts: pd.Timestamp, k: int) -> pd.Timestamp:
+    """Month arithmetic with end-of-month day clamping (ref
+    ``ts_forecast_native.cpp:683-715``)."""
+    y0, m0, d0 = ts.year, ts.month, ts.day
+    total = (y0 * 12 + (m0 - 1)) + k
+    y1, m1 = divmod(total, 12)
+    m1 += 1
+    last_day = pd.Timestamp(year=y1 + (1 if m1 == 12 else 0),
+                            month=1 if m1 == 12 else m1 + 1, day=1) - pd.Timedelta(days=1)
+    d1 = min(d0, last_day.day)
+    return pd.Timestamp(year=y1, month=m1, day=d1, hour=ts.hour,
+                        minute=ts.minute, second=ts.second)
+
+
+def _future_dates_pd(last, h: int, freq: Frequency, is_int: bool):
+    if is_int or freq.kind == "int":
+        n = freq.n if freq.kind == "int" else 1
+        return [last + n * s for s in range(1, h + 1)]
+    last = pd.Timestamp(last)
+    if freq.kind == "month":
+        return [_add_months_clamped(last, freq.n * s) for s in range(1, h + 1)]
+    return [last + pd.Timedelta(seconds=freq.n * s) for s in range(1, h + 1)]
+
+
+def _forecast_udf(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                  model: str, horizon: int, freq: Frequency, level: float,
+                  params: dict) -> DataFrame:
+    ds_type = df.schema[ds_col].dataType
+    gtype = df.schema[group_col].dataType
+    is_int_ds = isinstance(ds_type, (T.IntegerType, T.LongType))
+    schema = T.StructType(
+        [T.StructField(group_col, gtype)]
+        + [T.StructField("forecast_step", T.IntegerType())]
+        + [T.StructField(ds_col, ds_type)]
+        + [T.StructField(n, t) for n, t in FORECAST_FIELDS[1:]]
+    )
+    h = int(horizon)
+    season = int(params.get("seasonal_period", 0) or 0)
+    pars = dict(params)
+
+    def fn(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        yv = pdf[y_col].astype(float).to_numpy()
+        try:
+            r = M.forecast(yv, h, model, season_length=season, level=level,
+                           params=pars)
+        except Exception:
+            # error isolation: skip failing groups (ref ts_forecast_native.cpp:666-672)
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+        last = pdf[ds_col].iloc[-1]
+        return pd.DataFrame({
+            group_col: [key[0]] * h,
+            "forecast_step": list(range(1, h + 1)),
+            ds_col: _future_dates_pd(last, h, freq, is_int_ds),
+            "yhat": r.point,
+            "yhat_lower": r.lower,
+            "yhat_upper": r.upper,
+            "model_name": [r.model_name] * h,
+        })
+
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
+             .filter(F.col(ds_col).isNotNull())
+    return base.groupBy(group_col).applyInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def ts_forecast_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                   method: str, horizon: int, frequency, params: dict | None = None,
+                   ) -> DataFrame:
+    """Per-series forecast — the primary forecasting operator.
+
+    Ref: macro ``ts_macros.cpp:575-604`` → ``_ts_forecast_scalar``
+    (``ts_forecast_scalar.cpp:17-30``) → ``forecast.rs:512+``.
+    """
+    params = dict(params or {})
+    model = M.canonical_model(method)
+    freq = parse_frequency(frequency)
+    level = float(params.get("confidence_level", 0.90))
+    if not (0.0 < level < 1.0):
+        raise ValueError("confidence_level must be in (0, 1)")
+    if int(horizon) < 1:
+        raise ValueError("horizon must be >= 1")
+    seasonal_required = model in ("SeasonalNaive", "SeasonalWindowAverage",
+                                  "HoltWinters", "SeasonalES", "SeasonalESOptimized")
+    if model in M.SQL_PATH_MODELS and not (
+            seasonal_required and int(params.get("seasonal_period", 0) or 0) == 0):
+        return _forecast_sql(df, group_col, ds_col, y_col, model, horizon, freq,
+                             level, params)
+    return _forecast_udf(df, group_col, ds_col, y_col, model, horizon, freq,
+                         level, params)
+
+
+def ts_forecast(df: DataFrame, ds_col: str, y_col: str, method: str,
+                horizon: int, params: dict | None = None,
+                frequency="1d") -> DataFrame:
+    """Single-series form returning array columns
+    ``(point_forecasts, lower, upper, model_name, aic, bic)`` — ref macro
+    ``ts_macros.cpp:539-567``."""
+    params = dict(params or {})
+    model = M.canonical_model(method)
+    level = float(params.get("confidence_level", 0.90))
+    h = int(horizon)
+    season = int(params.get("seasonal_period", 0) or 0)
+
+    schema = T.StructType([
+        T.StructField("point_forecasts", T.ArrayType(T.DoubleType())),
+        T.StructField("lower", T.ArrayType(T.DoubleType())),
+        T.StructField("upper", T.ArrayType(T.DoubleType())),
+        T.StructField("model_name", T.StringType()),
+        T.StructField("aic", T.DoubleType()),
+        T.StructField("bic", T.DoubleType()),
+    ])
+
+    def fn(pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        yv = pdf[y_col].astype(float).to_numpy()
+        r = M.forecast(yv, h, model, season_length=season, level=level, params=params)
+        return pd.DataFrame({
+            "point_forecasts": [list(map(float, r.point))],
+            "lower": [list(map(float, r.lower))],
+            "upper": [list(map(float, r.upper))],
+            "model_name": [r.model_name],
+            "aic": [r.aic], "bic": [r.bic],
+        })
+
+    return (df.select(F.lit(1).alias("__g"), ds_col, F.col(y_col).cast("double").alias(y_col))
+              .groupBy("__g").applyInPandas(lambda k, p: fn(p), schema))
+
+
+# ts_forecast_agg is the aggregate-function form of the same computation in
+# the reference (ts_forecast_agg.cpp:14-84); in Spark one code path suffices.
+ts_forecast_agg = ts_forecast_by

@@ -1,0 +1,79 @@
+"""Source readers and panel derivations over the driver testdata.
+
+The engine's universal input shape is the long-format panel
+``(id, ds, y)`` (SURVEY.md §1.1). These helpers load the TPC-H-ish
+parquet tables and derive deterministic panels from them, matching the
+derivations documented in FIXTURES.md ("Driver testdata mapping").
+
+All readers are plain ``spark.read.parquet`` — predicate pushdown and
+column pruning reach the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def lineitem_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-series daily panel: (id=l_suppkey, ds=day(l_shipdate), y=sum qty)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_suppkey").alias("id"),
+            F.date_trunc("day", F.col("l_shipdate")).alias("ds"),
+            F.col("l_quantity"),
+        )
+        .groupBy("id", "ds")
+        .agg(F.sum("l_quantity").alias("y"))
+    )
+
+
+def orders_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse intermittent-like panel: (o_custkey, day(o_orderdate), sum price)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_custkey").alias("id"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("ds"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("id", "ds")
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+
+
+def events_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular panel: (user_id, day(ts), count(*))."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.col("user_id").alias("id"), F.date_trunc("day", F.col("ts")).alias("ds"))
+        .groupBy("id", "ds")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+
+
+# DuckDB-SQL equivalents of the panel derivations, for oracle queries.
+LINEITEM_PANEL_SQL = (
+    "SELECT l_suppkey AS id, date_trunc('day', l_shipdate) AS ds, "
+    "SUM(l_quantity) AS y FROM lineitem GROUP BY 1, 2"
+)
+ORDERS_PANEL_SQL = (
+    "SELECT o_custkey AS id, date_trunc('day', o_orderdate) AS ds, "
+    "SUM(o_totalprice) AS y FROM orders GROUP BY 1, 2"
+)
+EVENTS_PANEL_SQL = (
+    "SELECT user_id AS id, date_trunc('day', ts) AS ds, "
+    "CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2"
+)

@@ -1,0 +1,66 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the noop sink (forces every column to be
+computed — count() alone would let Catalyst prune the forecast expressions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from anofox_forecast_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="anofox-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = [
+        "forecast_naive",
+        "forecast_seasonal_naive",
+        "forecast_sma",
+        "forecast_rwd",
+        "forecast_swa",
+        "forecast_ses",
+        "forecast_theta",
+        "forecast_croston",
+        "metric_mae",
+        "metric_smape",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
