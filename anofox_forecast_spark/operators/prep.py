@@ -1,0 +1,374 @@
+"""Data-preparation operators (SURVEY.md §2.3).
+
+Parity targets (all pure Spark SQL — no UDFs anywhere in this module):
+
+- gap filling: ``ts_fill_gaps_by`` / ``ts_fill_forward_by``
+  (macros ``ts_macros.cpp:348-380``; semantics from
+  ``crates/anofox-fcst-core/src/gaps.rs:78-369``)
+- imputation: ``ts_fill_nulls_{const,forward,backward,mean}_by``
+  (macros ``ts_macros.cpp:261-320``) — all columns preserved plus a new
+  ``filled_value`` column
+- differencing: ``ts_diff_by`` (macro ``ts_macros.cpp:323-345``) — note the
+  reference computes ``y - lag(y, diff_order)`` (a lag-distance diff, not an
+  iterated difference)
+- series filters: ``ts_drop_{constant,short,gappy,zeros}_by`` and edge-zero
+  trims (macros ``ts_macros.cpp:174-258,383-416``)
+- leakage tooling: ``ts_mark_unknown_by`` / ``ts_fill_unknown_by``
+  (macros ``ts_macros.cpp:944-1020``), ``ts_validate_timestamps_by`` (+summary,
+  ``ts_macros.cpp:1021-1120``), ``ts_check_leakage`` (``ts_macros.cpp:1319``)
+
+Scale notes: the drop_* filters avoid a second scan of the source by using a
+window-aggregate instead of the reference's IN-subquery (one shuffle on the
+group key, no self-join). Gap filling generates rows from per-pair lag
+deltas — no per-group collect, O(1) state per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..frequency import Frequency, parse_frequency
+
+# ---------------------------------------------------------------------------
+# Gap filling
+# ---------------------------------------------------------------------------
+
+def _month_unit_index(col: Column, n_months: int) -> Column:
+    """Ordinal index of the n_months-sized calendar unit containing col."""
+    return F.floor((F.year(col) * 12 + F.month(col) - 1) / n_months)
+
+
+def _unit_start(col: Column, n_months: int) -> Column:
+    if n_months % 12 == 0:
+        return F.date_trunc("year", col)
+    if n_months % 3 == 0:
+        return F.date_trunc("quarter", col)
+    return F.date_trunc("month", col)
+
+
+def ts_fill_gaps_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                    frequency) -> DataFrame:
+    """Insert missing timestamps between consecutive observations, NULL-valued.
+
+    Fixed frequencies: between each consecutive pair, insert
+    ``prev + k*freq`` for ``k = 1 .. floor(gap/freq) - 1`` (ref
+    ``gaps.rs:111-143``). Calendar frequencies insert unit-start dates between
+    the pair's calendar units (ref ``gaps.rs:145-260``).
+    """
+    freq = parse_frequency(frequency)
+    ds_type = df.schema[ds_col].dataType
+    base = df.select(group_col, ds_col, y_col)
+    w = Window.partitionBy(group_col).orderBy(ds_col)
+    prev = F.lag(F.col(ds_col)).over(w)
+
+    if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
+        step = freq.n if freq.kind == "int" else 1
+        n_ins = (F.floor((F.col(ds_col) - prev) / step) - 1)
+        with_n = base.withColumn("__prev", prev).withColumn("__k", n_ins)
+        inserted = (with_n.filter(F.col("__k") >= 1)
+                    .select(group_col, "__prev",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .select(F.col(group_col),
+                            (F.col("__prev") + F.col("__s") * step).cast(ds_type).alias(ds_col),
+                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
+    elif freq.kind == "month":
+        n = freq.n
+        unit_diff = _month_unit_index(F.col(ds_col), n) - _month_unit_index(prev, n)
+        with_n = base.withColumn("__prev", prev).withColumn("__k", unit_diff - 1)
+        inserted = (with_n.filter(F.col("__k") >= 1)
+                    .select(group_col, "__prev",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .select(F.col(group_col),
+                            F.add_months(_unit_start(F.col("__prev"), n),
+                                         F.col("__s") * n).cast(ds_type).alias(ds_col),
+                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
+    else:
+        sec = freq.n
+        gap_s = F.col(ds_col).cast("timestamp").cast("double") - prev.cast("timestamp").cast("double")
+        n_ins = F.floor(gap_s / sec) - 1
+        with_n = base.withColumn("__prev", prev).withColumn("__k", n_ins)
+        inserted = (with_n.filter(F.col("__k") >= 1)
+                    .select(group_col, "__prev",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .select(F.col(group_col),
+                            F.timestamp_add("SECOND", (F.col("__s") * sec).cast("long"),
+                                            F.col("__prev").cast("timestamp"))
+                             .cast(ds_type).alias(ds_col),
+                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
+    return base.unionByName(inserted)
+
+
+def ts_fill_forward_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                       target_date, frequency) -> DataFrame:
+    """Extend each series forward to ``target_date`` with NULL values
+    (ref ``gaps.rs:282-369``). Calendar frequencies generate unit-start dates
+    strictly after the last observation and ≤ target."""
+    freq = parse_frequency(frequency)
+    ds_type = df.schema[ds_col].dataType
+    y_type = df.schema[y_col].dataType
+    base = df.select(group_col, ds_col, y_col)
+    agg = base.groupBy(group_col).agg(F.max(ds_col).alias("__last"))
+    target = F.lit(target_date).cast(ds_type)
+
+    if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
+        step = freq.n if freq.kind == "int" else 1
+        cnt = F.floor((target - F.col("__last")) / step)
+        new_rows = (agg.withColumn("__k", cnt).filter(F.col("__k") >= 1)
+                    .select(group_col, "__last",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .select(F.col(group_col),
+                            (F.col("__last") + F.col("__s") * step).cast(ds_type).alias(ds_col),
+                            F.lit(None).cast(y_type).alias(y_col)))
+    elif freq.kind == "month":
+        n = freq.n
+        diff = (_month_unit_index(target, n) - _month_unit_index(F.col("__last"), n))
+        new_rows = (agg.withColumn("__k", diff).filter(F.col("__k") >= 1)
+                    .select(group_col, "__last",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .withColumn("__ds", F.add_months(_unit_start(F.col("__last"), n),
+                                                     F.col("__s") * n).cast(ds_type))
+                    .filter((F.col("__ds") > F.col("__last")) & (F.col("__ds") <= target))
+                    .select(F.col(group_col), F.col("__ds").alias(ds_col),
+                            F.lit(None).cast(y_type).alias(y_col)))
+    else:
+        sec = freq.n
+        gap_s = target.cast("timestamp").cast("double") - F.col("__last").cast("timestamp").cast("double")
+        cnt = F.floor(gap_s / sec)
+        new_rows = (agg.withColumn("__k", cnt).filter(F.col("__k") >= 1)
+                    .select(group_col, "__last",
+                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
+                    .select(F.col(group_col),
+                            F.timestamp_add("SECOND", (F.col("__s") * sec).cast("long"),
+                                            F.col("__last").cast("timestamp"))
+                             .cast(ds_type).alias(ds_col),
+                            F.lit(None).cast(y_type).alias(y_col)))
+    return base.unionByName(new_rows)
+
+
+# ---------------------------------------------------------------------------
+# Imputation: all input columns preserved + `filled_value`
+# ---------------------------------------------------------------------------
+
+def ts_fill_nulls_const_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                           fill_value: float) -> DataFrame:
+    return df.withColumn("filled_value", F.coalesce(F.col(y_col), F.lit(fill_value)))
+
+
+def ts_fill_nulls_forward_by(df: DataFrame, group_col: str, ds_col: str,
+                             y_col: str) -> DataFrame:
+    w = (Window.partitionBy(group_col).orderBy(ds_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(
+        "filled_value", F.coalesce(F.col(y_col),
+                                   F.last(F.col(y_col), ignorenulls=True).over(w)))
+
+
+def ts_fill_nulls_backward_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str) -> DataFrame:
+    w = (Window.partitionBy(group_col).orderBy(ds_col)
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return df.withColumn(
+        "filled_value", F.coalesce(F.col(y_col),
+                                   F.first(F.col(y_col), ignorenulls=True).over(w)))
+
+
+def ts_fill_nulls_mean_by(df: DataFrame, group_col: str, ds_col: str,
+                          y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    return df.withColumn(
+        "filled_value", F.coalesce(F.col(y_col), F.avg(F.col(y_col)).over(w)))
+
+
+def ts_interpolate_by(df: DataFrame, group_col: str, ds_col: str, y_col: str) -> DataFrame:
+    """Linear position-based interpolation as a standalone operator
+    (the forecast preprocessing of ``imputation.rs:62`` exposed table-level);
+    adds ``filled_value``."""
+    from .forecast import interpolate_nulls_df
+    out = interpolate_nulls_df(df.withColumn("__orig", F.col(y_col)),
+                               group_col, ds_col, y_col)
+    return (out.withColumn("filled_value", F.col(y_col))
+               .withColumn(y_col, F.col("__orig")).drop("__orig"))
+
+
+# ---------------------------------------------------------------------------
+# Differencing
+# ---------------------------------------------------------------------------
+
+def ts_diff_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+               diff_order: int = 1) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(ds_col)
+    return df.select(
+        group_col, ds_col,
+        (F.col(y_col) - F.lag(F.col(y_col), int(diff_order)).over(w)).alias("diff_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Series filters (window-aggregate semi-filters — single shuffle, no self-join)
+# ---------------------------------------------------------------------------
+
+def _keep_groups(df: DataFrame, group_col: str, keep: Column) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    return (df.withColumn("__keep", keep.over(w) if hasattr(keep, "over") else keep)
+              .filter(F.col("__keep")).drop("__keep"))
+
+
+def ts_drop_constant_by(df: DataFrame, group_col: str, y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    keep = ((F.min(y).over(w) != F.max(y).over(w))
+            | F.min(y).over(w).isNull() | F.max(y).over(w).isNull())
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
+def ts_drop_short_by(df: DataFrame, group_col: str, min_length: int) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    return (df.withColumn("__n", F.count(F.lit(1)).over(w))
+              .filter(F.col("__n") >= int(min_length)).drop("__n"))
+
+
+def ts_drop_gappy_by(df: DataFrame, group_col: str, y_col: str,
+                     max_gap_ratio: float) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    ratio = (F.sum(F.when(y.isNull(), 1).otherwise(0)).over(w).cast("double")
+             / F.count(F.lit(1)).over(w))
+    return (df.withColumn("__r", ratio)
+              .filter(F.col("__r") <= float(max_gap_ratio)).drop("__r"))
+
+
+def ts_drop_zeros_by(df: DataFrame, group_col: str, y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    nz = F.sum(F.when((y != 0) & y.isNotNull(), 1).otherwise(0)).over(w)
+    return df.withColumn("__nz", nz).filter(F.col("__nz") > 0).drop("__nz")
+
+
+def ts_drop_leading_zeros_by(df: DataFrame, group_col: str, ds_col: str,
+                             y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    first_nz = F.min(F.when((y != 0) & y.isNotNull(), F.col(ds_col))).over(w)
+    return (df.withColumn("__fnz", first_nz)
+              .filter(F.col(ds_col) >= F.col("__fnz")).drop("__fnz"))
+
+
+def ts_drop_trailing_zeros_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    last_nz = F.max(F.when((y != 0) & y.isNotNull(), F.col(ds_col))).over(w)
+    return (df.withColumn("__lnz", last_nz)
+              .filter(F.col(ds_col) <= F.col("__lnz")).drop("__lnz"))
+
+
+def ts_drop_edge_zeros_by(df: DataFrame, group_col: str, ds_col: str,
+                          y_col: str) -> DataFrame:
+    w = Window.partitionBy(group_col)
+    y = F.col(y_col)
+    first_nz = F.min(F.when((y != 0) & y.isNotNull(), F.col(ds_col))).over(w)
+    last_nz = F.max(F.when((y != 0) & y.isNotNull(), F.col(ds_col))).over(w)
+    return (df.withColumn("__fnz", first_nz).withColumn("__lnz", last_nz)
+              .filter((F.col(ds_col) >= F.col("__fnz")) & (F.col(ds_col) <= F.col("__lnz")))
+              .drop("__fnz", "__lnz"))
+
+
+# ---------------------------------------------------------------------------
+# Unknown-value masking (CV leakage prevention)
+# ---------------------------------------------------------------------------
+
+def ts_mark_unknown_by(df: DataFrame, group_col: str, ds_col: str,
+                       cutoff_date) -> DataFrame:
+    """All columns + ``is_unknown`` (ds > cutoff) + per-group
+    ``last_known_date`` (max ds ≤ cutoff). Ref macro ``ts_macros.cpp:944-977``."""
+    w = Window.partitionBy(group_col)
+    cutoff = F.lit(cutoff_date).cast("timestamp")
+    dt = F.date_trunc("second", F.col(ds_col).cast("timestamp"))
+    return (df.withColumn("is_unknown", dt > cutoff)
+              .withColumn("last_known_date",
+                          F.max(F.when(dt <= cutoff, dt)).over(w)))
+
+
+def ts_fill_unknown_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                       cutoff_date, params: dict | None = None) -> DataFrame:
+    """Mask post-cutoff values by strategy ``last_value|null|default``
+    (ref macro ``ts_macros.cpp:979-1020``). Output ``(group, ds, y)`` with
+    caller names."""
+    params = dict(params or {})
+    strategy = params.get("strategy", "last_value")
+    fill_value = float(params.get("fill_value", 0.0))
+    cutoff = F.lit(cutoff_date).cast("timestamp")
+    dt = F.date_trunc("second", F.col(ds_col).cast("timestamp"))
+    y = F.col(y_col)
+    w = (Window.partitionBy(group_col).orderBy(dt)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if strategy == "null":
+        masked = F.when(dt <= cutoff, y).otherwise(F.lit(None))
+    elif strategy == "default":
+        masked = F.when(dt <= cutoff, y).otherwise(F.lit(fill_value))
+    elif strategy == "last_value":
+        masked = F.when(dt <= cutoff, y).otherwise(
+            F.last(F.when(dt <= cutoff, y), ignorenulls=True).over(w))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return df.select(F.col(group_col), dt.alias(ds_col), masked.alias(y_col))
+
+
+# ---------------------------------------------------------------------------
+# Timestamp validation
+# ---------------------------------------------------------------------------
+
+def ts_validate_timestamps_by(df: DataFrame, group_col: str, ds_col: str,
+                              expected_timestamps: list) -> DataFrame:
+    """Per group: (group, is_valid, n_expected, n_found, n_missing,
+    missing_timestamps) — ref macro ``ts_macros.cpp:1021-1066``."""
+    spark = df.sparkSession
+    src = (df.select(F.col(group_col),
+                     F.date_trunc("second", F.col(ds_col).cast("timestamp")).alias("__dt"))
+             .distinct())
+    exp = spark.createDataFrame([(str(t),) for t in expected_timestamps], ["__raw"]) \
+               .select(F.date_trunc("second", F.col("__raw").cast("timestamp")).alias("__exp"))
+    found = src.select(F.col(group_col).alias("__g2"), F.col("__dt"),
+                       F.lit(True).alias("__hit"))
+    groups = src.select(group_col).distinct()
+    all_exp = groups.crossJoin(F.broadcast(exp))
+    joined = (all_exp.join(found,
+                           (all_exp[group_col] == found["__g2"])
+                           & (all_exp["__exp"] == found["__dt"]), "left")
+              .select(all_exp[group_col], all_exp["__exp"],
+                      F.coalesce(F.col("__hit"), F.lit(False)).alias("__found")))
+    return (joined.groupBy(group_col).agg(
+        F.min(F.col("__found")).alias("is_valid"),
+        F.count(F.lit(1)).alias("n_expected"),
+        F.sum(F.when(F.col("__found"), 1).otherwise(0)).cast("long").alias("n_found"),
+        F.sum(F.when(~F.col("__found"), 1).otherwise(0)).cast("long").alias("n_missing"),
+        F.sort_array(F.collect_list(F.when(~F.col("__found"), F.col("__exp"))))
+         .alias("missing_timestamps"),
+    ))
+
+
+def ts_validate_timestamps_summary_by(df: DataFrame, group_col: str, ds_col: str,
+                                      expected_timestamps: list) -> DataFrame:
+    per_group = ts_validate_timestamps_by(df, group_col, ds_col, expected_timestamps)
+    return per_group.agg(
+        F.min("is_valid").alias("all_valid"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).cast("long").alias("n_valid_groups"),
+        F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).cast("long").alias("n_invalid_groups"),
+        F.collect_list(F.when(~F.col("is_valid"), F.col(group_col))).alias("invalid_groups"),
+    )
+
+
+def ts_check_leakage(df: DataFrame, is_test_col: str,
+                     params: dict | None = None) -> DataFrame:
+    """Train/test audit summary (ref macro ``ts_macros.cpp:1319-1363``)."""
+    t = F.col(is_test_col)
+    return df.agg(
+        F.lit("Leakage check complete").alias("status"),
+        F.sum(F.when(t, 1).otherwise(0)).alias("test_row_count"),
+        F.sum(F.when(~t, 1).otherwise(0)).alias("train_row_count"),
+        F.lit("Use ts_cv_hydrate_by + explicit column selection for fail-safe joins")
+         .alias("recommendation"),
+    )

@@ -1,0 +1,471 @@
+"""EDA statistics & data-quality operators (SURVEY.md §2.2).
+
+Parity targets:
+
+- ``ts_stats_by`` — 36-column per-series statistics (struct fields
+  ``stats.rs:24-98``, formulas ``stats.rs:106-312``, helpers
+  ``stats.rs:312-800``; macro ``ts_macros.cpp:31-86``).
+- ``ts_quality_report`` / ``ts_stats_summary`` — pure-SQL rollups over a
+  stats table (macros ``ts_macros.cpp:90-121``).
+- ``ts_data_quality`` (+``_by``/``_summary``) — 4-dimension quality scores
+  (``quality.rs:66-280``; macro ``ts_macros.cpp:124-173``).
+
+``ts_stats_by`` runs as one Arrow-batched pandas UDF per series (exact parity
+with the reference's per-series array computation); the rollups are plain
+Spark aggregations. The numpy helpers below re-derive the reference formulas
+— bias-corrected G1/G2 moments, Hill tail index with k=√n, histogram entropy,
+rolling-mean stability — from the cited lines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..frequency import Frequency, parse_frequency
+
+EPS = 2.220446049250313e-16
+
+STATS_FIELDS = [
+    ("length", T.LongType()), ("n_nulls", T.LongType()), ("n_nan", T.LongType()),
+    ("n_zeros", T.LongType()), ("n_positive", T.LongType()), ("n_negative", T.LongType()),
+    ("n_unique_values", T.LongType()), ("is_constant", T.BooleanType()),
+    ("n_zeros_start", T.LongType()), ("n_zeros_end", T.LongType()),
+    ("plateau_size", T.LongType()), ("plateau_size_nonzero", T.LongType()),
+    ("mean", T.DoubleType()), ("median", T.DoubleType()), ("std_dev", T.DoubleType()),
+    ("variance", T.DoubleType()), ("min", T.DoubleType()), ("max", T.DoubleType()),
+    ("range", T.DoubleType()), ("sum", T.DoubleType()), ("skewness", T.DoubleType()),
+    ("kurtosis", T.DoubleType()), ("tail_index", T.DoubleType()),
+    ("bimodality_coef", T.DoubleType()), ("trimmed_mean", T.DoubleType()),
+    ("coef_variation", T.DoubleType()), ("q1", T.DoubleType()), ("q3", T.DoubleType()),
+    ("iqr", T.DoubleType()), ("autocorr_lag1", T.DoubleType()),
+    ("trend_strength", T.DoubleType()), ("seasonality_strength", T.DoubleType()),
+    ("entropy", T.DoubleType()), ("stability", T.DoubleType()),
+    ("expected_length", T.LongType()), ("n_gaps", T.LongType()),
+]
+
+
+# ---------------------------------------------------------------------------
+# numpy helpers (formulas from stats.rs, cited per function)
+# ---------------------------------------------------------------------------
+
+def _percentile(sorted_v: np.ndarray, p: float) -> float:
+    """Linear-interpolation percentile (stats.rs:480-500)."""
+    n = len(sorted_v)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(sorted_v[0])
+    idx = p * (n - 1)
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    frac = idx - lo
+    if hi >= n:
+        return float(sorted_v[-1])
+    return float(sorted_v[lo] * (1 - frac) + sorted_v[hi] * frac)
+
+
+def _autocorr(v: np.ndarray, lag: int) -> float:
+    """ACF with full-series denominator (stats.rs:503-527)."""
+    n = len(v)
+    if n <= lag:
+        return float("nan")
+    mean = v.mean()
+    d = v - mean
+    denom = float(np.sum(d * d))
+    if abs(denom) < EPS:
+        return 0.0
+    num = float(np.sum(d[lag:] * d[:-lag]))
+    return num / denom
+
+
+def _hill(v: np.ndarray) -> float:
+    """Hill tail index, k=√n order statistics (stats.rs:725-770)."""
+    if len(v) < 10:
+        return float("nan")
+    a = np.abs(v)
+    a = a[a > EPS]
+    if len(a) < 10:
+        return float("nan")
+    a = np.sort(a)[::-1]
+    k = int(math.floor(math.sqrt(len(a))))
+    k = max(2, min(k, len(a) - 1))
+    thr = a[k]
+    if thr <= EPS:
+        return float("nan")
+    h = float(np.mean(np.log(a[:k] / thr)))
+    return 1.0 / h if h > EPS else float("nan")
+
+
+def _approx_entropy(v: np.ndarray) -> float:
+    """Histogram entropy over 10 bins (stats.rs:571-604)."""
+    if len(v) < 10:
+        return float("nan")
+    lo, hi = float(v.min()), float(v.max())
+    rng = hi - lo
+    if abs(rng) < EPS:
+        return 0.0
+    bins = np.zeros(10, dtype=np.int64)
+    idx = np.minimum(np.round((v - lo) / rng * 9).astype(int), 9)
+    for i in idx:
+        bins[i] += 1
+    p = bins[bins > 0] / len(v)
+    return float(-(p * np.log(p)).sum())
+
+
+def _stability(v: np.ndarray) -> float:
+    """1 / (CV of rolling means + 0.01) (stats.rs:607-640)."""
+    n = len(v)
+    if n < 10:
+        return float("nan")
+    w = max(n // 5, 3)
+    c = np.concatenate([[0.0], np.cumsum(v)])
+    rm = (c[w:] - c[:-w]) / w
+    rm_mean = rm.mean()
+    rm_std = math.sqrt(float(np.mean((rm - rm_mean) ** 2)))
+    if abs(rm_mean) > EPS:
+        return 1.0 / (rm_std / abs(rm_mean) + 0.01)
+    return float("nan")
+
+
+def _plateau(v: np.ndarray) -> int:
+    """Longest run of bitwise-equal values (stats.rs:660-682)."""
+    if len(v) == 0:
+        return 0
+    best = cur = 1
+    for i in range(1, len(v)):
+        same = (v[i] == v[i - 1]) or (np.isnan(v[i]) and np.isnan(v[i - 1]))
+        cur = cur + 1 if same else 1
+        best = max(best, cur)
+    return best
+
+
+def _plateau_nonzero(v: np.ndarray) -> int:
+    """Longest constant non-zero run; zeros break it (stats.rs:685-720)."""
+    best = cur = 0
+    prev = None
+    for x in v:
+        if x == 0.0:
+            best = max(best, cur)
+            cur = 0
+            prev = None
+        elif prev is not None and x == prev:
+            cur += 1
+            best = max(best, cur)
+        else:
+            cur = 1
+            best = max(best, cur)
+            prev = x
+    return max(best, cur)
+
+
+def _strengths(v: np.ndarray):
+    """Trend = |r| of linear fit; seasonality = max |ACF| at lags 2/4/7/12
+    (stats.rs:530-568)."""
+    if len(v) < 4:
+        return 0.0, 0.0
+    n = len(v)
+    x = np.arange(n, dtype=float)
+    xm, ym = x.mean(), v.mean()
+    ss_xy = float(np.sum((x - xm) * (v - ym)))
+    ss_xx = float(np.sum((x - xm) ** 2))
+    ss_yy = float(np.sum((v - ym) ** 2))
+    if abs(ss_xx) > EPS and abs(ss_yy) > EPS:
+        trend = min(max(math.sqrt(ss_xy ** 2 / (ss_xx * ss_yy)), 0.0), 1.0)
+    else:
+        trend = 0.0
+    acfs = [abs(_autocorr(v, l)) for l in (2, 4, 7, 12)]
+    seas = max([a for a in acfs if math.isfinite(a)], default=0.0)
+    return trend, min(max(seas, 0.0), 1.0)
+
+
+def compute_series_stats(y_raw: np.ndarray, dates_us: np.ndarray | None,
+                         freq: Frequency | None) -> dict:
+    """All 36 statistics for one series (stats.rs:106-312)."""
+    length = len(y_raw)
+    out = {name: None for name, _ in STATS_FIELDS}
+    out["length"] = length
+    if length == 0:
+        return out
+    isnull = pd.isna(y_raw)
+    # pandas merges NULL and NaN into NaN; the reference distinguishes — we
+    # report all missing as n_nulls and n_nan = 0 (Arrow has no NaN/NULL split
+    # once it crosses the boundary; documented deviation).
+    n_nulls = int(isnull.sum())
+    v = np.asarray(y_raw[~isnull], dtype=float)
+    out.update(n_nulls=n_nulls, n_nan=0)
+    n_valid = len(v)
+    if n_valid == 0:
+        return out
+    out["n_zeros"] = int((v == 0.0).sum())
+    out["n_positive"] = int((v > 0.0).sum())
+    out["n_negative"] = int((v < 0.0).sum())
+    out["n_unique_values"] = int(len(np.unique(v)))
+    out["is_constant"] = bool(out["n_unique_values"] == 1)
+
+    # leading/trailing zeros over the original series (NULL breaks the run)
+    lead = 0
+    for i in range(length):
+        if not isnull[i] and y_raw[i] == 0.0:
+            lead += 1
+        else:
+            break
+    trail = 0
+    for i in range(length - 1, -1, -1):
+        if not isnull[i] and y_raw[i] == 0.0:
+            trail += 1
+        else:
+            break
+    out["n_zeros_start"] = lead
+    out["n_zeros_end"] = trail
+    out["plateau_size"] = _plateau(v)
+    out["plateau_size_nonzero"] = _plateau_nonzero(v)
+
+    s = float(v.sum())
+    mean = s / n_valid
+    out["sum"] = s
+    out["mean"] = mean
+    out["min"] = float(v.min())
+    out["max"] = float(v.max())
+    out["range"] = out["max"] - out["min"]
+    variance = float(np.sum((v - mean) ** 2) / (n_valid - 1)) if n_valid > 1 else 0.0
+    std = math.sqrt(variance)
+    out["variance"] = variance
+    out["std_dev"] = std
+    out["coef_variation"] = std / abs(mean) if abs(mean) > EPS else float("nan")
+
+    sv = np.sort(v)
+    out["median"] = _percentile(sv, 0.5)
+    out["q1"] = _percentile(sv, 0.25)
+    out["q3"] = _percentile(sv, 0.75)
+    out["iqr"] = out["q3"] - out["q1"]
+
+    if n_valid > 2 and std > EPS:
+        n = float(n_valid)
+        m3 = float(np.sum((v - mean) ** 3)) / n
+        out["skewness"] = m3 / std ** 3 * math.sqrt(n * (n - 1)) / (n - 2)
+    else:
+        out["skewness"] = float("nan")
+    if n_valid > 3 and std > EPS:
+        n = float(n_valid)
+        m4 = float(np.sum((v - mean) ** 4)) / n
+        g2 = m4 / std ** 4 - 3.0
+        out["kurtosis"] = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6.0)
+    else:
+        out["kurtosis"] = float("nan")
+    out["tail_index"] = _hill(v)
+    if (n_valid > 3 and math.isfinite(out["kurtosis"])
+            and math.isfinite(out["skewness"])):
+        out["bimodality_coef"] = (out["skewness"] ** 2 + 1.0) / (out["kurtosis"] + 3.0)
+    else:
+        out["bimodality_coef"] = float("nan")
+
+    # 10% trimmed mean (stats.rs:776-800)
+    trim = int(n_valid * 0.1)
+    core = sv[trim: n_valid - trim]
+    out["trimmed_mean"] = float(core.mean()) if len(core) else mean
+
+    out["autocorr_lag1"] = _autocorr(v, 1)
+    out["trend_strength"], out["seasonality_strength"] = _strengths(v)
+    out["entropy"] = _approx_entropy(v)
+    out["stability"] = _stability(v)
+
+    if dates_us is not None and len(dates_us) >= 2 and freq is not None:
+        d = np.sort(dates_us)
+        if freq.kind == "month":
+            dt = pd.to_datetime(d, unit="us")
+            if freq.n % 12 == 0:
+                units = dt.year.to_numpy()
+            elif freq.n % 3 == 0:
+                units = (dt.year * 4 + (dt.month - 1) // 3).to_numpy()
+            else:
+                units = (dt.year * 12 + dt.month).to_numpy()
+            out["expected_length"] = int(units[-1] - units[0] + 1)
+            out["n_gaps"] = int((np.diff(units) > 1).sum())
+        else:
+            fus = (freq.n if freq.kind == "int" else freq.n * 1_000_000)
+            out["expected_length"] = int((d[-1] - d[0]) // fus + 1)
+            out["n_gaps"] = int((np.diff(d) > fus * 1.5).sum())
+    elif dates_us is not None:
+        out["expected_length"] = len(dates_us)
+        out["n_gaps"] = 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+def ts_stats_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                frequency=None) -> DataFrame:
+    """Per-series 36-column statistics table. Output: (<group>, 36 stats)."""
+    freq = parse_frequency(frequency) if frequency is not None else None
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    is_int_ds = isinstance(ds_type, (T.IntegerType, T.LongType))
+    schema = T.StructType([T.StructField(group_col, gtype)]
+                          + [T.StructField(n, t) for n, t in STATS_FIELDS])
+
+    def fn(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        y = pdf[y_col].to_numpy(dtype=float)
+        if is_int_ds:
+            dates = pdf[ds_col].to_numpy(dtype="int64")
+        else:
+            dates = pd.to_datetime(pdf[ds_col]).astype("int64").to_numpy() // 1000
+        st = compute_series_stats(y, dates, freq)
+        row = {group_col: key[0], **st}
+        return pd.DataFrame([row])
+
+    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+              .groupBy(group_col).applyInPandas(fn, schema))
+
+
+# the reference exposes both ts_stats and ts_stats_by with the same grouped
+# signature (ts_macros.cpp:31-86); one implementation serves both names
+ts_stats = ts_stats_by
+
+
+def ts_quality_report(stats_df: DataFrame, min_length: int = 10) -> DataFrame:
+    """Aggregate a ts_stats output (ref macro ``ts_macros.cpp:90-103``):
+    (n_passed, n_nan_issues, n_missing_issues, n_constant, n_total)."""
+    passed = ((F.col("length") >= int(min_length))
+              & (F.col("n_nulls") == 0) & (F.col("n_nan") == 0)
+              & ~F.col("is_constant"))
+    return stats_df.agg(
+        F.sum(F.when(passed, 1).otherwise(0)).alias("n_passed"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0)).alias("n_nan_issues"),
+        F.sum(F.when(F.col("n_nulls") > 0, 1).otherwise(0)).alias("n_missing_issues"),
+        F.sum(F.when(F.col("is_constant"), 1).otherwise(0)).alias("n_constant"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def ts_stats_summary(stats_df: DataFrame) -> DataFrame:
+    """(n_series, avg_length, min_length, max_length, total_nulls, total_nans)
+    — ref macro ``ts_macros.cpp:106-121``."""
+    return stats_df.agg(
+        F.count(F.lit(1)).alias("n_series"),
+        F.avg("length").alias("avg_length"),
+        F.min("length").alias("min_length"),
+        F.max("length").alias("max_length"),
+        F.sum("n_nulls").alias("total_nulls"),
+        F.sum("n_nan").alias("total_nans"),
+    )
+
+
+DQ_FIELDS = [
+    ("structural_score", T.DoubleType()), ("temporal_score", T.DoubleType()),
+    ("magnitude_score", T.DoubleType()), ("behavioral_score", T.DoubleType()),
+    ("overall_score", T.DoubleType()), ("n_gaps", T.LongType()),
+    ("n_missing", T.LongType()), ("is_constant", T.BooleanType()),
+]
+
+
+def _dq_scores(y_raw: np.ndarray, dates_us: np.ndarray | None) -> dict:
+    """4-dimension quality scores (quality.rs:66-280)."""
+    n = len(y_raw)
+    if n == 0:
+        return {k: (0 if k in ("n_gaps", "n_missing") else
+                    (False if k == "is_constant" else 0.0)) for k, _ in DQ_FIELDS}
+    isnull = pd.isna(y_raw)
+    n_missing = int(isnull.sum())
+    v = np.asarray(y_raw[~isnull], dtype=float)
+    n_gaps = 0
+    if dates_us is not None and len(dates_us) >= 2:
+        d = np.sort(dates_us)
+        diffs = np.diff(d)
+        if len(diffs):
+            vals, counts = np.unique(diffs, return_counts=True)
+            mode = vals[np.argmax(counts)]
+            n_gaps = int((diffs > mode * 1.5).sum())
+    if len(v) < 2:
+        is_constant = True
+    else:
+        is_constant = bool(np.all(np.abs(v - v[0]) < EPS))
+    # structural: completeness*0.7 + length_factor*0.3
+    if len(v) == 0 and n_missing > 0:
+        structural = 0.0
+    else:
+        total = len(v) + n_missing
+        completeness = len(v) / total if total else 0.0
+        length_factor = min(len(v) / 30.0, 1.0)
+        structural = min(max(completeness * 0.7 + length_factor * 0.3, 0.0), 1.0)
+    temporal = min(max(1.0 - (n_gaps / n) * 5.0, 0.0), 1.0) if n else 0.0
+    if len(v) == 0:
+        magnitude = 0.0
+    else:
+        nv = len(v)
+        sv = np.sort(v)
+        q1 = sv[int(nv * 0.25)]
+        q3 = sv[min(int(nv * 0.75), nv - 1)]
+        iqr = q3 - q1
+        lower, upper = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        outlier_ratio = float(((v < lower) | (v > upper)).sum()) / nv
+        mean = v.mean()
+        std = math.sqrt(float(np.mean((v - mean) ** 2)))
+        extreme_ratio = float((np.abs(v - mean) > 4.0 * std).sum()) / nv
+        magnitude = min(max(1.0 - outlier_ratio * 2.0 - extreme_ratio * 3.0, 0.0), 1.0)
+    if len(v) < 3:
+        behavioral = 0.5
+    else:
+        mean = v.mean()
+        var = float(np.mean((v - mean) ** 2))
+        if abs(var) < EPS:
+            behavioral = 0.0
+        else:
+            acf1 = _autocorr(v, 1)
+            behavioral = min(max(1.0 - (0.2 if abs(acf1) > 0.95 else 0.0), 0.0), 1.0)
+    overall = (structural + temporal + magnitude + behavioral) / 4.0
+    return {
+        "structural_score": structural, "temporal_score": temporal,
+        "magnitude_score": magnitude, "behavioral_score": behavioral,
+        "overall_score": overall, "n_gaps": n_gaps, "n_missing": n_missing,
+        "is_constant": is_constant,
+    }
+
+
+def ts_data_quality(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                    n_short: int = 10, frequency=None) -> DataFrame:
+    """Per-series quality verdicts: (<group> as unique_id, 4 scores, overall,
+    n_gaps, n_missing, is_constant) — ref macro ``ts_macros.cpp:124-148``."""
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    is_int_ds = isinstance(ds_type, (T.IntegerType, T.LongType))
+    schema = T.StructType([T.StructField("unique_id", gtype)]
+                          + [T.StructField(n, t) for n, t in DQ_FIELDS])
+
+    def fn(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        y = pdf[y_col].to_numpy(dtype=float)
+        if is_int_ds:
+            dates = pdf[ds_col].to_numpy(dtype="int64")
+        else:
+            dates = pd.to_datetime(pdf[ds_col]).astype("int64").to_numpy() // 1000
+        return pd.DataFrame([{"unique_id": key[0], **_dq_scores(y, dates)}])
+
+    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+              .groupBy(group_col).applyInPandas(fn, schema))
+
+
+ts_data_quality_by = ts_data_quality
+
+
+def ts_data_quality_summary(df: DataFrame, group_col: str, ds_col: str,
+                            y_col: str, n_short: int = 10) -> DataFrame:
+    """(n_total, n_good, n_fair, n_poor, avg_score) — ref macro
+    ``ts_macros.cpp:150-173``."""
+    q = ts_data_quality(df, group_col, ds_col, y_col, n_short)
+    s = F.col("overall_score")
+    return q.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(s >= 0.8, 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when((s >= 0.5) & (s < 0.8), 1).otherwise(0)).alias("n_fair"),
+        F.sum(F.when(s < 0.5, 1).otherwise(0)).alias("n_poor"),
+        F.avg(s).alias("avg_score"),
+    )
