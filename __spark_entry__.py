@@ -286,6 +286,315 @@ def _stats_queries():
     }
 
 
+def _fv_df(spark, sf_dir):
+    """Forecast-vs-actual derivation shared by metric/conformal queries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    panel = lineitem_panel(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("ds")
+    return (panel
+            .withColumn("forecast", F.lag("y", SEASON).over(w))
+            .filter(F.col("forecast").isNotNull())
+            .withColumnRenamed("y", "actual")
+            .select("id", "ds", "actual", "forecast"))
+
+
+def _conformal_queries():
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators import conformal as C
+
+    def q_calibrate(spark, sf):
+        return C.ts_conformal_calibrate(_fv_df(spark, sf).drop("id", "ds"),
+                                        "actual", "forecast", {"alpha": 0.1})
+
+    def q_conformal_by(spark, sf):
+        out = C.ts_conformal_by(_fv_df(spark, sf), "id", "actual", "forecast",
+                                "forecast", {"alpha": 0.1})
+        # arrays dropped for the oracle hash; scalars carry the calibration
+        return out.select("id", "coverage", "conformity_score", "method")
+
+    def q_interval_width(spark, sf):
+        fv = (_fv_df(spark, sf)
+              .withColumn("lower", F.col("forecast") - 5.0)
+              .withColumn("upper", F.col("forecast") + 5.0))
+        return C.ts_interval_width_by(fv, "id", "lower", "upper")
+
+    def q_evaluate(spark, sf):
+        fv = (_fv_df(spark, sf)
+              .withColumn("lower", F.col("forecast") - 5.0)
+              .withColumn("upper", F.col("forecast") + 5.0))
+        return C.ts_conformal_evaluate(fv, "id", "actual", "lower", "upper", 0.1)
+
+    def q_bootstrap(spark, sf):
+        return C.ts_bootstrap_intervals_by(lineitem_panel(spark, sf),
+                                           "id", "ds", "y", 7, n_boot=50)
+
+    def q_per_step(spark, sf):
+        fv = _fv_df(spark, sf).withColumn(
+            "forecast_step", (F.dayofmonth("ds") % 7 + 1).cast("int"))
+        return C.ts_conformal_per_step_by(fv, "id", "forecast_step",
+                                          "actual", "forecast", 0.1)
+
+    return {
+        "conformal_calibrate": q_calibrate,
+        "conformal_by": q_conformal_by,
+        "conformal_interval_width": q_interval_width,
+        "conformal_evaluate": q_evaluate,
+        "conformal_bootstrap": q_bootstrap,
+        "conformal_per_step": q_per_step,
+    }
+
+
+_FEATURES_SQL_COLS = [
+    "length", "sum", "mean", "minimum", "maximum", "range", "variance",
+    "standard_deviation", "median", "quantile_0_25", "quantile_0_75",
+    "count_above_mean", "count_below_mean", "abs_energy", "root_mean_square",
+    "mean_change", "mean_abs_change", "absolute_sum_of_changes",
+    "first_value", "last_value", "count_unique", "has_duplicate",
+]
+
+
+def _analytics_queries():
+    from anofox_forecast_spark.operators import detect as D
+    from anofox_forecast_spark.operators import features as FE
+
+    def q_features_full(spark, sf):
+        return FE.ts_features_by(lineitem_panel(spark, sf), "id", "ds", "y")
+
+    def q_features_sql(spark, sf):
+        return FE.ts_features_by(lineitem_panel(spark, sf), "id", "ds", "y") \
+                 .select("id", *_FEATURES_SQL_COLS)
+
+    def q_periods(spark, sf):
+        return D.ts_detect_periods_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                                      {"method": "auto"})
+
+    def q_changepoints(spark, sf):
+        return D.ts_detect_changepoints_by(lineitem_panel(spark, sf),
+                                           "id", "ds", "y", {"min_size": 5})
+
+    def q_peaks(spark, sf):
+        return D.ts_detect_peaks_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                                    {"min_prominence": 10.0})
+
+    def q_mstl(spark, sf):
+        return D.ts_mstl_decomposition_by(lineitem_panel(spark, sf),
+                                          "id", "ds", "y",
+                                          {"seasonal_periods": [7]})
+
+    def q_analyze_seasonality(spark, sf):
+        return D.ts_analyze_seasonality_by(lineitem_panel(spark, sf),
+                                           "id", "ds", "y")
+
+    def q_classify_seasonality(spark, sf):
+        return D.ts_classify_seasonality_by(lineitem_panel(spark, sf),
+                                            "id", "ds", "y", 7)
+
+    def q_detrend(spark, sf):
+        return D.ts_detrend_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                               {"method": "linear"})
+
+    def q_decompose(spark, sf):
+        return D.ts_decompose_seasonal_by(lineitem_panel(spark, sf),
+                                          "id", "ds", "y", 7)
+
+    def q_strength_windowed(spark, sf):
+        return D.ts_seasonal_strength_windowed_by(lineitem_panel(spark, sf),
+                                                  "id", "ds", "y", 7)
+
+    def q_seasonality_changes(spark, sf):
+        return D.ts_detect_seasonality_changes_by(lineitem_panel(spark, sf),
+                                                  "id", "ds", "y", 7)
+
+    def q_instantaneous_period(spark, sf):
+        return D.ts_instantaneous_period_by(lineitem_panel(spark, sf),
+                                            "id", "ds", "y")
+
+    def q_amplitude_modulation(spark, sf):
+        return D.ts_detect_amplitude_modulation_by(lineitem_panel(spark, sf),
+                                                   "id", "ds", "y", 7)
+
+    return {
+        "features_full": q_features_full,
+        "features_sql": q_features_sql,
+        "detect_periods": q_periods,
+        "detect_changepoints": q_changepoints,
+        "detect_peaks": q_peaks,
+        "mstl_decomposition": q_mstl,
+        "analyze_seasonality": q_analyze_seasonality,
+        "classify_seasonality": q_classify_seasonality,
+        "detrend": q_detrend,
+        "decompose_seasonal": q_decompose,
+        "seasonal_strength_windowed": q_strength_windowed,
+        "seasonality_changes": q_seasonality_changes,
+        "instantaneous_period": q_instantaneous_period,
+        "amplitude_modulation": q_amplitude_modulation,
+    }
+
+
+def _exog_frames(spark, sf_dir):
+    """Deterministic exog fixture: x1 = day-of-month mod 7 (identical
+    semantics in Spark and DuckDB; dayofweek differs between engines)."""
+    from pyspark.sql import functions as F
+    panel = lineitem_panel(spark, sf_dir).withColumn(
+        "x1", (F.dayofmonth("ds") % 7).cast("double"))
+    fut = (panel.groupBy("id").agg(F.max("ds").alias("__mx"))
+           .select("id", F.explode(F.sequence(F.lit(1), F.lit(HORIZON))).alias("__s"), "__mx")
+           .select("id", F.timestamp_add("DAY", F.col("__s"), F.col("__mx")).alias("ds"))
+           .withColumn("x1", (F.dayofmonth("ds") % 7).cast("double")))
+    return panel, fut
+
+
+def _ext_queries():
+    from anofox_forecast_spark.operators import forecast_ext as FX
+
+    def q_exog_naive(spark, sf):
+        panel, fut = _exog_frames(spark, sf)
+        return FX.ts_forecast_exog_by(panel, "id", "ds", "y", ["x1"], fut,
+                                      "ds", ["x1"], "1d", "Naive", HORIZON)
+
+    def q_exog_theta(spark, sf):
+        panel, fut = _exog_frames(spark, sf)
+        return FX.ts_forecast_exog_by(panel, "id", "ds", "y", ["x1"], fut,
+                                      "ds", ["x1"], "1d", "Theta", HORIZON)
+
+    def q_inspect(spark, sf):
+        out = FX.ts_forecast_inspect_by(lineitem_panel(spark, sf), "id", "ds",
+                                        "y", "HoltWinters",
+                                        {"seasonal_period": SEASON})
+        return out.select("id", "inspection.model_family", "inspection.alpha",
+                          "inspection.aic", "inspection.bic")
+
+    def q_explain(spark, sf):
+        out = FX.ts_forecast_explain_by(lineitem_panel(spark, sf), "id", "ds",
+                                        "y", "Theta", HORIZON,
+                                        {"seasonal_period": SEASON})
+        return out.select("id", "decomposition.horizon", "decomposition.trend",
+                          "decomposition.seasonal")
+
+    return {
+        "forecast_exog_naive": q_exog_naive,
+        "forecast_exog_theta": q_exog_theta,
+        "forecast_inspect": q_inspect,
+        "forecast_explain": q_explain,
+    }
+
+
+def _docs(spark, sf_dir):
+    from anofox_forecast_spark.sources import load_table
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    from anofox_forecast_spark.sources import load_table
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _llm_queries():
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators import dedup as DD
+    from anofox_forecast_spark.operators import multimodal as MM
+    from anofox_forecast_spark.operators import similarity as SIM
+    from anofox_forecast_spark.operators import text as TX
+
+    def q_tokens(spark, sf):
+        return TX.text_token_counts(_docs(spark, sf), "text") \
+                 .select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+    def q_fingerprint(spark, sf):
+        return TX.text_fingerprint(_docs(spark, sf), "text") \
+                 .select("doc_id", "fingerprint")
+
+    def q_quality(spark, sf):
+        return TX.text_quality(_docs(spark, sf), "text") \
+                 .select("doc_id", "n_words", "punct_ratio", "alpha_ratio",
+                         "stopword_ratio", "mean_word_len", "quality_score")
+
+    def q_langid(spark, sf):
+        return TX.language_id(_docs(spark, sf), "text") \
+                 .select("doc_id", "lang_pred")
+
+    def q_dedup_exact(spark, sf):
+        docs = _docs(spark, sf).select("doc_id", "text")
+        doubled = docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+        return DD.exact_dup_groups(doubled, "doc_id", "text")
+
+    def q_ngram_jaccard(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 40)
+        return DD.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+
+    def q_minhash(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=32, bands=8, threshold=0.4)
+
+    def q_simhash(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=16)
+
+    def q_emb_pairs(spark, sf):
+        embs = _embs(spark, sf).filter(F.col("vec_id") < 300)
+        return DD.embedding_cosine_pairs_exact(embs, "vec_id", "embedding", 0.35)
+
+    def q_topk(spark, sf):
+        embs = _embs(spark, sf)
+        qvec = embs.filter(F.col("vec_id") == 0) \
+                   .select("embedding").first()["embedding"]
+        return SIM.cosine_topk(embs.filter(F.col("vec_id") > 0),
+                               "vec_id", "embedding", list(qvec), 10)
+
+    def q_topk_ivf(spark, sf):
+        embs = _embs(spark, sf)
+        qvec = embs.filter(F.col("vec_id") == 0) \
+                   .select("embedding").first()["embedding"]
+        return SIM.cosine_topk_ivf(embs.filter(F.col("vec_id") > 0),
+                                   "vec_id", "embedding", list(qvec), 10)
+
+    def q_knn_join(spark, sf):
+        embs = _embs(spark, sf)
+        left = embs.filter(F.col("vec_id") < 50)
+        right = embs.filter(F.col("vec_id") >= 50)
+        return SIM.knn_join_lsh(left, right, "vec_id", "vec_id", "embedding", 3)
+
+    def _bin_docs(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def q_media_meta(spark, sf):
+        return MM.media_metadata(_bin_docs(spark, sf), "payload") \
+                 .select("doc_id", "media_meta.format", "media_meta.n_bytes",
+                         "media_meta.is_valid")
+
+    def q_media_features(spark, sf):
+        return MM.image_features(_bin_docs(spark, sf), "payload", "doc_id",
+                                 fake=True)
+
+    def q_frame_sample(spark, sf):
+        return MM.frame_sample(_bin_docs(spark, sf), "payload", "doc_id",
+                               every_n=5, fake=True)
+
+    return {
+        "text_tokens": q_tokens,
+        "text_fingerprint": q_fingerprint,
+        "text_quality": q_quality,
+        "text_langid": q_langid,
+        "dedup_exact_groups": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash,
+        "dedup_simhash": q_simhash,
+        "dedup_embedding_cosine": q_emb_pairs,
+        "similarity_topk": q_topk,
+        "similarity_topk_ivf": q_topk_ivf,
+        "similarity_knn_join": q_knn_join,
+        "multimodal_metadata": q_media_meta,
+        "multimodal_features": q_media_features,
+        "multimodal_frame_sample": q_frame_sample,
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: SeasonalNaive forecast over the lineitem panel at sf0.001."""
     return _forecast_query("SeasonalNaive", {"seasonal_period": SEASON}, 14)(
@@ -314,6 +623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_hier_queries())
     q.update(_cv_queries())
     q.update(_stats_queries())
+    q.update(_conformal_queries())
+    q.update(_analytics_queries())
+    q.update(_ext_queries())
+    q.update(_llm_queries())
     return q
 
 
@@ -466,6 +779,40 @@ SELECT s.id, CAST(s.step AS INT) AS forecast_step,
        'SeasonalWindowAverage' AS model_name
 FROM steps s
 JOIN tmpl t ON t.id = s.id AND t.ph = ({m} - 1 - ((s.step - 1) % {m})) % {m}
+"""
+
+
+def _exog_naive_oracle(h: int = HORIZON) -> str:
+    """Regression-with-Naive-errors: OLS on x1 (= day(ds) % 7), Naive forecast
+    of the residual series, recomposed on future x1."""
+    return f"""
+WITH panel AS ({_PANEL}),
+p AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             CAST(day(ds) % 7 AS DOUBLE) AS x1 FROM panel),
+reg AS (SELECT id, regr_slope(y, x1) AS b1, regr_intercept(y, x1) AS b0
+        FROM p GROUP BY id),
+r AS (SELECT p.id, p.ds, p.y - (reg.b0 + reg.b1 * p.x1) AS resid
+      FROM p JOIN reg USING (id)),
+rr AS (SELECT id, ds, resid,
+              resid - lag(resid) OVER (PARTITION BY id ORDER BY ds) AS dr
+       FROM r),
+agg AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+               max_by(resid, ds) AS last_r,
+               coalesce(stddev_samp(dr), 0.0) AS sig
+        FROM rr GROUP BY id HAVING count(*) >= 3),
+steps AS (SELECT a.id, a.max_ds, a.last_r, a.sig, g.b0, g.b1,
+                 unnest(generate_series(1, {h})) AS step
+          FROM agg a JOIN reg g ON g.id = a.id),
+f AS (SELECT id, step, max_ds + INTERVAL (step * 86400) SECOND AS ds,
+             b0, b1, last_r, sig FROM steps)
+SELECT id, CAST(step AS INT) AS forecast_step, ds,
+       b0 + b1 * CAST(day(ds) % 7 AS DOUBLE) + last_r AS yhat,
+       b0 + b1 * CAST(day(ds) % 7 AS DOUBLE) + last_r
+         - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       b0 + b1 * CAST(day(ds) % 7 AS DOUBLE) + last_r
+         + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'NaiveX' AS model_name
+FROM f
 """
 
 
@@ -819,6 +1166,231 @@ FROM g
     return o
 
 
+_FV2 = f"""
+panel AS ({_PANEL}),
+fv AS (
+  SELECT id, ds, y AS actual,
+         lag(y, {SEASON}) OVER (PARTITION BY id ORDER BY ds) AS forecast
+  FROM panel QUALIFY forecast IS NOT NULL
+)
+"""
+
+# corrected-quantile SQL: arr = sorted |residuals| list, lv = ceil((n+1)*0.9)/n
+_CQ = """
+  CASE WHEN n = 1 THEN arr[1]
+       ELSE arr[CAST(floor(least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1)) AS INT) + 1]
+            * (1.0 - (least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1)
+                      - floor(least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1))))
+            + arr[least(CAST(floor(least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1)) AS INT) + 2, CAST(n AS INT))]
+            * (least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1)
+               - floor(least(greatest(ceil((n+1)*{cov})/n, 0.0), 1.0)*(n-1)))
+  END
+"""
+
+
+def _conformal_oracles() -> dict[str, str]:
+    cq = _CQ.format(cov=0.9)
+    o: dict[str, str] = {}
+    o["conformal_calibrate"] = f"""
+WITH {_FV2},
+r AS (SELECT list(abs(actual - forecast) ORDER BY abs(actual - forecast)) AS arr,
+             CAST(count(*) AS DOUBLE) AS n, count(*) AS cnt FROM fv)
+SELECT {cq} AS conformity_score, 0.9 AS coverage,
+       CAST(cnt AS BIGINT) AS n_residuals
+FROM r
+"""
+    o["conformal_by"] = f"""
+WITH {_FV2},
+r AS (SELECT id, list(abs(actual - forecast) ORDER BY abs(actual - forecast)) AS arr,
+             CAST(count(*) AS DOUBLE) AS n FROM fv GROUP BY id)
+SELECT id, 0.9 AS coverage, {cq} AS conformity_score,
+       'split_conformal' AS method
+FROM r
+"""
+    o["conformal_interval_width"] = f"""
+WITH {_FV2}
+SELECT id, avg((forecast + 5.0) - (forecast - 5.0)) AS mean_width,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM fv GROUP BY id
+"""
+    o["conformal_per_step"] = f"""
+WITH {_FV2},
+s AS (SELECT id, CAST(day(ds) % 7 + 1 AS INT) AS forecast_step,
+             abs(actual - forecast) AS r FROM fv),
+g AS (SELECT id, forecast_step, list(r ORDER BY r) AS arr,
+             CAST(count(*) AS DOUBLE) AS n, count(*) AS cnt
+      FROM s GROUP BY id, forecast_step)
+SELECT id, forecast_step, {cq} AS conformity_score, 0.9 AS coverage,
+       CAST(cnt AS BIGINT) AS n_residuals
+FROM g
+"""
+    o["conformal_evaluate"] = f"""
+WITH {_FV2}
+SELECT id,
+  avg(CASE WHEN actual >= forecast - 5.0 AND actual <= forecast + 5.0
+           THEN 1.0 ELSE 0.0 END) AS coverage,
+  avg(10.0) AS mean_width,
+  avg(10.0 + CASE WHEN actual < forecast - 5.0
+                  THEN 20.0 * ((forecast - 5.0) - actual) ELSE 0.0 END
+           + CASE WHEN actual > forecast + 5.0
+                  THEN 20.0 * (actual - (forecast + 5.0)) ELSE 0.0 END) AS winkler_score
+FROM fv GROUP BY id
+"""
+    return o
+
+
+def _features_oracle() -> str:
+    return f"""
+WITH panel AS ({_PANEL}),
+m AS (SELECT id, avg(y) AS mu FROM panel GROUP BY id),
+j AS (SELECT p.id, p.ds, p.y, m.mu,
+             lag(p.y) OVER (PARTITION BY p.id ORDER BY p.ds) AS prev
+      FROM panel p JOIN m USING (id))
+SELECT id,
+  CAST(count(*) AS DOUBLE) AS length,
+  CAST(sum(y) AS DOUBLE) AS sum,
+  avg(y) AS mean,
+  min(y) AS minimum,
+  max(y) AS maximum,
+  max(y) - min(y) AS range,
+  var_pop(y) AS variance,
+  sqrt(var_pop(y)) AS standard_deviation,
+  median(y) AS median,
+  quantile_cont(y, 0.25) AS quantile_0_25,
+  quantile_cont(y, 0.75) AS quantile_0_75,
+  CAST(count(*) FILTER (WHERE y > mu) AS DOUBLE) AS count_above_mean,
+  CAST(count(*) FILTER (WHERE y < mu) AS DOUBLE) AS count_below_mean,
+  sum(y * y) AS abs_energy,
+  sqrt(sum(y * y) / count(*)) AS root_mean_square,
+  avg(y - prev) AS mean_change,
+  avg(abs(y - prev)) AS mean_abs_change,
+  sum(abs(y - prev)) AS absolute_sum_of_changes,
+  min_by(y, ds) AS first_value,
+  max_by(y, ds) AS last_value,
+  CAST(count(DISTINCT y) AS DOUBLE) AS count_unique,
+  CASE WHEN count(DISTINCT y) < count(*) THEN 1.0 ELSE 0.0 END AS has_duplicate
+FROM j GROUP BY id
+"""
+
+
+_NORM_TXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_BPE_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _stop_sql(lang: str) -> str:
+    from anofox_forecast_spark.operators.text import STOPWORDS
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"[{arr}]"
+
+
+def _llm_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["text_tokens"] = f"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws,
+  len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_tokens_bpe
+FROM documents
+"""
+    o["text_fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_TXT}) AS fingerprint FROM documents
+"""
+    en = _stop_sql("en")
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    length(text) AS nc,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nw,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+    len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                       {en})) AS ns
+  FROM documents),
+r AS (
+  SELECT doc_id, nw AS n_words,
+    CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio,
+    CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN nw > 0 THEN CAST(ns AS DOUBLE) / least(nw, 20) ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN nw > 0 THEN CAST(nc AS DOUBLE) / nw ELSE 0.0 END AS mean_word_len,
+    least(CAST(nw AS DOUBLE) / 100.0, 1.0) AS length_score
+  FROM t)
+SELECT doc_id, n_words, punct_ratio, alpha_ratio, stopword_ratio, mean_word_len,
+  0.3 * length_score
+  + 0.2 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 4.0) END)
+  + 0.2 * alpha_ratio
+  + 0.15 * least(stopword_ratio * 4.0, 1.0)
+  + 0.15 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 THEN 1.0 ELSE 0.5 END) AS quality_score
+FROM r
+"""
+    langs = ["en", "de", "fr", "es", "it"]
+    score_cols = ",\n  ".join(
+        f"len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), "
+        f"{_stop_sql(lg)})) AS s_{lg}" for lg in langs)
+    mx = "greatest(s_en, s_de, s_fr, s_es, s_it)"
+    cascade = "\n       ".join(
+        f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs)
+    o["text_langid"] = f"""
+WITH t AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id,
+  CASE WHEN {mx} = 0 OR {mx} IS NULL THEN 'unknown'
+       {cascade}
+       ELSE 'unknown' END AS lang_pred
+FROM t
+"""
+    o["dedup_exact_groups"] = f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+g AS (SELECT md5({_NORM_TXT}) AS fingerprint, count(*) AS dup_count,
+             min(doc_id) AS keep_id
+      FROM doubled GROUP BY 1)
+SELECT fingerprint, dup_count, keep_id FROM g WHERE dup_count > 1
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 40),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(t) - 2, 1) + 1),
+                i -> substr(t, CAST(i AS INT), 3))) AS s
+       FROM docs),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS z FROM sh)
+SELECT p.id_a, p.id_b,
+       CAST(p.c AS DOUBLE) / (za.z + zb.z - p.c) AS jaccard
+FROM pairs p JOIN sz za ON za.doc_id = p.id_a JOIN sz zb ON zb.doc_id = p.id_b
+WHERE CAST(p.c AS DOUBLE) / (za.z + zb.z - p.c) >= 0.5
+"""
+    o["dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n WHERE nrm > 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) >= 0.35
+"""
+    o["similarity_topk"] = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  WHERE vec_id = 0),
+qn AS (SELECT list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       FROM q),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id > 0),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n)
+SELECT u.vec_id, list_dot_product(u.v, (SELECT v FROM qn)) AS cosine
+FROM u ORDER BY cosine DESC, u.vec_id LIMIT 10
+"""
+    return o
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
         "forecast_naive": _naive_oracle(),
@@ -826,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_sma": _sma_oracle(),
         "forecast_rwd": _rwd_oracle(),
         "forecast_swa": _swa_oracle(),
+        "forecast_exog_naive": _exog_naive_oracle(),
     }
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:
@@ -834,4 +1407,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_hier_oracles())
     o.update(_cv_oracles())
     o.update(_stats_oracles())
+    o.update(_conformal_oracles())
+    o["features_sql"] = _features_oracle()
+    o.update(_llm_oracles())
     return o

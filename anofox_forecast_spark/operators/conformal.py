@@ -1,0 +1,333 @@
+"""Conformal prediction & bootstrap intervals (SURVEY.md §2.9).
+
+Parity targets: ``crates/anofox-fcst-core/src/conformal.rs`` —
+``conformal_quantile`` (:118, finite-sample corrected split-conformal
+quantile), ``conformal_predict`` (:205), ``conformal_predict_asymmetric``
+(:365), ``conformal_coverage`` (:1069), Winkler score (:1093),
+``mean_interval_width`` (:459) — and the workflow macros ``ts_conformal_by``
+/ ``ts_conformal_calibrate`` / ``ts_conformal_apply_by`` /
+``ts_interval_width_by`` (``ts_macros.cpp:1453-1599``), plus the Learn/Apply
+v2 API (``conformal.rs:694-892``). Bootstrap: ``bootstrap.rs:41-97``.
+
+All conformal computations are pure Spark SQL. The corrected quantile
+``q = ceil((n+1)(1-α))/n`` over sorted |residuals| with linear interpolation
+is expressed with ``sort_array`` + ``element_at`` — no UDF, exact parity with
+the reference's ``compute_quantile``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Column helpers
+# ---------------------------------------------------------------------------
+
+def _interp_quantile(sorted_arr: Column, level: Column) -> Column:
+    """Linear-interpolation quantile of a sorted array column at `level`
+    (mirror of the reference's compute_quantile; 1-based element_at)."""
+    n = F.size(sorted_arr)
+    idx = level * (n.cast("double") - 1.0)
+    lo = F.floor(idx).cast("int")
+    frac = idx - lo.cast("double")
+    at_lo = F.element_at(sorted_arr, lo + 1)
+    at_hi = F.element_at(sorted_arr, F.least(lo + 2, n))
+    return F.when(n == 0, F.lit(float("nan"))) \
+            .when(n == 1, F.element_at(sorted_arr, 1)) \
+            .otherwise(at_lo * (1.0 - frac) + at_hi * frac)
+
+
+def ts_conformal_quantile(residuals: Column, alpha: float) -> Column:
+    """Split-conformal score: corrected quantile of |residuals|
+    (``conformal.rs:118-147``): q_level = clamp(ceil((n+1)(1-α))/n, 0, 1)."""
+    a = float(alpha)
+    if not (0.0 <= a < 1.0):
+        raise ValueError("Alpha must be between 0 and 1 (exclusive)")
+    arr = F.sort_array(F.transform(residuals, lambda r: F.abs(r)))
+    n = F.size(arr).cast("double")
+    level = F.least(F.greatest(F.ceil((n + 1.0) * (1.0 - a)) / n, F.lit(0.0)),
+                    F.lit(1.0))
+    return _interp_quantile(arr, level)
+
+
+def ts_conformal_intervals(forecasts: Column, score: Column | float):
+    """(lower[], upper[]) = forecasts ∓ score (``conformal.rs:171``)."""
+    s = F.lit(score) if not isinstance(score, Column) else score
+    return (F.transform(forecasts, lambda f: f - s),
+            F.transform(forecasts, lambda f: f + s))
+
+
+def ts_winkler_score(actual: Column, lower: Column, upper: Column,
+                     alpha: float) -> Column:
+    """Mean Winkler (interval) score over aligned arrays (``conformal.rs:1093``)."""
+    a = float(alpha)
+    triples = F.zip_with(
+        F.zip_with(actual, lower, lambda x, l: F.struct(x.alias("a"), l.alias("l"))),
+        upper, lambda p, u: F.struct(p["a"].alias("a"), p["l"].alias("l"), u.alias("u")))
+    scores = F.transform(
+        triples,
+        lambda t: (t["u"] - t["l"])
+        + F.when(t["a"] < t["l"], (2.0 / a) * (t["l"] - t["a"])).otherwise(0.0)
+        + F.when(t["a"] > t["u"], (2.0 / a) * (t["a"] - t["u"])).otherwise(0.0))
+    return F.aggregate(scores, F.lit(0.0), lambda acc, x: acc + x) / F.size(scores)
+
+
+# ---------------------------------------------------------------------------
+# Table operators
+# ---------------------------------------------------------------------------
+
+def ts_conformal_calibrate(df: DataFrame, actual_col: str, forecast_col: str,
+                           params: dict | None = None) -> DataFrame:
+    """One row: (conformity_score, coverage, n_residuals) — ref macro
+    ``ts_macros.cpp:1516-1541``."""
+    alpha = float((params or {}).get("alpha", 0.1))
+    res = (F.col(actual_col) - F.col(forecast_col)).cast("double")
+    base = df.filter(F.col(actual_col).isNotNull()
+                     & F.col(forecast_col).isNotNull())
+    agg = base.agg(F.collect_list(res).alias("__res"),
+                   F.count(F.lit(1)).cast("long").alias("n_residuals"))
+    return agg.select(
+        ts_conformal_quantile(F.col("__res"), alpha).alias("conformity_score"),
+        F.lit(1.0 - alpha).alias("coverage"),
+        "n_residuals",
+    )
+
+
+def ts_conformal_by(df: DataFrame, group_col: str, actual_col: str,
+                    forecast_col: str, point_forecast_col: str,
+                    params: dict | None = None) -> DataFrame:
+    """One-step calibrate+apply per group: (group, point[], lower[], upper[],
+    coverage, conformity_score, method) — ref macro ``ts_macros.cpp:1453-1509``.
+
+    Point forecasts are gathered value-ordered, matching the reference's
+    ``LIST(point_forecast ORDER BY point_forecast)``.
+    """
+    p = dict(params or {})
+    alpha = float(p.get("alpha", 0.1))
+    method = str(p.get("method", "symmetric"))
+    base = df.filter(F.col(actual_col).isNotNull() & F.col(forecast_col).isNotNull())
+    res = (F.col(actual_col) - F.col(forecast_col)).cast("double")
+    agg = base.groupBy(group_col).agg(
+        F.collect_list(res).alias("__res"),
+        F.sort_array(F.collect_list(F.col(point_forecast_col).cast("double")))
+         .alias("point"),
+    )
+    if method == "asymmetric":
+        pos = F.sort_array(F.filter(F.col("__res"), lambda r: r > 0))
+        neg = F.sort_array(F.transform(F.filter(F.col("__res"), lambda r: r < 0),
+                                       lambda r: F.abs(r)))
+        a2 = alpha / 2.0
+
+        def corrected(arr):
+            n = F.size(arr).cast("double")
+            lv = F.least(F.greatest(F.ceil((n + 1.0) * (1.0 - a2)) / n, F.lit(0.0)),
+                         F.lit(1.0))
+            return F.when(F.size(arr) == 0, F.lit(0.0)) \
+                    .otherwise(_interp_quantile(arr, lv))
+
+        up_m = corrected(pos)
+        lo_m = corrected(neg)
+        out = agg.select(
+            group_col, "point",
+            F.transform(F.col("point"), lambda f: f - lo_m).alias("lower"),
+            F.transform(F.col("point"), lambda f: f + up_m).alias("upper"),
+            F.lit(1.0 - alpha).alias("coverage"),
+            ((lo_m + up_m) / 2.0).alias("conformity_score"),
+            F.lit("asymmetric_conformal").alias("method"),
+        )
+    else:
+        score = ts_conformal_quantile(F.col("__res"), alpha)
+        out = agg.select(
+            group_col, "point",
+            F.transform(F.col("point"), lambda f: f - score).alias("lower"),
+            F.transform(F.col("point"), lambda f: f + score).alias("upper"),
+            F.lit(1.0 - alpha).alias("coverage"),
+            score.alias("conformity_score"),
+            F.lit("split_conformal").alias("method"),
+        )
+    return out
+
+
+def ts_conformal_apply_by(df: DataFrame, group_col: str, forecast_col: str,
+                          conformity_score: float) -> DataFrame:
+    """Apply a pre-computed score: (group, lower[], upper[]) — ref macro
+    ``ts_macros.cpp:1543-1567``."""
+    s = float(conformity_score)
+    agg = (df.filter(F.col(forecast_col).isNotNull())
+             .groupBy(group_col)
+             .agg(F.sort_array(F.collect_list(F.col(forecast_col).cast("double")))
+                   .alias("__f")))
+    return agg.select(
+        group_col,
+        F.transform(F.col("__f"), lambda f: f - s).alias("lower"),
+        F.transform(F.col("__f"), lambda f: f + s).alias("upper"),
+    )
+
+
+def ts_conformal_coverage_by(df: DataFrame, group_col: str, actual_col: str,
+                             lower_col: str, upper_col: str) -> DataFrame:
+    """Empirical per-group coverage (``conformal.rs:1069``)."""
+    a, lo, up = F.col(actual_col), F.col(lower_col), F.col(upper_col)
+    return df.groupBy(group_col).agg(
+        F.avg(F.when((a >= lo) & (a <= up), 1.0).otherwise(0.0)).alias("coverage"))
+
+
+def ts_interval_width_by(df: DataFrame, group_col: str, lower_col: str,
+                         upper_col: str) -> DataFrame:
+    """(group, mean_width, n_intervals) — ref macro ``ts_macros.cpp:1569-1599``."""
+    base = df.filter(F.col(lower_col).isNotNull() & F.col(upper_col).isNotNull())
+    return base.groupBy(group_col).agg(
+        F.avg(F.col(upper_col) - F.col(lower_col)).alias("mean_width"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+def ts_conformal_evaluate(df: DataFrame, group_col: str, actual_col: str,
+                          lower_col: str, upper_col: str,
+                          alpha: float = 0.1) -> DataFrame:
+    """Per-group evaluation: coverage, mean width, Winkler score
+    (``conformal.rs:892-1159``)."""
+    a, lo, up = F.col(actual_col), F.col(lower_col), F.col(upper_col)
+    width = up - lo
+    winkler = (width
+               + F.when(a < lo, (2.0 / alpha) * (lo - a)).otherwise(0.0)
+               + F.when(a > up, (2.0 / alpha) * (a - up)).otherwise(0.0))
+    return df.groupBy(group_col).agg(
+        F.avg(F.when((a >= lo) & (a <= up), 1.0).otherwise(0.0)).alias("coverage"),
+        F.avg(width).alias("mean_width"),
+        F.avg(winkler).alias("winkler_score"),
+    )
+
+
+def ts_conformal_per_step_by(df: DataFrame, group_col: str, step_col: str,
+                             actual_col: str, forecast_col: str,
+                             alpha: float = 0.1) -> DataFrame:
+    """Horizon-indexed conformal scores: one corrected quantile per
+    (group, forecast_step) — ``ts_conformal_predict_per_step``
+    (``conformal.rs:365-454``). Calibration residuals are grouped by their
+    step index so far-horizon steps get their own (wider) score."""
+    a = float(alpha)
+    res = F.abs((F.col(actual_col) - F.col(forecast_col)).cast("double"))
+    base = df.filter(F.col(actual_col).isNotNull() & F.col(forecast_col).isNotNull())
+    agg = base.groupBy(group_col, step_col).agg(
+        F.sort_array(F.collect_list(res)).alias("__scores"),
+        F.count(F.lit(1)).cast("long").alias("n_residuals"))
+    n = F.size(F.col("__scores")).cast("double")
+    lv = F.least(F.greatest(F.ceil((n + 1.0) * (1.0 - a)) / n, F.lit(0.0)),
+                 F.lit(1.0))
+    return agg.select(
+        group_col, step_col,
+        _interp_quantile(F.col("__scores"), lv).alias("conformity_score"),
+        F.lit(1.0 - a).alias("coverage"),
+        "n_residuals",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Learn/Apply v2 (profile as a small DataFrame, apply = join + arithmetic)
+# ---------------------------------------------------------------------------
+
+def ts_conformal_learn_by(df: DataFrame, group_col: str, actual_col: str,
+                          forecast_col: str, method: str = "absolute",
+                          alphas: list[float] | None = None) -> DataFrame:
+    """Per-group calibration profile: (group, method, alphas[],
+    scores[]) — v2 Learn API (``conformal.rs:694-892``). ``method``:
+    'absolute' (|e|), 'signed' (e), 'normalized' (e/|forecast|)."""
+    alphas = [float(a) for a in (alphas or [0.1])]
+    e = (F.col(actual_col) - F.col(forecast_col)).cast("double")
+    if method == "absolute":
+        score_expr = F.abs(e)
+    elif method == "signed":
+        score_expr = e
+    elif method == "normalized":
+        score_expr = F.abs(e) / F.greatest(F.abs(F.col(forecast_col).cast("double")),
+                                           F.lit(1e-12))
+    else:
+        raise ValueError(f"unknown conformal method {method!r}")
+    base = df.filter(F.col(actual_col).isNotNull() & F.col(forecast_col).isNotNull())
+    agg = base.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(score_expr)).alias("__scores"),
+        F.count(F.lit(1)).cast("long").alias("n_residuals"))
+    score_cols = []
+    for a in alphas:
+        n = F.size(F.col("__scores")).cast("double")
+        lv = F.least(F.greatest(F.ceil((n + 1.0) * (1.0 - a)) / n, F.lit(0.0)),
+                     F.lit(1.0))
+        score_cols.append(_interp_quantile(F.col("__scores"), lv))
+    return agg.select(
+        group_col,
+        F.lit(method).alias("method"),
+        F.array(*[F.lit(a) for a in alphas]).alias("alphas"),
+        F.array(*score_cols).alias("scores"),
+        "n_residuals",
+    )
+
+
+def ts_conformal_apply_profile(forecast_df: DataFrame, profile_df: DataFrame,
+                               group_col: str, forecast_col: str,
+                               alpha_index: int = 0) -> DataFrame:
+    """Join a learned profile onto new forecasts → lower/upper columns."""
+    prof = profile_df.select(
+        group_col,
+        F.element_at(F.col("scores"), alpha_index + 1).alias("__score"),
+        F.col("method").alias("__method"))
+    out = forecast_df.join(F.broadcast(prof), on=group_col, how="left")
+    f = F.col(forecast_col).cast("double")
+    s = F.col("__score")
+    lower = F.when(F.col("__method") == "normalized", f - s * F.abs(f)).otherwise(f - s)
+    upper = F.when(F.col("__method") == "normalized", f + s * F.abs(f)).otherwise(f + s)
+    return out.withColumn("lower", lower).withColumn("upper", upper) \
+              .drop("__score", "__method")
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap intervals (seeded numpy; UDF path)
+# ---------------------------------------------------------------------------
+
+def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str, horizon: int, n_boot: int = 200,
+                              confidence_level: float = 0.90,
+                              seed: int = 42) -> DataFrame:
+    """Residual-bootstrap prediction intervals around a naive-drift base
+    forecast (``bootstrap.rs:41-97``): resample one-step residuals with a
+    seeded RNG, accumulate h-step paths, take empirical quantiles."""
+    gtype = df.schema[group_col].dataType
+    h = int(horizon)
+    cl = float(confidence_level)
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("forecast_step", T.IntegerType()),
+        T.StructField("yhat", T.DoubleType()),
+        T.StructField("yhat_lower", T.DoubleType()),
+        T.StructField("yhat_upper", T.DoubleType()),
+    ])
+
+    def fn(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        y = pdf[y_col].astype(float).to_numpy()
+        y = y[np.isfinite(y)]
+        if len(y) < 3:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+        drift = (y[-1] - y[0]) / (len(y) - 1)
+        resid = np.diff(y) - drift
+        # deterministic per-group seed
+        rng = np.random.default_rng(abs(hash((str(key[0]), seed))) % (2 ** 32))
+        paths = np.empty((n_boot, h))
+        for b in range(n_boot):
+            steps = rng.choice(resid, size=h, replace=True)
+            paths[b] = y[-1] + drift * np.arange(1, h + 1) + np.cumsum(steps)
+        point = y[-1] + drift * np.arange(1, h + 1)
+        lo = np.quantile(paths, (1 - cl) / 2, axis=0)
+        up = np.quantile(paths, 1 - (1 - cl) / 2, axis=0)
+        return pd.DataFrame({
+            group_col: [key[0]] * h,
+            "forecast_step": list(range(1, h + 1)),
+            "yhat": point, "yhat_lower": lo, "yhat_upper": up,
+        })
+
+    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+              .groupBy(group_col).applyInPandas(fn, schema))

@@ -1,0 +1,1145 @@
+"""Seasonality / period / decomposition / detection operators (SURVEY.md §2.5).
+
+Parity targets (per-series array computations of the reference, re-expressed
+as Arrow-batched pandas UDFs):
+
+- period detection, 13 methods (``periods.rs:17-46`` enum; impls
+  ``periods.rs:275-1500``; outputs ``ts_periods.cpp:57-74``)
+- seasonality analysis & strength (``seasonality.rs:323-830``)
+- detrending (``detrending.rs:18-282``) & classical/MSTL decomposition
+  (``detrending.rs:283-372``, ``decomposition.rs:151``)
+- peak detection (``peaks.rs:134-243``)
+- changepoints: PELT (``changepoint.rs:16-180``) and BOCPD
+  (``changepoint.rs:198-360``)
+
+All detectors are deterministic numpy (no scipy in this environment): the
+periodogram is numpy rfft, Lomb-Scargle is the textbook Press-Rybicki form,
+PELT is the standard pruned dynamic program with L2/L1/Normal costs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.models import detect_seasonality, interpolate_nulls
+
+EPS = 2.220446049250313e-16
+
+
+# ---------------------------------------------------------------------------
+# numpy detectors
+# ---------------------------------------------------------------------------
+
+def _detrend_linear(y):
+    t = np.arange(len(y), dtype=float)
+    b1, b0 = np.polyfit(t, y, 1)
+    return y - (b0 + b1 * t)
+
+
+def _periodogram(y):
+    x = _detrend_linear(y - y.mean())
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(y))
+    spec[0] = 0.0
+    return freqs, spec
+
+
+def _acf_all(y, max_lag):
+    x = y - y.mean()
+    denom = float(np.sum(x * x))
+    if denom <= 0:
+        return np.zeros(max_lag + 1)
+    n = len(y)
+    out = np.zeros(max_lag + 1)
+    out[0] = 1.0
+    for k in range(1, max_lag + 1):
+        out[k] = float(np.sum(x[:-k] * x[k:]) / denom)
+    return out
+
+
+def _fft_candidates(y, top=5):
+    freqs, spec = _periodogram(y)
+    n = len(y)
+    cands = []
+    order = np.argsort(spec)[::-1]
+    for i in order:
+        if freqs[i] <= 0:
+            continue
+        p = 1.0 / freqs[i]
+        if 2 <= p <= n // 2:
+            cands.append((int(round(p)), float(spec[i])))
+        if len(cands) >= top:
+            break
+    total = float(spec.sum()) or 1.0
+    return [(p, pw / total) for p, pw in cands]
+
+
+def _acf_period(y):
+    n = len(y)
+    max_lag = min(n // 2, 400)
+    acf = _acf_all(y, max_lag)
+    best, conf = 0, 0.0
+    for k in range(2, max_lag):
+        if acf[k] > acf[k - 1] and acf[k] > acf[k + 1] and acf[k] > conf:
+            best, conf = k, float(acf[k])
+    return best, max(conf, 0.0)
+
+
+def _lomb_scargle(y):
+    """Normalized Lomb-Scargle periodogram on an evenly spaced grid."""
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    x = y - y.mean()
+    var = float(np.var(x)) or 1.0
+    periods = np.arange(2, max(n // 2, 3))
+    best_p, best_pw = 0, 0.0
+    for p in periods:
+        w = 2 * math.pi / p
+        tau = math.atan2(float(np.sum(np.sin(2 * w * t))),
+                         float(np.sum(np.cos(2 * w * t)))) / (2 * w)
+        c = np.cos(w * (t - tau))
+        s_ = np.sin(w * (t - tau))
+        num_c = float(np.sum(x * c)) ** 2
+        num_s = float(np.sum(x * s_)) ** 2
+        den_c = float(np.sum(c * c)) or 1.0
+        den_s = float(np.sum(s_ * s_)) or 1.0
+        power = (num_c / den_c + num_s / den_s) / (2 * var)
+        if power > best_pw:
+            best_p, best_pw = int(p), float(power)
+    conf = 1.0 - math.exp(-best_pw) if best_pw < 700 else 1.0
+    return best_p, conf
+
+
+def _autoperiod(y):
+    """FFT candidate periods validated on the ACF (autoperiod algorithm)."""
+    cands = _fft_candidates(y, top=5)
+    n = len(y)
+    max_lag = min(n // 2, 400)
+    acf = _acf_all(y, max_lag)
+    for p, pw in cands:
+        if p + 1 < len(acf):
+            # valid if the ACF has a local hill at the candidate
+            lo, hi = max(2, p - 1), min(len(acf) - 2, p + 1)
+            seg = acf[lo:hi + 1]
+            if len(seg) and float(seg.max()) > 0 and acf[p] >= 0:
+                return p, float(pw), True
+    if cands:
+        return cands[0][0], float(cands[0][1]), False
+    return 0, 0.0, False
+
+
+def _seasonal_fit_sse(y, p):
+    n = len(y)
+    if p < 2 or n < 2 * p:
+        return float("inf"), 0
+    idx = np.zeros(p)
+    for ph in range(p):
+        vals = y[ph::p]
+        idx[ph] = vals.mean() if len(vals) else 0.0
+    fitted = np.array([idx[t % p] for t in range(n)])
+    return float(np.sum((y - fitted) ** 2)), p
+
+
+def _aic_period(y):
+    x = _detrend_linear(y)
+    n = len(y)
+    best_p, best_aic = 0, float("inf")
+    for p in range(2, max(n // 2, 3)):
+        sse, k = _seasonal_fit_sse(x, p)
+        if not math.isfinite(sse) or sse <= 0:
+            continue
+        aic = n * math.log(sse / n) + 2 * k
+        if aic < best_aic:
+            best_p, best_aic = p, aic
+    conf = 1.0 if best_p else 0.0
+    return best_p, conf
+
+
+def _ssa_period(y):
+    """SSA: lag-covariance eigenvector oscillation period."""
+    n = len(y)
+    L = min(n // 2, 100)
+    if L < 4:
+        return 0, 0.0
+    X = np.lib.stride_tricks.sliding_window_view(y - y.mean(), L)
+    C = X.T @ X / len(X)
+    w, vecs = np.linalg.eigh(C)
+    v = vecs[:, -1]  # dominant eigenvector
+    # zero crossings of the dominant eigenvector → half-period
+    sgn = np.sign(v)
+    zc = int(((sgn[:-1] != sgn[1:]) & (v[:-1] != 0)).sum())
+    if zc == 0:
+        return 0, 0.0
+    p = int(round(2 * L / zc))
+    conf = float(w[-1] / w.sum()) if w.sum() > 0 else 0.0
+    return (p if 2 <= p <= n // 2 else 0), conf
+
+
+def _stl_period(y):
+    """Pick the candidate period minimizing remainder variance after
+    seasonal-trend decomposition."""
+    cands = [p for p, _ in _fft_candidates(y, top=5)]
+    best_p, best_ratio = 0, 1.0
+    var_y = float(np.var(y)) or 1.0
+    for p in cands:
+        x = _detrend_linear(y)
+        sse, _ = _seasonal_fit_sse(x, p)
+        if not math.isfinite(sse):
+            continue
+        ratio = sse / len(y) / var_y
+        if ratio < best_ratio:
+            best_p, best_ratio = p, ratio
+    return best_p, 1.0 - best_ratio if best_p else 0.0
+
+
+def _matrix_profile_period(y):
+    """Simplified matrix-profile period: the lag with the smallest mean
+    z-normalized subsequence distance."""
+    n = len(y)
+    m = max(4, n // 20)
+    if n < 3 * m:
+        return 0, 0.0
+    X = np.lib.stride_tricks.sliding_window_view(y, m)
+    Xn = (X - X.mean(axis=1, keepdims=True))
+    norms = np.linalg.norm(Xn, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = Xn / norms[:, None]
+    best_p, best_d = 0, float("inf")
+    for lag in range(2, min(n // 2, len(X) - 1)):
+        d = np.linalg.norm(Xn[:-lag] - Xn[lag:], axis=1).mean()
+        if d < best_d:
+            best_p, best_d = lag, float(d)
+    conf = max(0.0, 1.0 - best_d / 2.0)
+    return best_p, conf
+
+
+def _sazed(y):
+    """SAZED ensemble: spectral + ACF + zero-crossing estimates, majority."""
+    ests = []
+    f = _fft_candidates(y, top=1)
+    if f:
+        ests.append(f[0][0])
+    a, _ = _acf_period(y)
+    if a:
+        ests.append(a)
+    x = _detrend_linear(y)
+    sgn = np.sign(x)
+    zc = int(((sgn[:-1] != sgn[1:]) & (x[:-1] != 0)).sum())
+    if zc > 0:
+        ests.append(int(round(2 * len(y) / zc)))
+    if not ests:
+        return 0, 0.0
+    vals, counts = np.unique(ests, return_counts=True)
+    best = int(vals[np.argmax(counts)])
+    conf = float(counts.max()) / len(ests)
+    return best, conf
+
+
+def detect_periods(y: np.ndarray, method: str = "auto",
+                   expected_periods: list[int] | None = None) -> dict:
+    """Multi-method period detection (``periods.rs:275-1500``)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    periods: list[dict] = []
+
+    def add(p, conf, iteration=0, strength=None):
+        if p and p >= 2:
+            matched = None
+            dev = None
+            if expected_periods:
+                diffs = [(abs(p - e), e) for e in expected_periods]
+                d, e = min(diffs)
+                if d / max(e, 1) <= 0.2:
+                    matched, dev = e, d / max(e, 1)
+            periods.append({
+                "period": int(p), "confidence": float(conf),
+                "strength": float(strength if strength is not None else conf),
+                "amplitude": float(np.std(y)),
+                "phase": 0.0, "iteration": iteration,
+                "matches_expected": matched is not None,
+                "matched_expected_period": matched,
+                "match_deviation": dev,
+            })
+
+    m = method.lower()
+    if m in ("fft", "regression"):
+        for i, (p, c) in enumerate(_fft_candidates(y, top=3)):
+            add(p, c, i)
+    elif m == "acf":
+        p, c = _acf_period(y)
+        add(p, c)
+    elif m in ("autoperiod", "cfd_autoperiod"):
+        p, c, validated = _autoperiod(y)
+        add(p, c if validated else c * 0.5)
+    elif m == "lomb_scargle":
+        p, c = _lomb_scargle(y)
+        add(p, c)
+    elif m == "aic":
+        p, c = _aic_period(y)
+        add(p, c)
+    elif m == "ssa":
+        p, c = _ssa_period(y)
+        add(p, c)
+    elif m == "stl":
+        p, c = _stl_period(y)
+        add(p, c)
+    elif m == "matrix_profile":
+        p, c = _matrix_profile_period(y)
+        add(p, c)
+    elif m == "sazed":
+        p, c = _sazed(y)
+        add(p, c)
+    elif m == "multi":
+        # iterative removal: detect, remove seasonal component, repeat
+        resid = y.copy()
+        for it in range(3):
+            p = detect_seasonality(resid)
+            if p <= 1:
+                break
+            x = _detrend_linear(resid)
+            idx = np.array([x[ph::p].mean() for ph in range(p)])
+            add(p, 1.0 - float(np.var(x - np.array([idx[t % p] for t in range(n)]))
+                               / (np.var(x) or 1.0)), it)
+            resid = resid - np.array([idx[t % p] for t in range(n)])
+    else:  # auto
+        p, c, validated = _autoperiod(y)
+        if not validated:
+            p2 = detect_seasonality(y)
+            if p2 > 1:
+                p, c = p2, max(c, 0.5)
+        add(p, c)
+
+    periods.sort(key=lambda d: -d["confidence"])
+    return {
+        "periods": periods,
+        "n_periods": len(periods),
+        "primary_period": periods[0]["period"] if periods else 0,
+        "method": method,
+    }
+
+
+def seasonal_strength(y: np.ndarray, period: int, method: str = "variance") -> float:
+    """Strength ∈ [0,1] (``seasonality.rs:478-647``): variance method =
+    1 - Var(remainder)/Var(detrended)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    p = int(period)
+    if p < 2 or n < 2 * p:
+        return 0.0
+    if method == "spectral":
+        freqs, spec = _periodogram(y)
+        total = float(spec.sum()) or 1.0
+        target = 1.0 / p
+        i = int(np.argmin(np.abs(freqs - target)))
+        return min(max(float(spec[i]) / total * p, 0.0), 1.0)
+    x = _detrend_linear(y)
+    idx = np.array([x[ph::p].mean() for ph in range(p)])
+    remainder = x - np.array([idx[t % p] for t in range(n)])
+    var_x = float(np.var(x))
+    if var_x <= 0:
+        return 0.0
+    return min(max(1.0 - float(np.var(remainder)) / var_x, 0.0), 1.0)
+
+
+def classify_seasonality(y: np.ndarray, period: int) -> dict:
+    """none / additive / multiplicative (``seasonality.rs:648-699``)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    p = int(period)
+    s_add = seasonal_strength(y, p)
+    s_mul = 0.0
+    if np.all(y > 0):
+        s_mul = seasonal_strength(np.log(y), p)
+    if max(s_add, s_mul) < 0.3:
+        cls = "none"
+    elif s_mul > s_add * 1.05:
+        cls = "multiplicative"
+    else:
+        cls = "additive"
+    return {"classification": cls, "additive_strength": float(s_add),
+            "multiplicative_strength": float(s_mul)}
+
+
+# ---------------------------------------------------------------------------
+# Detrending / decomposition
+# ---------------------------------------------------------------------------
+
+def _loess(y, bandwidth=0.3, degree=1):
+    """Hand-rolled tricube-weighted local regression."""
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    k = max(int(bandwidth * n), degree + 2)
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(t - i)
+        cut = np.partition(d, k - 1)[k - 1] or 1.0
+        w = (1 - np.minimum(d / cut, 1.0) ** 3) ** 3
+        W = w > 0
+        coef = np.polyfit(t[W], y[W], degree, w=np.sqrt(w[W]))
+        out[i] = np.polyval(coef, i)
+    return out
+
+
+def detrend(y: np.ndarray, method: str = "linear", degree: int = 2,
+            order: int = 1, bandwidth: float = 0.3) -> dict:
+    """(trend[], detrended[], method, coefficients[], rss, n_params)
+    — ``detrending.rs:18-282``."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    t = np.arange(n, dtype=float)
+    m = method.lower()
+    if m == "auto":
+        cands = [detrend(y, mm) for mm in ("linear", "polynomial", "loess")]
+        aics = [n * math.log(max(c["rss"], 1e-12) / n) + 2 * c["n_params"]
+                for c in cands]
+        best = cands[int(np.argmin(aics))]
+        best["method"] = f"auto:{best['method']}"
+        return best
+    if m == "linear":
+        coef = np.polyfit(t, y, 1)
+        trend = np.polyval(coef, t)
+        k = 2
+    elif m == "polynomial":
+        coef = np.polyfit(t, y, int(degree))
+        trend = np.polyval(coef, t)
+        k = int(degree) + 1
+    elif m == "diff":
+        d = y.copy()
+        for _ in range(int(order)):
+            d = np.diff(d)
+        trend = np.full(n, np.nan)
+        detr = np.concatenate([np.full(n - len(d), np.nan), d])
+        return {"trend": trend, "detrended": detr, "method": "diff",
+                "coefficients": [float(order)], "rss": float(np.nansum(detr ** 2)),
+                "n_params": int(order)}
+    elif m == "loess":
+        trend = _loess(y, bandwidth, 1)
+        coef = []
+        k = max(int(bandwidth * n), 3)
+    else:
+        raise ValueError(f"unknown detrend method {method!r}")
+    detr = y - trend
+    return {"trend": trend, "detrended": detr, "method": m,
+            "coefficients": [float(c) for c in np.atleast_1d(coef)],
+            "rss": float(np.sum(detr ** 2)), "n_params": k}
+
+
+def decompose_seasonal(y: np.ndarray, period: int, method: str = "additive") -> dict:
+    """Classical decomposition via centered MA (``detrending.rs:283-372``)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    p = int(period)
+    if p < 2 or n < 2 * p:
+        raise ValueError("period too large for series")
+    # centered moving average trend
+    w = p if p % 2 == 1 else p + 1
+    k = w // 2
+    c = np.concatenate([[0.0], np.cumsum(y)])
+    trend = np.full(n, np.nan)
+    for t in range(k, n - k):
+        trend[t] = (c[t + k + 1] - c[t - k]) / w
+    if method == "multiplicative":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            detr = np.where(trend != 0, y / trend, np.nan)
+    else:
+        detr = y - trend
+    idx = np.empty(p)
+    for ph in range(p):
+        vals = detr[ph::p]
+        vals = vals[np.isfinite(vals)]
+        idx[ph] = vals.mean() if len(vals) else (1.0 if method == "multiplicative" else 0.0)
+    if method == "multiplicative":
+        idx *= p / idx.sum() if idx.sum() else 1.0
+    else:
+        idx -= idx.mean()
+    seasonal = np.array([idx[t % p] for t in range(n)])
+    if method == "multiplicative":
+        remainder = np.where(np.isfinite(trend) & (trend * seasonal != 0),
+                             y / (trend * seasonal), np.nan)
+    else:
+        remainder = y - trend - seasonal
+    return {"trend": trend, "seasonal": seasonal, "remainder": remainder,
+            "period": p, "method": method}
+
+
+# ---------------------------------------------------------------------------
+# Peaks
+# ---------------------------------------------------------------------------
+
+def find_peaks(y: np.ndarray, min_prominence: float = 0.0) -> dict:
+    """Local maxima with prominences (mirrors scipy.signal.find_peaks
+    semantics, which the reference's ``peaks.rs:134-243`` follows)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    idxs = [i for i in range(1, n - 1) if y[i] > y[i - 1] and y[i] >= y[i + 1]]
+    peaks, proms = [], []
+    for i in idxs:
+        # prominence: height above the higher of the two flanking valley bases
+        lo = i
+        while lo > 0 and y[lo - 1] <= y[i]:
+            lo -= 1
+        left_base = float(np.min(y[lo:i + 1]))
+        hi = i
+        while hi < n - 1 and y[hi + 1] <= y[i]:
+            hi += 1
+        right_base = float(np.min(y[i:hi + 1]))
+        prom = y[i] - max(left_base, right_base)
+        if prom >= min_prominence:
+            peaks.append(i)
+            proms.append(float(prom))
+    return {"indices": peaks, "values": [float(y[i]) for i in peaks],
+            "prominences": proms, "n_peaks": len(peaks)}
+
+
+def analyze_peak_timing(y: np.ndarray, period: int,
+                        min_prominence: float = 0.0) -> dict:
+    """Peak-timing stability across seasonal cycles (``peaks.rs:190``,
+    output ``ts_seasonality.cpp:349-356``)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    p = int(period)
+    res = find_peaks(y, min_prominence)
+    n = len(y)
+    n_cycles = n // p if p >= 2 else 0
+    phases = [i % p for i in res["indices"]] if p >= 2 else []
+    strength = seasonal_strength(y, p) if p >= 2 else 0.0
+    if len(phases) >= 2:
+        # circular variance of peak phases
+        ang = np.array(phases) * 2 * math.pi / p
+        r = math.hypot(float(np.mean(np.cos(ang))), float(np.mean(np.sin(ang))))
+        variability = 1.0 - r
+    else:
+        variability = float("nan")
+    stable = math.isfinite(variability) and variability < 0.2
+    cycle_strengths = []
+    weak = []
+    for cyc in range(n_cycles):
+        seg = y[cyc * p:(cyc + 1) * p]
+        s = float(np.std(seg))
+        cycle_strengths.append(s)
+    if cycle_strengths:
+        med = float(np.median(cycle_strengths))
+        weak = [i for i, s in enumerate(cycle_strengths) if s < 0.5 * med]
+    timing = ("stable" if stable else
+              "variable" if math.isfinite(variability) else "insufficient_peaks")
+    return {
+        "timing_classification": timing,
+        "modulation_type": "amplitude" if weak else "none",
+        "has_stable_timing": bool(stable),
+        "timing_variability": float(variability),
+        "seasonal_strength": float(strength),
+        "is_seasonal": strength > 0.3,
+        "cycle_strengths": [float(s) for s in cycle_strengths],
+        "weak_seasons": weak,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Changepoints: PELT and BOCPD
+# ---------------------------------------------------------------------------
+
+def pelt(y: np.ndarray, penalty: float | None = None, min_size: int = 2,
+         cost: str = "l2") -> list[int]:
+    """Pruned Exact Linear Time changepoint detection
+    (``changepoint.rs:16-180``). Returns changepoint indices (segment starts,
+    excluding 0)."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    if n < 2 * min_size:
+        return []
+    if penalty is None:
+        penalty = 2.0 * math.log(n) * float(np.var(y) or 1.0)
+    c1 = np.concatenate([[0.0], np.cumsum(y)])
+    c2 = np.concatenate([[0.0], np.cumsum(y ** 2)])
+    ca = np.concatenate([[0.0], np.cumsum(np.abs(y))])
+
+    def seg_cost(s, t):
+        m = t - s
+        if m <= 0:
+            return 0.0
+        if cost == "l1":
+            med = float(np.median(y[s:t]))
+            return float(np.sum(np.abs(y[s:t] - med)))
+        sse = (c2[t] - c2[s]) - (c1[t] - c1[s]) ** 2 / m
+        if cost == "normal":
+            v = max(sse / m, 1e-12)
+            return m * math.log(v)
+        return float(sse)  # l2
+
+    INF = float("inf")
+    Fv = np.full(n + 1, INF)
+    Fv[0] = -penalty
+    prev = np.zeros(n + 1, dtype=int)
+    cand = [0]
+    for t in range(min_size, n + 1):
+        best, arg = INF, 0
+        for s in cand:
+            if t - s < min_size:
+                continue
+            val = Fv[s] + seg_cost(s, t) + penalty
+            if val < best:
+                best, arg = val, s
+        if best < INF:
+            Fv[t] = best
+            prev[t] = arg
+        # prune
+        cand = [s for s in cand
+                if Fv[s] + seg_cost(s, t) <= Fv[t]] + [t - min_size + 1] \
+            if t - min_size + 1 > 0 else cand
+        cand = sorted(set(c for c in cand if 0 <= c <= t))
+    cps = []
+    t = n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+def bocpd(y: np.ndarray, hazard_lambda: float = 250.0) -> np.ndarray:
+    """Bayesian online changepoint probability per position
+    (``changepoint.rs:198-360``), Student-t predictive with NIG prior."""
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    n = len(y)
+    h = 1.0 / float(hazard_lambda)
+    # NIG prior hyperparams
+    mu0, kappa0, alpha0, beta0 = float(np.mean(y)), 1.0, 1.0, float(np.var(y) or 1.0)
+    R = np.zeros(n + 1)
+    R[0] = 1.0
+    mu = np.array([mu0])
+    kappa = np.array([kappa0])
+    alpha = np.array([alpha0])
+    beta = np.array([beta0])
+    cp_prob = np.zeros(n)
+    for t in range(n):
+        x = y[t]
+        # Student-t predictive
+        df = 2 * alpha
+        scale = np.sqrt(beta * (kappa + 1) / (alpha * kappa))
+        z = (x - mu) / scale
+        # vectorized log pdf of student-t
+        logpdf = (np.vectorize(math.lgamma)((df + 1) / 2)
+                  - np.vectorize(math.lgamma)(df / 2)
+                  - 0.5 * np.log(df * math.pi) - np.log(scale)
+                  - (df + 1) / 2 * np.log1p(z * z / df))
+        pred = np.exp(logpdf)
+        growth = R[:t + 1] * pred * (1 - h)
+        cp = float(np.sum(R[:t + 1] * pred * h))
+        newR = np.zeros(t + 2)
+        newR[0] = cp
+        newR[1:] = growth
+        total = newR.sum() or 1.0
+        newR /= total
+        R = np.zeros(n + 1)
+        R[:t + 2] = newR
+        cp_prob[t] = newR[0]
+        # update params
+        mu_new = np.concatenate([[mu0], (kappa * mu + x) / (kappa + 1)])
+        kappa_new = np.concatenate([[kappa0], kappa + 1])
+        alpha_new = np.concatenate([[alpha0], alpha + 0.5])
+        beta_new = np.concatenate([[beta0],
+                                   beta + kappa * (x - mu) ** 2 / (2 * (kappa + 1))])
+        mu, kappa, alpha, beta = mu_new, kappa_new, alpha_new, beta_new
+    return cp_prob
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def _grouped_udf(df, group_col, ds_col, y_col, schema, build_rows):
+    def fn(key, pdf: pd.DataFrame):
+        pdf = pdf.sort_values(ds_col)
+        return build_rows(key[0], pdf)
+    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+              .groupBy(group_col).applyInPandas(fn, schema))
+
+
+def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                         params: dict | None = None) -> DataFrame:
+    """One row per detected period: (<group>, period, confidence, strength,
+    amplitude, phase, iteration, matches_expected, matched_expected_period,
+    match_deviation, n_periods, primary_period, method)."""
+    p = dict(params or {})
+    method = str(p.get("method", "auto"))
+    expected = p.get("expected_periods")
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("period", T.IntegerType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("strength", T.DoubleType()),
+        T.StructField("amplitude", T.DoubleType()),
+        T.StructField("phase", T.DoubleType()),
+        T.StructField("iteration", T.IntegerType()),
+        T.StructField("matches_expected", T.BooleanType()),
+        T.StructField("matched_expected_period", T.IntegerType()),
+        T.StructField("match_deviation", T.DoubleType()),
+        T.StructField("n_periods", T.IntegerType()),
+        T.StructField("primary_period", T.IntegerType()),
+        T.StructField("method", T.StringType()),
+    ])
+
+    def build(g, pdf):
+        res = detect_periods(pdf[y_col].to_numpy(dtype=float), method, expected)
+        rows = []
+        for d in res["periods"] or [{"period": 0, "confidence": 0.0, "strength": 0.0,
+                                     "amplitude": 0.0, "phase": 0.0, "iteration": 0,
+                                     "matches_expected": False,
+                                     "matched_expected_period": None,
+                                     "match_deviation": None}]:
+            rows.append({group_col: g, **d, "n_periods": res["n_periods"],
+                         "primary_period": res["primary_period"],
+                         "method": res["method"]})
+        return pd.DataFrame(rows)
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_analyze_seasonality_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str) -> DataFrame:
+    """(<group>, detected_periods[], primary_period, seasonal_strength,
+    trend_strength) — ``seasonality.rs:323-380``."""
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("detected_periods", T.ArrayType(T.IntegerType())),
+        T.StructField("primary_period", T.IntegerType()),
+        T.StructField("seasonal_strength", T.DoubleType()),
+        T.StructField("trend_strength", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        p = detect_seasonality(y)
+        s = seasonal_strength(y, p) if p > 1 else 0.0
+        t = np.arange(len(y), dtype=float)
+        b1, b0 = np.polyfit(t, y, 1) if len(y) > 1 else (0.0, float(y[0]))
+        resid = y - (b0 + b1 * t)
+        vy = float(np.var(y))
+        ts = min(max(1.0 - float(np.var(resid)) / vy, 0.0), 1.0) if vy > 0 else 0.0
+        return pd.DataFrame([{group_col: g,
+                              "detected_periods": [p] if p > 1 else [],
+                              "primary_period": p if p > 1 else 0,
+                              "seasonal_strength": float(s),
+                              "trend_strength": ts}])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_classify_seasonality_by(df: DataFrame, group_col: str, ds_col: str,
+                               y_col: str, period: int) -> DataFrame:
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("classification", T.StringType()),
+        T.StructField("additive_strength", T.DoubleType()),
+        T.StructField("multiplicative_strength", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        res = classify_seasonality(pdf[y_col].to_numpy(dtype=float), period)
+        return pd.DataFrame([{group_col: g, **res}])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_seasonal_strength_by(df: DataFrame, group_col: str, ds_col: str,
+                            y_col: str, period: int,
+                            method: str = "variance") -> DataFrame:
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("seasonal_strength", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        s = seasonal_strength(pdf[y_col].to_numpy(dtype=float), period, method)
+        return pd.DataFrame([{group_col: g, "seasonal_strength": float(s)}])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detrend_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                  params: dict | None = None) -> DataFrame:
+    """Row-per-observation detrended output: (<group>, <ds>, <y>, trend,
+    detrended, method) — macro ``ts_macros.cpp:434-460``."""
+    p = dict(params or {})
+    method = str(p.get("method", "linear"))
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField(y_col, T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("detrended", T.DoubleType()),
+        T.StructField("method", T.StringType()),
+    ])
+
+    def build(g, pdf):
+        y = pdf[y_col].to_numpy(dtype=float)
+        r = detrend(y, method, degree=int(p.get("degree", 2)),
+                    order=int(p.get("order", 1)),
+                    bandwidth=float(p.get("bandwidth", 0.3)))
+        return pd.DataFrame({group_col: g, ds_col: pdf[ds_col].to_numpy(),
+                             y_col: y, "trend": r["trend"],
+                             "detrended": r["detrended"], "method": r["method"]})
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_decompose_seasonal_by(df: DataFrame, group_col: str, ds_col: str,
+                             y_col: str, period: int,
+                             method: str = "additive") -> DataFrame:
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField(y_col, T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("remainder", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = pdf[y_col].to_numpy(dtype=float)
+        try:
+            r = decompose_seasonal(y, period, method)
+        except ValueError:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+        return pd.DataFrame({group_col: g, ds_col: pdf[ds_col].to_numpy(),
+                             y_col: y, "trend": r["trend"],
+                             "seasonal": r["seasonal"],
+                             "remainder": r["remainder"]})
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_mstl_decomposition_by(df: DataFrame, group_col: str, ds_col: str,
+                             y_col: str, params: dict | None = None) -> DataFrame:
+    """(<group>, <ds>, trend, seasonal, remainder, periods) — macro
+    ``ts_macros.cpp:419-433``, native ``ts_mstl_decomposition_native.cpp``."""
+    from ..functions.models import _stl_lite
+    p = dict(params or {})
+    periods = p.get("seasonal_periods")
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("remainder", T.DoubleType()),
+        T.StructField("periods", T.ArrayType(T.IntegerType())),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        ms = periods or ([detect_seasonality(y)] if detect_seasonality(y) > 1 else [])
+        ms = [int(m) for m in ms if m and int(m) >= 2 and len(y) >= 2 * int(m)]
+        seasonal_total = np.zeros(len(y))
+        deseas = y.copy()
+        trend = np.zeros(len(y))
+        for m in sorted(set(ms)):
+            trend, seasonal, _ = _stl_lite(deseas, m)
+            seasonal_total += seasonal
+            deseas = deseas - seasonal
+        if not ms:
+            trend, _, _ = _stl_lite(deseas, 0)
+        remainder = y - trend - seasonal_total
+        return pd.DataFrame({group_col: g, ds_col: pdf[ds_col].to_numpy(),
+                             "trend": trend, "seasonal": seasonal_total,
+                             "remainder": remainder,
+                             "periods": [ms] * len(y)})
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detect_peaks_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                       params: dict | None = None) -> DataFrame:
+    """One row per peak: (<group>, <ds>, <y>, peak_index, prominence)."""
+    p = dict(params or {})
+    min_prom = float(p.get("min_prominence", 0.0))
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField(y_col, T.DoubleType()),
+        T.StructField("peak_index", T.IntegerType()),
+        T.StructField("prominence", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = pdf[y_col].to_numpy(dtype=float)
+        res = find_peaks(y, min_prom)
+        ds_vals = pdf[ds_col].to_numpy()
+        return pd.DataFrame({
+            group_col: [g] * res["n_peaks"],
+            ds_col: [ds_vals[i] for i in res["indices"]],
+            y_col: res["values"],
+            "peak_index": res["indices"],
+            "prominence": res["prominences"],
+        })
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_analyze_peak_timing_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str, period: int,
+                              params: dict | None = None) -> DataFrame:
+    p = dict(params or {})
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("timing_classification", T.StringType()),
+        T.StructField("modulation_type", T.StringType()),
+        T.StructField("has_stable_timing", T.BooleanType()),
+        T.StructField("timing_variability", T.DoubleType()),
+        T.StructField("seasonal_strength", T.DoubleType()),
+        T.StructField("is_seasonal", T.BooleanType()),
+        T.StructField("cycle_strengths", T.ArrayType(T.DoubleType())),
+        T.StructField("weak_seasons", T.ArrayType(T.IntegerType())),
+    ])
+
+    def build(g, pdf):
+        res = analyze_peak_timing(pdf[y_col].to_numpy(dtype=float), period,
+                                  float(p.get("min_prominence", 0.0)))
+        return pd.DataFrame([{group_col: g, **res}])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detect_changepoints_by(df: DataFrame, group_col: str, ds_col: str,
+                              y_col: str, params: dict | None = None) -> DataFrame:
+    """(<group>, <ds>, is_changepoint, changepoint_probability) — macro
+    ``ts_macros.cpp:489-538``, output ``ts_changepoints.cpp:519-528``."""
+    p = dict(params or {})
+    min_size = int(p.get("min_size", 2))
+    penalty = p.get("penalty")
+    cost = str(p.get("cost", "l2"))
+    use_bocpd = str(p.get("method", "pelt")) == "bocpd"
+    hazard = float(p.get("hazard_lambda", 250.0))
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField("is_changepoint", T.BooleanType()),
+        T.StructField("changepoint_probability", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = pdf[y_col].to_numpy(dtype=float)
+        n = len(y)
+        if use_bocpd:
+            prob = bocpd(y, hazard)
+            is_cp = prob > 0.5
+        else:
+            cps = set(pelt(y, None if penalty is None else float(penalty),
+                           min_size, cost))
+            is_cp = np.array([i in cps for i in range(n)])
+            prob = is_cp.astype(float)
+        return pd.DataFrame({group_col: [g] * n, ds_col: pdf[ds_col].to_numpy(),
+                             "is_changepoint": is_cp,
+                             "changepoint_probability": prob})
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+# ---------------------------------------------------------------------------
+# Windowed / time-varying seasonality analysis (SURVEY.md §2.5 rows 6-8)
+# ---------------------------------------------------------------------------
+
+def _hilbert_analytic(y: np.ndarray) -> np.ndarray:
+    """Analytic signal via FFT (one-sided spectrum doubling) — numpy stand-in
+    for scipy.signal.hilbert."""
+    n = len(y)
+    spec = np.fft.fft(y)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    return np.fft.ifft(spec * h)
+
+
+def ts_seasonal_strength_windowed_by(df: DataFrame, group_col: str, ds_col: str,
+                                     y_col: str, period: int,
+                                     window: int | None = None) -> DataFrame:
+    """Sliding-window seasonal strength: one row per window position
+    (<group>, window_start, window_end, seasonal_strength) — ref
+    ``ts_detrend.cpp:342-439`` (``ts_seasonal_strength_windowed``), window
+    default 2×period like ``seasonality.rs:703`` (win_size)."""
+    period = int(period)
+    win = int(window) if window else 2 * period
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("window_start", T.IntegerType()),
+        T.StructField("window_end", T.IntegerType()),
+        T.StructField("seasonal_strength", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        n = len(y)
+        rows = []
+        step = max(period, 1)
+        for s in range(0, max(n - win + 1, 1), step):
+            e = min(s + win, n)
+            if e - s < 2 * period:
+                break
+            rows.append({group_col: g, "window_start": s, "window_end": e,
+                         "seasonal_strength": float(seasonal_strength(y[s:e], period))})
+        return pd.DataFrame(rows, columns=[c.name for c in schema])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detect_seasonality_changes_by(df: DataFrame, group_col: str, ds_col: str,
+                                     y_col: str, period: int,
+                                     params: dict | None = None) -> DataFrame:
+    """Seasonal-regime change points: (<group>, index, change_type,
+    strength_before, strength_after) — ref ``seasonality.rs:699-744``,
+    output struct ``ts_detrend.cpp:456-460``. change_type ∈
+    {appeared, disappeared, increased, decreased} against `threshold`."""
+    p = dict(params or {})
+    thr = float(p.get("threshold", 0.3))
+    period = int(period)
+    win = int(p.get("window_size", 2 * period))
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("index", T.IntegerType()),
+        T.StructField("change_type", T.StringType()),
+        T.StructField("strength_before", T.DoubleType()),
+        T.StructField("strength_after", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        n = len(y)
+        rows = []
+        step = max(period, 1)
+        prev = None
+        for s in range(0, max(n - win + 1, 1), step):
+            e = min(s + win, n)
+            if e - s < 2 * period:
+                break
+            cur = float(seasonal_strength(y[s:e], period))
+            if prev is not None:
+                kind = None
+                if prev < thr <= cur:
+                    kind = "appeared"
+                elif cur < thr <= prev:
+                    kind = "disappeared"
+                elif cur - prev > thr / 2:
+                    kind = "increased"
+                elif prev - cur > thr / 2:
+                    kind = "decreased"
+                if kind:
+                    rows.append({group_col: g, "index": s, "change_type": kind,
+                                 "strength_before": prev, "strength_after": cur})
+            prev = cur
+        return pd.DataFrame(rows, columns=[c.name for c in schema])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_instantaneous_period_by(df: DataFrame, group_col: str, ds_col: str,
+                               y_col: str) -> DataFrame:
+    """Hilbert-transform instantaneous period/frequency/amplitude per
+    observation: (<group>, <ds>, period, frequency, amplitude) — ref
+    ``seasonality.rs:744-760``, output ``ts_detrend.cpp:612-695`` (arrays;
+    we emit rows, the relational form)."""
+    gtype = df.schema[group_col].dataType
+    ds_type = df.schema[ds_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype), T.StructField(ds_col, ds_type),
+        T.StructField("period", T.DoubleType()),
+        T.StructField("frequency", T.DoubleType()),
+        T.StructField("amplitude", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        n = len(y)
+        if n < 4:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+        analytic = _hilbert_analytic(y - y.mean())
+        amp = np.abs(analytic)
+        phase = np.unwrap(np.angle(analytic))
+        freq = np.empty(n)
+        freq[1:] = np.diff(phase) / (2.0 * np.pi)
+        freq[0] = freq[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            per = np.where(np.abs(freq) > EPS, 1.0 / np.abs(freq), np.nan)
+        return pd.DataFrame({group_col: [g] * n, ds_col: pdf[ds_col].to_numpy(),
+                             "period": per, "frequency": freq, "amplitude": amp})
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detect_amplitude_modulation_by(df: DataFrame, group_col: str, ds_col: str,
+                                      y_col: str, period: int,
+                                      params: dict | None = None) -> DataFrame:
+    """Amplitude-modulation classification: (<group>, is_seasonal,
+    seasonal_strength, has_modulation, modulation_type, modulation_score,
+    amplitude_trend) — ref ``seasonality.rs:760-830``, output struct
+    ``ts_detrend.cpp:706-716``. Envelope via the Hilbert analytic amplitude
+    (numpy stand-in for the reference's Morlet wavelet), modulation score =
+    CV of the per-cycle envelope."""
+    p = dict(params or {})
+    mod_thr = float(p.get("modulation_threshold", 0.2))
+    seas_thr = float(p.get("seasonality_threshold", 0.3))
+    period = int(period)
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("is_seasonal", T.BooleanType()),
+        T.StructField("seasonal_strength", T.DoubleType()),
+        T.StructField("has_modulation", T.BooleanType()),
+        T.StructField("modulation_type", T.StringType()),
+        T.StructField("modulation_score", T.DoubleType()),
+        T.StructField("amplitude_trend", T.DoubleType()),
+    ])
+
+    def build(g, pdf):
+        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
+        n = len(y)
+        if n < 2 * period or period < 2:
+            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+        strength = float(seasonal_strength(y, period))
+        is_seasonal = strength >= seas_thr
+        amp = np.abs(_hilbert_analytic(y - y.mean()))
+        ncyc = n // period
+        cyc_amp = np.array([amp[i * period:(i + 1) * period].mean()
+                            for i in range(ncyc)])
+        mu = float(cyc_amp.mean())
+        score = float(cyc_amp.std(ddof=0) / mu) if mu > EPS else 0.0
+        t = np.arange(ncyc, dtype=float)
+        trend = float(np.polyfit(t, cyc_amp, 1)[0]) if ncyc > 1 else 0.0
+        has_mod = is_seasonal and score > mod_thr
+        if not is_seasonal:
+            kind = "none"
+        elif not has_mod:
+            kind = "stable"
+        elif trend > 0:
+            kind = "increasing"
+        elif trend < 0:
+            kind = "decreasing"
+        else:
+            kind = "varying"
+        return pd.DataFrame([{group_col: g, "is_seasonal": is_seasonal,
+                              "seasonal_strength": strength,
+                              "has_modulation": has_mod,
+                              "modulation_type": kind,
+                              "modulation_score": score,
+                              "amplitude_trend": trend}])
+
+    return _grouped_udf(df, group_col, ds_col, y_col, schema, build)

@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-parity surface (BASELINE.json north star). Media payloads are opaque
+``binary`` columns with typed metadata structs; heavy decode/resize/sample
+steps run as Arrow-batched ``mapInPandas`` over iterator-of-batches (constant
+memory per task regardless of partition size).
+
+The decode internals are STUBBED — image/audio libraries are not available in
+this container — but the Spark-side contract is real and tested: schemas,
+batch iteration, partitioning, and the pure-python header sniffing
+(PNG/JPEG/GIF magic + dimensions) all run for real. Swap ``_decode_stub``
+for a PIL/ffmpeg call on a real cluster.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("is_valid", T.BooleanType()),
+])
+
+
+def sniff_media(payload: bytes | None) -> dict:
+    """Pure-python magic-byte sniffing: PNG / JPEG / GIF / RIFF-WAV.
+    Returns format + dimensions where the header carries them."""
+    out = {"format": "unknown", "width": None, "height": None,
+           "n_bytes": len(payload) if payload else 0, "is_valid": False}
+    if not payload or len(payload) < 12:
+        return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        out.update(format="png", width=int(w), height=int(h), is_valid=True)
+    elif payload[:2] == b"\xff\xd8":
+        out.update(format="jpeg", is_valid=True)
+        # walk JPEG segments for SOF0/SOF2 dimensions
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC2):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                out.update(width=int(w), height=int(h))
+                break
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            i += 2 + seg_len
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        out.update(format="gif", width=int(w), height=int(h), is_valid=True)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out.update(format="wav", is_valid=True)
+    return out
+
+
+def media_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """Adds a ``media_meta`` struct column via iterator-of-batches
+    mapInPandas — constant memory, no per-row Python overhead."""
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField("media_meta", MEDIA_META_SCHEMA)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media(p) for p in pdf[binary_col]]
+            pdf = pdf.copy()
+            pdf["media_meta"] = [
+                {"format": m["format"], "width": m["width"], "height": m["height"],
+                 "n_bytes": m["n_bytes"], "is_valid": m["is_valid"]}
+                for m in metas]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def _decode_stub(payload: bytes, op: str, **kwargs):
+    """Placeholder for the real decode. Raises by default; the deterministic
+    fake below is used by tests to exercise the plumbing."""
+    raise NotImplementedError(
+        f"media op {op!r} requires an image/audio library not present in this "
+        "environment; install pillow/ffmpeg on the cluster and replace "
+        "_decode_stub")
+
+
+def image_features(df: DataFrame, binary_col: str, id_col: str,
+                   fake: bool = False) -> DataFrame:
+    """Feature-extraction contract: (id, feature_vector array<float>).
+
+    With ``fake=True`` a deterministic byte-histogram 'embedding' exercises
+    the full distributed path (schema, Arrow batches, partitioning) without a
+    decoder; otherwise the decode stub raises NotImplementedError."""
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("feature_vector", T.ArrayType(T.FloatType())),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[binary_col]:
+                if not fake:
+                    _decode_stub(payload, "image_features")
+                b = payload or b""
+                hist = [0.0] * 16
+                for byte in b[:4096]:
+                    hist[byte >> 4] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame({id_col: pdf[id_col], "feature_vector": feats})
+
+    return df.mapInPandas(fn, schema)
+
+
+def frame_sample(df: DataFrame, binary_col: str, id_col: str,
+                 every_n: int = 10, fake: bool = False) -> DataFrame:
+    """Video frame-sampling contract: one output row per sampled frame
+    (id, frame_index, frame binary). Fake mode emits deterministic byte
+    slices so the explode-shaped output path is tested."""
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                if not fake:
+                    _decode_stub(payload, "frame_sample")
+                b = payload or b""
+                n_frames = max(len(b) // 256, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    frames.append(b[fi * 256:(fi + 1) * 256])
+            yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
+
+    return df.mapInPandas(fn, schema)

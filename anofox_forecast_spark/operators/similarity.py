@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-parity surface (BASELINE.json north star):
+
+- ``cosine_topk`` — brute-force exact top-k against a query vector. The dot
+  product is a JVM-side ``zip_with``/``aggregate`` higher-order expression
+  (no Python), so the scan + score is one narrow stage; top-k is a
+  ``TakeOrderedAndProject`` (no full sort shuffle).
+- ``cosine_topk_ivf`` — IVF-style scale path: k-means-lite centroids learned
+  from a bounded sample on the driver, each row assigned to its nearest
+  centroid at write/score time, query probes only the ``n_probe`` nearest
+  cells. At 100 TB the probe prunes the scan by centroid partition.
+- ``knn_join_lsh`` — approximate k-NN join between two embedding tables via
+  random-hyperplane bucket join (same signature machinery as
+  ``dedup.embedding_cosine_pairs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit(vec: Column) -> Column:
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x.cast("double")))
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
+                query: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.
+    Output: (<id>, cosine), descending."""
+    q = np.asarray(query, dtype=float)
+    qn = float(np.linalg.norm(q))
+    if qn == 0:
+        raise ValueError("query vector has zero norm")
+    q = q / qn
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = dot(_unit(F.col(vec_col)), qcol)
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(int(k)))
+
+
+def _kmeans_lite(X: np.ndarray, n_clusters: int, n_iter: int = 10,
+                 seed: int = 42) -> np.ndarray:
+    """Deterministic driver-side k-means on a bounded sample."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+    C = X[idx].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
+                    query: list[float], k: int = 10, n_clusters: int = 16,
+                    n_probe: int = 4, sample_limit: int = 10000) -> DataFrame:
+    """IVF-bucketed approximate top-k: learn centroids from a sample, assign
+    rows to nearest centroid (JVM-side argmin over centroid literals), score
+    only rows in the ``n_probe`` cells nearest the query."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
+        dtype=float)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    C = _kmeans_lite(sample / norms, n_clusters)
+    q = np.asarray(query, dtype=float)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = np.argsort(((C - q) ** 2).sum(axis=1))[:n_probe].tolist()
+
+    unit = _unit(F.col(vec_col))
+    # nearest-centroid assignment: array_min over (distance, cell) structs —
+    # each distance subtree appears exactly once (a chained-when argmin would
+    # copy the running best into every branch and blow up the analyzer)
+    dists = []
+    for c in range(len(C)):
+        cc = F.array(*[F.lit(float(x)) for x in C[c]])
+        d2 = F.aggregate(F.zip_with(unit, cc, lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        dists.append(d2)
+    best_cell = F.array_min(F.array(*[
+        F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+        for c in range(len(C))]))["c"]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = dot(unit, qcol)
+    return (df.withColumn("__cell", best_cell)
+              .filter(F.col("__cell").isin(probe_cells))
+              .select(F.col(id_col), cos.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(int(k)))
+
+
+def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
+                 vec_col: str, k: int = 5, n_planes: int = 10,
+                 seed: int = 42) -> DataFrame:
+    """Approximate k-NN join: for each left row, the top-k right rows by
+    cosine among candidates sharing the random-hyperplane signature.
+    Output: (<left_id>, <right_id>, cosine, rank)."""
+    from pyspark.sql import Window
+    d = int(left.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, d))
+
+    def sig_for(df: DataFrame) -> Column:
+        unit = _unit(F.col(vec_col))
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(planes[p, j])) for j in range(d)])
+            s = dot(unit, plane)
+            sig = sig.bitwiseOR(F.when(s > 0, F.lit(2 ** p).cast("long"))
+                                 .otherwise(F.lit(0).cast("long")))
+        return sig
+
+    lt = left.select(F.col(left_id).alias("__lid"),
+                     _unit(F.col(vec_col)).alias("__lv"),
+                     sig_for(left).alias("__sig"))
+    rt = right.select(F.col(right_id).alias("__rid"),
+                      _unit(F.col(vec_col)).alias("__rv"),
+                      sig_for(right).alias("__sig"))
+    cos = dot(F.col("__lv"), F.col("__rv"))
+    w = Window.partitionBy("__lid").orderBy(F.col("cosine").desc(), F.col("__rid"))
+    return (lt.join(rt, "__sig")
+              .withColumn("cosine", cos)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= int(k))
+              .select(F.col("__lid").alias(left_id),
+                      F.col("__rid").alias(right_id), "cosine", "rank"))

@@ -1,0 +1,152 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-parity surface (BASELINE.json north star): language ID, quality
+scoring, token counting, and document fingerprinting over a `documents`-style
+table — all pure Spark SQL expressions (regexp/length/array functions), so
+the whole pipeline stays JVM-side and scales linearly with no shuffle.
+
+Designed for 100 TB: every operator is a narrow map (no aggregation), so it
+pipelines with the parquet scan; column pruning keeps the scan at the text
+column plus requested passthroughs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = r"\w+"
+# BPE-ish pre-tokenizer: word pieces OR single non-space punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+# tiny built-in stopword profiles for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "als", "auch", "auf", "aus", "bei", "nach", "wird"],
+    "fr": ["le", "la", "les", "de", "et", "est", "en", "que", "une", "dans",
+           "pour", "qui", "sur", "pas", "plus", "par", "avec", "sont"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "en", "que", "una",
+           "para", "con", "por", "del", "se", "no", "su", "como"],
+    "it": ["il", "la", "di", "e", "che", "in", "un", "una", "per", "con",
+           "del", "si", "non", "sono", "come", "anche", "alla", "più"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "it"]
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def token_count(text: Column, method: str = "whitespace") -> Column:
+    """Token count column. 'whitespace' splits on runs of whitespace;
+    'bpe' counts BPE-ish pre-tokens (letter runs, digit runs, punctuation)."""
+    if method == "whitespace":
+        return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(F.trim(text), r"\s+")))
+    if method == "bpe":
+        return F.regexp_count(text, F.lit(BPE_RE))
+    raise ValueError(f"unknown token method {method!r}")
+
+
+def text_token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_tokens_ws and n_tokens_bpe columns."""
+    t = F.col(text_col)
+    return (df.withColumn("n_tokens_ws", token_count(t, "whitespace"))
+              .withColumn("n_tokens_bpe", token_count(t, "bpe")))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def text_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / word-length heuristics composed into
+    ``quality_score`` ∈ [0,1]. All JVM-side expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = token_count(t, "whitespace")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    words = F.array_distinct(_words(t))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(words, en_stop))
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words) \
+                     .otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars) \
+                   .otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars) \
+                   .otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double")
+                        / F.least(n_words, F.lit(20)).cast("double")) \
+                  .otherwise(F.lit(0.0))
+    length_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.2) * 4.0))
+    word_len_score = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0) \
+                      .otherwise(F.lit(0.5))
+    score = (0.3 * length_score + 0.2 * punct_score + 0.2 * alpha_ratio
+             + 0.15 * F.least(stop_ratio * 4.0, F.lit(1.0))
+             + 0.15 * word_len_score)
+    return (df.withColumn("n_chars_text", n_chars)
+              .withColumn("n_words", n_words)
+              .withColumn("punct_ratio", punct_ratio)
+              .withColumn("alpha_ratio", alpha_ratio)
+              .withColumn("stopword_ratio", stop_ratio)
+              .withColumn("mean_word_len", mean_word_len)
+              .withColumn("quality_score", score))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-overlap heuristic)
+# ---------------------------------------------------------------------------
+
+def language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds ``lang_pred`` + per-language overlap scores. Deterministic
+    tie-break by LANG_PRIORITY order."""
+    words = F.array_distinct(_words(F.col(text_col)))
+    out = df
+    for lang in LANG_PRIORITY:
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out = out.withColumn(f"score_{lang}", F.size(F.array_intersect(words, arr)))
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # reverse order so earlier languages win ties
+    for lang in reversed(LANG_PRIORITY):
+        s = F.col(f"score_{lang}")
+        cond = s >= best_score
+        best = F.when((s > 0) & cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return out.withColumn("lang_pred", best)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace + trim — the canonical form for
+    exact-dup fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def text_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds ``fingerprint`` = md5 of the normalized text (engine-portable,
+    exact-dup key) and ``fingerprint64`` = xxhash64 (cheap 64-bit variant for
+    shuffle keys)."""
+    norm = normalize_text(F.col(text_col))
+    return (df.withColumn("fingerprint", F.md5(norm))
+              .withColumn("fingerprint64", F.xxhash64(norm)))
+
+
+def text_analysis(df: DataFrame, text_col: str) -> DataFrame:
+    """Full pipeline: tokens + quality + language + fingerprint."""
+    return text_fingerprint(
+        language_id(text_quality(text_token_counts(df, text_col), text_col),
+                    text_col), text_col)

@@ -1,2 +1,143 @@
-"""Structured Streaming surfaces (optional; the reference has no event-stream
-data model — SURVEY.md §1.3 'No streaming data model')."""
+"""Structured Streaming surface.
+
+The reference has no event-stream data model (its "streaming" means DuckDB
+pipelined execution — SURVEY.md §1.3), so this module is beyond-parity
+surface: the same panel operators re-expressed over unbounded input.
+
+Three shapes, each the idiomatic Spark mapping of a batch operator:
+
+- ``stream_panel_stats`` — sliding/tumbling windowed per-series aggregates
+  with a watermark for late data. Pure built-in aggs; state is bounded by
+  the watermark horizon.
+- ``stream_forecast`` — ``applyInPandasWithState``: per-series state holds
+  the tail of recent observations (bounded ``state_rows``); each trigger
+  refits a cheap model and emits an updated h-step forecast. This is the
+  online analogue of ``ts_forecast_by``.
+- ``stream_forecast_foreach_batch`` — micro-batch bridge: run the full batch
+  ``ts_forecast_by`` on each micro-batch (exactly the batch semantics, at
+  trigger cadence), for when full refits per trigger are acceptable.
+
+All entry points accept any streaming DataFrame with (id, ds, y) columns;
+``read_panel_stream`` builds one from a parquet directory (file-source
+streaming works on the driver testdata for tests via
+``trigger(availableNow=True)``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_panel_stream(spark: SparkSession, path: str, schema: T.StructType,
+                      id_col: str = "id", ds_col: str = "ds",
+                      y_col: str = "y",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a parquet directory, projected to (id, ds, y)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path).select(
+        F.col(id_col).alias("id"), F.col(ds_col).alias("ds"),
+        F.col(y_col).cast("double").alias("y"))
+
+
+def stream_panel_stats(stream: DataFrame, window: str = "1 day",
+                       slide: str | None = None,
+                       watermark: str = "1 day") -> DataFrame:
+    """Windowed per-series stats with late-data watermark.
+
+    Output: (id, window_start, window_end, n, mean, std_dev, min, max, sum).
+    State per (id, window) is a constant-size aggregate buffer; the watermark
+    bounds total state at scale.
+    """
+    win = F.window("ds", window, slide or window)
+    return (stream.withWatermark("ds", watermark)
+            .groupBy("id", win)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("y").alias("mean"),
+                 F.coalesce(F.stddev_samp("y"), F.lit(0.0)).alias("std_dev"),
+                 F.min("y").alias("min"), F.max("y").alias("max"),
+                 F.sum("y").alias("sum"))
+            .select("id", F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n", "mean", "std_dev", "min", "max", "sum"))
+
+
+_FC_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("forecast_step", T.IntegerType()),
+    T.StructField("yhat", T.DoubleType()),
+    T.StructField("yhat_lower", T.DoubleType()),
+    T.StructField("yhat_upper", T.DoubleType()),
+    T.StructField("model_name", T.StringType()),
+    T.StructField("n_obs", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+])
+
+
+def stream_forecast(stream: DataFrame, method: str = "SES", horizon: int = 7,
+                    state_rows: int = 512,
+                    params: dict | None = None) -> DataFrame:
+    """Stateful online forecast: per-series rolling tail + refit per trigger.
+
+    ``applyInPandasWithState`` keeps an array of the latest ``state_rows``
+    observations per series (O(1) state per key — watermark-free safe). Each
+    trigger appends the new rows, truncates, refits, and emits the fresh
+    h-step forecast (one row per step).
+    """
+    from ..functions import models as M
+    h = int(horizon)
+    pars = dict(params or {})
+    season = int(pars.get("seasonal_period", 0) or 0)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ys: list[float] = state.get[0] if state.exists else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ds")
+            ys.extend(float(v) for v in pdf["y"].to_numpy())
+        ys = ys[-int(state_rows):]
+        state.update((ys,))
+        if len(ys) >= 3:
+            try:
+                r = M.forecast(ys, h, method, season_length=season,
+                               params=pars)
+                yield pd.DataFrame({
+                    "id": [key[0]] * h,
+                    "forecast_step": list(range(1, h + 1)),
+                    "yhat": r.point, "yhat_lower": r.lower,
+                    "yhat_upper": r.upper,
+                    "model_name": [r.model_name] * h,
+                    "n_obs": [len(ys)] * h,
+                })
+            except Exception:
+                pass  # error isolation: skip failing groups
+
+    return (stream.groupBy("id")
+            .applyInPandasWithState(fn, _FC_SCHEMA, _STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_forecast_foreach_batch(stream: DataFrame, sink_fn,
+                                  method: str = "Naive", horizon: int = 7,
+                                  frequency: str = "1d",
+                                  params: dict | None = None):
+    """Micro-batch bridge: full ``ts_forecast_by`` per micro-batch, result
+    handed to ``sink_fn(batch_df, batch_id)``. Exact batch semantics at
+    trigger cadence."""
+    from ..operators.forecast import ts_forecast_by
+
+    def process(batch_df: DataFrame, batch_id: int):
+        out = ts_forecast_by(batch_df, "id", "ds", "y", method, horizon,
+                             frequency, params)
+        sink_fn(out, batch_id)
+
+    return stream.writeStream.foreachBatch(process)

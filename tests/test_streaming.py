@@ -1,0 +1,69 @@
+"""Structured Streaming surface smoke tests (availableNow over file source)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from anofox_forecast_spark import streaming as ST
+from anofox_forecast_spark.sources import lineitem_panel
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def panel_dir(spark):
+    tmp = tempfile.mkdtemp()
+    d = os.path.join(tmp, "panel")
+    lineitem_panel(spark, SF_DIR).write.parquet(d)
+    yield d
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run(writer, ckpt, name, timeout=180):
+    q = (writer.option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_stream_panel_stats(spark, panel_dir):
+    schema = spark.read.parquet(panel_dir).schema
+    stream = ST.read_panel_stream(spark, panel_dir, schema)
+    stats = ST.stream_panel_stats(stream, "7 days", watermark="1 day")
+    ckpt = tempfile.mkdtemp()
+    _run(stats.writeStream.format("memory").queryName("t_stats")
+         .outputMode("append"), ckpt, "t_stats")
+    n = spark.sql("select count(*) n from t_stats").first()["n"]
+    assert n > 0
+    cols = set(spark.table("t_stats").columns)
+    assert {"id", "window_start", "window_end", "n", "mean", "std_dev"} <= cols
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_forecast_stateful(spark, panel_dir):
+    schema = spark.read.parquet(panel_dir).schema
+    stream = ST.read_panel_stream(spark, panel_dir, schema)
+    fc = ST.stream_forecast(stream, "SES", 5)
+    ckpt = tempfile.mkdtemp()
+    _run(fc.writeStream.format("memory").queryName("t_fc")
+         .outputMode("update"), ckpt, "t_fc")
+    out = spark.table("t_fc")
+    n_series = out.select("id").distinct().count()
+    assert n_series > 0
+    assert out.count() == n_series * 5
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_foreach_batch(spark, panel_dir):
+    schema = spark.read.parquet(panel_dir).schema
+    stream = ST.read_panel_stream(spark, panel_dir, schema)
+    got = []
+    w = ST.stream_forecast_foreach_batch(
+        stream, lambda df, bid: got.append(df.count()), "Naive", 3)
+    ckpt = tempfile.mkdtemp()
+    _run(w, ckpt, "t_fb")
+    assert sum(got) > 0
+    shutil.rmtree(ckpt, ignore_errors=True)
