@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from anofox_forecast_spark.functions.models import norm_ppf
 from anofox_forecast_spark.sources import (
+    EVENTS_PANEL_SQL,
     LINEITEM_PANEL_SQL,
     ORDERS_PANEL_SQL,
     lineitem_panel,
@@ -146,6 +147,17 @@ def _prep_queries():
         return prep.ts_fill_unknown_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                        CUTOFF, {"strategy": "null"})
 
+    def q_fill_gaps_monthly(spark, sf):
+        from pyspark.sql import functions as F
+
+        from anofox_forecast_spark.sources import load_table
+        o = load_table(spark, sf, "orders")
+        mp = (o.select(F.col("o_custkey").alias("id"),
+                       F.date_trunc("month", "o_orderdate").alias("ds"),
+                       "o_totalprice")
+              .groupBy("id", "ds").agg(F.sum("o_totalprice").alias("y")))
+        return prep.ts_fill_gaps_by(mp, "id", "ds", "y", "1mo")
+
     def q_validate_timestamps(spark, sf):
         # missing_timestamps (array col) dropped for the oracle hash — array
         # encodings differ across engines; the scalar verdict columns carry
@@ -169,6 +181,7 @@ def _prep_queries():
         "prep_drop_leading_zeros": q_drop_leading_zeros,
         "prep_drop_trailing_zeros": q_drop_trailing_zeros,
         "prep_drop_edge_zeros": q_drop_edge_zeros,
+        "prep_fill_gaps_monthly": q_fill_gaps_monthly,
         "prep_mark_unknown": q_mark_unknown,
         "prep_fill_unknown_last": q_fill_unknown_last,
         "prep_fill_unknown_null": q_fill_unknown_null,
@@ -235,10 +248,38 @@ def _cv_queries():
         return CV.ts_backtest_auto_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                       "Theta", 7, 2)
 
+    def q_split_folds(spark, sf):
+        return CV.ts_cv_split_folds_by(lineitem_panel(spark, sf), "id", "ds",
+                                       ["1998-01-01", "1999-01-01"], 7, "1d")
+
+    def q_split_index(spark, sf):
+        return CV.ts_cv_split_index_by(lineitem_panel(spark, sf), "id", "ds",
+                                       "y", [500, 550], 7)
+
+    def q_hydrate(spark, sf):
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf)
+        folds = CV.ts_cv_folds_by(panel, "id", "ds", "y", 2, 7)
+        src = panel.select("id", "ds",
+                           (F.dayofmonth("ds") % 7).cast("double").alias("x1"))
+        return CV.ts_cv_hydrate_by(folds, src, "id", "ds", ["x1"],
+                                   {"strategy": "last_value"})
+
+    def q_check_leakage(spark, sf):
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf).withColumn(
+            "is_test", F.col("ds") > F.lit(CUTOFF).cast("timestamp"))
+        from anofox_forecast_spark.operators.prep import ts_check_leakage
+        return ts_check_leakage(panel, "is_test")
+
     return {
         "cv_folds": q_folds,
         "cv_folds_sliding": q_folds_sliding,
         "cv_split": q_split,
+        "cv_split_folds": q_split_folds,
+        "cv_split_index": q_split_index,
+        "cv_hydrate": q_hydrate,
+        "cv_check_leakage": q_check_leakage,
         "cv_forecast": q_cv_forecast,
         "cv_backtest": q_backtest,
     }
@@ -370,6 +411,12 @@ def _analytics_queries():
         return D.ts_detect_periods_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                       {"method": "auto"})
 
+    def _periods_m(method):
+        def run(spark, sf):
+            return D.ts_detect_periods_by(lineitem_panel(spark, sf), "id", "ds",
+                                          "y", {"method": method})
+        return run
+
     def q_changepoints(spark, sf):
         return D.ts_detect_changepoints_by(lineitem_panel(spark, sf),
                                            "id", "ds", "y", {"min_size": 5})
@@ -419,6 +466,12 @@ def _analytics_queries():
         "features_full": q_features_full,
         "features_sql": q_features_sql,
         "detect_periods": q_periods,
+        "detect_periods_fft": _periods_m("fft"),
+        "detect_periods_acf": _periods_m("acf"),
+        "detect_periods_lomb_scargle": _periods_m("lomb_scargle"),
+        "detect_periods_autoperiod": _periods_m("autoperiod"),
+        "detect_periods_ssa": _periods_m("ssa"),
+        "detect_periods_matrix_profile": _periods_m("matrix_profile"),
         "detect_changepoints": q_changepoints,
         "detect_peaks": q_peaks,
         "mstl_decomposition": q_mstl,
@@ -459,6 +512,14 @@ def _ext_queries():
         return FX.ts_forecast_exog_by(panel, "id", "ds", "y", ["x1"], fut,
                                       "ds", ["x1"], "1d", "Theta", HORIZON)
 
+    def q_naive_intds(spark, sf):
+        from pyspark.sql import functions as F
+
+        from anofox_forecast_spark.operators.forecast import ts_forecast_by
+        panel = lineitem_panel(spark, sf).withColumn(
+            "ds", F.datediff("ds", F.lit("1992-01-01")).cast("bigint"))
+        return ts_forecast_by(panel, "id", "ds", "y", "Naive", HORIZON, "1")
+
     def q_inspect(spark, sf):
         out = FX.ts_forecast_inspect_by(lineitem_panel(spark, sf), "id", "ds",
                                         "y", "HoltWinters",
@@ -476,6 +537,7 @@ def _ext_queries():
     return {
         "forecast_exog_naive": q_exog_naive,
         "forecast_exog_theta": q_exog_theta,
+        "forecast_naive_intds": q_naive_intds,
         "forecast_inspect": q_inspect,
         "forecast_explain": q_explain,
     }
@@ -611,14 +673,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_swa": _forecast_query(
             "SeasonalWindowAverage", {"seasonal_period": SEASON, "window": 2}),
         # UDF-path models: rows-only smoke via queries(); oracle omitted where
-        # the optimizer state is not SQL-expressible.
+        # the optimizer state is not SQL-expressible. One entry per canonical
+        # model (SURVEY.md §2.1 row "Models (33)").
         "forecast_ses": _forecast_query("SES", {"alpha": 0.3}),
+        "forecast_ses_optimized": _forecast_query("SESOptimized"),
+        "forecast_holt": _forecast_query("Holt"),
+        "forecast_holt_winters": _forecast_query(
+            "HoltWinters", {"seasonal_period": SEASON}),
+        "forecast_seasonal_es": _forecast_query(
+            "SeasonalES", {"seasonal_period": SEASON, "alpha": 0.3}),
+        "forecast_seasonal_es_optimized": _forecast_query(
+            "SeasonalESOptimized", {"seasonal_period": SEASON}),
+        "forecast_ets": _forecast_query(
+            "ETS", {"model": "AAA", "seasonal_period": SEASON}),
+        "forecast_auto_ets": _forecast_query(
+            "AutoETS", {"seasonal_period": SEASON}),
+        "forecast_arima": _forecast_query("ARIMA", {"p": 1, "d": 1, "q": 1}),
+        "forecast_auto_arima": _forecast_query("AutoARIMA"),
         "forecast_theta": _forecast_query("Theta"),
+        "forecast_optimized_theta": _forecast_query("OptimizedTheta"),
+        "forecast_dynamic_theta": _forecast_query("DynamicTheta"),
+        "forecast_dynamic_optimized_theta": _forecast_query(
+            "DynamicOptimizedTheta"),
+        "forecast_auto_theta": _forecast_query("AutoTheta"),
+        "forecast_mfles": _forecast_query("MFLES", {"seasonal_period": SEASON}),
+        "forecast_auto_mfles": _forecast_query(
+            "AutoMFLES", {"seasonal_period": SEASON}),
+        "forecast_mstl": _forecast_query("MSTL", {"seasonal_period": SEASON}),
+        "forecast_auto_mstl": _forecast_query(
+            "AutoMSTL", {"seasonal_period": SEASON}),
+        "forecast_tbats": _forecast_query("TBATS", {"seasonal_period": SEASON}),
+        "forecast_auto_tbats": _forecast_query(
+            "AutoTBATS", {"seasonal_period": SEASON}),
         "forecast_croston": _forecast_query("CrostonClassic"),
+        "forecast_croston_optimized": _forecast_query("CrostonOptimized"),
+        "forecast_croston_sba": _forecast_query("CrostonSBA"),
+        "forecast_adida": _forecast_query("ADIDA"),
+        "forecast_imapa": _forecast_query("IMAPA"),
+        "forecast_tsb": _forecast_query("TSB", {"alpha_d": 0.2, "alpha_p": 0.2}),
+        "forecast_laplace": _forecast_query("Laplace"),
     }
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:
         q[f"metric_{metric}"] = _metric_query(metric)
+    def q_forecast_events(spark, sf):
+        from anofox_forecast_spark.operators.forecast import ts_forecast_by
+        from anofox_forecast_spark.sources import events_panel
+        return ts_forecast_by(events_panel(spark, sf), "id", "ds", "y",
+                              "Naive", HORIZON, "1d")
+
+    q["forecast_events_naive"] = q_forecast_events
     q.update(_prep_queries())
     q.update(_hier_queries())
     q.update(_cv_queries())
@@ -650,9 +754,9 @@ fv AS (
 _EPS = "2.220446049250313e-16"
 
 
-def _forecast_oracle_prefix(extra_w: str = "") -> str:
+def _forecast_oracle_prefix(extra_w: str = "", panel_sql: str | None = None) -> str:
     return f"""
-panel AS ({_PANEL}),
+panel AS ({panel_sql or _PANEL}),
 w AS (
   SELECT id, ds, CAST(y AS DOUBLE) AS y,
          row_number() OVER (PARTITION BY id ORDER BY ds) AS rn,
@@ -664,9 +768,9 @@ w AS (
 """
 
 
-def _naive_oracle(h: int = HORIZON) -> str:
+def _naive_oracle(h: int = HORIZON, panel_sql: str | None = None) -> str:
     return f"""
-WITH {_forecast_oracle_prefix()},
+WITH {_forecast_oracle_prefix(panel_sql=panel_sql)},
 agg AS (
   SELECT id, max(ds) AS max_ds, count(*) AS n,
          max_by(y, ds) AS last_y, coalesce(stddev_samp(dy), 0.0) AS sig
@@ -779,6 +883,30 @@ SELECT s.id, CAST(s.step AS INT) AS forecast_step,
        'SeasonalWindowAverage' AS model_name
 FROM steps s
 JOIN tmpl t ON t.id = s.id AND t.ph = ({m} - 1 - ((s.step - 1) % {m})) % {m}
+"""
+
+
+def _naive_intds_oracle(h: int = HORIZON) -> str:
+    """Naive over an integer-ordinal date column (ref
+    ``ts_forecast_native.cpp:717-726``: integer dates step by the raw int)."""
+    return f"""
+WITH panel0 AS ({_PANEL}),
+panel AS (SELECT id, CAST(date_diff('day', DATE '1992-01-01', ds) AS BIGINT) AS ds,
+                 CAST(y AS DOUBLE) AS y FROM panel0),
+w AS (SELECT id, ds, y,
+             y - lag(y) OVER (PARTITION BY id ORDER BY ds) AS dy FROM panel),
+agg AS (SELECT id, max(ds) AS max_ds, count(*) AS n, max_by(y, ds) AS last_y,
+               coalesce(stddev_samp(dy), 0.0) AS sig
+        FROM w GROUP BY id HAVING count(*) >= 3),
+steps AS (SELECT id, max_ds, last_y, sig,
+                 unnest(generate_series(1, {h})) AS step FROM agg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       CAST(max_ds + step AS BIGINT) AS ds,
+       last_y AS yhat,
+       last_y - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       last_y + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'Naive' AS model_name
+FROM steps
 """
 
 
@@ -964,6 +1092,18 @@ SELECT id, ds, y FROM (
          max(CASE WHEN y != 0 AND y IS NOT NULL THEN ds END) OVER (PARTITION BY id) AS lnz
   FROM zpanel) WHERE ds >= fnz AND ds <= lnz
 """
+    o["prep_fill_gaps_monthly"] = """
+WITH mp AS (SELECT o_custkey AS id, date_trunc('month', o_orderdate) AS ds,
+                   SUM(o_totalprice) AS y FROM orders GROUP BY 1, 2),
+gp AS (SELECT id, ds, y, lag(ds) OVER (PARTITION BY id ORDER BY ds) AS prev FROM mp),
+gins AS (
+  SELECT id, prev + to_months(CAST(s AS INT)) AS ds, CAST(NULL AS DOUBLE) AS y
+  FROM (SELECT id, prev,
+               unnest(generate_series(1,
+                 CAST(date_diff('month', prev, ds) AS BIGINT) - 1)) AS s
+        FROM gp WHERE prev IS NOT NULL))
+SELECT id, ds, y FROM mp UNION ALL SELECT id, ds, y FROM gins
+"""
     o["prep_mark_unknown"] = f"""
 WITH panel AS ({_PANEL})
 SELECT id, ds, y,
@@ -1089,6 +1229,55 @@ SELECT id, ds, y, fold_id, split FROM (
   CROSS JOIN (VALUES (0, TIMESTAMP '1998-01-01'),
                      (1, TIMESTAMP '1999-01-01')) f(fold_id, c))
 WHERE split IS NOT NULL
+"""
+    o["cv_split_folds"] = f"""
+WITH panel AS ({_PANEL}),
+g AS (SELECT min(ds::TIMESTAMP) AS mn FROM panel)
+SELECT CAST(f.fold_id AS BIGINT) AS fold_id, g.mn AS train_start,
+       f.c AS train_end,
+       f.c + INTERVAL 86400 SECOND AS test_start,
+       f.c + INTERVAL (7 * 86400) SECOND AS test_end,
+       CAST(7 AS BIGINT) AS horizon, CAST(0 AS BIGINT) AS gap,
+       CAST(0 AS BIGINT) AS embargo
+FROM (VALUES (0, TIMESTAMP '1998-01-01'),
+             (1, TIMESTAMP '1999-01-01')) f(fold_id, c) CROSS JOIN g
+"""
+    o["cv_split_index"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS pos
+      FROM panel)
+SELECT id, ds, y, fold_id, split FROM (
+  SELECT w.id, w.ds, w.y, CAST(f.fold_id AS BIGINT) AS fold_id,
+         CASE WHEN w.pos <= f.te THEN 'train'
+              WHEN w.pos BETWEEN f.te + 1 AND f.te + 7 THEN 'test'
+         END AS split
+  FROM w CROSS JOIN (VALUES (0, 500), (1, 550)) f(fold_id, te))
+WHERE split IS NOT NULL
+"""
+    o["cv_hydrate"] = f"""
+WITH cvf AS ({o["cv_folds"]}),
+src AS (SELECT id, ds, CAST(day(ds) % 7 AS DOUBLE) AS x1
+        FROM ({_PANEL})),
+j AS (SELECT c.id, c.ds, c.y, c.fold_id, c.split, s.x1
+      FROM cvf c LEFT JOIN src s ON c.id = s.id AND c.ds = s.ds)
+SELECT id, ds, y, fold_id, split,
+       CASE WHEN split = 'test'
+            THEN last_value(CASE WHEN split = 'train' THEN x1 END IGNORE NULLS)
+                 OVER (PARTITION BY id, fold_id ORDER BY ds
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ELSE x1 END AS x1
+FROM j
+"""
+    o["cv_check_leakage"] = f"""
+WITH panel AS ({_PANEL})
+SELECT 'Leakage check complete' AS status,
+       CAST(sum(CASE WHEN ds::TIMESTAMP > TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT)
+         AS test_row_count,
+       CAST(sum(CASE WHEN ds::TIMESTAMP <= TIMESTAMP '{CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_row_count,
+       'Use ts_cv_hydrate_by + explicit column selection for fail-safe joins'
+         AS recommendation
+FROM panel
 """
     return o
 
@@ -1399,6 +1588,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_rwd": _rwd_oracle(),
         "forecast_swa": _swa_oracle(),
         "forecast_exog_naive": _exog_naive_oracle(),
+        "forecast_naive_intds": _naive_intds_oracle(),
+        "forecast_events_naive": _naive_oracle(panel_sql=EVENTS_PANEL_SQL),
     }
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:

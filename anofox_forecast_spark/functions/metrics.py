@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 EPS = 2.220446049250313e-16  # f64::EPSILON, used by the reference
 
-_NAN = F.lit(float("nan"))
+def _nan() -> Column:
+    # lazy: F.lit needs an active SparkContext; the module must be
+    # importable before any session exists
+    return F.lit(float("nan"))
 
 
 def _arr_mean(col: Column) -> Column:
@@ -55,7 +58,7 @@ def ts_mape(actual: Column, forecast: Column) -> Column:
     )
     n = F.size(pairs)
     total = F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + F.abs((p["a"] - p["f"]) / p["a"]))
-    return F.when(n == 0, _NAN).otherwise(total / n * 100.0)
+    return F.when(n == 0, _nan()).otherwise(total / n * 100.0)
 
 
 def ts_smape(actual: Column, forecast: Column) -> Column:
@@ -68,13 +71,13 @@ def ts_smape(actual: Column, forecast: Column) -> Column:
         pairs, F.lit(0.0),
         lambda acc, p: acc + 2.0 * F.abs(p["a"] - p["f"]) / (F.abs(p["a"]) + F.abs(p["f"])),
     )
-    return F.when(n == 0, _NAN).otherwise(total / n * 100.0)
+    return F.when(n == 0, _nan()).otherwise(total / n * 100.0)
 
 
 def ts_mase(actual: Column, forecast: Column, baseline: Column) -> Column:
     fmae = ts_mae(actual, forecast)
     bmae = ts_mae(actual, baseline)
-    return F.when(F.abs(bmae) < EPS, _NAN).otherwise(fmae / bmae)
+    return F.when(F.abs(bmae) < EPS, _nan()).otherwise(fmae / bmae)
 
 
 def ts_r2(actual: Column, forecast: Column) -> Column:
@@ -84,7 +87,7 @@ def ts_r2(actual: Column, forecast: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x,
     )
     ss_tot = F.aggregate(actual, F.lit(0.0), lambda acc, a: acc + (a - mean) * (a - mean))
-    return F.when(F.abs(ss_tot) < EPS, _NAN).otherwise(1.0 - ss_res / ss_tot)
+    return F.when(F.abs(ss_tot) < EPS, _nan()).otherwise(1.0 - ss_res / ss_tot)
 
 
 def ts_bias(actual: Column, forecast: Column) -> Column:
@@ -94,7 +97,7 @@ def ts_bias(actual: Column, forecast: Column) -> Column:
 def ts_rmae(actual: Column, pred1: Column, pred2: Column) -> Column:
     m1 = ts_mae(actual, pred1)
     m2 = ts_mae(actual, pred2)
-    return F.when(F.abs(m2) < EPS, _NAN).otherwise(m1 / m2)
+    return F.when(F.abs(m2) < EPS, _nan()).otherwise(m1 / m2)
 
 
 def ts_quantile_loss(actual: Column, forecast: Column, quantile: float) -> Column:
@@ -134,7 +137,7 @@ def ts_coverage(actual: Column, lower: Column, upper: Column) -> Column:
         lambda p, u: F.struct(p["a"].alias("a"), p["l"].alias("l"), u.alias("u")),
     )
     covered = F.size(F.filter(triples, lambda t: (t["a"] >= t["l"]) & (t["a"] <= t["u"])))
-    return F.when(n == 0, _NAN).otherwise(covered.cast("double") / n)
+    return F.when(n == 0, _nan()).otherwise(covered.cast("double") / n)
 
 
 # ---------------------------------------------------------------------------
@@ -168,17 +171,17 @@ def _rowwise_metric(df: DataFrame, date_col: str, actual_col: str, forecast_col:
         keep = F.abs(a) > EPS
         total = F.sum(F.when(keep, F.abs((a - f) / a)).otherwise(F.lit(0.0)))
         n = F.sum(F.when(keep, 1).otherwise(0))
-        expr = F.when(n == 0, _NAN).otherwise(total / n * 100.0)
+        expr = F.when(n == 0, _nan()).otherwise(total / n * 100.0)
     elif metric == "smape":
         keep = (F.abs(a) + F.abs(f)) > EPS
         total = F.sum(F.when(keep, 2.0 * F.abs(a - f) / (F.abs(a) + F.abs(f))).otherwise(F.lit(0.0)))
         n = F.sum(F.when(keep, 1).otherwise(0))
-        expr = F.when(n == 0, _NAN).otherwise(total / n * 100.0)
+        expr = F.when(n == 0, _nan()).otherwise(total / n * 100.0)
     elif metric == "r2":
         ss_res = F.sum((a - f) * (a - f))
         mean = F.avg(a)
         ss_tot = F.sum(a * a) - F.count(a) * mean * mean
-        expr = F.when(F.abs(ss_tot) < EPS, _NAN).otherwise(1.0 - ss_res / ss_tot)
+        expr = F.when(F.abs(ss_tot) < EPS, _nan()).otherwise(1.0 - ss_res / ss_tot)
     else:
         raise ValueError(f"unknown metric {metric!r}")
     return _grouped(df, gcols, expr)
@@ -218,7 +221,7 @@ def ts_mase_by(df: DataFrame, date_col: str, actual_col: str, forecast_col: str,
     gcols = _group_cols(df, date_col, actual_col, forecast_col, baseline_col)
     fmae = F.avg(F.abs(a - f))
     bmae = F.avg(F.abs(a - b))
-    expr = F.when(F.abs(bmae) < EPS, _NAN).otherwise(fmae / bmae)
+    expr = F.when(F.abs(bmae) < EPS, _nan()).otherwise(fmae / bmae)
     return _grouped(df, gcols, expr)
 
 
@@ -228,7 +231,7 @@ def ts_rmae_by(df: DataFrame, date_col: str, actual_col: str, pred1_col: str,
     gcols = _group_cols(df, date_col, actual_col, pred1_col, pred2_col)
     m1 = F.avg(F.abs(a - p1))
     m2 = F.avg(F.abs(a - p2))
-    expr = F.when(F.abs(m2) < EPS, _NAN).otherwise(m1 / m2)
+    expr = F.when(F.abs(m2) < EPS, _nan()).otherwise(m1 / m2)
     return _grouped(df, gcols, expr)
 
 

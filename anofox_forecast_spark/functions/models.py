@@ -1344,6 +1344,11 @@ def forecast(y, h: int, method: str, season_length: int = 0, level: float = 0.90
     model = canonical_model(method)
     y = validate_series(np.asarray(y, dtype=float))
     params = dict(params or {})
+    if params.get("model") and model != "ETS":
+        # ref ts_forecast_native.cpp:270-400: 'model' (ETS spec string) is
+        # only valid with method='ETS'; hard error otherwise
+        raise ValueError(
+            f"parameter 'model' is only valid with method='ETS', got {model}")
     m = int(params.get("seasonal_period", season_length) or 0)
     needs_season = model in SEASONAL_MODELS or model in (
         "AutoETS", "ETS", "Theta", "OptimizedTheta", "DynamicTheta",

@@ -66,17 +66,27 @@ def _future_ds(max_ds_col, step_col, freq: Frequency, ds_type: T.DataType):
 def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str) -> DataFrame:
     """Linear position-based NULL interpolation within each series, edges
     filled with nearest valid value — SQL mirror of
-    ``models.interpolate_nulls`` (ref ``imputation.rs:62``)."""
+    ``models.interpolate_nulls`` (ref ``imputation.rs:62``).
+
+    Exactly two Window passes: pass 1 computes position + nearest valid
+    values (independent expressions, one physical Window node on the (group,
+    ds) sort); pass 2 computes the positions of those valid neighbours (they
+    reference pass-1's row_number, forcing the split). All expressions share
+    the same partition/order spec so no extra sort or shuffle is introduced.
+    """
     w = Window.partitionBy(group_col).orderBy(ds_col)
     w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    pos = F.row_number().over(w) - 1
     y = F.col(y_col)
-    df2 = (df.withColumn("__pos", pos)
-             .withColumn("__pv", F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(w_prev))
-             .withColumn("__pp", F.last(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_prev))
-             .withColumn("__nv", F.first(F.when(y.isNotNull(), y), ignorenulls=True).over(w_next))
-             .withColumn("__np", F.first(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_next)))
+    df2 = df.withColumns({
+        "__pos": F.row_number().over(w) - 1,
+        "__pv": F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(w_prev),
+        "__nv": F.first(F.when(y.isNotNull(), y), ignorenulls=True).over(w_next),
+    })
+    df2 = df2.withColumns({
+        "__pp": F.last(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_prev),
+        "__np": F.first(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_next),
+    })
     interp = (F.col("__pv") + (F.col("__nv") - F.col("__pv"))
               * (F.col("__pos") - F.col("__pp")) / (F.col("__np") - F.col("__pp")))
     filled = (F.when(y.isNotNull(), y)
@@ -103,23 +113,25 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     base = interpolate_nulls_df(base, group_col, ds_col, y_col)
 
     w_asc = Window.partitionBy(group_col).orderBy(ds_col)
-    w_desc = Window.partitionBy(group_col).orderBy(F.col(ds_col).desc())
     y = F.col(y_col)
-    base = (base
-            .withColumn("__rnd", F.row_number().over(w_desc))
-            .withColumn("__dy", y - F.lag(y, 1).over(w_asc)))
+    # ONE ascending Window pass computes every per-row helper. Seasonal/SMA
+    # templates are NOT a second pipeline pass + join: the newest-first tail
+    # of each series is collected inside the same group aggregate (bounded:
+    # m, window, or m*window elements) and indexed with element_at.
+    asc_cols = {"__dy": y - F.lag(y, 1).over(w_asc)}
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
         if m < 1:
             raise ValueError(f"{model} requires seasonal_period >= 1")
-        base = base.withColumn("__dym", y - F.lag(y, m).over(w_asc))
-
+        asc_cols["__dym"] = y - F.lag(y, m).over(w_asc)
     if model == "SMA":
         # rolling-mean one-step fit (defined from row window+1 on), pre-agg
-        base = base.withColumn(
-            "__sma_fit",
-            F.when(F.row_number().over(w_asc) > window,
-                   F.avg(y).over(w_asc.rowsBetween(-window, -1))))
+        asc_cols["__sma_fit"] = F.when(
+            F.row_number().over(w_asc) > window,
+            F.avg(y).over(w_asc.rowsBetween(-window, -1)))
+    base = base.withColumns(asc_cols)
 
+    tail_len = {"SMA": window, "SeasonalNaive": m,
+                "SeasonalWindowAverage": m * window}.get(model, 0)
     aggs = [
         F.max(ds_col).alias("__max_ds"),
         F.count(F.lit(1)).alias("__n"),
@@ -127,8 +139,13 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         F.min_by(y, F.col(ds_col)).alias("__first_y"),
         F.coalesce(F.stddev_samp(F.col("__dy")), F.lit(0.0)).alias("__sig"),
     ]
+    if tail_len:
+        # newest-first (ds, y) tail, truncated to what the template needs
+        aggs.append(F.slice(
+            F.reverse(F.array_sort(F.collect_list(
+                F.struct(F.col(ds_col).alias("ds"), y.alias("y"))))),
+            1, tail_len).alias("__tail"))
     if model == "SMA":
-        aggs.append(F.avg(F.when(F.col("__rnd") <= window, y)).alias("__sma"))
         aggs.append(F.coalesce(F.stddev_samp(y - F.col("__sma_fit")), F.lit(0.0))
                      .alias("__sig_sma"))
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
@@ -138,11 +155,7 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     step = F.col("forecast_step")
     stepd = step.cast("double")
     steps = agg.select(
-        group_col, "__max_ds", "__n", "__last_y", "__first_y", "__sig",
-        *(["__sma", "__sig_sma"] if model == "SMA" else []),
-        *(["__sigm"] if model in ("SeasonalNaive", "SeasonalWindowAverage") else []),
-        F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("forecast_step"),
-    )
+        "*", F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("forecast_step"))
     out_ds = _future_ds(F.col("__max_ds"), step, freq, ds_type).alias(ds_col)
 
     if model == "Naive":
@@ -153,25 +166,29 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         yhat = F.col("__last_y") + drift * stepd
         width = F.lit(z) * F.col("__sig") * F.sqrt(stepd)
     elif model == "SMA":
-        yhat = F.col("__sma")
+        tail_y = F.transform(F.col("__tail"), lambda t: t["y"])
+        yhat = (F.aggregate(tail_y, F.lit(0.0), lambda a, v: a + v)
+                / F.size(tail_y))
         width = F.lit(z) * F.col("__sig_sma")
     elif model == "SeasonalNaive":
-        tmpl = base.filter(F.col("__rnd") <= m).select(
-            group_col, F.col("__rnd").alias("__tr"), y.alias("__ty"))
-        steps = steps.withColumn("__tr", F.lit(m) - (step - 1) % F.lit(m))
-        steps = steps.join(tmpl, on=[group_col, "__tr"], how="inner")
-        yhat = F.col("__ty")
+        # tail[i] is the i-th newest row; step s uses reverse-rank m-((s-1)%m)
+        yhat = F.element_at(F.col("__tail"),
+                            (F.lit(m) - (step - 1) % F.lit(m)).cast("int"))["y"]
+        steps = steps.filter(F.lit(m) - (step - 1) % F.lit(m) <= F.col("__n"))
         kcyc = F.floor((stepd - 1) / m) + 1
         width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
     elif model == "SeasonalWindowAverage":
-        ph = ((F.col("__rnd") - 1) % m)
-        k = F.floor((F.col("__rnd") - 1) / m)
-        tmpl = (base.withColumn("__ph", ph).withColumn("__k", k)
-                .filter(F.col("__k") < window)
-                .groupBy(group_col, "__ph").agg(F.avg(y).alias("__ty")))
-        steps = steps.withColumn("__ph", (F.lit(m) - 1 - (step - 1) % F.lit(m)) % F.lit(m))
-        steps = steps.join(tmpl, on=[group_col, "__ph"], how="inner")
-        yhat = F.col("__ty")
+        # per-phase mean over the last `window` cycles: tail positions p with
+        # (p-1) % m == phase, phase counted newest-first
+        ph = (F.lit(m) - 1 - (step - 1) % F.lit(m)) % F.lit(m)
+        phase_vals = F.filter(
+            F.zip_with(F.col("__tail"),
+                       F.sequence(F.lit(1), F.size(F.col("__tail"))),
+                       lambda t, i: F.struct(t["y"].alias("y"), i.alias("i"))),
+            lambda s: (s["i"] - 1) % F.lit(m) == ph)
+        yhat = (F.aggregate(phase_vals, F.lit(0.0), lambda a, s: a + s["y"])
+                / F.size(phase_vals))
+        steps = steps.filter(F.size(phase_vals) > 0)
         kcyc = F.floor((stepd - 1) / m) + 1
         width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
     else:
@@ -185,7 +202,7 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         (yhat - width).cast("double").alias("yhat_lower"),
         (yhat + width).cast("double").alias("yhat_upper"),
         F.lit(model).alias("model_name"),
-    ).orderBy(group_col, "forecast_step")
+    )  # no output sort: a global orderBy would add a range Exchange per call
 
 
 # ---------------------------------------------------------------------------

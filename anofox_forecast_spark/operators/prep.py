@@ -56,48 +56,49 @@ def ts_fill_gaps_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     ``prev + k*freq`` for ``k = 1 .. floor(gap/freq) - 1`` (ref
     ``gaps.rs:111-143``). Calendar frequencies insert unit-start dates between
     the pair's calendar units (ref ``gaps.rs:145-260``).
+
+    Single-pass plan: each row explodes into itself + the gap rows up to the
+    NEXT observation (``lead``). A union formulation would make Spark scan
+    and aggregate the source once per branch; this shape is one scan, one
+    series-key shuffle, one Window, one Generate.
     """
     freq = parse_frequency(frequency)
     ds_type = df.schema[ds_col].dataType
+    y_type = df.schema[y_col].dataType
     base = df.select(group_col, ds_col, y_col)
     w = Window.partitionBy(group_col).orderBy(ds_col)
-    prev = F.lag(F.col(ds_col)).over(w)
+    nxt = F.lead(F.col(ds_col)).over(w)
+    ds = F.col(ds_col)
 
     if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
         step = freq.n if freq.kind == "int" else 1
-        n_ins = (F.floor((F.col(ds_col) - prev) / step) - 1)
-        with_n = base.withColumn("__prev", prev).withColumn("__k", n_ins)
-        inserted = (with_n.filter(F.col("__k") >= 1)
-                    .select(group_col, "__prev",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .select(F.col(group_col),
-                            (F.col("__prev") + F.col("__s") * step).cast(ds_type).alias(ds_col),
-                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
+        k = F.floor((nxt - ds) / step) - 1
+        gap_ds = lambda s: (ds + s * step).cast(ds_type)  # noqa: E731
     elif freq.kind == "month":
         n = freq.n
-        unit_diff = _month_unit_index(F.col(ds_col), n) - _month_unit_index(prev, n)
-        with_n = base.withColumn("__prev", prev).withColumn("__k", unit_diff - 1)
-        inserted = (with_n.filter(F.col("__k") >= 1)
-                    .select(group_col, "__prev",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .select(F.col(group_col),
-                            F.add_months(_unit_start(F.col("__prev"), n),
-                                         F.col("__s") * n).cast(ds_type).alias(ds_col),
-                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
+        k = _month_unit_index(nxt, n) - _month_unit_index(ds, n) - 1
+        gap_ds = lambda s: F.add_months(_unit_start(ds, n), s * n).cast(ds_type)  # noqa: E731
     else:
         sec = freq.n
-        gap_s = F.col(ds_col).cast("timestamp").cast("double") - prev.cast("timestamp").cast("double")
-        n_ins = F.floor(gap_s / sec) - 1
-        with_n = base.withColumn("__prev", prev).withColumn("__k", n_ins)
-        inserted = (with_n.filter(F.col("__k") >= 1)
-                    .select(group_col, "__prev",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .select(F.col(group_col),
-                            F.timestamp_add("SECOND", (F.col("__s") * sec).cast("long"),
-                                            F.col("__prev").cast("timestamp"))
-                             .cast(ds_type).alias(ds_col),
-                            F.lit(None).cast(df.schema[y_col].dataType).alias(y_col)))
-    return base.unionByName(inserted)
+        gap_s = nxt.cast("timestamp").cast("double") - ds.cast("timestamp").cast("double")
+        k = F.floor(gap_s / sec) - 1
+        gap_ds = lambda s: F.timestamp_add(  # noqa: E731
+            "SECOND", (s * sec).cast("long"), ds.cast("timestamp")).cast(ds_type)
+
+    entries = F.concat(
+        F.array(F.struct(ds.alias("ds"), F.col(y_col).cast(y_type).alias("y"))),
+        F.when(k >= 1,
+               F.transform(F.sequence(F.lit(1), k),
+                           lambda s: F.struct(gap_ds(s).alias("ds"),
+                                              F.lit(None).cast(y_type).alias("y"))))
+         .otherwise(F.array().cast(
+             T.ArrayType(T.StructType([T.StructField("ds", ds_type),
+                                       T.StructField("y", y_type)])))),
+    )
+    return (base.withColumn("__e", entries)
+            .select(group_col, F.explode("__e").alias("__x"))
+            .select(F.col(group_col), F.col("__x.ds").alias(ds_col),
+                    F.col("__x.y").alias(y_col)))
 
 
 def ts_fill_forward_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
@@ -109,42 +110,51 @@ def ts_fill_forward_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     ds_type = df.schema[ds_col].dataType
     y_type = df.schema[y_col].dataType
     base = df.select(group_col, ds_col, y_col)
-    agg = base.groupBy(group_col).agg(F.max(ds_col).alias("__last"))
     target = F.lit(target_date).cast(ds_type)
+    # single pass: the per-group LAST row (lead(ds) IS NULL) explodes into
+    # itself + the forward extension; every other row passes through
+    w = Window.partitionBy(group_col).orderBy(ds_col)
+    is_last = F.lead(F.col(ds_col)).over(w).isNull()
+    ds = F.col(ds_col)
 
+    arr_t = T.ArrayType(T.StructType([T.StructField("ds", ds_type),
+                                      T.StructField("y", y_type)]))
     if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
         step = freq.n if freq.kind == "int" else 1
-        cnt = F.floor((target - F.col("__last")) / step)
-        new_rows = (agg.withColumn("__k", cnt).filter(F.col("__k") >= 1)
-                    .select(group_col, "__last",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .select(F.col(group_col),
-                            (F.col("__last") + F.col("__s") * step).cast(ds_type).alias(ds_col),
-                            F.lit(None).cast(y_type).alias(y_col)))
+        k = F.floor((target - ds) / step)
+        ext = F.transform(F.sequence(F.lit(1), k),
+                          lambda s: F.struct((ds + s * step).cast(ds_type).alias("ds"),
+                                             F.lit(None).cast(y_type).alias("y")))
     elif freq.kind == "month":
         n = freq.n
-        diff = (_month_unit_index(target, n) - _month_unit_index(F.col("__last"), n))
-        new_rows = (agg.withColumn("__k", diff).filter(F.col("__k") >= 1)
-                    .select(group_col, "__last",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .withColumn("__ds", F.add_months(_unit_start(F.col("__last"), n),
-                                                     F.col("__s") * n).cast(ds_type))
-                    .filter((F.col("__ds") > F.col("__last")) & (F.col("__ds") <= target))
-                    .select(F.col(group_col), F.col("__ds").alias(ds_col),
-                            F.lit(None).cast(y_type).alias(y_col)))
+        k = _month_unit_index(target, n) - _month_unit_index(ds, n)
+        ext = F.filter(
+            F.transform(F.sequence(F.lit(1), k),
+                        lambda s: F.struct(
+                            F.add_months(_unit_start(ds, n), s * n)
+                             .cast(ds_type).alias("ds"),
+                            F.lit(None).cast(y_type).alias("y"))),
+            lambda e: (e["ds"] > ds) & (e["ds"] <= target))
     else:
         sec = freq.n
-        gap_s = target.cast("timestamp").cast("double") - F.col("__last").cast("timestamp").cast("double")
-        cnt = F.floor(gap_s / sec)
-        new_rows = (agg.withColumn("__k", cnt).filter(F.col("__k") >= 1)
-                    .select(group_col, "__last",
-                            F.explode(F.sequence(F.lit(1), F.col("__k"))).alias("__s"))
-                    .select(F.col(group_col),
-                            F.timestamp_add("SECOND", (F.col("__s") * sec).cast("long"),
-                                            F.col("__last").cast("timestamp"))
-                             .cast(ds_type).alias(ds_col),
-                            F.lit(None).cast(y_type).alias(y_col)))
-    return base.unionByName(new_rows)
+        gap_s = (target.cast("timestamp").cast("double")
+                 - ds.cast("timestamp").cast("double"))
+        k = F.floor(gap_s / sec)
+        ext = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda s: F.struct(
+                F.timestamp_add("SECOND", (s * sec).cast("long"),
+                                ds.cast("timestamp")).cast(ds_type).alias("ds"),
+                F.lit(None).cast(y_type).alias("y")))
+
+    self_entry = F.array(F.struct(ds.alias("ds"),
+                                  F.col(y_col).cast(y_type).alias("y")))
+    entries = F.when(is_last & (k >= 1), F.concat(self_entry, ext)) \
+               .otherwise(self_entry).cast(arr_t)
+    return (base.withColumn("__e", entries)
+            .select(group_col, F.explode("__e").alias("__x"))
+            .select(F.col(group_col), F.col("__x.ds").alias(ds_col),
+                    F.col("__x.y").alias(y_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -55,10 +55,19 @@ def orders_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Irregular panel: (user_id, day(ts), count(*))."""
+    """Irregular panel: (user_id, day(ts), count(*)).
+
+    The events table stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
+    convert to a microsecond timestamp here.
+    """
+    from pyspark.sql import types as T
     e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if isinstance(e.schema["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
     return (
-        e.select(F.col("user_id").alias("id"), F.date_trunc("day", F.col("ts")).alias("ds"))
+        e.select(F.col("user_id").alias("id"), F.date_trunc("day", ts).alias("ds"))
         .groupBy("id", "ds")
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )

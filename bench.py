@@ -26,7 +26,13 @@ def main() -> None:
     spark = get_spark(app_name="anofox-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen/scan warm-up so query timings reflect steady state, not
+    # executor startup (excluded from the reported numbers)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(32).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     bench_queries = [
+        # forecasting (SQL fast path + UDF path)
         "forecast_naive",
         "forecast_seasonal_naive",
         "forecast_sma",
@@ -35,8 +41,20 @@ def main() -> None:
         "forecast_ses",
         "forecast_theta",
         "forecast_croston",
+        # metrics
         "metric_mae",
         "metric_smape",
+        # relational operator families
+        "prep_fill_gaps",
+        "hier_aggregate",
+        "cv_folds",
+        "stats_sql",
+        "conformal_by",
+        # LLM-pipeline operators
+        "text_quality",
+        "dedup_exact_groups",
+        "dedup_minhash_lsh",
+        "similarity_topk",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
