@@ -684,8 +684,15 @@ def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
     seasonal = _seasonality_test(y, m) if m >= 2 else False
     if seasonal:
         seas, idx = _seasonal_decompose_mult(y, m)
-        seas = np.where(seas == 0, 1.0, seas)
+        # degenerate (near-zero) multiplicative indices make y/seas overflow;
+        # indices are normalized around 1, so tiny magnitudes mean the
+        # multiplicative model doesn't apply to that phase — neutralize it
+        seas = np.where(np.abs(seas) < 1e-8, 1.0, seas)
         x = y / seas
+        if not np.all(np.isfinite(x)):
+            x = y.copy()
+            idx = None
+            seasonal = False
     else:
         x = y.copy()
         idx = None
