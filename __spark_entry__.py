@@ -886,6 +886,124 @@ JOIN tmpl t ON t.id = s.id AND t.ph = ({m} - 1 - ((s.step - 1) % {m})) % {m}
 """
 
 
+def _ses_oracle(h: int = HORIZON, alpha: float = 0.3) -> str:
+    """Exact SES recursion in SQL via ``list_reduce`` (the level update is a
+    left fold over the date-ordered values; ref ``_ses_filter`` semantics,
+    mirroring exponential.rs). Fitted values — needed for the residual
+    sigma — are prefix folds, O(n^2) per series, fine at oracle scale."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    a2 = a * a
+    return f"""
+WITH panel AS ({_PANEL}),
+s AS (
+  SELECT id, max(ds) AS max_ds, count(*) AS n,
+         list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+  FROM panel GROUP BY id HAVING count(*) >= 3),
+lvl AS (
+  SELECT id, max_ds, n, ys,
+         list_reduce(ys, (acc, x) -> {a!r} * x + {b!r} * acc) AS level,
+         list_prepend(0.0,
+           list_transform(generate_series(2, n),
+             t -> ys[t] - list_reduce(list_slice(ys, 1, t - 1),
+                                      (acc, x) -> {a!r} * x + {b!r} * acc))) AS res
+  FROM s),
+sg AS (
+  SELECT id, max_ds, level,
+         coalesce(list_aggregate(res, 'stddev_samp'), 0.0) AS sig
+  FROM lvl),
+steps AS (SELECT id, max_ds, level, sig,
+                 unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       level AS yhat,
+       level - {Z90!r} * sig * sqrt(1.0 + (step - 1) * {a2!r}) AS yhat_lower,
+       level + {Z90!r} * sig * sqrt(1.0 + (step - 1) * {a2!r}) AS yhat_upper,
+       'SES' AS model_name
+FROM steps
+"""
+
+
+def _seasonal_es_oracle(h: int = HORIZON, m: int = SEASON,
+                        alpha: float = 0.3) -> str:
+    """SeasonalES = independent SES folds per phase ((rn-1) % m); forecast
+    step s reads the final level of phase (n+s-1) % m, mean(y) fallback for
+    phases never observed. Residual sigma pools all phases, first-in-phase
+    fitted excluded (NULL), matching ``_seasonal_es``'s NaN handling."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    a2 = a * a
+    return f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
+      FROM panel),
+g AS (SELECT id, max(ds) AS max_ds, count(*) AS n, avg(y) AS mean_y
+      FROM w GROUP BY id HAVING count(*) >= 3),
+ph AS (SELECT id, (rn - 1) % {m} AS phase, list(y ORDER BY rn) AS ys,
+              count(*) AS k
+       FROM w GROUP BY id, (rn - 1) % {m}),
+phl AS (
+  SELECT id, phase,
+         list_reduce(ys, (acc, x) -> {a!r} * x + {b!r} * acc) AS level,
+         list_transform(generate_series(2, k),
+           t -> ys[t] - list_reduce(list_slice(ys, 1, t - 1),
+                                    (acc, x) -> {a!r} * x + {b!r} * acc)) AS res
+  FROM ph),
+sg AS (SELECT id, stddev_samp(r) AS sig
+       FROM (SELECT id, unnest(res) AS r FROM phl) GROUP BY id),
+steps AS (
+  SELECT g.id, g.max_ds, g.n, g.mean_y, coalesce(s.sig, 0.0) AS sig,
+         unnest(generate_series(1, {h})) AS step
+  FROM g LEFT JOIN sg s USING (id))
+SELECT st.id AS id, CAST(st.step AS INT) AS forecast_step,
+       st.max_ds + INTERVAL (st.step * 86400) SECOND AS ds,
+       coalesce(p.level, st.mean_y) AS yhat,
+       coalesce(p.level, st.mean_y)
+         - {Z90!r} * st.sig * sqrt(1.0 + (st.step - 1) * {a2!r}) AS yhat_lower,
+       coalesce(p.level, st.mean_y)
+         + {Z90!r} * st.sig * sqrt(1.0 + (st.step - 1) * {a2!r}) AS yhat_upper,
+       'SeasonalES' AS model_name
+FROM steps st LEFT JOIN phl p
+  ON p.id = st.id AND p.phase = (st.n + st.step - 1) % {m}
+"""
+
+
+def _croston_oracle(h: int = HORIZON, sba: bool = False) -> str:
+    """Croston with fixed alpha 0.1 = two SES folds (``list_reduce``) over
+    the nonzero demand sizes and the inter-demand intervals; forecast is the
+    constant rate z/p (SBA: damped by 1 - alpha/2). Residual sigma collapses
+    to stddev(y) because the fitted series is that same constant."""
+    mult = "* 0.95" if sba else ""
+    name = "CrostonSBA" if sba else "CrostonClassic"
+    return f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
+      FROM panel),
+g AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             coalesce(stddev_samp(y), 0.0) AS sig,
+             list(y ORDER BY rn) FILTER (y != 0) AS sizes,
+             list(rn - 1 ORDER BY rn) FILTER (y != 0) AS nzl
+      FROM w GROUP BY id HAVING count(*) >= 3),
+r AS (SELECT id, max_ds, sig,
+             list_reduce(sizes, (acc, x) -> 0.1 * x + 0.9 * acc) AS z,
+             list_reduce(
+               list_transform(generate_series(1, len(nzl)),
+                 i -> CAST(nzl[i] - (CASE WHEN i = 1 THEN -1
+                                          ELSE nzl[i - 1] END) AS DOUBLE)),
+               (acc, x) -> 0.1 * x + 0.9 * acc) AS p
+      FROM g WHERE len(sizes) > 0),
+steps AS (SELECT id, max_ds, sig, z / p {mult} AS rate,
+                 unnest(generate_series(1, {h})) AS step FROM r)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       rate AS yhat,
+       rate - {Z90!r} * sig AS yhat_lower,
+       rate + {Z90!r} * sig AS yhat_upper,
+       '{name}' AS model_name
+FROM steps
+"""
+
+
 def _naive_intds_oracle(h: int = HORIZON) -> str:
     """Naive over an integer-ordinal date column (ref
     ``ts_forecast_native.cpp:717-726``: integer dates step by the raw int)."""
@@ -1587,6 +1705,10 @@ def oracle_sql() -> dict[str, str]:
         "forecast_sma": _sma_oracle(),
         "forecast_rwd": _rwd_oracle(),
         "forecast_swa": _swa_oracle(),
+        "forecast_ses": _ses_oracle(),
+        "forecast_seasonal_es": _seasonal_es_oracle(),
+        "forecast_croston": _croston_oracle(),
+        "forecast_croston_sba": _croston_oracle(sba=True),
         "forecast_exog_naive": _exog_naive_oracle(),
         "forecast_naive_intds": _naive_intds_oracle(),
         "forecast_events_naive": _naive_oracle(panel_sql=EVENTS_PANEL_SQL),

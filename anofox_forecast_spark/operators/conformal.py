@@ -307,11 +307,10 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
     ])
 
     def fn(key, pdf: pd.DataFrame):
-        pdf = pdf.sort_values(ds_col)
         y = pdf[y_col].astype(float).to_numpy()
         y = y[np.isfinite(y)]
         if len(y) < 3:
-            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+            return None
         drift = (y[-1] - y[0]) / (len(y) - 1)
         resid = np.diff(y) - drift
         # deterministic per-group seed
@@ -329,5 +328,6 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
             "yhat": point, "yhat_lower": lo, "yhat_upper": up,
         })
 
-    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
-              .groupBy(group_col).applyInPandas(fn, schema))
+    from ..functions.batched import batched_grouped_map
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+    return batched_grouped_map(base, [group_col], ds_col, schema, fn)

@@ -220,7 +220,6 @@ def ts_cv_forecast_by(folds_df: DataFrame, group_col: str, ds_col: str,
 
     def fn(key, pdf: pd.DataFrame):
         gval, fold = key
-        pdf = pdf.sort_values(ds_col)
         train = pdf[pdf["split"] == "train"]
         test = pdf[pdf["split"] == "test"]
         h = len(test)
@@ -243,7 +242,9 @@ def ts_cv_forecast_by(folds_df: DataFrame, group_col: str, ds_col: str,
             "model_name": [r.model_name] * h,
         })
 
-    return folds_df.groupBy(group_col, "fold_id").applyInPandas(fn, schema)
+    from ..functions.batched import batched_grouped_map
+    return batched_grouped_map(folds_df, [group_col, "fold_id"], ds_col,
+                               schema, fn)
 
 
 def ts_backtest_auto_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,

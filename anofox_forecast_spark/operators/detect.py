@@ -653,11 +653,10 @@ def bocpd(y: np.ndarray, hazard_lambda: float = 250.0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _grouped_udf(df, group_col, ds_col, y_col, schema, build_rows):
-    def fn(key, pdf: pd.DataFrame):
-        pdf = pdf.sort_values(ds_col)
-        return build_rows(key[0], pdf)
-    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
-              .groupBy(group_col).applyInPandas(fn, schema))
+    from ..functions.batched import batched_grouped_map
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+    return batched_grouped_map(base, [group_col], ds_col, schema,
+                               lambda kt, g: build_rows(kt[0], g))
 
 
 def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,

@@ -416,15 +416,15 @@ def ts_features_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         [T.StructField(group_col, gtype)]
         + [T.StructField(_safe(x), T.DoubleType()) for x in selected])
 
-    def fn(key, pdf: pd.DataFrame):
-        pdf = pdf.sort_values(ds_col)
+    def one(kt, pdf: pd.DataFrame):
         feats = extract_features(pdf[y_col].to_numpy(dtype=float))
-        row = {group_col: key[0]}
+        row = {group_col: kt[0]}
         row.update({_safe(x): feats[x] for x in selected})
         return pd.DataFrame([row])
 
-    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
-              .groupBy(group_col).applyInPandas(fn, schema))
+    from ..functions.batched import batched_grouped_map
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+    return batched_grouped_map(base, [group_col], ds_col, schema, one)
 
 
 def ts_features_table(df: DataFrame, ds_col: str, y_col: str,

@@ -203,15 +203,13 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
             [T.StructField(n, t) for n, t in _INSPECT_SCHEMA_FIELDS])),
     ])
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ds_col)
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame | None:
         yv = pdf[y_col].astype(float).to_numpy()
         try:
             r = M.forecast(yv, 1, model, season_length=season, level=level,
                            params=params)
         except Exception:
-            return pd.DataFrame({c.name: pd.Series(dtype="object")
-                                 for c in schema})
+            return None
         p = r.params or {}
         phi = p.get("phi")
         coef = None
@@ -243,9 +241,10 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
         }
         return pd.DataFrame({group_col: [key[0]], "inspection": [insp]})
 
+    from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
              .filter(F.col(ds_col).isNotNull())
-    return base.groupBy(group_col).applyInPandas(fn, schema)
+    return batched_grouped_map(base, [group_col], ds_col, schema, fn)
 
 
 # ---------------------------------------------------------------------------
@@ -283,15 +282,13 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
         ])),
     ])
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ds_col)
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame | None:
         yv = pdf[y_col].astype(float).to_numpy()
         try:
             r = M.forecast(yv, h, model, season_length=season, level=level,
                            params=params)
         except Exception:
-            return pd.DataFrame({c.name: pd.Series(dtype="object")
-                                 for c in schema})
+            return None
         yv = M.interpolate_nulls(yv)
         m = int((r.params or {}).get("seasonal_period", season) or 0)
         point = np.asarray(r.point, dtype=float)
@@ -319,6 +316,7 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
         }
         return pd.DataFrame({group_col: [key[0]], "decomposition": [dec]})
 
+    from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
              .filter(F.col(ds_col).isNotNull())
-    return base.groupBy(group_col).applyInPandas(fn, schema)
+    return batched_grouped_map(base, [group_col], ds_col, schema, fn)

@@ -311,19 +311,19 @@ def ts_stats_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     schema = T.StructType([T.StructField(group_col, gtype)]
                           + [T.StructField(n, t) for n, t in STATS_FIELDS])
 
-    def fn(key, pdf: pd.DataFrame):
-        pdf = pdf.sort_values(ds_col)
+    def one(kt, pdf: pd.DataFrame):
         y = pdf[y_col].to_numpy(dtype=float)
         if is_int_ds:
             dates = pdf[ds_col].to_numpy(dtype="int64")
         else:
             dates = pd.to_datetime(pdf[ds_col]).astype("int64").to_numpy() // 1000
         st = compute_series_stats(y, dates, freq)
-        row = {group_col: key[0], **st}
+        row = {group_col: kt[0], **st}
         return pd.DataFrame([row])
 
-    return (df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
-              .groupBy(group_col).applyInPandas(fn, schema))
+    from ..functions.batched import batched_grouped_map
+    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
+    return batched_grouped_map(base, [group_col], ds_col, schema, one)
 
 
 # the reference exposes both ts_stats and ts_stats_by with the same grouped
