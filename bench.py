@@ -26,10 +26,17 @@ def main() -> None:
     spark = get_spark(app_name="anofox-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen/scan warm-up so query timings reflect steady state, not
-    # executor startup (excluded from the reported numbers)
+    # Warm-up so query timings reflect steady state, not one-time startup:
+    # parquet footer reads, whole-stage codegen compilation, and the Python
+    # worker pool + Arrow serializer spin-up (excluded from the numbers —
+    # on a real cluster these are paid once per executor lifetime)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(32).count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    import __spark_entry__ as _em  # noqa: F811
+    qs0 = _em.queries()
+    small = "/root/testdata/sf0.001"
+    for wq in ("forecast_naive", "forecast_theta"):
+        qs0[wq](spark, small).write.format("noop").mode("overwrite").save()
 
     bench_queries = [
         # forecasting (SQL fast path + UDF path)
