@@ -116,9 +116,12 @@ def _metric_impl(name: str):
             / max(sum(1 for x, y in zip(a, f) if abs(x) + abs(y) > eps), 1)
             * 100.0
             if any(abs(x) + abs(y) > eps for x, y in zip(a, f)) else math.nan),
+        # NaN (not a huge finite value) on a vanishing denominator — same
+        # zero-denominator semantics as metrics.py:80,90 and the reference
         "ts_r2": lambda a, f: (
             1.0 - sum((x - y) ** 2 for x, y in zip(a, f))
-            / max(sum((x - sum(a) / len(a)) ** 2 for x in a), eps)),
+            / sum((x - sum(a) / len(a)) ** 2 for x in a)
+            if sum((x - sum(a) / len(a)) ** 2 for x in a) > eps else math.nan),
     }
     return impls[name]
 
@@ -132,12 +135,13 @@ def register_all(spark: SparkSession) -> None:
                  "ts_r2", "ts_bias"]:
         spark.udf.register(name, _metric_impl(name), T.DoubleType())
 
-    spark.udf.register(
-        "ts_mase",
-        lambda a, f, b: (_metric_impl("ts_mae")(a, f)
-                         / max(_metric_impl("ts_mae")(a, b),
-                               2.220446049250313e-16)),
-        T.DoubleType())
+    def _mase(a, f, b):
+        denom = _metric_impl("ts_mae")(a, b)
+        if denom <= 2.220446049250313e-16:
+            return math.nan  # matches metrics.py / reference NaN semantics
+        return _metric_impl("ts_mae")(a, f) / denom
+
+    spark.udf.register("ts_mase", _mase, T.DoubleType())
     spark.udf.register(
         "ts_coverage",
         lambda a, lo, up: (sum(1.0 for x, l, u in zip(a, lo, up)

@@ -17,6 +17,8 @@ the reference's ``compute_quantile``.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -313,8 +315,11 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
             return None
         drift = (y[-1] - y[0]) / (len(y) - 1)
         resid = np.diff(y) - drift
-        # deterministic per-group seed
-        rng = np.random.default_rng(abs(hash((str(key[0]), seed))) % (2 ** 32))
+        # deterministic per-group seed — builtin hash() varies across Python
+        # worker processes (PYTHONHASHSEED), so use a stable digest to keep
+        # the bootstrap reproducible across runs, retries, and speculation
+        rng = np.random.default_rng(
+            zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
         paths = np.empty((n_boot, h))
         for b in range(n_boot):
             steps = rng.choice(resid, size=h, replace=True)

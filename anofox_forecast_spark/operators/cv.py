@@ -130,7 +130,11 @@ def ts_cv_split_folds_by(df: DataFrame, group_col: str, ds_col: str,
         [(i, str(t)) for i, t in enumerate(sorted(training_end_times))],
         ["fold_id", "__cut_raw"],
     ).select("fold_id", F.col("__cut_raw").cast("timestamp").alias("train_end"))
-    gmin = df.agg(F.min(F.col(ds_col).cast("timestamp")).alias("__min")).collect()[0][0]
+    # 1-row global-min frame, broadcast-crossJoined below — NO driver-side
+    # collect(): collecting here would force a full scan + driver round-trip
+    # before the real job (at 100 TB that doubles the scan)
+    gmin = df.groupBy().agg(
+        F.min(F.col(ds_col).cast("timestamp")).alias("train_start"))
     h = int(horizon)
     if freq.kind == "month":
         test_start = F.add_months(F.col("train_end"), (gap + 1) * freq.n).cast("timestamp")
@@ -139,9 +143,9 @@ def ts_cv_split_folds_by(df: DataFrame, group_col: str, ds_col: str,
         sec = freq.n if freq.kind == "fixed" else 86400
         test_start = F.timestamp_add("SECOND", F.lit((gap + 1) * sec), F.col("train_end"))
         test_end = F.timestamp_add("SECOND", F.lit((gap + h) * sec), F.col("train_end"))
-    return cuts.select(
+    return cuts.crossJoin(F.broadcast(gmin)).select(
         F.col("fold_id").cast("long"),
-        F.lit(gmin).cast("timestamp").alias("train_start"),
+        F.col("train_start"),
         F.col("train_end"),
         test_start.alias("test_start"),
         test_end.alias("test_end"),

@@ -80,17 +80,34 @@ def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int):
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = 10_000) -> DataFrame:
     """All pairs (id_a < id_b) with character-n-gram Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard).
 
     Inverted-index join on shingles: |A∩B| from co-occurrence counts,
     |A∪B| = |A|+|B|−|A∩B|. Shuffles on shingle then on the pair key —
     never a cross product.
+
+    ``max_doc_freq`` caps posting-list length: a shingle present in more than
+    that many documents is dropped from the index BEFORE the self-join (a
+    posting list of length L expands to ~L²/2 candidate pairs, so one
+    corpus-wide shingle would make the join quadratic in the corpus). Union
+    sizes stay exact, so capped pairs can only *under*-estimate Jaccard —
+    bounded recall loss, the standard stop-shingle tradeoff. Pass ``None``
+    to disable (exact, small data only).
     """
     sh = _shingle_df(df, id_col, text_col, n)
     sizes = sh.select(F.col("__id"), F.size("__sh").alias("__sz"))
     inv = sh.select("__id", F.explode("__sh").alias("__s"))
+    if max_doc_freq is not None:
+        keep = (inv.groupBy("__s")
+                   .agg(F.count(F.lit(1)).alias("__df"))
+                   .filter(F.col("__df") <= int(max_doc_freq))
+                   .select("__s"))
+        # same join key as the self-join below → Catalyst reuses the
+        # shuffle-on-__s partitioning; no extra wide stage
+        inv = inv.join(keep, "__s")
     a = inv.select(F.col("__id").alias("id_a"), "__s")
     b = inv.select(F.col("__id").alias("id_b"), "__s")
     pairs = (a.join(b, "__s").filter(F.col("id_a") < F.col("id_b"))

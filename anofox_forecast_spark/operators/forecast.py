@@ -56,8 +56,15 @@ def _future_ds(max_ds_col, step_col, freq: Frequency, ds_type: T.DataType):
         n = freq.n if freq.kind == "int" else 1
         return (max_ds_col + step_col * F.lit(n)).cast(ds_type)
     if freq.kind == "month":
-        out = F.add_months(max_ds_col, step_col * F.lit(freq.n))
-        return out.cast(ds_type)
+        # add_months returns DATE; re-add the sub-day component so timestamp
+        # ds columns keep their time-of-day (parity with _add_months_clamped)
+        moved = F.add_months(max_ds_col, step_col * F.lit(freq.n))
+        if isinstance(ds_type, T.DateType):
+            return moved.cast(ds_type)
+        day_offset = (max_ds_col.cast("timestamp").cast("long")
+                      - F.to_date(max_ds_col).cast("timestamp").cast("long"))
+        return F.timestamp_add("SECOND", day_offset,
+                               moved.cast("timestamp")).cast(ds_type)
     # fixed seconds
     out = F.timestamp_add("SECOND", (step_col * F.lit(freq.n)).cast("long"),
                           max_ds_col.cast("timestamp"))
@@ -173,10 +180,12 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         width = F.lit(z) * F.col("__sig_sma")
     elif model == "SeasonalNaive":
         # tail[i] is the i-th newest row; step s uses reverse-rank m-((s-1)%m)
+        # The effective period clamps to the series length so short series
+        # still emit all `horizon` rows (model-path parity, models.py:344-348).
+        m_eff = F.least(F.lit(m), F.col("__n")).cast("int")
         yhat = F.element_at(F.col("__tail"),
-                            (F.lit(m) - (step - 1) % F.lit(m)).cast("int"))["y"]
-        steps = steps.filter(F.lit(m) - (step - 1) % F.lit(m) <= F.col("__n"))
-        kcyc = F.floor((stepd - 1) / m) + 1
+                            (m_eff - (step - 1) % m_eff).cast("int"))["y"]
+        kcyc = F.floor((stepd - 1) / m_eff.cast("double")) + 1
         width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
     elif model == "SeasonalWindowAverage":
         # per-phase mean over the last `window` cycles: tail positions p with
@@ -187,9 +196,12 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                        F.sequence(F.lit(1), F.size(F.col("__tail"))),
                        lambda t, i: F.struct(t["y"].alias("y"), i.alias("i"))),
             lambda s: (s["i"] - 1) % F.lit(m) == ph)
-        yhat = (F.aggregate(phase_vals, F.lit(0.0), lambda a, s: a + s["y"])
-                / F.size(phase_vals))
-        steps = steps.filter(F.size(phase_vals) > 0)
+        # empty phase (series shorter than its phase offset) → NaN yhat,
+        # matching the model path's NaN phase mean instead of dropping rows
+        yhat = F.when(
+            F.size(phase_vals) > 0,
+            F.aggregate(phase_vals, F.lit(0.0), lambda a, s: a + s["y"])
+            / F.size(phase_vals)).otherwise(F.lit(float("nan")))
         kcyc = F.floor((stepd - 1) / m) + 1
         width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
     else:

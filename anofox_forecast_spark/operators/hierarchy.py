@@ -98,9 +98,13 @@ def ts_split_keys(df: DataFrame, unique_id_col: str, ds_col: str, y_col: str,
         if col_names:
             n_parts = len(col_names)
         else:
-            n_parts = (df.select(F.max(F.size(F.split(F.col(unique_id_col),
-                                                      pattern, -1))))
-                         .collect()[0][0] or 1)
+            # bind-time inference from the first row (ref
+            # ts_split_keys.cpp:213-232) — head(1) reads one partition with a
+            # limit, NOT a full scan like agg(max).collect() would
+            first = df.select(
+                F.size(F.split(F.col(unique_id_col), pattern, -1))
+                .alias("__n")).head(1)
+            n_parts = first[0]["__n"] if first else 1
     names = col_names or [f"id_part_{i + 1}" for i in range(n_parts)]
     split = F.split(F.col(unique_id_col), pattern, -1)
     return df.select(

@@ -49,3 +49,59 @@ def test_dedup_never_cartesian(spark):
     P.assert_no_cartesian(minhash_lsh_pairs(docs, "doc_id", "text",
                                             num_hashes=16, bands=4))
     P.assert_no_cartesian(simhash_pairs(docs, "doc_id", "text"))
+
+
+def _forbid_actions(monkeypatch):
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side action during plan construction")
+
+    for name in ("collect", "head", "take", "first", "toPandas", "count"):
+        monkeypatch.setattr(DataFrame, name, boom)
+
+
+def test_cv_split_folds_is_lazy(spark, monkeypatch):
+    """Plan construction must trigger NO job: the old implementation ran
+    agg(min).collect() (a full input scan) before the real query."""
+    from anofox_forecast_spark.operators.cv import ts_cv_split_folds_by
+    panel = lineitem_panel(spark, SF_DIR)
+    _forbid_actions(monkeypatch)
+    df = ts_cv_split_folds_by(panel, "id", "ds",
+                              ["1997-06-30", "1997-12-31"], 7, "1d")
+    assert "train_start" in df.columns
+
+
+def test_split_keys_lazy_with_col_names(spark, monkeypatch):
+    from anofox_forecast_spark.operators.hierarchy import (ts_combine_keys,
+                                                           ts_split_keys)
+    panel = lineitem_panel(spark, SF_DIR).withColumn(
+        "uid", F.concat_ws("|", F.col("id"), F.lit("x")))
+    _forbid_actions(monkeypatch)
+    df = ts_split_keys(panel, "uid", "ds", "y", col_names=["k1", "k2"])
+    assert df.columns[:2] == ["k1", "k2"]
+
+
+def test_ngram_posting_list_cap_bounds_skew(spark):
+    """One shingle shared by every doc must not make the self-join quadratic:
+    with the document-frequency cap the hot shingle is dropped before the
+    join, and distinct docs produce no false pairs."""
+    from anofox_forecast_spark.operators.dedup import ngram_jaccard_pairs
+    n_docs = 200
+    rows = [(i, f"{i:06d}" + "zzz") for i in range(n_docs)]  # 'zzz'+ shared
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3,
+                              max_doc_freq=10)
+    # every doc shares the 'zzz'-derived shingles; cap drops them, so no
+    # pair can reach the threshold and the join stays linear
+    assert out.count() == 0
+    # cap high enough not to trigger → identical to the exact (uncapped) form
+    near = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumped"),
+         (3, "completely different text here")], ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(near, "doc_id", "text", n=3, threshold=0.5,
+                                 max_doc_freq=1000).collect()
+    exact = ngram_jaccard_pairs(near, "doc_id", "text", n=3, threshold=0.5,
+                                max_doc_freq=None).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
+    assert len(exact) == 1
