@@ -244,6 +244,14 @@ def _cv_queries():
         folds = CV.ts_cv_folds_by(lineitem_panel(spark, sf), "id", "ds", "y", 2, 7)
         return CV.ts_cv_forecast_by(folds, "id", "ds", "y", "SESOptimized")
 
+    def q_cv_forecast_naive(spark, sf):
+        folds = CV.ts_cv_folds_by(lineitem_panel(spark, sf), "id", "ds", "y", 2, 7)
+        return CV.ts_cv_forecast_by(folds, "id", "ds", "y", "Naive")
+
+    def q_folds_gap(spark, sf):
+        return CV.ts_cv_folds_by(lineitem_panel(spark, sf), "id", "ds", "y", 2, 7,
+                                 {"gap": 1, "embargo": 2})
+
     def q_backtest(spark, sf):
         return CV.ts_backtest_auto_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                       "Theta", 7, 2)
@@ -275,6 +283,8 @@ def _cv_queries():
     return {
         "cv_folds": q_folds,
         "cv_folds_sliding": q_folds_sliding,
+        "cv_folds_gap": q_folds_gap,
+        "cv_forecast_naive": q_cv_forecast_naive,
         "cv_split": q_split,
         "cv_split_folds": q_split_folds,
         "cv_split_index": q_split_index,
@@ -377,6 +387,21 @@ def _conformal_queries():
         return C.ts_conformal_per_step_by(fv, "id", "forecast_step",
                                           "actual", "forecast", 0.1)
 
+    def _learn(method):
+        def run(spark, sf):
+            out = C.ts_conformal_learn_by(_fv_df(spark, sf).drop("ds"), "id",
+                                          "actual", "forecast", method, [0.1])
+            return out.select("id", "method", "n_residuals",
+                              F.element_at("scores", 1).alias("score_q"))
+        return run
+
+    def q_bootstrap_quantiles(spark, sf):
+        agg = (_fv_df(spark, sf).groupBy("id").agg(
+            F.collect_list(F.col("actual") - F.col("forecast")).alias("resid"),
+            F.array([F.avg("actual")] * HORIZON).alias("fc")))
+        return C.ts_bootstrap_quantiles(agg, "id", "resid", "fc",
+                                        [0.1, 0.5, 0.9], n_paths=50)
+
     return {
         "conformal_calibrate": q_calibrate,
         "conformal_by": q_conformal_by,
@@ -384,6 +409,9 @@ def _conformal_queries():
         "conformal_evaluate": q_evaluate,
         "conformal_bootstrap": q_bootstrap,
         "conformal_per_step": q_per_step,
+        "conformal_learn_absolute": _learn("absolute"),
+        "conformal_learn_normalized": _learn("normalized"),
+        "conformal_bootstrap_quantiles": q_bootstrap_quantiles,
     }
 
 
@@ -442,6 +470,14 @@ def _analytics_queries():
         return D.ts_detrend_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                {"method": "linear"})
 
+    def q_detrend_diff(spark, sf):
+        return D.ts_detrend_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                               {"method": "diff", "order": 1})
+
+    def q_seasonal_strength(spark, sf):
+        return D.ts_seasonal_strength_by(lineitem_panel(spark, sf),
+                                         "id", "ds", "y", 7)
+
     def q_decompose(spark, sf):
         return D.ts_decompose_seasonal_by(lineitem_panel(spark, sf),
                                           "id", "ds", "y", 7)
@@ -478,6 +514,8 @@ def _analytics_queries():
         "analyze_seasonality": q_analyze_seasonality,
         "classify_seasonality": q_classify_seasonality,
         "detrend": q_detrend,
+        "detrend_diff": q_detrend_diff,
+        "seasonal_strength": q_seasonal_strength,
         "decompose_seasonal": q_decompose,
         "seasonal_strength_windowed": q_strength_windowed,
         "seasonality_changes": q_seasonality_changes,
@@ -705,6 +743,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_tbats": _forecast_query("TBATS", {"seasonal_period": SEASON}),
         "forecast_auto_tbats": _forecast_query(
             "AutoTBATS", {"seasonal_period": SEASON}),
+        # fixed-parameter Holt: the level/trend recursion is a list_reduce
+        # struct fold in DuckDB, so this variant is oracle-gated (the
+        # optimizer-driven plain Holt stays rows-gated)
+        "forecast_holt_fixed": _forecast_query("Holt", {"alpha": 0.3,
+                                                        "beta": 0.1}),
         "forecast_croston": _forecast_query("CrostonClassic"),
         "forecast_croston_optimized": _forecast_query("CrostonOptimized"),
         "forecast_croston_sba": _forecast_query("CrostonSBA"),
@@ -716,6 +759,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:
         q[f"metric_{metric}"] = _metric_query(metric)
+
+    def q_mqloss(spark, sf):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from anofox_forecast_spark.functions.metrics import ts_mqloss_by
+        panel = lineitem_panel(spark, sf)
+        w = Window.partitionBy("id").orderBy("ds")
+        fv = (panel
+              .withColumn("f50", F.lag("y", SEASON).over(w))
+              .filter(F.col("f50").isNotNull())
+              .withColumn("f10", F.col("f50") * 0.8)
+              .withColumn("f90", F.col("f50") * 1.2)
+              .withColumnRenamed("y", "actual")
+              .select("id", "ds", "actual", "f10", "f50", "f90"))
+        return ts_mqloss_by(fv, "ds", "actual", ["f10", "f50", "f90"],
+                            [0.1, 0.5, 0.9])
+
+    q["metric_mqloss"] = q_mqloss
     def q_forecast_events(spark, sf):
         from anofox_forecast_spark.operators.forecast import ts_forecast_by
         from anofox_forecast_spark.sources import events_panel
@@ -723,6 +785,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "Naive", HORIZON, "1d")
 
     q["forecast_events_naive"] = q_forecast_events
+
+    def q_orders_croston(spark, sf):
+        from pyspark.sql import functions as F
+
+        from anofox_forecast_spark.operators.forecast import ts_forecast_by
+        from anofox_forecast_spark.operators.prep import (
+            ts_fill_gaps_by, ts_fill_nulls_const_by)
+        # genuinely intermittent panel: orders per customer, gap days = 0
+        # (fill ops preserve y and ADD filled_value, per reference semantics)
+        panel = ts_fill_nulls_const_by(
+            ts_fill_gaps_by(orders_panel(spark, sf), "id", "ds", "y", "1d"),
+            "id", "ds", "y", 0.0).select(
+                "id", "ds", F.col("filled_value").alias("y"))
+        return ts_forecast_by(panel, "id", "ds", "y", "CrostonClassic",
+                              HORIZON, "1d")
+
+    q["forecast_orders_croston"] = q_orders_croston
     q.update(_prep_queries())
     q.update(_hier_queries())
     q.update(_cv_queries())
@@ -1016,7 +1095,8 @@ FROM steps st LEFT JOIN phl p
 """
 
 
-def _croston_oracle(h: int = HORIZON, sba: bool = False) -> str:
+def _croston_oracle(h: int = HORIZON, sba: bool = False,
+                    panel_sql: str | None = None) -> str:
     """Croston with fixed alpha 0.1 = two SES folds (``list_reduce``) over
     the nonzero demand sizes and the inter-demand intervals; forecast is the
     constant rate z/p (SBA: damped by 1 - alpha/2). Residual sigma collapses
@@ -1024,7 +1104,7 @@ def _croston_oracle(h: int = HORIZON, sba: bool = False) -> str:
     mult = "* 0.95" if sba else ""
     name = "CrostonSBA" if sba else "CrostonClassic"
     return f"""
-WITH panel AS ({_PANEL}),
+WITH panel AS ({panel_sql or _PANEL}),
 w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
              row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
       FROM panel),
@@ -1049,6 +1129,108 @@ SELECT id, CAST(step AS INT) AS forecast_step,
        rate - {Z90!r} * sig AS yhat_lower,
        rate + {Z90!r} * sig AS yhat_upper,
        '{name}' AS model_name
+FROM steps
+"""
+
+
+# zero-filled daily orders panel (mirrors fill_gaps + fill_nulls_const(0))
+ORDERS_FILLED_SQL = f"""
+SELECT g.id, g.ds, coalesce(p.y, 0.0) AS y
+FROM (SELECT id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS ds
+      FROM (SELECT id, min(ds) AS mn, max(ds) AS mx
+            FROM ({ORDERS_PANEL_SQL}) GROUP BY id)) g
+LEFT JOIN ({ORDERS_PANEL_SQL}) p ON p.id = g.id AND p.ds = g.ds
+"""
+
+
+def _holt_fixed_oracle(h: int = HORIZON, alpha: float = 0.3,
+                       beta: float = 0.1) -> str:
+    """Fixed-parameter Holt via a RECURSIVE CTE over the per-series value
+    list: state (l, b) seeded with (y[2], y[2]-y[1]) — the first two
+    recursion steps are parameter-free identities (fitted[1]=y[1],
+    fitted[2]=y[2], so the first two residuals are exactly 0); one recursion
+    row per (series, t) gives every intermediate state in O(n). Mirrors
+    ``models._holt`` with fixed (alpha, beta), phi=1. (A ``list_reduce``
+    struct fold would be O(n) too, but DuckDB 1.0's struct accumulator
+    mis-evaluates cross-referencing fields over multiple steps.)"""
+    a, b = float(alpha), float(beta)
+    newl = f"{a!r} * s.ys[hw.t + 1] + {1 - a!r} * (hw.l + hw.b)"
+    return f"""
+WITH RECURSIVE panel AS ({_PANEL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+hw AS (
+  SELECT id, 2 AS t, ys[2] AS l, ys[2] - ys[1] AS b FROM s
+  UNION ALL
+  SELECT hw.id, hw.t + 1,
+         {newl},
+         {b!r} * ({newl} - hw.l) + {1 - b!r} * hw.b
+  FROM hw JOIN s ON s.id = hw.id WHERE hw.t < s.n),
+res AS (
+  SELECT hw.id, s.ys[hw.t + 1] - (hw.l + hw.b) AS r
+  FROM hw JOIN s ON s.id = hw.id WHERE hw.t < s.n
+  UNION ALL SELECT id, 0.0 FROM s
+  UNION ALL SELECT id, 0.0 FROM s),
+sg AS (SELECT id, coalesce(stddev_samp(r), 0.0) AS sig FROM res GROUP BY id),
+fin AS (SELECT hw.id, s.max_ds, hw.l, hw.b, sg.sig
+        FROM hw JOIN s ON s.id = hw.id AND hw.t = s.n
+        JOIN sg ON sg.id = hw.id),
+steps AS (SELECT id, max_ds, l, b, sig,
+                 unnest(generate_series(1, {h})) AS step FROM fin)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       l + step * b AS yhat,
+       l + step * b - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       l + step * b + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'Holt' AS model_name
+FROM steps
+"""
+
+
+def _tsb_oracle(h: int = HORIZON, alpha_d: float = 0.2,
+                alpha_p: float = 0.2) -> str:
+    """TSB as a ``list_reduce`` struct fold over ALL observations: state
+    ``{p, z}`` seeded from y[1] (occurrence flag / first size, else the mean
+    nonzero size); fitted[t] = state-before-t's p·z (prefix folds). Mirrors
+    ``models._tsb`` with fixed smoothing parameters."""
+    ad, ap = float(alpha_d), float(alpha_p)
+    fold = (f"(acc, x) -> {{'p': {ap!r} * (CASE WHEN x.p != 0 THEN 1.0 ELSE 0.0 END)"
+            f" + {1 - ap!r} * acc.p, "
+            f"'z': CASE WHEN x.p != 0 THEN {ad!r} * x.p + {1 - ad!r} * acc.z"
+            f" ELSE acc.z END}}")
+
+    def state_after(upto: str) -> str:
+        return (f"list_reduce(list_prepend({{'p': p0, 'z': z0}}, "
+                f"list_transform(list_slice(ys, 1, {upto}), "
+                f"v -> {{'p': v, 'z': 0.0}})), {fold})")
+
+    return f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys,
+             coalesce(avg(y) FILTER (y != 0), 0.0) AS mnz
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+ini AS (SELECT *, CASE WHEN ys[1] != 0 THEN 1.0 ELSE 0.0 END AS p0,
+               CASE WHEN ys[1] != 0 THEN ys[1] ELSE mnz END AS z0
+        FROM s),
+st AS (
+  SELECT id, max_ds,
+         {state_after('n')} AS fin,
+         list_transform(generate_series(1, n),
+           t -> ys[t] - ({state_after('t - 1')}).p * ({state_after('t - 1')}).z) AS res
+  FROM ini),
+sg AS (SELECT id, max_ds, fin.p * fin.z AS point,
+              coalesce(list_aggregate(res, 'stddev_samp'), 0.0) AS sig
+       FROM st),
+steps AS (SELECT id, max_ds, point, sig,
+                 unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       point AS yhat,
+       point - {Z90!r} * sig AS yhat_lower,
+       point + {Z90!r} * sig AS yhat_upper,
+       'TSB' AS model_name
 FROM steps
 """
 
@@ -1421,6 +1603,47 @@ SELECT id, ds, y, fold_id, split FROM (
   FROM w CROSS JOIN (VALUES (0, 500), (1, 550)) f(fold_id, te))
 WHERE split IS NOT NULL
 """
+    o["cv_folds_gap"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS pos,
+             count(*) OVER (PARTITION BY id) AS n FROM panel),
+spec AS (SELECT id, n, unnest(generate_series(0, 1)) AS fold_id
+         FROM (SELECT DISTINCT id, n FROM w)),
+b AS (SELECT id, fold_id, n, greatest(n - 14, 1) - 1 + fold_id * 7 AS train_end
+      FROM spec),
+bb AS (SELECT *,
+              CASE WHEN fold_id > 0
+                   THEN greatest(greatest(n - 14, 1) - 1 + (fold_id - 1) * 7 + 8 + 3, 0)
+                   ELSE 0 END AS train_start,
+              train_end + 2 AS test_start, train_end + 8 AS test_end
+       FROM b WHERE train_end + 8 < n)
+SELECT id, ds, y, fold_id, split FROM (
+  SELECT w.id, w.ds, w.y, CAST(bb.fold_id AS BIGINT) AS fold_id,
+         CASE WHEN w.pos BETWEEN bb.train_start AND bb.train_end THEN 'train'
+              WHEN w.pos BETWEEN bb.test_start AND bb.test_end THEN 'test'
+         END AS split
+  FROM w JOIN bb ON w.id = bb.id AND bb.train_end >= bb.train_start)
+WHERE split IS NOT NULL
+"""
+    o["cv_forecast_naive"] = f"""
+WITH cvf AS ({o["cv_folds"]}),
+tr AS (SELECT id, fold_id, ds, CAST(y AS DOUBLE) AS y,
+              CAST(y AS DOUBLE) - lag(CAST(y AS DOUBLE))
+                OVER (PARTITION BY id, fold_id ORDER BY ds) AS dy
+       FROM cvf WHERE split = 'train'),
+agg AS (SELECT id, fold_id, count(*) AS n, max_by(y, ds) AS last_y,
+               coalesce(stddev_samp(dy), 0.0) AS sig
+        FROM tr GROUP BY id, fold_id HAVING count(*) >= 3),
+test AS (SELECT id, fold_id, ds, CAST(y AS DOUBLE) AS y,
+                row_number() OVER (PARTITION BY id, fold_id ORDER BY ds) AS s
+         FROM cvf WHERE split = 'test')
+SELECT t.fold_id, t.id, t.ds, t.y, 'test' AS split,
+       a.last_y AS yhat,
+       a.last_y - {Z90!r} * a.sig * sqrt(t.s) AS yhat_lower,
+       a.last_y + {Z90!r} * a.sig * sqrt(t.s) AS yhat_upper,
+       'Naive' AS model_name
+FROM test t JOIN agg a ON a.id = t.id AND a.fold_id = t.fold_id
+"""
     o["cv_hydrate"] = f"""
 WITH cvf AS ({o["cv_folds"]}),
 src AS (SELECT id, ds, CAST(day(ds) % 7 AS DOUBLE) AS x1
@@ -1449,9 +1672,99 @@ FROM panel
     return o
 
 
+_DQ_SQL: str | None = None
+
+
+def _dq_oracle_base() -> str:
+    """SQL mirror of ``stats._dq_scores`` over the lineitem panel (no nulls,
+    so n_missing=0 and completeness=1): structural/temporal/magnitude/
+    behavioral quality dimensions per series."""
+    global _DQ_SQL
+    if _DQ_SQL:
+        return _DQ_SQL
+    eps = _EPS
+    _DQ_SQL = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY id ORDER BY ds) AS rn,
+             epoch_us(ds) AS eus,
+             lag(epoch_us(ds)) OVER (PARTITION BY id ORDER BY ds) AS peus,
+             avg(CAST(y AS DOUBLE)) OVER (PARTITION BY id) AS mu
+      FROM panel),
+diffs AS (SELECT id, eus - peus AS d FROM w WHERE peus IS NOT NULL),
+dc AS (SELECT id, d, count(*) AS c FROM diffs GROUP BY id, d),
+mm AS (SELECT id, max(c) AS mc FROM dc GROUP BY id),
+-- deterministic mode: smallest diff among the most frequent (np.unique
+-- sorts ascending and argmax takes the first max — DuckDB's mode() breaks
+-- ties arbitrarily, which diverged at sf0.01)
+md AS (SELECT dc.id, min(dc.d) AS md
+       FROM dc JOIN mm ON mm.id = dc.id AND dc.c = mm.mc GROUP BY dc.id),
+gaps AS (SELECT diffs.id, CAST(count(*) FILTER (diffs.d > md.md * 1.5) AS BIGINT) AS n_gaps
+         FROM diffs JOIN md ON md.id = diffs.id
+         GROUP BY diffs.id),
+a1 AS (SELECT id, sum((y - mu) * (ly - mu)) AS num,
+              sum((y - mu) * (y - mu)) AS den
+       FROM (SELECT id, y, mu,
+                    lag(y) OVER (PARTITION BY id ORDER BY rn) AS ly FROM w)
+       GROUP BY id),
+base AS (SELECT id, count(*) AS n, list(y ORDER BY y) AS sv, avg(y) AS mean,
+                var_pop(y) AS vp, min_by(y, rn) AS v0
+         FROM w GROUP BY id),
+cst AS (SELECT w.id, max(abs(w.y - b.v0)) < {eps} AS is_constant
+        FROM w JOIN base b USING (id) GROUP BY w.id),
+mag AS (SELECT id, n, sv, mean, vp,
+               sv[CAST(floor(n * 0.25) AS INT) + 1] AS q1,
+               sv[least(CAST(floor(n * 0.75) AS INT), n - 1) + 1] AS q3
+        FROM base),
+mag2 AS (SELECT id, n, mean, vp,
+                len(list_filter(sv, v -> v < q1 - 1.5 * (q3 - q1)
+                                      OR v > q3 + 1.5 * (q3 - q1)))
+                  / CAST(n AS DOUBLE) AS outlier_ratio,
+                len(list_filter(sv, v -> abs(v - mean) > 4.0 * sqrt(vp)))
+                  / CAST(n AS DOUBLE) AS extreme_ratio
+         FROM mag),
+dq AS (
+  SELECT m.id,
+    least(greatest(0.7 + 0.3 * least(m.n / 30.0, 1.0), 0.0), 1.0) AS structural_score,
+    least(greatest(1.0 - (coalesce(g.n_gaps, 0) / CAST(m.n AS DOUBLE)) * 5.0, 0.0), 1.0)
+      AS temporal_score,
+    least(greatest(1.0 - m.outlier_ratio * 2.0 - m.extreme_ratio * 3.0, 0.0), 1.0)
+      AS magnitude_score,
+    CASE WHEN m.n < 3 THEN 0.5
+         WHEN abs(m.vp) < {eps} THEN 0.0
+         ELSE least(greatest(1.0 - (CASE WHEN abs(
+                CASE WHEN abs(a.den) < {eps} THEN 0.0 ELSE a.num / a.den END
+              ) > 0.95 THEN 0.2 ELSE 0.0 END), 0.0), 1.0) END AS behavioral_score,
+    coalesce(g.n_gaps, 0) AS n_gaps,
+    CAST(0 AS BIGINT) AS n_missing,
+    c.is_constant
+  FROM mag2 m
+  LEFT JOIN gaps g ON g.id = m.id
+  JOIN a1 a ON a.id = m.id
+  JOIN cst c ON c.id = m.id)
+SELECT id AS unique_id, structural_score, temporal_score, magnitude_score,
+       behavioral_score,
+       (structural_score + temporal_score + magnitude_score + behavioral_score)
+         / 4.0 AS overall_score,
+       n_gaps, n_missing, is_constant
+FROM dq
+"""
+    return _DQ_SQL
+
+
 def _stats_oracles() -> dict[str, str]:
     eps = _EPS
     o: dict[str, str] = {}
+    o["data_quality"] = _dq_oracle_base()
+    o["data_quality_summary"] = f"""
+WITH q AS ({_dq_oracle_base()})
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (overall_score >= 0.8) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (overall_score >= 0.5 AND overall_score < 0.8) AS BIGINT) AS n_fair,
+       CAST(count(*) FILTER (overall_score < 0.5) AS BIGINT) AS n_poor,
+       avg(overall_score) AS avg_score
+FROM q
+"""
     o["stats_sql"] = f"""
 WITH panel AS ({_PANEL}),
 m AS (SELECT id, avg(y) AS mu, count(*) AS nn FROM panel GROUP BY id),
@@ -1580,6 +1893,24 @@ SELECT id, forecast_step, {cq} AS conformity_score, 0.9 AS coverage,
        CAST(cnt AS BIGINT) AS n_residuals
 FROM g
 """
+    o["conformal_learn_absolute"] = f"""
+WITH {_FV2},
+r AS (SELECT id, list(abs(actual - forecast) ORDER BY abs(actual - forecast)) AS arr,
+             CAST(count(*) AS DOUBLE) AS n, count(*) AS cnt FROM fv GROUP BY id)
+SELECT id, 'absolute' AS method, CAST(cnt AS BIGINT) AS n_residuals,
+       {cq} AS score_q
+FROM r
+"""
+    o["conformal_learn_normalized"] = f"""
+WITH {_FV2},
+sc AS (SELECT id, abs(actual - forecast) / greatest(abs(forecast), 1e-12) AS s
+       FROM fv),
+r AS (SELECT id, list(s ORDER BY s) AS arr,
+             CAST(count(*) AS DOUBLE) AS n, count(*) AS cnt FROM sc GROUP BY id)
+SELECT id, 'normalized' AS method, CAST(cnt AS BIGINT) AS n_residuals,
+       {cq} AS score_q
+FROM r
+"""
     o["conformal_evaluate"] = f"""
 WITH {_FV2}
 SELECT id,
@@ -1591,6 +1922,131 @@ SELECT id,
            + CASE WHEN actual > forecast + 5.0
                   THEN 20.0 * (actual - (forecast + 5.0)) ELSE 0.0 END) AS winkler_score
 FROM fv GROUP BY id
+"""
+    return o
+
+
+def _detect_oracles() -> dict[str, str]:
+    """Deterministic detection/decomposition ops re-derived in DuckDB SQL.
+    All mirror the numpy implementations in ``operators/detect.py`` (which
+    re-derive ``detrending.rs`` / ``seasonality.rs`` / ``peaks.rs``)."""
+    o: dict[str, str] = {}
+    o["detrend"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS DOUBLE) AS t
+      FROM panel),
+reg AS (SELECT id, regr_slope(y, t) AS b1, regr_intercept(y, t) AS b0
+        FROM w GROUP BY id)
+SELECT w.id, w.ds, w.y, reg.b0 + reg.b1 * w.t AS trend,
+       w.y - (reg.b0 + reg.b1 * w.t) AS detrended, 'linear' AS method
+FROM w JOIN reg USING (id)
+"""
+    o["detrend_diff"] = f"""
+WITH panel AS ({_PANEL})
+SELECT id, ds, CAST(y AS DOUBLE) AS y, CAST('nan' AS DOUBLE) AS trend,
+       coalesce(CAST(y AS DOUBLE)
+                - lag(CAST(y AS DOUBLE)) OVER (PARTITION BY id ORDER BY ds),
+                CAST('nan' AS DOUBLE)) AS detrended,
+       'diff' AS method
+FROM panel
+"""
+    # shared strength pipeline: linear detrend → phase means → variance ratio
+    def strength_cte(src: str, val: str, tag: str) -> str:
+        return f"""
+w{tag} AS (SELECT id, {val} AS v,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS DOUBLE) AS t,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM {src}),
+reg{tag} AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM w{tag} GROUP BY id),
+x{tag} AS (SELECT w.id, w.t, w.n, w.v - (r.b0 + r.b1 * w.t) AS x
+      FROM w{tag} w JOIN reg{tag} r USING (id)),
+ph{tag} AS (SELECT id, CAST(t AS BIGINT) % 7 AS phase, avg(x) AS m
+       FROM x{tag} GROUP BY id, CAST(t AS BIGINT) % 7),
+r{tag} AS (SELECT x.id, x.n, x.x, x.x - p.m AS rem
+      FROM x{tag} x JOIN ph{tag} p
+        ON p.id = x.id AND p.phase = CAST(x.t AS BIGINT) % 7),
+v{tag} AS (SELECT id, max(n) AS n, var_pop(x) AS vx, var_pop(rem) AS vr
+      FROM r{tag} GROUP BY id),
+s{tag} AS (SELECT id, CASE WHEN n < 14 OR vx <= 0 THEN 0.0
+                ELSE least(greatest(1.0 - vr / vx, 0.0), 1.0) END AS strength
+      FROM v{tag})
+"""
+    o["seasonal_strength"] = f"""
+WITH panel AS ({_PANEL}),
+{strength_cte('panel', 'CAST(y AS DOUBLE)', 'a')}
+SELECT id, strength AS seasonal_strength FROM sa
+"""
+    o["classify_seasonality"] = f"""
+WITH panel AS ({_PANEL}),
+pos AS (SELECT id, CAST(min(y) > 0 AS BOOLEAN) AS all_pos FROM panel GROUP BY id),
+lp AS (SELECT p.id, p.ds, CASE WHEN pos.all_pos THEN ln(CAST(p.y AS DOUBLE)) END AS ly
+       FROM panel p JOIN pos USING (id)),
+{strength_cte('panel', 'CAST(y AS DOUBLE)', 'a')},
+{strength_cte('lp', 'ly', 'm')}
+SELECT sa.id,
+       CASE WHEN greatest(sa.strength, CASE WHEN pos.all_pos THEN sm.strength ELSE 0.0 END) < 0.3
+                 THEN 'none'
+            WHEN (CASE WHEN pos.all_pos THEN sm.strength ELSE 0.0 END) > sa.strength * 1.05
+                 THEN 'multiplicative'
+            ELSE 'additive' END AS classification,
+       sa.strength AS additive_strength,
+       CASE WHEN pos.all_pos THEN sm.strength ELSE 0.0 END AS multiplicative_strength
+FROM sa JOIN sm ON sm.id = sa.id JOIN pos ON pos.id = sa.id
+"""
+    o["decompose_seasonal"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY id ORDER BY ds) AS rn,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM panel),
+tr AS (SELECT *, CASE WHEN rn >= 4 AND rn <= n - 3 THEN
+             avg(y) OVER (PARTITION BY id ORDER BY rn
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+             END AS trend FROM w),
+det AS (SELECT *, y - trend AS detr FROM tr),
+i0 AS (SELECT id, (rn - 1) % 7 AS phase, avg(detr) AS m
+       FROM det GROUP BY id, (rn - 1) % 7),
+ic AS (SELECT id, phase, m - avg(m) OVER (PARTITION BY id) AS sidx FROM i0)
+SELECT d.id, d.ds, d.y,
+       coalesce(d.trend, CAST('nan' AS DOUBLE)) AS trend,
+       ic.sidx AS seasonal,
+       coalesce(d.y - d.trend - ic.sidx, CAST('nan' AS DOUBLE)) AS remainder
+FROM det d JOIN ic ON ic.id = d.id AND ic.phase = (d.rn - 1) % 7
+WHERE d.n >= 14
+"""
+    # find_peaks walk: the left boundary of a peak's base is the last index
+    # with a strictly greater value; prominence = peak - max(flank minima)
+    o["detect_peaks"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY id ORDER BY ds) AS rn,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM panel),
+cand AS (SELECT * FROM (
+    SELECT *, lag(y) OVER (PARTITION BY id ORDER BY rn) AS yl,
+              lead(y) OVER (PARTITION BY id ORDER BY rn) AS yr FROM w)
+  WHERE rn > 1 AND rn < n AND y > yl AND y >= yr),
+lb AS (SELECT c.id, c.rn, max(q.rn) AS j
+       FROM cand c JOIN w q ON q.id = c.id AND q.rn < c.rn AND q.y > c.y
+       GROUP BY c.id, c.rn),
+rb AS (SELECT c.id, c.rn, min(q.rn) AS k
+       FROM cand c JOIN w q ON q.id = c.id AND q.rn > c.rn AND q.y > c.y
+       GROUP BY c.id, c.rn),
+lbase AS (SELECT c.id, c.rn, min(q.y) AS lv
+          FROM cand c LEFT JOIN lb ON lb.id = c.id AND lb.rn = c.rn
+          JOIN w q ON q.id = c.id AND q.rn BETWEEN coalesce(lb.j, 0) + 1 AND c.rn
+          GROUP BY c.id, c.rn),
+rbase AS (SELECT c.id, c.rn, min(q.y) AS rv
+          FROM cand c LEFT JOIN rb ON rb.id = c.id AND rb.rn = c.rn
+          JOIN w q ON q.id = c.id AND q.rn BETWEEN c.rn AND coalesce(rb.k, c.n + 1) - 1
+          GROUP BY c.id, c.rn)
+SELECT c.id, c.ds, c.y, CAST(c.rn - 1 AS INT) AS peak_index,
+       c.y - greatest(l.lv, r.rv) AS prominence
+FROM cand c JOIN lbase l ON l.id = c.id AND l.rn = c.rn
+JOIN rbase r ON r.id = c.id AND r.rn = c.rn
+WHERE c.y - greatest(l.lv, r.rv) >= 10.0
 """
     return o
 
@@ -1758,6 +2214,9 @@ def oracle_sql() -> dict[str, str]:
         "forecast_seasonal_es": _seasonal_es_oracle(),
         "forecast_croston": _croston_oracle(),
         "forecast_croston_sba": _croston_oracle(sba=True),
+        "forecast_orders_croston": _croston_oracle(panel_sql=ORDERS_FILLED_SQL),
+        "forecast_holt_fixed": _holt_fixed_oracle(),
+        "forecast_tsb": _tsb_oracle(),
         "forecast_exog_naive": _exog_naive_oracle(),
         "forecast_naive_intds": _naive_intds_oracle(),
         "forecast_events_naive": _naive_oracle(panel_sql=EVENTS_PANEL_SQL),
@@ -1765,11 +2224,29 @@ def oracle_sql() -> dict[str, str]:
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:
         o[f"metric_{metric}"] = _metric_oracle(metric)
+    o["metric_mqloss"] = _mqloss_oracle()
     o.update(_prep_oracles())
     o.update(_hier_oracles())
     o.update(_cv_oracles())
     o.update(_stats_oracles())
     o.update(_conformal_oracles())
+    o.update(_detect_oracles())
     o["features_sql"] = _features_oracle()
     o.update(_llm_oracles())
     return o
+
+
+def _mqloss_oracle() -> str:
+    def pin(q: float, c: str) -> str:
+        return (f"avg(CASE WHEN actual - {c} >= 0 THEN {q!r} * (actual - {c}) "
+                f"ELSE {q - 1.0!r} * (actual - {c}) END)")
+    return f"""
+WITH panel AS ({_PANEL}),
+fv AS (SELECT id, ds, CAST(y AS DOUBLE) AS actual,
+              lag(CAST(y AS DOUBLE), {SEASON}) OVER (PARTITION BY id ORDER BY ds) AS f50
+       FROM panel QUALIFY f50 IS NOT NULL),
+fx AS (SELECT id, ds, actual, f50 * 0.8 AS f10, f50, f50 * 1.2 AS f90 FROM fv)
+SELECT id, ({pin(0.1, 'f10')} + {pin(0.5, 'f50')} + {pin(0.9, 'f90')}) / 3.0
+           AS metric_value
+FROM fx GROUP BY id
+"""

@@ -235,6 +235,31 @@ def ts_rmae_by(df: DataFrame, date_col: str, actual_col: str, pred1_col: str,
     return _grouped(df, gcols, expr)
 
 
+def ts_mqloss_by(df: DataFrame, date_col: str, actual_col: str,
+                 forecast_cols: list[str], quantiles: list[float]) -> DataFrame:
+    """Grouped multi-quantile loss: mean over quantiles of the pinball loss
+    of each quantile forecast column (ref ``metrics.rs`` MQLoss; grouped form
+    of the scalar ``ts_mqloss``). One aggregation pass, no UDF."""
+    if len(forecast_cols) != len(quantiles):
+        raise ValueError("forecast_cols and quantiles must have equal length")
+    if not forecast_cols:
+        raise ValueError("at least one (forecast_col, quantile) pair required")
+    for q in quantiles:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError("Quantile must be between 0 and 1")
+    a = F.col(actual_col)
+    gcols = _group_cols(df, date_col, actual_col, *forecast_cols)
+    per_q = []
+    for c, q in zip(forecast_cols, quantiles):
+        q = float(q)
+        err = a - F.col(c)
+        per_q.append(F.avg(F.when(err >= 0, q * err).otherwise((q - 1.0) * err)))
+    total = per_q[0]
+    for e in per_q[1:]:
+        total = total + e
+    return _grouped(df, gcols, total / float(len(per_q)))
+
+
 def ts_coverage_by(df: DataFrame, date_col: str, actual_col: str, lower_col: str,
                    upper_col: str) -> DataFrame:
     a, lo, up = F.col(actual_col), F.col(lower_col), F.col(upper_col)

@@ -92,6 +92,168 @@ class ForecastUDTF:
                    float(r.upper[i]), r.model_name)
 
 
+class FillGapsUDTF:
+    """``ts_fill_gaps_by(TABLE(t), group_col, ds_col, y_col, frequency)`` —
+    SQL form of the gap-filling operator (ref macro ``ts_macros.cpp:176+``).
+    Emits every grid timestamp between each series' min and max ds; missing
+    points carry NULL y."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, frequency):
+        schema = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        out = T.StructType([
+            T.StructField(g, schema[g].dataType),
+            T.StructField(d, schema[d].dataType),
+            T.StructField(y, schema[y].dataType),
+        ])
+        return AnalyzeResult(schema=out, partitionBy=[PartitioningColumn(g)],
+                             orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, frequency):
+        self._args = (group_col, ds_col, y_col, frequency)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        from ..frequency import parse_frequency
+        group_col, ds_col, y_col, frequency = self._args
+        freq = parse_frequency(frequency)
+        g = self._rows[0][group_col]
+        have = {r[ds_col]: r[y_col] for r in self._rows}
+        first, last = self._rows[0][ds_col], self._rows[-1][ds_col]
+        if isinstance(first, int):
+            step = freq.n if freq.kind == "int" else 1
+            cur = first
+            while cur <= last:
+                yield (g, cur, have.get(cur))
+                cur += step
+            return
+        import datetime as _dt
+        if freq.kind == "month":
+            from ..operators.forecast import _add_months_clamped
+            import pandas as _pd
+            cur = _pd.Timestamp(first)
+            k = 0
+            while cur.to_pydatetime() <= last:
+                py = cur.to_pydatetime()
+                yield (g, py, have.get(py))
+                k += 1
+                cur = _add_months_clamped(_pd.Timestamp(first), freq.n * k)
+            return
+        step = _dt.timedelta(seconds=freq.n)
+        cur = first
+        while cur <= last:
+            yield (g, cur, have.get(cur))
+            cur += step
+
+
+class CvFoldsUDTF:
+    """``ts_cv_folds_by(TABLE(t), group_col, ds_col, y_col, n_folds,
+    horizon)`` — SQL form of the expanding-window fold generator (ref macro
+    ``ts_macros.cpp:1364-1408``); same position-based boundaries as
+    ``operators.cv._fold_spec``."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, n_folds, horizon):
+        schema = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        out = T.StructType([
+            T.StructField(g, schema[g].dataType),
+            T.StructField(d, schema[d].dataType),
+            T.StructField(y, schema[y].dataType),
+            T.StructField("fold_id", T.LongType()),
+            T.StructField("split", T.StringType()),
+        ])
+        return AnalyzeResult(schema=out, partitionBy=[PartitioningColumn(g)],
+                             orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, n_folds, horizon):
+        self._args = (group_col, ds_col, y_col, int(n_folds), int(horizon))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, y_col, n_folds, h = self._args
+        n = len(self._rows)
+        init = max(n - h * n_folds, 1)
+        for f in range(n_folds):
+            train_end = init - 1 + f * h
+            test_end = train_end + h
+            if test_end >= n:
+                continue
+            for pos in range(0, train_end + 1):
+                r = self._rows[pos]
+                yield (r[group_col], r[ds_col], r[y_col], f, "train")
+            for pos in range(train_end + 1, test_end + 1):
+                r = self._rows[pos]
+                yield (r[group_col], r[ds_col], r[y_col], f, "test")
+
+
+class StatsUDTF:
+    """``ts_stats_by(TABLE(t), group_col, ds_col, y_col, frequency)`` — SQL
+    form of the 36-column statistics operator; delegates to the same
+    ``compute_series_stats`` as the DataFrame path so the two surfaces
+    cannot drift."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, frequency):
+        from ..operators.stats import STATS_FIELDS
+        schema = table.dataType
+        g = group_col.value
+        out = T.StructType([T.StructField(g, schema[g].dataType)]
+                           + [T.StructField(n, t) for n, t in STATS_FIELDS])
+        return AnalyzeResult(schema=out, partitionBy=[PartitioningColumn(g)],
+                             orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, frequency):
+        self._args = (group_col, ds_col, y_col, frequency)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import numpy as np
+        import pandas as pd
+
+        from ..frequency import parse_frequency
+        from ..operators.stats import STATS_FIELDS, compute_series_stats
+        group_col, ds_col, y_col, frequency = self._args
+        freq = parse_frequency(frequency) if frequency else None
+        g = self._rows[0][group_col]
+        y = np.array([math.nan if r[y_col] is None else float(r[y_col])
+                      for r in self._rows])
+        ds0 = self._rows[0][ds_col]
+        if isinstance(ds0, int):
+            dates = np.array([r[ds_col] for r in self._rows], dtype="int64")
+        else:
+            dates = (pd.to_datetime([r[ds_col] for r in self._rows])
+                     .astype("int64").to_numpy() // 1000)
+        st = compute_series_stats(y, dates, freq)
+
+        def plain(v, typ):
+            if v is None:
+                return None
+            if isinstance(typ, T.LongType):
+                return int(v)
+            if isinstance(typ, T.BooleanType):
+                return bool(v)
+            return float(v)
+
+        yield tuple([g] + [plain(st[name], typ) for name, typ in STATS_FIELDS])
+
+
 def _metric_impl(name: str):
     eps = 2.220446049250313e-16
 
@@ -129,6 +291,9 @@ def _metric_impl(name: str):
 def register_all(spark: SparkSession) -> None:
     """Register the SQL surface on a session. Idempotent."""
     spark.udtf.register("ts_forecast_by", udtf(ForecastUDTF))
+    spark.udtf.register("ts_fill_gaps_by", udtf(FillGapsUDTF))
+    spark.udtf.register("ts_cv_folds_by", udtf(CvFoldsUDTF))
+    spark.udtf.register("ts_stats_by", udtf(StatsUDTF))
 
     arr = T.ArrayType(T.DoubleType())
     for name in ["ts_mae", "ts_mse", "ts_rmse", "ts_mape", "ts_smape",

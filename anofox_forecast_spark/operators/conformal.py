@@ -336,3 +336,51 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
     return batched_grouped_map(base, [group_col], ds_col, schema, fn)
+
+
+def ts_bootstrap_quantiles(df: DataFrame, group_col: str, resid_col: str,
+                           forecast_col: str, quantiles: list[float],
+                           n_paths: int = 200, seed: int = 42) -> DataFrame:
+    """Bootstrap quantile forecasts from per-group residual and point-forecast
+    arrays (ref ``bootstrap.rs:98-170``, registered in
+    ``src/scalar_functions/bootstrap.cpp``): resample residuals with a seeded
+    RNG, accumulate cumulative paths over the horizon, take the requested
+    quantiles per step. Input columns are ``array<double>``; output adds
+    ``quantile`` and ``values`` (array<double>, one value per horizon step) —
+    one row per requested quantile.
+    """
+    qs = [float(q) for q in quantiles]
+    if not qs:
+        raise ValueError("at least one quantile level is required")
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("Quantile must be between 0 and 1")
+    gtype = df.schema[group_col].dataType
+    schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField("quantile", T.DoubleType()),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ])
+
+    def fn(key, pdf: pd.DataFrame):
+        out = []
+        for _, row in pdf.iterrows():
+            resid = np.asarray(row[resid_col], dtype=float)
+            fc = np.asarray(row[forecast_col], dtype=float)
+            if len(resid) == 0 or len(fc) == 0:
+                continue
+            h = len(fc)
+            rng = np.random.default_rng(
+                zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
+            # cumulative residual resampling: paths widen with horizon
+            steps = rng.choice(resid, size=(int(n_paths), h), replace=True)
+            paths = fc[None, :] + np.cumsum(steps, axis=1)
+            for q in qs:
+                out.append({group_col: key[0], "quantile": q,
+                            "values": np.quantile(paths, q, axis=0).tolist()})
+        if not out:
+            return pd.DataFrame({c.name: pd.Series(dtype="object")
+                                 for c in schema})
+        return pd.DataFrame(out)
+
+    return df.groupBy(group_col).applyInPandas(fn, schema)

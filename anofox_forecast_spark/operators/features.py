@@ -437,3 +437,67 @@ def ts_features_table(df: DataFrame, ds_col: str, y_col: str,
 def ts_features_list(spark) -> DataFrame:
     """Available feature names (ref ``ts_features.cpp:257-260``)."""
     return spark.createDataFrame([(x,) for x in FEATURE_NAMES], ["feature_name"])
+
+
+# ---------------------------------------------------------------------------
+# Feature configuration loaders (ref ``ts_features.cpp:245-430``,
+# ``anofox_forecast_extension.cpp:108-110``). Unknown feature names WARN and
+# are dropped rather than erroring (``features.rs:449`` validate_feature_params).
+# ---------------------------------------------------------------------------
+
+def _validate_feature_names(names: list[str]) -> list[str]:
+    import warnings
+    known = []
+    for x in names:
+        if x in FEATURE_NAMES:
+            known.append(x)
+        else:
+            warnings.warn(f"Unknown feature parameter key '{x}' - "
+                          "this parameter will be ignored", stacklevel=3)
+    return known
+
+
+def ts_features_config_template(spark) -> DataFrame:
+    """(feature, params_json) rows, one per available feature —
+    ``ts_features_config_template()`` (ref ``ts_features.cpp:245-318``)."""
+    return spark.createDataFrame([(x, "{}") for x in FEATURE_NAMES],
+                                 ["feature", "params_json"])
+
+
+def ts_features_config_from_json(json_str: str) -> dict:
+    """Parse a ``{"features": [...], "overrides": {...}}`` config (JSON text
+    or path to a .json file). Returns ``{"feature_names": [...],
+    "overrides": [...]}``, the struct shape of ``ts_features_config_from_json``
+    (ref ``ts_features.cpp:320-430``). Unknown names warn, not raise."""
+    import json
+    import os
+    if os.path.exists(json_str):
+        with open(json_str) as fh:
+            json_str = fh.read()
+    cfg = json.loads(json_str)
+    names = cfg.get("features") or cfg.get("feature_names") or FEATURE_NAMES
+    overrides = cfg.get("overrides") or []
+    if isinstance(overrides, dict):
+        overrides = [{"feature": k, "params_json": json.dumps(v)}
+                     for k, v in overrides.items()]
+    return {"feature_names": _validate_feature_names(list(names)),
+            "overrides": overrides}
+
+
+def ts_features_config_from_csv(csv_str: str) -> dict:
+    """Parse ``feature[,params_json]`` CSV lines (text or path); same result
+    shape and warn-on-unknown semantics as the JSON loader."""
+    import os
+    if os.path.exists(csv_str):
+        with open(csv_str) as fh:
+            csv_str = fh.read()
+    names, overrides = [], []
+    for line in csv_str.strip().splitlines():
+        parts = [p.strip() for p in line.split(",", 1)]
+        if not parts[0] or parts[0] == "feature":  # header / blank
+            continue
+        names.append(parts[0])
+        if len(parts) > 1 and parts[1] and parts[1] != "{}":
+            overrides.append({"feature": parts[0], "params_json": parts[1]})
+    return {"feature_names": _validate_feature_names(names),
+            "overrides": overrides}

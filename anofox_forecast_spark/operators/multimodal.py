@@ -82,34 +82,56 @@ def media_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     return df.mapInPandas(fn, out_schema)
 
 
+def _pil():
+    """Runtime-detected PIL module, or None. Evaluated on the WORKER (inside
+    the mapInPandas closure), so a cluster with pillow installed gets the
+    real decoder with no code change; this sandbox (no media libs) gets the
+    documented stub."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_stub(payload: bytes, op: str, **kwargs):
     """Placeholder for the real decode. Raises by default; the deterministic
     fake below is used by tests to exercise the plumbing."""
     raise NotImplementedError(
         f"media op {op!r} requires an image/audio library not present in this "
-        "environment; install pillow/ffmpeg on the cluster and replace "
-        "_decode_stub")
+        "environment; install pillow/ffmpeg on the cluster (the operators "
+        "auto-detect and use them) or pass fake=True for plumbing tests")
 
 
 def image_features(df: DataFrame, binary_col: str, id_col: str,
                    fake: bool = False) -> DataFrame:
     """Feature-extraction contract: (id, feature_vector array<float>).
 
-    With ``fake=True`` a deterministic byte-histogram 'embedding' exercises
-    the full distributed path (schema, Arrow batches, partitioning) without a
-    decoder; otherwise the decode stub raises NotImplementedError."""
+    Decode strategy, checked per worker at runtime:
+    1. pillow present → real decode: 8×8 grayscale thumbnail, 64-dim
+       float vector in [0,1].
+    2. ``fake=True`` → deterministic byte-histogram 'embedding' that
+       exercises the full distributed path (schema, Arrow batches,
+       partitioning) without a decoder.
+    3. otherwise → NotImplementedError (documented stub)."""
     schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("feature_vector", T.ArrayType(T.FloatType())),
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        pil = _pil()
         for pdf in batches:
             feats = []
             for payload in pdf[binary_col]:
+                b = payload or b""
+                if pil is not None and not fake:
+                    img = pil.open(io.BytesIO(b)).convert("L").resize((8, 8))
+                    feats.append([p / 255.0 for p in img.getdata()])
+                    continue
                 if not fake:
                     _decode_stub(payload, "image_features")
-                b = payload or b""
                 hist = [0.0] * 16
                 for byte in b[:4096]:
                     hist[byte >> 4] += 1.0

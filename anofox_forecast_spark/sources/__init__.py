@@ -57,9 +57,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # callers hand us arbitrary sessions (e.g. the correctness driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name in ("documents", "embeddings"):
-        # small dimension-like tables reread by every LLM-pipeline query
-        return _cached((name, sf_dir),
-                       lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        # small dimension-like tables reread by every LLM-pipeline query.
+        # The single test parquet file scans as ONE partition, serializing
+        # the regex/hash maps onto one core — when cached, spread it across
+        # the executors first (at real scale the many input files provide
+        # this parallelism naturally).
+        return _cached(
+            (name, sf_dir),
+            lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+                         .repartition(spark.sparkContext.defaultParallelism))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

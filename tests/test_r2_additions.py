@@ -1,0 +1,104 @@
+"""Round-2 additions: mqloss_by, bootstrap quantiles, feature config loaders,
+and the conformal learn/apply SQL path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_mqloss_by_matches_manual(spark):
+    from anofox_forecast_spark.functions.metrics import ts_mqloss_by
+    rows = [("a", i, float(i), float(i) - 1.0, float(i), float(i) + 2.0)
+            for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["id", "ds", "actual", "f10", "f50", "f90"])
+    out = ts_mqloss_by(df, "ds", "actual", ["f10", "f50", "f90"],
+                       [0.1, 0.5, 0.9]).collect()
+    assert len(out) == 1
+    # pinball: q=0.1 err=+1 -> 0.1; q=0.5 err=0 -> 0; q=0.9 err=-2 -> 0.2
+    assert out[0]["metric_value"] == pytest.approx((0.1 + 0.0 + 0.2) / 3)
+
+
+def test_mqloss_by_validates():
+    from anofox_forecast_spark.functions.metrics import ts_mqloss_by
+    with pytest.raises(ValueError):
+        ts_mqloss_by(None, "ds", "a", ["f1"], [0.1, 0.9])
+    with pytest.raises(ValueError):
+        ts_mqloss_by(None, "ds", "a", ["f1"], [1.5])
+
+
+def test_bootstrap_quantiles_deterministic_and_ordered(spark):
+    from anofox_forecast_spark.operators.conformal import ts_bootstrap_quantiles
+    df = spark.createDataFrame(
+        [("s1", [1.0, -1.0, 0.5, -0.5, 0.2], [10.0, 11.0, 12.0])],
+        ["id", "resid", "fc"])
+    a = ts_bootstrap_quantiles(df, "id", "resid", "fc", [0.1, 0.5, 0.9],
+                               n_paths=100).collect()
+    b = ts_bootstrap_quantiles(df, "id", "resid", "fc", [0.1, 0.5, 0.9],
+                               n_paths=100).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b)), "seeded → reproducible"
+    by_q = {r["quantile"]: r["values"] for r in a}
+    assert len(by_q) == 3 and all(len(v) == 3 for v in by_q.values())
+    for t in range(3):
+        assert by_q[0.1][t] <= by_q[0.5][t] <= by_q[0.9][t]
+    # paths accumulate residuals → q90-q10 spread widens with horizon
+    assert (by_q[0.9][2] - by_q[0.1][2]) > (by_q[0.9][0] - by_q[0.1][0])
+
+
+def test_feature_config_loaders(spark, tmp_path):
+    from anofox_forecast_spark.operators import features as FE
+    tpl = FE.ts_features_config_template(spark)
+    assert tpl.count() == len(FE.FEATURE_NAMES)
+    assert tpl.columns == ["feature", "params_json"]
+
+    cfg = FE.ts_features_config_from_json('{"features": ["mean", "median"]}')
+    assert cfg["feature_names"] == ["mean", "median"]
+
+    with pytest.warns(UserWarning, match="nope_feature"):
+        cfg = FE.ts_features_config_from_json(
+            '{"features": ["mean", "nope_feature"]}')
+    assert cfg["feature_names"] == ["mean"]  # unknown warned + dropped
+
+    p = tmp_path / "cfg.json"
+    p.write_text('{"features": ["sum"], "overrides": {"sum": {"k": 1}}}')
+    cfg = FE.ts_features_config_from_json(str(p))
+    assert cfg["feature_names"] == ["sum"]
+    assert cfg["overrides"][0]["feature"] == "sum"
+
+    cfg = FE.ts_features_config_from_csv("feature,params_json\nmean,{}\nstd_x,{}")
+    assert cfg["feature_names"] == ["mean"]
+
+    # config drives ts_features_by
+    df = spark.createDataFrame([("a", i, float(i)) for i in range(10)],
+                               ["id", "ds", "y"])
+    out = FE.ts_features_by(df, "id", "ds", "y", features=cfg["feature_names"])
+    assert out.columns == ["id", "mean"]
+
+
+def test_conformal_learn_apply_roundtrip(spark):
+    from anofox_forecast_spark.operators.conformal import (
+        ts_conformal_apply_profile, ts_conformal_learn_by)
+    rows = [("a", float(i), float(i) + (1 if i % 2 else -1))
+            for i in range(1, 41)]
+    df = spark.createDataFrame(rows, ["id", "actual", "forecast"])
+    prof = ts_conformal_learn_by(df, "id", "actual", "forecast", "absolute",
+                                 [0.1])
+    r = prof.collect()[0]
+    assert r["method"] == "absolute" and r["n_residuals"] == 40
+    assert r["scores"][0] == pytest.approx(1.0)  # |e| is constant 1
+    fut = spark.createDataFrame([("a", 100.0)], ["id", "forecast"])
+    out = ts_conformal_apply_profile(fut, prof, "id", "forecast").collect()[0]
+    assert out["lower"] == pytest.approx(99.0)
+    assert out["upper"] == pytest.approx(101.0)
+
+
+def test_ngram_jaccard_skew_cap_plan(spark):
+    """Posting-list cap must not add a cartesian product."""
+    from anofox_forecast_spark import plans as P
+    from anofox_forecast_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.createDataFrame([(i, f"text {i}") for i in range(20)],
+                                 ["doc_id", "text"])
+    P.assert_no_cartesian(
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=5))
