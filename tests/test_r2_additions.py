@@ -94,6 +94,33 @@ def test_conformal_learn_apply_roundtrip(spark):
     assert out["upper"] == pytest.approx(101.0)
 
 
+def test_monthly_sql_path_preserves_time_of_day(spark):
+    """SQL-path and model-path forecast timestamps must agree for monthly
+    data with non-midnight times (add_months returns DATE; the sub-day
+    component is re-added)."""
+    import datetime as dt
+    rows = [("a", dt.datetime(2023, m, 15, 7, 30, 0), float(m))
+            for m in range(1, 13)]
+    df = spark.createDataFrame(rows, ["id", "ds", "y"])
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    sql_out = ts_forecast_by(df, "id", "ds", "y", "Naive", 3, "1mo") \
+        .orderBy("forecast_step").collect()
+    udf_out = ts_forecast_by(df, "id", "ds", "y", "SES", 3, "1mo",
+                             {"alpha": 0.3}).orderBy("forecast_step").collect()
+    assert [r["ds"] for r in sql_out] == [r["ds"] for r in udf_out]
+    assert all(r["ds"].hour == 7 and r["ds"].minute == 30 for r in sql_out)
+    # month-end clamping on the SQL path: Dec 31 + 2mo → Feb 28
+    import pandas as pd
+    ends = pd.date_range("2022-01-31", periods=12, freq="ME")
+    rows31 = [("b", e.to_pydatetime().replace(hour=12), float(i))
+              for i, e in enumerate(ends)]
+    df31 = spark.createDataFrame(rows31, ["id", "ds", "y"])
+    out = ts_forecast_by(df31, "id", "ds", "y", "Naive", 2, "1mo") \
+        .orderBy("forecast_step").collect()
+    assert out[0]["ds"] == dt.datetime(2023, 1, 31, 12, 0, 0)
+    assert out[1]["ds"] == dt.datetime(2023, 2, 28, 12, 0, 0)
+
+
 def test_ngram_jaccard_skew_cap_plan(spark):
     """Posting-list cap must not add a cartesian product."""
     from anofox_forecast_spark import plans as P
