@@ -112,6 +112,9 @@ def _prep_queries():
     def q_fill_nulls_mean(spark, sf):
         return prep.ts_fill_nulls_mean_by(_gappy(spark, sf), "id", "ds", "y")
 
+    def q_interpolate(spark, sf):
+        return prep.ts_interpolate_by(_gappy(spark, sf), "id", "ds", "y")
+
     def q_diff(spark, sf):
         return prep.ts_diff_by(lineitem_panel(spark, sf), "id", "ds", "y", 1)
 
@@ -173,6 +176,7 @@ def _prep_queries():
         "prep_fill_nulls_backward": q_fill_nulls_backward,
         "prep_fill_nulls_const": q_fill_nulls_const,
         "prep_fill_nulls_mean": q_fill_nulls_mean,
+        "prep_interpolate": q_interpolate,
         "prep_diff": q_diff,
         "prep_drop_short": q_drop_short,
         "prep_drop_constant": q_drop_constant,
@@ -1385,6 +1389,33 @@ WITH {_GAPPY} SELECT id, ds, y, coalesce(y, 0.0) AS filled_value FROM gappy
 WITH {_GAPPY}
 SELECT id, ds, y, coalesce(y, avg(y) OVER (PARTITION BY id)) AS filled_value FROM gappy
 """
+    o["prep_interpolate"] = f"""
+WITH {_GAPPY},
+g0 AS (SELECT id, ds, y,
+              row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS pos
+       FROM gappy),
+w AS (SELECT id, ds, y, pos,
+             last_value(y IGNORE NULLS) OVER (
+               PARTITION BY id ORDER BY ds
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN y IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+               PARTITION BY id ORDER BY ds
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(y IGNORE NULLS) OVER (
+               PARTITION BY id ORDER BY ds
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN y IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+               PARTITION BY id ORDER BY ds
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+      FROM g0)
+SELECT id, ds, y,
+       CASE WHEN y IS NOT NULL THEN y
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+                 THEN pv + (nv - pv) * (pos - pp) / (np - pp)
+            WHEN pv IS NOT NULL THEN pv
+            ELSE nv END AS filled_value
+FROM w
+"""
     o["prep_diff"] = f"""
 WITH panel AS ({_PANEL})
 SELECT id, ds,
@@ -1807,6 +1838,181 @@ SELECT id,
   CAST(count(*) FILTER (WHERE date_diff('second', prev_ds, ds) > 129600) AS BIGINT) AS n_gaps
 FROM j GROUP BY id
 """
+    # full 36-column ts_stats_by oracle (stats.rs:106-312 re-derived in
+    # DuckDB SQL; list ops for the order-statistics/rolling quantities).
+    # The lineitem panel has no NULL y, so n_valid = length here.
+    half_even = """
+      CASE WHEN xv - floor(xv) > 0.5 THEN floor(xv) + 1
+           WHEN xv - floor(xv) < 0.5 THEN floor(xv)
+           WHEN CAST(floor(xv) AS BIGINT) % 2 = 0 THEN floor(xv)
+           ELSE floor(xv) + 1 END
+    """
+    o["stats_full"] = f"""
+WITH panel AS ({_PANEL}),
+m AS (SELECT id, avg(y) AS mu, count(*) AS nn, min(y) AS lo, max(y) AS hi
+      FROM panel GROUP BY id),
+j AS (SELECT p.id, p.ds, CAST(p.y AS DOUBLE) AS y, m.mu, m.nn, m.lo, m.hi,
+             row_number() OVER (PARTITION BY p.id ORDER BY p.ds) AS rn,
+             lag(p.y) OVER (PARTITION BY p.id ORDER BY p.ds) AS prev,
+             lag(p.y, 2) OVER (PARTITION BY p.id ORDER BY p.ds) AS l2,
+             lag(p.y, 4) OVER (PARTITION BY p.id ORDER BY p.ds) AS l4,
+             lag(p.y, 7) OVER (PARTITION BY p.id ORDER BY p.ds) AS l7,
+             lag(p.y, 12) OVER (PARTITION BY p.id ORDER BY p.ds) AS l12,
+             lag(p.ds) OVER (PARTITION BY p.id ORDER BY p.ds) AS prev_ds
+      FROM panel p JOIN m USING (id)),
+isl AS (SELECT *, sum(CASE WHEN prev IS NULL OR y != prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY rn) AS grp,
+               sum(CASE WHEN prev IS NULL OR y != prev OR prev = 0
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY rn) AS grpnz
+        FROM j),
+plat AS (SELECT id, max(c) AS plateau FROM (
+           SELECT id, grp, count(*) AS c FROM isl GROUP BY id, grp)
+         GROUP BY id),
+platnz AS (SELECT id, coalesce(max(c), 0) AS plateau_nz FROM (
+             SELECT id, grpnz, count(*) AS c FROM isl WHERE y != 0
+             GROUP BY id, grpnz)
+           GROUP BY id),
+g AS (SELECT id,
+  count(*) AS n,
+  any_value(mu) AS mu,
+  avg(y) AS mean, min(y) AS mn, max(y) AS mx, sum(y) AS sm,
+  quantile_cont(y, 0.5) AS median, quantile_cont(y, 0.25) AS q1,
+  quantile_cont(y, 0.75) AS q3,
+  coalesce(stddev_samp(y), 0.0) AS sd, coalesce(var_samp(y), 0.0) AS vr,
+  count(*) FILTER (y = 0) AS nz,
+  count(*) FILTER (y > 0) AS npos,
+  count(*) FILTER (y < 0) AS nneg,
+  count(DISTINCT y) AS nuq,
+  coalesce(min(rn) FILTER (y != 0) - 1, count(*)) AS zstart,
+  coalesce(count(*) - max(rn) FILTER (y != 0), count(*)) AS zend,
+  sum(pow(y - mu, 2)) AS ss,
+  sum(pow(y - mu, 3)) AS s3,
+  sum(pow(y - mu, 4)) AS s4,
+  sum((y - mu) * (prev - mu)) FILTER (prev IS NOT NULL) AS ac1n,
+  sum((y - mu) * (l2 - mu)) FILTER (l2 IS NOT NULL) AS ac2n,
+  sum((y - mu) * (l4 - mu)) FILTER (l4 IS NOT NULL) AS ac4n,
+  sum((y - mu) * (l7 - mu)) FILTER (l7 IS NOT NULL) AS ac7n,
+  sum((y - mu) * (l12 - mu)) FILTER (l12 IS NOT NULL) AS ac12n,
+  regr_sxx(y, CAST(rn - 1 AS DOUBLE)) AS ssxx,
+  regr_syy(y, CAST(rn - 1 AS DOUBLE)) AS ssyy,
+  regr_sxy(y, CAST(rn - 1 AS DOUBLE)) AS ssxy,
+  list(y ORDER BY y) AS sv,
+  list(y ORDER BY rn) AS tl,
+  list_sort(list(abs(y) ORDER BY rn) FILTER (abs(y) > {eps}), 'DESC') AS ad,
+  CAST(date_diff('second', min(ds), max(ds)) // 86400 + 1 AS BIGINT) AS explen,
+  CAST(count(*) FILTER (date_diff('second', prev_ds, ds) > 129600) AS BIGINT) AS ngaps
+  FROM j GROUP BY id),
+ebins AS (SELECT j.id, least({half_even}, 9) AS bidx
+          FROM (SELECT id, CASE WHEN hi - lo > {eps}
+                                THEN (y - lo) / (hi - lo) * 9 END AS xv
+                FROM j) j WHERE xv IS NOT NULL),
+ecnt AS (SELECT id, bidx, count(*) AS c FROM ebins GROUP BY id, bidx),
+eent AS (SELECT e.id,
+                -sum((e.c / CAST(g.n AS DOUBLE)) * ln(e.c / CAST(g.n AS DOUBLE)))
+                AS ent
+         FROM ecnt e JOIN g ON g.id = e.id GROUP BY e.id),
+d AS (SELECT g.*,
+  CASE WHEN n > 2 AND sd > {eps}
+       THEN (s3 / n) / pow(sd, 3) * sqrt(n * (n - 1.0)) / (n - 2.0)
+       ELSE 'nan'::DOUBLE END AS skew,
+  CASE WHEN n > 3 AND sd > {eps}
+       THEN (n - 1.0) / ((n - 2.0) * (n - 3.0))
+            * ((n + 1.0) * ((s4 / n) / pow(sd, 4) - 3.0) + 6.0)
+       ELSE 'nan'::DOUBLE END AS kurt,
+  CAST(floor(n * 0.1) AS INT) AS trim,
+  len(ad) AS la,
+  CASE WHEN n >= 10 THEN greatest(CAST(floor(n / 5.0) AS INT), 3) END AS w
+  FROM g)
+SELECT d.id AS id,
+  CAST(d.n AS BIGINT) AS length,
+  CAST(0 AS BIGINT) AS n_nulls,
+  CAST(0 AS BIGINT) AS n_nan,
+  CAST(d.nz AS BIGINT) AS n_zeros,
+  CAST(d.npos AS BIGINT) AS n_positive,
+  CAST(d.nneg AS BIGINT) AS n_negative,
+  CAST(d.nuq AS BIGINT) AS n_unique_values,
+  d.nuq = 1 AS is_constant,
+  CAST(d.zstart AS BIGINT) AS n_zeros_start,
+  CAST(d.zend AS BIGINT) AS n_zeros_end,
+  CAST(p.plateau AS BIGINT) AS plateau_size,
+  CAST(pz.plateau_nz AS BIGINT) AS plateau_size_nonzero,
+  d.mean AS mean, d.median AS median, d.sd AS std_dev, d.vr AS variance,
+  d.mn AS min, d.mx AS max, d.mx - d.mn AS range,
+  CAST(d.sm AS DOUBLE) AS sum,
+  d.skew AS skewness, d.kurt AS kurtosis,
+  CASE WHEN d.n < 10 OR d.la < 10 THEN 'nan'::DOUBLE
+       ELSE (
+         CASE WHEN d.ad[least(greatest(CAST(floor(sqrt(d.la)) AS INT), 2),
+                              d.la - 1) + 1] <= {eps} THEN 'nan'::DOUBLE
+              WHEN list_aggregate(list_transform(
+                     list_slice(d.ad, 1,
+                       least(greatest(CAST(floor(sqrt(d.la)) AS INT), 2), d.la - 1)),
+                     x -> ln(x / d.ad[least(greatest(CAST(floor(sqrt(d.la)) AS INT), 2),
+                                            d.la - 1) + 1])), 'avg') > {eps}
+              THEN 1.0 / list_aggregate(list_transform(
+                     list_slice(d.ad, 1,
+                       least(greatest(CAST(floor(sqrt(d.la)) AS INT), 2), d.la - 1)),
+                     x -> ln(x / d.ad[least(greatest(CAST(floor(sqrt(d.la)) AS INT), 2),
+                                            d.la - 1) + 1])), 'avg')
+              ELSE 'nan'::DOUBLE END) END AS tail_index,
+  CASE WHEN d.n > 3 AND isfinite(d.skew) AND isfinite(d.kurt)
+       THEN (d.skew * d.skew + 1.0) / (d.kurt + 3.0)
+       ELSE 'nan'::DOUBLE END AS bimodality_coef,
+  CASE WHEN d.n - 2 * d.trim > 0
+       THEN list_aggregate(list_slice(d.sv, d.trim + 1, d.n - d.trim), 'avg')
+       ELSE d.mean END AS trimmed_mean,
+  CASE WHEN abs(d.mean) > {eps} THEN d.sd / abs(d.mean)
+       ELSE 'nan'::DOUBLE END AS coef_variation,
+  d.q1 AS q1, d.q3 AS q3, d.q3 - d.q1 AS iqr,
+  CASE WHEN abs(d.ss) < {eps} THEN 0.0 ELSE d.ac1n / d.ss END AS autocorr_lag1,
+  CASE WHEN d.n < 4 THEN 0.0
+       WHEN abs(d.ssxx) > {eps} AND abs(d.ssyy) > {eps}
+       THEN least(greatest(sqrt(d.ssxy * d.ssxy / (d.ssxx * d.ssyy)), 0.0), 1.0)
+       ELSE 0.0 END AS trend_strength,
+  CASE WHEN d.n < 4 THEN 0.0
+       ELSE least(greatest(coalesce((
+         SELECT max(av) FROM (VALUES
+           (CASE WHEN d.n > 2 THEN
+             abs(CASE WHEN abs(d.ss) < {eps} THEN 0.0 ELSE d.ac2n / d.ss END) END),
+           (CASE WHEN d.n > 4 THEN
+             abs(CASE WHEN abs(d.ss) < {eps} THEN 0.0 ELSE d.ac4n / d.ss END) END),
+           (CASE WHEN d.n > 7 THEN
+             abs(CASE WHEN abs(d.ss) < {eps} THEN 0.0 ELSE d.ac7n / d.ss END) END),
+           (CASE WHEN d.n > 12 THEN
+             abs(CASE WHEN abs(d.ss) < {eps} THEN 0.0 ELSE d.ac12n / d.ss END) END)
+         ) t(av)), 0.0), 0.0), 1.0) END AS seasonality_strength,
+  CASE WHEN d.n < 10 THEN 'nan'::DOUBLE
+       WHEN d.mx - d.mn <= {eps} THEN 0.0
+       ELSE ee.ent END AS entropy,
+  CASE WHEN d.n < 10 THEN 'nan'::DOUBLE
+       ELSE (
+         CASE WHEN abs(list_aggregate(list_transform(
+                generate_series(1, d.n - d.w + 1),
+                i -> list_aggregate(list_slice(d.tl, i, i + d.w - 1), 'sum')
+                     / CAST(d.w AS DOUBLE)), 'avg')) > {eps}
+         THEN 1.0 / (
+           sqrt(list_aggregate(list_transform(
+             list_transform(generate_series(1, d.n - d.w + 1),
+               i -> list_aggregate(list_slice(d.tl, i, i + d.w - 1), 'sum')
+                    / CAST(d.w AS DOUBLE)),
+             r -> pow(r - list_aggregate(list_transform(
+                    generate_series(1, d.n - d.w + 1),
+                    i -> list_aggregate(list_slice(d.tl, i, i + d.w - 1), 'sum')
+                         / CAST(d.w AS DOUBLE)), 'avg'), 2)), 'avg'))
+           / abs(list_aggregate(list_transform(
+               generate_series(1, d.n - d.w + 1),
+               i -> list_aggregate(list_slice(d.tl, i, i + d.w - 1), 'sum')
+                    / CAST(d.w AS DOUBLE)), 'avg'))
+           + 0.01)
+         ELSE 'nan'::DOUBLE END) END AS stability,
+  d.explen AS expected_length,
+  d.ngaps AS n_gaps
+FROM d
+JOIN plat p ON p.id = d.id
+JOIN platnz pz ON pz.id = d.id
+LEFT JOIN eent ee ON ee.id = d.id
+"""
     o["stats_summary"] = f"""
 WITH panel AS ({_PANEL}),
 g AS (SELECT id, count(*) AS length,
@@ -2015,6 +2221,113 @@ SELECT d.id, d.ds, d.y,
        coalesce(d.y - d.trend - ic.sidx, CAST('nan' AS DOUBLE)) AS remainder
 FROM det d JOIN ic ON ic.id = d.id AND ic.phase = (d.rn - 1) % 7
 WHERE d.n >= 14
+"""
+    # ACF period detection (detect.py::_acf_period): highest local maximum of
+    # the full-denominator ACF over lags 2..max_lag-1; ties → smallest lag
+    # (the numpy loop's strict `>` keeps the first occurrence).
+    o["detect_periods_acf"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+pr AS (SELECT id, n, amp, least(n // 2, 400) AS ml,
+              list_transform(l, v -> v - mu) AS dl
+       FROM s),
+pr2 AS (SELECT *, list_aggregate(list_transform(dl, x -> x * x), 'sum') AS ss
+        FROM pr),
+acf AS (SELECT *, list_transform(generate_series(0, ml),
+          k -> CASE WHEN k = 0 THEN 1.0
+                    WHEN ss <= 0 THEN 0.0
+                    ELSE list_aggregate(list_transform(generate_series(1, n - k),
+                           t -> dl[t] * dl[t + k]), 'sum') / ss END) AS a
+        FROM pr2),
+cand AS (SELECT *, list_filter(
+           list_transform(generate_series(2, ml - 1),
+             k -> {{'k': k, 'c': a[k + 1]}}),
+           sx -> sx.c > a[sx.k] AND sx.c > a[sx.k + 2] AND sx.c > 0.0) AS cs
+         FROM acf),
+best AS (SELECT id, amp,
+                CASE WHEN len(cs) = 0 THEN 0
+                     ELSE list_filter(cs, sx -> sx.c = list_aggregate(
+                            list_transform(cs, s2 -> s2.c), 'max'))[1].k END AS bk,
+                CASE WHEN len(cs) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(cs, s2 -> s2.c), 'max')
+                END AS bc
+         FROM cand)
+SELECT id, CAST(bk AS INT) AS period, bc AS confidence, bc AS strength,
+       CASE WHEN bk >= 2 THEN amp ELSE 0.0 END AS amplitude,
+       0.0 AS phase, CAST(0 AS INT) AS iteration,
+       false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(CASE WHEN bk >= 2 THEN 1 ELSE 0 END AS INT) AS n_periods,
+       CAST(bk AS INT) AS primary_period,
+       'acf' AS method
+FROM best
+"""
+    # Lomb-Scargle periodogram (detect.py::_lomb_scargle): per candidate
+    # period, the tau-phased normalized power; best period = first strict
+    # maximum (ties → smallest p), confidence 1 - exp(-power).
+    o["detect_periods_lomb_scargle"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             CASE WHEN var_pop(CAST(y AS DOUBLE)) = 0 THEN 1.0
+                  ELSE var_pop(CAST(y AS DOUBLE)) END AS vr,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+pp AS (SELECT id, n, amp, vr, xl,
+              unnest(generate_series(2, greatest(n // 2, 3) - 1)) AS p
+       FROM x),
+c1 AS (SELECT *, 2 * pi() / p AS w FROM pp),
+c2 AS (SELECT *, atan2(
+          list_aggregate(list_transform(generate_series(0, n - 1),
+            t -> sin(2 * w * t)), 'sum'),
+          list_aggregate(list_transform(generate_series(0, n - 1),
+            t -> cos(2 * w * t)), 'sum')) / (2 * w) AS tau
+       FROM c1),
+c3 AS (SELECT *,
+        pow(list_aggregate(list_transform(generate_series(1, n),
+          t -> xl[t] * cos(w * (t - 1 - tau))), 'sum'), 2) AS numc,
+        pow(list_aggregate(list_transform(generate_series(1, n),
+          t -> xl[t] * sin(w * (t - 1 - tau))), 'sum'), 2) AS nums,
+        list_aggregate(list_transform(generate_series(0, n - 1),
+          t -> pow(cos(w * (t - tau)), 2)), 'sum') AS denc,
+        list_aggregate(list_transform(generate_series(0, n - 1),
+          t -> pow(sin(w * (t - tau)), 2)), 'sum') AS dens
+       FROM c2),
+pwr AS (SELECT id, amp, p,
+               (numc / (CASE WHEN denc = 0 THEN 1.0 ELSE denc END)
+                + nums / (CASE WHEN dens = 0 THEN 1.0 ELSE dens END))
+               / (2 * vr) AS power
+        FROM c3),
+bsel AS (SELECT id, p AS bp, power AS bpw FROM (
+           SELECT id, p, power,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY power DESC, p ASC) AS rk
+           FROM pwr)
+         WHERE rk = 1 AND power > 0),
+best AS (SELECT s.id, s.amp, coalesce(b.bp, 0) AS bk,
+                coalesce(b.bpw, 0.0) AS bpw
+         FROM s LEFT JOIN bsel b ON b.id = s.id)
+SELECT id, CAST(bk AS INT) AS period,
+       CASE WHEN bk >= 2 THEN
+            (CASE WHEN bpw < 700 THEN 1.0 - exp(-bpw) ELSE 1.0 END)
+            ELSE 0.0 END AS confidence,
+       CASE WHEN bk >= 2 THEN
+            (CASE WHEN bpw < 700 THEN 1.0 - exp(-bpw) ELSE 1.0 END)
+            ELSE 0.0 END AS strength,
+       CASE WHEN bk >= 2 THEN amp ELSE 0.0 END AS amplitude,
+       0.0 AS phase, CAST(0 AS INT) AS iteration,
+       false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(CASE WHEN bk >= 2 THEN 1 ELSE 0 END AS INT) AS n_periods,
+       CAST(bk AS INT) AS primary_period,
+       'lomb_scargle' AS method
+FROM best
 """
     # find_peaks walk: the left boundary of a peak's base is the last index
     # with a strictly greater value; prominence = peak - max(flank minima)

@@ -114,7 +114,8 @@ def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str)
                .when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), interp)
                .when(F.col("__pv").isNotNull(), F.col("__pv"))
                .otherwise(F.col("__nv")))
-    return df2.withColumn(y_col, filled).drop("__pos", "__pv", "__pp", "__nv", "__np")
+    return df2.withColumn(y_col, filled).drop(
+        "__pos", "__pv", "__pp", "__nv", "__np", "__rnd", "__npd")
 
 
 # ---------------------------------------------------------------------------

@@ -39,12 +39,18 @@ def enable_source_cache(enabled: bool = True) -> None:
         _CACHE.clear()
 
 
-def _cached(key: tuple, build):
+def _cached(key: tuple, build, spread: bool = False):
     if not _CACHE_ENABLED:
         return build()
     if key not in _CACHE:
         from pyspark import StorageLevel
-        _CACHE[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df = build()
+        if spread:
+            # one small parquet file scans as ONE partition; when persisting
+            # for repeated reuse, spread it across the executors first (at
+            # real scale many input files provide this parallelism natively)
+            df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        _CACHE[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
     return _CACHE[key]
 
 
@@ -57,15 +63,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # callers hand us arbitrary sessions (e.g. the correctness driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name in ("documents", "embeddings"):
-        # small dimension-like tables reread by every LLM-pipeline query.
-        # The single test parquet file scans as ONE partition, serializing
-        # the regex/hash maps onto one core — when cached, spread it across
-        # the executors first (at real scale the many input files provide
-        # this parallelism naturally).
+        # small dimension-like tables reread by every LLM-pipeline query
         return _cached(
             (name, sf_dir),
-            lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet")
-                         .repartition(spark.sparkContext.defaultParallelism))
+            lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+            spread=True)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -51,6 +51,58 @@ def test_dedup_never_cartesian(spark):
     P.assert_no_cartesian(simhash_pairs(docs, "doc_id", "text"))
 
 
+def test_relational_operator_shuffle_budgets(spark):
+    """Every relational family holds its shuffle budget — the claim that
+    matters at 100 TB (each extra Exchange is a full re-shuffle of the
+    data)."""
+    from anofox_forecast_spark.functions.metrics import ts_mae_by
+    from anofox_forecast_spark.operators.conformal import ts_conformal_by
+    from anofox_forecast_spark.operators.cv import ts_cv_folds_by
+    from anofox_forecast_spark.operators.hierarchy import ts_aggregate_hierarchy
+    from anofox_forecast_spark.operators.stats import ts_stats_by
+
+    panel = lineitem_panel(spark, SF_DIR)
+    p2 = panel.withColumn("forecast", F.col("y") * 1.1) \
+              .withColumnRenamed("y", "actual")
+
+    # metrics: panel agg + one grouped aggregate
+    P.assert_max_exchanges(ts_mae_by(p2, "ds", "actual", "forecast"), 2)
+    # stats: panel agg + one series shuffle into the batched UDF
+    P.assert_max_exchanges(ts_stats_by(panel, "id", "ds", "y", "1d"), 2)
+    # hierarchy rollup: panel agg + one ROLLUP shuffle
+    hp = panel.withColumn("k1", F.col("id").cast("string")) \
+              .withColumn("k2", F.lit("x"))
+    P.assert_max_exchanges(
+        ts_aggregate_hierarchy(hp, ["k1", "k2"], "ds", "y"), 3)
+    # cv folds: panel agg + series window + fold-spec join (same key)
+    folds = ts_cv_folds_by(panel, "id", "ds", "y", 2, 7)
+    P.assert_max_exchanges(folds, 4)
+    P.assert_no_cartesian(folds)
+    # conformal: panel agg + one grouped aggregate, no Python
+    conf = ts_conformal_by(p2, "id", "actual", "forecast", "forecast",
+                           {"alpha": 0.1})
+    P.assert_max_exchanges(conf, 3)
+    assert P.plan_report(conf)["python_udf_nodes"] == 0, \
+        "conformal calibration must stay JVM-side"
+
+
+def test_llm_ops_stay_jvm_side(spark):
+    """Text analysis and similarity top-k are narrow JVM maps / aggregates —
+    zero Python nodes, no shuffle for the maps."""
+    from anofox_forecast_spark.operators.similarity import cosine_topk
+    from anofox_forecast_spark.operators.text import text_quality
+    docs = load_table(spark, SF_DIR, "documents")
+    tq = text_quality(docs, "text")
+    rep = P.plan_report(tq)
+    assert rep["python_udf_nodes"] == 0
+    assert rep["exchanges"] == 0, "text quality must pipeline with the scan"
+    embs = load_table(spark, SF_DIR, "embeddings")
+    q = [0.1] * len(embs.select("embedding").head(1)[0][0])
+    topk = cosine_topk(embs, "vec_id", "embedding", q, k=5)
+    assert P.plan_report(topk)["python_udf_nodes"] == 0, \
+        "exact top-k must be zip_with/aggregate, not Python"
+
+
 def _forbid_actions(monkeypatch):
     from pyspark.sql import DataFrame
 
