@@ -510,6 +510,7 @@ def _analytics_queries():
         "detect_periods_acf": _periods_m("acf"),
         "detect_periods_lomb_scargle": _periods_m("lomb_scargle"),
         "detect_periods_autoperiod": _periods_m("autoperiod"),
+        "detect_periods_aic": _periods_m("aic"),
         "detect_periods_ssa": _periods_m("ssa"),
         "detect_periods_matrix_profile": _periods_m("matrix_profile"),
         "detect_changepoints": q_changepoints,
@@ -2265,6 +2266,265 @@ SELECT id, CAST(bk AS INT) AS period, bc AS confidence, bc AS strength,
        CAST(bk AS INT) AS primary_period,
        'acf' AS method
 FROM best
+"""
+    # FFT periodogram top-3 (detect.py::_fft_candidates): DFT of the
+    # linear-detrended demeaned series as explicit trig sums; candidate
+    # ordering mirrors np.argsort(spec)[::-1] (spec DESC, bin DESC on ties),
+    # periods rounded half-even like python round().
+    o["detect_periods_fft"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(xl) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM x0)
+        GROUP BY id),
+xd AS (SELECT x0.id, x0.n, x0.amp,
+              list_transform(generate_series(1, x0.n),
+                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM x0 JOIN reg ON reg.id = x0.id),
+bins AS (SELECT id, n, amp, unnest(generate_series(1, n // 2)) AS k, w
+         FROM xd),
+spec AS (SELECT id, n, amp, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM bins),
+tot AS (SELECT id, CASE WHEN sum(sp) = 0 THEN 1.0 ELSE sum(sp) END AS tt
+        FROM spec GROUP BY id),
+elig AS (SELECT id, n, amp, k, sp,
+                row_number() OVER (PARTITION BY id ORDER BY sp DESC, k DESC)
+                  AS rk
+         FROM spec
+         WHERE CAST(n AS DOUBLE) / k >= 2.0
+           AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)),
+top3 AS (SELECT e.*, t.tt,
+                row_number() OVER (PARTITION BY e.id ORDER BY e.rk) AS it
+         FROM (SELECT * FROM elig) e JOIN tot t ON t.id = e.id
+         QUALIFY it <= 3),
+rows_ AS (SELECT id,
+       CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k) + 1
+                 WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) < 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS INT) AS period,
+       sp / tt AS confidence, amp,
+       CAST(it - 1 AS INT) AS iteration,
+       count(*) OVER (PARTITION BY id) AS np_,
+       first_value(CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k) + 1
+                 WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) < 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS INT))
+         OVER (PARTITION BY id ORDER BY it) AS prim
+  FROM top3)
+SELECT id, period, confidence, confidence AS strength, amp AS amplitude,
+       0.0 AS phase, iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(np_ AS INT) AS n_periods, prim AS primary_period,
+       'fft' AS method
+FROM rows_
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'fft'
+FROM s LEFT JOIN (SELECT DISTINCT id FROM top3) h ON h.id = s.id
+WHERE h.id IS NULL
+"""
+    # Autoperiod (detect.py::_autoperiod): FFT top-5 candidates validated on
+    # an ACF hill; first validated wins at full confidence, else the top
+    # candidate at half confidence.
+    half_even_nk = """
+      CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
+                THEN floor(CAST(n AS DOUBLE) / k) + 1
+                WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) < 0.5
+                THEN floor(CAST(n AS DOUBLE) / k)
+                WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
+                THEN floor(CAST(n AS DOUBLE) / k)
+                ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS INT)
+    """
+    o["detect_periods_autoperiod"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(xl) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM x0)
+        GROUP BY id),
+xd AS (SELECT x0.id, x0.n, x0.amp, x0.xl,
+              list_transform(generate_series(1, x0.n),
+                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM x0 JOIN reg ON reg.id = x0.id),
+acfl AS (SELECT id, least(n // 2, 400) AS ml,
+                list_transform(generate_series(0, least(n // 2, 400)), k ->
+                  CASE WHEN k = 0 THEN 1.0
+                       WHEN list_aggregate(list_transform(xl, x -> x * x), 'sum') <= 0
+                       THEN 0.0
+                       ELSE list_aggregate(list_transform(generate_series(1, n - k),
+                              t -> xl[t] * xl[t + k]), 'sum')
+                            / list_aggregate(list_transform(xl, x -> x * x), 'sum')
+                  END) AS a
+         FROM xd),
+bins AS (SELECT id, n, amp, unnest(generate_series(1, n // 2)) AS k, w
+         FROM xd),
+spec AS (SELECT id, n, amp, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM spec_src),
+tot AS (SELECT id, CASE WHEN sum(sp) = 0 THEN 1.0 ELSE sum(sp) END AS tt
+        FROM spec GROUP BY id),
+cand5 AS (SELECT c.*, t.tt, row_number() OVER (PARTITION BY c.id ORDER BY c.rk) AS it
+          FROM (SELECT id, n, amp, k, sp,
+                       row_number() OVER (PARTITION BY id ORDER BY sp DESC, k DESC) AS rk
+                FROM spec
+                WHERE CAST(n AS DOUBLE) / k >= 2.0
+                  AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)) c
+          JOIN tot t ON t.id = c.id
+          QUALIFY it <= 5),
+pv AS (SELECT c.id, c.amp, c.it, {half_even_nk} AS p_, c.sp / c.tt AS conf_,
+              f.ml, f.a
+       FROM cand5 c JOIN acfl f ON f.id = c.id),
+vv AS (SELECT *,
+         p_ <= ml - 1
+         AND least(ml - 1, p_ + 1) >= greatest(2, p_ - 1)
+         AND list_aggregate(list_slice(a, greatest(2, p_ - 1) + 1,
+                                       least(ml - 1, p_ + 1) + 1), 'max') > 0
+         AND a[p_ + 1] >= 0 AS ok
+       FROM pv),
+sel AS (SELECT id, amp, p_, conf_, true AS validated FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY it) AS vr
+          FROM vv WHERE ok) WHERE vr = 1),
+fb AS (SELECT id, amp, p_, conf_ * 0.5 AS conf_, false AS validated
+       FROM vv WHERE it = 1),
+pick AS (SELECT coalesce(s2.id, f2.id) AS id,
+                coalesce(s2.amp, f2.amp) AS amp,
+                coalesce(s2.p_, f2.p_) AS p_,
+                coalesce(s2.conf_, f2.conf_) AS conf_
+         FROM fb f2 LEFT JOIN sel s2 ON s2.id = f2.id)
+SELECT id, CAST(p_ AS INT) AS period, conf_ AS confidence,
+       conf_ AS strength, amp AS amplitude, 0.0 AS phase,
+       CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(p_ AS INT) AS primary_period,
+       'autoperiod' AS method
+FROM pick
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'autoperiod'
+FROM s LEFT JOIN (SELECT DISTINCT id FROM cand5) h ON h.id = s.id
+WHERE h.id IS NULL
+"""
+    o["detect_periods_autoperiod"] = o["detect_periods_autoperiod"].replace(
+        "FROM spec_src", "FROM bins")
+    # method 'auto' (detect_periods default): autoperiod, and when the ACF
+    # rejects every candidate fall back to the periodogram dominant period
+    # (models.detect_seasonality) at confidence >= 0.5; confidence is NOT
+    # halved on the unvalidated path (unlike method='autoperiod').
+    _auto_prefix = o["detect_periods_autoperiod"][
+        :o["detect_periods_autoperiod"].index("pick AS")]
+    o["detect_periods"] = _auto_prefix + f"""
+totraw AS (SELECT id, sum(sp) AS tr FROM spec GROUP BY id),
+bb AS (SELECT id, {half_even_nk} AS bp, sp,
+              row_number() OVER (PARTITION BY id ORDER BY sp DESC, k ASC) AS r
+       FROM spec
+       WHERE CAST(n AS DOUBLE) / k >= 2.0
+         AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)),
+p2 AS (SELECT s.id,
+              CASE WHEN s.n < 8 THEN 1
+                   WHEN b.bp IS NULL THEN 1
+                   WHEN t.tr <= 0 THEN 1
+                   WHEN b.sp / t.tr < 0.1 THEN 1
+                   ELSE greatest(b.bp, 1) END AS p2
+       FROM s LEFT JOIN (SELECT * FROM bb WHERE r = 1) b ON b.id = s.id
+       LEFT JOIN totraw t ON t.id = s.id),
+fbr AS (SELECT id, amp, p_, conf_ FROM vv WHERE it = 1),
+pick AS (SELECT f2.id, f2.amp,
+                CASE WHEN s2.id IS NOT NULL THEN s2.p_
+                     WHEN p2.p2 > 1 THEN p2.p2
+                     ELSE f2.p_ END AS p_,
+                CASE WHEN s2.id IS NOT NULL THEN s2.conf_
+                     WHEN p2.p2 > 1 THEN greatest(f2.conf_, 0.5)
+                     ELSE f2.conf_ END AS conf_
+         FROM fbr f2
+         LEFT JOIN sel s2 ON s2.id = f2.id
+         JOIN p2 ON p2.id = f2.id)
+SELECT id, CAST(p_ AS INT) AS period, conf_ AS confidence,
+       conf_ AS strength, amp AS amplitude, 0.0 AS phase,
+       CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(p_ AS INT) AS primary_period,
+       'auto' AS method
+FROM pick WHERE p_ >= 2
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'auto'
+FROM s LEFT JOIN (SELECT id FROM (SELECT f2.id,
+         CASE WHEN s2.id IS NOT NULL THEN s2.p_
+              WHEN p2.p2 > 1 THEN p2.p2 ELSE f2.p_ END AS p_
+       FROM (SELECT id, p_, conf_ FROM vv WHERE it = 1) f2
+       LEFT JOIN sel s2 ON s2.id = f2.id
+       JOIN p2 ON p2.id = f2.id) WHERE p_ >= 2) h ON h.id = s.id
+WHERE h.id IS NULL
+"""
+    # AIC period selection (detect.py::_aic_period): per candidate period,
+    # seasonal-means fit SSE on the linear-detrended series;
+    # AIC = n·ln(sse/n) + 2p, first strict minimum wins.
+    o["detect_periods_aic"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(l) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM s)
+        GROUP BY id),
+xd AS (SELECT s.id, s.n, s.amp,
+              list_transform(generate_series(1, s.n),
+                t -> s.l[t] - (reg.b0 + reg.b1 * (t - 1))) AS x
+       FROM s JOIN reg ON reg.id = s.id),
+pp AS (SELECT id, n, amp, x,
+              unnest(generate_series(2, greatest(n // 2, 3) - 1)) AS p
+       FROM xd),
+fit AS (SELECT id, n, amp, p,
+               list_transform(generate_series(0, p - 1),
+                 ph -> coalesce(list_aggregate(
+                         list_slice(x, ph + 1, n, p), 'avg'), 0.0)) AS mph,
+               x
+        FROM pp WHERE n >= 2 * p),
+sse AS (SELECT id, n, amp, p,
+               list_aggregate(list_transform(generate_series(1, n),
+                 t -> pow(x[t] - mph[(t - 1) % p + 1], 2)), 'sum') AS e
+        FROM fit),
+aic AS (SELECT id, amp, p, n * ln(e / n) + 2 * p AS a
+        FROM sse WHERE isfinite(e) AND e > 0),
+best AS (SELECT id, amp, p FROM (
+           SELECT *, row_number() OVER (PARTITION BY id ORDER BY a ASC, p ASC) AS r
+           FROM aic) WHERE r = 1)
+SELECT id, CAST(p AS INT) AS period, 1.0 AS confidence, 1.0 AS strength,
+       amp AS amplitude, 0.0 AS phase, CAST(0 AS INT) AS iteration,
+       false AS matches_expected, CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(p AS INT) AS primary_period,
+       'aic' AS method
+FROM best
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'aic'
+FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
 """
     # Lomb-Scargle periodogram (detect.py::_lomb_scargle): per candidate
     # period, the tau-phased normalized power; best period = first strict
