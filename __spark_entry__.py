@@ -463,8 +463,15 @@ def _analytics_queries():
                                           {"seasonal_periods": [7]})
 
     def q_analyze_seasonality(spark, sf):
-        return D.ts_analyze_seasonality_by(lineitem_panel(spark, sf),
-                                           "id", "ds", "y")
+        # project the detected_periods array to its size: the driver's
+        # column-sorted value hash (and pandas sort_values) can't order
+        # array cells, so the contract surface is scalar-only.
+        from pyspark.sql import functions as F
+        out = D.ts_analyze_seasonality_by(lineitem_panel(spark, sf),
+                                          "id", "ds", "y")
+        return out.select("id", F.size("detected_periods").alias("n_detected"),
+                          "primary_period", "seasonal_strength",
+                          "trend_strength")
 
     def q_classify_seasonality(spark, sf):
         return D.ts_classify_seasonality_by(lineitem_panel(spark, sf),
@@ -640,6 +647,20 @@ def _llm_queries():
         docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
         return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=16)
 
+    def q_minhash_md5(spark, sf):
+        # portable-hash mode: md5-based signatures are bit-identical in any
+        # engine, so this run is verified end-to-end against the DuckDB
+        # oracle (same shingles, signatures, band keys, candidates, output)
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=32, bands=8, threshold=0.4,
+                                    hash_fn="md5")
+
+    def q_simhash_md5(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=16,
+                                hash_fn="md5")
+
     def q_emb_pairs(spark, sf):
         embs = _embs(spark, sf).filter(F.col("vec_id") < 300)
         return DD.embedding_cosine_pairs_exact(embs, "vec_id", "embedding", 0.35)
@@ -690,6 +711,8 @@ def _llm_queries():
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
+        "dedup_minhash_md5": q_minhash_md5,
+        "dedup_simhash_md5": q_simhash_md5,
         "dedup_embedding_cosine": q_emb_pairs,
         "similarity_topk": q_topk,
         "similarity_topk_ivf": q_topk_ivf,
@@ -830,26 +853,30 @@ _WINDOW = [
     "forecast_rwd", "forecast_swa", "forecast_ses", "forecast_seasonal_es",
     "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
     "forecast_naive_intds", "forecast_exog_naive",
-    # data preparation
+    # data preparation (leading-zeros slot stands in for the trailing/edge
+    # variants of the same drop-zeros family; those stay locally hash-gated)
     "prep_diff", "prep_drop_short", "prep_drop_constant", "prep_drop_zeros",
-    "prep_drop_gappy", "prep_drop_leading_zeros", "prep_drop_trailing_zeros",
-    "prep_drop_edge_zeros", "prep_fill_gaps_monthly", "prep_mark_unknown",
-    "prep_fill_unknown_last", "prep_fill_unknown_null",
-    "prep_validate_timestamps",
+    "prep_drop_gappy", "prep_drop_leading_zeros",
+    "prep_fill_gaps_monthly", "prep_mark_unknown",
+    "prep_fill_unknown_last", "prep_validate_timestamps",
     # hierarchy
     "hier_combine_keys", "hier_aggregate", "hier_split_keys",
     "hier_validate_separator",
-    # cross-validation
+    # cross-validation (cv_split stands in for the _folds/_index variants)
     "cv_folds", "cv_folds_sliding", "cv_split", "cv_split_folds",
-    "cv_split_index", "cv_hydrate", "cv_check_leakage",
+    "cv_hydrate", "cv_check_leakage",
     # EDA / stats
     "stats_sql", "stats_summary", "stats_quality_report",
     # conformal
     "conformal_calibrate", "conformal_by", "conformal_interval_width",
     "conformal_evaluate", "conformal_per_step",
-    # LLM-pipeline ops
+    # LLM-pipeline ops: every dedup algorithm gets a driver slot — MinHash
+    # and SimHash run in portable-md5 mode so the full LSH pipeline
+    # (shingle -> signature -> band -> candidate -> verify) is hash-checked
+    # against the DuckDB oracle bit-for-bit
     "text_tokens", "text_fingerprint", "text_quality", "text_langid",
-    "dedup_exact_groups", "similarity_topk",
+    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_md5",
+    "dedup_simhash_md5", "dedup_embedding_cosine", "similarity_topk",
 ]
 
 
@@ -2621,6 +2648,134 @@ FROM cand c JOIN lbase l ON l.id = c.id AND l.rn = c.rn
 JOIN rbase r ON r.id = c.id AND r.rn = c.rn
 WHERE c.y - greatest(l.lv, r.rv) >= 10.0
 """
+    # Sliding-window seasonal strength (detect.py::ts_seasonal_strength_windowed_by,
+    # period 7, window 2*period, step period): per (id, window) linear detrend
+    # -> phase means -> 1 - Var(remainder)/Var(detrended), clamped to [0,1].
+    _WIN_STRENGTH = f"""
+panel AS ({_PANEL}),
+w AS (SELECT id, CAST(y AS DOUBLE) AS v,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS BIGINT) AS t
+      FROM panel),
+g AS (SELECT id, max(t) + 1 AS n FROM w GROUP BY id),
+wins AS (SELECT id, unnest(generate_series(0, n - 14, 7)) AS s
+         FROM g WHERE n >= 14),
+j AS (SELECT w.id, wins.s, CAST(w.t - wins.s AS DOUBLE) AS tl, w.v
+      FROM w JOIN wins ON wins.id = w.id
+                      AND w.t >= wins.s AND w.t < wins.s + 14),
+reg AS (SELECT id, s, regr_slope(v, tl) AS b1, regr_intercept(v, tl) AS b0
+        FROM j GROUP BY id, s),
+x AS (SELECT j.id, j.s, j.tl, j.v - (r.b0 + r.b1 * j.tl) AS x
+      FROM j JOIN reg r ON r.id = j.id AND r.s = j.s),
+ph AS (SELECT id, s, CAST(tl AS BIGINT) % 7 AS phase, avg(x) AS m
+       FROM x GROUP BY id, s, CAST(tl AS BIGINT) % 7),
+rm AS (SELECT x.id, x.s, x.x, x.x - p.m AS rem
+       FROM x JOIN ph p ON p.id = x.id AND p.s = x.s
+                       AND p.phase = CAST(x.tl AS BIGINT) % 7),
+vv AS (SELECT id, s, var_pop(x) AS vx, var_pop(rem) AS vr
+       FROM rm GROUP BY id, s),
+str AS (SELECT id, s,
+               CASE WHEN vx <= 0 THEN 0.0
+                    ELSE least(greatest(1.0 - vr / vx, 0.0), 1.0) END AS st
+        FROM vv)
+"""
+    o["seasonal_strength_windowed"] = f"""
+WITH {_WIN_STRENGTH}
+SELECT id, CAST(s AS INT) AS window_start, CAST(s + 14 AS INT) AS window_end,
+       st AS seasonal_strength
+FROM str
+"""
+    # Seasonal-regime changes (detect.py::ts_detect_seasonality_changes_by,
+    # threshold 0.3): classify consecutive window-strength transitions.
+    o["seasonality_changes"] = f"""
+WITH {_WIN_STRENGTH},
+seq AS (SELECT id, s, st,
+               lag(st) OVER (PARTITION BY id ORDER BY s) AS prev
+        FROM str),
+cls AS (SELECT id, s, st, prev,
+               CASE WHEN prev < 0.3 AND st >= 0.3 THEN 'appeared'
+                    WHEN st < 0.3 AND prev >= 0.3 THEN 'disappeared'
+                    WHEN st - prev > 0.15 THEN 'increased'
+                    WHEN prev - st > 0.15 THEN 'decreased' END AS change_type
+        FROM seq WHERE prev IS NOT NULL)
+SELECT id, CAST(s AS INT) AS "index", change_type,
+       prev AS strength_before, st AS strength_after
+FROM cls WHERE change_type IS NOT NULL
+"""
+    # ts_analyze_seasonality_by (detect.py:703): dominant periodogram period
+    # (models.detect_seasonality — DFT of linear-detrended series, bins with
+    # 2 <= n/k <= n//2, power-share >= 0.1), seasonal strength at the
+    # detected period, linear trend strength. Arrays projected to scalars
+    # by the query (driver hash can't order array cells).
+    o["analyze_seasonality"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             var_pop(CAST(y AS DOUBLE)) AS vy,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(l) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM s) GROUP BY id),
+xd AS (SELECT s.id, s.n, s.vy,
+              list_transform(generate_series(1, s.n),
+                t -> s.l[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM s JOIN reg ON reg.id = s.id),
+bins AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w
+         FROM xd),
+spec AS (SELECT id, n, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM bins),
+tot AS (SELECT id, sum(sp) AS tt FROM spec GROUP BY id),
+bsel AS (SELECT id, k, sp FROM (
+           SELECT id, k, sp,
+                  row_number() OVER (PARTITION BY id ORDER BY sp DESC, k ASC)
+                    AS rk
+           FROM spec
+           WHERE CAST(n AS DOUBLE) / k >= 2.0
+             AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE))
+         WHERE rk = 1),
+p1 AS (SELECT s.id, s.n, s.vy,
+              CASE WHEN s.n < 8 THEN 1
+                   WHEN b.k IS NULL THEN 1
+                   WHEN t.tt <= 0 THEN 1
+                   WHEN b.sp / t.tt < 0.1 THEN 1
+                   ELSE greatest(
+      CAST(CASE WHEN CAST(s.n AS DOUBLE) / b.k - floor(CAST(s.n AS DOUBLE) / b.k) > 0.5
+                THEN floor(CAST(s.n AS DOUBLE) / b.k) + 1
+                WHEN CAST(s.n AS DOUBLE) / b.k - floor(CAST(s.n AS DOUBLE) / b.k) < 0.5
+                THEN floor(CAST(s.n AS DOUBLE) / b.k)
+                WHEN CAST(floor(CAST(s.n AS DOUBLE) / b.k) AS BIGINT) % 2 = 0
+                THEN floor(CAST(s.n AS DOUBLE) / b.k)
+                ELSE floor(CAST(s.n AS DOUBLE) / b.k) + 1 END AS INT), 1)
+              END AS p
+       FROM s LEFT JOIN bsel b ON b.id = s.id
+       LEFT JOIN tot t ON t.id = s.id),
+rowsx AS (SELECT id, unnest(w) AS x, unnest(generate_series(1, n)) AS t
+          FROM xd),
+jp AS (SELECT r.id, r.x, (r.t - 1) % p1.p AS ph
+       FROM rowsx r JOIN p1 USING (id)
+       WHERE p1.p >= 2 AND p1.n >= 2 * p1.p),
+phm AS (SELECT id, ph, avg(x) AS m FROM jp GROUP BY id, ph),
+remx AS (SELECT jp.id, jp.x, jp.x - phm.m AS r
+         FROM jp JOIN phm ON phm.id = jp.id AND phm.ph = jp.ph),
+vv2 AS (SELECT id, var_pop(x) AS vx, var_pop(r) AS vr FROM remx GROUP BY id),
+sstr AS (SELECT id, CASE WHEN vx <= 0 THEN 0.0
+                         ELSE least(greatest(1.0 - vr / vx, 0.0), 1.0)
+                    END AS st FROM vv2),
+tvar AS (SELECT id, var_pop(x) AS vr FROM rowsx GROUP BY id)
+SELECT p1.id,
+       CAST(CASE WHEN p1.p > 1 THEN 1 ELSE 0 END AS INT) AS n_detected,
+       CAST(CASE WHEN p1.p > 1 THEN p1.p ELSE 0 END AS INT) AS primary_period,
+       coalesce(sstr.st, 0.0) AS seasonal_strength,
+       CASE WHEN p1.vy > 0
+            THEN least(greatest(1.0 - tv.vr / p1.vy, 0.0), 1.0)
+            ELSE 0.0 END AS trend_strength
+FROM p1 LEFT JOIN sstr ON sstr.id = p1.id
+JOIN tvar tv ON tv.id = p1.id
+"""
     return o
 
 
@@ -2750,6 +2905,80 @@ SELECT p.id_a, p.id_b,
        CAST(p.c AS DOUBLE) / (za.z + zb.z - p.c) AS jaccard
 FROM pairs p JOIN sz za ON za.doc_id = p.id_a JOIN sz zb ON zb.doc_id = p.id_b
 WHERE CAST(p.c AS DOUBLE) / (za.z + zb.z - p.c) >= 0.5
+"""
+    # MinHash-LSH in portable-hash mode (dedup.py::minhash_lsh_pairs,
+    # hash_fn='md5', 32 hashes / 8 bands of 4): signature component i = the
+    # lexicographic min of md5(shingle || ':' || i); band key = md5 of the
+    # comma-joined slice; candidates from band-key equality; exact-Jaccard
+    # verified. Bit-for-bit the Spark pipeline.
+    o["dedup_minhash_md5"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(t) - 2, 1) + 1),
+                i -> substr(t, CAST(i AS INT), 3))) AS s
+       FROM docs),
+sig AS (SELECT doc_id, s,
+               list_transform(range(0, 32),
+                 i -> list_aggregate(
+                        list_transform(s, g -> md5(g || ':' || i)), 'min'))
+                 AS sg
+        FROM sh),
+keys AS (SELECT doc_id, unnest(range(0, 8)) AS b, sg FROM sig),
+bk AS (SELECT doc_id, b,
+              md5(sg[CAST(b * 4 + 1 AS INT)] || ',' || sg[CAST(b * 4 + 2 AS INT)]
+                  || ',' || sg[CAST(b * 4 + 3 AS INT)] || ','
+                  || sg[CAST(b * 4 + 4 AS INT)]) AS k
+       FROM keys),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bk a JOIN bk b2 ON a.b = b2.b AND a.k = b2.k
+                             AND a.doc_id < b2.doc_id),
+vfy AS (SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(range(1, 33),
+                      i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)]))
+                    AS DOUBLE) / 32.0 AS est_jaccard,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                 AS jaccard
+        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, est_jaccard, jaccard FROM vfy WHERE jaccard >= 0.4
+"""
+    # SimHash in portable-hash mode (dedup.py::simhash_pairs, hash_fn='md5'):
+    # per-shingle 64-bit value = first 16 hex chars of md5; bit b lives in
+    # hex digit 16 - b//4, bit b%4; per-bit vote > 0 sets the bit; candidates
+    # share one of four 16-bit chunks; hamming = bit_count(xor).
+    o["dedup_simhash_md5"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(t) - 2, 1) + 1),
+                i -> substr(t, CAST(i AS INT), 3))) AS s
+       FROM docs),
+hx AS (SELECT doc_id, substr(md5(unnest(s)), 1, 16) AS h FROM sh),
+bits AS (SELECT doc_id, h, unnest(range(0, 64)) AS b FROM hx),
+bv AS (SELECT doc_id, b,
+              sum(CASE WHEN ((instr('0123456789abcdef',
+                                    substr(h, CAST(16 - b // 4 AS INT), 1)) - 1)
+                             >> CAST(b % 4 AS INT)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS vote
+       FROM bits GROUP BY doc_id, b),
+sim AS (SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN
+                          CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                               ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS s64
+        FROM bv GROUP BY doc_id),
+ch AS (SELECT doc_id, s64, unnest(range(0, 4)) AS c FROM sim),
+k AS (SELECT doc_id, s64, c,
+             (s64 >> CAST(c * 16 AS INT)) & 65535 AS key
+      FROM ch),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s64 AS sa, b.s64 AS sb
+         FROM k a JOIN k b ON a.c = b.c AND a.key = b.key
+                          AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 16
 """
     o["dedup_embedding_cosine"] = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -127,34 +127,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
-    """array<bigint> of per-salt minimum xxhash64 over the shingle set."""
-    sigs = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
+def minhash_signature(sh: Column, num_hashes: int = 64,
+                      hash_fn: str = "xxhash64") -> Column:
+    """Per-salt minimum hash over the shingle set.
+
+    ``hash_fn='xxhash64'`` (default, fast path): array<bigint> of min
+    xxhash64(shingle, salt) — JVM-native, the 100 TB path.
+    ``hash_fn='md5'`` (portable path): array<string> of the lexicographic
+    minimum md5 hex of ``shingle || ':' || salt``. md5 hex is identical in
+    every engine, so results are reproducible bit-for-bit across Spark,
+    DuckDB, retries, and cluster layouts — the mode the correctness oracle
+    verifies end-to-end.
+    """
+    # NOTE: the per-salt lambda must be UNARY. PySpark inspects the lambda's
+    # arity, and a second parameter (even with a default, e.g. the classic
+    # `lambda s, i=i:` closure trick) makes transform() call it as
+    # (element, array_index) — silently replacing the salt with the shingle's
+    # position. A closure factory keeps the salt captured and the arity 1.
+    def _salted(i: int):
+        if hash_fn == "md5":
+            return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sigs = [F.array_min(F.transform(sh, _salted(i)))
+            for i in range(num_hashes)]
     return F.array(*sigs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via MinHash-LSH: (id_a, id_b, est_jaccard, jaccard).
 
     ``est_jaccard`` = fraction of equal signature components;
     ``jaccard`` = exact verification on the shingle sets of candidates only.
+    ``hash_fn='md5'`` makes signatures and band keys engine-portable and
+    retry-deterministic (see :func:`minhash_signature`).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     sh = _shingle_df(df, id_col, text_col, shingle_n)
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes,
+                                                   hash_fn))
     # band keys: hash of each signature slice
     band_rows = sig.select(
         "__id", "__sig", "__sh",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(",", *[
+                     band_hash(F.concat_ws(",", *[
                          F.element_at(F.col("__sig"), b * r + j + 1).cast("string")
                          for j in range(r)])).alias("key"))
             for b in range(bands)])).alias("__b"))
@@ -196,26 +219,52 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text: Column, shingle_n: int = 3) -> Column:
+def simhash(text: Column, shingle_n: int = 3,
+            hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash (bigint) from character shingles: per-bit weighted vote
-    over xxhash64(shingle) bits."""
+    over per-shingle hash bits.
+
+    ``hash_fn='xxhash64'`` (default): JVM-native, the fast path.
+    ``hash_fn='md5'``: the 64-bit value is the first 16 hex chars of
+    md5(shingle) — engine-portable, so the full pipeline is reproducible in
+    any SQL engine (the mode the correctness oracle verifies).
+    """
     norm = normalize_text(text)
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle_n - 1), F.lit(1))),
             lambda i: norm.substr(i, F.lit(shingle_n))))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
 
-    def _vote(bv: int):
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bv)) != 0, 1)
-                                  .otherwise(-1))
+    if hash_fn == "md5":
+        hashes = F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16))
+
+        def _vote(b: int):
+            # bit b (0 = LSB) of the 64-bit value = bit (b % 4) of the hex
+            # digit at 1-based position 16 - b // 4 (hex chars are MSB-first)
+            def bit_of(h):
+                d = F.conv(F.substring(h, 16 - b // 4, 1), 16, 10).cast("int")
+                return F.shiftright(d, b % 4).bitwiseAND(F.lit(1))
+            return F.aggregate(
+                hashes, F.lit(0),
+                lambda acc, h: acc + F.when(bit_of(h) == 1, 1).otherwise(-1))
+
+        votes = {b: _vote(b) for b in range(64)}
+    else:
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+        def _vote_mask(bv: int):
+            return F.aggregate(
+                hashes, F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bv)) != 0, 1)
+                                      .otherwise(-1))
+
+        votes = {b: _vote_mask((1 << b) if b < 63 else -(2 ** 63))
+                 for b in range(64)}
 
     bits = []
     for b in range(64):
         bitval = (1 << b) if b < 63 else -(2 ** 63)  # bit 63 is the sign bit
-        bits.append(F.when(_vote(bitval) > 0, F.lit(bitval).cast("long"))
+        bits.append(F.when(votes[b] > 0, F.lit(bitval).cast("long"))
                      .otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
@@ -223,13 +272,48 @@ def simhash(text: Column, shingle_n: int = 3) -> Column:
     return out
 
 
+def _simhash_md5_df(df: DataFrame, id_col: str, text_col: str,
+                    shingle_n: int = 3) -> DataFrame:
+    """(__id, __sh) 64-bit md5-based SimHash, computed relationally:
+    explode shingles -> one row per (shingle, bit) -> per-bit vote sum ->
+    reassemble the bigint. All narrow JVM expressions + two partial-agg
+    shuffles on __id — the shape that scales, and ~10x faster than folding
+    64 aggregate() passes over the shingle array per row."""
+    norm = normalize_text(F.col(text_col))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle_n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(shingle_n))))
+    h = (df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__g"))
+           .select("__id", F.substring(F.md5("__g"), 1, 16).alias("__h")))
+    b = h.select("__id", "__h",
+                 F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__b"))
+    # bit __b of the 64-bit value = bit (__b % 4) of hex digit 16 - __b div 4
+    vote_term = F.expr(
+        "CASE WHEN (CAST(conv(substring(__h, 16 - CAST(__b DIV 4 AS INT), 1),"
+        " 16, 10) AS INT) DIV array(1, 2, 4, 8)[CAST(__b % 4 AS INT)]) % 2 = 1"
+        " THEN 1 ELSE -1 END")
+    votes = (b.groupBy("__id", "__b")
+              .agg(F.sum(vote_term).alias("__v")))
+    bitval = F.expr(
+        "CASE WHEN __b = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+        " ELSE shiftleft(CAST(1 AS BIGINT), CAST(__b AS INT)) END")
+    return (votes.groupBy("__id")
+            .agg(F.sum(F.when(F.col("__v") > 0, bitval).otherwise(F.lit(0)))
+                  .cast("long").alias("__sh")))
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
     (pigeonhole ⇒ full recall at hamming ≤ 3); verified with
     bit_count(a XOR b) ≤ max_hamming. Output (id_a, id_b, hamming)."""
-    base = df.select(F.col(id_col).alias("__id"),
-                     simhash(F.col(text_col)).alias("__sh"))
+    if hash_fn == "md5":
+        base = _simhash_md5_df(df, id_col, text_col)
+    else:
+        base = df.select(F.col(id_col).alias("__id"),
+                         simhash(F.col(text_col), hash_fn=hash_fn).alias("__sh"))
     chunks = base.select(
         "__id", "__sh",
         F.explode(F.array(*[
