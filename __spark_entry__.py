@@ -550,6 +550,8 @@ def _exog_frames(spark, sf_dir):
 
 
 def _ext_queries():
+    from pyspark.sql import functions as F
+
     from anofox_forecast_spark.operators import forecast_ext as FX
 
     def q_exog_naive(spark, sf):
@@ -578,11 +580,17 @@ def _ext_queries():
                           "inspection.aic", "inspection.bic")
 
     def q_explain(spark, sf):
+        # project the seasonal component to exploded scalars: it's an exact
+        # deterministic function of the history (mean-centered phase
+        # pattern), so it gets a hash-exact oracle; the level/trend arrays
+        # ride on the optimizer-driven Theta point path (parity-gated in
+        # tests/test_parity.py) and arrays can't be driver-hashed anyway.
         out = FX.ts_forecast_explain_by(lineitem_panel(spark, sf), "id", "ds",
                                         "y", "Theta", HORIZON,
                                         {"seasonal_period": SEASON})
-        return out.select("id", "decomposition.horizon", "decomposition.trend",
-                          "decomposition.seasonal")
+        return out.select(
+            "id", "decomposition.horizon",
+            F.posexplode("decomposition.seasonal").alias("step", "seasonal"))
 
     return {
         "forecast_exog_naive": q_exog_naive,
@@ -680,10 +688,16 @@ def _llm_queries():
                                    "vec_id", "embedding", list(qvec), 10)
 
     def q_knn_join(spark, sf):
+        # the hyperplanes are data-independent (seed 42, dim 64), so the
+        # DuckDB oracle inlines the same planes as literals and replicates
+        # the whole pipeline: unit-normalize -> 10-bit signature ->
+        # bucket join -> cosine -> rank<=k
         embs = _embs(spark, sf)
         left = embs.filter(F.col("vec_id") < 50)
-        right = embs.filter(F.col("vec_id") >= 50)
-        return SIM.knn_join_lsh(left, right, "vec_id", "vec_id", "embedding", 3)
+        right = (embs.filter(F.col("vec_id") >= 50)
+                     .withColumnRenamed("vec_id", "vec_id_b"))
+        return SIM.knn_join_lsh(left, right, "vec_id", "vec_id_b",
+                                "embedding", 3)
 
     def _bin_docs(spark, sf):
         return _docs(spark, sf).select(
@@ -695,12 +709,21 @@ def _llm_queries():
                          "media_meta.is_valid")
 
     def q_media_features(spark, sf):
-        return MM.image_features(_bin_docs(spark, sf), "payload", "doc_id",
-                                 fake=True)
+        # posexplode the 16-bin histogram 'embedding' to scalar rows — the
+        # driver's column-sorted value hash can't order array cells
+        out = MM.image_features(_bin_docs(spark, sf), "payload", "doc_id",
+                                fake=True)
+        return out.select(
+            "doc_id",
+            F.posexplode("feature_vector").alias("bin", "freq"))
 
     def q_frame_sample(spark, sf):
-        return MM.frame_sample(_bin_docs(spark, sf), "payload", "doc_id",
-                               every_n=5, fake=True)
+        # payloads are UTF-8 text, so frames decode back to text slices —
+        # hash-comparable scalars for the driver (binary itself isn't)
+        out = MM.frame_sample(_bin_docs(spark, sf), "payload", "doc_id",
+                              every_n=1, fake=True)
+        return out.select("doc_id", "frame_index",
+                          F.decode("frame", "UTF-8").alias("frame_text"))
 
     return {
         "text_tokens": q_tokens,
@@ -2776,6 +2799,172 @@ SELECT p1.id,
 FROM p1 LEFT JOIN sstr ON sstr.id = p1.id
 JOIN tvar tv ON tv.id = p1.id
 """
+    # Shared analytic-signal fragment (detect.py::_hilbert_analytic): exact
+    # O(n^2) DFT -> one-sided spectrum doubling -> inverse DFT, per series.
+    # zr/zi are the real/imag parts of the analytic signal of (y - mean).
+    _HILBERT = f"""
+panel AS ({_PANEL}),
+w0 AS (SELECT id, CAST(y AS DOUBLE) AS v, ds,
+              CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1
+                   AS BIGINT) AS t
+       FROM panel),
+mu AS (SELECT id, avg(v) AS m, count(*) AS n FROM w0 GROUP BY id),
+w AS (SELECT w0.id, w0.t, w0.ds, w0.v - mu.m AS x, mu.n
+      FROM w0 JOIN mu USING (id)),
+ks AS (SELECT id, n, unnest(range(0, n)) AS k FROM mu),
+dft AS (SELECT ks.id, ks.n, ks.k,
+               sum(w.x * cos(2 * pi() * ks.k * w.t / ks.n)) AS xr,
+               -sum(w.x * sin(2 * pi() * ks.k * w.t / ks.n)) AS xi
+        FROM ks JOIN w ON w.id = ks.id
+        GROUP BY ks.id, ks.n, ks.k),
+hk AS (SELECT id, n, k, xr, xi,
+              CASE WHEN n % 2 = 0 THEN
+                     CASE WHEN k = 0 OR k = n // 2 THEN 1.0
+                          WHEN k < n // 2 THEN 2.0 ELSE 0.0 END
+                   ELSE
+                     CASE WHEN k = 0 THEN 1.0
+                          WHEN k <= (n - 1) // 2 THEN 2.0 ELSE 0.0 END
+              END AS h
+       FROM dft),
+z AS (SELECT w.id, w.t, w.ds,
+             sum(hk.h * (hk.xr * cos(2 * pi() * hk.k * w.t / hk.n)
+                         - hk.xi * sin(2 * pi() * hk.k * w.t / hk.n))) / w.n
+               AS zr,
+             sum(hk.h * (hk.xr * sin(2 * pi() * hk.k * w.t / hk.n)
+                         + hk.xi * cos(2 * pi() * hk.k * w.t / hk.n))) / w.n
+               AS zi
+      FROM w JOIN hk ON hk.id = w.id AND hk.h > 0
+      GROUP BY w.id, w.t, w.ds, w.n)
+"""
+    # ts_instantaneous_period_by (detect.py): amplitude = |analytic|, phase
+    # diffs wrapped into [-pi, pi) (np.unwrap on consecutive diffs — a
+    # floor-based mod, NOT SQL fmod, which takes the dividend's sign),
+    # frequency = diff / 2pi with freq[0] = freq[1], period = 1/|freq|.
+    o["instantaneous_period"] = f"""
+WITH {_HILBERT},
+ph AS (SELECT id, t, ds, sqrt(zr * zr + zi * zi) AS amplitude,
+              atan2(zi, zr) AS phase
+       FROM z),
+dd AS (SELECT id, t, ds, amplitude,
+              phase - lag(phase) OVER (PARTITION BY id ORDER BY t) AS d
+       FROM ph),
+fr AS (SELECT id, t, ds, amplitude,
+              CASE WHEN d IS NULL THEN NULL
+                   ELSE ((d + pi()) - 2 * pi() * floor((d + pi()) / (2 * pi()))
+                         - pi()) / (2 * pi()) END AS f
+       FROM dd),
+fx AS (SELECT id, t, ds, amplitude,
+              coalesce(f, lead(f) OVER (PARTITION BY id ORDER BY t))
+                AS frequency
+       FROM fr)
+SELECT id, ds,
+       CASE WHEN abs(frequency) > 2.220446049250313e-16
+            THEN 1.0 / abs(frequency) END AS period,
+       frequency, amplitude
+FROM fx
+"""
+    # ts_detect_amplitude_modulation_by (detect.py, period 7): whole-series
+    # variance seasonal strength, per-cycle mean of the Hilbert envelope,
+    # modulation score = CV, amplitude trend = OLS slope over cycle index.
+    o["amplitude_modulation"] = f"""
+WITH {_HILBERT},
+reg AS (SELECT id, regr_slope(x, CAST(t AS DOUBLE)) AS b1,
+               regr_intercept(x, CAST(t AS DOUBLE)) AS b0
+        FROM w GROUP BY id),
+dt AS (SELECT w.id, w.t, w.x - (reg.b0 + reg.b1 * w.t) AS xd
+       FROM w JOIN reg USING (id)),
+pm AS (SELECT id, t % 7 AS phs, avg(xd) AS m FROM dt GROUP BY id, t % 7),
+rem AS (SELECT dt.id, dt.xd, dt.xd - pm.m AS r
+        FROM dt JOIN pm ON pm.id = dt.id AND pm.phs = dt.t % 7),
+sv AS (SELECT id, var_pop(xd) AS vx, var_pop(r) AS vr FROM rem GROUP BY id),
+st AS (SELECT id, CASE WHEN vx <= 0 THEN 0.0
+                       ELSE least(greatest(1.0 - vr / vx, 0.0), 1.0)
+                  END AS strength
+       FROM sv),
+cyc AS (SELECT z.id, CAST(z.t // 7 AS BIGINT) AS c,
+               avg(sqrt(z.zr * z.zr + z.zi * z.zi)) AS ca
+        FROM z JOIN mu ON mu.id = z.id
+        WHERE z.t < (mu.n // 7) * 7
+        GROUP BY z.id, z.t // 7),
+cs AS (SELECT id, avg(ca) AS m, stddev_pop(ca) AS s, count(*) AS nc,
+              regr_slope(ca, CAST(c AS DOUBLE)) AS sl
+       FROM cyc GROUP BY id),
+cls AS (SELECT cs.id, st.strength,
+               st.strength >= 0.3 AS is_seasonal,
+               CASE WHEN cs.m > 2.220446049250313e-16 THEN cs.s / cs.m
+                    ELSE 0.0 END AS score,
+               CASE WHEN cs.nc > 1 THEN cs.sl ELSE 0.0 END AS trend
+        FROM cs JOIN st ON st.id = cs.id)
+SELECT id, is_seasonal, strength AS seasonal_strength,
+       (is_seasonal AND score > 0.2) AS has_modulation,
+       CASE WHEN NOT is_seasonal THEN 'none'
+            WHEN NOT (score > 0.2) THEN 'stable'
+            WHEN trend > 0 THEN 'increasing'
+            WHEN trend < 0 THEN 'decreasing'
+            ELSE 'varying' END AS modulation_type,
+       score AS modulation_score, trend AS amplitude_trend
+FROM cls
+"""
+    # ts_detect_changepoints_by (detect.py::pelt, min_size=5, l2 cost,
+    # penalty = 2 ln(n) var_pop(y)). The oracle runs the UNPRUNED optimal
+    # partitioning DP in a recursive CTE — PELT's pruning is a pure speedup,
+    # the minima and argmins (first-smallest-s tie-break = struct (v, s)
+    # min) are identical. Fv/prev ride along as list columns; a second
+    # recursive CTE backtracks prev into the changepoint set.
+    o["detect_changepoints"] = f"""
+WITH RECURSIVE panel AS ({_PANEL}),
+w0 AS (SELECT id, CAST(y AS DOUBLE) AS v, ds,
+              CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1
+                   AS BIGINT) AS t
+       FROM panel),
+s AS (SELECT id, count(*) AS n, var_pop(v) AS vy FROM w0 GROUP BY id),
+pref AS (SELECT id, t,
+                sum(v) OVER (PARTITION BY id ORDER BY t) AS p1,
+                sum(v * v) OVER (PARTITION BY id ORDER BY t) AS p2
+         FROM w0),
+cs AS (SELECT s.id, s.n,
+              2.0 * ln(s.n) * (CASE WHEN s.vy = 0 THEN 1.0 ELSE s.vy END)
+                AS pen,
+              list_prepend(0.0, list(pref.p1 ORDER BY pref.t)) AS c1,
+              list_prepend(0.0, list(pref.p2 ORDER BY pref.t)) AS c2
+       FROM s JOIN pref ON pref.id = s.id
+       WHERE s.n >= 10
+       GROUP BY s.id, s.n, s.vy),
+dp AS (
+  SELECT id, n, pen, c1, c2, CAST(5 AS BIGINT) AS t,
+         list_concat([-pen], ['infinity'::DOUBLE, 'infinity'::DOUBLE,
+                              'infinity'::DOUBLE, 'infinity'::DOUBLE]) AS fv,
+         CAST([0, 0, 0, 0, 0] AS BIGINT[]) AS pv
+  FROM cs
+  UNION ALL
+  SELECT id, n, pen, c1, c2, t + 1,
+         list_append(fv, best.v), list_append(pv, best.s)
+  FROM (
+    SELECT *, list_aggregate(list_transform(range(0, t - 5 + 1),
+              s -> struct_pack(
+                v := fv[CAST(s + 1 AS INT)]
+                     + (c2[CAST(t + 1 AS INT)] - c2[CAST(s + 1 AS INT)])
+                     - pow(c1[CAST(t + 1 AS INT)] - c1[CAST(s + 1 AS INT)], 2)
+                       / (t - s)
+                     + pen,
+                s := s)), 'min') AS best
+    FROM dp WHERE t <= n)),
+fin AS (SELECT id, n, pv FROM dp WHERE t = n + 1),
+bt AS (
+  SELECT id, n, pv, CAST(n AS BIGINT) AS t, CAST([] AS BIGINT[]) AS cps
+  FROM fin
+  UNION ALL
+  SELECT id, n, pv, pv[CAST(t + 1 AS INT)],
+         CASE WHEN pv[CAST(t + 1 AS INT)] > 0
+              THEN list_append(cps, pv[CAST(t + 1 AS INT)]) ELSE cps END
+  FROM bt WHERE t > 0),
+cpsets AS (SELECT id, cps FROM bt WHERE t = 0)
+SELECT w0.id, w0.ds,
+       coalesce(list_contains(c.cps, w0.t), FALSE) AS is_changepoint,
+       CASE WHEN coalesce(list_contains(c.cps, w0.t), FALSE)
+            THEN 1.0 ELSE 0.0 END AS changepoint_probability
+FROM w0 LEFT JOIN cpsets c ON c.id = w0.id
+"""
     return o
 
 
@@ -3002,6 +3191,86 @@ u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n)
 SELECT u.vec_id, list_dot_product(u.v, (SELECT v FROM qn)) AS cosine
 FROM u ORDER BY cosine DESC, u.vec_id LIMIT 10
 """
+    # LSH k-NN join (similarity.py::knn_join_lsh, seed 42, 10 planes, k=3):
+    # the hyperplanes are data-independent, so the oracle inlines the exact
+    # same numpy-generated planes as literals and replicates the pipeline —
+    # unit-normalize, 10-bit sign signature, bucket join, cosine, rank<=3.
+    import numpy as _np
+    _rng = _np.random.default_rng(42)
+    _planes = _rng.standard_normal((10, 64))
+    _plane_rows = ",\n  ".join(
+        "(%d, CAST([%s] AS DOUBLE[]))"
+        % (p, ", ".join(repr(float(x)) for x in _planes[p]))
+        for p in range(10))
+    o["similarity_knn_join"] = f"""
+WITH planes(p, pv) AS (VALUES
+  {_plane_rows}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n),
+sg AS (SELECT u.vec_id,
+              CAST(sum(CASE WHEN list_dot_product(u.v, pl.pv) > 0
+                            THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END)
+                   AS BIGINT) AS sig
+       FROM u CROSS JOIN planes pl GROUP BY u.vec_id),
+j AS (SELECT u.vec_id, u.v, sg.sig FROM u JOIN sg ON sg.vec_id = u.vec_id),
+pr AS (SELECT l.vec_id AS vec_id, r.vec_id AS vec_id_b,
+              list_dot_product(l.v, r.v) AS cosine
+       FROM j l JOIN j r ON l.sig = r.sig
+       WHERE l.vec_id < 50 AND r.vec_id >= 50),
+rk AS (SELECT vec_id, vec_id_b, cosine,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, vec_id_b) AS rank
+       FROM pr)
+SELECT vec_id, vec_id_b, cosine, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 3
+"""
+    # Multimodal plumbing oracles. Payloads are encode(text,'UTF-8') and the
+    # documents are pure ASCII (verified octet_length == length), so the
+    # byte-level fake-decode logic is exactly expressible over chars.
+    # multimodal.py::sniff_media — PNG (\\x89) and JPEG (\\xff) magic can
+    # never appear as the first byte of valid UTF-8 text, so only the GIF /
+    # RIFF-WAVE arms (and 'unknown') are reachable.
+    o["multimodal_metadata"] = """
+SELECT doc_id,
+  CASE WHEN length(text) < 12 THEN 'unknown'
+       WHEN substr(text, 1, 6) IN ('GIF87a', 'GIF89a') THEN 'gif'
+       WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE'
+         THEN 'wav'
+       ELSE 'unknown' END AS format,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  (length(text) >= 12 AND (substr(text, 1, 6) IN ('GIF87a', 'GIF89a')
+     OR (substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE')))
+    AS is_valid
+FROM documents
+"""
+    # multimodal.py::image_features fake mode: 16-bin high-nibble histogram
+    # of the first 4096 payload bytes, normalized; posexploded by the query.
+    o["multimodal_features"] = """
+WITH d AS (SELECT doc_id, text AS t, least(length(text), 4096) AS n
+           FROM documents),
+ch AS (SELECT doc_id, unnest(range(1, n + 1)) AS i, t FROM d),
+nb AS (SELECT doc_id, ascii(substr(t, CAST(i AS INT), 1)) // 16 AS nib
+       FROM ch),
+cnt AS (SELECT doc_id, nib, count(*) AS c FROM nb GROUP BY doc_id, nib),
+grid AS (SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM d)
+SELECT g.doc_id, CAST(g.bin AS INT) AS bin,
+       CAST(coalesce(cnt.c, 0) AS DOUBLE) / greatest(g.n, 1) AS freq
+FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.nib = g.bin
+"""
+    # multimodal.py::frame_sample fake mode, every_n=1: 256-byte slices,
+    # n_frames = max(len // 256, 1); frames decoded back to text slices.
+    o["multimodal_frame_sample"] = """
+WITH d AS (SELECT doc_id, text AS t,
+                  greatest(length(text) // 256, 1) AS nf
+           FROM documents),
+f AS (SELECT doc_id, t, unnest(range(0, nf)) AS fi FROM d)
+SELECT doc_id, CAST(fi AS INT) AS frame_index,
+       substr(t, CAST(fi * 256 + 1 AS INT), 256) AS frame_text
+FROM f
+"""
     return o
 
 
@@ -3034,6 +3303,28 @@ def oracle_sql() -> dict[str, str]:
     o.update(_conformal_oracles())
     o.update(_detect_oracles())
     o["features_sql"] = _features_oracle()
+    # forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
+    # h=7, m=7), seasonal component only: mean-centered per-phase pattern
+    # over the first (n//7)*7 observations, continued into the future from
+    # start phase n%7; zero when n < 2*m. The query posexplodes the array.
+    o["forecast_explain"] = f"""
+WITH panel AS ({LINEITEM_PANEL_SQL}),
+s AS (SELECT id, count(*) AS n FROM panel GROUP BY id),
+w AS (SELECT p.id, CAST(p.y AS DOUBLE) AS x, s.n,
+             CAST(row_number() OVER (PARTITION BY p.id ORDER BY p.ds) - 1
+                  AS BIGINT) AS t
+      FROM panel p JOIN s USING (id) WHERE s.n >= 3),
+v AS (SELECT id, n, t % 7 AS phs, x
+      FROM w WHERE t < (n // 7) * 7 AND n >= 14),
+pm AS (SELECT id, phs, avg(x) AS m FROM v GROUP BY id, phs),
+gm AS (SELECT id, avg(x) AS g FROM v GROUP BY id),
+pat AS (SELECT pm.id, pm.phs, pm.m - gm.g AS p FROM pm JOIN gm USING (id)),
+hs AS (SELECT id, n, unnest(range(0, 7)) AS i FROM s WHERE n >= 3)
+SELECT hs.id, CAST(7 AS BIGINT) AS horizon, CAST(hs.i AS INT) AS step,
+       CASE WHEN hs.n >= 14 THEN pat.p ELSE 0.0 END AS seasonal
+FROM hs LEFT JOIN pat ON pat.id = hs.id
+                     AND pat.phs = (hs.n % 7 + hs.i) % 7
+"""
     o.update(_llm_oracles())
     return o
 

@@ -129,3 +129,65 @@ def test_ngram_jaccard_skew_cap_plan(spark):
                                  ["doc_id", "text"])
     P.assert_no_cartesian(
         ngram_jaccard_pairs(docs, "doc_id", "text", max_doc_freq=5))
+
+
+# ---------------------------------------------------------------------------
+# Portable-md5 dedup modes (round-2: bit-exact oracle verification path)
+# ---------------------------------------------------------------------------
+
+def _toy_docs(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dogs"),
+            (3, "completely different text about spark pipelines"),
+            (4, "The Quick Brown Fox Jumps Over The Lazy Dog!")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_md5_mode_finds_near_dups(spark):
+    from anofox_forecast_spark.operators.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(_toy_docs(spark), "doc_id", "text",
+                            num_hashes=32, bands=8, threshold=0.4,
+                            hash_fn="md5").collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs  # one-char difference
+    assert (1, 4) in pairs  # case/punct normalize away
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+    for r in out:
+        assert r.jaccard >= 0.4 and 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_minhash_salt_actually_varies_components(spark):
+    # regression: a two-arg transform() lambda silently received the array
+    # index as the second parameter, collapsing every signature component
+    # to the same expression
+    from anofox_forecast_spark.operators.dedup import minhash_signature
+    df = spark.createDataFrame([("abcdefgh",)], ["t"])
+    from pyspark.sql import functions as FF
+    sh = FF.array_distinct(FF.transform(
+        FF.sequence(FF.lit(1), FF.length("t") - 2),
+        lambda i: FF.col("t").substr(i, FF.lit(3))))
+    for fn in ("xxhash64", "md5"):
+        sig = df.select(minhash_signature(sh, 8, fn).alias("s")).first()["s"]
+        assert len(set(sig)) > 1, f"{fn} signature components all identical"
+
+
+def test_simhash_md5_relational_matches_column_expr(spark):
+    # the relational md5 simhash (explode -> vote -> reassemble) must agree
+    # with the per-row Column-expression form bit for bit
+    from anofox_forecast_spark.operators.dedup import _simhash_md5_df, simhash
+    docs = _toy_docs(spark)
+    rel = {r["__id"]: r["__sh"]
+           for r in _simhash_md5_df(docs, "doc_id", "text").collect()}
+    col = {r["doc_id"]: r["sh"]
+           for r in docs.select("doc_id",
+                                simhash(F.col("text"), hash_fn="md5")
+                                .alias("sh")).collect()}
+    assert rel == col
+
+
+def test_simhash_md5_pairs_near_dups(spark):
+    from anofox_forecast_spark.operators.dedup import simhash_pairs
+    out = simhash_pairs(_toy_docs(spark), "doc_id", "text", max_hamming=16,
+                        hash_fn="md5").collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs and (1, 4) in pairs
