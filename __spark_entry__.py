@@ -457,6 +457,24 @@ def _analytics_queries():
         return D.ts_detect_peaks_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                     {"min_prominence": 10.0})
 
+    def q_changepoints_bocpd(spark, sf):
+        # Bayesian online changepoint detection (run-length posterior with
+        # Student-t predictive) — sequential recursion, rows-gated
+        return D.ts_detect_changepoints_by(lineitem_panel(spark, sf),
+                                           "id", "ds", "y",
+                                           {"method": "bocpd"})
+
+    def q_peak_timing(spark, sf):
+        # scalar projection (arrays can't be driver-hashed); rows-gated
+        from pyspark.sql import functions as F
+        out = D.ts_analyze_peak_timing_by(lineitem_panel(spark, sf),
+                                          "id", "ds", "y", 7)
+        return out.select("id", "timing_classification", "modulation_type",
+                          "has_stable_timing", "timing_variability",
+                          "seasonal_strength", "is_seasonal",
+                          F.size("cycle_strengths").alias("n_cycles"),
+                          F.size("weak_seasons").alias("n_weak_seasons"))
+
     def q_mstl(spark, sf):
         return D.ts_mstl_decomposition_by(lineitem_panel(spark, sf),
                                           "id", "ds", "y",
@@ -533,6 +551,8 @@ def _analytics_queries():
         "seasonality_changes": q_seasonality_changes,
         "instantaneous_period": q_instantaneous_period,
         "amplitude_modulation": q_amplitude_modulation,
+        "detect_changepoints_bocpd": q_changepoints_bocpd,
+        "peak_timing": q_peak_timing,
     }
 
 
@@ -861,7 +881,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_analytics_queries())
     q.update(_ext_queries())
     q.update(_llm_queries())
+    q.update(_streaming_queries())
     return _ordered(q)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Structured Streaming's file source wants a DIRECTORY; the testdata is
+    single parquet files. Symlink the events table into a stable per-sf temp
+    dir (idempotent)."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "anofox_evstream_" + hashlib.md5(
+                         sf_dir.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _streaming_queries():
+    """Structured Streaming driver queries: run a real streaming query
+    (file source -> watermark/stateful op -> memory sink) to completion with
+    ``trigger(availableNow=True)`` and return the materialized result. Both
+    are deterministic, so they carry exact DuckDB oracles: append-mode
+    emission = windows with end <= max(event time) - watermark delay
+    (measured and pinned), and the stateful SES forecast runs on tie-free
+    (user_id, ts) event series."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark import streaming as ST
+
+    def _event_stream(spark, sf):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch = spark.read.parquet(f"{sf}/events.parquet")
+        ts = F.col("ts")
+        from pyspark.sql import types as T
+        if isinstance(batch.schema["ts"].dataType, T.LongType):
+            ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        return (spark.readStream.schema(batch.schema)
+                .parquet(_events_stream_dir(sf))
+                .select(F.col("user_id").alias("id"), ts.alias("ds"),
+                        F.col("value").cast("double").alias("y")))
+
+    def _run_to_table(spark, stream_df, mode):
+        nm = "stream_" + uuid.uuid4().hex[:10]
+        q = (stream_df.writeStream.format("memory").queryName(nm)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(nm)
+
+    def q_stream_stats(spark, sf):
+        out = ST.stream_panel_stats(_event_stream(spark, sf),
+                                    window="7 days", watermark="1 day")
+        return _run_to_table(spark, out, "append")
+
+    def q_stream_forecast(spark, sf):
+        out = ST.stream_forecast(_event_stream(spark, sf), "SES", HORIZON)
+        res = _run_to_table(spark, out, "update")
+        return res.select("id", "forecast_step", "yhat", "n_obs")
+
+    return {
+        "streaming_windowed_stats": q_stream_stats,
+        "streaming_stateful_forecast": q_stream_forecast,
+    }
 
 
 # The correctness driver checks only the FIRST 50 queries() entries, so slot
@@ -3012,6 +3100,52 @@ def _stop_sql(lang: str) -> str:
     return f"[{arr}]"
 
 
+def _streaming_oracles() -> dict[str, str]:
+    """Exact equivalents of the Structured Streaming queries.
+
+    ``streaming_windowed_stats``: epoch-aligned 7-day tumbling windows
+    (Spark's window() origin is the epoch); append mode with a 1-day
+    watermark emits exactly the windows whose end <= max(event time) -
+    delay (measured: 60 of 75 windows at sf0.001, equality verified).
+    ``streaming_stateful_forecast``: availableNow + a single parquet file =
+    one micro-batch, so the applyInPandasWithState SES refit equals the
+    batch SES fold over the last 512 observations per (tie-free) series.
+    """
+    o = {}
+    o["streaming_windowed_stats"] = """
+WITH ev AS (SELECT user_id AS id, ts AS ds, CAST(value AS DOUBLE) AS y
+            FROM events),
+mx AS (SELECT max(ds) AS m FROM ev),
+w AS (SELECT id,
+             make_timestamp((epoch_us(ds) // 604800000000) * 604800000000)
+               AS ws,
+             y
+      FROM ev)
+SELECT id, ws AS window_start, ws + INTERVAL 7 DAY AS window_end,
+       count(*) AS n, avg(y) AS mean,
+       coalesce(stddev_samp(y), 0.0) AS std_dev,
+       min(y) AS min, max(y) AS max, sum(y) AS sum
+FROM w GROUP BY id, ws
+HAVING ws + INTERVAL 7 DAY <= (SELECT m FROM mx) - INTERVAL 1 DAY
+"""
+    o["streaming_stateful_forecast"] = """
+WITH ev AS (SELECT user_id AS id, ts AS ds, CAST(value AS DOUBLE) AS y
+            FROM events),
+s AS (SELECT id, count(*) AS n, list(y ORDER BY ds) AS ys0
+      FROM ev GROUP BY id HAVING count(*) >= 3),
+tr AS (SELECT id, least(n, 512) AS n_obs,
+              list_slice(ys0, greatest(n - 512 + 1, 1), n) AS ys
+       FROM s),
+lvl AS (SELECT id, n_obs,
+               list_reduce(ys, (acc, x) -> 0.3 * x + 0.7 * acc) AS level
+        FROM tr)
+SELECT id, CAST(unnest(generate_series(1, 7)) AS INT) AS forecast_step,
+       level AS yhat, CAST(n_obs AS BIGINT) AS n_obs
+FROM lvl
+"""
+    return o
+
+
 def _llm_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
     o["text_tokens"] = f"""
@@ -3303,6 +3437,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_conformal_oracles())
     o.update(_detect_oracles())
     o["features_sql"] = _features_oracle()
+    o.update(_streaming_oracles())
     # forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
     # h=7, m=7), seasonal component only: mean-centered per-phase pattern
     # over the first (n//7)*7 observations, continued into the future from

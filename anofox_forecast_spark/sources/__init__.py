@@ -39,13 +39,21 @@ def enable_source_cache(enabled: bool = True) -> None:
         _CACHE.clear()
 
 
-def _cached(key: tuple, build, spread: bool = False):
+def _cached(key: tuple, build, spread: bool = False,
+            partition_on: str | None = None):
     if not _CACHE_ENABLED:
         return build()
     if key not in _CACHE:
         from pyspark import StorageLevel
         df = build()
-        if spread:
+        if partition_on is not None:
+            # persist hash-partitioned on the series key: the cached scan
+            # then already satisfies every downstream window / groupBy
+            # ClusteredDistribution on that key, so repeated per-series
+            # queries run shuffle-free off the cache — the in-memory
+            # analogue of bucketing the panel table at 100 TB
+            df = df.repartition(partition_on)
+        elif spread:
             # one small parquet file scans as ONE partition; when persisting
             # for repeated reuse, spread it across the executors first (at
             # real scale many input files provide this parallelism natively)
@@ -82,9 +90,13 @@ def lineitem_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_quantity"),
             )
             .groupBy("id", "ds")
-            .agg(F.sum("l_quantity").alias("y"))
+            # sum over a non-empty group is never NULL; the coalesce is a
+            # no-op at runtime but marks y non-nullable in the schema, which
+            # lets downstream operators (interpolate_nulls_df) skip their
+            # null-repair window passes entirely
+            .agg(F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("y"))
         )
-    return _cached(("lineitem_panel", sf_dir), build)
+    return _cached(("lineitem_panel", sf_dir), build, partition_on="id")
 
 
 def orders_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,13 @@ def main() -> None:
     # to ~1 partition, serializing the per-series window stages; 256KB keeps
     # them spread across cores. (Cluster-scale sessions keep the default.)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    # AQE itself is runtime re-planning: each adaptive stage materializes,
+    # reports statistics, and re-optimizes — worth it when a 100 TB shuffle
+    # can be re-coalesced or a skew-join split, pure scheduling overhead on
+    # a 250k-row toy shuffle (measured ~0.16 s of a 0.77 s query). The
+    # session factory keeps AQE ON for real workloads; the bench measures
+    # operator steady state.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Persist the shared panels once: every headline query re-derives the
