@@ -157,3 +157,43 @@ def test_ngram_posting_list_cap_bounds_skew(spark):
                                 max_doc_freq=None).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
     assert len(exact) == 1
+
+
+def test_md5_dedup_modes_plan_shape(spark):
+    """Portable-md5 modes keep the same scale shape as the fast path: bucket
+    joins only (never cartesian), and the relational simhash md5 pipeline
+    stays within its two aggregation shuffles + one self-join."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    P.assert_no_cartesian(minhash_lsh_pairs(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            hash_fn="md5"))
+    df = simhash_pairs(docs, "doc_id", "text", hash_fn="md5")
+    P.assert_no_cartesian(df)
+    assert P.plan_report(df)["python_udf_nodes"] == 0, \
+        "md5 simhash must stay JVM-side (relational explode/vote form)"
+
+
+def test_knn_join_bucketed_not_cartesian(spark):
+    from anofox_forecast_spark.operators.similarity import knn_join_lsh
+    embs = load_table(spark, SF_DIR, "embeddings")
+    left = embs.filter(F.col("vec_id") < 50)
+    right = (embs.filter(F.col("vec_id") >= 50)
+                 .withColumnRenamed("vec_id", "vec_id_b"))
+    df = knn_join_lsh(left, right, "vec_id", "vec_id_b", "embedding", 3)
+    P.assert_no_cartesian(df)
+    assert P.plan_report(df)["python_udf_nodes"] == 0
+
+
+def test_nonnull_panel_skips_interpolation_windows(spark):
+    """Schema-driven interpolation skip: a non-nullable y column must plan
+    strictly fewer Window nodes than a nullable one (the 7-column null
+    repair pass disappears)."""
+    from anofox_forecast_spark.operators.forecast import interpolate_nulls_df
+    panel = lineitem_panel(spark, SF_DIR)
+    assert not panel.schema["y"].nullable
+    same = interpolate_nulls_df(panel, "id", "ds", "y")
+    assert same is panel, "non-nullable input must short-circuit"
+    nullable = panel.withColumn("y", F.expr("nullif(y, -987654321.0)"))
+    assert nullable.schema["y"].nullable
+    out = interpolate_nulls_df(nullable, "id", "ds", "y")
+    assert out is not nullable
