@@ -924,6 +924,9 @@ def _streaming_queries():
         from pyspark.sql import types as T
         if isinstance(batch.schema["ts"].dataType, T.LongType):
             ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # withWatermark requires TIMESTAMP (LTZ); sf0.001 parquet reads ts as
+        # TIMESTAMP_NTZ, so cast unconditionally (no-op when already LTZ).
+        ts = ts.cast("timestamp")
         return (spark.readStream.schema(batch.schema)
                 .parquet(_events_stream_dir(sf))
                 .select(F.col("user_id").alias("id"), ts.alias("ds"),
@@ -953,41 +956,51 @@ def _streaming_queries():
 
 
 # The correctness driver checks only the FIRST 50 queries() entries, so slot
-# order is the correctness budget. _WINDOW pins 50 oracle-backed queries
-# covering every operator family (forecast/prep/hier/cv/stats/conformal/
-# text/dedup/similarity); the remaining oracle-backed keys come next (still
-# locally gated by tests/test_entry_oracle.py), then the no-oracle smoke
-# queries (optimizer-driven models, detection ops) last.
+# order is the correctness budget. The window ROTATES each round to maximize
+# cumulative hard evidence: round 1 verified 25 queries (9 forecast models,
+# 11 metrics, 5 prep fills — CORRECTNESS_r01.json), round 2 verified a
+# disjoint-ish 50 (SQL-path forecasts, prep/hier/cv/stats/conformal families,
+# all dedup algorithms, text, similarity — CORRECTNESS_r02.json, 50/50
+# hash_match). Round 3 keeps a 6-slot regression core (one per proven family)
+# and fills the other 44 with oracle-backed queries NO round has driver-seen:
+# the full detection suite, stats_full/data_quality, conformal v2,
+# fill/interpolate variants, cv gap/index, metric_mqloss, knn-join,
+# multimodal, and both streaming queries.
 _WINDOW = [
-    # forecasting: 5 SQL-path + 4 fold-recursion + events/int-ds/exog panels
-    "forecast_naive", "forecast_seasonal_naive", "forecast_sma",
-    "forecast_rwd", "forecast_swa", "forecast_ses", "forecast_seasonal_es",
-    "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
-    "forecast_naive_intds", "forecast_exog_naive",
-    # data preparation (leading-zeros slot stands in for the trailing/edge
-    # variants of the same drop-zeros family; those stay locally hash-gated)
-    "prep_diff", "prep_drop_short", "prep_drop_constant", "prep_drop_zeros",
-    "prep_drop_gappy", "prep_drop_leading_zeros",
-    "prep_fill_gaps_monthly", "prep_mark_unknown",
-    "prep_fill_unknown_last", "prep_validate_timestamps",
-    # hierarchy
-    "hier_combine_keys", "hier_aggregate", "hier_split_keys",
-    "hier_validate_separator",
-    # cross-validation (cv_split stands in for the _folds/_index variants)
-    "cv_folds", "cv_folds_sliding", "cv_split", "cv_split_folds",
-    "cv_hydrate", "cv_check_leakage",
-    # EDA / stats
-    "stats_sql", "stats_summary", "stats_quality_report",
-    # conformal
-    "conformal_calibrate", "conformal_by", "conformal_interval_width",
-    "conformal_evaluate", "conformal_per_step",
-    # LLM-pipeline ops: every dedup algorithm gets a driver slot — MinHash
-    # and SimHash run in portable-md5 mode so the full LSH pipeline
-    # (shingle -> signature -> band -> candidate -> verify) is hash-checked
-    # against the DuckDB oracle bit-for-bit
-    "text_tokens", "text_fingerprint", "text_quality", "text_langid",
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_md5",
-    "dedup_simhash_md5", "dedup_embedding_cosine", "similarity_topk",
+    # regression core: one hash-checked slot per round-2-proven family
+    # (stats_sql doubles as the regression gate for this round's pushdown
+    # rewrite of ts_stats_by)
+    "forecast_naive", "hier_aggregate", "cv_folds", "conformal_by",
+    "dedup_minhash_md5", "text_quality", "stats_sql",
+    # forecasting: oracle-backed model families never driver-seen
+    "forecast_holt_fixed", "forecast_tsb", "forecast_orders_croston",
+    "forecast_explain",
+    # metrics: the one metric added after the round-1 metric sweep
+    "metric_mqloss",
+    # data preparation: variants past rounds 1-2's coverage
+    "prep_fill_nulls_mean", "prep_interpolate", "prep_drop_trailing_zeros",
+    "prep_drop_edge_zeros", "prep_fill_unknown_null",
+    # cross-validation: gap/embargo, index form, end-to-end naive CV forecast
+    "cv_folds_gap", "cv_split_index", "cv_forecast_naive",
+    # EDA / stats: full 36-column stats + data-quality pair
+    "stats_full", "data_quality", "data_quality_summary",
+    # conformal v2 learn/apply
+    "conformal_learn_absolute", "conformal_learn_normalized",
+    # features (22 SQL-checkable tsfresh-style features)
+    "features_sql",
+    # detection suite — 18 oracle-backed queries, none ever driver-seen
+    "detect_periods", "detect_periods_fft", "detect_periods_acf",
+    "detect_periods_lomb_scargle", "detect_periods_autoperiod",
+    "detect_periods_aic", "detect_changepoints", "detect_peaks",
+    "analyze_seasonality", "classify_seasonality", "detrend", "detrend_diff",
+    "seasonal_strength", "seasonal_strength_windowed", "decompose_seasonal",
+    "seasonality_changes", "instantaneous_period", "amplitude_modulation",
+    # similarity: LSH k-NN join (hyperplanes inlined in the oracle)
+    "similarity_knn_join",
+    # multimodal plumbing (deterministic-fake decode path, exact oracles)
+    "multimodal_metadata", "multimodal_features", "multimodal_frame_sample",
+    # structured streaming (availableNow to completion, exact oracles)
+    "streaming_windowed_stats", "streaming_stateful_forecast",
 ]
 
 

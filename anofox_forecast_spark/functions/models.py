@@ -1231,10 +1231,21 @@ def _tsb(y, h, cl, alpha_d=0.2, alpha_p=0.2, **kw):
 # likelihood-weighted mixture of leaves (EMA / drift / AR(1) / damped-Holt).
 # ---------------------------------------------------------------------------
 
+_LAPLACE_VARIANTS = {"auto": "auto", "auto_aid": "auto_aid",
+                     "autoaid": "auto_aid", "aid": "auto_aid",
+                     "skaters": "skaters", "skater": "skaters", "": "auto"}
+
+
 def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
              laplace_seasonal_batch_init=0, **kw):
+    variant = _LAPLACE_VARIANTS.get(str(laplace_variant).strip().lower())
+    if variant is None:
+        raise ValueError(
+            f"invalid laplace_variant {laplace_variant!r}: expected one of "
+            "auto, auto_aid, skaters (forecast.rs:64-77)")
     n = len(y)
     leaves = []
+    # core leaf pool (all variants): EMA / drift / AR(1) / damped-Holt
     # leaf 1: EMA
     f1, l1 = _ses_filter(y, 0.3)
     leaves.append(("ema", f1, np.full(h, l1)))
@@ -1253,6 +1264,29 @@ def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
     # leaf 4: damped Holt
     r4 = _holt(y, h, cl, damped=True, _name="Laplace")
     leaves.append(("damped_holt", np.asarray(r4.fitted), r4.point))
+    if variant == "auto_aid":
+        # AID-style demand-class selection (forecast.rs:56-58: "AID-based
+        # distribution-family selection; best for retail SKU / intermittent-
+        # demand panels"): classify by the Syntetos-Boylan ADI/CV^2 quadrant
+        # and add the matching intermittent leaf, which the likelihood
+        # weighting then favors exactly when the series is truly intermittent.
+        nz = y[y != 0]
+        adi = n / max(len(nz), 1)
+        cv2 = (float(np.std(nz) / np.mean(nz)) ** 2
+               if len(nz) > 1 and np.mean(nz) != 0 else 0.0)
+        if adi >= 1.32:
+            r_i = _croston(y, h, cl, variant="sba" if cv2 >= 0.49 else "classic")
+        else:
+            r_i = _tsb(y, h, cl)
+        leaves.append(("aid_" + r_i.model_name.lower(),
+                       np.asarray(r_i.fitted), r_i.point))
+    elif variant == "skaters":
+        # fuller skaters ensemble (forecast.rs:59-61): larger leaf set —
+        # window average and theta join the pool; slower, more robust
+        r_sma = _sma(y, h, cl, window=min(max(n // 4, 2), 12))
+        leaves.append(("sma", np.asarray(r_sma.fitted), r_sma.point))
+        r_th = _theta(y, h, cl, season_length=1)
+        leaves.append(("theta", np.asarray(r_th.fitted), r_th.point))
     # optional seasonal-EMA leaf
     m = int(season_length)
     if m >= 2 and n >= 2 * m:
@@ -1288,9 +1322,17 @@ def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
     steps = np.sqrt(np.arange(1, h + 1, dtype=float))
     lo = point - q * steps
     up = point + q * steps
-    return ForecastResult(point, lo, up, "Laplace", fitted, res,
-                          params={"variant": laplace_variant,
-                                  "weights": {name: float(w) for (name, _, _), w
+    seasonal_leaf = any(name == "seasonal_ema" for name, _, _ in leaves)
+    # model-name format mirrors forecast.rs:1698-1702
+    if seasonal_leaf and laplace_seasonal_batch_init:
+        name = f"Laplace({variant},seasonal={m},batch_init)"
+    elif seasonal_leaf:
+        name = f"Laplace({variant},seasonal={m})"
+    else:
+        name = f"Laplace({variant})"
+    return ForecastResult(point, lo, up, name, fitted, res,
+                          params={"variant": variant,
+                                  "weights": {leaf: float(w) for (leaf, _, _), w
                                               in zip(leaves, ws)}})
 
 

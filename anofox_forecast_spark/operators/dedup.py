@@ -272,27 +272,40 @@ def simhash(text: Column, shingle_n: int = 3,
     return out
 
 
-def _simhash_md5_df(df: DataFrame, id_col: str, text_col: str,
-                    shingle_n: int = 3) -> DataFrame:
-    """(__id, __sh) 64-bit md5-based SimHash, computed relationally:
-    explode shingles -> one row per (shingle, bit) -> per-bit vote sum ->
-    reassemble the bigint. All narrow JVM expressions + two partial-agg
-    shuffles on __id — the shape that scales, and ~10x faster than folding
-    64 aggregate() passes over the shingle array per row."""
+def _simhash_df(df: DataFrame, id_col: str, text_col: str,
+                shingle_n: int = 3, hash_fn: str = "xxhash64") -> DataFrame:
+    """(__id, __sh) 64-bit SimHash, computed relationally: explode shingles
+    -> one row per (shingle, bit) -> per-bit vote sum -> reassemble the
+    bigint. All narrow JVM expressions + two partial-agg shuffles on __id —
+    the shape that scales, and ~10x faster than folding 64 ``aggregate()``
+    passes over the shingle array per row. One code path for both hash
+    functions; only the per-(hash, bit) vote expression differs:
+
+    - ``xxhash64`` (fast path): the hash is already a BIGINT; bit ``__b`` is
+      ``shiftrightunsigned(__h, __b) & 1``.
+    - ``md5`` (engine-portable oracle mode): the 64-bit value is the first 16
+      hex chars; bit ``__b`` = bit ``__b % 4`` of hex digit ``16 - __b / 4``.
+    """
     norm = normalize_text(F.col(text_col))
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle_n - 1), F.lit(1))),
             lambda i: norm.substr(i, F.lit(shingle_n))))
+    if hash_fn == "md5":
+        hcol = F.substring(F.md5("__g"), 1, 16)
+        vote_term = F.expr(
+            "CASE WHEN (CAST(conv(substring(__h, 16 - CAST(__b DIV 4 AS INT), 1),"
+            " 16, 10) AS INT) DIV array(1, 2, 4, 8)[CAST(__b % 4 AS INT)]) % 2 = 1"
+            " THEN 1 ELSE -1 END")
+    else:
+        hcol = F.xxhash64("__g")
+        vote_term = F.expr(
+            "CASE WHEN shiftrightunsigned(__h, CAST(__b AS INT)) & 1 = 1"
+            " THEN 1 ELSE -1 END")
     h = (df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__g"))
-           .select("__id", F.substring(F.md5("__g"), 1, 16).alias("__h")))
+           .select("__id", hcol.alias("__h")))
     b = h.select("__id", "__h",
                  F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__b"))
-    # bit __b of the 64-bit value = bit (__b % 4) of hex digit 16 - __b div 4
-    vote_term = F.expr(
-        "CASE WHEN (CAST(conv(substring(__h, 16 - CAST(__b DIV 4 AS INT), 1),"
-        " 16, 10) AS INT) DIV array(1, 2, 4, 8)[CAST(__b % 4 AS INT)]) % 2 = 1"
-        " THEN 1 ELSE -1 END")
     votes = (b.groupBy("__id", "__b")
               .agg(F.sum(vote_term).alias("__v")))
     bitval = F.expr(
@@ -303,17 +316,18 @@ def _simhash_md5_df(df: DataFrame, id_col: str, text_col: str,
                   .cast("long").alias("__sh")))
 
 
+def _simhash_md5_df(df: DataFrame, id_col: str, text_col: str,
+                    shingle_n: int = 3) -> DataFrame:
+    return _simhash_df(df, id_col, text_col, shingle_n, hash_fn="md5")
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3,
                   hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
     (pigeonhole ⇒ full recall at hamming ≤ 3); verified with
     bit_count(a XOR b) ≤ max_hamming. Output (id_a, id_b, hamming)."""
-    if hash_fn == "md5":
-        base = _simhash_md5_df(df, id_col, text_col)
-    else:
-        base = df.select(F.col(id_col).alias("__id"),
-                         simhash(F.col(text_col), hash_fn=hash_fn).alias("__sh"))
+    base = _simhash_df(df, id_col, text_col, hash_fn=hash_fn)
     chunks = base.select(
         "__id", "__sh",
         F.explode(F.array(*[

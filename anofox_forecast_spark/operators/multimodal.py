@@ -5,11 +5,13 @@ Beyond-parity surface (BASELINE.json north star). Media payloads are opaque
 steps run as Arrow-batched ``mapInPandas`` over iterator-of-batches (constant
 memory per task regardless of partition size).
 
-The decode internals are STUBBED — image/audio libraries are not available in
-this container — but the Spark-side contract is real and tested: schemas,
-batch iteration, partitioning, and the pure-python header sniffing
-(PNG/JPEG/GIF magic + dimensions) all run for real. Swap ``_decode_stub``
-for a PIL/ffmpeg call on a real cluster.
+Decode strategy: pillow is auto-detected per worker and used when present;
+PNG payloads additionally decode through a dependency-free stdlib-zlib
+decoder (``_png_gray_thumb``), so the real-decode branch runs and is tested
+even in this container. Non-PNG formats without pillow raise the documented
+``NotImplementedError`` stub. The Spark-side contract — schemas, batch
+iteration, partitioning, header sniffing (PNG/JPEG/GIF/WAV magic +
+dimensions) — is real in every mode.
 """
 
 from __future__ import annotations
@@ -103,17 +105,109 @@ def _decode_stub(payload: bytes, op: str, **kwargs):
         "auto-detect and use them) or pass fake=True for plumbing tests")
 
 
+def _png_gray_thumb(payload: bytes, size: int = 8) -> list[float] | None:
+    """Dependency-free PNG decode -> ``size``x``size`` grayscale thumbnail in
+    [0,1] (stdlib zlib only). Covers the real-decode contract when pillow is
+    absent: 8-bit depth, non-interlaced, color types 0/2/3/4/6. Returns None
+    for anything it can't decode (caller falls back to the stub error).
+    Nearest-neighbor sampling + ITU-R 601-2 luma — the same thumbnail
+    contract as the pillow branch, not guaranteed bit-identical to it."""
+    import zlib
+    if not payload or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte = 8, b"", None
+    w = h = bit_depth = color_type = interlace = None
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                w, h, bit_depth, color_type, _, _, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if not w or not h or bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None or (color_type == 3 and plte is None):
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        # unfilter scanlines (PNG filters 0-4: None/Sub/Up/Average/Paeth)
+        prev = bytearray(stride)
+        rows = []
+        for r in range(h):
+            off = r * (stride + 1)
+            ft = raw[off]
+            line = bytearray(raw[off + 1:off + 1 + stride])
+            bpp = channels
+            if ft == 1:    # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ft != 0:
+                return None
+            rows.append(line)
+            prev = line
+        out = []
+        for yi in range(size):
+            sy = min(int((yi + 0.5) * h / size), h - 1)
+            line = rows[sy]
+            for xi in range(size):
+                sx = min(int((xi + 0.5) * w / size), w - 1)
+                o = sx * channels
+                if color_type == 0 or color_type == 4:
+                    lum = line[o]
+                elif color_type == 3:
+                    pi = line[o] * 3
+                    r8, g8, b8 = plte[pi], plte[pi + 1], plte[pi + 2]
+                    lum = (299 * r8 + 587 * g8 + 114 * b8) // 1000
+                else:
+                    lum = (299 * line[o] + 587 * line[o + 1]
+                           + 114 * line[o + 2]) // 1000
+                out.append(lum / 255.0)
+        return out
+    except Exception:  # noqa: BLE001 — malformed payload -> not decodable
+        return None
+
+
 def image_features(df: DataFrame, binary_col: str, id_col: str,
                    fake: bool = False) -> DataFrame:
     """Feature-extraction contract: (id, feature_vector array<float>).
 
     Decode strategy, checked per worker at runtime:
-    1. pillow present → real decode: 8×8 grayscale thumbnail, 64-dim
-       float vector in [0,1].
-    2. ``fake=True`` → deterministic byte-histogram 'embedding' that
+    1. ``fake=True`` → deterministic byte-histogram 'embedding' that
        exercises the full distributed path (schema, Arrow batches,
-       partitioning) without a decoder.
-    3. otherwise → NotImplementedError (documented stub)."""
+       partitioning) without a decoder (the oracle-checked mode).
+    2. pillow present → real decode: 8×8 grayscale thumbnail, 64-dim
+       float vector in [0,1].
+    3. PNG payload → the same thumbnail via the dependency-free
+       ``_png_gray_thumb`` decoder (stdlib zlib), so the real-decode
+       branch runs even without pillow.
+    4. otherwise → NotImplementedError (documented stub)."""
     schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("feature_vector", T.ArrayType(T.FloatType())),
@@ -126,11 +220,15 @@ def image_features(df: DataFrame, binary_col: str, id_col: str,
             feats = []
             for payload in pdf[binary_col]:
                 b = payload or b""
-                if pil is not None and not fake:
-                    img = pil.open(io.BytesIO(b)).convert("L").resize((8, 8))
-                    feats.append([p / 255.0 for p in img.getdata()])
-                    continue
                 if not fake:
+                    if pil is not None:
+                        img = pil.open(io.BytesIO(b)).convert("L").resize((8, 8))
+                        feats.append([p / 255.0 for p in img.getdata()])
+                        continue
+                    thumb = _png_gray_thumb(b)
+                    if thumb is not None:
+                        feats.append(thumb)
+                        continue
                     _decode_stub(payload, "image_features")
                 hist = [0.0] * 16
                 for byte in b[:4096]:

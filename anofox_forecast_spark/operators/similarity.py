@@ -72,8 +72,13 @@ def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
     """IVF-bucketed approximate top-k: learn centroids from a sample, assign
     rows to nearest centroid (JVM-side argmin over centroid literals), score
     only rows in the ``n_probe`` cells nearest the query."""
+    # Deterministic bounded sample: first ``sample_limit`` rows by id is a
+    # TakeOrderedAndProject (no full sort shuffle) and, unlike a bare
+    # ``limit``, does not depend on partition layout — same data, same
+    # centroids, every run.
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_limit).collect()],
+        [r[0] for r in df.orderBy(id_col).limit(sample_limit)
+                         .select(vec_col).collect()],
         dtype=float)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

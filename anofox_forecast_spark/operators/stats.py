@@ -110,10 +110,8 @@ def _approx_entropy(v: np.ndarray) -> float:
     rng = hi - lo
     if abs(rng) < EPS:
         return 0.0
-    bins = np.zeros(10, dtype=np.int64)
     idx = np.minimum(np.round((v - lo) / rng * 9).astype(int), 9)
-    for i in idx:
-        bins[i] += 1
+    bins = np.bincount(idx, minlength=10)
     p = bins[bins > 0] / len(v)
     return float(-(p * np.log(p)).sum())
 
@@ -133,35 +131,34 @@ def _stability(v: np.ndarray) -> float:
     return float("nan")
 
 
+def _longest_true_run(mask: np.ndarray) -> int:
+    """Length of the longest run of True in a boolean array (vectorized)."""
+    if len(mask) == 0 or not mask.any():
+        return 0
+    x = np.concatenate([[0], mask.astype(np.int8), [0]])
+    d = np.diff(x)
+    return int((np.flatnonzero(d == -1) - np.flatnonzero(d == 1)).max())
+
+
 def _plateau(v: np.ndarray) -> int:
     """Longest run of bitwise-equal values (stats.rs:660-682)."""
     if len(v) == 0:
         return 0
-    best = cur = 1
-    for i in range(1, len(v)):
-        same = (v[i] == v[i - 1]) or (np.isnan(v[i]) and np.isnan(v[i - 1]))
-        cur = cur + 1 if same else 1
-        best = max(best, cur)
-    return best
+    same = (v[1:] == v[:-1]) | (np.isnan(v[1:]) & np.isnan(v[:-1]))
+    return _longest_true_run(same) + 1
 
 
 def _plateau_nonzero(v: np.ndarray) -> int:
     """Longest constant non-zero run; zeros break it (stats.rs:685-720)."""
-    best = cur = 0
-    prev = None
-    for x in v:
-        if x == 0.0:
-            best = max(best, cur)
-            cur = 0
-            prev = None
-        elif prev is not None and x == prev:
-            cur += 1
-            best = max(best, cur)
-        else:
-            cur = 1
-            best = max(best, cur)
-            prev = x
-    return max(best, cur)
+    if len(v) == 0:
+        return 0
+    # a run of k+1 equal adjacent non-zero values shows up as k consecutive
+    # True entries here; a lone non-zero value is a run of length 1
+    same_nz = (v[1:] == v[:-1]) & (v[1:] != 0.0)
+    run = _longest_true_run(same_nz)
+    if run:
+        return run + 1
+    return 1 if (v != 0.0).any() else 0
 
 
 def _strengths(v: np.ndarray):
@@ -301,29 +298,205 @@ def compute_series_stats(y_raw: np.ndarray, dates_us: np.ndarray | None,
 # Operators
 # ---------------------------------------------------------------------------
 
+def _rest_stats(y: np.ndarray, dates_us: np.ndarray | None,
+                freq: Frequency | None) -> dict:
+    """The 17 order/sort-dependent statistics that stay in Python:
+    percentiles + distinct count (one np.sort — cheaper than the two-phase
+    expand a native countDistinct/percentile forces through the aggregate),
+    leading/trailing zero runs, plateaus, Hill tail, trimmed mean, lag-1 ACF,
+    trend/seasonality strengths, entropy, stability, expected_length/n_gaps.
+    Same formulas as ``compute_series_stats`` (stats.rs citations there);
+    split out so the pushed-down path computes only what the JVM can't do
+    cheaply."""
+    out = {k: None for k in _REST_KEYS}
+    length = len(y)
+    if length == 0:
+        return out
+    isnull = pd.isna(y)
+    v = np.asarray(y[~isnull], dtype=float)
+    if len(v) == 0:
+        return out
+    sv = np.sort(v)
+    out["median"] = _percentile(sv, 0.5)
+    out["q1"] = _percentile(sv, 0.25)
+    out["q3"] = _percentile(sv, 0.75)
+    # distinct count from the sorted array: a native countDistinct would
+    # rewrite the whole aggregate into a two-phase (id, y)-keyed expand —
+    # measured 3.5x slower end-to-end than one sort here
+    out["n_unique_values"] = int((np.diff(sv) != 0).sum() + 1) if len(sv) else 0
+    lead = 0
+    for i in range(length):
+        if not isnull[i] and y[i] == 0.0:
+            lead += 1
+        else:
+            break
+    trail = 0
+    for i in range(length - 1, -1, -1):
+        if not isnull[i] and y[i] == 0.0:
+            trail += 1
+        else:
+            break
+    out["n_zeros_start"] = lead
+    out["n_zeros_end"] = trail
+    out["plateau_size"] = _plateau(v)
+    out["plateau_size_nonzero"] = _plateau_nonzero(v)
+    out["tail_index"] = _hill(v)
+    trim = int(len(v) * 0.1)
+    core = sv[trim: len(v) - trim]
+    out["trimmed_mean"] = float(core.mean()) if len(core) else float(v.mean())
+    out["autocorr_lag1"] = _autocorr(v, 1)
+    out["trend_strength"], out["seasonality_strength"] = _strengths(v)
+    out["entropy"] = _approx_entropy(v)
+    out["stability"] = _stability(v)
+    if dates_us is not None and len(dates_us) >= 2 and freq is not None:
+        d = np.sort(np.asarray(dates_us, dtype="int64"))
+        if freq.kind == "month":
+            dt = pd.to_datetime(d, unit="us")
+            if freq.n % 12 == 0:
+                units = dt.year.to_numpy()
+            elif freq.n % 3 == 0:
+                units = (dt.year * 4 + (dt.month - 1) // 3).to_numpy()
+            else:
+                units = (dt.year * 12 + dt.month).to_numpy()
+            out["expected_length"] = int(units[-1] - units[0] + 1)
+            out["n_gaps"] = int((np.diff(units) > 1).sum())
+        else:
+            fus = (freq.n if freq.kind == "int" else freq.n * 1_000_000)
+            out["expected_length"] = int((d[-1] - d[0]) // fus + 1)
+            out["n_gaps"] = int((np.diff(d) > fus * 1.5).sum())
+    elif dates_us is not None:
+        out["expected_length"] = len(dates_us)
+        out["n_gaps"] = 0
+    return out
+
+
+_REST_KEYS = [
+    "n_unique_values", "median", "q1", "q3",
+    "n_zeros_start", "n_zeros_end", "plateau_size", "plateau_size_nonzero",
+    "tail_index", "trimmed_mean", "autocorr_lag1", "trend_strength",
+    "seasonality_strength", "entropy", "stability", "expected_length",
+    "n_gaps",
+]
+_REST_SCHEMA = T.StructType(
+    [T.StructField(n, t) for n, t in STATS_FIELDS if n in _REST_KEYS])
+
+
 def ts_stats_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                 frequency=None) -> DataFrame:
-    """Per-series 36-column statistics table. Output: (<group>, 36 stats)."""
+    """Per-series 36-column statistics table. Output: (<group>, 36 stats).
+
+    Pushed-down hybrid, one shuffle: 19 of the 36 statistics are native JVM
+    aggregates (count/avg/min/max/var_samp/skewness/kurtosis with the
+    reference's bias corrections re-derived from Spark's population moments),
+    evaluated in the same ``groupBy`` that collects the ds-sorted series; the
+    17 order/sort-dependent statistics (percentiles, runs, plateaus, Hill
+    tail, ACF, entropy, stability, gaps) run as ONE Arrow-batched scalar
+    pandas UDF over the pre-aggregated (one-row-per-series) frame — many
+    series per Python call, instead of one ``applyInPandas`` invocation per
+    group. Native countDistinct/percentile are deliberately NOT used: they
+    rewrite the whole aggregate into a two-phase (key, value) expand that
+    measured 3.5x slower than one np.sort in the batched UDF.
+    """
     freq = parse_frequency(frequency) if frequency is not None else None
     gtype = df.schema[group_col].dataType
     ds_type = df.schema[ds_col].dataType
     is_int_ds = isinstance(ds_type, (T.IntegerType, T.LongType))
-    schema = T.StructType([T.StructField(group_col, gtype)]
-                          + [T.StructField(n, t) for n, t in STATS_FIELDS])
 
-    def one(kt, pdf: pd.DataFrame):
-        y = pdf[y_col].to_numpy(dtype=float)
-        if is_int_ds:
-            dates = pdf[ds_col].to_numpy(dtype="int64")
-        else:
-            dates = pd.to_datetime(pdf[ds_col]).astype("int64").to_numpy() // 1000
-        st = compute_series_stats(y, dates, freq)
-        row = {group_col: kt[0], **st}
-        return pd.DataFrame([row])
+    y0 = F.col(y_col).cast("double")
+    # pandas folds NaN into missing; mirror that JVM-side so every native
+    # aggregate skips NaN exactly like the UDF's pd.isna() mask
+    yv = F.when(F.isnan(y0), F.lit(None).cast("double")).otherwise(y0)
+    ds_us = (F.col(ds_col).cast("long") if is_int_ds
+             else F.unix_micros(F.col(ds_col).cast("timestamp")))
+    pre = df.select(F.col(group_col), ds_us.alias("__ds"), yv.alias("__y"))
 
-    from ..functions.batched import batched_grouped_map
-    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
-    return batched_grouped_map(base, [group_col], ds_col, schema, one)
+    n = F.count(F.lit(1))
+    nv = F.count("__y")
+    agg = pre.groupBy(group_col).agg(
+        n.alias("length"), nv.alias("__nv"),
+        F.avg("__y").alias("mean"), F.sum("__y").alias("sum"),
+        F.min("__y").alias("min"), F.max("__y").alias("max"),
+        F.var_samp("__y").alias("__var"), F.stddev_samp("__y").alias("__std"),
+        F.skewness("__y").alias("__g1"), F.kurtosis("__y").alias("__g2"),
+        F.count(F.when(F.col("__y") == 0.0, 1)).alias("__nz"),
+        F.count(F.when(F.col("__y") > 0.0, 1)).alias("__np"),
+        F.count(F.when(F.col("__y") < 0.0, 1)).alias("__nn"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__ds"), F.col("__y")))).alias("__series"),
+    )
+
+    @F.pandas_udf(_REST_SCHEMA)
+    def rest_udf(ds_arrs: pd.Series, y_arrs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for ds_a, y_a in zip(ds_arrs, y_arrs):
+            y = np.asarray(y_a, dtype=float)
+            d = np.asarray(ds_a, dtype="int64")
+            rows.append(_rest_stats(y, d, freq))
+        return pd.DataFrame(rows, columns=_REST_KEYS)
+
+    nvc = F.col("__nv")
+    NAN = F.lit(float("nan"))
+    nz = F.when(nvc > 0, F.col("__nz"))
+    npos = F.when(nvc > 0, F.col("__np"))
+    nneg = F.when(nvc > 0, F.col("__nn"))
+    variance = F.when(nvc > 1, F.col("__var")).when(nvc == 1, F.lit(0.0))
+    std = F.when(nvc > 1, F.col("__std")).when(nvc == 1, F.lit(0.0))
+    nd = nvc.cast("double")
+    # reference skewness = m3/s^3 * sqrt(n(n-1))/(n-2) with s = SAMPLE std;
+    # Spark's skewness() is the population g1 = m3/m2^1.5, and
+    # (m2/s^2) = (n-1)/n, so ref = g1 * (n-1)^2 / (n * (n-2))
+    skew = F.when((nvc > 2) & (F.col("__std") > EPS),
+                  F.col("__g1") * (nd - 1) * (nd - 1) / (nd * (nd - 2)))
+    skew = skew.when(nvc > 0, NAN)
+    # reference kurtosis = (n-1)/((n-2)(n-3)) * ((n+1)*g2' + 6) with
+    # g2' = m4/s^4 - 3 = (g2_spark + 3) * ((n-1)/n)^2 - 3
+    g2p = ((F.col("__g2") + 3.0) * ((nd - 1) / nd) * ((nd - 1) / nd) - 3.0)
+    kurt = F.when((nvc > 3) & (F.col("__std") > EPS),
+                  (nd - 1) / ((nd - 2) * (nd - 3)) * ((nd + 1) * g2p + 6.0))
+    kurt = kurt.when(nvc > 0, NAN)
+    finite = lambda c: ~F.isnan(c) & (F.abs(c) != float("inf"))  # noqa: E731
+    bimod = F.when((nvc > 3) & finite(kurt) & finite(skew),
+                   (skew * skew + 1.0) / (kurt + 3.0))
+    bimod = bimod.when(nvc > 0, NAN)
+    cv = F.when(nvc > 0,
+                F.when(F.abs(F.col("mean")) > EPS, std / F.abs(F.col("mean")))
+                 .otherwise(NAN))
+
+    out = (agg.withColumn("__rest", rest_udf(F.col("__series.__ds"),
+                                             F.col("__series.__y")))
+           .select(
+               F.col(group_col), F.col("length"),
+               (F.col("length") - nvc).alias("n_nulls"),
+               F.lit(0).cast("long").alias("n_nan"),
+               nz.alias("n_zeros"), npos.alias("n_positive"),
+               nneg.alias("n_negative"),
+               F.col("__rest.n_unique_values").alias("n_unique_values"),
+               F.when(nvc > 0, F.col("__rest.n_unique_values") == 1)
+                .alias("is_constant"),
+               F.col("__rest.n_zeros_start").alias("n_zeros_start"),
+               F.col("__rest.n_zeros_end").alias("n_zeros_end"),
+               F.col("__rest.plateau_size").alias("plateau_size"),
+               F.col("__rest.plateau_size_nonzero").alias("plateau_size_nonzero"),
+               F.col("mean"), F.col("__rest.median").alias("median"),
+               std.alias("std_dev"),
+               variance.alias("variance"), F.col("min"), F.col("max"),
+               (F.col("max") - F.col("min")).alias("range"), F.col("sum"),
+               skew.alias("skewness"), kurt.alias("kurtosis"),
+               F.col("__rest.tail_index").alias("tail_index"),
+               bimod.alias("bimodality_coef"),
+               F.col("__rest.trimmed_mean").alias("trimmed_mean"),
+               cv.alias("coef_variation"),
+               F.col("__rest.q1").alias("q1"), F.col("__rest.q3").alias("q3"),
+               (F.col("__rest.q3") - F.col("__rest.q1")).alias("iqr"),
+               F.col("__rest.autocorr_lag1").alias("autocorr_lag1"),
+               F.col("__rest.trend_strength").alias("trend_strength"),
+               F.col("__rest.seasonality_strength").alias("seasonality_strength"),
+               F.col("__rest.entropy").alias("entropy"),
+               F.col("__rest.stability").alias("stability"),
+               F.col("__rest.expected_length").alias("expected_length"),
+               F.col("__rest.n_gaps").alias("n_gaps"),
+           ))
+    return out
 
 
 # the reference exposes both ts_stats and ts_stats_by with the same grouped
