@@ -254,66 +254,392 @@ class StatsUDTF:
         yield tuple([g] + [plain(st[name], typ) for name, typ in STATS_FIELDS])
 
 
-def _metric_impl(name: str):
-    eps = 2.220446049250313e-16
+# ---------------------------------------------------------------------------
+# Scalar metrics as Spark 4 SQL UDFs — pure Catalyst expressions (the same
+# zip_with/aggregate/filter higher-order functions as the Column forms in
+# metrics.py), so the SQL-string surface is JVM-side with no Python in the
+# data path. Zero-denominator semantics = NaN, matching metrics.rs:120-135.
+# ---------------------------------------------------------------------------
 
-    def mae(a, f):
-        return sum(abs(x - y) for x, y in zip(a, f)) / len(a)
+_EPS_SQL = "2.220446049250313e-16D"
+_NAN_SQL = "CAST('NaN' AS DOUBLE)"
 
-    def mse(a, f):
-        return sum((x - y) ** 2 for x, y in zip(a, f)) / len(a)
+_SQL_SCALARS: list[tuple[str, str, str]] = [
+    ("ts_arr_mean", "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+     "aggregate(a, 0.0D, (acc, x) -> acc + x) / size(a)"),
+    ("ts_mae", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     "ts_arr_mean(zip_with(a, f, (x, y) -> abs(x - y)))"),
+    ("ts_mse", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     "ts_arr_mean(zip_with(a, f, (x, y) -> (x - y) * (x - y)))"),
+    ("ts_rmse", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     "sqrt(ts_mse(a, f))"),
+    ("ts_bias", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     "ts_arr_mean(zip_with(a, f, (x, y) -> y - x))"),
+    ("ts_mape", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"""CASE WHEN size(filter(a, x -> abs(x) > {_EPS_SQL})) = 0
+          THEN {_NAN_SQL}
+          ELSE aggregate(
+                 filter(zip_with(a, f, (x, y) -> struct(x AS a, y AS f)),
+                        p -> abs(p.a) > {_EPS_SQL}),
+                 0.0D, (acc, p) -> acc + abs((p.a - p.f) / p.a))
+               / size(filter(a, x -> abs(x) > {_EPS_SQL})) * 100.0D END"""),
+    ("ts_smape", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"""CASE WHEN size(filter(zip_with(a, f, (x, y) -> abs(x) + abs(y)),
+                              s -> s > {_EPS_SQL})) = 0
+          THEN {_NAN_SQL}
+          ELSE aggregate(
+                 filter(zip_with(a, f, (x, y) -> struct(x AS a, y AS f)),
+                        p -> abs(p.a) + abs(p.f) > {_EPS_SQL}),
+                 0.0D, (acc, p) -> acc + 2.0D * abs(p.a - p.f)
+                                         / (abs(p.a) + abs(p.f)))
+               / size(filter(zip_with(a, f, (x, y) -> abs(x) + abs(y)),
+                             s -> s > {_EPS_SQL})) * 100.0D END"""),
+    # the mean must be inlined (a SQL UDF is not callable on/under lambda
+    # scope); ss_tot = sum((x - sum(a)/n)^2) written with nested aggregates
+    ("ts_r2", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"""CASE WHEN abs(aggregate(a, 0.0D,
+                   (acc, x) -> acc
+                     + (x - aggregate(a, 0.0D, (acc2, v) -> acc2 + v) / size(a))
+                     * (x - aggregate(a, 0.0D, (acc3, v3) -> acc3 + v3) / size(a))))
+              < {_EPS_SQL}
+          THEN {_NAN_SQL}
+          ELSE 1.0D - aggregate(zip_with(a, f, (x, y) -> (x - y) * (x - y)),
+                                0.0D, (acc, v) -> acc + v)
+                      / aggregate(a, 0.0D,
+                   (acc, x) -> acc
+                     + (x - aggregate(a, 0.0D, (acc2, v) -> acc2 + v) / size(a))
+                     * (x - aggregate(a, 0.0D, (acc3, v3) -> acc3 + v3) / size(a)))
+          END"""),
+    ("ts_mase",
+     "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"CASE WHEN abs(ts_mae(a, b)) < {_EPS_SQL} THEN {_NAN_SQL} "
+     "ELSE ts_mae(a, f) / ts_mae(a, b) END"),
+    ("ts_rmae",
+     "(a ARRAY<DOUBLE>, p1 ARRAY<DOUBLE>, p2 ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"CASE WHEN abs(ts_mae(a, p2)) < {_EPS_SQL} THEN {_NAN_SQL} "
+     "ELSE ts_mae(a, p1) / ts_mae(a, p2) END"),
+    ("ts_quantile_loss",
+     "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>, q DOUBLE) RETURNS DOUBLE",
+     "ts_arr_mean(zip_with(a, f, (x, y) -> "
+     "CASE WHEN x - y >= 0 THEN q * (x - y) ELSE (q - 1.0D) * (x - y) END))"),
+    # NOTE: a SQL UDF cannot be invoked on lambda variables (the inlined
+    # body fails to resolve), so the per-quantile pinball loss is written
+    # out as nested higher-order functions here
+    ("ts_mqloss",
+     "(a ARRAY<DOUBLE>, fs ARRAY<ARRAY<DOUBLE>>, qs ARRAY<DOUBLE>) "
+     "RETURNS DOUBLE",
+     """aggregate(zip_with(fs, qs, (fc, q) ->
+          aggregate(zip_with(a, fc, (x, y) ->
+              CASE WHEN x - y >= 0 THEN q * (x - y)
+                   ELSE (q - 1.0D) * (x - y) END),
+            0.0D, (acc, v) -> acc + v) / size(a)),
+        0.0D, (acc2, v2) -> acc2 + v2) / size(qs)"""),
+    ("ts_coverage",
+     "(a ARRAY<DOUBLE>, lo ARRAY<DOUBLE>, up ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"""CASE WHEN size(a) = 0 THEN {_NAN_SQL}
+          ELSE CAST(size(filter(
+                 zip_with(zip_with(a, lo, (x, l) -> struct(x AS a, l AS l)),
+                          up, (p, u) -> struct(p.a AS a, p.l AS l, u AS u)),
+                 t -> t.a >= t.l AND t.a <= t.u)) AS DOUBLE) / size(a) END"""),
+]
 
-    impls = {
-        "ts_mae": mae,
-        "ts_mse": mse,
-        "ts_rmse": lambda a, f: math.sqrt(mse(a, f)),
-        "ts_bias": lambda a, f: sum(y - x for x, y in zip(a, f)) / len(a),
-        "ts_mape": lambda a, f: (
-            sum(abs((x - y) / x) for x, y in zip(a, f) if abs(x) > eps)
-            / max(sum(1 for x in a if abs(x) > eps), 1) * 100.0
-            if any(abs(x) > eps for x in a) else math.nan),
-        "ts_smape": lambda a, f: (
-            sum(2.0 * abs(x - y) / (abs(x) + abs(y))
-                for x, y in zip(a, f) if abs(x) + abs(y) > eps)
-            / max(sum(1 for x, y in zip(a, f) if abs(x) + abs(y) > eps), 1)
-            * 100.0
-            if any(abs(x) + abs(y) > eps for x, y in zip(a, f)) else math.nan),
-        # NaN (not a huge finite value) on a vanishing denominator — same
-        # zero-denominator semantics as metrics.py:80,90 and the reference
-        "ts_r2": lambda a, f: (
-            1.0 - sum((x - y) ** 2 for x, y in zip(a, f))
-            / sum((x - sum(a) / len(a)) ** 2 for x in a)
-            if sum((x - sum(a) / len(a)) ** 2 for x in a) > eps else math.nan),
-    }
-    return impls[name]
+
+# ---------------------------------------------------------------------------
+# Grouped (_by) metric UDTFs: ``SELECT * FROM ts_mae_by(TABLE(t), 'id',
+# 'actual', 'forecast')`` -> (id, metric_value). Compatibility surface for
+# the reference's registered _by macros (anofox_forecast_extension.cpp);
+# the performance path is functions/metrics.py. tests/test_sql_surface.py
+# pins SQL == DataFrame per metric so the two cannot drift.
+# ---------------------------------------------------------------------------
+
+_METRIC_EPS = 2.220446049250313e-16
+
+
+def _metric_by_compute(metric: str, cols: list[list[float]], extra) -> float:
+    import numpy as np
+    a = np.asarray(cols[0], dtype=float)
+    if metric in ("mae", "mse", "rmse", "bias", "mape", "smape", "r2",
+                  "quantile_loss"):
+        f = np.asarray(cols[1], dtype=float)
+    if metric == "mae":
+        return float(np.mean(np.abs(a - f)))
+    if metric == "mse":
+        return float(np.mean((a - f) ** 2))
+    if metric == "rmse":
+        return float(math.sqrt(np.mean((a - f) ** 2)))
+    if metric == "bias":
+        return float(np.mean(f - a))
+    if metric == "mape":
+        m = np.abs(a) > _METRIC_EPS
+        return (float(np.mean(np.abs((a[m] - f[m]) / a[m])) * 100.0)
+                if m.any() else math.nan)
+    if metric == "smape":
+        den = np.abs(a) + np.abs(f)
+        m = den > _METRIC_EPS
+        return (float(np.mean(2.0 * np.abs(a[m] - f[m]) / den[m]) * 100.0)
+                if m.any() else math.nan)
+    if metric == "r2":
+        ss_tot = float(np.sum((a - a.mean()) ** 2))
+        if abs(ss_tot) < _METRIC_EPS:
+            return math.nan
+        return 1.0 - float(np.sum((a - f) ** 2)) / ss_tot
+    if metric == "quantile_loss":
+        q = float(extra)
+        err = a - f
+        return float(np.mean(np.where(err >= 0, q * err, (q - 1.0) * err)))
+    if metric in ("mase", "rmae"):
+        f = np.asarray(cols[1], dtype=float)
+        b = np.asarray(cols[2], dtype=float)
+        denom = float(np.mean(np.abs(a - b)))
+        if abs(denom) < _METRIC_EPS:
+            return math.nan
+        return float(np.mean(np.abs(a - f))) / denom
+    if metric == "coverage":
+        lo = np.asarray(cols[1], dtype=float)
+        up = np.asarray(cols[2], dtype=float)
+        return float(np.mean((a >= lo) & (a <= up)))
+    if metric == "mqloss":
+        qs = [float(x) for x in str(extra).split(",")]
+        per_q = []
+        for i, q in enumerate(qs):
+            err = a - np.asarray(cols[1 + i], dtype=float)
+            per_q.append(float(np.mean(np.where(err >= 0, q * err,
+                                                (q - 1.0) * err))))
+        return float(np.mean(per_q))
+    raise ValueError(metric)
+
+
+def _make_metric_by_udtf(metric: str, n_value_args: int, has_extra: bool):
+    """Build a UDTF class for one grouped metric. Value-column arguments are
+    comma-splittable (mqloss passes its forecast columns as 'c1,c2,...')."""
+
+    class _MetricBy:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                    *rest: AnalyzeArgument) -> AnalyzeResult:
+            g = group_col.value
+            out = T.StructType([
+                T.StructField(g, table.dataType[g].dataType),
+                T.StructField("metric_value", T.DoubleType()),
+            ])
+            return AnalyzeResult(schema=out,
+                                 partitionBy=[PartitioningColumn(g)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, *rest):
+            self._args = (group_col, *rest)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, *rest = self._args
+            extra = rest[n_value_args] if has_extra else None
+            col_names: list[str] = []
+            for c in rest[:n_value_args]:
+                col_names.extend(str(c).split(","))
+            cols = [[r[c] for r in self._rows] for c in col_names]
+            yield (self._rows[0][group_col],
+                   _metric_by_compute(metric, cols, extra))
+
+    return _MetricBy
+
+
+_METRIC_BY_SPECS = {
+    # name -> (metric key, n value-column args, takes trailing scalar arg)
+    "ts_mae_by": ("mae", 2, False),
+    "ts_mse_by": ("mse", 2, False),
+    "ts_rmse_by": ("rmse", 2, False),
+    "ts_mape_by": ("mape", 2, False),
+    "ts_smape_by": ("smape", 2, False),
+    "ts_r2_by": ("r2", 2, False),
+    "ts_bias_by": ("bias", 2, False),
+    "ts_mase_by": ("mase", 3, False),
+    "ts_rmae_by": ("rmae", 3, False),
+    "ts_coverage_by": ("coverage", 3, False),
+    "ts_quantile_loss_by": ("quantile_loss", 2, True),
+    "ts_mqloss_by": ("mqloss", 2, True),  # ('f1,f2,..' cols, 'q1,q2,..')
+}
+
+
+# ---------------------------------------------------------------------------
+# Prep-family UDTFs: per-series transforms / filters callable from SQL.
+# Semantics mirror operators/prep.py (tests pin SQL == DataFrame).
+# ---------------------------------------------------------------------------
+
+def _make_prep_udtf(op: str):
+    filled_ops = {"fill_const", "fill_forward", "fill_backward", "fill_mean",
+                  "interpolate"}
+
+    class _Prep:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                    ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
+                    *rest: AnalyzeArgument) -> AnalyzeResult:
+            schema = table.dataType
+            g, d, y = group_col.value, ds_col.value, y_col.value
+            fields = [T.StructField(g, schema[g].dataType),
+                      T.StructField(d, schema[d].dataType)]
+            if op == "diff":
+                fields.append(T.StructField("diff_value", T.DoubleType()))
+            else:
+                fields.append(T.StructField(y, schema[y].dataType))
+                if op in filled_ops:
+                    fields.append(T.StructField("filled_value",
+                                                T.DoubleType()))
+            return AnalyzeResult(schema=T.StructType(fields),
+                                 partitionBy=[PartitioningColumn(g)],
+                                 orderBy=[OrderingColumn(d)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, ds_col, y_col, *rest):
+            self._args = (group_col, ds_col, y_col, *rest)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            import numpy as np
+            group_col, ds_col, y_col, *rest = self._args
+            rows = self._rows
+            g = rows[0][group_col]
+            y = np.array([math.nan if r[y_col] is None else float(r[y_col])
+                          for r in rows])
+            valid = ~np.isnan(y)
+
+            if op == "diff":
+                lag = int(rest[0]) if rest else 1
+                for i, r in enumerate(rows):
+                    prev = y[i - lag] if i >= lag else math.nan
+                    v = float(y[i] - prev)
+                    yield (g, r[ds_col], None if math.isnan(v) else v)
+                return
+            if op.startswith("drop_"):
+                if op == "drop_constant":
+                    vv = y[valid]
+                    keep = len(vv) == 0 or bool((vv != vv[0]).any())
+                elif op == "drop_short":
+                    keep = len(rows) >= int(rest[0])
+                elif op == "drop_gappy":
+                    keep = float(np.isnan(y).mean()) <= float(rest[0])
+                else:  # drop_zeros
+                    keep = bool(((y != 0) & valid).any())
+                if keep:
+                    for r in rows:
+                        yield (g, r[ds_col], r[y_col])
+                return
+            # fill family: passthrough + filled_value
+            if op == "fill_const":
+                filled = np.where(valid, y, float(rest[0]))
+            elif op == "fill_forward":
+                filled = y.copy()
+                last = math.nan
+                for i in range(len(filled)):
+                    if not math.isnan(filled[i]):
+                        last = filled[i]
+                    elif not math.isnan(last):
+                        filled[i] = last
+            elif op == "fill_backward":
+                filled = y.copy()
+                nxt = math.nan
+                for i in range(len(filled) - 1, -1, -1):
+                    if not math.isnan(filled[i]):
+                        nxt = filled[i]
+                    elif not math.isnan(nxt):
+                        filled[i] = nxt
+            elif op == "fill_mean":
+                filled = np.where(valid, y,
+                                  float(np.mean(y[valid])) if valid.any()
+                                  else math.nan)
+            else:  # interpolate — same helper as the model preprocessing
+                filled = M.interpolate_nulls(y)
+            for i, r in enumerate(rows):
+                fv = filled[i]
+                yield (g, r[ds_col], r[y_col],
+                       None if math.isnan(fv) else float(fv))
+
+    return _Prep
+
+
+class DetectPeriodsUDTF:
+    """``ts_detect_periods(TABLE(t), 'id', 'ds', 'y', 'fft')`` — SQL form of
+    the period-detection operator; delegates to the same ``detect_periods``
+    as the DataFrame path (operators/detect.py) so the two cannot drift."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, method):
+        g = group_col.value
+        out = T.StructType([
+            T.StructField(g, table.dataType[g].dataType),
+            T.StructField("period", T.IntegerType()),
+            T.StructField("confidence", T.DoubleType()),
+            T.StructField("strength", T.DoubleType()),
+            T.StructField("n_periods", T.IntegerType()),
+            T.StructField("primary_period", T.IntegerType()),
+            T.StructField("method", T.StringType()),
+        ])
+        return AnalyzeResult(schema=out, partitionBy=[PartitioningColumn(g)],
+                             orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, method):
+        self._args = (group_col, ds_col, y_col, method)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import numpy as np
+
+        from ..operators.detect import detect_periods
+        group_col, _ds, y_col, method = self._args
+        g = self._rows[0][group_col]
+        y = np.array([math.nan if r[y_col] is None else float(r[y_col])
+                      for r in self._rows])
+        res = detect_periods(y, str(method))
+        for d in res["periods"] or [{"period": 0, "confidence": 0.0,
+                                     "strength": 0.0}]:
+            yield (g, d["period"], d["confidence"], d["strength"],
+                   res["n_periods"], res["primary_period"], res["method"])
+
+
+_PREP_UDTF_NAMES = {
+    "ts_fill_nulls_const_by": "fill_const",
+    "ts_fill_nulls_forward_by": "fill_forward",
+    "ts_fill_nulls_backward_by": "fill_backward",
+    "ts_fill_nulls_mean_by": "fill_mean",
+    "ts_interpolate_by": "interpolate",
+    "ts_diff_by": "diff",
+    "ts_drop_constant_by": "drop_constant",
+    "ts_drop_short_by": "drop_short",
+    "ts_drop_gappy_by": "drop_gappy",
+    "ts_drop_zeros_by": "drop_zeros",
+}
 
 
 def register_all(spark: SparkSession) -> None:
-    """Register the SQL surface on a session. Idempotent."""
+    """Register the SQL surface on a session. Idempotent.
+
+    Mirrors the reference's registration list
+    (src/anofox_forecast_extension.cpp:16-175): 5 table-operator UDTFs,
+    12 grouped-metric UDTFs, 10 prep-family UDTFs, and 13 scalar metric
+    functions (as JVM-side Spark 4 SQL UDFs, not Python)."""
     spark.udtf.register("ts_forecast_by", udtf(ForecastUDTF))
     spark.udtf.register("ts_fill_gaps_by", udtf(FillGapsUDTF))
     spark.udtf.register("ts_cv_folds_by", udtf(CvFoldsUDTF))
     spark.udtf.register("ts_stats_by", udtf(StatsUDTF))
-
-    arr = T.ArrayType(T.DoubleType())
-    for name in ["ts_mae", "ts_mse", "ts_rmse", "ts_mape", "ts_smape",
-                 "ts_r2", "ts_bias"]:
-        spark.udf.register(name, _metric_impl(name), T.DoubleType())
-
-    def _mase(a, f, b):
-        denom = _metric_impl("ts_mae")(a, b)
-        if denom <= 2.220446049250313e-16:
-            return math.nan  # matches metrics.py / reference NaN semantics
-        return _metric_impl("ts_mae")(a, f) / denom
-
-    spark.udf.register("ts_mase", _mase, T.DoubleType())
-    spark.udf.register(
-        "ts_coverage",
-        lambda a, lo, up: (sum(1.0 for x, l, u in zip(a, lo, up)
-                               if l <= x <= u) / len(a)),
-        T.DoubleType())
-    spark.udf.register(
-        "ts_quantile_loss",
-        lambda a, f, q: (sum(q * (x - y) if x >= y else (q - 1.0) * (x - y)
-                             for x, y in zip(a, f)) / len(a)),
-        T.DoubleType())
+    spark.udtf.register("ts_detect_periods", udtf(DetectPeriodsUDTF))
+    for name, (metric, n_vals, extra) in _METRIC_BY_SPECS.items():
+        spark.udtf.register(name,
+                            udtf(_make_metric_by_udtf(metric, n_vals, extra)))
+    for name, op in _PREP_UDTF_NAMES.items():
+        spark.udtf.register(name, udtf(_make_prep_udtf(op)))
+    for name, sig, body in _SQL_SCALARS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
+                  f"RETURN {body}")

@@ -99,16 +99,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    # Steady-state timing: two measured runs per query, report the min —
+    # Steady-state timing: three measured runs per query, report the min —
     # the first sf0.1 run of a query shape still pays residual JIT/actor
-    # setup that an executor in steady operation would not.
+    # setup that an executor in steady operation would not, and single-run
+    # scheduler jitter at sub-second scale is +-0.3 s.
     timings: dict[str, float] = {}
     for name in bench_queries:
         if name not in qs:
             continue
         best = -1.0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()

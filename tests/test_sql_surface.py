@@ -114,3 +114,198 @@ def test_stats_udtf_matches_dataframe_api(spark):
     for c in ["length", "mean", "std_dev", "autocorr_lag1", "n_gaps"]:
         np.testing.assert_allclose(a[c].astype(float), b[c].astype(float),
                                    rtol=1e-9, err_msg=c)
+
+
+def _metric_frame(spark):
+    import numpy as np
+    rng = np.random.default_rng(17)
+    rows = []
+    for gid in (1, 2, 3):
+        for ds in range(12):
+            a = float(rng.normal(10, 3)) if gid < 3 else 0.0
+            rows.append((gid, ds, a, a + float(rng.normal(0, 1)),
+                         a - 1.0, a - 2.0, a + 2.0))
+    return spark.createDataFrame(
+        rows, "id int, ds int, actual double, forecast double, "
+              "baseline double, lower double, upper double")
+
+
+def test_sql_scalar_metrics_match_column_forms(spark):
+    """Every SQL-UDF scalar metric == the Column-expression form on the
+    same arrays (the two surfaces cannot drift)."""
+    import numpy as np
+
+    from anofox_forecast_spark.functions import metrics as MM
+    register_all(spark)
+    df = _metric_frame(spark)
+    agg = df.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("ds", "actual", "forecast",
+                                             "baseline", "lower", "upper")))
+        .alias("s"))
+    arrs = agg.select(
+        "id",
+        F.col("s.actual").alias("a"), F.col("s.forecast").alias("f"),
+        F.col("s.baseline").alias("b"), F.col("s.lower").alias("lo"),
+        F.col("s.upper").alias("up"))
+    arrs.createOrReplaceTempView("sql_arrs")
+    col_out = arrs.select(
+        "id",
+        MM.ts_mae(F.col("a"), F.col("f")).alias("mae"),
+        MM.ts_mse(F.col("a"), F.col("f")).alias("mse"),
+        MM.ts_rmse(F.col("a"), F.col("f")).alias("rmse"),
+        MM.ts_mape(F.col("a"), F.col("f")).alias("mape"),
+        MM.ts_smape(F.col("a"), F.col("f")).alias("smape"),
+        MM.ts_r2(F.col("a"), F.col("f")).alias("r2"),
+        MM.ts_bias(F.col("a"), F.col("f")).alias("bias"),
+        MM.ts_mase(F.col("a"), F.col("f"), F.col("b")).alias("mase"),
+        MM.ts_rmae(F.col("a"), F.col("f"), F.col("b")).alias("rmae"),
+        MM.ts_quantile_loss(F.col("a"), F.col("f"), 0.9).alias("qloss"),
+        MM.ts_mqloss(F.col("a"), F.array(F.col("f"), F.col("b")),
+                     F.array(F.lit(0.1), F.lit(0.9))).alias("mqloss"),
+        MM.ts_coverage(F.col("a"), F.col("lo"), F.col("up")).alias("cov"),
+    ).toPandas().set_index("id").sort_index()
+    sql_out = spark.sql(
+        "SELECT id, ts_mae(a, f) AS mae, ts_mse(a, f) AS mse, "
+        "ts_rmse(a, f) AS rmse, ts_mape(a, f) AS mape, "
+        "ts_smape(a, f) AS smape, ts_r2(a, f) AS r2, ts_bias(a, f) AS bias, "
+        "ts_mase(a, f, b) AS mase, ts_rmae(a, f, b) AS rmae, "
+        "ts_quantile_loss(a, f, 0.9D) AS qloss, "
+        "ts_mqloss(a, array(f, b), array(0.1D, 0.9D)) AS mqloss, "
+        "ts_coverage(a, lo, up) AS cov FROM sql_arrs"
+    ).toPandas().set_index("id").sort_index()
+    for c in col_out.columns:
+        np.testing.assert_allclose(sql_out[c], col_out[c], rtol=1e-9,
+                                   err_msg=c)
+
+
+def test_metric_by_udtfs_match_dataframe_forms(spark):
+    import numpy as np
+
+    from anofox_forecast_spark.functions import metrics as MM
+    register_all(spark)
+    df = _metric_frame(spark)
+    df.createOrReplaceTempView("mbv")
+    plain = [("ts_mae_by", MM.ts_mae_by), ("ts_mse_by", MM.ts_mse_by),
+             ("ts_rmse_by", MM.ts_rmse_by), ("ts_mape_by", MM.ts_mape_by),
+             ("ts_smape_by", MM.ts_smape_by), ("ts_r2_by", MM.ts_r2_by),
+             ("ts_bias_by", MM.ts_bias_by)]
+    base = df.select("id", "ds", "actual", "forecast")
+    for name, fn in plain:
+        got = spark.sql(
+            f"SELECT * FROM {name}(TABLE(mbv), 'id', 'actual', 'forecast')"
+        ).toPandas().set_index("id").sort_index()
+        want = (fn(base, "ds", "actual", "forecast")
+                .toPandas().set_index("id").sort_index())
+        np.testing.assert_allclose(got["metric_value"],
+                                   want["metric_value"], rtol=1e-9,
+                                   err_msg=name)
+    got = spark.sql(
+        "SELECT * FROM ts_mase_by(TABLE(mbv), 'id', 'actual', 'forecast', "
+        "'baseline')").toPandas().set_index("id").sort_index()
+    want = (MM.ts_mase_by(df.select("id", "ds", "actual", "forecast",
+                                    "baseline"),
+                          "ds", "actual", "forecast", "baseline")
+            .toPandas().set_index("id").sort_index())
+    np.testing.assert_allclose(got["metric_value"], want["metric_value"],
+                               rtol=1e-9, err_msg="ts_mase_by")
+    got = spark.sql(
+        "SELECT * FROM ts_coverage_by(TABLE(mbv), 'id', 'actual', 'lower', "
+        "'upper')").toPandas().set_index("id").sort_index()
+    want = (MM.ts_coverage_by(df.select("id", "ds", "actual", "lower",
+                                        "upper"),
+                              "ds", "actual", "lower", "upper")
+            .toPandas().set_index("id").sort_index())
+    np.testing.assert_allclose(got["metric_value"], want["metric_value"],
+                               rtol=1e-9, err_msg="ts_coverage_by")
+    got = spark.sql(
+        "SELECT * FROM ts_mqloss_by(TABLE(mbv), 'id', 'actual', "
+        "'forecast,baseline', '0.1,0.9')").toPandas() \
+        .set_index("id").sort_index()
+    want = (MM.ts_mqloss_by(df.select("id", "ds", "actual", "forecast",
+                                      "baseline"),
+                            "ds", "actual", ["forecast", "baseline"],
+                            [0.1, 0.9])
+            .toPandas().set_index("id").sort_index())
+    np.testing.assert_allclose(got["metric_value"], want["metric_value"],
+                               rtol=1e-9, err_msg="ts_mqloss_by")
+
+
+def test_prep_udtfs_match_dataframe_forms(spark):
+    import numpy as np
+
+    from anofox_forecast_spark.operators import prep as P
+    register_all(spark)
+    rows = [(1, 1, 1.0), (1, 2, None), (1, 3, 3.0), (1, 4, None),
+            (2, 1, 5.0), (2, 2, 5.0), (2, 3, 5.0),
+            (3, 1, 0.0), (3, 2, 0.0),
+            (4, 1, None), (4, 2, 8.0), (4, 3, 2.0), (4, 4, 4.0)]
+    df = spark.createDataFrame(rows, "id int, ds int, y double")
+    df.createOrReplaceTempView("ppv")
+
+    fills = [
+        ("ts_fill_nulls_forward_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_fill_nulls_forward_by(df, "id", "ds", "y")),
+        ("ts_fill_nulls_backward_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_fill_nulls_backward_by(df, "id", "ds", "y")),
+        ("ts_fill_nulls_mean_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_fill_nulls_mean_by(df, "id", "ds", "y")),
+        ("ts_fill_nulls_const_by(TABLE(ppv), 'id', 'ds', 'y', '7.5')",
+         P.ts_fill_nulls_const_by(df, "id", "ds", "y", 7.5)),
+        ("ts_interpolate_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_interpolate_by(df, "id", "ds", "y")),
+    ]
+    for sql, want_df in fills:
+        got = spark.sql(f"SELECT id, ds, filled_value FROM {sql}") \
+            .toPandas().sort_values(["id", "ds"]).reset_index(drop=True)
+        want = want_df.select("id", "ds", "filled_value").toPandas() \
+            .sort_values(["id", "ds"]).reset_index(drop=True)
+        np.testing.assert_allclose(got["filled_value"].astype(float),
+                                   want["filled_value"].astype(float),
+                                   rtol=1e-9, err_msg=sql)
+
+    got = spark.sql("SELECT * FROM ts_diff_by(TABLE(ppv), 'id', 'ds', 'y', "
+                    "'1')").toPandas().sort_values(["id", "ds"]) \
+        .reset_index(drop=True)
+    want = P.ts_diff_by(df, "id", "ds", "y", 1).toPandas() \
+        .sort_values(["id", "ds"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["diff_value"].astype(float),
+                               want["diff_value"].astype(float), rtol=1e-9)
+
+    drops = [
+        ("ts_drop_constant_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_drop_constant_by(df, "id", "y")),
+        ("ts_drop_short_by(TABLE(ppv), 'id', 'ds', 'y', '3')",
+         P.ts_drop_short_by(df, "id", 3)),
+        ("ts_drop_gappy_by(TABLE(ppv), 'id', 'ds', 'y', '0.3')",
+         P.ts_drop_gappy_by(df, "id", "y", 0.3)),
+        ("ts_drop_zeros_by(TABLE(ppv), 'id', 'ds', 'y')",
+         P.ts_drop_zeros_by(df, "id", "y")),
+    ]
+    for sql, want_df in drops:
+        got = spark.sql(f"SELECT id, ds FROM {sql}").toPandas() \
+            .sort_values(["id", "ds"]).reset_index(drop=True)
+        want = want_df.select("id", "ds").toPandas() \
+            .sort_values(["id", "ds"]).reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), sql
+
+
+def test_detect_periods_udtf_matches_dataframe(spark):
+    import numpy as np
+
+    from anofox_forecast_spark.operators.detect import ts_detect_periods_by
+    register_all(spark)
+    t = np.arange(96)
+    rows = [(1, int(i), float(100 + 10 * np.sin(2 * np.pi * i / 12)))
+            for i in t] + \
+           [(2, int(i), float(50 + 5 * np.cos(2 * np.pi * i / 8)))
+            for i in t]
+    df = spark.createDataFrame(rows, "id int, ds int, y double")
+    df.createOrReplaceTempView("dpv")
+    got = spark.sql(
+        "SELECT id, period, primary_period FROM "
+        "ts_detect_periods(TABLE(dpv), 'id', 'ds', 'y', 'fft')"
+    ).toPandas().sort_values(["id", "period"]).reset_index(drop=True)
+    want = (ts_detect_periods_by(df, "id", "ds", "y", {"method": "fft"})
+            .select("id", "period", "primary_period").toPandas()
+            .sort_values(["id", "period"]).reset_index(drop=True))
+    assert got.values.tolist() == want.values.tolist()
