@@ -885,22 +885,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered(q)
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str) -> str:
     """Structured Streaming's file source wants a DIRECTORY; the testdata is
-    single parquet files. Symlink the events table into a stable per-sf temp
-    dir (idempotent)."""
+    single parquet files. Symlink the table into a stable per-sf temp dir
+    (idempotent)."""
     import hashlib
     import os
     import tempfile
 
     d = os.path.join(tempfile.gettempdir(),
-                     "anofox_evstream_" + hashlib.md5(
+                     f"anofox_{table}_stream_" + hashlib.md5(
                          sf_dir.encode()).hexdigest()[:8])
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _stream_dir(sf_dir, "events")
 
 
 def _streaming_queries():
@@ -949,9 +953,29 @@ def _streaming_queries():
         res = _run_to_table(spark, out, "update")
         return res.select("id", "forecast_step", "yhat", "n_obs")
 
+    def q_stream_dedup(spark, sf):
+        # document-ingest dedup: synthetic deterministic event time
+        # (doc_id minutes past a fixed epoch) + watermark-bounded
+        # dropDuplicatesWithinWatermark; the surviving fingerprint SET is
+        # deterministic (which ROW survives per fingerprint is not), so the
+        # query returns fingerprints only and the oracle is SELECT DISTINCT
+        batch = spark.read.parquet(f"{sf}/documents.parquet")
+        stream = (spark.readStream.schema(batch.schema)
+                  .parquet(_stream_dir(sf, "documents"))
+                  .select("doc_id", "text",
+                          F.timestamp_seconds(
+                              F.lit(1700000000)
+                              + F.col("doc_id").cast("long") * 60)
+                          .alias("ds")))
+        out = ST.stream_dedup_exact(stream, "doc_id", "text",
+                                    event_col="ds", watermark="1 hour")
+        res = _run_to_table(spark, out, "append")
+        return res.select("fingerprint")
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
+        "streaming_dedup_exact": q_stream_dedup,
     }
 
 
@@ -3155,6 +3179,12 @@ lvl AS (SELECT id, n_obs,
 SELECT id, CAST(unnest(generate_series(1, 7)) AS INT) AS forecast_step,
        level AS yhat, CAST(n_obs AS BIGINT) AS n_obs
 FROM lvl
+"""
+    # ``streaming_dedup_exact``: dropDuplicatesWithinWatermark keeps exactly
+    # one row per content fingerprint (which one is arbitrary, so the query
+    # projects fingerprints only); the surviving set = DISTINCT fingerprints
+    o["streaming_dedup_exact"] = f"""
+SELECT DISTINCT md5({_NORM_TXT}) AS fingerprint FROM documents
 """
     return o
 

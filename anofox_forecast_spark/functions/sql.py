@@ -43,13 +43,19 @@ _FORECAST_TAIL = [
 
 class ForecastUDTF:
     """``ts_forecast_by(TABLE(t), group_col, ds_col, y_col, method, horizon,
-    frequency)`` — SQL form of the forecasting operator."""
+    frequency[, confidence_level[, params_json]])`` — SQL form of the
+    forecasting operator. The two trailing arguments are optional, matching
+    the reference macro's named parameters (``ts_macros.cpp``):
+    ``confidence_level`` (default 0.90) and a JSON dict of model params
+    (``{"window": 7, "seasonal_period": 12, ...}``)."""
 
     @staticmethod
     def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
                 ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
                 method: AnalyzeArgument, horizon: AnalyzeArgument,
-                frequency: AnalyzeArgument) -> AnalyzeResult:
+                frequency: AnalyzeArgument,
+                confidence_level: AnalyzeArgument | None = None,
+                params_json: AnalyzeArgument | None = None) -> AnalyzeResult:
         schema = table.dataType
         g, d = group_col.value, ds_col.value
         out = T.StructType(
@@ -66,23 +72,32 @@ class ForecastUDTF:
     def __init__(self):
         self._rows: list = []
 
-    def eval(self, row, group_col, ds_col, y_col, method, horizon, frequency):
-        self._args = (group_col, ds_col, y_col, method, int(horizon), frequency)
+    def eval(self, row, group_col, ds_col, y_col, method, horizon, frequency,
+             confidence_level=None, params_json=None):
+        self._args = (group_col, ds_col, y_col, method, int(horizon),
+                      frequency, confidence_level, params_json)
         self._rows.append(row)
 
     def terminate(self):
         if not self._rows:
             return
+        import json
+
         from ..frequency import parse_frequency
         from ..operators.forecast import _future_dates_pd
-        group_col, ds_col, y_col, method, h, frequency = self._args
+        (group_col, ds_col, y_col, method, h, frequency, level,
+         params_json) = self._args
         freq = parse_frequency(frequency)
+        pars = dict(json.loads(params_json)) if params_json else {}
+        season = int(pars.pop("seasonal_period", 0) or 0)
         rows = self._rows
         g = rows[0][group_col]
         ds_vals = [r[ds_col] for r in rows]
         y_vals = [r[y_col] if r[y_col] is not None else math.nan for r in rows]
         try:
-            r = M.forecast(y_vals, h, method, params={})
+            r = M.forecast(y_vals, h, method, season_length=season,
+                           level=float(level) if level is not None else 0.90,
+                           params=pars)
         except Exception:
             return  # error isolation: skip failing series
         is_int = isinstance(ds_vals[-1], int)

@@ -4,7 +4,7 @@ The reference has no event-stream data model (its "streaming" means DuckDB
 pipelined execution — SURVEY.md §1.3), so this module is beyond-parity
 surface: the same panel operators re-expressed over unbounded input.
 
-Three shapes, each the idiomatic Spark mapping of a batch operator:
+Four shapes, each the idiomatic Spark mapping of a batch operator:
 
 - ``stream_panel_stats`` — sliding/tumbling windowed per-series aggregates
   with a watermark for late data. Pure built-in aggs; state is bounded by
@@ -13,6 +13,10 @@ Three shapes, each the idiomatic Spark mapping of a batch operator:
   the tail of recent observations (bounded ``state_rows``); each trigger
   refits a cheap model and emits an updated h-step forecast. This is the
   online analogue of ``ts_forecast_by``.
+- ``stream_dedup_exact`` — watermark-bounded streaming document dedup
+  (``dropDuplicatesWithinWatermark`` on the same md5 fingerprint as the
+  batch ``dedup_exact``); state per fingerprint is evicted past the
+  watermark, so an unbounded ingest stream keeps bounded state.
 - ``stream_forecast_foreach_batch`` — micro-batch bridge: run the full batch
   ``ts_forecast_by`` on each micro-batch (exactly the batch semantics, at
   trigger cadence), for when full refits per trigger are acceptable.
@@ -124,6 +128,29 @@ def stream_forecast(stream: DataFrame, method: str = "SES", horizon: int = 7,
     return (stream.groupBy("id")
             .applyInPandasWithState(fn, _FC_SCHEMA, _STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup_exact(stream: DataFrame, id_col: str, text_col: str,
+                       event_col: str = "ds",
+                       watermark: str = "1 day") -> DataFrame:
+    """Streaming exact deduplication for document ingest: keep the first
+    occurrence of each content fingerprint, drop later duplicates.
+
+    The online analogue of ``operators.dedup.exact_dedup``: fingerprint =
+    md5 of the normalized text (same expression as the batch op, so batch
+    and stream agree on what counts as a duplicate), deduplicated with
+    ``dropDuplicatesWithinWatermark`` — state per fingerprint is evicted
+    once the watermark passes it, so state stays bounded on an unbounded
+    stream (a plain ``dropDuplicates`` would grow state forever at 100 TB
+    ingest rates).
+
+    Output: the surviving (first-seen) rows with a ``fingerprint`` column.
+    """
+    from ..operators.dedup import normalize_text
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (stream.select(F.col(id_col), F.col(event_col), F.col(text_col), fp)
+            .withWatermark(event_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
 
 
 def stream_forecast_foreach_batch(stream: DataFrame, sink_fn,

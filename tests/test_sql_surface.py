@@ -309,3 +309,25 @@ def test_detect_periods_udtf_matches_dataframe(spark):
             .select("id", "period", "primary_period").toPandas()
             .sort_values(["id", "period"]).reset_index(drop=True))
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_forecast_udtf_optional_level_and_params(spark):
+    register_all(spark)
+    lineitem_panel(spark, SF_DIR).createOrReplaceTempView("sql_panel_opt")
+    base = ("SELECT * FROM ts_forecast_by(TABLE(sql_panel_opt), 'id', 'ds', "
+            "'y', 'SMA', 5, '1d'{extra}) WHERE forecast_step = 1")
+    d90 = spark.sql(base.format(extra="")).toPandas().set_index("id")
+    d50 = spark.sql(base.format(extra=", '0.5'")).toPandas().set_index("id")
+    # lower confidence -> strictly narrower intervals (same point forecast)
+    import numpy as np
+    common = d90.index.intersection(d50.index)
+    w90 = (d90.loc[common, "yhat_upper"] - d90.loc[common, "yhat_lower"])
+    w50 = (d50.loc[common, "yhat_upper"] - d50.loc[common, "yhat_lower"])
+    np.testing.assert_allclose(d90.loc[common, "yhat"],
+                               d50.loc[common, "yhat"], rtol=1e-9)
+    assert (w50.to_numpy() <= w90.to_numpy() + 1e-12).all()
+    assert (w50.to_numpy() < w90.to_numpy()).any()
+    # params JSON reaches the model: SMA window 2 vs default 5 differs
+    dw = spark.sql(base.format(extra=", '0.9', '{\"window\": 2}'")) \
+        .toPandas().set_index("id")
+    assert not np.allclose(dw.loc[common, "yhat"], d90.loc[common, "yhat"])

@@ -67,3 +67,28 @@ def test_stream_foreach_batch(spark, panel_dir):
     _run(w, ckpt, "t_fb")
     assert sum(got) > 0
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
+    import pandas as pd
+
+    from anofox_forecast_spark import streaming as ST
+    from pyspark.sql import functions as F
+    rows = [(1, "Hello  World", 1), (2, "hello world", 2),
+            (3, "unique text", 3), (4, "HELLO WORLD", 50)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "minute"])
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema).parquet(src)
+              .select("doc_id", "text",
+                      F.timestamp_seconds(F.lit(1700000000)
+                                          + F.col("minute") * 60).alias("ds")))
+    out = ST.stream_dedup_exact(stream, "doc_id", "text", "ds", "1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_t").toPandas()
+    # three case/whitespace variants of "hello world" collapse to one row
+    assert len(got) == 2
+    assert set(got["fingerprint"].str.len()) == {32}
