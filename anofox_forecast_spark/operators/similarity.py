@@ -69,9 +69,32 @@ def _kmeans_lite(X: np.ndarray, n_clusters: int, n_iter: int = 10,
 def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
                     query: list[float], k: int = 10, n_clusters: int = 16,
                     n_probe: int = 4, sample_limit: int = 10000) -> DataFrame:
-    """IVF-bucketed approximate top-k: learn centroids from a sample, assign
-    rows to nearest centroid (JVM-side argmin over centroid literals), score
-    only rows in the ``n_probe`` cells nearest the query."""
+    """IVF-bucketed approximate top-k: learn centroids from a deterministic
+    sample, assign rows to nearest centroid (JVM-side argmin over centroid
+    literals), score only rows in the ``n_probe`` cells nearest the query.
+    One-shot form of ``ivf_build`` + ``ivf_search`` (same code path), minus
+    the cell repartition — right when the index is not reused."""
+    indexed, C = ivf_build(df, id_col, vec_col, n_clusters, sample_limit,
+                           repartition_by_cell=False)
+    return ivf_search(indexed, C, id_col, vec_col, query, k, n_probe)
+
+
+def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
+              sample_limit: int = 10000,
+              repartition_by_cell: bool = True):
+    """Build an IVF 'index': learn centroids from a deterministic bounded
+    sample, assign every row to its nearest cell, and (optionally)
+    repartition by cell so each cell is physically co-located.
+
+    This is the 100 TB pattern ``cosine_topk_ivf`` folds into one call:
+    build ONCE (one pass + one shuffle), write/persist the cell-assigned
+    table partitioned by ``__cell``, then serve many probes that each scan
+    only ``n_probe`` cells — on parquet, ``partitionBy('__cell')`` turns the
+    probe filter into partition pruning, so a probe reads n_probe/n_clusters
+    of the data. Returns ``(indexed_df, centroids)`` where ``centroids`` is
+    a plain ``list[list[float]]`` (store it next to the table; pass it to
+    ``ivf_search``).
+    """
     # Deterministic bounded sample: first ``sample_limit`` rows by id is a
     # TakeOrderedAndProject (no full sort shuffle) and, unlike a bare
     # ``limit``, does not depend on partition layout — same data, same
@@ -83,10 +106,6 @@ def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     C = _kmeans_lite(sample / norms, n_clusters)
-    q = np.asarray(query, dtype=float)
-    q = q / (np.linalg.norm(q) or 1.0)
-    probe_cells = np.argsort(((C - q) ** 2).sum(axis=1))[:n_probe].tolist()
-
     unit = _unit(F.col(vec_col))
     # nearest-centroid assignment: array_min over (distance, cell) structs —
     # each distance subtree appears exactly once (a chained-when argmin would
@@ -100,13 +119,28 @@ def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
     best_cell = F.array_min(F.array(*[
         F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
         for c in range(len(C))]))["c"]
+    indexed = df.withColumn("__cell", best_cell)
+    if repartition_by_cell:
+        indexed = indexed.repartition(len(C), "__cell")
+    return indexed, [[float(x) for x in row] for row in C]
+
+
+def ivf_search(indexed_df: DataFrame, centroids: list[list[float]],
+               id_col: str, vec_col: str, query: list[float], k: int = 10,
+               n_probe: int = 4) -> DataFrame:
+    """Probe a pre-built IVF index: score only the rows in the ``n_probe``
+    cells nearest the query. No centroid learning, no extra shuffle — the
+    ``__cell`` filter prunes partitions written by ``ivf_build``."""
+    C = np.asarray(centroids, dtype=float)
+    q = np.asarray(query, dtype=float)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = np.argsort(((C - q) ** 2).sum(axis=1))[:n_probe].tolist()
     qcol = F.array(*[F.lit(float(x)) for x in q])
-    cos = dot(unit, qcol)
-    return (df.withColumn("__cell", best_cell)
-              .filter(F.col("__cell").isin(probe_cells))
-              .select(F.col(id_col), cos.alias("cosine"))
-              .orderBy(F.col("cosine").desc(), F.col(id_col))
-              .limit(int(k)))
+    cos = dot(_unit(F.col(vec_col)), qcol)
+    return (indexed_df.filter(F.col("__cell").isin(probe_cells))
+            .select(F.col(id_col), cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(int(k)))
 
 
 def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,

@@ -143,3 +143,33 @@ def test_png_real_decode_branch(spark):
     out = image_features(df, "payload", "doc_id", fake=False).collect()
     assert len(out) == 1 and len(out[0].feature_vector) == 64
     assert abs(out[0].feature_vector[0] - lum / 255.0) < 1e-6
+
+
+def test_ivf_build_search_split(spark, tmp_path):
+    # build-once / probe-many: the split form returns the same results as
+    # the one-shot cosine_topk_ivf, and a parquet table partitioned by
+    # __cell prunes non-probed cells at scan time
+    from anofox_forecast_spark.operators.similarity import (
+        cosine_topk_ivf, ivf_build, ivf_search)
+    rng = np.random.default_rng(21)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "emb"])
+    q = rng.standard_normal(8).tolist()
+    one_shot = [(r.id, round(r.cosine, 9)) for r in
+                cosine_topk_ivf(df, "id", "emb", q, k=5, n_clusters=4,
+                                n_probe=2).collect()]
+    indexed, cents = ivf_build(df, "id", "emb", n_clusters=4)
+    split = [(r.id, round(r.cosine, 9)) for r in
+             ivf_search(indexed, cents, "id", "emb", q, k=5,
+                        n_probe=2).collect()]
+    assert one_shot == split and len(split) == 5
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    # persisted index: __cell partition column -> probe prunes partitions
+    path = str(tmp_path / "ivf_index")
+    indexed.write.partitionBy("__cell").parquet(path)
+    reread = spark.read.parquet(path)
+    probe = ivf_search(reread, cents, "id", "emb", q, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan
+    got = [(r.id, round(r.cosine, 9)) for r in probe.collect()]
+    assert got == split
