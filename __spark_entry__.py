@@ -465,7 +465,8 @@ def _analytics_queries():
                                            {"method": "bocpd"})
 
     def q_peak_timing(spark, sf):
-        # scalar projection (arrays can't be driver-hashed); rows-gated
+        # scalar projection (arrays can't be driver-hashed); exact oracle
+        # re-derives peaks/circular variance/cycle stds in SQL
         from pyspark.sql import functions as F
         out = D.ts_analyze_peak_timing_by(lineitem_panel(spark, sf),
                                           "id", "ds", "y", 7)
@@ -2795,6 +2796,70 @@ SELECT c.id, c.ds, c.y, CAST(c.rn - 1 AS INT) AS peak_index,
 FROM cand c JOIN lbase l ON l.id = c.id AND l.rn = c.rn
 JOIN rbase r ON r.id = c.id AND r.rn = c.rn
 WHERE c.y - greatest(l.lv, r.rv) >= 10.0
+"""
+    # Peak-timing stability (detect.py::analyze_peak_timing, period 7,
+    # min_prominence 0 — every interior local max qualifies since prominence
+    # is non-negative, so the prominence walk drops out): circular variance
+    # of peak phases, full-series variance-method seasonal strength, and
+    # per-complete-cycle population-std amplitude classification.
+    o["peak_timing"] = f"""
+WITH panel AS ({_PANEL}),
+w AS (SELECT id, CAST(y AS DOUBLE) AS y,
+             CAST(row_number() OVER (PARTITION BY id ORDER BY ds) - 1 AS BIGINT) AS t,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM panel),
+ids AS (SELECT id, max(n) AS n FROM w GROUP BY id),
+cand AS (SELECT id, t FROM (
+    SELECT id, t, n, y,
+           lag(y) OVER (PARTITION BY id ORDER BY t) AS yl,
+           lead(y) OVER (PARTITION BY id ORDER BY t) AS yr
+    FROM w)
+  WHERE t > 0 AND t < n - 1 AND y > yl AND y >= yr),
+ph AS (SELECT id, count(*) AS np,
+              avg(cos(2 * pi() * (t % 7) / 7)) AS mc,
+              avg(sin(2 * pi() * (t % 7) / 7)) AS ms
+       FROM cand GROUP BY id),
+reg AS (SELECT id, regr_slope(y, CAST(t AS DOUBLE)) AS b1,
+               regr_intercept(y, CAST(t AS DOUBLE)) AS b0
+        FROM w GROUP BY id),
+x AS (SELECT w.id, w.t, w.y - (r.b0 + r.b1 * w.t) AS x
+      FROM w JOIN reg r ON r.id = w.id),
+phm AS (SELECT id, t % 7 AS phase, avg(x) AS m FROM x GROUP BY id, t % 7),
+rem AS (SELECT x.id, x.x, x.x - p.m AS rem
+        FROM x JOIN phm p ON p.id = x.id AND p.phase = x.t % 7),
+vv AS (SELECT id, var_pop(x) AS vx, var_pop(rem) AS vr FROM rem GROUP BY id),
+strg AS (SELECT v.id,
+                CASE WHEN i.n < 14 OR v.vx <= 0 THEN 0.0
+                     ELSE least(greatest(1.0 - v.vr / v.vx, 0.0), 1.0) END AS st
+         FROM vv v JOIN ids i ON i.id = v.id),
+cs AS (SELECT w.id, w.t // 7 AS c, stddev_pop(w.y) AS s
+       FROM w WHERE w.t < (w.n // 7) * 7 GROUP BY w.id, w.t // 7),
+med AS (SELECT id, median(s) AS md, count(*) AS n_cycles FROM cs GROUP BY id),
+wk AS (SELECT cs.id, count(*) FILTER (WHERE cs.s < 0.5 * med.md) AS n_weak
+       FROM cs JOIN med ON med.id = cs.id GROUP BY cs.id)
+SELECT i.id,
+       CASE WHEN coalesce(p.np, 0) >= 2
+                 AND (1.0 - sqrt(p.mc * p.mc + p.ms * p.ms)) < 0.2
+            THEN 'stable'
+            WHEN coalesce(p.np, 0) >= 2 THEN 'variable'
+            ELSE 'insufficient_peaks' END AS timing_classification,
+       CASE WHEN coalesce(k.n_weak, 0) > 0 THEN 'amplitude'
+            ELSE 'none' END AS modulation_type,
+       (coalesce(p.np, 0) >= 2
+        AND (1.0 - sqrt(p.mc * p.mc + p.ms * p.ms)) < 0.2)
+         AS has_stable_timing,
+       CASE WHEN coalesce(p.np, 0) >= 2
+            THEN 1.0 - sqrt(p.mc * p.mc + p.ms * p.ms)
+            ELSE CAST('NaN' AS DOUBLE) END AS timing_variability,
+       s.st AS seasonal_strength,
+       s.st > 0.3 AS is_seasonal,
+       CAST(coalesce(m.n_cycles, 0) AS INT) AS n_cycles,
+       CAST(coalesce(k.n_weak, 0) AS INT) AS n_weak_seasons
+FROM ids i
+LEFT JOIN ph p ON p.id = i.id
+JOIN strg s ON s.id = i.id
+LEFT JOIN med m ON m.id = i.id
+LEFT JOIN wk k ON k.id = i.id
 """
     # Sliding-window seasonal strength (detect.py::ts_seasonal_strength_windowed_by,
     # period 7, window 2*period, step period): per (id, window) linear detrend

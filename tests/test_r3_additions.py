@@ -173,3 +173,40 @@ def test_ivf_build_search_split(spark, tmp_path):
     assert "__cell" in plan
     got = [(r.id, round(r.cosine, 9)) for r in probe.collect()]
     assert got == split
+
+
+def test_png_decoder_palette_rgba_gray_alpha():
+    # color types 3 (palette), 6 (RGBA), 4 (gray+alpha) decode to the same
+    # luma as the equivalent truecolor/gray image
+    import struct as st
+    import zlib
+
+    from anofox_forecast_spark.operators.multimodal import _png_gray_thumb
+
+    def chunk(ctype, data):
+        return (st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def png(w, h, color_type, raw_rows, plte=None):
+        ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in raw_rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    w = h = 8
+    lum = (299 * 10 + 587 * 200 + 114 * 30) // 1000
+    # palette: one entry (10, 200, 30), all pixels index 0
+    pal = png(w, h, 3, [bytes(w) for _ in range(h)],
+              plte=bytes([10, 200, 30]))
+    t3 = _png_gray_thumb(pal)
+    assert t3 == [lum / 255.0] * 64
+    # RGBA: same color, alpha ignored by the luma contract
+    rgba_row = bytes([10, 200, 30, 255] * w)
+    t6 = _png_gray_thumb(png(w, h, 6, [rgba_row for _ in range(h)]))
+    assert t6 == [lum / 255.0] * 64
+    # gray+alpha: gray value 77
+    ga_row = bytes([77, 255] * w)
+    t4 = _png_gray_thumb(png(w, h, 4, [ga_row for _ in range(h)]))
+    assert t4 == [77 / 255.0] * 64
