@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from anofox_forecast_spark.functions.sql import register_all
@@ -331,3 +333,47 @@ def test_forecast_udtf_optional_level_and_params(spark):
     dw = spark.sql(base.format(extra=", '0.9', '{\"window\": 2}'")) \
         .toPandas().set_index("id")
     assert not np.allclose(dw.loc[common, "yhat"], d90.loc[common, "yhat"])
+
+
+def test_sql_scalar_metrics_edge_cases(spark):
+    """Adversarial inputs hit every zero-denominator branch: the SQL UDFs
+    must agree with the Column forms on NaN semantics, not just happy
+    paths."""
+    import numpy as np
+
+    from anofox_forecast_spark.functions import metrics as MM
+    register_all(spark)
+    cases = [
+        ("zeros_actual", [0.0, 0.0, 0.0], [1.0, -1.0, 0.5]),      # mape NaN
+        ("both_zero", [0.0, 0.0], [0.0, 0.0]),                    # smape NaN
+        ("constant_actual", [5.0, 5.0, 5.0], [4.0, 6.0, 5.0]),    # r2 NaN
+        ("perfect", [1.5, -2.5, 3.0], [1.5, -2.5, 3.0]),          # mase NaN
+        ("tiny", [1e-18, -1e-18], [1e-18, 1e-18]),                # < EPS
+        ("negatives", [-3.0, -7.0, -1.0], [-2.0, -8.0, -1.5]),
+    ]
+    rows = [(name, a, f) for name, a, f in cases]
+    df = spark.createDataFrame(
+        rows, "name string, a array<double>, f array<double>")
+    df.createOrReplaceTempView("edge_arrs")
+    sql_out = spark.sql(
+        "SELECT name, ts_mae(a, f) AS mae, ts_mape(a, f) AS mape, "
+        "ts_smape(a, f) AS smape, ts_r2(a, f) AS r2, "
+        "ts_mase(a, f, a) AS mase, ts_rmae(a, f, a) AS rmae "
+        "FROM edge_arrs").toPandas().set_index("name").sort_index()
+    col_out = df.select(
+        "name",
+        MM.ts_mae(F.col("a"), F.col("f")).alias("mae"),
+        MM.ts_mape(F.col("a"), F.col("f")).alias("mape"),
+        MM.ts_smape(F.col("a"), F.col("f")).alias("smape"),
+        MM.ts_r2(F.col("a"), F.col("f")).alias("r2"),
+        MM.ts_mase(F.col("a"), F.col("f"), F.col("a")).alias("mase"),
+        MM.ts_rmae(F.col("a"), F.col("f"), F.col("a")).alias("rmae"),
+    ).toPandas().set_index("name").sort_index()
+    for c in col_out.columns:
+        np.testing.assert_allclose(sql_out[c], col_out[c], rtol=1e-9,
+                                   err_msg=c)  # equal_nan=True by default
+    # the branches actually fired
+    assert math.isnan(sql_out.loc["zeros_actual", "mape"])
+    assert math.isnan(sql_out.loc["both_zero", "smape"])
+    assert math.isnan(sql_out.loc["constant_actual", "r2"])
+    assert math.isnan(sql_out.loc["perfect", "mase"])
