@@ -257,8 +257,12 @@ def _cv_queries():
                                  {"gap": 1, "embargo": 2})
 
     def q_backtest(spark, sf):
+        # Naive so the whole folds+forecast+error composition carries an
+        # exact oracle (the reference pins the same two-workflow equivalence
+        # in test/sql/ts_backtest_equivalence.test); UDF-model backtests ride
+        # cv_forecast (SESOptimized, rows-gated)
         return CV.ts_backtest_auto_by(lineitem_panel(spark, sf), "id", "ds", "y",
-                                      "Theta", 7, 2)
+                                      "Naive", 7, 2)
 
     def q_split_folds(spark, sf):
         return CV.ts_cv_split_folds_by(lineitem_panel(spark, sf), "id", "ds",
@@ -382,8 +386,11 @@ def _conformal_queries():
         return C.ts_conformal_evaluate(fv, "id", "actual", "lower", "upper", 0.1)
 
     def q_bootstrap(spark, sf):
+        # rng='md5' = engine-portable draws -> the whole bootstrap carries
+        # an exact oracle (the default PCG path stays, rows-gated in tests)
         return C.ts_bootstrap_intervals_by(lineitem_panel(spark, sf),
-                                           "id", "ds", "y", 7, n_boot=50)
+                                           "id", "ds", "y", 7, n_boot=50,
+                                           rng="md5")
 
     def q_per_step(spark, sf):
         fv = _fv_df(spark, sf).withColumn(
@@ -400,11 +407,20 @@ def _conformal_queries():
         return run
 
     def q_bootstrap_quantiles(spark, sf):
+        # ds-ordered residual list (index-based md5 draws need a defined
+        # order) + posexploded values so the driver can hash scalars
         agg = (_fv_df(spark, sf).groupBy("id").agg(
-            F.collect_list(F.col("actual") - F.col("forecast")).alias("resid"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("ds").alias("ds"),
+                    (F.col("actual") - F.col("forecast")).alias("r")))),
+                lambda s: s.getField("r")).alias("resid"),
             F.array([F.avg("actual")] * HORIZON).alias("fc")))
-        return C.ts_bootstrap_quantiles(agg, "id", "resid", "fc",
-                                        [0.1, 0.5, 0.9], n_paths=50)
+        out = C.ts_bootstrap_quantiles(agg, "id", "resid", "fc",
+                                       [0.1, 0.5, 0.9], n_paths=50,
+                                       rng="md5")
+        return out.select("id", "quantile",
+                          F.posexplode("values").alias("step", "value"))
 
     return {
         "conformal_calibrate": q_calibrate,
@@ -521,8 +537,20 @@ def _analytics_queries():
                                                   "id", "ds", "y", 7)
 
     def q_instantaneous_period(spark, sf):
-        return D.ts_instantaneous_period_by(lineitem_panel(spark, sf),
-                                            "id", "ds", "y")
+        # FFT (Spark) vs O(n^2) DFT (oracle) agree only to ~1e-13; pin the
+        # contract by rounding frequency/amplitude to 6 decimals on BOTH
+        # sides and re-deriving period from the *rounded* frequency, so the
+        # division runs on bit-identical inputs in both engines.
+        from pyspark.sql import functions as F
+        out = D.ts_instantaneous_period_by(lineitem_panel(spark, sf),
+                                           "id", "ds", "y")
+        fr = F.round(F.col("frequency"), 6)
+        return out.select(
+            "id", "ds",
+            F.when(F.abs(fr) > F.lit(2.220446049250313e-16),
+                   F.lit(1.0) / F.abs(fr)).alias("period"),
+            fr.alias("frequency"),
+            F.round("amplitude", 6).alias("amplitude"))
 
     def q_amplitude_modulation(spark, sf):
         return D.ts_detect_amplitude_modulation_by(lineitem_panel(spark, sf),
@@ -594,6 +622,15 @@ def _ext_queries():
         return ts_forecast_by(panel, "id", "ds", "y", "Naive", HORIZON, "1")
 
     def q_inspect(spark, sf):
+        # fixed-alpha SES: the fitted level/residual recursion is a SQL fold,
+        # so alpha/aic/bic carry an exact oracle (VERDICT r3 item 3)
+        out = FX.ts_forecast_inspect_by(lineitem_panel(spark, sf), "id", "ds",
+                                        "y", "SES", {"alpha": 0.3})
+        return out.select("id", "inspection.model_family", "inspection.alpha",
+                          "inspection.aic", "inspection.bic")
+
+    def q_inspect_hw(spark, sf):
+        # optimizer-driven introspection stays covered, rows-gated
         out = FX.ts_forecast_inspect_by(lineitem_panel(spark, sf), "id", "ds",
                                         "y", "HoltWinters",
                                         {"seasonal_period": SEASON})
@@ -618,6 +655,7 @@ def _ext_queries():
         "forecast_exog_theta": q_exog_theta,
         "forecast_naive_intds": q_naive_intds,
         "forecast_inspect": q_inspect,
+        "forecast_inspect_hw": q_inspect_hw,
         "forecast_explain": q_explain,
     }
 
@@ -708,6 +746,28 @@ def _llm_queries():
         return SIM.cosine_topk_ivf(embs.filter(F.col("vec_id") > 0),
                                    "vec_id", "embedding", list(qvec), 10)
 
+    def q_topk_ivf_fixed(spark, sf):
+        # stored-centroid rebuild (ivf_build(centroids=...)): centroids =
+        # unit-normalized embeddings 1..8 — deterministic and
+        # SQL-expressible, so the full assign -> probe -> score path
+        # carries an exact oracle (the k-means build stays rows-gated in
+        # similarity_topk_ivf)
+        import numpy as np
+        embs = _embs(spark, sf)
+        rows = (embs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+                    .orderBy("vec_id").select("embedding").collect())
+        C = []
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=float)
+            C.append((v / (np.linalg.norm(v) or 1.0)).tolist())
+        qvec = embs.filter(F.col("vec_id") == 0) \
+                   .select("embedding").first()["embedding"]
+        indexed, C2 = SIM.ivf_build(embs.filter(F.col("vec_id") > 8),
+                                    "vec_id", "embedding", n_clusters=8,
+                                    repartition_by_cell=False, centroids=C)
+        return SIM.ivf_search(indexed, C2, "vec_id", "embedding",
+                              list(qvec), 10, n_probe=4)
+
     def q_knn_join(spark, sf):
         # the hyperplanes are data-independent (seed 42, dim 64), so the
         # DuckDB oracle inlines the same planes as literals and replicates
@@ -731,12 +791,16 @@ def _llm_queries():
 
     def q_media_features(spark, sf):
         # posexplode the 16-bin histogram 'embedding' to scalar rows — the
-        # driver's column-sorted value hash can't order array cells
+        # driver's column-sorted value hash can't order array cells.
+        # feature_vector is array<float>; widen to double AFTER the float32
+        # truncation so the oracle can reproduce it via CAST(.. AS REAL).
         out = MM.image_features(_bin_docs(spark, sf), "payload", "doc_id",
                                 fake=True)
-        return out.select(
+        exploded = out.select(
             "doc_id",
             F.posexplode("feature_vector").alias("bin", "freq"))
+        return exploded.select(
+            "doc_id", "bin", F.col("freq").cast("double").alias("freq"))
 
     def q_frame_sample(spark, sf):
         # payloads are UTF-8 text, so frames decode back to text slices —
@@ -760,6 +824,7 @@ def _llm_queries():
         "dedup_embedding_cosine": q_emb_pairs,
         "similarity_topk": q_topk,
         "similarity_topk_ivf": q_topk_ivf,
+        "similarity_topk_ivf_fixed": q_topk_ivf_fixed,
         "similarity_knn_join": q_knn_join,
         "multimodal_metadata": q_media_meta,
         "multimodal_features": q_media_features,
@@ -883,7 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ext_queries())
     q.update(_llm_queries())
     q.update(_streaming_queries())
-    return _ordered(q)
+    return _ordered(_round_pin_queries(q))
 
 
 def _stream_dir(sf_dir: str, table: str) -> str:
@@ -982,50 +1047,44 @@ def _streaming_queries():
 
 # The correctness driver checks only the FIRST 50 queries() entries, so slot
 # order is the correctness budget. The window ROTATES each round to maximize
-# cumulative hard evidence: round 1 verified 25 queries (9 forecast models,
-# 11 metrics, 5 prep fills — CORRECTNESS_r01.json), round 2 verified a
-# disjoint-ish 50 (SQL-path forecasts, prep/hier/cv/stats/conformal families,
-# all dedup algorithms, text, similarity — CORRECTNESS_r02.json, 50/50
-# hash_match). Round 3 keeps a 6-slot regression core (one per proven family)
-# and fills the other 44 with oracle-backed queries NO round has driver-seen:
-# the full detection suite, stats_full/data_quality, conformal v2,
-# fill/interpolate variants, cv gap/index, metric_mqloss, knn-join,
-# multimodal, and both streaming queries.
+# cumulative hard evidence: round 1 verified 25 queries, round 2 a
+# disjoint-ish 50 (50/50), round 3 another 43 never-seen (48/50, the 2
+# FP-artifact misses fixed this round). Round 4 closes the map: every query
+# the driver has NEVER checked gets a slot (the last 16 + the new
+# forecast_inspect_hw), the two round-3 misses return with their contracts
+# pinned, every pair whose contract changed this round (6-decimal pinning,
+# new cv_backtest/forecast_inspect oracles) is re-verified, and the rest are
+# regression slots for this round's code changes (stats rest_udf, prep NaN
+# semantics, ETS rewrite).
 _WINDOW = [
-    # regression core: one hash-checked slot per round-2-proven family
-    # (stats_sql doubles as the regression gate for this round's pushdown
-    # rewrite of ts_stats_by)
+    # regression core: one hash-checked slot per proven family
     "forecast_naive", "hier_aggregate", "cv_folds", "conformal_by",
     "dedup_minhash_md5", "text_quality", "stats_sql",
-    # forecasting: oracle-backed model families never driver-seen
-    "forecast_holt_fixed", "forecast_tsb", "forecast_orders_croston",
-    "forecast_explain",
-    # metrics: the one metric added after the round-1 metric sweep
-    "metric_mqloss",
-    # data preparation: variants past rounds 1-2's coverage
-    "prep_fill_nulls_mean", "prep_interpolate", "prep_drop_trailing_zeros",
-    "prep_drop_edge_zeros", "prep_fill_unknown_null",
-    # cross-validation: gap/embargo, index form, end-to-end naive CV forecast
-    "cv_folds_gap", "cv_split_index", "cv_forecast_naive",
-    # EDA / stats: full 36-column stats + data-quality pair
-    "stats_full", "data_quality", "data_quality_summary",
-    # conformal v2 learn/apply
-    "conformal_learn_absolute", "conformal_learn_normalized",
-    # features (22 SQL-checkable tsfresh-style features)
-    "features_sql",
-    # detection suite — 18 oracle-backed queries, none ever driver-seen
+    # never-driver-checked (cumulative coverage -> 149/149): oracle-backed
+    "peak_timing", "streaming_dedup_exact", "cv_backtest", "forecast_inspect",
+    # never-driver-checked: rows-gated (optimizer/iterative/RNG internals)
+    "cv_forecast", "conformal_bootstrap", "conformal_bootstrap_quantiles",
+    "features_full", "detect_periods_ssa", "detect_periods_matrix_profile",
+    "mstl_decomposition", "detect_changepoints_bocpd", "forecast_exog_theta",
+    "dedup_minhash_lsh", "dedup_simhash", "similarity_topk_ivf",
+    # new oracle-backed variant: stored-centroid IVF rebuild
+    "similarity_topk_ivf_fixed",
+    # round-3 hash misses, contracts pinned this round (float32 round-trip /
+    # 6-decimal quantum) — must show green in r4
+    "instantaneous_period", "multimodal_features",
+    # contracts re-pinned to the 6-decimal quantum this round — re-verify
     "detect_periods", "detect_periods_fft", "detect_periods_acf",
     "detect_periods_lomb_scargle", "detect_periods_autoperiod",
-    "detect_periods_aic", "detect_changepoints", "detect_peaks",
-    "analyze_seasonality", "classify_seasonality", "detrend", "detrend_diff",
-    "seasonal_strength", "seasonal_strength_windowed", "decompose_seasonal",
-    "seasonality_changes", "instantaneous_period", "amplitude_modulation",
-    # similarity: LSH k-NN join (hyperplanes inlined in the oracle)
-    "similarity_knn_join",
-    # multimodal plumbing (deterministic-fake decode path, exact oracles)
-    "multimodal_metadata", "multimodal_features", "multimodal_frame_sample",
-    # structured streaming (availableNow to completion, exact oracles)
-    "streaming_windowed_stats", "streaming_stateful_forecast",
+    "detect_periods_aic", "analyze_seasonality", "seasonal_strength",
+    "seasonal_strength_windowed", "decompose_seasonal", "seasonality_changes",
+    "amplitude_modulation",
+    # regression slots for this round's code changes: ts_stats rest_udf fix,
+    # prep NaN-vs-NULL unification, ETS multiplicative-error rewrite
+    "stats_full", "prep_drop_gappy", "prep_drop_zeros", "forecast_ets",
+    "forecast_auto_ets", "forecast_ses", "cv_forecast_naive",
+    # detection pairs passed r3 un-pinned — keep eyes on them at driver scale
+    "detect_changepoints", "detect_peaks", "detrend", "classify_seasonality",
+    "features_sql",
 ]
 
 
@@ -1038,6 +1097,96 @@ def _ordered(q: dict) -> dict:
                 if k not in out and k in oracle_keys})
     out.update({k: v for k, v in q.items() if k not in out})
     return out
+
+
+# Numerically-derived float columns pinned to a shared decimal quantum on
+# BOTH sides of the contract (query and oracle). These pairs compute
+# identical math with different summation orders (numpy FFT/BLAS vs DuckDB
+# SQL aggregation), so raw doubles agree only to ~1e-13; a shared quantum
+# makes the value hash robust instead of one rounding boundary from red
+# (exactly how instantaneous_period went red in r3). Digits are chosen so
+# quantum >> drift * rows: 6 for unit-scale statistics, 4 for forecast
+# outputs whose magnitude tracks the data (orders panel yhat ~1e4). Input
+# passthrough columns (y, ds, ...) are deliberately NOT rounded — they are
+# bit-identical already. The full fragility map came from a bit-exact
+# audit of all 113 pairs (round 4).
+_PERIODS_COLS = ["confidence", "strength", "amplitude", "phase",
+                 "match_deviation"]
+_FC4 = (["yhat", "yhat_lower", "yhat_upper"], 4)
+_STATS6 = ["variance", "std_dev", "skewness", "kurtosis", "coef_variation",
+           "autocorr_lag1"]
+_ROUND_PIN: dict[str, tuple[list[str], int]] = {
+    "detect_periods": (_PERIODS_COLS, 6),
+    "detect_periods_fft": (_PERIODS_COLS, 6),
+    "detect_periods_acf": (_PERIODS_COLS, 6),
+    "detect_periods_lomb_scargle": (_PERIODS_COLS, 6),
+    "detect_periods_autoperiod": (_PERIODS_COLS, 6),
+    "detect_periods_aic": (_PERIODS_COLS, 6),
+    "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
+    "seasonal_strength": (["seasonal_strength"], 6),
+    "seasonal_strength_windowed": (["seasonal_strength"], 6),
+    "decompose_seasonal": (["trend", "seasonal", "remainder"], 6),
+    "seasonality_changes": (["strength_before", "strength_after"], 6),
+    "amplitude_modulation": (["seasonal_strength", "modulation_score",
+                              "amplitude_trend"], 6),
+    "peak_timing": (["timing_variability", "seasonal_strength"], 6),
+    # ln() amplifies the fold-vs-numpy sse drift
+    "forecast_inspect": (["aic", "bic"], 6),
+    "cv_backtest": (["yhat_lower", "yhat_upper"], 4),
+    "cv_forecast_naive": (_FC4[0], 4),
+    # forecast family: intervals carry stddev summation drift (yhat too for
+    # the Croston/exog paths)
+    "forecast_naive": _FC4, "forecast_seasonal_naive": _FC4,
+    "forecast_sma": _FC4, "forecast_rwd": _FC4, "forecast_swa": _FC4,
+    "forecast_ses": _FC4, "forecast_seasonal_es": _FC4,
+    "forecast_croston": _FC4, "forecast_croston_sba": _FC4,
+    "forecast_holt_fixed": _FC4, "forecast_tsb": _FC4,
+    "forecast_orders_croston": _FC4, "forecast_events_naive": _FC4,
+    "forecast_exog_naive": _FC4, "forecast_naive_intds": _FC4,
+    # metric aggregations: per-series mean drift
+    **{f"metric_{m}": (["metric_value"], 6)
+       for m in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias", "mase",
+                 "rmae", "coverage", "quantile_loss", "mqloss"]},
+    "stats_sql": (_STATS6, 6),
+    "stats_full": (_STATS6 + ["tail_index", "trend_strength", "stability",
+                              "seasonality_strength", "entropy",
+                              "bimodality_coef"], 6),
+    "features_sql": (["standard_deviation", "variance"], 6),
+    "classify_seasonality": (["additive_strength",
+                              "multiplicative_strength"], 6),
+    "detrend": (["trend", "detrended"], 6),
+    "streaming_windowed_stats": (["mean", "std_dev"], 6),
+    "similarity_topk": (["cosine"], 6),
+    "similarity_topk_ivf_fixed": (["cosine"], 6),
+    # bootstrap: quantile_cont vs np.quantile lerp association
+    "conformal_bootstrap": (["yhat", "yhat_lower", "yhat_upper"], 6),
+    "conformal_bootstrap_quantiles": (["value"], 6),
+}
+
+
+def _round_pin_queries(q: dict) -> dict:
+    from pyspark.sql import functions as F
+
+    def wrap(fn, cols, nd):
+        def run(spark, sf):
+            df = fn(spark, sf)
+            rep = {c: F.round(F.col(c), nd).alias(c) for c in cols}
+            return df.select(*[rep.get(f.name, F.col(f.name))
+                               for f in df.schema.fields])
+        return run
+
+    for name, (cols, nd) in _ROUND_PIN.items():
+        if name in q:
+            q[name] = wrap(q[name], cols, nd)
+    return q
+
+
+def _round_pin_oracles(o: dict) -> dict:
+    for name, (cols, nd) in _ROUND_PIN.items():
+        if name in o:
+            rep = ", ".join(f"round({c}, {nd}) AS {c}" for c in cols)
+            o[name] = f"SELECT * REPLACE ({rep}) FROM (\n{o[name]}\n)"
+    return o
 
 
 # ---------------------------------------------------------------------------
@@ -1229,6 +1378,34 @@ SELECT id, CAST(step AS INT) AS forecast_step,
        level + {Z90!r} * sig * sqrt(1.0 + (step - 1) * {a2!r}) AS yhat_upper,
        'SES' AS model_name
 FROM steps
+"""
+
+
+def _inspect_ses_oracle(alpha: float = 0.3) -> str:
+    """forecast_ext.ts_forecast_inspect_by with fixed-alpha SES: the fitted
+    recursion is the same prefix fold as ``_ses_oracle``; aic/bic follow
+    ``models._aic_bic`` (n*ln(sse/n) + 2k / + k*ln(n), k=1, NaN->NULL when
+    sse<=0). res[0] = 0 by the fitted[0]=y[0] convention."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    return f"""
+WITH panel AS ({_PANEL}),
+s AS (
+  SELECT id, count(*) AS n, list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+  FROM panel GROUP BY id HAVING count(*) >= 3),
+r AS (
+  SELECT id, n,
+         list_prepend(0.0,
+           list_transform(generate_series(2, n),
+             t -> ys[t] - list_reduce(list_slice(ys, 1, t - 1),
+                                      (acc, x) -> {a!r} * x + {b!r} * acc))) AS res
+  FROM s),
+e AS (SELECT id, n,
+             list_aggregate(list_transform(res, x -> x * x), 'sum') AS sse
+      FROM r)
+SELECT id, 'SES' AS model_family, {a!r} AS alpha,
+       CASE WHEN sse > 0 THEN n * ln(sse / n) + 2.0 END AS aic,
+       CASE WHEN sse > 0 THEN n * ln(sse / n) + ln(CAST(n AS DOUBLE)) END AS bic
+FROM e
 """
 
 
@@ -1852,6 +2029,31 @@ SELECT t.fold_id, t.id, t.ds, t.y, 'test' AS split,
        'Naive' AS model_name
 FROM test t JOIN agg a ON a.id = t.id AND a.fold_id = t.fold_id
 """
+    # cv.ts_backtest_auto_by = ts_cv_folds_by + ts_cv_forecast_by + error
+    # columns; the oracle composes the same two already-exact pieces
+    # (ref two-workflow equivalence test/sql/ts_backtest_equivalence.test)
+    o["cv_backtest"] = f"""
+WITH cvf AS ({o["cv_folds"]}),
+tr AS (SELECT id, fold_id, ds, CAST(y AS DOUBLE) AS y,
+              CAST(y AS DOUBLE) - lag(CAST(y AS DOUBLE))
+                OVER (PARTITION BY id, fold_id ORDER BY ds) AS dy
+       FROM cvf WHERE split = 'train'),
+agg AS (SELECT id, fold_id, count(*) AS n, max_by(y, ds) AS last_y,
+               coalesce(stddev_samp(dy), 0.0) AS sig
+        FROM tr GROUP BY id, fold_id HAVING count(*) >= 3),
+test AS (SELECT id, fold_id, ds, CAST(y AS DOUBLE) AS y,
+                row_number() OVER (PARTITION BY id, fold_id ORDER BY ds) AS s
+         FROM cvf WHERE split = 'test')
+SELECT t.fold_id, t.id, t.ds,
+       a.last_y AS yhat,
+       t.y AS actual,
+       t.y - a.last_y AS error,
+       abs(t.y - a.last_y) AS abs_error,
+       a.last_y - {Z90!r} * a.sig * sqrt(t.s) AS yhat_lower,
+       a.last_y + {Z90!r} * a.sig * sqrt(t.s) AS yhat_upper,
+       'Naive' AS model_name
+FROM test t JOIN agg a ON a.id = t.id AND a.fold_id = t.fold_id
+"""
     o["cv_hydrate"] = f"""
 WITH cvf AS ({o["cv_folds"]}),
 src AS (SELECT id, ds, CAST(day(ds) % 7 AS DOUBLE) AS x1
@@ -2305,6 +2507,62 @@ SELECT id,
            + CASE WHEN actual > forecast + 5.0
                   THEN 20.0 * (actual - (forecast + 5.0)) ELSE 0.0 END) AS winkler_score
 FROM fv GROUP BY id
+"""
+    # conformal.ts_bootstrap_intervals_by with rng='md5' (n_boot=50, h=7,
+    # cl=0.90, seed=42): the engine-portable draw lets SQL replay every
+    # resample index, so the whole bootstrap is value-checkable.
+    # _MD5IDX reproduces operators/conformal._md5_indices exactly.
+    ql, qu = repr((1 - 0.90) / 2), repr(1 - (1 - 0.90) / 2)
+    md5idx = ("CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '|42|' || "
+              "CAST(b AS VARCHAR) || '|' || CAST(t AS VARCHAR)), 1, 8)) "
+              "AS BIGINT) % m + 1")
+    o["conformal_bootstrap"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, list(CAST(y AS DOUBLE) ORDER BY ds) AS ys, count(*) AS n
+      FROM panel WHERE y IS NOT NULL GROUP BY id HAVING count(*) >= 3),
+base AS (SELECT id, ys, n, ys[n] AS last_y,
+                (ys[n] - ys[1]) / (n - 1) AS drift FROM s),
+res AS (SELECT id, last_y, drift, n - 1 AS m,
+               list_transform(generate_series(2, n),
+                 t -> ys[t] - ys[t - 1] - drift) AS rs
+        FROM base),
+grid AS (SELECT id, last_y, drift, m, rs,
+                unnest(generate_series(0, 49)) AS b FROM res),
+st AS (SELECT id, last_y, drift, m, rs, b,
+              unnest(generate_series(1, 7)) AS t FROM grid),
+drawn AS (SELECT id, last_y, drift, b, t, rs[{md5idx}] AS sv FROM st),
+paths AS (SELECT id, b, t, last_y, drift,
+                 last_y + drift * t
+                   + sum(sv) OVER (PARTITION BY id, b ORDER BY t) AS pv
+          FROM drawn)
+SELECT id, CAST(t AS INT) AS forecast_step,
+       any_value(last_y + drift * t) AS yhat,
+       quantile_cont(pv, {ql}) AS yhat_lower,
+       quantile_cont(pv, {qu}) AS yhat_upper
+FROM paths GROUP BY id, t
+"""
+    # conformal.ts_bootstrap_quantiles with rng='md5' (n_paths=50, h=7,
+    # fc = [avg(actual)]*7, resid = ds-ordered actual-forecast)
+    qsel = []
+    for q in (0.1, 0.5, 0.9):
+        qsel.append(f"""
+SELECT id, {q!r} AS quantile, CAST(t - 1 AS INT) AS step,
+       quantile_cont(pv, {q!r}) AS value
+FROM paths GROUP BY id, t""")
+    o["conformal_bootstrap_quantiles"] = f"""
+WITH {_FV2},
+agg AS (SELECT id, list(actual - forecast ORDER BY ds) AS rs,
+               avg(actual) AS mfc, count(*) AS m
+        FROM fv GROUP BY id),
+grid AS (SELECT id, rs, mfc, m, unnest(generate_series(0, 49)) AS b
+         FROM agg WHERE m > 0),
+st AS (SELECT id, rs, mfc, m, b, unnest(generate_series(1, 7)) AS t
+       FROM grid),
+drawn AS (SELECT id, b, t, mfc, rs[{md5idx}] AS sv FROM st),
+paths AS (SELECT id, b, t,
+                 mfc + sum(sv) OVER (PARTITION BY id, b ORDER BY t) AS pv
+          FROM drawn)
+{" UNION ALL ".join(qsel)}
 """
     return o
 
@@ -3048,9 +3306,12 @@ fx AS (SELECT id, t, ds, amplitude,
                 AS frequency
        FROM fr)
 SELECT id, ds,
-       CASE WHEN abs(frequency) > 2.220446049250313e-16
-            THEN 1.0 / abs(frequency) END AS period,
-       frequency, amplitude
+       -- same 6-decimal pinning as the Spark query: period is derived from
+       -- the ROUNDED frequency so both engines divide identical doubles
+       CASE WHEN abs(round(frequency, 6)) > 2.220446049250313e-16
+            THEN 1.0 / abs(round(frequency, 6)) END AS period,
+       round(frequency, 6) AS frequency,
+       round(amplitude, 6) AS amplitude
 FROM fx
 """
     # ts_detect_amplitude_modulation_by (detect.py, period 7): whole-series
@@ -3433,6 +3694,42 @@ u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n)
 SELECT u.vec_id, list_dot_product(u.v, (SELECT v FROM qn)) AS cosine
 FROM u ORDER BY cosine DESC, u.vec_id LIMIT 10
 """
+    # similarity.py::ivf_build(centroids=first-8-unit-normalized) +
+    # ivf_search(k=10, n_probe=4): assignment = argmin squared distance
+    # (ties -> lowest cell, matching array_min's lexicographic struct min),
+    # probe = 4 nearest cells to the query, score = cosine in probed cells.
+    o["similarity_topk_ivf_fixed"] = """
+WITH qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform(v, x ->
+                x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+       FROM qv),
+cent0 AS (SELECT vec_id - 1 AS c,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+cent AS (SELECT c, list_transform(v, x ->
+                x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+         FROM cent0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id > 8),
+u AS (SELECT vec_id, list_transform(v, x ->
+                x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM e),
+asg AS (SELECT u.vec_id, u.v, cent.c,
+               list_sum(list_transform(generate_series(1, len(u.v)),
+                 i -> (u.v[i] - cent.v[i]) * (u.v[i] - cent.v[i]))) AS d2
+        FROM u CROSS JOIN cent),
+cell AS (SELECT vec_id, v, c FROM asg
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, c) = 1),
+probe AS (SELECT cent.c,
+                 list_sum(list_transform(generate_series(1, len(cent.v)),
+                   i -> (cent.v[i] - qn.v[i]) * (cent.v[i] - qn.v[i]))) AS dq
+          FROM cent CROSS JOIN qn ORDER BY dq, cent.c LIMIT 4)
+SELECT cell.vec_id, list_dot_product(cell.v, (SELECT v FROM qn)) AS cosine
+FROM cell WHERE cell.c IN (SELECT c FROM probe)
+ORDER BY cosine DESC, cell.vec_id LIMIT 10
+"""
     # LSH k-NN join (similarity.py::knn_join_lsh, seed 42, 10 planes, k=3):
     # the hyperplanes are data-independent, so the oracle inlines the exact
     # same numpy-generated planes as literals and replicates the pipeline —
@@ -3499,7 +3796,10 @@ nb AS (SELECT doc_id, ascii(substr(t, CAST(i AS INT), 1)) // 16 AS nib
 cnt AS (SELECT doc_id, nib, count(*) AS c FROM nb GROUP BY doc_id, nib),
 grid AS (SELECT doc_id, n, unnest(range(0, 16)) AS bin FROM d)
 SELECT g.doc_id, CAST(g.bin AS INT) AS bin,
-       CAST(coalesce(cnt.c, 0) AS DOUBLE) / greatest(g.n, 1) AS freq
+       -- round-trip through REAL: the Spark side's array<float> contract
+       -- truncates the float64 histogram to float32 before widening back
+       CAST(CAST(CAST(coalesce(cnt.c, 0) AS DOUBLE) / greatest(g.n, 1)
+                 AS REAL) AS DOUBLE) AS freq
 FROM grid g LEFT JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.nib = g.bin
 """
     # multimodal.py::frame_sample fake mode, every_n=1: 256-byte slices,
@@ -3524,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_rwd": _rwd_oracle(),
         "forecast_swa": _swa_oracle(),
         "forecast_ses": _ses_oracle(),
+        "forecast_inspect": _inspect_ses_oracle(),
         "forecast_seasonal_es": _seasonal_es_oracle(),
         "forecast_croston": _croston_oracle(),
         "forecast_croston_sba": _croston_oracle(sba=True),
@@ -3569,7 +3870,7 @@ FROM hs LEFT JOIN pat ON pat.id = hs.id
                      AND pat.phs = (hs.n % 7 + hs.i) % 7
 """
     o.update(_llm_oracles())
-    return o
+    return _round_pin_oracles(o)
 
 
 def _mqloss_oracle() -> str:

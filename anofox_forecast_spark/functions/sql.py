@@ -309,21 +309,21 @@ _SQL_SCALARS: list[tuple[str, str, str]] = [
                                          / (abs(p.a) + abs(p.f)))
                / size(filter(zip_with(a, f, (x, y) -> abs(x) + abs(y)),
                              s -> s > {_EPS_SQL})) * 100.0D END"""),
-    # the mean must be inlined (a SQL UDF is not callable on/under lambda
-    # scope); ss_tot = sum((x - sum(a)/n)^2) written with nested aggregates
+    # a SQL UDF cannot bind intermediates and is not callable under lambda
+    # scope, so ss_tot uses the one-pass identity sum(x^2) - sum(x)^2/n —
+    # each aggregate() is a single O(n) fold (the centered form would
+    # re-evaluate the mean aggregate for every element, O(n^2))
     ("ts_r2", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
-     f"""CASE WHEN abs(aggregate(a, 0.0D,
-                   (acc, x) -> acc
-                     + (x - aggregate(a, 0.0D, (acc2, v) -> acc2 + v) / size(a))
-                     * (x - aggregate(a, 0.0D, (acc3, v3) -> acc3 + v3) / size(a))))
+     f"""CASE WHEN abs(aggregate(a, 0.0D, (acc, x) -> acc + x * x)
+                   - aggregate(a, 0.0D, (acc, x) -> acc + x)
+                     * aggregate(a, 0.0D, (acc, x) -> acc + x) / size(a))
               < {_EPS_SQL}
           THEN {_NAN_SQL}
           ELSE 1.0D - aggregate(zip_with(a, f, (x, y) -> (x - y) * (x - y)),
                                 0.0D, (acc, v) -> acc + v)
-                      / aggregate(a, 0.0D,
-                   (acc, x) -> acc
-                     + (x - aggregate(a, 0.0D, (acc2, v) -> acc2 + v) / size(a))
-                     * (x - aggregate(a, 0.0D, (acc3, v3) -> acc3 + v3) / size(a)))
+                      / (aggregate(a, 0.0D, (acc, x) -> acc + x * x)
+                         - aggregate(a, 0.0D, (acc, x) -> acc + x)
+                           * aggregate(a, 0.0D, (acc, x) -> acc + x) / size(a))
           END"""),
     ("ts_mase",
      "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
@@ -522,60 +522,84 @@ def _make_prep_udtf(op: str):
             group_col, ds_col, y_col, *rest = self._args
             rows = self._rows
             g = rows[0][group_col]
+            # SQL NULL (None) is "missing"; a real NaN double is a VALUE —
+            # exactly the DataFrame ops' semantics (prep.py uses
+            # isNull/isNotNull, and Spark avg/min/max/!= treat NaN as a
+            # value), so the two surfaces cannot disagree on NaN-bearing
+            # series. y holds NaN for BOTH cases; isnull disambiguates.
             y = np.array([math.nan if r[y_col] is None else float(r[y_col])
                           for r in rows])
-            valid = ~np.isnan(y)
+            isnull = np.array([r[y_col] is None for r in rows])
+            notnull = ~isnull
+            n = len(rows)
 
             if op == "diff":
                 lag = int(rest[0]) if rest else 1
                 for i, r in enumerate(rows):
-                    prev = y[i - lag] if i >= lag else math.nan
-                    v = float(y[i] - prev)
-                    yield (g, r[ds_col], None if math.isnan(v) else v)
+                    if i < lag or isnull[i] or isnull[i - lag]:
+                        v = None       # NULL arithmetic -> NULL
+                    else:
+                        v = float(y[i] - y[i - lag])  # NaN stays NaN
+                    yield (g, r[ds_col], v)
                 return
             if op.startswith("drop_"):
                 if op == "drop_constant":
-                    vv = y[valid]
-                    keep = len(vv) == 0 or bool((vv != vv[0]).any())
+                    vv = y[notnull]
+                    nn = vv[~np.isnan(vv)]
+                    # keep iff >1 distinct non-null value under Spark
+                    # equality (NaN == NaN, NaN != any number)
+                    keep = (len(vv) == 0
+                            or (len(nn) > 0 and len(nn) < len(vv))
+                            or (len(nn) > 1 and bool((nn != nn[0]).any())))
                 elif op == "drop_short":
                     keep = len(rows) >= int(rest[0])
                 elif op == "drop_gappy":
-                    keep = float(np.isnan(y).mean()) <= float(rest[0])
-                else:  # drop_zeros
-                    keep = bool(((y != 0) & valid).any())
+                    keep = float(isnull.mean()) <= float(rest[0])
+                else:  # drop_zeros — NaN != 0 is true in Spark, NaN counts
+                    keep = bool(((y != 0) & notnull).any())
                 if keep:
                     for r in rows:
                         yield (g, r[ds_col], r[y_col])
                 return
-            # fill family: passthrough + filled_value
+            # fill family: passthrough + filled_value. fills[i] is None only
+            # where the output is SQL NULL (unfillable null position).
+            fills: list = [None] * n
             if op == "fill_const":
-                filled = np.where(valid, y, float(rest[0]))
+                c = float(rest[0])
+                for i in range(n):
+                    fills[i] = y[i] if notnull[i] else c
             elif op == "fill_forward":
-                filled = y.copy()
-                last = math.nan
-                for i in range(len(filled)):
-                    if not math.isnan(filled[i]):
-                        last = filled[i]
-                    elif not math.isnan(last):
-                        filled[i] = last
+                last = None
+                for i in range(n):
+                    if notnull[i]:
+                        last = y[i]
+                        fills[i] = y[i]
+                    else:
+                        fills[i] = last
             elif op == "fill_backward":
-                filled = y.copy()
-                nxt = math.nan
-                for i in range(len(filled) - 1, -1, -1):
-                    if not math.isnan(filled[i]):
-                        nxt = filled[i]
-                    elif not math.isnan(nxt):
-                        filled[i] = nxt
+                nxt = None
+                for i in range(n - 1, -1, -1):
+                    if notnull[i]:
+                        nxt = y[i]
+                        fills[i] = y[i]
+                    else:
+                        fills[i] = nxt
             elif op == "fill_mean":
-                filled = np.where(valid, y,
-                                  float(np.mean(y[valid])) if valid.any()
-                                  else math.nan)
-            else:  # interpolate — same helper as the model preprocessing
-                filled = M.interpolate_nulls(y)
+                m = float(np.mean(y[notnull])) if notnull.any() else None
+                for i in range(n):
+                    fills[i] = y[i] if notnull[i] else m
+            else:  # interpolate — anchors are non-NULL values (NaN anchors
+                # propagate NaN through the linear arithmetic, like SQL)
+                if notnull.any():
+                    idx = np.arange(n, dtype=float)
+                    interp = np.interp(idx[isnull], idx[notnull], y[notnull])
+                    it = iter(interp)
+                    for i in range(n):
+                        fills[i] = y[i] if notnull[i] else float(next(it))
             for i, r in enumerate(rows):
-                fv = filled[i]
+                fv = fills[i]
                 yield (g, r[ds_col], r[y_col],
-                       None if math.isnan(fv) else float(fv))
+                       None if fv is None else float(fv))
 
     return _Prep
 

@@ -290,13 +290,28 @@ def ts_conformal_apply_profile(forecast_df: DataFrame, profile_df: DataFrame,
 # Bootstrap intervals (seeded numpy; UDF path)
 # ---------------------------------------------------------------------------
 
+def _md5_indices(key, seed: int, n_rows: int, h: int, m: int) -> np.ndarray:
+    """Engine-portable resampling indices: uniform draw (row b, step t) =
+    first 8 hex chars of md5("{key}|{seed}|{b}|{t}") mod m. Reproducible in
+    any SQL engine (DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT % m), which
+    makes the bootstrap oracle-checkable end to end."""
+    import hashlib
+    return np.array(
+        [[int(hashlib.md5(f"{key}|{seed}|{b}|{t}".encode())
+              .hexdigest()[:8], 16) % m
+          for t in range(1, h + 1)] for b in range(n_rows)])
+
+
 def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
                               y_col: str, horizon: int, n_boot: int = 200,
                               confidence_level: float = 0.90,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42, rng: str = "pcg") -> DataFrame:
     """Residual-bootstrap prediction intervals around a naive-drift base
     forecast (``bootstrap.rs:41-97``): resample one-step residuals with a
-    seeded RNG, accumulate h-step paths, take empirical quantiles."""
+    seeded RNG, accumulate h-step paths, take empirical quantiles.
+    ``rng='pcg'`` (default) draws from numpy PCG64; ``rng='md5'`` uses the
+    engine-portable md5 scheme of ``_md5_indices`` (same statistics, and a
+    SQL oracle can replay it exactly)."""
     gtype = df.schema[group_col].dataType
     h = int(horizon)
     cl = float(confidence_level)
@@ -315,15 +330,22 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
             return None
         drift = (y[-1] - y[0]) / (len(y) - 1)
         resid = np.diff(y) - drift
-        # deterministic per-group seed — builtin hash() varies across Python
-        # worker processes (PYTHONHASHSEED), so use a stable digest to keep
-        # the bootstrap reproducible across runs, retries, and speculation
-        rng = np.random.default_rng(
-            zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
-        paths = np.empty((n_boot, h))
-        for b in range(n_boot):
-            steps = rng.choice(resid, size=h, replace=True)
-            paths[b] = y[-1] + drift * np.arange(1, h + 1) + np.cumsum(steps)
+        if rng == "md5":
+            steps = resid[_md5_indices(key[0], seed, n_boot, h, len(resid))]
+            paths = (y[-1] + drift * np.arange(1, h + 1)
+                     + np.cumsum(steps, axis=1))
+        else:
+            # deterministic per-group seed — builtin hash() varies across
+            # Python worker processes (PYTHONHASHSEED), so use a stable
+            # digest to keep the bootstrap reproducible across runs,
+            # retries, and speculation
+            gen = np.random.default_rng(
+                zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
+            paths = np.empty((n_boot, h))
+            for b in range(n_boot):
+                st = gen.choice(resid, size=h, replace=True)
+                paths[b] = (y[-1] + drift * np.arange(1, h + 1)
+                            + np.cumsum(st))
         point = y[-1] + drift * np.arange(1, h + 1)
         lo = np.quantile(paths, (1 - cl) / 2, axis=0)
         up = np.quantile(paths, 1 - (1 - cl) / 2, axis=0)
@@ -340,7 +362,8 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
 
 def ts_bootstrap_quantiles(df: DataFrame, group_col: str, resid_col: str,
                            forecast_col: str, quantiles: list[float],
-                           n_paths: int = 200, seed: int = 42) -> DataFrame:
+                           n_paths: int = 200, seed: int = 42,
+                           rng: str = "pcg") -> DataFrame:
     """Bootstrap quantile forecasts from per-group residual and point-forecast
     arrays (ref ``bootstrap.rs:98-170``, registered in
     ``src/scalar_functions/bootstrap.cpp``): resample residuals with a seeded
@@ -370,10 +393,15 @@ def ts_bootstrap_quantiles(df: DataFrame, group_col: str, resid_col: str,
             if len(resid) == 0 or len(fc) == 0:
                 continue
             h = len(fc)
-            rng = np.random.default_rng(
-                zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
-            # cumulative residual resampling: paths widen with horizon
-            steps = rng.choice(resid, size=(int(n_paths), h), replace=True)
+            if rng == "md5":
+                steps = resid[_md5_indices(key[0], seed, int(n_paths), h,
+                                           len(resid))]
+            else:
+                gen = np.random.default_rng(
+                    zlib.crc32(f"{key[0]}|{seed}".encode()) & 0xFFFFFFFF)
+                # cumulative residual resampling: paths widen with horizon
+                steps = gen.choice(resid, size=(int(n_paths), h),
+                                   replace=True)
             paths = fc[None, :] + np.cumsum(steps, axis=1)
             for q in qs:
                 out.append({group_col: key[0], "quantile": q,

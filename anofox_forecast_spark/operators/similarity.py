@@ -81,7 +81,8 @@ def cosine_topk_ivf(df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
               sample_limit: int = 10000,
-              repartition_by_cell: bool = True):
+              repartition_by_cell: bool = True,
+              centroids: list[list[float]] | None = None):
     """Build an IVF 'index': learn centroids from a deterministic bounded
     sample, assign every row to its nearest cell, and (optionally)
     repartition by cell so each cell is physically co-located.
@@ -95,17 +96,22 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
     a plain ``list[list[float]]`` (store it next to the table; pass it to
     ``ivf_search``).
     """
-    # Deterministic bounded sample: first ``sample_limit`` rows by id is a
-    # TakeOrderedAndProject (no full sort shuffle) and, unlike a bare
-    # ``limit``, does not depend on partition layout — same data, same
-    # centroids, every run.
-    sample = np.array(
-        [r[0] for r in df.orderBy(id_col).limit(sample_limit)
-                         .select(vec_col).collect()],
-        dtype=float)
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    C = _kmeans_lite(sample / norms, n_clusters)
+    if centroids is not None:
+        # rebuild/extend an index from stored centroids (incremental
+        # ingest: assign NEW rows to the existing cells without relearning)
+        C = np.asarray(centroids, dtype=float)
+    else:
+        # Deterministic bounded sample: first ``sample_limit`` rows by id is
+        # a TakeOrderedAndProject (no full sort shuffle) and, unlike a bare
+        # ``limit``, does not depend on partition layout — same data, same
+        # centroids, every run.
+        sample = np.array(
+            [r[0] for r in df.orderBy(id_col).limit(sample_limit)
+                             .select(vec_col).collect()],
+            dtype=float)
+        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = _kmeans_lite(sample / norms, n_clusters)
     unit = _unit(F.col(vec_col))
     # nearest-centroid assignment: array_min over (distance, cell) structs —
     # each distance subtree appears exactly once (a chained-when argmin would
@@ -145,36 +151,53 @@ def ivf_search(indexed_df: DataFrame, centroids: list[list[float]],
 
 def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
                  vec_col: str, k: int = 5, n_planes: int = 10,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, n_tables: int = 1) -> DataFrame:
     """Approximate k-NN join: for each left row, the top-k right rows by
-    cosine among candidates sharing the random-hyperplane signature.
-    Output: (<left_id>, <right_id>, cosine, rank)."""
+    cosine among candidates sharing a random-hyperplane signature in ANY of
+    ``n_tables`` independent tables (OR-amplification, the same bands
+    pattern as MinHash-LSH: P(miss) = (1 - p^n_planes)^n_tables, so more
+    tables buy recall at linear candidate cost — a query that sits on one
+    table's hyperplane is rescued by the others). ``n_tables=1`` is the
+    single-signature fast path. Output: (<left_id>, <right_id>, cosine,
+    rank). Scale shape: explode factor n_tables per side, shuffle keyed on
+    (table, signature) — never an all-pairs product."""
     from pyspark.sql import Window
     d = int(left.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, d))
+    # one sequential draw: table 0 gets the exact planes the single-table
+    # form always used (n_tables=1 is bit-identical to the old behavior)
+    planes = rng.standard_normal((int(n_tables) * n_planes, d))
 
-    def sig_for(df: DataFrame) -> Column:
+    def sig_rows(df: DataFrame, id_col: str, out_id: str, out_vec: str):
         unit = _unit(F.col(vec_col))
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(planes[p, j])) for j in range(d)])
-            s = dot(unit, plane)
-            sig = sig.bitwiseOR(F.when(s > 0, F.lit(2 ** p).cast("long"))
-                                 .otherwise(F.lit(0).cast("long")))
-        return sig
+        tsigs = []
+        for t in range(int(n_tables)):
+            sig = F.lit(0).cast("long")
+            for p in range(n_planes):
+                row = planes[t * n_planes + p]
+                plane = F.array(*[F.lit(float(row[j])) for j in range(d)])
+                s = dot(unit, plane)
+                sig = sig.bitwiseOR(
+                    F.when(s > 0, F.lit(2 ** p).cast("long"))
+                     .otherwise(F.lit(0).cast("long")))
+            tsigs.append(F.struct(F.lit(t).alias("t"), sig.alias("s")))
+        return (df.select(F.col(id_col).alias(out_id), unit.alias(out_vec),
+                          F.explode(F.array(*tsigs)).alias("__ts"))
+                  .select(out_id, out_vec, F.col("__ts.t").alias("__t"),
+                          F.col("__ts.s").alias("__sig")))
 
-    lt = left.select(F.col(left_id).alias("__lid"),
-                     _unit(F.col(vec_col)).alias("__lv"),
-                     sig_for(left).alias("__sig"))
-    rt = right.select(F.col(right_id).alias("__rid"),
-                      _unit(F.col(vec_col)).alias("__rv"),
-                      sig_for(right).alias("__sig"))
+    lt = sig_rows(left, left_id, "__lid", "__lv")
+    rt = sig_rows(right, right_id, "__rid", "__rv")
     cos = dot(F.col("__lv"), F.col("__rv"))
-    w = Window.partitionBy("__lid").orderBy(F.col("cosine").desc(), F.col("__rid"))
-    return (lt.join(rt, "__sig")
-              .withColumn("cosine", cos)
-              .withColumn("rank", F.row_number().over(w))
-              .filter(F.col("rank") <= int(k))
-              .select(F.col("__lid").alias(left_id),
-                      F.col("__rid").alias(right_id), "cosine", "rank"))
+    w = Window.partitionBy("__lid").orderBy(F.col("cosine").desc(),
+                                            F.col("__rid"))
+    cand = lt.join(rt, ["__t", "__sig"])
+    if int(n_tables) > 1:
+        # the same pair can collide in several tables — dedup before ranking
+        cand = cand.dropDuplicates(["__lid", "__rid"])
+    return (cand
+            .withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(F.col("__lid").alias(left_id),
+                    F.col("__rid").alias(right_id), "cosine", "rank"))

@@ -430,7 +430,18 @@ def ts_stats_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         rows = []
         for ds_a, y_a in zip(ds_arrs, y_arrs):
             y = np.asarray(y_a, dtype=float)
-            d = np.asarray(ds_a, dtype="int64")
+            # a NULL ds arrives as NaN (Arrow widens int64+null to float64)
+            # or None; a blind int64 cast would fold it into garbage micros.
+            # Gap stats use only the valid dates, like the old applyInPandas
+            # path tolerated NaT.
+            d = np.asarray(ds_a)
+            if d.dtype == object:
+                d = np.asarray([v for v in d if v is not None],
+                               dtype="int64")
+            elif d.dtype.kind == "f":
+                d = d[~np.isnan(d)].astype("int64")
+            else:
+                d = d.astype("int64")
             rows.append(_rest_stats(y, d, freq))
         return pd.DataFrame(rows, columns=_REST_KEYS)
 
