@@ -444,6 +444,7 @@ _FEATURES_SQL_COLS = [
 ]
 
 
+
 def _analytics_queries():
     from anofox_forecast_spark.operators import detect as D
     from anofox_forecast_spark.operators import features as FE
@@ -861,6 +862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "SeasonalESOptimized", {"seasonal_period": SEASON}),
         "forecast_ets": _forecast_query(
             "ETS", {"model": "AAA", "seasonal_period": SEASON}),
+        # true multiplicative-error state space (r4): rows-gated, the M-spec
+        # runs end-to-end on the positive lineitem panel
+        "forecast_ets_mam": _forecast_query(
+            "ETS", {"model": "MAM", "seasonal_period": SEASON}),
         "forecast_auto_ets": _forecast_query(
             "AutoETS", {"seasonal_period": SEASON}),
         "forecast_arima": _forecast_query("ARIMA", {"p": 1, "d": 1, "q": 1}),

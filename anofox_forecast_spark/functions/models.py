@@ -557,7 +557,8 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
 # ETS family (innovations state space, additive error; grid/NM-optimized)
 # ---------------------------------------------------------------------------
 
-_ETS_SPECS = ["NNN", "ANN", "AAN", "AAdN", "ANA", "AAA", "AAdA", "MNN", "MAN", "MNM", "MAM"]
+_ETS_SPECS = ["NNN", "ANN", "AAN", "AAdN", "ANA", "AAA", "AAdA",
+              "MNN", "MAN", "MAdN", "MNA", "MAA", "MNM", "MAM", "MAdM"]
 
 
 def _parse_ets_spec(spec: str):
@@ -571,17 +572,152 @@ def _parse_ets_spec(spec: str):
     return err, trend, seas, damped
 
 
+def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
+    """True multiplicative-error innovations state space, ETS(M,T,S) for
+    T in {N, A, Ad} x S in {N, A, M} — the Hyndman-Athanasopoulos Table 7.8
+    error-correction recursions with relative error e_t = (y_t - mu_t)/mu_t,
+    fit by minimizing the multiplicative-error -2logL =
+    n*ln(sum(e^2)/n) + 2*sum(ln|mu_t|) (HA eq. 7.4/7.5, which makes AIC
+    comparable with additive-error specs). Requires a strictly positive
+    series. Intervals: mu_h +- z * |mu_h| * sigma_e * sqrt(step) — the
+    relative-error analogue of the additive family's widening."""
+    n = len(y)
+    if np.any(~(y > 0)):
+        raise ValueError(
+            "multiplicative-error ETS requires a strictly positive series")
+    has_trend = trend != "N"
+    has_seas = seas != "N"
+
+    def init_states():
+        if has_seas:
+            l0 = float(np.mean(y[:m]))
+            b0 = (float(np.mean(y[m:2 * m])) - l0) / m if has_trend else 0.0
+            if seas == "M":
+                s0 = np.array([y[i] / l0 if l0 != 0 else 1.0
+                               for i in range(m)])
+            else:
+                s0 = np.array([y[i] - l0 for i in range(m)])
+        else:
+            l0 = float(y[0])
+            b0 = float(y[1] - y[0]) if has_trend and n > 1 else 0.0
+            s0 = None
+        return l0, b0, s0
+
+    def filt(a, b, g, ph):
+        level, trend_v, s = init_states()
+        s = None if s is None else s.copy()
+        mu = np.empty(n)
+        e = np.empty(n)
+        for t in range(n):
+            q = level + ph * trend_v if has_trend else level
+            if seas == "M":
+                sv = s[t % m]
+                m_t = q * sv
+            elif seas == "A":
+                sv = s[t % m]
+                m_t = q + sv
+            else:
+                sv = None
+                m_t = q
+            if m_t == 0 or not math.isfinite(m_t):
+                return None, None, None
+            mu[t] = m_t
+            et = (y[t] - m_t) / m_t
+            e[t] = et
+            if seas == "A":
+                level = q + a * m_t * et
+                if has_trend:
+                    trend_v = ph * trend_v + b * m_t * et
+                s[t % m] = sv + g * m_t * et
+            else:  # S = N or M share the proportional updates
+                level = q * (1.0 + a * et)
+                if has_trend:
+                    trend_v = ph * trend_v + b * q * et
+                if seas == "M":
+                    s[t % m] = sv * (1.0 + g * et)
+        return mu, e, (level, trend_v, s)
+
+    def neg2ll(x):
+        i = 0
+        a = x[i]; i += 1
+        b = x[i] if has_trend else 0.0
+        i += 1 if has_trend else 0
+        g = x[i] if has_seas else 0.0
+        i += 1 if has_seas else 0
+        ph = x[i] if damped else 1.0
+        mu, e, _ = filt(a, b, g, ph)
+        if mu is None:
+            return 1e300
+        se = float(np.sum(e * e))
+        if se <= 0:
+            return -1e300
+        v = n * math.log(se / n) + 2.0 * float(np.sum(np.log(np.abs(mu))))
+        return v if math.isfinite(v) else 1e300
+
+    x0, bounds = [0.3], [(0.01, 0.99)]
+    if has_trend:
+        x0.append(0.05); bounds.append((0.01, 0.99))
+    if has_seas:
+        x0.append(0.1); bounds.append((0.01, 0.99))
+    if damped:
+        x0.append(0.95); bounds.append((0.8, 0.995))
+    x = nelder_mead(neg2ll, x0, bounds=bounds)
+    i = 0
+    a = float(x[i]); i += 1
+    b = float(x[i]) if has_trend else None
+    i += 1 if has_trend else 0
+    g = float(x[i]) if has_seas else None
+    i += 1 if has_seas else 0
+    ph = float(x[i]) if damped else 1.0
+    mu, e, (level, trend_v, s) = filt(a, b or 0.0, g or 0.0, ph)
+    steps = np.arange(1, h + 1, dtype=float)
+    if has_trend:
+        phs = np.cumsum(ph ** steps) if damped else steps
+        q = level + phs * trend_v
+    else:
+        q = np.full(h, level)
+    if seas == "M":
+        sf = np.array([s[(n + j - 1) % m] for j in range(1, h + 1)])
+        point = q * sf
+    elif seas == "A":
+        sf = np.array([s[(n + j - 1) % m] for j in range(1, h + 1)])
+        point = q + sf
+    else:
+        point = q
+    sig_e = _sigma(e)
+    width = np.abs(point) * sig_e * np.sqrt(steps)
+    lo, up = _interval(point, width, cl)
+    k = 1 + (1 if has_trend else 0) + (1 if has_seas else 0) + \
+        (1 if damped else 0)
+    se = float(np.sum(e * e))
+    aic = n * math.log(se / n) + 2.0 * float(np.sum(np.log(np.abs(mu)))) + 2 * k \
+        if se > 0 else float("nan")
+    bic = aic - 2 * k + k * math.log(n) if math.isfinite(aic) else float("nan")
+    params = {"alpha": a, "seasonal_period": m}
+    if b is not None:
+        params["beta"] = b
+    if g is not None:
+        params["gamma"] = g
+    if damped:
+        params["phi"] = ph
+    return ForecastResult(point, lo, up, _name, mu, y - mu, params=params,
+                          aic=aic, bic=bic)
+
+
 def _ets(y, h, cl, model="AAA", season_length=1, _name="ETS", **kw):
     """ETS with explicit spec string (ref forecast.rs ets_spec; default AAA).
 
-    Additive-error likelihood; M-error specs share point forecasts with their
-    A-error twins (documented simplification).
-    """
+    A-error specs route through the additive family; M-error specs run the
+    true multiplicative-error state space (``_ets_mult``) with its own
+    likelihood and relative-error intervals."""
     err, trend, seas, damped = _parse_ets_spec(model)
     m = max(int(season_length), 1)
     if seas != "N" and (m < 2 or len(y) < 2 * m):
         seas = "N"
-    if seas == "A" or seas == "M":
+    if err == "M":
+        base = _ets_mult(np.asarray(y, dtype=float), h, cl, trend, seas,
+                         damped, m, _name=_name)
+    elif seas == "A" or seas == "M":
         base = _holt_winters(y, h, cl, season_length=m, multiplicative=(seas == "M"),
                              _name=_name)
     elif trend == "A":
@@ -599,13 +735,26 @@ def _ets(y, h, cl, model="AAA", season_length=1, _name="ETS", **kw):
 
 def _auto_ets(y, h, cl, season_length=1, model_pool=None, **kw):
     m = max(int(season_length), 1)
-    pool = model_pool or (["ANN", "AAN", "AAdN"] + (["ANA", "AAA", "AAdA"] if m >= 2 else []))
+    if model_pool:
+        pool = model_pool
+    else:
+        pool = ["ANN", "AAN", "AAdN"] + \
+               (["ANA", "AAA", "AAdA"] if m >= 2 else [])
+        # multiplicative-error / multiplicative-season specs join the pool
+        # only when the series is strictly positive (ref forecast.rs spec
+        # taxonomy; HA: M-error is undefined at y <= 0)
+        if np.all(np.asarray(y, dtype=float) > 0):
+            pool += ["MNN", "MAN"] + (["MNM", "MAM"] if m >= 2 else [])
     best, best_aic = None, float("inf")
     for spec in pool:
         try:
             r = _ets(y, h, cl, model=spec, season_length=m, _name="AutoETS")
             k = {"ANN": 1, "AAN": 2, "AAdN": 3, "ANA": 1 + m, "AAA": 3 + m,
-                 "AAdA": 4 + m}.get(spec, 3)
+                 "AAdA": 4 + m, "MNN": 1, "MAN": 2, "MAdN": 3,
+                 "MNM": 1 + m, "MAM": 3 + m, "MAdM": 4 + m,
+                 "MNA": 1 + m, "MAA": 3 + m}.get(spec, 3)
+            # one consistent selection criterion across the whole pool:
+            # additive-Gaussian AIC on the absolute residuals (y - fitted)
             sse = float(np.nansum(np.asarray(r.residuals, dtype=float) ** 2))
             aic, _ = _aic_bic(sse, len(y), k)
         except Exception:

@@ -542,6 +542,18 @@ def _make_prep_udtf(op: str):
                         v = float(y[i] - y[i - lag])  # NaN stays NaN
                     yield (g, r[ds_col], v)
                 return
+            if op.startswith("drop_") and op.endswith("_zeros") \
+                    and op != "drop_zeros":
+                # edge-trimming family: ds >= first / <= last nonzero value
+                # ((y != 0) & notnull — NaN counts as nonzero, prep.py:258+)
+                nz = [i for i in range(n) if notnull[i] and y[i] != 0]
+                if not nz:
+                    return
+                lo = nz[0] if op != "drop_trailing_zeros" else 0
+                hi = nz[-1] if op != "drop_leading_zeros" else n - 1
+                for r in rows[lo:hi + 1]:
+                    yield (g, r[ds_col], r[y_col])
+                return
             if op.startswith("drop_"):
                 if op == "drop_constant":
                     vv = y[notnull]
@@ -659,26 +671,629 @@ _PREP_UDTF_NAMES = {
     "ts_drop_short_by": "drop_short",
     "ts_drop_gappy_by": "drop_gappy",
     "ts_drop_zeros_by": "drop_zeros",
+    "ts_drop_leading_zeros_by": "drop_leading_zeros",
+    "ts_drop_trailing_zeros_by": "drop_trailing_zeros",
+    "ts_drop_edge_zeros_by": "drop_edge_zeros",
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface expansion: detection / hierarchy / conformal / cv families
+# as UDTFs, delegating to the SAME per-series functions as the DataFrame ops
+# (operators/detect.py module-level primitives) so the surfaces cannot
+# drift. Mirrors the reference's remaining macro table
+# (src/macros/ts_macros.cpp) toward its ~70-name surface.
+# ---------------------------------------------------------------------------
+
+def _nan_y(rows, y_col):
+    import numpy as np
+    return np.array([math.nan if r[y_col] is None else float(r[y_col])
+                     for r in rows])
+
+
+def _make_series_udtf(out_fields, compute):
+    """Grouped (partitionBy group, orderBy ds) UDTF factory. ``out_fields``
+    is ``callable(table_type, ds_name) -> list[StructField]`` appended after
+    the group column; ``compute(ds_vals, y, args) -> iterable of tuples``
+    (the group value is prepended here). Scalar args arrive as strings."""
+
+    class _S:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                    ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
+                    *rest: AnalyzeArgument) -> AnalyzeResult:
+            g = group_col.value
+            fields = [T.StructField(g, table.dataType[g].dataType)]
+            fields += out_fields(table.dataType, ds_col.value)
+            return AnalyzeResult(schema=T.StructType(fields),
+                                 partitionBy=[PartitioningColumn(g)],
+                                 orderBy=[OrderingColumn(ds_col.value)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, ds_col, y_col, *rest):
+            self._args = (group_col, ds_col, y_col, *rest)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, ds_col, y_col, *rest = self._args
+            g = self._rows[0][group_col]
+            ds = [r[ds_col] for r in self._rows]
+            y = _nan_y(self._rows, y_col)
+            for tup in compute(ds, y, [str(a) for a in rest]):
+                yield (g, *tup)
+
+    return _S
+
+
+def _f(name, t):
+    return T.StructField(name, t)
+
+
+def _detection_udtfs():
+    """name -> UDTF class for the §2.5 detection family."""
+    import numpy as np
+
+    D = T.DoubleType()
+
+    def _passthrough(tt, ds):
+        return [_f(ds, tt[ds].dataType)]
+
+    def c_analyze(ds, y, args):
+        from ..functions.models import detect_seasonality, interpolate_nulls
+        from ..operators.detect import seasonal_strength
+        yv = interpolate_nulls(y)
+        p = detect_seasonality(yv)
+        s = seasonal_strength(yv, p) if p > 1 else 0.0
+        t = np.arange(len(yv), dtype=float)
+        b1, b0 = np.polyfit(t, yv, 1) if len(yv) > 1 else (0.0, float(yv[0]))
+        vy = float(np.var(yv))
+        ts_ = min(max(1.0 - float(np.var(yv - (b0 + b1 * t))) / vy, 0.0), 1.0) \
+            if vy > 0 else 0.0
+        yield ([int(p)] if p > 1 else [], int(p) if p > 1 else 0,
+               float(s), float(ts_))
+
+    def c_classify(ds, y, args):
+        from ..operators.detect import classify_seasonality
+        r = classify_seasonality(y, int(args[0]))
+        yield (r["classification"], r["additive_strength"],
+               r["multiplicative_strength"])
+
+    def c_strength(ds, y, args):
+        from ..operators.detect import seasonal_strength
+        method = args[1] if len(args) > 1 else "variance"
+        yield (float(seasonal_strength(y, int(args[0]), method)),)
+
+    def c_detrend(ds, y, args):
+        from ..operators.detect import detrend
+        method = args[0] if args else "linear"
+        r = detrend(y, method, degree=int(args[1]) if len(args) > 1 else 2,
+                    order=int(args[2]) if len(args) > 2 else 1)
+        for i in range(len(y)):
+            yield (ds[i], float(y[i]), float(r["trend"][i]),
+                   float(r["detrended"][i]), r["method"])
+
+    def c_decompose(ds, y, args):
+        from ..operators.detect import decompose_seasonal
+        method = args[1] if len(args) > 1 else "additive"
+        try:
+            r = decompose_seasonal(y, int(args[0]), method)
+        except ValueError:
+            return
+        for i in range(len(y)):
+            yield (ds[i], float(y[i]), float(r["trend"][i]),
+                   float(r["seasonal"][i]), float(r["remainder"][i]))
+
+    def c_peaks(ds, y, args):
+        from ..operators.detect import find_peaks
+        r = find_peaks(y, float(args[0]) if args else 0.0)
+        for j in range(r["n_peaks"]):
+            i = int(r["indices"][j])
+            yield (ds[i], float(r["values"][j]), i,
+                   float(r["prominences"][j]))
+
+    def c_changepoints(ds, y, args):
+        from ..operators.detect import pelt
+        min_size = int(args[0]) if args else 2
+        penalty = float(args[1]) if len(args) > 1 else None
+        cps = set(pelt(y, penalty, min_size, "l2"))
+        for i in range(len(y)):
+            yield (ds[i], i in cps, 1.0 if i in cps else 0.0)
+
+    def c_instantaneous(ds, y, args):
+        from ..functions.models import interpolate_nulls
+        from ..operators.detect import EPS, _hilbert_analytic
+        yv = interpolate_nulls(y)
+        n = len(yv)
+        if n < 4:
+            return
+        analytic = _hilbert_analytic(yv - yv.mean())
+        amp = np.abs(analytic)
+        phase = np.unwrap(np.angle(analytic))
+        freq = np.empty(n)
+        freq[1:] = np.diff(phase) / (2.0 * np.pi)
+        freq[0] = freq[1]
+        for i in range(n):
+            per = float(1.0 / abs(freq[i])) if abs(freq[i]) > EPS else None
+            yield (ds[i], per, float(freq[i]), float(amp[i]))
+
+    return {
+        "ts_analyze_seasonality_by": _make_series_udtf(
+            lambda tt, ds: [_f("detected_periods", T.ArrayType(T.IntegerType())),
+                            _f("primary_period", T.IntegerType()),
+                            _f("seasonal_strength", D),
+                            _f("trend_strength", D)], c_analyze),
+        "ts_classify_seasonality_by": _make_series_udtf(
+            lambda tt, ds: [_f("classification", T.StringType()),
+                            _f("additive_strength", D),
+                            _f("multiplicative_strength", D)], c_classify),
+        "ts_seasonal_strength_by": _make_series_udtf(
+            lambda tt, ds: [_f("seasonal_strength", D)], c_strength),
+        "ts_detrend_by": _make_series_udtf(
+            lambda tt, ds: [_f(ds, tt[ds].dataType), _f("y", D),
+                            _f("trend", D), _f("detrended", D),
+                            _f("method", T.StringType())], c_detrend),
+        "ts_decompose_seasonal_by": _make_series_udtf(
+            lambda tt, ds: [_f(ds, tt[ds].dataType), _f("y", D),
+                            _f("trend", D), _f("seasonal", D),
+                            _f("remainder", D)], c_decompose),
+        "ts_detect_peaks_by": _make_series_udtf(
+            lambda tt, ds: [_f(ds, tt[ds].dataType), _f("y", D),
+                            _f("peak_index", T.IntegerType()),
+                            _f("prominence", D)], c_peaks),
+        "ts_detect_changepoints_by": _make_series_udtf(
+            lambda tt, ds: [_f(ds, tt[ds].dataType),
+                            _f("is_changepoint", T.BooleanType()),
+                            _f("changepoint_probability", D)], c_changepoints),
+        "ts_instantaneous_period_by": _make_series_udtf(
+            lambda tt, ds: [_f(ds, tt[ds].dataType), _f("period", D),
+                            _f("frequency", D), _f("amplitude", D)],
+            c_instantaneous),
+    }
+
+
+class CombineKeysUDTF:
+    """``ts_combine_keys(TABLE(t), 'id1,id2', 'ds', 'y', '|')`` — concat id
+    columns into unique_id with concat_ws NULL-skipping semantics (mirror of
+    operators/hierarchy.ts_combine_keys)."""
+
+    @staticmethod
+    def analyze(table, id_cols, ds_col, y_col, sep):
+        return AnalyzeResult(schema=T.StructType([
+            _f("unique_id", T.StringType()),
+            _f(ds_col.value, table.dataType[ds_col.value].dataType),
+            _f(y_col.value, table.dataType[y_col.value].dataType)]))
+
+    def eval(self, row, id_cols, ds_col, y_col, sep):
+        parts = [row[c] for c in str(id_cols).split(",")]
+        uid = str(sep).join(_fmt_key(v) for v in parts if v is not None)
+        yield (uid, row[ds_col], row[y_col])
+
+
+def _fmt_key(v) -> str:
+    # Spark's CAST(x AS STRING) for the common key types
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+class SplitKeysUDTF:
+    """``ts_split_keys(TABLE(t), 'unique_id', 'ds', 'y', '|', '2')`` —
+    inverse of combine (mirror of hierarchy.ts_split_keys; n_parts must be
+    given: UDTF schemas are fixed at analyze time)."""
+
+    @staticmethod
+    def analyze(table, uid_col, ds_col, y_col, sep, n_parts):
+        n = int(n_parts.value)
+        fields = [_f(f"id_part_{i + 1}", T.StringType()) for i in range(n)]
+        fields += [_f(ds_col.value, table.dataType[ds_col.value].dataType),
+                   _f(y_col.value, table.dataType[y_col.value].dataType)]
+        return AnalyzeResult(schema=T.StructType(fields))
+
+    def eval(self, row, uid_col, ds_col, y_col, sep, n_parts):
+        n = int(n_parts)
+        uid = row[uid_col]
+        parts = ([] if uid is None else str(uid).split(str(sep)))[:n]
+        parts += [None] * (n - len(parts))
+        yield (*parts, row[ds_col], row[y_col])
+
+
+class ValidateSeparatorUDTF:
+    """``ts_validate_separator(TABLE(t), 'id1,id2', '|')`` — single row
+    (mirror of hierarchy.ts_validate_separator)."""
+
+    @staticmethod
+    def analyze(table, id_cols, sep):
+        return AnalyzeResult(schema=T.StructType([
+            _f("separator", T.StringType()),
+            _f("is_valid", T.BooleanType()),
+            _f("n_conflicts", T.IntegerType()),
+            _f("conflicting_values", T.ArrayType(T.StringType())),
+            _f("message", T.StringType())]), withSinglePartition=True)
+
+    def __init__(self):
+        self._n = 0
+        self._vals: list = []
+
+    def eval(self, row, id_cols, sep):
+        self._args = (str(id_cols).split(","), str(sep))
+        cols, s = self._args
+        if any(row[c] is not None and s in _fmt_key(row[c]) for c in cols):
+            self._n += 1
+            if len(self._vals) < 100:
+                self._vals.append("=".join(
+                    _fmt_key(row[c]) for c in cols if row[c] is not None))
+
+    def terminate(self):
+        s = self._args[1] if hasattr(self, "_args") else ""
+        ok = self._n == 0
+        msg = "Separator is safe to use" if ok else \
+            (f"Separator found in {self._n} value(s); choose a different "
+             "separator")
+        yield (s, ok, self._n, self._vals, msg)
+
+
+class AggregateHierarchyUDTF:
+    """``ts_aggregate_hierarchy(TABLE(t), 'id1,id2', 'ds', 'y', '|',
+    'AGGREGATED')`` — all prefix levels per date, values summed (mirror of
+    hierarchy.ts_aggregate_hierarchy; partitioned by date so each task
+    aggregates one date's rows)."""
+
+    @staticmethod
+    def analyze(table, id_cols, ds_col, y_col, sep, keyword):
+        return AnalyzeResult(schema=T.StructType([
+            _f("unique_id", T.StringType()),
+            _f(ds_col.value, table.dataType[ds_col.value].dataType),
+            _f(y_col.value, T.DoubleType())]),
+            partitionBy=[PartitioningColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_cols, ds_col, y_col, sep, keyword):
+        self._args = (str(id_cols).split(","), ds_col, y_col, str(sep),
+                      str(keyword))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        cols, ds_col, y_col, sep, kw = self._args
+        ds = self._rows[0][ds_col]
+        sums: dict = {}
+        for r in self._rows:
+            yv = r[y_col]
+            yv = float(yv) if yv is not None else None
+            parts = [r[c] for c in cols]
+            for k in range(len(cols), -1, -1):
+                lead = [_fmt_key(v) for v in parts[:k] if v is not None]
+                key = sep.join(lead + [kw] * (len(cols) - k))
+                if key in sums:
+                    if yv is not None:
+                        sums[key] = (sums[key] or 0.0) + yv
+                else:
+                    sums[key] = yv
+        for key, v in sums.items():
+            yield (key, ds, v)
+
+
+def _conformal_udtfs():
+    import numpy as np
+
+    D = T.DoubleType()
+
+    def _corrected_quantile(arr: "np.ndarray", alpha: float) -> float:
+        """Mirror of conformal.ts_conformal_quantile + _interp_quantile."""
+        n = len(arr)
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(arr[0])
+        level = min(max(math.ceil((n + 1) * (1.0 - alpha)) / n, 0.0), 1.0)
+        idx = level * (n - 1)
+        lo = int(math.floor(idx))
+        frac = idx - lo
+        hi = min(lo + 1, n - 1)
+        return float(arr[lo] * (1.0 - frac) + arr[hi] * frac)
+
+    class ConformalByUDTF:
+        """``ts_conformal_by(TABLE(t), 'id', 'actual', 'forecast', 'point',
+        '0.1')`` (mirror of conformal.ts_conformal_by, symmetric method)."""
+
+        @staticmethod
+        def analyze(table, group_col, actual, forecast, point, alpha):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType),
+                _f("point", T.ArrayType(D)), _f("lower", T.ArrayType(D)),
+                _f("upper", T.ArrayType(D)), _f("coverage", D),
+                _f("conformity_score", D), _f("method", T.StringType())]),
+                partitionBy=[PartitioningColumn(g)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, actual, forecast, point, alpha):
+            self._args = (group_col, actual, forecast, point, float(alpha))
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, ac, fc, pt, alpha = self._args
+            g = self._rows[0][group_col]
+            res = np.sort(np.abs(np.array(
+                [float(r[ac]) - float(r[fc]) for r in self._rows
+                 if r[ac] is not None and r[fc] is not None])))
+            point = sorted(float(r[pt]) for r in self._rows
+                           if r[pt] is not None)
+            score = _corrected_quantile(res, alpha)
+            yield (g, point, [p - score for p in point],
+                   [p + score for p in point], 1.0 - alpha, score,
+                   "split_conformal")
+
+    class CoverageByUDTF:
+        """``ts_conformal_coverage_by(TABLE(t), 'id', 'actual', 'lower',
+        'upper')``."""
+
+        @staticmethod
+        def analyze(table, group_col, actual, lower, upper):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType), _f("coverage", D)]),
+                partitionBy=[PartitioningColumn(g)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, actual, lower, upper):
+            self._args = (group_col, actual, lower, upper)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, ac, lo, up = self._args
+            g = self._rows[0][group_col]
+            hits = [1.0 if (r[ac] is not None and r[lo] is not None
+                            and r[up] is not None
+                            and r[lo] <= r[ac] <= r[up]) else 0.0
+                    for r in self._rows]
+            yield (g, sum(hits) / len(hits) if hits else None)
+
+    class IntervalWidthUDTF:
+        """``ts_interval_width_by(TABLE(t), 'id', 'lower', 'upper')``."""
+
+        @staticmethod
+        def analyze(table, group_col, lower, upper):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType), _f("mean_width", D),
+                _f("n_intervals", T.LongType())]),
+                partitionBy=[PartitioningColumn(g)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, lower, upper):
+            self._args = (group_col, lower, upper)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, lo, up = self._args
+            g = self._rows[0][group_col]
+            ws = [float(r[up]) - float(r[lo]) for r in self._rows
+                  if r[lo] is not None and r[up] is not None]
+            if ws:
+                yield (g, sum(ws) / len(ws), len(ws))
+
+    class ConformalEvaluateUDTF:
+        """``ts_conformal_evaluate(TABLE(t), 'id', 'actual', 'lower',
+        'upper', '0.1')`` — coverage, mean width, Winkler."""
+
+        @staticmethod
+        def analyze(table, group_col, actual, lower, upper, alpha):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType), _f("coverage", D),
+                _f("mean_width", D), _f("winkler_score", D)]),
+                partitionBy=[PartitioningColumn(g)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, actual, lower, upper, alpha):
+            self._args = (group_col, actual, lower, upper, float(alpha))
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, ac, lo, up, alpha = self._args
+            g = self._rows[0][group_col]
+            cov, wid, wink = [], [], []
+            for r in self._rows:
+                a, l_, u = r[ac], r[lo], r[up]
+                if a is None or l_ is None or u is None:
+                    continue
+                w = u - l_
+                cov.append(1.0 if l_ <= a <= u else 0.0)
+                wid.append(w)
+                pen = (2.0 / alpha) * (l_ - a) if a < l_ else \
+                      ((2.0 / alpha) * (a - u) if a > u else 0.0)
+                wink.append(w + pen)
+            if cov:
+                n = len(cov)
+                yield (g, sum(cov) / n, sum(wid) / n, sum(wink) / n)
+
+    return {
+        "ts_conformal_by": ConformalByUDTF,
+        "ts_conformal_coverage_by": CoverageByUDTF,
+        "ts_interval_width_by": IntervalWidthUDTF,
+        "ts_conformal_evaluate": ConformalEvaluateUDTF,
+    }
+
+
+def _cv_udtfs():
+    D = T.DoubleType()
+
+    class CvSplitIndexUDTF:
+        """``ts_cv_split_index_by(TABLE(t), 'id', 'ds', 'y', '500,550',
+        '7')`` — explicit position-index folds (mirror of
+        cv.ts_cv_split_index_by)."""
+
+        @staticmethod
+        def analyze(table, group_col, ds_col, y_col, cutoffs, horizon):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType),
+                _f(ds_col.value, table.dataType[ds_col.value].dataType),
+                _f(y_col.value, table.dataType[y_col.value].dataType),
+                _f("fold_id", T.LongType()), _f("split", T.StringType())]),
+                partitionBy=[PartitioningColumn(g)],
+                orderBy=[OrderingColumn(ds_col.value)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, ds_col, y_col, cutoffs, horizon):
+            self._args = (group_col, ds_col, y_col,
+                          [int(c) for c in str(cutoffs).split(",")],
+                          int(horizon))
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            group_col, ds_col, y_col, cutoffs, h = self._args
+            g = self._rows[0][group_col]
+            for fold_id, te in enumerate(cutoffs):
+                for pos, r in enumerate(self._rows):
+                    if pos <= te:
+                        yield (g, r[ds_col], r[y_col], fold_id, "train")
+                    elif pos <= te + h:
+                        yield (g, r[ds_col], r[y_col], fold_id, "test")
+
+    class BacktestAutoUDTF:
+        """``ts_backtest_auto_by(TABLE(t), 'id', 'ds', 'y', 'Naive', '7',
+        '2')`` — expanding-window folds + per-fold fit + error columns
+        (mirror of cv.ts_backtest_auto_by; fold boundaries match
+        cv.ts_cv_folds_by's auto layout)."""
+
+        @staticmethod
+        def analyze(table, group_col, ds_col, y_col, method, horizon,
+                    n_folds):
+            g = group_col.value
+            return AnalyzeResult(schema=T.StructType([
+                _f(g, table.dataType[g].dataType),
+                _f("fold_id", T.LongType()),
+                _f(ds_col.value, table.dataType[ds_col.value].dataType),
+                _f("yhat", D), _f("actual", D), _f("error", D),
+                _f("abs_error", D), _f("yhat_lower", D), _f("yhat_upper", D),
+                _f("model_name", T.StringType())]),
+                partitionBy=[PartitioningColumn(g)],
+                orderBy=[OrderingColumn(ds_col.value)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, group_col, ds_col, y_col, method, horizon,
+                 n_folds):
+            self._args = (group_col, ds_col, y_col, str(method),
+                          int(horizon), int(n_folds))
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            import numpy as np
+
+            from . import models as M
+            group_col, ds_col, y_col, method, h, folds = self._args
+            g = self._rows[0][group_col]
+            y = _nan_y(self._rows, y_col)
+            n = len(y)
+            model = M.canonical_model(method)
+            for fold_id in range(folds):
+                train_end = max(n - folds * h, 1) - 1 + fold_id * h
+                if train_end + h >= n or train_end < 0:
+                    continue
+                train = y[:train_end + 1]
+                if np.isfinite(train).sum() < 3:
+                    continue
+                try:
+                    r = M.forecast(train, h, model, season_length=0,
+                                   level=0.90, params={})
+                except Exception:
+                    continue
+                for s in range(1, h + 1):
+                    row = self._rows[train_end + s]
+                    actual = row[y_col]
+                    yhat = float(r.point[s - 1])
+                    err = None if actual is None else float(actual) - yhat
+                    yield (g, fold_id, row[ds_col], yhat,
+                           None if actual is None else float(actual), err,
+                           None if err is None else abs(err),
+                           float(r.lower[s - 1]), float(r.upper[s - 1]),
+                           r.model_name)
+
+    return {
+        "ts_cv_split_index_by": CvSplitIndexUDTF,
+        "ts_backtest_auto_by": BacktestAutoUDTF,
+    }
+
+
+#: every registered SQL name (populated by register_all's first run);
+#: each also gets the reference's ``anofox_fcst_`` alias
+#: (``ts_macros.cpp:2185-2197`` registers both spellings for every macro).
+REGISTERED_NAMES: list = []
 
 
 def register_all(spark: SparkSession) -> None:
     """Register the SQL surface on a session. Idempotent.
 
     Mirrors the reference's registration list
-    (src/anofox_forecast_extension.cpp:16-175): 5 table-operator UDTFs,
-    12 grouped-metric UDTFs, 10 prep-family UDTFs, and 13 scalar metric
-    functions (as JVM-side Spark 4 SQL UDFs, not Python)."""
-    spark.udtf.register("ts_forecast_by", udtf(ForecastUDTF))
-    spark.udtf.register("ts_fill_gaps_by", udtf(FillGapsUDTF))
-    spark.udtf.register("ts_cv_folds_by", udtf(CvFoldsUDTF))
-    spark.udtf.register("ts_stats_by", udtf(StatsUDTF))
-    spark.udtf.register("ts_detect_periods", udtf(DetectPeriodsUDTF))
+    (src/anofox_forecast_extension.cpp:16-175 and the macro table in
+    src/macros/ts_macros.cpp): operator / detection / hierarchy / conformal
+    / cv UDTFs, grouped-metric UDTFs, prep-family UDTFs, 13 scalar metric
+    functions (JVM-side Spark 4 SQL UDFs, not Python), and the
+    ``anofox_fcst_*`` alias for every name."""
+    names: list = []
+
+    def reg_udtf(name, cls):
+        fn = udtf(cls)
+        spark.udtf.register(name, fn)
+        spark.udtf.register(f"anofox_fcst_{name}", fn)
+        names.append(name)
+
+    reg_udtf("ts_forecast_by", ForecastUDTF)
+    reg_udtf("ts_fill_gaps_by", FillGapsUDTF)
+    reg_udtf("ts_cv_folds_by", CvFoldsUDTF)
+    reg_udtf("ts_stats_by", StatsUDTF)
+    reg_udtf("ts_detect_periods", DetectPeriodsUDTF)
+    reg_udtf("ts_detect_periods_by", DetectPeriodsUDTF)
     for name, (metric, n_vals, extra) in _METRIC_BY_SPECS.items():
-        spark.udtf.register(name,
-                            udtf(_make_metric_by_udtf(metric, n_vals, extra)))
+        reg_udtf(name, _make_metric_by_udtf(metric, n_vals, extra))
     for name, op in _PREP_UDTF_NAMES.items():
-        spark.udtf.register(name, udtf(_make_prep_udtf(op)))
+        reg_udtf(name, _make_prep_udtf(op))
+    for name, cls in _detection_udtfs().items():
+        reg_udtf(name, cls)
+    reg_udtf("ts_combine_keys", CombineKeysUDTF)
+    reg_udtf("ts_split_keys", SplitKeysUDTF)
+    reg_udtf("ts_validate_separator", ValidateSeparatorUDTF)
+    reg_udtf("ts_aggregate_hierarchy", AggregateHierarchyUDTF)
+    for name, cls in _conformal_udtfs().items():
+        reg_udtf(name, cls)
+    for name, cls in _cv_udtfs().items():
+        reg_udtf(name, cls)
     for name, sig, body in _SQL_SCALARS:
-        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
-                  f"RETURN {body}")
+        for nm in (name, f"anofox_fcst_{name}"):
+            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "
+                      f"RETURN {body}")
+        names.append(name)
+    REGISTERED_NAMES[:] = names

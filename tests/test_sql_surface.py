@@ -377,3 +377,221 @@ def test_sql_scalar_metrics_edge_cases(spark):
     assert math.isnan(sql_out.loc["both_zero", "smape"])
     assert math.isnan(sql_out.loc["constant_actual", "r2"])
     assert math.isnan(sql_out.loc["perfect", "mase"])
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface expansion: detection / hierarchy / conformal / cv UDTFs
+# pinned SQL == DataFrame, plus the anofox_fcst_* alias for every name.
+# ---------------------------------------------------------------------------
+
+def _cmp(spark, sql_text, want_df, cols, sort_cols=None, rtol=1e-9):
+    import numpy as np
+    import pandas as pd
+    got = spark.sql(sql_text).toPandas()
+    want = want_df.toPandas()
+    sort_cols = sort_cols or cols
+    got = got[cols].sort_values(sort_cols).reset_index(drop=True)
+    want = want[cols].sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(want) > 0, \
+        f"{sql_text}: {len(got)} vs {len(want)} rows"
+    for c in cols:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            np.testing.assert_allclose(a.astype(float), b.astype(float),
+                                       rtol=rtol, equal_nan=True,
+                                       err_msg=f"{sql_text}: {c}")
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), \
+                f"{sql_text}: {c}"
+
+
+def _small_panel(spark, n_ids=6):
+    return lineitem_panel(spark, SF_DIR).filter(F.col("id") < n_ids)
+
+
+def test_detection_udtfs_match_dataframe(spark):
+    from anofox_forecast_spark.operators import detect as D
+    register_all(spark)
+    panel = _small_panel(spark)
+    panel.createOrReplaceTempView("det_panel")
+    _cmp(spark,
+         "SELECT id, primary_period, seasonal_strength, trend_strength "
+         "FROM ts_analyze_seasonality_by(TABLE(det_panel), 'id', 'ds', 'y')",
+         D.ts_analyze_seasonality_by(panel, "id", "ds", "y"),
+         ["id", "primary_period", "seasonal_strength", "trend_strength"],
+         ["id"])
+    _cmp(spark,
+         "SELECT * FROM ts_classify_seasonality_by(TABLE(det_panel), 'id', "
+         "'ds', 'y', '7')",
+         D.ts_classify_seasonality_by(panel, "id", "ds", "y", 7),
+         ["id", "classification", "additive_strength",
+          "multiplicative_strength"], ["id"])
+    _cmp(spark,
+         "SELECT * FROM ts_seasonal_strength_by(TABLE(det_panel), 'id', "
+         "'ds', 'y', '7')",
+         D.ts_seasonal_strength_by(panel, "id", "ds", "y", 7),
+         ["id", "seasonal_strength"], ["id"])
+    _cmp(spark,
+         "SELECT id, ds, y, trend, detrended FROM ts_detrend_by("
+         "TABLE(det_panel), 'id', 'ds', 'y', 'linear')",
+         D.ts_detrend_by(panel, "id", "ds", "y", {"method": "linear"}),
+         ["id", "y", "trend", "detrended"], ["id", "trend"])
+    _cmp(spark,
+         "SELECT id, y, trend, seasonal, remainder FROM "
+         "ts_decompose_seasonal_by(TABLE(det_panel), 'id', 'ds', 'y', '7')",
+         D.ts_decompose_seasonal_by(panel, "id", "ds", "y", 7),
+         ["id", "y", "trend", "seasonal", "remainder"],
+         ["id", "trend", "seasonal"])
+    _cmp(spark,
+         "SELECT id, y, peak_index, prominence FROM ts_detect_peaks_by("
+         "TABLE(det_panel), 'id', 'ds', 'y', '10.0')",
+         D.ts_detect_peaks_by(panel, "id", "ds", "y",
+                              {"min_prominence": 10.0}),
+         ["id", "y", "peak_index", "prominence"], ["id", "peak_index"])
+    _cmp(spark,
+         "SELECT id, is_changepoint, changepoint_probability FROM "
+         "ts_detect_changepoints_by(TABLE(det_panel), 'id', 'ds', 'y', '5')",
+         D.ts_detect_changepoints_by(panel, "id", "ds", "y",
+                                     {"min_size": 5}),
+         ["id", "is_changepoint", "changepoint_probability"],
+         ["id", "is_changepoint", "changepoint_probability"])
+    _cmp(spark,
+         "SELECT id, period, frequency, amplitude FROM "
+         "ts_instantaneous_period_by(TABLE(det_panel), 'id', 'ds', 'y')",
+         D.ts_instantaneous_period_by(panel, "id", "ds", "y"),
+         ["id", "period", "frequency", "amplitude"],
+         ["id", "frequency", "amplitude"], rtol=1e-6)
+
+
+def test_hierarchy_udtfs_match_dataframe(spark):
+    from anofox_forecast_spark.operators import hierarchy as H
+    register_all(spark)
+    rows = [("r1", "s1", 1, 10.0), ("r1", "s2", 1, 20.0),
+            ("r2", "s1", 1, 5.0), ("r1", "s1", 2, 1.0),
+            (None, "s9", 2, 7.0)]
+    df = spark.createDataFrame(rows, "region string, store string, ds int, "
+                                     "y double")
+    df.createOrReplaceTempView("hier_t")
+    _cmp(spark,
+         "SELECT * FROM ts_combine_keys(TABLE(hier_t), 'region,store', "
+         "'ds', 'y', '|')",
+         H.ts_combine_keys(df, ["region", "store"], "ds", "y", "|"),
+         ["unique_id", "ds", "y"])
+    _cmp(spark,
+         "SELECT * FROM ts_aggregate_hierarchy(TABLE(hier_t), "
+         "'region,store', 'ds', 'y', '|', 'AGGREGATED')",
+         H.ts_aggregate_hierarchy(df, ["region", "store"], "ds", "y", "|",
+                                  "AGGREGATED"),
+         ["unique_id", "ds", "y"])
+    comb = H.ts_combine_keys(df.filter(F.col("region").isNotNull()),
+                             ["region", "store"], "ds", "y", "|")
+    comb.createOrReplaceTempView("hier_c")
+    _cmp(spark,
+         "SELECT id_part_1, id_part_2, ds, y FROM ts_split_keys("
+         "TABLE(hier_c), 'unique_id', 'ds', 'y', '|', '2')",
+         H.ts_split_keys(comb, "unique_id", "ds", "y", "|", n_parts=2),
+         ["id_part_1", "id_part_2", "ds", "y"])
+    _cmp(spark,
+         "SELECT separator, is_valid, n_conflicts, message FROM "
+         "ts_validate_separator(TABLE(hier_t), 'region,store', '|')",
+         H.ts_validate_separator(df, ["region", "store"], "|"),
+         ["separator", "is_valid", "n_conflicts", "message"])
+
+
+def test_conformal_udtfs_match_dataframe(spark):
+    from anofox_forecast_spark.operators import conformal as C
+    register_all(spark)
+    from pyspark.sql import Window
+    panel = _small_panel(spark)
+    w = Window.partitionBy("id").orderBy("ds")
+    fv = (panel.withColumn("forecast", F.lag("y", 7).over(w))
+               .filter(F.col("forecast").isNotNull())
+               .withColumnRenamed("y", "actual")
+               .withColumn("lower", F.col("forecast") - 5.0)
+               .withColumn("upper", F.col("forecast") + 5.0)
+               .select("id", "ds", "actual", "forecast", "lower", "upper"))
+    fv.createOrReplaceTempView("conf_t")
+    got = spark.sql(
+        "SELECT id, coverage, conformity_score, method FROM ts_conformal_by("
+        "TABLE(conf_t), 'id', 'actual', 'forecast', 'forecast', '0.1')")
+    want = C.ts_conformal_by(fv, "id", "actual", "forecast", "forecast",
+                             {"alpha": 0.1}) \
+            .select("id", "coverage", "conformity_score", "method")
+    import numpy as np
+    a = got.toPandas().sort_values("id").reset_index(drop=True)
+    b = want.toPandas().sort_values("id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a["conformity_score"], b["conformity_score"],
+                               rtol=1e-9)
+    assert (a["method"] == b["method"]).all()
+    _cmp(spark,
+         "SELECT * FROM ts_conformal_coverage_by(TABLE(conf_t), 'id', "
+         "'actual', 'lower', 'upper')",
+         C.ts_conformal_coverage_by(fv, "id", "actual", "lower", "upper"),
+         ["id", "coverage"], ["id"])
+    _cmp(spark,
+         "SELECT * FROM ts_interval_width_by(TABLE(conf_t), 'id', 'lower', "
+         "'upper')",
+         C.ts_interval_width_by(fv, "id", "lower", "upper"),
+         ["id", "mean_width", "n_intervals"], ["id"])
+    _cmp(spark,
+         "SELECT * FROM ts_conformal_evaluate(TABLE(conf_t), 'id', "
+         "'actual', 'lower', 'upper', '0.1')",
+         C.ts_conformal_evaluate(fv, "id", "actual", "lower", "upper", 0.1),
+         ["id", "coverage", "mean_width", "winkler_score"], ["id"])
+
+
+def test_cv_udtfs_match_dataframe(spark):
+    from anofox_forecast_spark.operators import cv as CV
+    register_all(spark)
+    panel = _small_panel(spark)
+    panel.createOrReplaceTempView("cvu_t")
+    _cmp(spark,
+         "SELECT id, ds, y, fold_id, split FROM ts_cv_split_index_by("
+         "TABLE(cvu_t), 'id', 'ds', 'y', '500,550', '7')",
+         CV.ts_cv_split_index_by(panel, "id", "ds", "y", [500, 550], 7),
+         ["id", "ds", "y", "fold_id", "split"])
+    _cmp(spark,
+         "SELECT id, fold_id, ds, yhat, actual, error, abs_error, "
+         "model_name FROM ts_backtest_auto_by(TABLE(cvu_t), 'id', 'ds', "
+         "'y', 'Naive', '7', '2')",
+         CV.ts_backtest_auto_by(panel, "id", "ds", "y", "Naive", 7, 2),
+         ["id", "fold_id", "yhat", "actual", "error", "abs_error",
+          "model_name"], ["id", "fold_id", "actual", "yhat"])
+
+
+def test_prep_zero_trim_udtfs_match_dataframe(spark):
+    from anofox_forecast_spark.operators import prep as P
+    register_all(spark)
+    rows = [(1, 1, 0.0), (1, 2, 0.0), (1, 3, 5.0), (1, 4, 0.0), (1, 5, 2.0),
+            (1, 6, 0.0), (2, 1, 0.0), (2, 2, 0.0), (3, 1, 1.0), (3, 2, 0.0)]
+    df = spark.createDataFrame(rows, "id int, ds int, y double")
+    df.createOrReplaceTempView("trim_t")
+    for sql_name, want_df in [
+        ("ts_drop_leading_zeros_by",
+         P.ts_drop_leading_zeros_by(df, "id", "ds", "y")),
+        ("ts_drop_trailing_zeros_by",
+         P.ts_drop_trailing_zeros_by(df, "id", "ds", "y")),
+        ("ts_drop_edge_zeros_by",
+         P.ts_drop_edge_zeros_by(df, "id", "ds", "y")),
+    ]:
+        _cmp(spark,
+             f"SELECT id, ds, y FROM {sql_name}(TABLE(trim_t), 'id', 'ds', "
+             "'y')", want_df, ["id", "ds", "y"])
+
+
+def test_surface_name_count_and_aliases(spark):
+    from anofox_forecast_spark.functions.sql import REGISTERED_NAMES
+    register_all(spark)
+    assert len(REGISTERED_NAMES) >= 60, \
+        f"SQL surface shrank: {len(REGISTERED_NAMES)} names"
+    # every name answers under its anofox_fcst_ alias too (spot-check one
+    # from each registration mechanism: scalar SQL UDF and UDTF)
+    lineitem_panel(spark, SF_DIR).filter(F.col("id") < 3) \
+        .createOrReplaceTempView("alias_t")
+    r1 = spark.sql("SELECT anofox_fcst_ts_mae(array(1.0d, 2.0d), "
+                   "array(2.0d, 4.0d)) AS v").first()["v"]
+    assert abs(r1 - 1.5) < 1e-12
+    n = spark.sql("SELECT * FROM anofox_fcst_ts_forecast_by(TABLE(alias_t), "
+                  "'id', 'ds', 'y', 'Naive', 7, '1d')").count()
+    assert n > 0
