@@ -9,6 +9,7 @@ embeddings). Column names are aliased identically on both sides.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -474,12 +475,30 @@ def _analytics_queries():
         return D.ts_detect_peaks_by(lineitem_panel(spark, sf), "id", "ds", "y",
                                     {"min_prominence": 10.0})
 
+    def _trunc_panel(spark, sf, k=144):
+        # first k points per series: keeps the O(n^2)-state oracle
+        # re-derivations (BOCPD recursive CTE, matrix-profile all-lag scan)
+        # tractable at driver scale while exercising the full algorithm
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        w = Window.partitionBy("id").orderBy("ds")
+        return (lineitem_panel(spark, sf)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k).drop("__rn"))
+
     def q_changepoints_bocpd(spark, sf):
         # Bayesian online changepoint detection (run-length posterior with
-        # Student-t predictive) — sequential recursion, rows-gated
-        return D.ts_detect_changepoints_by(lineitem_panel(spark, sf),
+        # Student-t predictive) — oracle replays the full sequential
+        # recursion as a DuckDB recursive CTE with list state
+        return D.ts_detect_changepoints_by(_trunc_panel(spark, sf),
                                            "id", "ds", "y",
                                            {"method": "bocpd"})
+
+    def q_periods_matrix_profile(spark, sf):
+        # oracle re-derives the z-normalized all-lag subsequence-distance
+        # scan in SQL on the truncated panel
+        return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
+                                      "y", {"method": "matrix_profile"})
 
     def q_peak_timing(spark, sf):
         # scalar projection (arrays can't be driver-hashed); exact oracle
@@ -567,7 +586,7 @@ def _analytics_queries():
         "detect_periods_autoperiod": _periods_m("autoperiod"),
         "detect_periods_aic": _periods_m("aic"),
         "detect_periods_ssa": _periods_m("ssa"),
-        "detect_periods_matrix_profile": _periods_m("matrix_profile"),
+        "detect_periods_matrix_profile": q_periods_matrix_profile,
         "detect_changepoints": q_changepoints,
         "detect_peaks": q_peaks,
         "mstl_decomposition": q_mstl,
@@ -1068,10 +1087,15 @@ _WINDOW = [
     # never-driver-checked (cumulative coverage -> 149/149): oracle-backed
     "peak_timing", "streaming_dedup_exact", "cv_backtest", "forecast_inspect",
     # never-driver-checked: rows-gated (optimizer/iterative/RNG internals)
-    "cv_forecast", "conformal_bootstrap", "conformal_bootstrap_quantiles",
-    "features_full", "detect_periods_ssa", "detect_periods_matrix_profile",
-    "mstl_decomposition", "detect_changepoints_bocpd", "forecast_exog_theta",
+    "conformal_bootstrap", "conformal_bootstrap_quantiles",
+    "features_full", "detect_periods_ssa",
+    "mstl_decomposition", "forecast_exog_theta",
     "dedup_minhash_lsh", "dedup_simhash", "similarity_topk_ivf",
+    # upgraded rows->oracle in r4: matrix-profile all-lag scan, the full
+    # BOCPD run-length recursion, and the SESOptimized golden-section
+    # search — each re-derived in SQL
+    "detect_periods_matrix_profile", "detect_changepoints_bocpd",
+    "cv_forecast",
     # new oracle-backed variant: stored-centroid IVF rebuild
     "similarity_topk_ivf_fixed",
     # round-3 hash misses, contracts pinned this round (float32 round-trip /
@@ -1127,6 +1151,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "detect_periods_lomb_scargle": (_PERIODS_COLS, 6),
     "detect_periods_autoperiod": (_PERIODS_COLS, 6),
     "detect_periods_aic": (_PERIODS_COLS, 6),
+    "detect_periods_matrix_profile": (_PERIODS_COLS, 6),
+    "detect_changepoints_bocpd": (["changepoint_probability"], 6),
     "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
     "seasonal_strength": (["seasonal_strength"], 6),
     "seasonal_strength_windowed": (["seasonal_strength"], 6),
@@ -1139,6 +1165,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_inspect": (["aic", "bic"], 6),
     "cv_backtest": (["yhat_lower", "yhat_upper"], 4),
     "cv_forecast_naive": (_FC4[0], 4),
+    "cv_forecast": (_FC4[0], 4),
     # forecast family: intervals carry stddev summation drift (yhat too for
     # the Croston/exog paths)
     "forecast_naive": _FC4, "forecast_seasonal_naive": _FC4,
@@ -2059,6 +2086,76 @@ SELECT t.fold_id, t.id, t.ds,
        'Naive' AS model_name
 FROM test t JOIN agg a ON a.id = t.id AND a.fold_id = t.fold_id
 """
+    # cv_forecast with SESOptimized: the golden-section alpha search
+    # (models.golden_section, tol 1e-5, max 100 iters) replayed as a
+    # recursive CTE — each iteration's one new SSE evaluation is a seeded
+    # list_reduce SES fold over the fold's train slice; then the standard
+    # SES level/interval oracle with the optimized alpha. Agrees with the
+    # numpy optimizer to ~4e-14 at sf0.01 (every bracket branch identical).
+    _gr = (math.sqrt(5.0) - 1.0) / 2.0
+    _c0 = 0.99 - _gr * (0.99 - 0.01)
+    _d0 = 0.01 + _gr * (0.99 - 0.01)
+
+    def _sse_fold(p: str) -> str:
+        # SSE(alpha=p) over pr = [[y1,0]] ++ [[y_t, y_{t-1}]]: acc =
+        # [level, sse], mirroring models._ses_filter's sequential recursion
+        return (f"list_reduce(pr, (acc, x) -> [{p} * x[2] + (1.0 - ({p})) * "
+                f"acc[1], acc[2] + pow(x[1] - ({p} * x[2] + (1.0 - ({p})) * "
+                f"acc[1]), 2)])[2]")
+
+    _np_ = (f"CASE WHEN fc < fd THEN d - {_gr!r} * (d - a) "
+            f"ELSE c + {_gr!r} * (b - c) END")
+    o["cv_forecast"] = f"""
+WITH RECURSIVE cvf AS ({o["cv_folds"]}),
+tr AS (SELECT id, fold_id, count(*) AS n,
+              list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+       FROM cvf WHERE split = 'train' GROUP BY id, fold_id
+       HAVING count(*) >= 3),
+pz AS (SELECT *, list_prepend(CAST([ys[1], 0.0] AS DOUBLE[]),
+                 list_transform(generate_series(2, n),
+                                t -> CAST([ys[t], ys[t - 1]] AS DOUBLE[]))) AS pr
+       FROM tr),
+gs AS (
+  SELECT id, fold_id, n, ys, pr, 0 AS it,
+         CAST(0.01 AS DOUBLE) AS a, CAST(0.99 AS DOUBLE) AS b,
+         CAST({_c0!r} AS DOUBLE) AS c, CAST({_d0!r} AS DOUBLE) AS d,
+         {_sse_fold(repr(_c0))} AS fc, {_sse_fold(repr(_d0))} AS fd
+  FROM pz
+  UNION ALL
+  SELECT id, fold_id, n, ys, pr, it + 1,
+         CASE WHEN fc < fd THEN a ELSE c END,
+         CASE WHEN fc < fd THEN d ELSE b END,
+         CASE WHEN fc < fd THEN {_np_} ELSE d END,
+         CASE WHEN fc < fd THEN c ELSE {_np_} END,
+         CASE WHEN fc < fd THEN {_sse_fold(_np_)} ELSE fd END,
+         CASE WHEN fc < fd THEN fc ELSE {_sse_fold(_np_)} END
+  FROM gs WHERE it < 100 AND abs(b - a) >= 1e-5),
+conv AS (SELECT id, fold_id, n, ys, (a + b) / 2.0 AS alpha,
+                row_number() OVER (PARTITION BY id, fold_id
+                                   ORDER BY it DESC) AS rk
+         FROM gs QUALIFY rk = 1),
+lvl AS (SELECT id, fold_id, alpha,
+               list_reduce(ys, (acc, x) -> alpha * x + (1.0 - alpha) * acc)
+                 AS level,
+               list_prepend(0.0, list_transform(generate_series(2, n),
+                 t -> ys[t] - list_reduce(list_slice(ys, 1, t - 1),
+                        (acc, x) -> alpha * x + (1.0 - alpha) * acc))) AS res
+        FROM conv),
+sg AS (SELECT id, fold_id, alpha, level,
+              coalesce(list_aggregate(res, 'stddev_samp'), 0.0) AS sig
+       FROM lvl),
+test AS (SELECT id, fold_id, ds, CAST(y AS DOUBLE) AS y,
+                row_number() OVER (PARTITION BY id, fold_id ORDER BY ds) AS s
+         FROM cvf WHERE split = 'test')
+SELECT t.fold_id AS fold_id, t.id AS id, t.ds AS ds, t.y AS y,
+       'test' AS split, g.level AS yhat,
+       g.level - {Z90!r} * g.sig
+         * sqrt(1.0 + (t.s - 1) * g.alpha * g.alpha) AS yhat_lower,
+       g.level + {Z90!r} * g.sig
+         * sqrt(1.0 + (t.s - 1) * g.alpha * g.alpha) AS yhat_upper,
+       'SESOptimized' AS model_name
+FROM test t JOIN sg g ON g.id = t.id AND g.fold_id = t.fold_id
+"""
     o["cv_hydrate"] = f"""
 WITH cvf AS ({o["cv_folds"]}),
 src AS (SELECT id, ds, CAST(day(ds) % 7 AS DOUBLE) AS x1
@@ -2777,6 +2874,122 @@ UNION ALL
 SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'fft'
 FROM s LEFT JOIN (SELECT DISTINCT id FROM top3) h ON h.id = s.id
 WHERE h.id IS NULL
+"""
+    # Matrix-profile period (detect.py::_matrix_profile_period): z-normalize
+    # every length-m sliding window, then the lag minimizing the mean
+    # window-to-window L2 distance wins (ties -> smallest lag, mirroring the
+    # python loop's strict <). Runs on the 144-point truncated panel to keep
+    # the O(lags x windows x m) scan tractable at oracle scale.
+    _TRUNC_PANEL = f"""SELECT id, ds, y FROM (
+  SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
+  FROM ({_PANEL})) WHERE rn <= 144"""
+    o["detect_periods_matrix_profile"] = f"""
+WITH panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id),
+p1 AS (SELECT id, n, amp, ys, greatest(4, n // 20) AS m FROM s),
+p2 AS (SELECT *, n - m + 1 AS nw FROM p1),
+zn AS (SELECT id, n, m, nw, amp,
+  list_transform(generate_series(1, nw), i ->
+    list_transform(generate_series(1, m), j ->
+      (ys[i + j - 1] - list_sum(list_slice(ys, i, i + m - 1)) / m)
+      / (CASE WHEN sqrt(list_sum(list_transform(generate_series(1, m),
+                 u -> pow(ys[i + u - 1]
+                          - list_sum(list_slice(ys, i, i + m - 1)) / m, 2)))) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(generate_series(1, m),
+                 u -> pow(ys[i + u - 1]
+                          - list_sum(list_slice(ys, i, i + m - 1)) / m, 2))))
+         END))) AS z
+  FROM p2 WHERE n >= 3 * m),
+lagd AS (SELECT id, n, m, nw, amp,
+                unnest(generate_series(2, least(n // 2, nw - 1) - 1)) AS lag, z
+         FROM zn),
+dist AS (SELECT id, amp, lag,
+    list_sum(list_transform(generate_series(1, nw - lag), i ->
+      sqrt(list_sum(list_transform(generate_series(1, m), j ->
+        pow(z[i][j] - z[i + lag][j], 2)))))) / (nw - lag) AS d
+  FROM lagd),
+best AS (SELECT id, amp, lag AS period, d,
+                row_number() OVER (PARTITION BY id ORDER BY d, lag) AS rk
+         FROM dist QUALIFY rk = 1)
+SELECT id, CAST(period AS INT) AS period,
+       greatest(0.0, 1.0 - d / 2.0) AS confidence,
+       greatest(0.0, 1.0 - d / 2.0) AS strength, amp AS amplitude,
+       0.0 AS phase, CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(period AS INT) AS primary_period,
+       'matrix_profile' AS method
+FROM best
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0,
+       'matrix_profile'
+FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
+"""
+    # BOCPD (detect.py::bocpd): the full sequential run-length posterior
+    # recursion (NIG prior, Student-t predictive) replayed as a recursive
+    # CTE whose state is the R/mu/kappa/alpha/beta lists — one iteration
+    # per time step, truncated panel. Agrees with numpy to ~1e-17.
+    o["detect_changepoints_bocpd"] = f"""
+WITH RECURSIVE panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu0,
+             CASE WHEN coalesce(var_pop(CAST(y AS DOUBLE)), 0) = 0
+                  THEN 1.0 ELSE var_pop(CAST(y AS DOUBLE)) END AS b0,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id),
+rec AS (
+  SELECT id, n, ys, mu0, b0, 0 AS t,
+         CAST([1.0] AS DOUBLE[]) AS r, [mu0] AS mu,
+         CAST([1.0] AS DOUBLE[]) AS kap, CAST([1.0] AS DOUBLE[]) AS alp,
+         [b0] AS bet, CAST([] AS DOUBLE[]) AS cps
+  FROM s
+  UNION ALL
+  SELECT id, n, ys, mu0, b0, t + 1,
+         list_concat(CAST([cp / tot] AS DOUBLE[]),
+                     list_transform(grow, v -> v / tot)),
+         list_concat(CAST([mu0] AS DOUBLE[]),
+                     list_transform(generate_series(1, t + 1),
+                                    i -> (kap[i] * mu[i] + x) / (kap[i] + 1))),
+         list_concat(CAST([1.0] AS DOUBLE[]),
+                     list_transform(kap, v -> v + 1)),
+         list_concat(CAST([1.0] AS DOUBLE[]),
+                     list_transform(alp, v -> v + 0.5)),
+         list_concat(CAST([b0] AS DOUBLE[]),
+                     list_transform(generate_series(1, t + 1),
+                                    i -> bet[i] + kap[i] * pow(x - mu[i], 2)
+                                         / (2 * (kap[i] + 1)))),
+         list_append(cps, cp / tot)
+  FROM (
+    SELECT *, CASE WHEN cp + list_sum(grow) = 0 THEN 1.0
+                   ELSE cp + list_sum(grow) END AS tot
+    FROM (
+      SELECT *,
+             list_sum(list_transform(generate_series(1, t + 1),
+                                     i -> r[i] * pred[i] * 0.004)) AS cp,
+             list_transform(generate_series(1, t + 1),
+                            i -> r[i] * pred[i] * (1.0 - 0.004)) AS grow
+      FROM (
+        SELECT *, ys[t + 1] AS x,
+               list_transform(generate_series(1, t + 1), i ->
+                 exp(lgamma(alp[i] + 0.5) - lgamma(alp[i])
+                     - 0.5 * ln(2.0 * alp[i] * pi())
+                     - ln(sqrt(bet[i] * (kap[i] + 1) / (alp[i] * kap[i])))
+                     - (alp[i] + 0.5)
+                       * ln(1.0 + pow((ys[t + 1] - mu[i])
+                             / sqrt(bet[i] * (kap[i] + 1)
+                                    / (alp[i] * kap[i])), 2)
+                           / (2.0 * alp[i])))) AS pred
+        FROM rec WHERE t < n) q1) q2) q3),
+final AS (SELECT id, cps FROM rec WHERE t = n),
+w AS (SELECT id, ds, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
+      FROM panel)
+SELECT w.id AS id, w.ds AS ds, f_p > 0.5 AS is_changepoint,
+       f_p AS changepoint_probability
+FROM (SELECT id, unnest(cps) AS f_p,
+             unnest(generate_series(1, len(cps))) AS rn FROM final) u
+JOIN w ON w.id = u.id AND w.rn = u.rn
 """
     # Autoperiod (detect.py::_autoperiod): FFT top-5 candidates validated on
     # an ACF hill; first validated wins at full confidence, else the top

@@ -733,6 +733,40 @@ def _f(name, t):
     return T.StructField(name, t)
 
 
+def _make_single_series_udtf(out_fields, compute):
+    """Whole-table single-series UDTF (the reference's non-``_by`` macro
+    forms, e.g. ``ts_detect_peaks(TABLE(t), 'ds', 'y', ...)``): one
+    partition ordered by ds. Same ``out_fields``/``compute`` contract as
+    :func:`_make_series_udtf` minus the group column."""
+
+    class _S:
+        @staticmethod
+        def analyze(table: AnalyzeArgument, ds_col: AnalyzeArgument,
+                    y_col: AnalyzeArgument,
+                    *rest: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=T.StructType(out_fields(table.dataType, ds_col.value)),
+                withSinglePartition=True,
+                orderBy=[OrderingColumn(ds_col.value)])
+
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row, ds_col, y_col, *rest):
+            self._args = (ds_col, y_col, *rest)
+            self._rows.append(row)
+
+        def terminate(self):
+            if not self._rows:
+                return
+            ds_col, y_col, *rest = self._args
+            ds = [r[ds_col] for r in self._rows]
+            y = _nan_y(self._rows, y_col)
+            yield from compute(ds, y, [str(a) for a in rest])
+
+    return _S
+
+
 def _detection_udtfs():
     """name -> UDTF class for the §2.5 detection family."""
     import numpy as np
@@ -820,7 +854,59 @@ def _detection_udtfs():
             per = float(1.0 / abs(freq[i])) if abs(freq[i]) > EPS else None
             yield (ds[i], per, float(freq[i]), float(amp[i]))
 
+    def c_peak_timing(ds, y, args):
+        from ..operators.detect import analyze_peak_timing
+        period = int(args[0]) if args else 0
+        min_prom = float(args[1]) if len(args) > 1 else 0.0
+        r = analyze_peak_timing(y, period, min_prom)
+        yield (r["timing_classification"], r["modulation_type"],
+               r["has_stable_timing"], r["timing_variability"],
+               r["seasonal_strength"], r["is_seasonal"],
+               r["cycle_strengths"], r["weak_seasons"])
+
+    def c_mstl(ds, y, args):
+        from ..operators.detect import mstl_decompose
+        periods = ([int(v) for v in args[0].split(",") if v.strip()]
+                   if args and args[0].strip() else None)
+        trend, seasonal, remainder, ms = mstl_decompose(y, periods)
+        for i in range(len(trend)):
+            yield (ds[i], float(trend[i]), float(seasonal[i]),
+                   float(remainder[i]), ms)
+
+    _peak_timing_fields = lambda tt, ds: [  # noqa: E731
+        _f("timing_classification", T.StringType()),
+        _f("modulation_type", T.StringType()),
+        _f("has_stable_timing", T.BooleanType()),
+        _f("timing_variability", D),
+        _f("seasonal_strength", D),
+        _f("is_seasonal", T.BooleanType()),
+        _f("cycle_strengths", T.ArrayType(D)),
+        _f("weak_seasons", T.ArrayType(T.IntegerType()))]
+    _peaks_fields = lambda tt, ds: [  # noqa: E731
+        _f(ds, tt[ds].dataType), _f("y", D),
+        _f("peak_index", T.IntegerType()), _f("prominence", D)]
+    _cp_fields = lambda tt, ds: [  # noqa: E731
+        _f(ds, tt[ds].dataType), _f("is_changepoint", T.BooleanType()),
+        _f("changepoint_probability", D)]
+    _classify_fields = lambda tt, ds: [  # noqa: E731
+        _f("classification", T.StringType()), _f("additive_strength", D),
+        _f("multiplicative_strength", D)]
+    _mstl_fields = lambda tt, ds: [  # noqa: E731
+        _f(ds, tt[ds].dataType), _f("trend", D), _f("seasonal", D),
+        _f("remainder", D), _f("periods", T.ArrayType(T.IntegerType()))]
+
     return {
+        # non-_by single-series spellings (ts_macros.cpp registers both)
+        "ts_classify_seasonality": _make_single_series_udtf(
+            _classify_fields, c_classify),
+        "ts_detect_peaks": _make_single_series_udtf(_peaks_fields, c_peaks),
+        "ts_detect_changepoints": _make_single_series_udtf(
+            _cp_fields, c_changepoints),
+        "ts_analyze_peak_timing": _make_single_series_udtf(
+            _peak_timing_fields, c_peak_timing),
+        "ts_analyze_peak_timing_by": _make_series_udtf(
+            _peak_timing_fields, c_peak_timing),
+        "ts_mstl_decomposition_by": _make_series_udtf(_mstl_fields, c_mstl),
         "ts_analyze_seasonality_by": _make_series_udtf(
             lambda tt, ds: [_f("detected_periods", T.ArrayType(T.IntegerType())),
                             _f("primary_period", T.IntegerType()),
@@ -980,24 +1066,26 @@ class AggregateHierarchyUDTF:
             yield (key, ds, v)
 
 
+def _corrected_quantile(arr, alpha: float) -> float:
+    """Mirror of conformal.ts_conformal_quantile + _interp_quantile
+    (finite-sample corrected quantile of a SORTED array)."""
+    n = len(arr)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(arr[0])
+    level = min(max(math.ceil((n + 1) * (1.0 - alpha)) / n, 0.0), 1.0)
+    idx = level * (n - 1)
+    lo = int(math.floor(idx))
+    frac = idx - lo
+    hi = min(lo + 1, n - 1)
+    return float(arr[lo] * (1.0 - frac) + arr[hi] * frac)
+
+
 def _conformal_udtfs():
     import numpy as np
 
     D = T.DoubleType()
-
-    def _corrected_quantile(arr: "np.ndarray", alpha: float) -> float:
-        """Mirror of conformal.ts_conformal_quantile + _interp_quantile."""
-        n = len(arr)
-        if n == 0:
-            return float("nan")
-        if n == 1:
-            return float(arr[0])
-        level = min(max(math.ceil((n + 1) * (1.0 - alpha)) / n, 0.0), 1.0)
-        idx = level * (n - 1)
-        lo = int(math.floor(idx))
-        frac = idx - lo
-        hi = min(lo + 1, n - 1)
-        return float(arr[lo] * (1.0 - frac) + arr[hi] * frac)
 
     class ConformalByUDTF:
         """``ts_conformal_by(TABLE(t), 'id', 'actual', 'forecast', 'point',
@@ -1248,6 +1336,1069 @@ def _cv_udtfs():
     }
 
 
+# ---------------------------------------------------------------------------
+# Round-4b surface completion: the last reference macro names
+# (ts_macros.cpp) — stats reports, per-series data quality, prep extensions
+# (fill-forward / unknown masking / timestamp validation), the CV workflow
+# (split / split-folds / forecast / hydrate / leakage), conformal
+# calibrate+apply, the feature table, forecast inspection / explanation /
+# exogenous forms, and the single-series ts_forecast. All delegate to the
+# same per-series primitives as the DataFrame ops.
+#
+# Two-table macros (ts_forecast_exog*, ts_cv_hydrate_by) deviate from the
+# reference's two-table-name signature because Spark UDTFs accept ONE TABLE
+# argument: exog forms use the union convention (trailing rows with NULL y
+# are the future rows carrying regressor values — the standard panel-future
+# layout), and ts_cv_hydrate_by takes the folds ⋈ features pre-join.
+# ---------------------------------------------------------------------------
+
+def _trunc_second(v):
+    """date_trunc('second', ts) mirror for a Python datetime (NULL-safe)."""
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        return v.replace(microsecond=0)
+    return v
+
+
+def _py_add_months(dt, k: int):
+    """F.add_months mirror: month-end-clamped calendar month addition."""
+    import calendar
+    yi, m0 = divmod(dt.year * 12 + dt.month - 1 + k, 12)
+    day = min(dt.day, calendar.monthrange(yi, m0 + 1)[1])
+    return dt.replace(year=yi, month=m0 + 1, day=day)
+
+
+def _parse_ts(s):
+    import pandas as _pd
+    return _pd.Timestamp(str(s)).to_pydatetime()
+
+
+def _fold_bounds(train_end, h: int, gap: int, freq):
+    """(test_start, test_end) for one cutoff — mirror of
+    cv.ts_cv_split_folds_by's calendar arithmetic."""
+    import datetime as _dt
+    if freq.kind == "month":
+        return (_py_add_months(train_end, (gap + 1) * freq.n),
+                _py_add_months(train_end, (gap + h) * freq.n))
+    sec = freq.n if freq.kind == "fixed" else 86400
+    return (train_end + _dt.timedelta(seconds=(gap + 1) * sec),
+            train_end + _dt.timedelta(seconds=(gap + h) * sec))
+
+
+class QualityReportUDTF:
+    """``ts_quality_report(TABLE(stats), '10')`` — aggregate over a
+    ts_stats output (mirror of stats.ts_quality_report)."""
+
+    @staticmethod
+    def analyze(table, min_length):
+        return AnalyzeResult(schema=T.StructType(
+            [_f(n, T.LongType()) for n in
+             ("n_passed", "n_nan_issues", "n_missing_issues", "n_constant",
+              "n_total")]), withSinglePartition=True)
+
+    def __init__(self):
+        self._c = [0, 0, 0, 0, 0]
+
+    def eval(self, row, min_length):
+        ml = int(min_length)
+        nan_, nulls = row["n_nan"] or 0, row["n_nulls"] or 0
+        const = bool(row["is_constant"])
+        if (row["length"] or 0) >= ml and nulls == 0 and nan_ == 0 \
+                and not const:
+            self._c[0] += 1
+        if nan_ > 0:
+            self._c[1] += 1
+        if nulls > 0:
+            self._c[2] += 1
+        if const:
+            self._c[3] += 1
+        self._c[4] += 1
+
+    def terminate(self):
+        yield tuple(self._c)
+
+
+class StatsSummaryUDTF:
+    """``ts_stats_summary(TABLE(stats))`` (mirror of
+    stats.ts_stats_summary)."""
+
+    @staticmethod
+    def analyze(table):
+        return AnalyzeResult(schema=T.StructType([
+            _f("n_series", T.LongType()), _f("avg_length", T.DoubleType()),
+            _f("min_length", T.LongType()), _f("max_length", T.LongType()),
+            _f("total_nulls", T.LongType()), _f("total_nans", T.LongType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._lengths: list = []
+        self._nulls = 0
+        self._nans = 0
+
+    def eval(self, row):
+        if row["length"] is not None:
+            self._lengths.append(int(row["length"]))
+        self._nulls += row["n_nulls"] or 0
+        self._nans += row["n_nan"] or 0
+
+    def terminate(self):
+        ls = self._lengths
+        yield (len(ls), (sum(ls) / len(ls)) if ls else None,
+               min(ls) if ls else None, max(ls) if ls else None,
+               self._nulls, self._nans)
+
+
+def _ds_us(v):
+    """Timestamp/int ds value -> int64 (µs for timestamps) for
+    stats._dq_scores; mirrors the DataFrame path's conversion."""
+    import datetime as _dt
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        import pandas as _pd
+        return int(_pd.Timestamp(v).value // 1000)
+    return int(v)
+
+
+class DataQualityUDTF:
+    """``ts_data_quality(TABLE(t), 'id', 'ds', 'y'[, n_short, frequency])``
+    — per-series 4-dimension quality scores (mirror of
+    stats.ts_data_quality; n_short/frequency accepted for signature parity,
+    unused by the scores exactly as in the DataFrame op)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, *rest):
+        from ..operators.stats import DQ_FIELDS
+        g = group_col.value
+        return AnalyzeResult(schema=T.StructType(
+            [_f("unique_id", table.dataType[g].dataType)]
+            + [_f(n, t) for n, t in DQ_FIELDS]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, *rest):
+        self._args = (group_col, ds_col, y_col)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import numpy as np
+
+        from ..operators.stats import DQ_FIELDS, _dq_scores
+        group_col, ds_col, y_col = self._args
+        g = self._rows[0][group_col]
+        y = _nan_y(self._rows, y_col)
+        ds = np.array([d for d in (_ds_us(r[ds_col]) for r in self._rows)
+                       if d is not None], dtype="int64")
+        s = _dq_scores(y, ds if len(ds) else None)
+        yield (g, *[s[n] for n, _ in DQ_FIELDS])
+
+
+class DataQualitySummaryUDTF:
+    """``ts_data_quality_summary(TABLE(t), 'id', 'ds', 'y'[, n_short])``
+    (mirror of stats.ts_data_quality_summary)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, *rest):
+        return AnalyzeResult(schema=T.StructType([
+            _f("n_total", T.LongType()), _f("n_good", T.LongType()),
+            _f("n_fair", T.LongType()), _f("n_poor", T.LongType()),
+            _f("avg_score", T.DoubleType())]), withSinglePartition=True)
+
+    def __init__(self):
+        self._per_group: dict = {}
+
+    def eval(self, row, group_col, ds_col, y_col, *rest):
+        self._args = (ds_col, y_col)
+        self._per_group.setdefault(row[group_col], []).append(row)
+
+    def terminate(self):
+        if not self._per_group:
+            yield (0, 0, 0, 0, None)
+            return
+        import numpy as np
+
+        from ..operators.stats import _dq_scores
+        ds_col, y_col = self._args
+        scores = []
+        for rows in self._per_group.values():
+            rows = sorted(rows, key=lambda r: (r[ds_col] is None, r[ds_col]))
+            y = _nan_y(rows, y_col)
+            ds = np.array([d for d in (_ds_us(r[ds_col]) for r in rows)
+                           if d is not None], dtype="int64")
+            scores.append(_dq_scores(y, ds if len(ds) else None)["overall_score"])
+        n = len(scores)
+        yield (n, sum(1 for s in scores if s >= 0.8),
+               sum(1 for s in scores if 0.5 <= s < 0.8),
+               sum(1 for s in scores if s < 0.5), sum(scores) / n)
+
+
+class FillForwardUDTF:
+    """``ts_fill_forward_by(TABLE(t), 'id', 'ds', 'y', '2024-12-31', '1d')``
+    — extend each series forward to target with NULL values (mirror of
+    prep.ts_fill_forward_by's unit-start calendar arithmetic)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, target_date, frequency):
+        s = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, s[g].dataType), _f(d, s[d].dataType), _f(y, s[y].dataType)]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, target_date, frequency):
+        self._args = (group_col, ds_col, y_col, target_date, frequency)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import datetime as _dt
+
+        from ..frequency import parse_frequency
+        group_col, ds_col, y_col, target_raw, frequency = self._args
+        freq = parse_frequency(frequency)
+        g = self._rows[0][group_col]
+        for r in self._rows:
+            yield (g, r[ds_col], r[y_col])
+        last = self._rows[-1][ds_col]
+        if last is None:
+            return
+        if isinstance(last, int):
+            step = freq.n if freq.kind == "int" else 1
+            target = int(target_raw)
+            cur = last + step
+            while cur <= target:
+                yield (g, cur, None)
+                cur += step
+            return
+        target = _parse_ts(target_raw)
+        if freq.kind == "month":
+            n = freq.n
+            # unit start mirrors prep._unit_start (date_trunc year/quarter/month)
+            if n % 12 == 0:
+                start = last.replace(month=1, day=1, hour=0, minute=0,
+                                     second=0, microsecond=0)
+            elif n % 3 == 0:
+                qm = (last.month - 1) // 3 * 3 + 1
+                start = last.replace(month=qm, day=1, hour=0, minute=0,
+                                     second=0, microsecond=0)
+            else:
+                start = last.replace(day=1, hour=0, minute=0, second=0,
+                                     microsecond=0)
+            s = 1
+            while True:
+                e = _py_add_months(start, s * n)
+                if e > target:
+                    return
+                if e > last:
+                    yield (g, e, None)
+                s += 1
+        else:
+            step = _dt.timedelta(seconds=freq.n)
+            cur = last + step
+            while cur <= target:
+                yield (g, cur, None)
+                cur += step
+
+
+class MarkUnknownUDTF:
+    """``ts_mark_unknown_by(TABLE(t), 'id', 'ds', '2024-06-30')`` — all
+    columns + is_unknown + per-group last_known_date (mirror of
+    prep.ts_mark_unknown_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, cutoff_date):
+        fields = list(table.dataType.fields)
+        fields += [_f("is_unknown", T.BooleanType()),
+                   _f("last_known_date", T.TimestampType())]
+        return AnalyzeResult(schema=T.StructType(fields),
+                             partitionBy=[PartitioningColumn(group_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, cutoff_date):
+        self._args = (ds_col, cutoff_date)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        ds_col, cutoff_raw = self._args
+        cutoff = _parse_ts(cutoff_raw)
+        dts = [_trunc_second(r[ds_col]) for r in self._rows]
+        known = [d for d in dts if d is not None and d <= cutoff]
+        last_known = max(known) if known else None
+        for r, d in zip(self._rows, dts):
+            unk = None if d is None else d > cutoff
+            yield (*tuple(r), unk, last_known)
+
+
+class FillUnknownUDTF:
+    """``ts_fill_unknown_by(TABLE(t), 'id', 'ds', 'y', '2024-06-30'[,
+    strategy, fill_value])`` (mirror of prep.ts_fill_unknown_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, cutoff_date, *rest):
+        g = group_col.value
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, table.dataType[g].dataType),
+            _f(ds_col.value, T.TimestampType()),
+            _f(y_col.value, T.DoubleType())]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, cutoff_date, *rest):
+        self._args = (group_col, ds_col, y_col, cutoff_date, *rest)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, y_col, cutoff_raw, *rest = self._args
+        strategy = str(rest[0]) if rest else "last_value"
+        fill_value = float(rest[1]) if len(rest) > 1 else 0.0
+        cutoff = _parse_ts(cutoff_raw)
+        g = self._rows[0][group_col]
+        last = None
+        for r in self._rows:
+            d = _trunc_second(r[ds_col])
+            yv = None if r[y_col] is None else float(r[y_col])
+            if d is not None and d <= cutoff:
+                if yv is not None:
+                    last = yv
+                yield (g, d, yv)
+            elif strategy == "null":
+                yield (g, d, None)
+            elif strategy == "default":
+                yield (g, d, fill_value)
+            elif strategy == "last_value":
+                yield (g, d, last)
+            else:
+                raise ValueError(f"unknown strategy {strategy!r}")
+
+
+class ValidateTimestampsUDTF:
+    """``ts_validate_timestamps_by(TABLE(t), 'id', 'ds',
+    '2024-01-01,2024-01-02')`` (mirror of prep.ts_validate_timestamps_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, expected):
+        g = group_col.value
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, table.dataType[g].dataType),
+            _f("is_valid", T.BooleanType()),
+            _f("n_expected", T.LongType()), _f("n_found", T.LongType()),
+            _f("n_missing", T.LongType()),
+            _f("missing_timestamps", T.ArrayType(T.TimestampType()))]),
+            partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._per_group: dict = {}
+
+    def eval(self, row, group_col, ds_col, expected):
+        self._args = (ds_col, str(expected))
+        self._per_group.setdefault(row[group_col], set()).add(
+            _trunc_second(row[ds_col]))
+
+    def _verdicts(self):
+        ds_col, expected = self._args
+        exp = [_trunc_second(_parse_ts(t)) for t in expected.split(",")
+               if t.strip()]
+        for g, found in self._per_group.items():
+            missing = sorted(t for t in exp if t not in found)
+            yield (g, len(missing) == 0, len(exp), len(exp) - len(missing),
+                   len(missing), missing)
+
+    def terminate(self):
+        if not self._per_group:
+            return
+        yield from self._verdicts()
+
+
+class ValidateTimestampsSummaryUDTF(ValidateTimestampsUDTF):
+    @staticmethod
+    def analyze(table, group_col, ds_col, expected):
+        gt = table.dataType[group_col.value].dataType
+        return AnalyzeResult(schema=T.StructType([
+            _f("all_valid", T.BooleanType()), _f("n_groups", T.LongType()),
+            _f("n_valid_groups", T.LongType()),
+            _f("n_invalid_groups", T.LongType()),
+            _f("invalid_groups", T.ArrayType(gt))]),
+            withSinglePartition=True)
+
+    def terminate(self):
+        if not self._per_group:
+            return
+        vs = list(self._verdicts())
+        invalid = [g for g, ok, *_ in vs if not ok]
+        yield (not invalid, len(vs), len(vs) - len(invalid), len(invalid),
+               invalid)
+
+
+class CheckLeakageUDTF:
+    """``ts_check_leakage(TABLE(t), 'is_test')`` (mirror of
+    prep.ts_check_leakage)."""
+
+    @staticmethod
+    def analyze(table, is_test_col):
+        return AnalyzeResult(schema=T.StructType([
+            _f("status", T.StringType()), _f("test_row_count", T.LongType()),
+            _f("train_row_count", T.LongType()),
+            _f("recommendation", T.StringType())]), withSinglePartition=True)
+
+    def __init__(self):
+        self._test = 0
+        self._train = 0
+
+    def eval(self, row, is_test_col):
+        t = row[is_test_col]
+        if t is True:
+            self._test += 1
+        elif t is False:
+            self._train += 1
+
+    def terminate(self):
+        yield ("Leakage check complete", self._test, self._train,
+               "Use ts_cv_hydrate_by + explicit column selection for "
+               "fail-safe joins")
+
+
+class ConformalCalibrateUDTF:
+    """``ts_conformal_calibrate(TABLE(backtest), 'actual', 'yhat'[, alpha])``
+    (mirror of conformal.ts_conformal_calibrate)."""
+
+    @staticmethod
+    def analyze(table, actual, forecast, *rest):
+        return AnalyzeResult(schema=T.StructType([
+            _f("conformity_score", T.DoubleType()),
+            _f("coverage", T.DoubleType()),
+            _f("n_residuals", T.LongType())]), withSinglePartition=True)
+
+    def __init__(self):
+        self._res: list = []
+
+    def eval(self, row, actual, forecast, *rest):
+        self._alpha = float(rest[0]) if rest else 0.1
+        a, f = row[actual], row[forecast]
+        if a is not None and f is not None:
+            self._res.append(float(a) - float(f))
+
+    def terminate(self):
+        import numpy as np
+        alpha = getattr(self, "_alpha", 0.1)
+        score = _corrected_quantile(np.sort(np.abs(self._res)), alpha) \
+            if self._res else None
+        yield (score, 1.0 - alpha, len(self._res))
+
+
+class ConformalApplyUDTF:
+    """``ts_conformal_apply_by(TABLE(fc), 'id', 'yhat', '3.5')`` (mirror of
+    conformal.ts_conformal_apply_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, forecast_col, conformity_score):
+        g = group_col.value
+        arr = T.ArrayType(T.DoubleType())
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, table.dataType[g].dataType), _f("lower", arr),
+            _f("upper", arr)]), partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, forecast_col, conformity_score):
+        self._args = (group_col, forecast_col, float(conformity_score))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, fc, s = self._args
+        g = self._rows[0][group_col]
+        f = sorted(float(r[fc]) for r in self._rows if r[fc] is not None)
+        yield (g, [v - s for v in f], [v + s for v in f])
+
+
+class FeaturesByUDTF:
+    """``ts_features_by(TABLE(t), 'id', 'ds', 'y'[, 'mean,std,...'])`` —
+    wide per-series feature row (mirror of features.ts_features_by)."""
+
+    grouped = True
+
+    @staticmethod
+    def _analyze(table, grouped, *args):
+        from ..operators.features import FEATURE_NAMES, _safe
+        if grouped:
+            g, d = args[0].value, args[1].value
+            sel_arg = args[3].value if len(args) > 3 else None
+            lead = [_f(g, table.dataType[g].dataType)]
+        else:
+            g, d = None, args[0].value
+            sel_arg = args[2].value if len(args) > 2 else None
+            lead = []
+        sel = ([s for s in str(sel_arg).split(",") if s.strip()]
+               if sel_arg else list(FEATURE_NAMES))
+        unknown = [s for s in sel if s not in FEATURE_NAMES]
+        if unknown:
+            raise ValueError(f"unknown features: {unknown}")
+        fields = lead + [_f(_safe(x), T.DoubleType()) for x in sel]
+        kw = dict(partitionBy=[PartitioningColumn(g)]) if grouped \
+            else dict(withSinglePartition=True)
+        return AnalyzeResult(schema=T.StructType(fields),
+                             orderBy=[OrderingColumn(d)], **kw)
+
+    @staticmethod
+    def analyze(table, *args):
+        return FeaturesByUDTF._analyze(table, True, *args)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, *args):
+        self._args = args
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        from ..operators.features import FEATURE_NAMES, extract_features
+        args = self._args
+        if self.grouped:
+            g_col, ds_col, y_col = args[0], args[1], args[2]
+            sel_arg = args[3] if len(args) > 3 else None
+            lead = (self._rows[0][g_col],)
+        else:
+            ds_col, y_col = args[0], args[1]
+            sel_arg = args[2] if len(args) > 2 else None
+            lead = ()
+        sel = ([s for s in str(sel_arg).split(",") if s.strip()]
+               if sel_arg else list(FEATURE_NAMES))
+        self._rows.sort(key=lambda r: (r[ds_col] is None, r[ds_col]))
+        feats = extract_features(_nan_y(self._rows, y_col))
+        yield (*lead, *[feats[x] for x in sel])
+
+
+class FeaturesTableUDTF(FeaturesByUDTF):
+    """``ts_features_table(TABLE(t), 'ds', 'y'[, subset])`` — single-series
+    form."""
+
+    grouped = False
+
+    @staticmethod
+    def analyze(table, *args):
+        return FeaturesByUDTF._analyze(table, False, *args)
+
+
+class ForecastInspectUDTF:
+    """``ts_forecast_inspect_by(TABLE(t), 'id', 'ds', 'y', 'SES'[,
+    params_json])`` — fitted-parameter scalars (the DataFrame op's
+    ``inspection`` struct flattened; array diagnostics live on the
+    DataFrame path)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, method, *rest):
+        g = group_col.value
+        D = T.DoubleType()
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, table.dataType[g].dataType),
+            _f("model_family", T.StringType()), _f("spec", T.StringType()),
+            _f("alpha", D), _f("beta", D), _f("gamma", D), _f("phi", D),
+            _f("theta", D), _f("aic", D), _f("bic", D),
+            _f("seasonal_period", T.LongType())]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, method, *rest):
+        self._args = (group_col, ds_col, y_col, str(method),
+                      str(rest[0]) if rest else None)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import json
+
+        from ..operators.forecast_ext import inspect_result
+        group_col, _ds, y_col, method, params_json = self._args
+        pars = dict(json.loads(params_json)) if params_json else {}
+        season = int(pars.pop("seasonal_period", 0) or 0)
+        level = float(pars.pop("confidence_level", 0.90))
+        g = self._rows[0][group_col]
+        y = _nan_y(self._rows, y_col)
+        try:
+            r = M.forecast(y, 1, M.canonical_model(method),
+                           season_length=season, level=level, params=pars)
+        except Exception:
+            return
+        i = inspect_result(r)
+        yield (g, i["model_family"], i["spec"], i["alpha"], i["beta"],
+               i["gamma"], i["phi"], i["theta"], i["aic"], i["bic"],
+               i["seasonal_period"])
+
+
+class ForecastExplainUDTF:
+    """``ts_forecast_explain_by(TABLE(t), 'id', 'ds', 'y', 'ETS', '7'[,
+    params_json])`` — per-horizon additive decomposition, one row per step
+    (the DataFrame op's struct arrays unrolled)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, method, horizon, *rest):
+        g = group_col.value
+        D = T.DoubleType()
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, table.dataType[g].dataType),
+            _f("forecast_step", T.IntegerType()), _f("level", D),
+            _f("trend", D), _f("seasonal", D), _f("residual", D)]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, method, horizon, *rest):
+        self._args = (group_col, ds_col, y_col, str(method), int(horizon),
+                      str(rest[0]) if rest else None)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import json
+
+        from ..operators.forecast_ext import _EXPLAINABLE, explain_decompose
+        group_col, _ds, y_col, method, h, params_json = self._args
+        model = M.canonical_model(method)
+        if model not in _EXPLAINABLE:
+            raise ValueError(f"Model {model} does not support explanation "
+                             "(ETS/MSTL/Theta only)")
+        pars = dict(json.loads(params_json)) if params_json else {}
+        season = int(pars.pop("seasonal_period", 0) or 0)
+        level = float(pars.pop("confidence_level", 0.90))
+        g = self._rows[0][group_col]
+        y = _nan_y(self._rows, y_col)
+        try:
+            r = M.forecast(y, h, model, season_length=season, level=level,
+                           params=pars)
+        except Exception:
+            return
+        dec = explain_decompose(y, r, h, season)
+        for i in range(h):
+            yield (g, i + 1, dec["level"][i], dec["trend"][i],
+                   dec["seasonal"][i], dec["residual"][i])
+
+
+class ForecastExogByUDTF:
+    """``ts_forecast_exog_by(TABLE(t), 'id', 'ds', 'y', 'x1,x2', '1d',
+    'Naive', '7'[, params_json])`` — union-convention exog forecast: trailing
+    rows with NULL y are the future rows carrying regressor values (the
+    reference's two-table macro collapsed into the standard panel-future
+    layout). Mirror of forecast_ext.ts_forecast_exog_by's OLS +
+    model-on-residuals compute."""
+
+    grouped = True
+
+    @staticmethod
+    def analyze(table, *args):
+        g, d = args[0].value, args[1].value
+        s = table.dataType
+        D = T.DoubleType()
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, s[g].dataType), _f("forecast_step", T.IntegerType()),
+            _f(d, s[d].dataType), _f("yhat", D), _f("yhat_lower", D),
+            _f("yhat_upper", D), _f("model_name", T.StringType())]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, *args):
+        self._args = args
+        self._rows.append(row)
+
+    def _compute(self):
+        """Yields (group, step, ds, yhat, lower, upper, model_name)."""
+        import json
+
+        import numpy as np
+
+        from ..frequency import parse_frequency
+        from ..operators.forecast import _future_dates_pd
+        from ..operators.forecast_ext import _ols
+        args = self._args
+        if self.grouped:
+            g_col, ds_col, y_col = args[0], args[1], args[2]
+            xreg_csv, frequency, method, horizon = args[3:7]
+            params_json = args[7] if len(args) > 7 else None
+            g = self._rows[0][g_col]
+        else:
+            ds_col, y_col = args[0], args[1]
+            xreg_csv, method, horizon = args[2:5]
+            frequency = "1d"
+            params_json = args[5] if len(args) > 5 else None
+            g = None
+        pars = dict(json.loads(params_json)) if params_json else {}
+        season = int(pars.pop("seasonal_period", 0) or 0)
+        level = float(pars.pop("confidence_level", 0.90))
+        h = int(horizon)
+        xcols = [c for c in str(xreg_csv).split(",") if c.strip()]
+        model = M.canonical_model(str(method))
+        freq = parse_frequency(str(frequency))
+        nn = [i for i, r in enumerate(self._rows) if r[y_col] is not None]
+        if not nn:
+            return
+        split = nn[-1] + 1
+        hist, fut = self._rows[:split], self._rows[split:split + h]
+        if not fut or len(hist) < 3:
+            return
+
+        def xmat(rows):
+            return np.array([[math.nan if r[c] is None else float(r[c])
+                              for c in xcols] for r in rows])
+
+        yv = _nan_y(hist, y_col)
+        try:
+            yv = M.validate_series(yv)
+            beta, b0, fitted = _ols(xmat(hist), yv)
+            resid = yv - fitted
+            r = M.forecast(resid, len(fut), model, season_length=season,
+                           level=level, params=pars)
+        except Exception:
+            return  # error isolation, matching the DataFrame op
+        reg_future = xmat(fut) @ beta + b0
+        is_int = isinstance(hist[-1][ds_col], int)
+        future_ds = _future_dates_pd(hist[-1][ds_col], len(fut), freq, is_int)
+        for i in range(len(fut)):
+            yield (g, i + 1, future_ds[i],
+                   float(reg_future[i] + r.point[i]),
+                   float(reg_future[i] + r.lower[i]),
+                   float(reg_future[i] + r.upper[i]), r.model_name + "X")
+
+    def terminate(self):
+        if not self._rows:
+            return
+        for g, step, ds, p, lo, up, name in self._compute():
+            yield (g, step, ds, p, lo, up, name)
+
+
+class ForecastExogUDTF(ForecastExogByUDTF):
+    """``ts_forecast_exog(TABLE(t), 'ds', 'y', 'x1,x2', 'Naive', '7')`` —
+    single-series array-valued form (mirror of
+    forecast_ext.ts_forecast_exog)."""
+
+    grouped = False
+
+    @staticmethod
+    def analyze(table, *args):
+        arr = T.ArrayType(T.DoubleType())
+        return AnalyzeResult(schema=T.StructType([
+            _f("point_forecasts", arr), _f("lower_bounds", arr),
+            _f("upper_bounds", arr), _f("model_name", T.StringType())]),
+            withSinglePartition=True,
+            orderBy=[OrderingColumn(args[0].value)])
+
+    def terminate(self):
+        if not self._rows:
+            return
+        out = list(self._compute())
+        if not out:
+            return
+        yield ([v[3] for v in out], [v[4] for v in out],
+               [v[5] for v in out], out[0][6])
+
+
+class ForecastSingleUDTF:
+    """``ts_forecast(TABLE(t), 'ds', 'y', 'Naive', '7'[, frequency,
+    confidence_level, params_json])`` — single-series form of
+    ts_forecast_by (ref macro takes no group column)."""
+
+    @staticmethod
+    def analyze(table, ds_col, y_col, method, horizon, *rest):
+        d = ds_col.value
+        return AnalyzeResult(schema=T.StructType(
+            [_f("forecast_step", T.IntegerType()),
+             _f(d, table.dataType[d].dataType)]
+            + [_f(n, t) for n, t in _FORECAST_TAIL[1:]]),
+            withSinglePartition=True, orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, ds_col, y_col, method, horizon, *rest):
+        self._args = (ds_col, y_col, str(method), int(horizon), *rest)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import json
+
+        from ..frequency import parse_frequency
+        from ..operators.forecast import _future_dates_pd
+        ds_col, y_col, method, h, *rest = self._args
+        freq = parse_frequency(str(rest[0]) if rest else "1d")
+        level = float(rest[1]) if len(rest) > 1 else 0.90
+        pars = dict(json.loads(str(rest[2]))) if len(rest) > 2 else {}
+        season = int(pars.pop("seasonal_period", 0) or 0)
+        y = _nan_y(self._rows, y_col)
+        try:
+            r = M.forecast(y, h, method, season_length=season, level=level,
+                           params=pars)
+        except Exception:
+            return
+        last = self._rows[-1][ds_col]
+        future = _future_dates_pd(last, h, freq, isinstance(last, int))
+        for i in range(h):
+            yield (i + 1, future[i], float(r.point[i]), float(r.lower[i]),
+                   float(r.upper[i]), r.model_name)
+
+
+class CvSplitFoldsUDTF:
+    """``ts_cv_split_folds_by(TABLE(t), 'id', 'ds', '2024-01-31,2024-02-29',
+    '7', '1d'[, gap, embargo])`` — explicit-cutoff fold boundaries (mirror
+    of cv.ts_cv_split_folds_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, cutoffs, horizon, frequency, *rest):
+        TS = T.TimestampType()
+        L = T.LongType()
+        return AnalyzeResult(schema=T.StructType([
+            _f("fold_id", L), _f("train_start", TS), _f("train_end", TS),
+            _f("test_start", TS), _f("test_end", TS), _f("horizon", L),
+            _f("gap", L), _f("embargo", L)]), withSinglePartition=True)
+
+    def __init__(self):
+        self._min = None
+
+    def eval(self, row, group_col, ds_col, cutoffs, horizon, frequency,
+             *rest):
+        self._args = (str(cutoffs), int(horizon), str(frequency),
+                      int(rest[0]) if rest else 0,
+                      int(rest[1]) if len(rest) > 1 else 0)
+        d = row[ds_col]
+        if d is not None and (self._min is None or d < self._min):
+            self._min = d
+
+    def terminate(self):
+        if not hasattr(self, "_args"):
+            return
+        from ..frequency import parse_frequency
+        cutoffs, h, frequency, gap, embargo = self._args
+        freq = parse_frequency(frequency)
+        cuts = sorted(_parse_ts(c) for c in cutoffs.split(",") if c.strip())
+        for fold_id, te in enumerate(cuts):
+            ts_, te_ = _fold_bounds(te, h, gap, freq)
+            yield (fold_id, self._min, te, ts_, te_, h, gap, embargo)
+
+
+class CvSplitUDTF:
+    """``ts_cv_split_by(TABLE(t), 'id', 'ds', 'y', '2024-01-31,...', '7'[,
+    frequency, gap])`` — rows tagged train/test by explicit cutoff folds
+    (mirror of cv.ts_cv_split_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, cutoffs, horizon, *rest):
+        s = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        return AnalyzeResult(schema=T.StructType([
+            _f(g, s[g].dataType), _f(d, s[d].dataType), _f(y, s[y].dataType),
+            _f("fold_id", T.LongType()), _f("split", T.StringType())]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, cutoffs, horizon, *rest):
+        self._args = (group_col, ds_col, y_col, str(cutoffs), int(horizon),
+                      str(rest[0]) if rest else "1d",
+                      int(rest[1]) if len(rest) > 1 else 0)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        from ..frequency import parse_frequency
+        group_col, ds_col, y_col, cutoffs, h, frequency, gap = self._args
+        freq = parse_frequency(frequency)
+        g = self._rows[0][group_col]
+        cuts = sorted(_parse_ts(c) for c in cutoffs.split(",") if c.strip())
+        for fold_id, te in enumerate(cuts):
+            ts_, te_ = _fold_bounds(te, h, gap, freq)
+            for r in self._rows:
+                d = r[ds_col]
+                if d is None:
+                    continue
+                if d <= te:
+                    yield (g, r[ds_col], r[y_col], fold_id, "train")
+                elif ts_ <= d <= te_:
+                    yield (g, r[ds_col], r[y_col], fold_id, "test")
+
+
+class CvForecastUDTF:
+    """``ts_cv_forecast_by(TABLE(folds), 'id', 'ds', 'y', 'Naive'[,
+    params_json])`` — fit per (group, fold) train slice, predict the test
+    rows (mirror of cv.ts_cv_forecast_by; the folds table carries fold_id
+    and split columns from ts_cv_folds_by)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, y_col, method, *rest):
+        s = table.dataType
+        g, d = group_col.value, ds_col.value
+        D = T.DoubleType()
+        return AnalyzeResult(schema=T.StructType([
+            _f("fold_id", T.LongType()), _f(g, s[g].dataType),
+            _f(d, s[d].dataType), _f(y_col.value, D),
+            _f("split", T.StringType()), _f("yhat", D), _f("yhat_lower", D),
+            _f("yhat_upper", D), _f("model_name", T.StringType())]),
+            partitionBy=[PartitioningColumn(g)],
+            orderBy=[OrderingColumn(d)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, method, *rest):
+        self._args = (group_col, ds_col, y_col, str(method),
+                      str(rest[0]) if rest else None)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        import json
+
+        import numpy as np
+        group_col, ds_col, y_col, method, params_json = self._args
+        pars = dict(json.loads(params_json)) if params_json else {}
+        level = float(pars.get("confidence_level", 0.90))
+        season = int(pars.get("seasonal_period", 0) or 0)
+        model = M.canonical_model(method)
+        g = self._rows[0][group_col]
+        folds: dict = {}
+        for r in self._rows:
+            folds.setdefault(r["fold_id"], []).append(r)
+        for fold in sorted(folds):
+            rows = folds[fold]
+            train = [r for r in rows if r["split"] == "train"]
+            test = [r for r in rows if r["split"] == "test"]
+            h = len(test)
+            if h == 0 or len(train) < 3:
+                continue
+            try:
+                r = M.forecast(np.array([math.nan if t[y_col] is None
+                                         else float(t[y_col])
+                                         for t in train]),
+                               h, model, season_length=season, level=level,
+                               params=pars)
+            except Exception:
+                continue
+            for i, t in enumerate(test):
+                yield (fold, g, t[ds_col],
+                       None if t[y_col] is None else float(t[y_col]), "test",
+                       float(r.point[i]), float(r.lower[i]),
+                       float(r.upper[i]), r.model_name)
+
+
+class CvHydrateUDTF:
+    """``ts_cv_hydrate_by(TABLE(folds ⋈ features), 'id', 'ds', 'x1,x2'[,
+    strategy, fill_value])`` — mask 'unknown' features in test rows (mirror
+    of cv.ts_cv_hydrate_by; takes the folds-to-features pre-join since Spark
+    UDTFs accept one TABLE argument)."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, unknown_csv, *rest):
+        return AnalyzeResult(schema=T.StructType(list(table.dataType.fields)),
+                             partitionBy=[PartitioningColumn(group_col.value)],
+                             orderBy=[OrderingColumn(ds_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, unknown_csv, *rest):
+        self._args = (group_col, ds_col, str(unknown_csv),
+                      str(rest[0]) if rest else "last_value",
+                      float(rest[1]) if len(rest) > 1 else 0.0)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, unknown_csv, strategy, fill_value = self._args
+        cols = list(self._rows[0].asDict().keys())
+        unknown = [c for c in unknown_csv.split(",") if c.strip()]
+        missing = [c for c in unknown if c not in cols]
+        if missing:
+            raise ValueError(f"unknown_feature {missing[0]!r} not in "
+                             "source columns")
+        folds: dict = {}
+        for r in self._rows:
+            folds.setdefault(r["fold_id"], []).append(r)
+        for fold in sorted(folds):
+            last: dict = {c: None for c in unknown}
+            for r in folds[fold]:
+                vals = r.asDict()
+                if vals.get("split") == "train":
+                    for c in unknown:
+                        if vals[c] is not None:
+                            last[c] = vals[c]
+                else:
+                    for c in unknown:
+                        if strategy == "null":
+                            vals[c] = None
+                        elif strategy == "default":
+                            vals[c] = fill_value
+                        elif strategy == "last_value":
+                            vals[c] = last[c]
+                        else:
+                            raise ValueError(
+                                f"unknown strategy {strategy!r}")
+                yield tuple(vals[c] for c in cols)
+
+
+_R4B_UDTFS = {
+    "ts_quality_report": QualityReportUDTF,
+    "ts_stats_summary": StatsSummaryUDTF,
+    "ts_data_quality": DataQualityUDTF,
+    "ts_data_quality_by": DataQualityUDTF,
+    "ts_data_quality_summary": DataQualitySummaryUDTF,
+    "ts_fill_forward_by": FillForwardUDTF,
+    "ts_mark_unknown_by": MarkUnknownUDTF,
+    "ts_fill_unknown_by": FillUnknownUDTF,
+    "ts_validate_timestamps_by": ValidateTimestampsUDTF,
+    "ts_validate_timestamps_summary_by": ValidateTimestampsSummaryUDTF,
+    "ts_check_leakage": CheckLeakageUDTF,
+    "ts_conformal_calibrate": ConformalCalibrateUDTF,
+    "ts_conformal_apply_by": ConformalApplyUDTF,
+    "ts_features_by": FeaturesByUDTF,
+    "ts_features_table": FeaturesTableUDTF,
+    "ts_forecast_inspect_by": ForecastInspectUDTF,
+    "ts_forecast_explain_by": ForecastExplainUDTF,
+    "ts_forecast_exog_by": ForecastExogByUDTF,
+    "ts_forecast_exog": ForecastExogUDTF,
+    "ts_forecast": ForecastSingleUDTF,
+    "ts_cv_split_folds_by": CvSplitFoldsUDTF,
+    "ts_cv_split_by": CvSplitUDTF,
+    "ts_cv_forecast_by": CvForecastUDTF,
+    "ts_cv_hydrate_by": CvHydrateUDTF,
+}
+
+
 #: every registered SQL name (populated by register_all's first run);
 #: each also gets the reference's ``anofox_fcst_`` alias
 #: (``ts_macros.cpp:2185-2197`` registers both spellings for every macro).
@@ -1290,6 +2441,9 @@ def register_all(spark: SparkSession) -> None:
     for name, cls in _conformal_udtfs().items():
         reg_udtf(name, cls)
     for name, cls in _cv_udtfs().items():
+        reg_udtf(name, cls)
+    reg_udtf("ts_stats", StatsUDTF)  # ref registers both spellings
+    for name, cls in _R4B_UDTFS.items():
         reg_udtf(name, cls)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):

@@ -819,11 +819,30 @@ def ts_decompose_seasonal_by(df: DataFrame, group_col: str, ds_col: str,
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 
 
+def mstl_decompose(y: np.ndarray, periods: list[int] | None = None):
+    """Per-series MSTL: returns (trend, seasonal_total, remainder, periods)
+    — the single compute shared by the DataFrame op and the SQL UDTF."""
+    from ..functions.models import _stl_lite
+    y = interpolate_nulls(np.asarray(y, dtype=float))
+    ms = periods or ([detect_seasonality(y)] if detect_seasonality(y) > 1 else [])
+    ms = [int(m) for m in ms if m and int(m) >= 2 and len(y) >= 2 * int(m)]
+    seasonal_total = np.zeros(len(y))
+    deseas = y.copy()
+    trend = np.zeros(len(y))
+    for m in sorted(set(ms)):
+        trend, seasonal, _ = _stl_lite(deseas, m)
+        seasonal_total += seasonal
+        deseas = deseas - seasonal
+    if not ms:
+        trend, _, _ = _stl_lite(deseas, 0)
+    remainder = y - trend - seasonal_total
+    return trend, seasonal_total, remainder, ms
+
+
 def ts_mstl_decomposition_by(df: DataFrame, group_col: str, ds_col: str,
                              y_col: str, params: dict | None = None) -> DataFrame:
     """(<group>, <ds>, trend, seasonal, remainder, periods) — macro
     ``ts_macros.cpp:419-433``, native ``ts_mstl_decomposition_native.cpp``."""
-    from ..functions.models import _stl_lite
     p = dict(params or {})
     periods = p.get("seasonal_periods")
     gtype = df.schema[group_col].dataType
@@ -837,23 +856,12 @@ def ts_mstl_decomposition_by(df: DataFrame, group_col: str, ds_col: str,
     ])
 
     def build(g, pdf):
-        y = interpolate_nulls(pdf[y_col].to_numpy(dtype=float))
-        ms = periods or ([detect_seasonality(y)] if detect_seasonality(y) > 1 else [])
-        ms = [int(m) for m in ms if m and int(m) >= 2 and len(y) >= 2 * int(m)]
-        seasonal_total = np.zeros(len(y))
-        deseas = y.copy()
-        trend = np.zeros(len(y))
-        for m in sorted(set(ms)):
-            trend, seasonal, _ = _stl_lite(deseas, m)
-            seasonal_total += seasonal
-            deseas = deseas - seasonal
-        if not ms:
-            trend, _, _ = _stl_lite(deseas, 0)
-        remainder = y - trend - seasonal_total
+        trend, seasonal_total, remainder, ms = mstl_decompose(
+            pdf[y_col].to_numpy(dtype=float), periods)
         return pd.DataFrame({group_col: g, ds_col: pdf[ds_col].to_numpy(),
                              "trend": trend, "seasonal": seasonal_total,
                              "remainder": remainder,
-                             "periods": [ms] * len(y)})
+                             "periods": [ms] * len(trend)})
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 

@@ -187,6 +187,40 @@ def _scalar(v):
         return None
 
 
+def inspect_result(r) -> dict:
+    """Fitted-model introspection dict from a ForecastResult — the single
+    compute shared by the DataFrame op and the SQL UDTF."""
+    p = r.params or {}
+    phi = p.get("phi")
+    coef = None
+    if isinstance(phi, (list, tuple)):           # ARIMA stores phi/theta lists
+        coef = [float(v) for v in phi] + \
+               [float(v) for v in (p.get("theta") or [])]
+        phi = None
+    sp = p.get("seasonal_periods")
+    return {
+        "model_family": r.model_name,
+        "spec": str(p.get("model")) if p.get("model") else None,
+        "alpha": _scalar(p.get("alpha")),
+        "beta": _scalar(p.get("beta")),
+        "gamma": _scalar(p.get("gamma")),
+        "phi": _scalar(phi),
+        "theta": _scalar(p.get("theta")),
+        "aic": None if np.isnan(r.aic) else float(r.aic),
+        "bic": None if np.isnan(r.bic) else float(r.bic),
+        "seasonal_period": int(p["seasonal_period"]) if p.get("seasonal_period") else None,
+        "seasonal_periods": [int(v) for v in sp] if sp else None,
+        "order_p": int(p["p"]) if p.get("p") is not None else None,
+        "order_d": int(p["d"]) if p.get("d") is not None else None,
+        "order_q": int(p["q"]) if p.get("q") is not None else None,
+        "coefficients": coef,
+        "fitted_values": [None if not np.isfinite(v) else float(v)
+                          for v in r.fitted] if r.fitted is not None else None,
+        "residuals": [None if not np.isfinite(v) else float(v)
+                      for v in r.residuals] if r.residuals is not None else None,
+    }
+
+
 def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
                            y_col: str, method: str,
                            params: dict | None = None) -> DataFrame:
@@ -210,36 +244,8 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
                            params=params)
         except Exception:
             return None
-        p = r.params or {}
-        phi = p.get("phi")
-        coef = None
-        if isinstance(phi, (list, tuple)):           # ARIMA stores phi/theta lists
-            coef = [float(v) for v in phi] + \
-                   [float(v) for v in (p.get("theta") or [])]
-            phi = None
-        sp = p.get("seasonal_periods")
-        insp = {
-            "model_family": r.model_name,
-            "spec": str(p.get("model")) if p.get("model") else None,
-            "alpha": _scalar(p.get("alpha")),
-            "beta": _scalar(p.get("beta")),
-            "gamma": _scalar(p.get("gamma")),
-            "phi": _scalar(phi),
-            "theta": _scalar(p.get("theta")),
-            "aic": None if np.isnan(r.aic) else float(r.aic),
-            "bic": None if np.isnan(r.bic) else float(r.bic),
-            "seasonal_period": int(p["seasonal_period"]) if p.get("seasonal_period") else None,
-            "seasonal_periods": [int(v) for v in sp] if sp else None,
-            "order_p": int(p["p"]) if p.get("p") is not None else None,
-            "order_d": int(p["d"]) if p.get("d") is not None else None,
-            "order_q": int(p["q"]) if p.get("q") is not None else None,
-            "coefficients": coef,
-            "fitted_values": [None if not np.isfinite(v) else float(v)
-                              for v in r.fitted] if r.fitted is not None else None,
-            "residuals": [None if not np.isfinite(v) else float(v)
-                          for v in r.residuals] if r.residuals is not None else None,
-        }
-        return pd.DataFrame({group_col: [key[0]], "inspection": [insp]})
+        return pd.DataFrame({group_col: [key[0]],
+                             "inspection": [inspect_result(r)]})
 
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
@@ -253,6 +259,37 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
 
 _EXPLAINABLE = {"ETS", "AutoETS", "MSTL", "AutoMSTL", "Theta", "OptimizedTheta",
                 "DynamicTheta", "DynamicOptimizedTheta", "AutoTheta"}
+
+
+def explain_decompose(yv: np.ndarray, r, h: int, season: int) -> dict:
+    """Per-horizon additive decomposition of a ForecastResult — the single
+    compute shared by the DataFrame op and the SQL UDTF.
+
+    Seasonal component: mean-centered per-phase pattern continued into the
+    future; level = de-seasonalized baseline; trend = successive increments
+    of the de-seasonalized point path."""
+    yv = M.interpolate_nulls(yv)
+    m = int((r.params or {}).get("seasonal_period", season) or 0)
+    point = np.asarray(r.point, dtype=float)
+    if m >= 2 and len(yv) >= 2 * m:
+        nfit = (len(yv) // m) * m
+        phases = yv[:nfit].reshape(-1, m)
+        pattern = phases.mean(axis=0) - phases.mean()
+        start = len(yv) % m
+        seas = np.array([pattern[(start + i) % m] for i in range(h)])
+    else:
+        seas = np.zeros(h)
+    deseason = point - seas
+    lvl = np.full(h, deseason[0])
+    trend = deseason - lvl
+    resid = point - (lvl + trend + seas)
+    return {
+        "horizon": h,
+        "level": [float(v) for v in lvl],
+        "trend": [float(v) for v in trend],
+        "seasonal": [float(v) for v in seas],
+        "residual": [float(v) for v in resid],
+    }
 
 
 def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
@@ -289,31 +326,7 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
                            params=params)
         except Exception:
             return None
-        yv = M.interpolate_nulls(yv)
-        m = int((r.params or {}).get("seasonal_period", season) or 0)
-        point = np.asarray(r.point, dtype=float)
-        # seasonal component: mean-centered per-phase pattern continued into
-        # the future; level = de-seasonalized baseline; trend = successive
-        # increments of the de-seasonalized point path.
-        if m >= 2 and len(yv) >= 2 * m:
-            nfit = (len(yv) // m) * m
-            phases = yv[:nfit].reshape(-1, m)
-            pattern = phases.mean(axis=0) - phases.mean()
-            start = len(yv) % m
-            seas = np.array([pattern[(start + i) % m] for i in range(h)])
-        else:
-            seas = np.zeros(h)
-        deseason = point - seas
-        lvl = np.full(h, deseason[0])
-        trend = deseason - lvl
-        resid = point - (lvl + trend + seas)
-        dec = {
-            "horizon": h,
-            "level": [float(v) for v in lvl],
-            "trend": [float(v) for v in trend],
-            "seasonal": [float(v) for v in seas],
-            "residual": [float(v) for v in resid],
-        }
+        dec = explain_decompose(yv, r, h, season)
         return pd.DataFrame({group_col: [key[0]], "decomposition": [dec]})
 
     from ..functions.batched import batched_grouped_map
