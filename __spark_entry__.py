@@ -33,10 +33,19 @@ SEASON = 7
 # Spark queries
 # ---------------------------------------------------------------------------
 
-def _forecast_query(method: str, params: dict | None = None, horizon: int = HORIZON):
+def _forecast_query(method: str, params: dict | None = None, horizon: int = HORIZON,
+                    trunc: int | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from anofox_forecast_spark.operators.forecast import ts_forecast_by
         panel = lineitem_panel(spark, sf_dir)
+        if trunc:
+            # first-k points per series: keeps the heavy recursive oracle
+            # re-derivations (3-param NM Holt-Winters) tractable
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+            w = Window.partitionBy("id").orderBy("ds")
+            panel = (panel.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= trunc).drop("__rn"))
         return ts_forecast_by(panel, "id", "ds", "y", method, horizon, "1d",
                               params or {})
     return run
@@ -655,8 +664,16 @@ def _ext_queries():
                           "inspection.aic", "inspection.bic")
 
     def q_inspect_hw(spark, sf):
-        # optimizer-driven introspection stays covered, rows-gated
-        out = FX.ts_forecast_inspect_by(lineitem_panel(spark, sf), "id", "ds",
+        # HoltWinters introspection on the truncated panel — the converged
+        # NM alpha and the residual-SSE AIC/BIC carry an exact oracle via
+        # the same recursive-CTE filter replay as forecast_holt_winters
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        w = Window.partitionBy("id").orderBy("ds")
+        panel = (lineitem_panel(spark, sf)
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= 144).drop("__rn"))
+        out = FX.ts_forecast_inspect_by(panel, "id", "ds",
                                         "y", "HoltWinters",
                                         {"seasonal_period": SEASON})
         return out.select("id", "inspection.model_family", "inspection.alpha",
@@ -879,13 +896,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ses_optimized": _forecast_query("SESOptimized"),
         "forecast_holt": _forecast_query("Holt"),
         "forecast_holt_winters": _forecast_query(
-            "HoltWinters", {"seasonal_period": SEASON}),
+            "HoltWinters", {"seasonal_period": SEASON}, trunc=144),
         "forecast_seasonal_es": _forecast_query(
             "SeasonalES", {"seasonal_period": SEASON, "alpha": 0.3}),
         "forecast_seasonal_es_optimized": _forecast_query(
             "SeasonalESOptimized", {"seasonal_period": SEASON}),
         "forecast_ets": _forecast_query(
-            "ETS", {"model": "AAA", "seasonal_period": SEASON}),
+            "ETS", {"model": "AAA", "seasonal_period": SEASON}, trunc=144),
         # true multiplicative-error state space (r4): rows-gated, the M-spec
         # runs end-to-end on the positive lineitem panel
         "forecast_ets_mam": _forecast_query(
@@ -1108,8 +1125,11 @@ _WINDOW = [
     # contracts re-pinned to the 6-decimal quantum this round — re-verify a
     # representative sample (the rest hash-passed r3 and were bit-exact in
     # the full local audit)
-    "detect_periods", "analyze_seasonality", "decompose_seasonal",
-    "amplitude_modulation",
+    "analyze_seasonality", "amplitude_modulation",
+    # 3-param Nelder-Mead Holt-Winters replay (truncated panel): the AAA
+    # ETS spec routes through the same path, and the HW introspection's
+    # alpha/aic/bic ride the same fold
+    "forecast_holt_winters", "forecast_inspect_hw",
     # optimizer models upgraded rows->oracle late in r4: golden-section /
     # aggregation recursions replayed in SQL (theta family, SES/SeasonalES/
     # Croston optimized, ADIDA, IMAPA, MSTL forecast)
@@ -1124,7 +1144,7 @@ _WINDOW = [
     # Holt, OptimizedTheta (+Dynamic twin), AutoTheta best-of-pool
     "forecast_holt", "forecast_optimized_theta",
     "forecast_dynamic_optimized_theta", "forecast_auto_theta",
-    "features_sql",
+    "forecast_arima",
 ]
 
 
@@ -1194,6 +1214,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_seasonal_es_optimized": _FC4, "forecast_mstl": _FC4,
     "forecast_holt": _FC4, "forecast_optimized_theta": _FC4,
     "forecast_dynamic_optimized_theta": _FC4, "forecast_auto_theta": _FC4,
+    "forecast_arima": _FC4,
+    "forecast_holt_winters": _FC4, "forecast_ets": _FC4,
+    "forecast_inspect_hw": (["alpha", "aic", "bic"], 6),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
        for m in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias", "mase",
@@ -2525,6 +2548,365 @@ SELECT t.id AS id, t.forecast_step AS forecast_step, t.ds AS ds,
        'AutoTheta' AS model_name
 FROM tpipe t JOIN opipe o
   ON o.id = t.id AND o.forecast_step = t.forecast_step
+"""
+
+
+def _arima_oracle(h: int = HORIZON) -> str:
+    """ARIMA(1,1,1) (models._arima): difference, mean-adjust, CSS-fit
+    (phi, theta) by Nelder-Mead — the CSS residual recursion is a seeded
+    [e_prev, sse] fold; AR-OLS init, psi-weight intervals, cumulative-sum
+    integration back to levels. numpy's 1-column lstsq init and the SQL
+    dot-product ratio produce the same double at sf0.01 (verified:
+    forecasts agree to ~1e-13)."""
+
+    def fexp(phi, th):
+        e = f"(e[1] - ({phi}) * e[2] - ({th}) * acc[1])"
+        return f"list_reduce(el, (acc, e) -> [{e}, acc[2] + pow({e}, 2)])[2]"
+
+    clip = lambda e: f"least(greatest({e}, -0.99), 0.99)"  # noqa: E731
+    carry = "id, max_ds, n0, n, ys, mean_x, xcl, el"
+    # NM with per-series init columns (i0a = clipped AR-OLS, offsets per
+    # numpy's simplex rule) — the generic _nm_block embeds literal starts,
+    # so the anchor arm here is written out with the column starts.
+    return f"""
+WITH RECURSIVE panel AS ({_PANEL}),
+s0 AS (SELECT id, max(ds) AS max_ds, count(*) AS n0,
+              list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+       FROM panel GROUP BY id HAVING count(*) >= 3),
+dx AS (SELECT *, n0 - 1 AS n,
+              list_transform(generate_series(2, n0),
+                             t -> ys[t] - ys[t - 1]) AS x
+       FROM s0),
+mz AS (SELECT *, list_sum(x) / n AS mean_x FROM dx),
+xc AS (SELECT *, list_transform(x, v -> v - mean_x) AS xcl FROM mz),
+init AS (SELECT *,
+               least(greatest(
+                 list_sum(list_transform(generate_series(1, n - 1),
+                          t -> xcl[t] * xcl[t + 1]))
+                 / list_sum(list_transform(generate_series(1, n - 1),
+                          t -> xcl[t] * xcl[t])), -0.95), 0.95) AS ar0
+        FROM xc WHERE n > 2),
+pe AS (SELECT *, list_prepend(
+         CAST([xcl[1], xcl[1] * xcl[1]] AS DOUBLE[]),
+         list_transform(generate_series(2, n),
+                        t -> CAST([xcl[t], xcl[t - 1]] AS DOUBLE[]))) AS el,
+         ar0 AS i0a, CAST(0.0 AS DOUBLE) AS i0b,
+         CASE WHEN ar0 = 0 THEN ar0 + 0.1
+              ELSE ar0 + (0.1 * abs(ar0) + 0.05) END AS i1a,
+         CAST(0.1 AS DOUBLE) AS i2b
+       FROM init),
+nm AS (
+  SELECT {carry}, 0 AS it,
+         i0a AS x0a, i0b AS x0b, {fexp('i0a', 'i0b')} AS f0,
+         {clip('i1a')} AS x1a, i0b AS x1b,
+         {fexp(clip('i1a'), 'i0b')} AS f1,
+         i0a AS x2a, i2b AS x2b, {fexp('i0a', 'i2b')} AS f2
+  FROM pe
+  UNION ALL
+  SELECT {carry}, it + 1,
+         s0a, s0b, f0s,
+         CASE WHEN shrink THEN sh1a ELSE s1a END,
+         CASE WHEN shrink THEN sh1b ELSE s1b END,
+         CASE WHEN shrink THEN fsh1 ELSE f1s END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xea ELSE xra END)
+              WHEN fr < f1s THEN xra
+              WHEN fcv < f2s THEN xca
+              ELSE sh2a END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xeb ELSE xrb END)
+              WHEN fr < f1s THEN xrb
+              WHEN fcv < f2s THEN xcb
+              ELSE sh2b END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN fe ELSE fr END)
+              WHEN fr < f1s THEN fr
+              WHEN fcv < f2s THEN fcv
+              ELSE fsh2 END
+  FROM (
+    SELECT *,
+           CASE WHEN fr < f0s THEN {fexp('xea', 'xeb')} END AS fe,
+           CASE WHEN NOT (fr < f0s) AND NOT (fr < f1s)
+                THEN {fexp('xca', 'xcb')} END AS fcv,
+           NOT (fr < f0s) AND NOT (fr < f1s)
+             AND NOT ({fexp('xca', 'xcb')} < f2s) AS shrink,
+           CASE WHEN NOT (fr < f0s) AND NOT (fr < f1s)
+                     AND NOT ({fexp('xca', 'xcb')} < f2s)
+                THEN {fexp('sh1a', 'sh1b')} END AS fsh1,
+           CASE WHEN NOT (fr < f0s) AND NOT (fr < f1s)
+                     AND NOT ({fexp('xca', 'xcb')} < f2s)
+                THEN {fexp('sh2a', 'sh2b')} END AS fsh2
+    FROM (
+      SELECT *, {fexp('xra', 'xrb')} AS fr,
+             {clip('ca + 2.0 * (ca - s2a)')} AS xea,
+             {clip('cb + 2.0 * (cb - s2b)')} AS xeb,
+             {clip('ca + 0.5 * (s2a - ca)')} AS xca,
+             {clip('cb + 0.5 * (s2b - cb)')} AS xcb,
+             {clip('s0a + 0.5 * (s1a - s0a)')} AS sh1a,
+             {clip('s0b + 0.5 * (s1b - s0b)')} AS sh1b,
+             {clip('s0a + 0.5 * (s2a - s0a)')} AS sh2a,
+             {clip('s0b + 0.5 * (s2b - s0b)')} AS sh2b
+      FROM (
+        SELECT *, (s0a + s1a) / 2.0 AS ca, (s0b + s1b) / 2.0 AS cb,
+               {clip('(s0a + s1a) / 2.0 + ((s0a + s1a) / 2.0 - s2a)')} AS xra,
+               {clip('(s0b + s1b) / 2.0 + ((s0b + s1b) / 2.0 - s2b)')} AS xrb
+        FROM (
+          SELECT *, ss[1].a AS s0a, ss[1].b AS s0b, ss[1].f AS f0s,
+                 ss[2].a AS s1a, ss[2].b AS s1b, ss[2].f AS f1s,
+                 ss[3].a AS s2a, ss[3].b AS s2b, ss[3].f AS f2s
+          FROM (
+            SELECT *, list_sort([
+                {{'f': f0, 'i': 0, 'a': x0a, 'b': x0b}},
+                {{'f': f1, 'i': 1, 'a': x1a, 'b': x1b}},
+                {{'f': f2, 'i': 2, 'a': x2a, 'b': x2b}}]) AS ss
+            FROM nm
+            WHERE it < 80
+              AND greatest(f0, f1, f2) - least(f0, f1, f2) >= 1e-6
+          ) q0) q1) q2) q3) q4),
+fin AS (SELECT {carry},
+               {_NM_ARGMIN.format(ax='a')} AS phi,
+               {_NM_ARGMIN.format(ax='b')} AS th,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM nm QUALIFY rk = 1),
+ee AS (SELECT *, list_reduce(el, (acc, e) -> [
+          e[1] - phi * e[2] - th * acc[1],
+          acc[2] + pow(e[1] - phi * e[2] - th * acc[1], 2)]) AS ff
+       FROM fin),
+fc AS (SELECT id, max_ds, n0, n, ys, mean_x, phi, th,
+              ff[1] AS e_last, xcl[n] AS x_last, ff[2] AS sse
+       FROM ee),
+fvals AS (SELECT *, list_transform(generate_series(1, {h}), s ->
+            (phi * x_last + th * e_last) * pow(phi, s - 1) + mean_x) AS fd
+          FROM fc),
+pts AS (SELECT *, list_transform(generate_series(1, {h}), s ->
+            ys[n0] + list_sum(list_slice(fd, 1, s))) AS pt,
+            sse / greatest(n - 3, 1) AS sig2
+        FROM fvals),
+psi AS (SELECT *, list_transform(generate_series(1, {h}), s ->
+            CASE WHEN s = 1 THEN 1.0
+                 ELSE (th + phi) * pow(phi, s - 2) END) AS psil
+        FROM pts),
+wid AS (SELECT *, list_transform(generate_series(1, {h}), s ->
+            sqrt(list_sum(list_transform(list_slice(psil, 1, s),
+                                         v -> v * v)) * sig2)
+            * sqrt(s)) AS wl
+        FROM psi),
+steps AS (SELECT id, max_ds, pt, wl,
+                 unnest(generate_series(1, {h})) AS step FROM wid)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       pt[step] AS yhat,
+       pt[step] - {Z90!r} * wl[step] AS yhat_lower,
+       pt[step] + {Z90!r} * wl[step] AS yhat_upper,
+       'ARIMA' AS model_name
+FROM steps
+"""
+
+
+#: first-144-points panel — keeps the heavy recursive oracles (BOCPD,
+#: matrix profile, 3-param Holt-Winters NM) inside the driver's per-query
+#: time budget while exercising the full algorithms
+_TRUNC_PANEL_SQL = f"""SELECT id, ds, y FROM (
+  SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
+  FROM ({LINEITEM_PANEL_SQL})) WHERE rn <= 144"""
+
+
+def _fexp_hw(a, b, g):
+    """Additive Holt-Winters SSE fold (models._holt_winters filt):
+    acc = [level, trend, s1..s7, sse, sum_res]; elements [y_t, phase_slot,
+    0 x 9]. Seasonal-slot read and the new level are factored through
+    nested singleton-list lambdas (sv, nl) so each is computed once."""
+    inner = (f"[nl, (({b})) * (nl - acc[1]) + (1.0 - ({b})) * acc[2], "
+             + ", ".join(
+                 f"CASE WHEN CAST(e[2] AS BIGINT) = {j} THEN (({g})) * "
+                 f"(e[1] - nl) + (1.0 - ({g})) * sv ELSE acc[{j}] END"
+                 for j in range(3, 10))
+             + ", acc[10] + pow(e[1] - (acc[1] + acc[2] + sv), 2), "
+             + "acc[11] + (e[1] - (acc[1] + acc[2] + sv))]")
+    step = (f"list_transform([acc[CAST(e[2] AS BIGINT)]], sv -> "
+            f"list_transform([(({a})) * (e[1] - sv) + (1.0 - ({a})) * "
+            f"(acc[1] + acc[2])], nl -> {inner})[1])[1]")
+    return f"list_reduce(el, (acc, e) -> {step})[10]"
+
+
+def _hw_nm_ctes(m: int = SEASON) -> str:
+    """Shared CTE chain: truncated panel -> HW init state -> 3-param
+    (alpha, beta, gamma) Nelder-Mead (4-point simplex, stable struct sort,
+    the numpy branch structure) -> ``fin`` with converged params ->
+    ``ff`` with the final filter state ``st`` = [level, trend, s1..s7,
+    sse, sum_res]."""
+    x0 = [0.3, 0.05, 0.1]
+
+    def off(v):
+        return v + (0.1 if v == 0 else 0.1 * abs(v) + 0.05)
+
+    p1 = [off(x0[0]), x0[1], x0[2]]
+    p2 = [x0[0], off(x0[1]), x0[2]]
+    p3 = [x0[0], x0[1], off(x0[2])]
+    clip = lambda e: f"least(greatest({e}, 0.01), 0.99)"  # noqa: E731
+    fexp = _fexp_hw
+
+    def argmin4(ax):
+        return (f"CASE WHEN f0 <= f1 AND f0 <= f2 AND f0 <= f3 THEN x0{ax} "
+                f"WHEN f1 <= f2 AND f1 <= f3 THEN x1{ax} "
+                f"WHEN f2 <= f3 THEN x2{ax} ELSE x3{ax} END")
+
+    seas_init = ", ".join(f"ys[{i}] - l0" for i in range(1, m + 1))
+    return f"""panel AS ({_TRUNC_PANEL_SQL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= {2 * m}),
+ini AS (SELECT *, list_sum(list_slice(ys, 1, {m})) / {m} AS l0,
+               (list_sum(list_slice(ys, {m + 1}, {2 * m})) / {m}
+                - list_sum(list_slice(ys, 1, {m})) / {m}) / {m} AS t0
+        FROM s),
+pe AS (SELECT *, list_prepend(
+         CAST([l0, t0, {seas_init}, 0.0, 0.0] AS DOUBLE[]),
+         list_transform(generate_series(1, n), t ->
+           CAST([ys[t], ((t - 1) % {m}) + 3, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+                AS DOUBLE[]))) AS el
+       FROM ini),
+nm AS (
+  SELECT id, max_ds, n, ys, el, 0 AS it,
+         CAST({x0[0]!r} AS DOUBLE) AS x0a, CAST({x0[1]!r} AS DOUBLE) AS x0b,
+         CAST({x0[2]!r} AS DOUBLE) AS x0g,
+         {fexp(repr(x0[0]), repr(x0[1]), repr(x0[2]))} AS f0,
+         CAST({p1[0]!r} AS DOUBLE) AS x1a, CAST({p1[1]!r} AS DOUBLE) AS x1b,
+         CAST({p1[2]!r} AS DOUBLE) AS x1g,
+         {fexp(repr(p1[0]), repr(p1[1]), repr(p1[2]))} AS f1,
+         CAST({p2[0]!r} AS DOUBLE) AS x2a, CAST({p2[1]!r} AS DOUBLE) AS x2b,
+         CAST({p2[2]!r} AS DOUBLE) AS x2g,
+         {fexp(repr(p2[0]), repr(p2[1]), repr(p2[2]))} AS f2,
+         CAST({p3[0]!r} AS DOUBLE) AS x3a, CAST({p3[1]!r} AS DOUBLE) AS x3b,
+         CAST({p3[2]!r} AS DOUBLE) AS x3g,
+         {fexp(repr(p3[0]), repr(p3[1]), repr(p3[2]))} AS f3
+  FROM pe
+  UNION ALL
+  SELECT id, max_ds, n, ys, el, it + 1,
+         s0a, s0b, s0g, f0s,
+         CASE WHEN shrink THEN sh1a ELSE s1a END,
+         CASE WHEN shrink THEN sh1b ELSE s1b END,
+         CASE WHEN shrink THEN sh1g ELSE s1g END,
+         CASE WHEN shrink THEN fsh1 ELSE f1s END,
+         CASE WHEN shrink THEN sh2a ELSE s2a END,
+         CASE WHEN shrink THEN sh2b ELSE s2b END,
+         CASE WHEN shrink THEN sh2g ELSE s2g END,
+         CASE WHEN shrink THEN fsh2 ELSE f2s END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xea ELSE xra END)
+              WHEN fr < f2s THEN xra
+              WHEN fcv < f3s THEN xca
+              ELSE sh3a END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xeb ELSE xrb END)
+              WHEN fr < f2s THEN xrb
+              WHEN fcv < f3s THEN xcb
+              ELSE sh3b END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xeg ELSE xrg END)
+              WHEN fr < f2s THEN xrg
+              WHEN fcv < f3s THEN xcg
+              ELSE sh3g END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN fe ELSE fr END)
+              WHEN fr < f2s THEN fr
+              WHEN fcv < f3s THEN fcv
+              ELSE fsh3 END
+  FROM (
+    SELECT *,
+           CASE WHEN shrink THEN {fexp('sh1a', 'sh1b', 'sh1g')} END AS fsh1,
+           CASE WHEN shrink THEN {fexp('sh2a', 'sh2b', 'sh2g')} END AS fsh2,
+           CASE WHEN shrink THEN {fexp('sh3a', 'sh3b', 'sh3g')} END AS fsh3
+    FROM (
+    SELECT *,
+           NOT (fr < f0s) AND NOT (fr < f2s) AND NOT (fcv < f3s) AS shrink
+    FROM (
+    SELECT *,
+           CASE WHEN fr < f0s THEN {fexp('xea', 'xeb', 'xeg')} END AS fe,
+           CASE WHEN NOT (fr < f0s) AND NOT (fr < f2s)
+                THEN {fexp('xca', 'xcb', 'xcg')} END AS fcv
+    FROM (
+      SELECT *, {fexp('xra', 'xrb', 'xrg')} AS fr,
+             {clip('ca + 2.0 * (ca - s3a)')} AS xea,
+             {clip('cb + 2.0 * (cb - s3b)')} AS xeb,
+             {clip('cg + 2.0 * (cg - s3g)')} AS xeg,
+             {clip('ca + 0.5 * (s3a - ca)')} AS xca,
+             {clip('cb + 0.5 * (s3b - cb)')} AS xcb,
+             {clip('cg + 0.5 * (s3g - cg)')} AS xcg,
+             {clip('s0a + 0.5 * (s1a - s0a)')} AS sh1a,
+             {clip('s0b + 0.5 * (s1b - s0b)')} AS sh1b,
+             {clip('s0g + 0.5 * (s1g - s0g)')} AS sh1g,
+             {clip('s0a + 0.5 * (s2a - s0a)')} AS sh2a,
+             {clip('s0b + 0.5 * (s2b - s0b)')} AS sh2b,
+             {clip('s0g + 0.5 * (s2g - s0g)')} AS sh2g,
+             {clip('s0a + 0.5 * (s3a - s0a)')} AS sh3a,
+             {clip('s0b + 0.5 * (s3b - s0b)')} AS sh3b,
+             {clip('s0g + 0.5 * (s3g - s0g)')} AS sh3g
+      FROM (
+        SELECT *, (s0a + s1a + s2a) / 3.0 AS ca,
+               (s0b + s1b + s2b) / 3.0 AS cb,
+               (s0g + s1g + s2g) / 3.0 AS cg,
+               {clip('(s0a + s1a + s2a) / 3.0 + ((s0a + s1a + s2a) / 3.0 - s3a)')} AS xra,
+               {clip('(s0b + s1b + s2b) / 3.0 + ((s0b + s1b + s2b) / 3.0 - s3b)')} AS xrb,
+               {clip('(s0g + s1g + s2g) / 3.0 + ((s0g + s1g + s2g) / 3.0 - s3g)')} AS xrg
+        FROM (
+          SELECT *, ss[1].a AS s0a, ss[1].b AS s0b, ss[1].g AS s0g,
+                 ss[1].f AS f0s,
+                 ss[2].a AS s1a, ss[2].b AS s1b, ss[2].g AS s1g,
+                 ss[2].f AS f1s,
+                 ss[3].a AS s2a, ss[3].b AS s2b, ss[3].g AS s2g,
+                 ss[3].f AS f2s,
+                 ss[4].a AS s3a, ss[4].b AS s3b, ss[4].g AS s3g,
+                 ss[4].f AS f3s
+          FROM (
+            SELECT *, list_sort([
+                {{'f': f0, 'i': 0, 'a': x0a, 'b': x0b, 'g': x0g}},
+                {{'f': f1, 'i': 1, 'a': x1a, 'b': x1b, 'g': x1g}},
+                {{'f': f2, 'i': 2, 'a': x2a, 'b': x2b, 'g': x2g}},
+                {{'f': f3, 'i': 3, 'a': x3a, 'b': x3b, 'g': x3g}}]) AS ss
+            FROM nm
+            WHERE it < 200
+              AND greatest(f0, f1, f2, f3) - least(f0, f1, f2, f3) >= 1e-6
+          ) q0) q1) q2) q3) q3b) q3c) q4),
+fin AS (SELECT id, max_ds, n, ys, el,
+               {argmin4('a')} AS al, {argmin4('b')} AS be,
+               {argmin4('g')} AS ga,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM nm QUALIFY rk = 1),
+ff AS (SELECT *, {_fexp_hw('al', 'be', 'ga')[:-4]} AS st FROM fin)"""
+
+
+def _hw_oracle(h: int = HORIZON, m: int = SEASON,
+               name: str = "HoltWinters") -> str:
+    """Additive Holt-Winters forecast with NM-optimized (alpha, beta,
+    gamma). ``name='ETS'`` is the AAA spec (models._ets routes AAA onto
+    this exact code path). Sigma uses the sum/sum-of-squares identity over
+    the residuals accumulated inside the filter fold."""
+    return f"""
+WITH RECURSIVE {_hw_nm_ctes(m)},
+sg AS (SELECT id, max_ds, n, st, st[1] AS level, st[2] AS trend,
+              sqrt(greatest((st[10] - st[11] * st[11] / n) / (n - 1), 0.0))
+                AS sig
+       FROM ff),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       level + step * trend + st[((n + step - 1) % {m}) + 3] AS yhat,
+       level + step * trend + st[((n + step - 1) % {m}) + 3]
+         - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       level + step * trend + st[((n + step - 1) % {m}) + 3]
+         + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       '{name}' AS model_name
+FROM steps
+"""
+
+
+def _inspect_hw_oracle(m: int = SEASON) -> str:
+    """forecast_inspect_by with HoltWinters: converged alpha + the
+    additive-Gaussian AIC/BIC (models._aic_bic, k = 3 + m) from the filter
+    fold's residual SSE."""
+    k = 3 + m
+    return f"""
+WITH RECURSIVE {_hw_nm_ctes(m)}
+SELECT id, 'HoltWinters' AS model_family, al AS alpha,
+       CASE WHEN st[10] > 0
+            THEN n * ln(st[10] / n) + 2.0 * {k} END AS aic,
+       CASE WHEN st[10] > 0
+            THEN n * ln(st[10] / n) + {k} * ln(CAST(n AS DOUBLE)) END AS bic
+FROM ff
 """
 
 
@@ -4949,6 +5331,10 @@ def oracle_sql() -> dict[str, str]:
         "forecast_optimized_theta": _opt_theta_oracle(),
         "forecast_dynamic_optimized_theta": _opt_theta_oracle(dynamic=True),
         "forecast_auto_theta": _auto_theta_oracle(),
+        "forecast_arima": _arima_oracle(),
+        "forecast_holt_winters": _hw_oracle(),
+        "forecast_ets": _hw_oracle(name="ETS"),
+        "forecast_inspect_hw": _inspect_hw_oracle(),
     }
     for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
                    "mase", "rmae", "coverage", "quantile_loss"]:
