@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from anofox_forecast_spark.functions.models import norm_ppf
+from anofox_forecast_spark.functions import xxhash_sql as XXH
+from anofox_forecast_spark.functions.features_sql import features_full_oracle
 from anofox_forecast_spark.sources import (
     EVENTS_PANEL_SQL,
     LINEITEM_PANEL_SQL,
@@ -460,7 +462,10 @@ def _analytics_queries():
     from anofox_forecast_spark.operators import features as FE
 
     def q_features_full(spark, sf):
-        return FE.ts_features_by(lineitem_panel(spark, sf), "id", "ds", "y")
+        # first-144-points panel: the full 117-feature surface with the
+        # O(n^2) entropy scans inside the driver's per-query time budget
+        # (same truncation precedent as BOCPD / matrix-profile / HW)
+        return FE.ts_features_by(_trunc_panel(spark, sf), "id", "ds", "y")
 
     def q_features_sql(spark, sf):
         return FE.ts_features_by(lineitem_panel(spark, sf), "id", "ds", "y") \
@@ -502,6 +507,13 @@ def _analytics_queries():
         return D.ts_detect_changepoints_by(_trunc_panel(spark, sf),
                                            "id", "ds", "y",
                                            {"method": "bocpd"})
+
+    def q_periods_ssa(spark, sf):
+        # power-iteration SSA (detect._ssa_period): deterministic
+        # sequential-order matvecs, replayed bit-exactly by the oracle's
+        # recursive CTE on the truncated panel
+        return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
+                                      "y", {"method": "ssa"})
 
     def q_periods_matrix_profile(spark, sf):
         # oracle re-derives the z-normalized all-lag subsequence-distance
@@ -599,7 +611,7 @@ def _analytics_queries():
         "detect_periods_lomb_scargle": _periods_m("lomb_scargle"),
         "detect_periods_autoperiod": _periods_m("autoperiod"),
         "detect_periods_aic": _periods_m("aic"),
-        "detect_periods_ssa": _periods_m("ssa"),
+        "detect_periods_ssa": q_periods_ssa,
         "detect_periods_matrix_profile": q_periods_matrix_profile,
         "detect_changepoints": q_changepoints,
         "detect_peaks": q_peaks,
@@ -903,10 +915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "SeasonalESOptimized", {"seasonal_period": SEASON}),
         "forecast_ets": _forecast_query(
             "ETS", {"model": "AAA", "seasonal_period": SEASON}, trunc=144),
-        # true multiplicative-error state space (r4): rows-gated, the M-spec
-        # runs end-to-end on the positive lineitem panel
+        # true multiplicative-error state space (r4): the M-spec runs
+        # end-to-end on the positive lineitem panel; oracle-gated in r4b
+        # (the full NM-on--2logL replay, truncated panel like the other
+        # heavy optimizer oracles)
         "forecast_ets_mam": _forecast_query(
-            "ETS", {"model": "MAM", "seasonal_period": SEASON}),
+            "ETS", {"model": "MAM", "seasonal_period": SEASON}, trunc=144),
         "forecast_auto_ets": _forecast_query(
             "AutoETS", {"seasonal_period": SEASON}),
         "forecast_arima": _forecast_query("ARIMA", {"p": 1, "d": 1, "q": 1}),
@@ -917,13 +931,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_dynamic_optimized_theta": _forecast_query(
             "DynamicOptimizedTheta"),
         "forecast_auto_theta": _forecast_query("AutoTheta"),
-        "forecast_mfles": _forecast_query("MFLES", {"seasonal_period": SEASON}),
+        "forecast_mfles": _forecast_query("MFLES", {"seasonal_period": SEASON},
+                                          trunc=144),
         "forecast_auto_mfles": _forecast_query(
             "AutoMFLES", {"seasonal_period": SEASON}),
         "forecast_mstl": _forecast_query("MSTL", {"seasonal_period": SEASON}),
         "forecast_auto_mstl": _forecast_query(
             "AutoMSTL", {"seasonal_period": SEASON}),
-        "forecast_tbats": _forecast_query("TBATS", {"seasonal_period": SEASON}),
+        "forecast_tbats": _forecast_query("TBATS", {"seasonal_period": SEASON},
+                                          trunc=144),
         "forecast_auto_tbats": _forecast_query(
             "AutoTBATS", {"seasonal_period": SEASON}),
         # fixed-parameter Holt: the level/trend recursion is a list_reduce
@@ -1122,10 +1138,12 @@ _WINDOW = [
     # round-3 hash misses, contracts pinned this round (float32 round-trip /
     # 6-decimal quantum) — must show green in r4
     "instantaneous_period", "multimodal_features",
-    # contracts re-pinned to the 6-decimal quantum this round — re-verify a
-    # representative sample (the rest hash-passed r3 and were bit-exact in
-    # the full local audit)
-    "analyze_seasonality", "amplitude_modulation",
+    # r4b: MFLES (gradient-boosted decomposition, no optimizer — fully
+    # unrolled boost rounds) and TBATS (harmonic regression via explicit
+    # normal equations + unrolled Cholesky) got exact oracles; they take
+    # the slots of the analyze_seasonality / amplitude_modulation re-pin
+    # checks, which are bit-exact in the full local audit at both scales
+    "forecast_mfles", "forecast_tbats",
     # 3-param Nelder-Mead Holt-Winters replay (truncated panel): the AAA
     # ETS spec routes through the same path, and the HW introspection's
     # alpha/aic/bic ride the same fold
@@ -1136,10 +1154,15 @@ _WINDOW = [
     "forecast_theta", "forecast_dynamic_theta", "forecast_ses_optimized",
     "forecast_croston_optimized", "forecast_adida", "forecast_imapa",
     "forecast_seasonal_es_optimized", "forecast_mstl",
-    # regression slots for this round's code changes: ts_stats rest_udf fix,
-    # prep NaN-vs-NULL unification, ETS multiplicative-error rewrite
+    # regression slots for this round's code changes (ts_stats rest_udf
+    # fix, prep NaN-vs-NULL unification, ETS multiplicative-error rewrite);
+    # r4b swapped the multiply-proven forecast_ses / cv_forecast_naive
+    # slots for the two new exact oracles: the true M-error ETS(M,A,M)
+    # NM-on--2logL replay and the Laplace(auto) 4-leaf ensemble (their SES
+    # and CV code paths stay covered by forecast_ses_optimized and
+    # cv_forecast)
     "stats_full", "prep_drop_gappy", "prep_drop_zeros", "forecast_ets",
-    "forecast_auto_ets", "forecast_ses", "cv_forecast_naive",
+    "forecast_auto_ets", "forecast_ets_mam", "forecast_laplace",
     # Nelder-Mead oracles landed last (simplex recursion replayed in SQL):
     # Holt, OptimizedTheta (+Dynamic twin), AutoTheta best-of-pool
     "forecast_holt", "forecast_optimized_theta",
@@ -1183,6 +1206,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "detect_periods_autoperiod": (_PERIODS_COLS, 6),
     "detect_periods_aic": (_PERIODS_COLS, 6),
     "detect_periods_matrix_profile": (_PERIODS_COLS, 6),
+    "detect_periods_ssa": (_PERIODS_COLS, 6),
     "detect_changepoints_bocpd": (["changepoint_probability"], 6),
     "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
     "seasonal_strength": (["seasonal_strength"], 6),
@@ -1216,6 +1240,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_dynamic_optimized_theta": _FC4, "forecast_auto_theta": _FC4,
     "forecast_arima": _FC4,
     "forecast_holt_winters": _FC4, "forecast_ets": _FC4,
+    "forecast_ets_mam": _FC4, "forecast_laplace": _FC4,
+    "forecast_mfles": _FC4, "forecast_tbats": _FC4,
     "forecast_inspect_hw": (["alpha", "aic", "bic"], 6),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
@@ -1226,11 +1252,20 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
                               "seasonality_strength", "entropy",
                               "bimodality_coef"], 6),
     "features_sql": (["standard_deviation", "variance"], 6),
+    # the 34 trig/log features carry libm last-ulp drift (<= 5e-11); the
+    # other 83 compare bit-exact unpinned
+    "features_full": (["benford_correlation", "permutation_entropy",
+                       "spectral_centroid", "spectral_variance",
+                       "binned_entropy", "sample_entropy",
+                       "approximate_entropy", "lempel_ziv_complexity"]
+                      + [f"fft_coefficient_{i}_{p}" for i in range(10)
+                         for p in ("real", "imag", "abs")], 6),
     "classify_seasonality": (["additive_strength",
                               "multiplicative_strength"], 6),
     "detrend": (["trend", "detrended"], 6),
     "streaming_windowed_stats": (["mean", "std_dev"], 6),
     "similarity_topk": (["cosine"], 6),
+    "similarity_topk_ivf": (["cosine"], 6),
     "similarity_topk_ivf_fixed": (["cosine"], 6),
     # bootstrap: quantile_cont vs np.quantile lerp association
     "conformal_bootstrap": (["yhat", "yhat_lower", "yhat_upper"], 6),
@@ -1698,8 +1733,18 @@ def _exog_naive_oracle(h: int = HORIZON) -> str:
 WITH panel AS ({_PANEL}),
 p AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
              CAST(day(ds) % 7 AS DOUBLE) AS x1 FROM panel),
-reg AS (SELECT id, regr_slope(y, x1) AS b1, regr_intercept(y, x1) AS b0
-        FROM p GROUP BY id),
+regl AS (SELECT id, count(*) AS rn, list(y ORDER BY ds) AS yl,
+                list(x1 ORDER BY ds) AS xl FROM p GROUP BY id),
+reg AS (SELECT id, b1, (sy - b1 * sx) / nd AS b0 FROM (
+          SELECT id, sx, sy, nd,
+                 (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS b1 FROM (
+            SELECT id, CAST(rn AS DOUBLE) AS nd,
+                   list_aggregate(xl, 'sum') AS sx,
+                   list_aggregate(yl, 'sum') AS sy,
+                   list_aggregate(list_transform(generate_series(1, rn),
+                                  t -> xl[t] * yl[t]), 'sum') AS sxy,
+                   list_aggregate(list_transform(xl, v -> v * v), 'sum') AS sxx
+            FROM regl))),
 r AS (SELECT p.id, p.ds, p.y - (reg.b0 + reg.b1 * p.x1) AS resid
       FROM p JOIN reg USING (id)),
 rr AS (SELECT id, ds, resid,
@@ -1741,8 +1786,9 @@ def _exog_theta_oracle(h: int = HORIZON) -> str:
         # trend_t]; combined fitted = level/2 + (1 - 1/2)*trend (theta=2)
         return (f"list_reduce(el, (acc, e) -> ["
                 f"{p} * e[2] + (1.0 - ({p})) * acc[1], "
-                f"acc[2] + pow(e[1] - (({p} * e[2] + (1.0 - ({p})) * acc[1])"
-                f" / 2.0 + (1.0 - 1.0 / 2.0) * e[3]), 2)])[2]")
+                f"acc[2] + list_transform([e[1] - (({p} * e[2] "
+                f"+ (1.0 - ({p})) * acc[1])"
+                f" / 2.0 + (1.0 - 1.0 / 2.0) * e[3])], z -> z * z)[1]])[2]")
 
     np_ = (f"CASE WHEN fc < fd THEN d - {gr!r} * (d - a) "
            f"ELSE c + {gr!r} * (b - c) END")
@@ -1750,26 +1796,42 @@ def _exog_theta_oracle(h: int = HORIZON) -> str:
 WITH RECURSIVE panel AS ({_PANEL}),
 p AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
              CAST(day(ds) % 7 AS DOUBLE) AS x1 FROM panel),
-reg AS (SELECT id, regr_slope(y, x1) AS rb1, regr_intercept(y, x1) AS rb0
-        FROM p GROUP BY id),
+regl AS (SELECT id, count(*) AS rn, list(y ORDER BY ds) AS yl,
+                list(x1 ORDER BY ds) AS xl FROM p GROUP BY id),
+reg AS (SELECT id, rb1, (sy - rb1 * sx) / nd AS rb0 FROM (
+          SELECT id, sx, sy, nd,
+                 (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS rb1 FROM (
+            SELECT id, CAST(rn AS DOUBLE) AS nd,
+                   list_aggregate(xl, 'sum') AS sx,
+                   list_aggregate(yl, 'sum') AS sy,
+                   list_aggregate(list_transform(generate_series(1, rn),
+                                  t -> xl[t] * yl[t]), 'sum') AS sxy,
+                   list_aggregate(list_transform(xl, v -> v * v), 'sum') AS sxx
+            FROM regl))),
 r0 AS (SELECT p.id, p.ds, p.y - (reg.rb0 + reg.rb1 * p.x1) AS x
        FROM p JOIN reg USING (id)),
 s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
              list(x ORDER BY ds) AS xs
       FROM r0 GROUP BY id HAVING count(*) >= 3),
-treg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(xs) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s)
-         GROUP BY id),
+treg AS (SELECT id, b1, (sv - b1 * st) / nd AS b0 FROM (
+           SELECT id, sv, st, nd,
+                  (nd * stv - st * sv) / (nd * st2 - st * st) AS b1 FROM (
+             SELECT id, CAST(n AS DOUBLE) AS nd,
+                    CAST(n * (n - 1) // 2 AS DOUBLE) AS st,
+                    CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) AS st2,
+                    list_aggregate(xs, 'sum') AS sv,
+                    list_aggregate(list_transform(generate_series(1, n),
+                                   t -> (t - 1) * xs[t]), 'sum') AS stv
+             FROM s))),
 tl AS (SELECT s.id, s.max_ds, s.n, s.xs, tr.b0, tr.b1,
               list_transform(generate_series(1, s.n),
                 t -> 2.0 * s.xs[t]
                      + (1.0 - 2.0) * (tr.b0 + tr.b1 * (t - 1))) AS tls
        FROM s JOIN treg tr ON tr.id = s.id),
 pe AS (SELECT *, list_prepend(
-         CAST([tls[1], pow(xs[1] - (tls[1] / 2.0
-               + (1.0 - 1.0 / 2.0) * (b0 + b1 * 0)), 2)] AS DOUBLE[]),
+         CAST([tls[1], list_transform([xs[1] - (tls[1] / 2.0
+               + (1.0 - 1.0 / 2.0) * (b0 + b1 * 0))],
+               z -> z * z)[1]] AS DOUBLE[]),
          list_transform(generate_series(2, n),
            t -> CAST([xs[t], tls[t - 1], b0 + b1 * (t - 1)] AS DOUBLE[])))
          AS el
@@ -1868,8 +1930,8 @@ def _fexp_ses_pairs(p: str) -> str:
     """SSE(alpha=p) over ``pr`` = seeded [y_1, 0] ++ [[y_t, y_{t-1}]]:
     acc = [level, sse], mirroring models._ses_filter."""
     return (f"list_reduce(pr, (acc, x) -> [{p} * x[2] + (1.0 - ({p})) * "
-            f"acc[1], acc[2] + pow(x[1] - ({p} * x[2] + (1.0 - ({p})) * "
-            f"acc[1]), 2)])[2]")
+            f"acc[1], acc[2] + list_transform([x[1] - ({p} * x[2] "
+            f"+ (1.0 - ({p})) * acc[1])], z -> z * z)[1]])[2]")
 
 
 _SES_PAIRS = """list_prepend(CAST([{x}[1], 0.0] AS DOUBLE[]),
@@ -1888,8 +1950,9 @@ def _theta_oracle(h: int = HORIZON, dynamic: bool = False) -> str:
     def fexp(p):
         return (f"list_reduce(el, (acc, e) -> ["
                 f"{p} * e[2] + (1.0 - ({p})) * acc[1], "
-                f"acc[2] + pow(e[1] - (({p} * e[2] + (1.0 - ({p})) * acc[1])"
-                f" / 2.0 + (1.0 - 1.0 / 2.0) * e[3]), 2)])[2]")
+                f"acc[2] + list_transform([e[1] - (({p} * e[2] "
+                f"+ (1.0 - ({p})) * acc[1])"
+                f" / 2.0 + (1.0 - 1.0 / 2.0) * e[3])], z -> z * z)[1]])[2]")
 
     carry = "id, max_ds, n, xs, tls, b0, b1, el"
     return f"""
@@ -1897,18 +1960,25 @@ WITH RECURSIVE panel AS ({_PANEL}),
 s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS xs
       FROM panel GROUP BY id HAVING count(*) >= 3),
-treg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(xs) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s) GROUP BY id),
+treg AS (SELECT id, b1, (sv - b1 * st) / nd AS b0 FROM (
+           SELECT id, sv, st, nd,
+                  (nd * stv - st * sv) / (nd * st2 - st * st) AS b1 FROM (
+             SELECT id, CAST(n AS DOUBLE) AS nd,
+                    CAST(n * (n - 1) // 2 AS DOUBLE) AS st,
+                    CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) AS st2,
+                    list_aggregate(xs, 'sum') AS sv,
+                    list_aggregate(list_transform(generate_series(1, n),
+                                   t -> (t - 1) * xs[t]), 'sum') AS stv
+             FROM s))),
 tl AS (SELECT s.id, s.max_ds, s.n, s.xs, tr.b0, tr.b1,
               list_transform(generate_series(1, s.n),
                 t -> 2.0 * s.xs[t]
                      + (1.0 - 2.0) * (tr.b0 + tr.b1 * (t - 1))) AS tls
        FROM s JOIN treg tr ON tr.id = s.id),
 pe AS (SELECT *, list_prepend(
-         CAST([tls[1], pow(xs[1] - (tls[1] / 2.0
-               + (1.0 - 1.0 / 2.0) * (b0 + b1 * 0)), 2)] AS DOUBLE[]),
+         CAST([tls[1], list_transform([xs[1] - (tls[1] / 2.0
+               + (1.0 - 1.0 / 2.0) * (b0 + b1 * 0))],
+               z -> z * z)[1]] AS DOUBLE[]),
          list_transform(generate_series(2, n),
            t -> CAST([xs[t], tls[t - 1], b0 + b1 * (t - 1)] AS DOUBLE[])))
          AS el
@@ -1990,8 +2060,8 @@ def _croston_optimized_oracle(h: int = HORIZON) -> str:
 
     def fexp2(p, el):
         return (f"list_reduce({el}, (acc, x) -> [{p} * x[2] + (1.0 - ({p}))"
-                f" * acc[1], acc[2] + pow(x[1] - ({p} * x[2] + (1.0 - ({p}))"
-                f" * acc[1]), 2)])[2]")
+                f" * acc[1], acc[2] + list_transform([x[1] - ({p} * x[2] "
+                f"+ (1.0 - ({p})) * acc[1])], z -> z * z)[1]])[2]")
 
     def fexp(p):
         return f"{fexp2(p, 'els')} + {fexp2(p, 'eli')}"
@@ -2156,7 +2226,8 @@ def _seasonal_es_optimized_oracle(h: int = HORIZON, m: int = SEASON) -> str:
                 f"list_transform(generate_series(2, len(pl)), "
                 f"t -> CAST([pl[t], 0.0] AS DOUBLE[]))), "
                 f"(acc, x) -> [{p} * x[1] + (1.0 - ({p})) * acc[1], "
-                f"acc[2] + pow(x[1] - acc[1], 2)])[2]))")
+                f"acc[2] + list_transform([x[1] - acc[1]], "
+                f"z -> z * z)[1]])[2]))")
 
     carry = "id, phl"
     return f"""
@@ -2231,10 +2302,16 @@ s AS (SELECT id, max(ds) AS max_ds, max(n) AS n,
              list(y - s2 ORDER BY rn) AS xs,
              list(s2 ORDER BY rn) AS seas
       FROM a2 GROUP BY id HAVING count(*) >= 3),
-treg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(xs) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s) GROUP BY id),
+treg AS (SELECT id, b1, (sv - b1 * st) / nd AS b0 FROM (
+           SELECT id, sv, st, nd,
+                  (nd * stv - st * sv) / (nd * st2 - st * st) AS b1 FROM (
+             SELECT id, CAST(n AS DOUBLE) AS nd,
+                    CAST(n * (n - 1) // 2 AS DOUBLE) AS st,
+                    CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) AS st2,
+                    list_aggregate(xs, 'sum') AS sv,
+                    list_aggregate(list_transform(generate_series(1, n),
+                                   t -> (t - 1) * xs[t]), 'sum') AS stv
+             FROM s))),
 pe AS (SELECT s.*, tr.b0, tr.b1, {pairs} AS pr
        FROM s JOIN treg tr ON tr.id = s.id),
 {_gs_block(_fexp_ses_pairs, carry)},
@@ -2374,7 +2451,8 @@ def _fexp_holt(pa, pb):
     return (f"list_reduce(el, (acc, e) -> ["
             f"{newl}, "
             f"({pb}) * ({newl} - acc[1]) + (1.0 - ({pb})) * acc[2], "
-            f"acc[3] + pow(e[1] - (acc[1] + acc[2]), 2)])[3]")
+            f"acc[3] + list_transform([e[1] - (acc[1] + acc[2])], "
+            f"z -> z * z)[1]])[3]")
 
 
 def _holt_oracle(h: int = HORIZON) -> str:
@@ -2435,11 +2513,12 @@ def _fexp_opt_theta(th, a):
     def step(lvl_old, sse_old):
         lvl_new = f"(({a}) * {tl_prev} + (1.0 - ({a})) * {lvl_old})"
         return (f"[{lvl_new}, "
-                f"{sse_old} + pow(e[1] - ({lvl_new} / ({th}) "
-                f"+ (1.0 - 1.0 / ({th})) * e[3]), 2), 0.0, 0.0, 0.0]")
+                f"{sse_old} + list_transform([e[1] - ({lvl_new} / ({th}) "
+                f"+ (1.0 - 1.0 / ({th})) * e[3])], z -> z * z)[1], "
+                f"0.0, 0.0, 0.0]")
 
-    boot_sse = (f"pow(acc[1] - ({lvl_boot} / ({th}) "
-                f"+ (1.0 - 1.0 / ({th})) * acc[3]), 2)")
+    boot_sse = (f"list_transform([acc[1] - ({lvl_boot} / ({th}) "
+                f"+ (1.0 - 1.0 / ({th})) * acc[3])], z -> z * z)[1]")
     return (f"list_reduce(el, (acc, e) -> CASE WHEN acc[5] = 1.0 THEN "
             f"{step(lvl_boot, f'({boot_sse})')} ELSE "
             f"{step('acc[1]', 'acc[2]')} END)[2]")
@@ -2462,10 +2541,16 @@ def _opt_theta_pipeline(h: int, dynamic: bool, with_sse: bool) -> str:
 s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS xs
       FROM panel GROUP BY id HAVING count(*) >= 3),
-treg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(xs) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s) GROUP BY id),
+treg AS (SELECT id, b1, (sv - b1 * st) / nd AS b0 FROM (
+           SELECT id, sv, st, nd,
+                  (nd * stv - st * sv) / (nd * st2 - st * st) AS b1 FROM (
+             SELECT id, CAST(n AS DOUBLE) AS nd,
+                    CAST(n * (n - 1) // 2 AS DOUBLE) AS st,
+                    CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) AS st2,
+                    list_aggregate(xs, 'sum') AS sv,
+                    list_aggregate(list_transform(generate_series(1, n),
+                                   t -> (t - 1) * xs[t]), 'sum') AS stv
+             FROM s))),
 pe AS (SELECT s.*, tr.b0, tr.b1, list_prepend(
          CAST([xs[1], xs[1], tr.b0 + tr.b1 * 0, tr.b0 + tr.b1 * 0,
                1.0] AS DOUBLE[]),
@@ -2561,7 +2646,8 @@ def _arima_oracle(h: int = HORIZON) -> str:
 
     def fexp(phi, th):
         e = f"(e[1] - ({phi}) * e[2] - ({th}) * acc[1])"
-        return f"list_reduce(el, (acc, e) -> [{e}, acc[2] + pow({e}, 2)])[2]"
+        return (f"list_reduce(el, (acc, e) -> list_transform([{e}], "
+                f"z -> [z, acc[2] + z * z])[1])[2]")
 
     clip = lambda e: f"least(greatest({e}, -0.99), 0.99)"  # noqa: E731
     carry = "id, max_ds, n0, n, ys, mean_x, xcl, el"
@@ -2665,9 +2751,9 @@ fin AS (SELECT {carry},
                {_NM_ARGMIN.format(ax='b')} AS th,
                row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
         FROM nm QUALIFY rk = 1),
-ee AS (SELECT *, list_reduce(el, (acc, e) -> [
-          e[1] - phi * e[2] - th * acc[1],
-          acc[2] + pow(e[1] - phi * e[2] - th * acc[1], 2)]) AS ff
+ee AS (SELECT *, list_reduce(el, (acc, e) ->
+          list_transform([e[1] - phi * e[2] - th * acc[1]],
+                         z -> [z, acc[2] + z * z])[1]) AS ff
        FROM fin),
 fc AS (SELECT id, max_ds, n0, n, ys, mean_x, phi, th,
               ff[1] AS e_last, xcl[n] AS x_last, ff[2] AS sse
@@ -2713,25 +2799,28 @@ def _fexp_hw(a, b, g):
     acc = [level, trend, s1..s7, sse, sum_res]; elements [y_t, phase_slot,
     0 x 9]. Seasonal-slot read and the new level are factored through
     nested singleton-list lambdas (sv, nl) so each is computed once."""
-    inner = (f"[nl, (({b})) * (nl - acc[1]) + (1.0 - ({b})) * acc[2], "
+    inner = (f"list_transform([e[1] - (acc[1] + acc[2] + sv)], rv -> "
+             f"[nl, (({b})) * (nl - acc[1]) + (1.0 - ({b})) * acc[2], "
              + ", ".join(
                  f"CASE WHEN CAST(e[2] AS BIGINT) = {j} THEN (({g})) * "
                  f"(e[1] - nl) + (1.0 - ({g})) * sv ELSE acc[{j}] END"
                  for j in range(3, 10))
-             + ", acc[10] + pow(e[1] - (acc[1] + acc[2] + sv), 2), "
-             + "acc[11] + (e[1] - (acc[1] + acc[2] + sv))]")
+             + ", acc[10] + rv * rv, acc[11] + rv])[1]")
     step = (f"list_transform([acc[CAST(e[2] AS BIGINT)]], sv -> "
             f"list_transform([(({a})) * (e[1] - sv) + (1.0 - ({a})) * "
             f"(acc[1] + acc[2])], nl -> {inner})[1])[1]")
     return f"list_reduce(el, (acc, e) -> {step})[10]"
 
 
-def _hw_nm_ctes(m: int = SEASON) -> str:
-    """Shared CTE chain: truncated panel -> HW init state -> 3-param
+def _hw_nm_ctes(m: int = SEASON, fexp=None, fold_fn=None,
+                seas_boot: str = "ys[{i}] - l0", n_slots: int = 11) -> str:
+    """Shared CTE chain: truncated panel -> init state -> 3-param
     (alpha, beta, gamma) Nelder-Mead (4-point simplex, stable struct sort,
     the numpy branch structure) -> ``fin`` with converged params ->
-    ``ff`` with the final filter state ``st`` = [level, trend, s1..s7,
-    sse, sum_res]."""
+    ``ff`` with the final filter state ``st``. Defaults run the additive
+    Holt-Winters filter (st = [level, trend, s1..s7, sse, sum_res]);
+    ``fexp``/``fold_fn``/``seas_boot``/``n_slots`` swap in a different
+    innovations filter (e.g. the multiplicative-error MAM state)."""
     x0 = [0.3, 0.05, 0.1]
 
     def off(v):
@@ -2741,14 +2830,17 @@ def _hw_nm_ctes(m: int = SEASON) -> str:
     p2 = [x0[0], off(x0[1]), x0[2]]
     p3 = [x0[0], x0[1], off(x0[2])]
     clip = lambda e: f"least(greatest({e}, 0.01), 0.99)"  # noqa: E731
-    fexp = _fexp_hw
+    if fexp is None:
+        fexp = _fexp_hw
+    if fold_fn is None:
+        fold_fn = lambda a, b, g: _fexp_hw(a, b, g)[:-4]  # noqa: E731
 
     def argmin4(ax):
         return (f"CASE WHEN f0 <= f1 AND f0 <= f2 AND f0 <= f3 THEN x0{ax} "
                 f"WHEN f1 <= f2 AND f1 <= f3 THEN x1{ax} "
                 f"WHEN f2 <= f3 THEN x2{ax} ELSE x3{ax} END")
 
-    seas_init = ", ".join(f"ys[{i}] - l0" for i in range(1, m + 1))
+    seas_init = ", ".join(seas_boot.format(i=i) for i in range(1, m + 1))
     return f"""panel AS ({_TRUNC_PANEL_SQL}),
 s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
@@ -2758,9 +2850,9 @@ ini AS (SELECT *, list_sum(list_slice(ys, 1, {m})) / {m} AS l0,
                 - list_sum(list_slice(ys, 1, {m})) / {m}) / {m} AS t0
         FROM s),
 pe AS (SELECT *, list_prepend(
-         CAST([l0, t0, {seas_init}, 0.0, 0.0] AS DOUBLE[]),
+         CAST([l0, t0, {seas_init}{", 0.0" * (n_slots - m - 2)}] AS DOUBLE[]),
          list_transform(generate_series(1, n), t ->
-           CAST([ys[t], ((t - 1) % {m}) + 3, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+           CAST([ys[t], ((t - 1) % {m}) + 3{", 0" * (n_slots - 2)}]
                 AS DOUBLE[]))) AS el
        FROM ini),
 nm AS (
@@ -2866,7 +2958,413 @@ fin AS (SELECT id, max_ds, n, ys, el,
                {argmin4('g')} AS ga,
                row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
         FROM nm QUALIFY rk = 1),
-ff AS (SELECT *, {_fexp_hw('al', 'be', 'ga')[:-4]} AS st FROM fin)"""
+ff AS (SELECT *, {fold_fn('al', 'be', 'ga')} AS st FROM fin)"""
+
+
+def _med(le, tag):
+    """np.median of an unsorted list expression (sorted midpoint/average)."""
+    return (f"list_transform([list_sort({le})], sv{tag} -> "
+            f"CASE WHEN len(sv{tag}) % 2 = 0 THEN "
+            f"(sv{tag}[len(sv{tag}) // 2] + sv{tag}[len(sv{tag}) // 2 + 1]) / 2.0 "
+            f"ELSE sv{tag}[len(sv{tag}) // 2 + 1] END)[1]")
+
+
+_ST_SQL = "CAST(n * (n - 1) // 2 AS DOUBLE)"
+_ST2_SQL = "CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE)"
+
+
+def _linfit_list(rs):
+    """[b1, b0] of the explicit-sums OLS over t = 0..n-1 for list column
+    ``rs`` (expression-identical to models._linfit)."""
+    return (f"list_transform([list_aggregate({rs}, 'sum')], sv -> "
+            f"list_transform([list_aggregate(list_transform("
+            f"generate_series(1, n), t -> (t - 1) * {rs}[t]), 'sum')], stv -> "
+            f"list_transform([(nf * stv - {_ST_SQL} * sv) "
+            f"/ (nf * {_ST2_SQL} - {_ST_SQL} * {_ST_SQL})], b1 -> "
+            f"[b1, (sv - b1 * {_ST_SQL}) / nf])[1])[1])[1]")
+
+
+def _mfles_oracle(h: int = HORIZON, m: int = SEASON) -> str:
+    """MFLES (models._mfles, m=7, 3 iterations): the full gradient-boosted
+    decomposition — median base, shrunk linear-trend boosts (explicit-sums
+    _linfit), per-phase median seasonal boosts, SES(0.3) smoother boosts —
+    unrolled as a CTE chain with every += in the numpy order. ``ft`` is the
+    running fitted list; ``pl`` the running h-step point list. No optimizer
+    anywhere, so the whole model replays bit-exactly; sigma uses the
+    sum/sum-of-squares identity (inside the 4-decimal pin)."""
+    ses = "(acc, x) -> 0.3 * x + (1.0 - 0.3) * acc"
+    parts = [f"""panel AS ({_TRUNC_PANEL_SQL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= {2 * m}),
+st0 AS (SELECT *, {_med('ys', 'm0')} AS med FROM s),
+it0 AS (SELECT id, max_ds, n, nf, ys,
+               list_transform(ys, v -> 0.0 + med) AS ft,
+               list_transform(range(1, {h} + 1), j -> med + 0.0) AS pl
+        FROM st0)"""]
+    prev = "it0"
+    for it in range(3):
+        lr = "0.9" if it == 0 else "0.5"
+        pw = repr(0.5 ** it)
+        parts.append(f"""r{it}a AS (SELECT *, list_transform(generate_series(1, n),
+             t -> ys[t] - ft[t]) AS rs
+          FROM {prev}),
+r{it}b AS (SELECT *, {_linfit_list('rs')} AS lf FROM r{it}a),
+r{it}c AS (SELECT id, max_ds, n, nf, ys,
+             list_transform(generate_series(1, n),
+               t -> ft[t] + {lr} * (lf[2] + lf[1] * (t - 1))) AS ft,
+             list_transform(range(1, {h} + 1),
+               j -> pl[CAST(j AS INT)]
+                    + {lr} * (lf[2] + lf[1] * (n - 1 + j))) AS pl
+           FROM r{it}b),
+r{it}d AS (SELECT *, list_transform(generate_series(1, n),
+             t -> ys[t] - ft[t]) AS rs
+          FROM r{it}c),
+r{it}e AS (SELECT *, list_transform(range(0, {m}), ph ->
+             {_med(f"list_transform(range(0, (n - 1 - ph) // {m} + 1), "
+                   f"u -> rs[CAST(ph + 1 + u * {m} AS BIGINT)])", f"s{it}")})
+             AS idx
+           FROM r{it}d),
+r{it}f AS (SELECT id, max_ds, n, nf, ys,
+             list_transform(generate_series(1, n),
+               t -> ft[t] + idx[CAST((t - 1) % {m} AS INT) + 1]) AS ft,
+             list_transform(range(1, {h} + 1),
+               j -> pl[CAST(j AS INT)]
+                    + idx[CAST((n + j - 1) % {m} AS INT) + 1]) AS pl
+           FROM r{it}e),
+r{it}g AS (SELECT *, list_transform(generate_series(1, n),
+             t -> ys[t] - ft[t]) AS rs
+          FROM r{it}f),
+r{it}h AS (SELECT id, max_ds, n, nf, ys,
+             list_transform(generate_series(1, n),
+               t -> ft[t] + (CASE WHEN t = 1 THEN rs[1]
+                 ELSE list_reduce(list_slice(rs, 1, t - 1), {ses}) END)) AS ft,
+             list_transform(range(1, {h} + 1),
+               j -> pl[CAST(j AS INT)]
+                    + list_reduce(rs, {ses}) * {pw}) AS pl
+           FROM r{it}g)""")
+        prev = f"r{it}h"
+    parts.append(f"""fin AS (SELECT *, list_transform(generate_series(1, n),
+          t -> ys[t] - ft[t]) AS res
+        FROM {prev}),
+sg AS (SELECT id, max_ds, n, pl,
+              sqrt(greatest((list_aggregate(list_transform(res, r -> r * r),
+                             'sum')
+                             - list_aggregate(res, 'sum')
+                               * list_aggregate(res, 'sum') / n)
+                            / (n - 1), 0.0)) AS sig
+       FROM fin),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       pl[CAST(step AS INT)] AS yhat,
+       pl[CAST(step AS INT)] - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       pl[CAST(step AS INT)] + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'MFLES' AS model_name
+FROM steps
+""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _tbats_oracle(h: int = HORIZON, m: int = SEASON) -> str:
+    """TBATS substitute (models._tbats, use_box_cox=False, m=7, K=3):
+    harmonic regression (1, t, sin/cos k=1..3) + AR(1) residual correction.
+    The oracle solves the SAME least-squares problem via explicit normal
+    equations + an unrolled Cholesky (36 entries as chained CTE columns) —
+    numpy's lstsq/SVD agrees to ~1e-8 on this well-conditioned trig design,
+    far inside the 4-decimal forecast pin; there are no optimizer branch
+    decisions anywhere in the model, so bit-exactness is not required."""
+    tp = repr(2 * math.pi)
+    K = min(3, max(1, m // 2))
+    p = 2 + 2 * K  # design width
+
+    def col(i, targ):
+        # 0-based design column i evaluated at 0-based time expression targ
+        if i == 0:
+            return "1.0"
+        if i == 1:
+            return f"CAST({targ} AS DOUBLE)"
+        k = (i - 2) // 2 + 1
+        fn = "sin" if (i - 2) % 2 == 0 else "cos"
+        return f"{fn}({tp} * {k} * ({targ}) / {float(m)!r})"
+
+    gcols = []
+    for i in range(p):
+        for j in range(i + 1):
+            gcols.append(
+                f"list_aggregate(list_transform(generate_series(1, n), t -> "
+                f"({col(i, 't - 1')}) * ({col(j, 't - 1')})), 'sum') "
+                f"AS g{i}{j}")
+        gcols.append(
+            f"list_aggregate(list_transform(generate_series(1, n), t -> "
+            f"({col(i, 't - 1')}) * ys[t]), 'sum') AS bv{i}")
+    # Cholesky G = LL' as chained CTE columns, one CTE per row
+    chol_ctes = []
+    prev = "gm"
+    for i in range(p):
+        cols = []
+        for j in range(i + 1):
+            s = f"g{i}{j}" + "".join(
+                f" - l{i}{k} * l{j}{k}" for k in range(j))
+            if i == j:
+                cols.append(f"sqrt({s}) AS l{i}{i}")
+            else:
+                cols.append(f"({s}) / l{j}{j} AS l{i}{j}")
+        chol_ctes.append(f"ch{i} AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        prev = f"ch{i}"
+    # forward solve L z = b, backward solve L' beta = z
+    fwd = ", ".join(
+        f"(bv{i}" + "".join(f" - l{i}{k} * z{k}" for k in range(i))
+        + f") / l{i}{i} AS z{i}"
+        for i in range(p))
+    # backward needs reverse order: chain tiny CTEs
+    bwd_ctes = []
+    prev2 = "fw"
+    for i in reversed(range(p)):
+        s = f"z{i}" + "".join(f" - l{k}{i} * be{k}" for k in range(i + 1, p))
+        bwd_ctes.append(f"bw{i} AS (SELECT *, ({s}) / l{i}{i} AS be{i} "
+                        f"FROM {prev2})")
+        prev2 = f"bw{i}"
+    fit = " + ".join(f"be{i} * ({col(i, 't - 1')})" for i in range(p))
+    fitf = " + ".join(f"be{i} * ({col(i, 'n - 1 + step')})" for i in range(p))
+    # forward-solve CTE must build z columns sequentially too
+    fw_ctes = []
+    prev3 = f"ch{p - 1}"
+    for i in range(p):
+        s = f"bv{i}" + "".join(f" - l{i}{k} * z{k}" for k in range(i))
+        fw_ctes.append(f"fz{i} AS (SELECT *, ({s}) / l{i}{i} AS z{i} "
+                       f"FROM {prev3})")
+        prev3 = f"fz{i}"
+    return f"""
+WITH panel AS ({_TRUNC_PANEL_SQL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= {2 * m}),
+gm AS (SELECT *, {', '.join(gcols)} FROM s),
+{','.join(chol_ctes)},
+{','.join(fw_ctes)},
+fw AS (SELECT * FROM fz{p - 1}),
+{','.join(bwd_ctes)},
+rsd AS (SELECT *, list_transform(generate_series(1, n),
+          t -> ys[t] - ({fit})) AS res
+        FROM bw0),
+ar AS (SELECT *,
+        CASE WHEN n > 3 AND list_aggregate(list_transform(
+               generate_series(1, n - 1), t -> res[t] * res[t]), 'sum') > 0
+             THEN least(greatest(
+               list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> res[t] * res[t + 1]), 'sum')
+               / list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> res[t] * res[t]), 'sum'), -0.95), 0.95)
+             ELSE 0.0 END AS rho,
+        sqrt(greatest((list_aggregate(list_transform(res, r -> r * r), 'sum')
+                       - list_aggregate(res, 'sum')
+                         * list_aggregate(res, 'sum') / n) / (n - 1), 0.0))
+          AS sig
+       FROM rsd),
+steps AS (SELECT ar.*, unnest(generate_series(1, {h})) AS step FROM ar)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       ({fitf}) + res[n] * pow(rho, step) AS yhat,
+       ({fitf}) + res[n] * pow(rho, step)
+         - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       ({fitf}) + res[n] * pow(rho, step)
+         + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'TBATS' AS model_name
+FROM steps
+"""
+
+
+def _fexp_holt_damped(pa, pb, ph=0.98):
+    """Damped-Holt SSE fold (models._holt filt with damped=True, phi=0.98):
+    acc = [level, trend, sse]; el seeded [y1, y2 - y1, 0.0] then [y_t,0,0].
+    The one-step forecast f = level + phi*trend is bound once (fv) and both
+    drives the update and accumulates the squared residual."""
+    return (f"list_reduce(el, (acc, e) -> "
+            f"list_transform([acc[1] + {ph} * acc[2]], fv -> "
+            f"list_transform([({pa}) * e[1] + (1.0 - ({pa})) * fv], nl -> "
+            f"[nl, (({pb}) * (nl - acc[1])) * {ph} "
+            f"+ ((1.0 - ({pb})) * {ph}) * acc[2], "
+            f"acc[3] + list_transform([e[1] - fv], z -> z * z)[1]"
+            f"])[1])[1])[3]")
+
+
+def _laplace_oracle(h: int = HORIZON) -> str:
+    """Laplace(auto) (models._laplace): 4-leaf ensemble — SES(0.3) EMA,
+    drift, AR(1), NM-fit damped Holt — blended by Laplace-likelihood
+    weights w ∝ exp(-(MAE/b - 1)), intervals from the blended-residual MAE
+    and the exact Laplace quantile. Every leaf's fitted path, the MAEs, the
+    weights (DuckDB exp == math.exp bit-for-bit), and the blend replay the
+    numpy shapes; the damped-Holt leaf reuses the 2-param Nelder-Mead
+    recursion."""
+    x0, p1, p2 = _nm_x0([0.5, 0.1])
+    clip = lambda e: f"least(greatest({e}, 0.01), 0.99)"  # noqa: E731
+    carry = "id, max_ds, n, nf, ys, el"
+    ses = "(acc, x) -> 0.3 * x + (1.0 - 0.3) * acc"
+    hfold = ("list_reduce(list_slice(el, 1, t - 1), (acc, e) -> "
+             "list_transform([acc[1] + 0.98 * acc[2]], fv -> "
+             "list_transform([al * e[1] + (1.0 - al) * fv], nl -> "
+             "[nl, (be * (nl - acc[1])) * 0.98 "
+             "+ ((1.0 - be) * 0.98) * acc[2], 0.0])[1])[1])")
+    wslf = ("(CASE WHEN t = 1 THEN w1n * f1[t] + w4n * f4[t] "
+            "ELSE ((w1n * f1[t] + w2n * f2[t]) + w3n * f3[t]) "
+            "+ w4n * f4[t] END) "
+            "/ greatest(CASE WHEN t = 1 THEN w1n + w4n "
+            "ELSE ((w1n + w2n) + w3n) + w4n END, 1e-12)")
+    pt = ("((w1n * l1 + w2n * (ys[n] + drift * step)) "
+          "+ w3n * (xm + (ys[n] - xm) * pow(rho, step))) "
+          "+ w4n * (hl + list_aggregate(list_transform(range(1, step + 1), "
+          "i -> pow(0.98, i)), 'sum') * ht)")
+    return f"""
+WITH RECURSIVE panel AS ({{panel}}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+pe AS (SELECT *, list_prepend(
+         CAST([ys[1], ys[2] - ys[1], 0.0] AS DOUBLE[]),
+         list_transform(generate_series(2, n),
+                        t -> CAST([ys[t], 0.0, 0.0] AS DOUBLE[]))) AS el
+       FROM s),
+{{nm}},
+fin AS (SELECT {carry},
+               {{arga}} AS al,
+               {{argb}} AS be,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM nm QUALIFY rk = 1),
+lv AS (SELECT *,
+        list_transform(generate_series(1, n), t ->
+          CASE WHEN t = 1 THEN ys[1]
+               ELSE list_reduce(list_slice(ys, 1, t - 1), {ses}) END) AS f1,
+        list_reduce(ys, {ses}) AS l1,
+        (ys[n] - ys[1]) / (n - 1) AS drift,
+        list_aggregate(ys, 'sum') / n AS xm
+       FROM fin),
+ar AS (SELECT *,
+        CASE WHEN list_aggregate(list_transform(generate_series(1, n - 1),
+               t -> (ys[t] - xm) * (ys[t] - xm)), 'sum') > 0
+             THEN least(greatest(
+               list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> (ys[t] - xm) * (ys[t + 1] - xm)), 'sum')
+               / list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> (ys[t] - xm) * (ys[t] - xm)), 'sum'), -0.98), 0.98)
+             ELSE 0.0 END AS rho
+       FROM lv),
+lf AS (SELECT *,
+        list_transform(generate_series(1, n), t ->
+          CASE WHEN t = 1 THEN 'NaN'::DOUBLE
+               ELSE ys[t - 1] + drift END) AS f2,
+        list_transform(generate_series(1, n), t ->
+          CASE WHEN t = 1 THEN 'NaN'::DOUBLE
+               ELSE xm + rho * (ys[t - 1] - xm) END) AS f3,
+        list_transform(generate_series(1, n), t ->
+          CASE WHEN t = 1 THEN ys[1]
+               ELSE list_transform([{hfold}], hs ->
+                      hs[1] + 0.98 * hs[2])[1] END) AS f4,
+        {_fexp_holt_damped('al', 'be')[:-3]} AS hst
+       FROM ar),
+mw AS (SELECT *,
+        list_aggregate(list_transform(generate_series(1, n),
+          t -> abs(ys[t] - f1[t])), 'sum') / nf AS mae1,
+        list_aggregate(list_transform(generate_series(2, n),
+          t -> abs(ys[t] - f2[t])), 'sum') / (nf - 1.0) AS mae2,
+        list_aggregate(list_transform(generate_series(2, n),
+          t -> abs(ys[t] - f3[t])), 'sum') / (nf - 1.0) AS mae3,
+        list_aggregate(list_transform(generate_series(1, n),
+          t -> abs(ys[t] - f4[t])), 'sum') / nf AS mae4
+       FROM lf),
+wg AS (SELECT *, greatest(least(mae1, mae2, mae3, mae4), 1e-9) AS bb FROM mw),
+wx AS (SELECT *, exp(-(mae1 / bb - 1.0)) AS w1, exp(-(mae2 / bb - 1.0)) AS w2,
+              exp(-(mae3 / bb - 1.0)) AS w3, exp(-(mae4 / bb - 1.0)) AS w4
+       FROM wg),
+wn AS (SELECT *, w1 / (((w1 + w2) + w3) + w4) AS w1n,
+              w2 / (((w1 + w2) + w3) + w4) AS w2n,
+              w3 / (((w1 + w2) + w3) + w4) AS w3n,
+              w4 / (((w1 + w2) + w3) + w4) AS w4n,
+              hst[1] AS hl, hst[2] AS ht
+       FROM wx),
+bh AS (SELECT *,
+        list_aggregate(list_transform(generate_series(1, n),
+          t -> abs(ys[t] - {wslf})), 'sum') / nf AS bhat
+       FROM wn),
+steps AS (SELECT bh.*, unnest(generate_series(1, {h})) AS step FROM bh)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       {pt} AS yhat,
+       {pt} - (-bhat * -2.302585092994045) * sqrt(step) AS yhat_lower,
+       {pt} + (-bhat * -2.302585092994045) * sqrt(step) AS yhat_upper,
+       'Laplace(auto)' AS model_name
+FROM steps
+""".format(panel=_PANEL,
+           nm=_nm_block(_fexp_holt_damped, clip, clip, x0, p1, p2, carry),
+           arga=_NM_ARGMIN.format(ax='a'), argb=_NM_ARGMIN.format(ax='b'))
+
+
+def _fold_mam(a, b, g):
+    """Multiplicative-error ETS(M,A,M) filter fold (models._ets_mult.filt,
+    trend A, seas M, phi=1): acc = [level, trend, s1..s7, sum_e2,
+    sum_ln_mu, sum_e]; elements [y_t, phase_slot, 0 x 10]. Relative error
+    e_t = (y_t - mu_t)/mu_t; DuckDB ln == math.log bit-for-bit (glibc on
+    both sides), so the likelihood term replays exactly."""
+    inner = (f"[qv * (1.0 + (({a})) * ev), "
+             f"1.0 * acc[2] + ((({b})) * qv) * ev, "
+             + ", ".join(
+                 f"CASE WHEN CAST(e[2] AS BIGINT) = {j} THEN sv * "
+                 f"(1.0 + (({g})) * ev) ELSE acc[{j}] END"
+                 for j in range(3, 10))
+             + ", acc[10] + ev * ev, acc[11] + ln(abs(mt)), acc[12] + ev]")
+    step = (f"list_transform([acc[CAST(e[2] AS BIGINT)]], sv -> "
+            f"list_transform([acc[1] + 1.0 * acc[2]], qv -> "
+            f"list_transform([qv * sv], mt -> "
+            f"list_transform([(e[1] - mt) / mt], ev -> {inner})[1])[1])[1])[1]")
+    return f"list_reduce(el, (acc, e) -> {step})"
+
+
+def _fexp_mam(a, b, g):
+    """-2logL objective over the MAM fold: n*ln(se/n) + 2*sum(ln|mu|) with
+    models._ets_mult.neg2ll's guard ladder (NaN-propagated filter blowups
+    land on the same 1e300 the numpy side returns)."""
+    fold = _fold_mam(a, b, g)
+    return (f"list_transform([{fold}], stv -> "
+            f"CASE WHEN stv[10] <= 0 THEN -1e300 "
+            f"WHEN NOT isfinite(n * ln(stv[10] / n) + 2.0 * stv[11]) "
+            f"THEN 1e300 "
+            f"ELSE n * ln(stv[10] / n) + 2.0 * stv[11] END)[1]")
+
+
+def _mam_oracle(h: int = HORIZON, m: int = SEASON) -> str:
+    """ETS(M,A,M) forecast (models._ets_mult): multiplicative-error
+    innovations state space, (alpha, beta, gamma) by Nelder-Mead on the
+    multiplicative -2logL, multiplicative seasonal continuation, intervals
+    mu_h +- z*|mu_h|*sigma_e*sqrt(step). Sigma uses the sum/sum-of-squares
+    identity over the relative errors accumulated in the fold (np.std's
+    two-pass drift sits far inside the 4-decimal pin)."""
+    return f"""
+WITH RECURSIVE {_hw_nm_ctes(m, fexp=_fexp_mam, fold_fn=_fold_mam,
+                            seas_boot="CASE WHEN l0 = 0 THEN 1.0 "
+                                      "ELSE ys[{i}] / l0 END",
+                            n_slots=12)},
+sg AS (SELECT id, max_ds, n, st, st[1] AS level, st[2] AS trend,
+              sqrt(greatest((st[10] - st[12] * st[12] / n) / (n - 1), 0.0))
+                AS sig
+       FROM ff),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       (level + step * trend) * st[((n + step - 1) % {m}) + 3] AS yhat,
+       (level + step * trend) * st[((n + step - 1) % {m}) + 3]
+         - {Z90!r} * (abs((level + step * trend)
+                          * st[((n + step - 1) % {m}) + 3]) * sig
+                      * sqrt(step)) AS yhat_lower,
+       (level + step * trend) * st[((n + step - 1) % {m}) + 3]
+         + {Z90!r} * (abs((level + step * trend)
+                          * st[((n + step - 1) % {m}) + 3]) * sig
+                      * sqrt(step)) AS yhat_upper,
+       'ETS' AS model_name
+FROM steps
+"""
 
 
 def _hw_oracle(h: int = HORIZON, m: int = SEASON,
@@ -4110,6 +4608,72 @@ WHERE h.id IS NULL
     _TRUNC_PANEL = f"""SELECT id, ds, y FROM (
   SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
   FROM ({_PANEL})) WHERE rn <= 144"""
+    # SSA (detect.py::_ssa_period): 30 fixed power iterations on the
+    # L-lag trajectory matrix, replayed as a recursive CTE — u = Xv and
+    # w = X'u as nested sequential folds (== the numpy cumsum matvecs),
+    # per-iteration normalization, lambda_max/trace confidence, and the
+    # banker's-rounded zero-crossing period.
+    o["detect_periods_ssa"] = f"""
+WITH RECURSIVE panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id),
+pr AS (SELECT *, least(n // 2, 100) AS L FROM s),
+xx AS (SELECT *, n - L + 1 AS m,
+              list_transform(ys, v -> v - list_aggregate(ys, 'sum') / n) AS x
+       FROM pr WHERE L >= 4),
+pw AS (
+  SELECT id, n, L, m, amp, x, 0 AS it,
+         list_transform(range(1, CAST(L AS BIGINT) + 1),
+                        j -> 1.0 / sqrt(CAST(L AS DOUBLE))) AS v
+  FROM xx
+  UNION ALL
+  SELECT id, n, L, m, amp, x, it + 1,
+         list_transform([list_transform(range(1, CAST(m AS BIGINT) + 1), t ->
+             list_aggregate(list_transform(range(1, CAST(L AS BIGINT) + 1),
+               j -> x[t + j - 1] * v[j]), 'sum'))], ul ->
+           list_transform([list_transform(range(1, CAST(L AS BIGINT) + 1), j ->
+               list_aggregate(list_transform(range(1, CAST(m AS BIGINT) + 1),
+                 t -> x[t + j - 1] * ul[t]), 'sum'))], wl ->
+             list_transform([sqrt(list_aggregate(
+                 list_transform(wl, wv -> wv * wv), 'sum'))], nr ->
+               list_transform(wl, wv -> wv / nr))[1])[1])[1]
+  FROM pw WHERE it < 30),
+fv AS (SELECT * FROM pw WHERE it = 30),
+lm AS (SELECT *,
+        list_transform([list_transform(range(1, CAST(m AS BIGINT) + 1), t ->
+            list_aggregate(list_transform(range(1, CAST(L AS BIGINT) + 1),
+              j -> x[t + j - 1] * v[j]), 'sum'))], ul ->
+          list_aggregate(list_transform(ul, uv -> uv * uv), 'sum'))[1]
+          / m AS lam,
+        list_aggregate(list_transform(range(1, CAST(m AS BIGINT) + 1), t ->
+          list_aggregate(list_transform(range(1, CAST(L AS BIGINT) + 1),
+            j -> x[t + j - 1] * x[t + j - 1]), 'sum')), 'sum') / m AS tr,
+        len(list_filter(range(1, CAST(L AS BIGINT)), j ->
+          sign(v[j]) <> sign(v[j + 1]) AND v[j] <> 0)) AS zc
+       FROM fv),
+pd AS (SELECT *,
+        list_transform([2 * L / zc], u0 ->
+          list_transform([floor(u0)], fl -> CASE
+            WHEN u0 - fl > 0.5 THEN fl + 1.0
+            WHEN u0 - fl < 0.5 THEN fl
+            WHEN CAST(fl AS BIGINT) % 2 = 0 THEN fl ELSE fl + 1.0 END)[1])[1]
+          AS p,
+        CASE WHEN tr > 0 THEN lam / tr ELSE 0.0 END AS conf
+       FROM lm WHERE zc > 0),
+best AS (SELECT id, CAST(p AS INT) AS period, conf, amp
+         FROM pd WHERE p >= 2 AND p <= n // 2)
+SELECT id, period, conf AS confidence, conf AS strength, amp AS amplitude,
+       0.0 AS phase, CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, period AS primary_period,
+       'ssa' AS method
+FROM best
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'ssa'
+FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
+"""
     o["detect_periods_matrix_profile"] = f"""
 WITH panel AS ({_TRUNC_PANEL}),
 s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
@@ -4939,6 +5503,96 @@ _NORM_TXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _BPE_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def _xxh_minhash_oracle() -> str:
+    """MinHash-LSH in the xxhash64 fast-path mode (dedup.py::
+    minhash_lsh_pairs defaults, 32 hashes / 8 bands of 4): the JVM hash is
+    re-derived bit-exactly in DuckDB (functions/xxhash_sql.py), so the full
+    shingle -> signature -> band-key -> candidate -> verify pipeline is
+    value-checked without the md5 portable fallback. Signature component i
+    = min over shingles of signed(hashInt(i, xxh64(shingle, 42))); band key
+    = signed(xxh64(comma-joined signature slice, 42))."""
+    sig_i = XXH.signed(XXH.hash_int_expr("i", "hu"))
+    kstr = " || ',' || ".join(
+        f"sg[CAST(bnd * 4 + {j + 1} AS INT)]::VARCHAR" for j in range(4))
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(t) - 2, 1) + 1),
+                i -> substr(t, CAST(i AS INT), 3))) AS s
+       FROM docs),
+gg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+{XXH.hash_ctes('gg', 'doc_id, g', 'g', 'hu')},
+hl AS (SELECT doc_id, list(hu) AS hs FROM fin GROUP BY doc_id),
+sig AS (SELECT doc_id, list_transform(range(0, 32), i ->
+          list_aggregate(list_transform(hs, hu -> {sig_i}), 'min')) AS sg
+        FROM hl),
+keys AS (SELECT doc_id, unnest(range(0, 8)) AS bnd, sg FROM sig),
+ks AS (SELECT doc_id, bnd, {kstr} AS kstr FROM keys),
+{XXH.hash_ctes('ks', 'doc_id, bnd', 'kstr', 'khu', prefix='k')},
+bk AS (SELECT doc_id, bnd, {XXH.signed('khu')} AS k FROM kfin),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         FROM bk a JOIN bk b2 ON a.bnd = b2.bnd AND a.k = b2.k
+                             AND a.doc_id < b2.doc_id),
+vfy AS (SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(range(1, 33),
+                      i -> sa.sg[CAST(i AS INT)] = sb.sg[CAST(i AS INT)]))
+                    AS DOUBLE) / 32.0 AS est_jaccard,
+               CAST(len(list_intersect(ha.s, hb.s)) AS DOUBLE)
+                 / (len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s)))
+                 AS jaccard
+        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b
+                    JOIN sh ha ON ha.doc_id = c.id_a
+                    JOIN sh hb ON hb.doc_id = c.id_b)
+SELECT id_a, id_b, est_jaccard, jaccard FROM vfy WHERE jaccard >= 0.4
+"""
+
+
+def _xxh_simhash_oracle() -> str:
+    """SimHash in the xxhash64 fast-path mode (dedup.py::_simhash_df):
+    per-shingle 64-bit JVM hash re-derived bit-exactly in DuckDB; bit b of
+    the unsigned value = (h // 2^b) % 2 (== Spark's
+    shiftrightunsigned(h, b) & 1 on the signed bigint); per-bit vote > 0
+    sets the bit; candidates share one of four 16-bit chunks."""
+    pw = "[" + ", ".join(
+        ("CAST(1 AS HUGEINT)" if i == 0 else str(1 << i))
+        for i in range(64)) + "]"
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                range(1, greatest(length(t) - 2, 1) + 1),
+                i -> substr(t, CAST(i AS INT), 3))) AS s
+       FROM docs),
+gg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+{XXH.hash_ctes('gg', 'doc_id, g', 'g', 'hu')},
+bits AS (SELECT doc_id, hu, unnest(range(0, 64)) AS bb FROM fin),
+bv AS (SELECT doc_id, bb,
+              sum(CASE WHEN (hu // ({pw})[CAST(bb + 1 AS INT)]) % 2 = 1
+                       THEN 1 ELSE -1 END) AS vote
+       FROM bits GROUP BY doc_id, bb),
+sim AS (SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN
+                          CASE WHEN bb = 63 THEN -9223372036854775807 - 1
+                               ELSE (CAST(1 AS BIGINT) << CAST(bb AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS s64
+        FROM bv GROUP BY doc_id),
+ch AS (SELECT doc_id, s64, unnest(range(0, 4)) AS c FROM sim),
+k AS (SELECT doc_id, s64, c,
+             (s64 >> CAST(c * 16 AS INT)) & 65535 AS key
+      FROM ch),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s64 AS sa, b.s64 AS sb
+         FROM k a JOIN k b ON a.c = b.c AND a.key = b.key
+                          AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+"""
+
+
+
+
 def _stop_sql(lang: str) -> str:
     from anofox_forecast_spark.operators.text import STOPWORDS
     arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -5154,6 +5808,8 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 16
 """
+    o["dedup_minhash_lsh"] = _xxh_minhash_oracle()
+    o["dedup_simhash"] = _xxh_simhash_oracle()
     o["dedup_embedding_cosine"] = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 300),
@@ -5180,6 +5836,73 @@ FROM u ORDER BY cosine DESC, u.vec_id LIMIT 10
     # ivf_search(k=10, n_probe=4): assignment = argmin squared distance
     # (ties -> lowest cell, matching array_min's lexicographic struct min),
     # probe = 4 nearest cells to the query, score = cosine in probed cells.
+    # similarity.py::cosine_topk_ivf with the default learned index: the
+    # whole driver-side k-means (init='spread' evenly-spaced seeding, 10
+    # Lloyd iterations, sequential dim/member summation) is replayed in a
+    # recursive CTE, then the Spark-side assign -> probe -> score path runs
+    # on the replayed centroids. Bit-exact through the fold-aligned
+    # _kmeans_lite; cosine pinned with the rest of the similarity family.
+    o["similarity_topk_ivf"] = """
+WITH RECURSIVE
+ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id > 0),
+smp1 AS (SELECT vec_id,
+                list_transform([sqrt(list_sum(list_transform(v, y -> y * y)))],
+                  nr -> list_transform(v, x ->
+                    x / (CASE WHEN nr = 0 THEN 1.0 ELSE nr END)))[1] AS vn
+         FROM (SELECT vec_id, v FROM ebase ORDER BY vec_id LIMIT 10000)),
+smp AS (SELECT list(vn ORDER BY vec_id) AS pts, count(*) AS np FROM smp1),
+ini AS (SELECT pts, np,
+               list_transform(range(0, 16),
+                 j -> pts[CAST((j * np) // 16 AS BIGINT) + 1]) AS cs
+        FROM smp),
+km AS (
+  SELECT 0 AS it, cs FROM ini
+  UNION ALL
+  SELECT it + 1,
+         list_transform([
+             list_transform(s.pts, p ->
+               list_aggregate(list_transform(range(1, 17), c ->
+                 {'d': list_sum(list_transform(range(1, 65),
+                         i -> (p[i] - km.cs[c][i]) * (p[i] - km.cs[c][i]))),
+                  'c': c}), 'min').c)
+           ], asg ->
+           list_transform(range(1, 17), c ->
+             list_transform([list_filter(range(1, CAST(s.np AS BIGINT) + 1),
+                                         pi -> asg[pi] = c)], mem ->
+               CASE WHEN len(mem) = 0 THEN km.cs[c]
+                    ELSE list_transform(range(1, 65), i ->
+                      list_sum(list_transform(mem, pi -> s.pts[pi][i]))
+                      / len(mem)) END)[1]))[1]
+  FROM km, smp s WHERE it < 10),
+cfin AS (SELECT unnest(range(1, 17)) AS c, cs FROM km WHERE it = 10),
+cent AS (SELECT CAST(c - 1 AS INT) AS c, cs[CAST(c AS INT)] AS v FROM cfin),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform([sqrt(list_sum(list_transform(v, y -> y * y)))],
+              nr -> list_transform(v, x ->
+                x / (CASE WHEN nr = 0 THEN 1.0 ELSE nr END)))[1] AS v
+       FROM qv),
+u AS (SELECT vec_id, list_transform(v, x ->
+              x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM ebase),
+asg AS (SELECT u.vec_id, u.v, cent.c,
+               list_sum(list_transform(generate_series(1, len(u.v)),
+                 i -> (u.v[i] - cent.v[i]) * (u.v[i] - cent.v[i]))) AS d2
+        FROM u CROSS JOIN cent),
+cell AS (SELECT vec_id, v, c FROM asg
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, c) = 1),
+probe AS (SELECT cent.c,
+                 list_sum(list_transform(generate_series(1, len(cent.v)),
+                   i -> (cent.v[i] - qn.v[i]) * (cent.v[i] - qn.v[i]))) AS dq
+          FROM cent CROSS JOIN qn ORDER BY dq, cent.c LIMIT 4)
+SELECT cell.vec_id,
+       list_sum(list_transform(generate_series(1, len(cell.v)),
+         i -> cell.v[i] * qn.v[i])) AS cosine
+FROM cell CROSS JOIN qn WHERE cell.c IN (SELECT c FROM probe)
+ORDER BY cosine DESC, cell.vec_id LIMIT 10
+"""
     o["similarity_topk_ivf_fixed"] = """
 WITH qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id = 0),
@@ -5333,6 +6056,10 @@ def oracle_sql() -> dict[str, str]:
         "forecast_auto_theta": _auto_theta_oracle(),
         "forecast_arima": _arima_oracle(),
         "forecast_holt_winters": _hw_oracle(),
+        "forecast_ets_mam": _mam_oracle(),
+        "forecast_laplace": _laplace_oracle(),
+        "forecast_mfles": _mfles_oracle(),
+        "forecast_tbats": _tbats_oracle(),
         "forecast_ets": _hw_oracle(name="ETS"),
         "forecast_inspect_hw": _inspect_hw_oracle(),
     }
@@ -5347,6 +6074,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_conformal_oracles())
     o.update(_detect_oracles())
     o["features_sql"] = _features_oracle()
+    o["features_full"] = features_full_oracle(_TRUNC_PANEL_SQL)
     o.update(_streaming_oracles())
     # forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
     # h=7, m=7), seasonal component only: mean-centered per-phase pattern

@@ -61,6 +61,45 @@ def norm_ppf(p: float) -> float:
            (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
 
 
+def _seq_sum(a):
+    """Sequential left-to-right sum — the order DuckDB's list folds and
+    ``list_aggregate(.., 'sum')`` use.  The paired SQL oracles replay
+    optimizer decision sequences bit-for-bit, and ``np.nansum``'s pairwise
+    summation differs in the last ulp, which can flip a near-tie
+    reflect/expand/contract comparison; sharing the summation order keeps
+    both sides on the same branch everywhere."""
+    a = np.asarray(a, dtype=float)
+    if a.size == 0:
+        return 0.0
+    return float(np.cumsum(a)[-1])
+
+
+def _sq_err(r):
+    """Sequential sum of squared errors with NaNs skipped (``np.nansum``
+    semantics, fold order — see :func:`_seq_sum`)."""
+    r = np.asarray(r, dtype=float)
+    return _seq_sum(np.where(np.isnan(r), 0.0, r * r))
+
+
+def _linfit(x):
+    """OLS line over t = 0..n-1 via the explicit-sums formula, expression-
+    identical to the SQL oracles.  ``np.polyfit``'s scaled-SVD path agrees
+    only to ~1e-12, enough to flip optimizer tie-breaks downstream."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    if n < 2:
+        return 0.0, (float(x[0]) if n else 0.0)
+    t = np.arange(n, dtype=float)
+    st = float(n * (n - 1) // 2)
+    st2 = float((n - 1) * n * (2 * n - 1) // 6)
+    sv = _seq_sum(x)
+    stv = _seq_sum(t * x)
+    den = float(n) * st2 - st * st
+    b1 = (float(n) * stv - st * sv) / den
+    b0 = (sv - b1 * st) / float(n)
+    return b1, b0
+
+
 def golden_section(f, lo: float, hi: float, tol: float = 1e-5, max_iter: int = 100) -> float:
     """Deterministic scalar minimizer on [lo, hi]."""
     gr = (math.sqrt(5.0) - 1.0) / 2.0
@@ -405,7 +444,7 @@ def _ses(y, h, cl, alpha=0.3, _name="SES", **kw):
     steps = np.arange(1, h + 1, dtype=float)
     width = sig * np.sqrt(1.0 + (steps - 1) * a * a)
     lo, up = _interval(point, width, cl)
-    sse = float(np.nansum(res ** 2))
+    sse = _sq_err(res)
     aic, bic = _aic_bic(sse, len(y), 1)
     return ForecastResult(point, lo, up, _name, fitted, res,
                           params={"alpha": a}, aic=aic, bic=bic)
@@ -414,7 +453,7 @@ def _ses(y, h, cl, alpha=0.3, _name="SES", **kw):
 def _ses_optimized(y, h, cl, **kw):
     def sse(a):
         fitted, _ = _ses_filter(y, a)
-        return float(np.nansum((y - fitted) ** 2))
+        return _sq_err(y - fitted)
     a = golden_section(sse, 0.01, 0.99)
     out = _ses(y, h, cl, alpha=a, _name="SESOptimized")
     return out
@@ -439,7 +478,7 @@ def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt",
     if alpha is None or beta is None:
         def sse(x):
             f, _, _ = filt(x[0], x[1], ph)
-            return float(np.nansum((y - f) ** 2))
+            return _sq_err(y - f)
         a, b = nelder_mead(sse, [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
     else:
         a, b = float(alpha), float(beta)
@@ -454,7 +493,7 @@ def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt",
     sig = _sigma(res)
     width = sig * np.sqrt(steps)
     lo, up = _interval(point, width, cl)
-    sse_v = float(np.nansum(res ** 2))
+    sse_v = _sq_err(res)
     aic, bic = _aic_bic(sse_v, len(y), 2 + (1 if damped else 0))
     return ForecastResult(point, lo, up, _name, fitted, res,
                           params={"alpha": a, "beta": b, "phi": ph}, aic=aic, bic=bic)
@@ -493,7 +532,7 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
     if alpha is None or beta is None or gamma is None:
         def sse(x):
             f, _, _, _ = filt(*x)
-            v = float(np.nansum((y - f) ** 2))
+            v = _sq_err(y - f)
             return v if math.isfinite(v) else 1e300
         a, b, g = nelder_mead(sse, [0.3, 0.05, 0.1],
                               bounds=[(0.01, 0.99), (0.01, 0.99), (0.01, 0.99)])
@@ -509,7 +548,7 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
     res = y - fitted
     sig = _sigma(res)
     lo, up = _interval(point, sig * np.sqrt(steps), cl)
-    sse_v = float(np.nansum(res ** 2))
+    sse_v = _sq_err(res)
     aic, bic = _aic_bic(sse_v, n, 3 + m)
     return ForecastResult(point, lo, up, _name, fitted, res,
                           params={"alpha": a, "beta": b, "gamma": g,
@@ -538,7 +577,7 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
     if optimized:
         def sse(a):
             f, _ = filt(a)
-            return float(np.nansum((y - f) ** 2))
+            return _sq_err(y - f)
         alpha = golden_section(sse, 0.01, 0.99)
     a = float(alpha)
     fitted, levels = filt(a)
@@ -570,6 +609,17 @@ def _parse_ets_spec(spec: str):
     else:
         raise ValueError(f"invalid ETS spec: {spec}")
     return err, trend, seas, damped
+
+
+def _log_abs_sum(mu):
+    """Sequential sum of ln|mu_t| via ``math.log`` — bit-identical to
+    DuckDB's ``ln`` fold (glibc log on both sides; np.log's SIMD path
+    differs in the last ulp on ~25% of inputs, enough to flip an optimizer
+    tie-break in the multiplicative-error likelihood)."""
+    s = 0.0
+    for v in mu:
+        s += math.log(abs(v))
+    return s
 
 
 def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
@@ -648,10 +698,10 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
         mu, e, _ = filt(a, b, g, ph)
         if mu is None:
             return 1e300
-        se = float(np.sum(e * e))
+        se = _seq_sum(e * e)
         if se <= 0:
             return -1e300
-        v = n * math.log(se / n) + 2.0 * float(np.sum(np.log(np.abs(mu))))
+        v = n * math.log(se / n) + 2.0 * _log_abs_sum(mu)
         return v if math.isfinite(v) else 1e300
 
     x0, bounds = [0.3], [(0.01, 0.99)]
@@ -689,8 +739,8 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
     lo, up = _interval(point, width, cl)
     k = 1 + (1 if has_trend else 0) + (1 if has_seas else 0) + \
         (1 if damped else 0)
-    se = float(np.sum(e * e))
-    aic = n * math.log(se / n) + 2.0 * float(np.sum(np.log(np.abs(mu)))) + 2 * k \
+    se = _seq_sum(e * e)
+    aic = n * math.log(se / n) + 2.0 * _log_abs_sum(mu) + 2 * k \
         if se > 0 else float("nan")
     bic = aic - 2 * k + k * math.log(n) if math.isfinite(aic) else float("nan")
     params = {"alpha": a, "seasonal_period": m}
@@ -755,7 +805,7 @@ def _auto_ets(y, h, cl, season_length=1, model_pool=None, **kw):
                  "MNA": 1 + m, "MAA": 3 + m}.get(spec, 3)
             # one consistent selection criterion across the whole pool:
             # additive-Gaussian AIC on the absolute residuals (y - fitted)
-            sse = float(np.nansum(np.asarray(r.residuals, dtype=float) ** 2))
+            sse = _sq_err(np.asarray(r.residuals, dtype=float))
             aic, _ = _aic_bic(sse, len(y), k)
         except Exception:
             continue
@@ -846,7 +896,7 @@ def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
         x = y.copy()
         idx = None
     t = np.arange(n, dtype=float)
-    b1, b0 = np.polyfit(t, x, 1)
+    b1, b0 = _linfit(x)
 
     def run(th, a):
         # theta line: theta*x + (1-theta)*trendline
@@ -859,14 +909,14 @@ def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
             th, a = p
             theta_line, fitted, _ = run(th, a)
             comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
-            return float(np.nansum((x - comb) ** 2))
+            return _sq_err(x - comb)
         th, a = nelder_mead(sse, [2.0, 0.3], bounds=[(1.0, 5.0), (0.01, 0.99)])
     else:
         th = float(theta)
         def sse_a(a):
             theta_line, fitted, _ = run(th, a)
             comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
-            return float(np.nansum((x - comb) ** 2))
+            return _sq_err(x - comb)
         a = golden_section(sse_a, 0.01, 0.99)
 
     theta_line, fitted_ses, level = run(th, a)
@@ -906,7 +956,7 @@ def _auto_theta(y, h, cl, season_length=1, **kw):
         _theta(y, h, cl, season_length=season_length, dynamic=True, optimized=True,
                _name="AutoTheta"),
     ]
-    sses = [float(np.nansum(np.asarray(c.residuals) ** 2)) for c in cands]
+    sses = [_sq_err(np.asarray(c.residuals, dtype=float)) for c in cands]
     best = cands[int(np.argmin(sses))]
     return best
 
@@ -925,7 +975,7 @@ def _arima_css(x, p, q, max_iter=80):
     """Conditional-sum-of-squares ARMA(p,q) fit on (already differenced,
     mean-adjusted) series. Returns (phi, theta, const, residuals, sse)."""
     n = len(x)
-    mean = float(np.mean(x)) if n else 0.0
+    mean = _seq_sum(x) / n if n else 0.0
     xc = x - mean
 
     def css(params):
@@ -945,11 +995,19 @@ def _arima_css(x, p, q, max_iter=80):
 
     if p + q == 0:
         e = xc.copy()
-        return np.zeros(0), np.zeros(0), mean, e, float(np.sum(e ** 2))
+        return np.zeros(0), np.zeros(0), mean, e, _seq_sum(e * e)
 
     # init: AR via OLS on lags, MA zero
     x0 = np.zeros(p + q)
-    if p > 0 and n > p + 1:
+    if p == 1 and n > 2:
+        # single-lag case: explicit dot-product ratio, expression-identical
+        # to the SQL oracle's init (lstsq's SVD differs in the last ulp,
+        # which shifts the whole Nelder-Mead trajectory)
+        num = _seq_sum(xc[:-1] * xc[1:])
+        den = _seq_sum(xc[:-1] * xc[:-1])
+        if den != 0:
+            x0[0] = min(max(num / den, -0.95), 0.95)
+    elif p > 0 and n > p + 1:
         X = np.column_stack([xc[p - i - 1: n - i - 1] for i in range(p)])
         yv = xc[p:]
         try:
@@ -960,13 +1018,13 @@ def _arima_css(x, p, q, max_iter=80):
 
     def objective(params):
         e = css(params)
-        v = float(np.sum(e ** 2))
+        v = _seq_sum(e * e)
         return v if math.isfinite(v) else 1e300
 
     bounds = [(-0.99, 0.99)] * (p + q)
     sol = nelder_mead(objective, x0, bounds=bounds, max_iter=max_iter)
     e = css(sol)
-    return sol[:p], sol[p:p + q], mean, e, float(np.sum(e ** 2))
+    return sol[:p], sol[p:p + q], mean, e, _seq_sum(e * e)
 
 
 def _arima(y, h, cl, p=1, d=0, q=0, _name="ARIMA", **kw):
@@ -1073,8 +1131,8 @@ def _stl_lite(y, m, iterations=2):
     trend = np.zeros(n)
     resid = y.copy()
     if m < 2 or n < 2 * m:
+        b1, b0 = _linfit(y)
         t = np.arange(n, dtype=float)
-        b1, b0 = np.polyfit(t, y, 1)
         trend = b0 + b1 * t
         return trend, seasonal, y - trend
     for _ in range(iterations):
@@ -1111,7 +1169,7 @@ def _mstl(y, h, cl, season_lengths=None, season_length=1, _name="MSTL", **kw):
     # forecast the deseasonalized series with optimized SES + drift blend
     base = _ses_optimized(deseas, h, cl)
     t = np.arange(n, dtype=float)
-    b1, b0 = np.polyfit(t, deseas, 1)
+    b1, b0 = _linfit(deseas)
     steps = np.arange(1, h + 1, dtype=float)
     point = 0.5 * base.point + 0.5 * (b0 + b1 * (n - 1 + steps))
     fitted = 0.5 * np.asarray(base.fitted) + 0.5 * (b0 + b1 * t)
@@ -1157,7 +1215,7 @@ def _mfles(y, h, cl, season_lengths=None, season_length=1, iterations=3,
     resid = y - fitted
     for it in range(int(iterations)):
         # linear trend boost (shrunk)
-        b1, b0 = np.polyfit(t, resid, 1)
+        b1, b0 = _linfit(resid)
         lr = 0.9 if it == 0 else 0.5
         fitted += lr * (b0 + b1 * t)
         point += lr * (b0 + b1 * (n - 1 + steps))
@@ -1220,9 +1278,9 @@ def _tbats(y, h, cl, season_lengths=None, season_length=1, use_box_cox=False,
     beta, *_ = np.linalg.lstsq(X, x, rcond=None)
     fit_x = X @ beta
     resid = x - fit_x
-    # AR(1) on residuals
+    # AR(1) on residuals — sequential sums (mirrors the oracle's folds)
     if len(resid) > 3 and np.var(resid) > 0:
-        rho = float(np.sum(resid[:-1] * resid[1:]) / np.sum(resid[:-1] ** 2))
+        rho = _seq_sum(resid[:-1] * resid[1:]) / _seq_sum(resid[:-1] * resid[:-1])
         rho = max(-0.95, min(0.95, rho))
     else:
         rho = 0.0
@@ -1260,7 +1318,7 @@ def _auto_tbats(y, h, cl, season_lengths=None, **kw):
                                 use_box_cox=True, _name="AutoTBATS"))
         except Exception:
             pass
-    sses = [float(np.nansum(np.asarray(c.residuals) ** 2)) for c in cands]
+    sses = [_sq_err(np.asarray(c.residuals, dtype=float)) for c in cands]
     return cands[int(np.argmin(sses))]
 
 
@@ -1289,7 +1347,7 @@ def _croston(y, h, cl, variant="classic", **kw):
         def sse(a):
             fs, zl = _ses_filter(sizes, a)
             fi, il = _ses_filter(intervals, a)
-            return float(np.nansum((sizes - fs) ** 2) + np.nansum((intervals - fi) ** 2))
+            return _sq_err(sizes - fs) + _sq_err(intervals - fi)
         alpha = golden_section(sse, 0.01, 0.99)
     else:
         alpha = 0.1
@@ -1402,11 +1460,11 @@ def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
     drift = (y[-1] - y[0]) / (n - 1) if n > 1 else 0.0
     f2 = np.concatenate([[np.nan], y[:-1] + drift])
     leaves.append(("drift", f2, y[-1] + drift * np.arange(1, h + 1)))
-    # leaf 3: AR(1)
-    xm = float(np.mean(y))
+    # leaf 3: AR(1) — sequential sums (mirrors the oracle's list folds)
+    xm = _seq_sum(y) / n
     xc = y - xm
-    denom = float(np.sum(xc[:-1] ** 2))
-    rho = float(np.sum(xc[:-1] * xc[1:]) / denom) if denom > 0 else 0.0
+    denom = _seq_sum(xc[:-1] * xc[:-1])
+    rho = _seq_sum(xc[:-1] * xc[1:]) / denom if denom > 0 else 0.0
     rho = max(-0.98, min(0.98, rho))
     f3 = np.concatenate([[np.nan], xm + rho * xc[:-1]])
     leaves.append(("ar1", f3, xm + xc[-1] * rho ** np.arange(1, h + 1)))
@@ -1446,12 +1504,14 @@ def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
     for _, f, _fc in leaves:
         e = y - f
         e = e[np.isfinite(e)]
-        maes.append(float(np.mean(np.abs(e))) if len(e) else float("inf"))
+        maes.append(_seq_sum(np.abs(e)) / len(e) if len(e) else float("inf"))
     b = max(min(maes), 1e-9)
     ws = np.array([math.exp(-(m_ / b - 1.0)) if math.isfinite(m_) else 0.0 for m_ in maes])
-    if ws.sum() == 0:
+    wsum = _seq_sum(ws)
+    if wsum == 0:
         ws = np.ones(len(leaves))
-    ws = ws / ws.sum()
+        wsum = _seq_sum(ws)
+    ws = ws / wsum
     point = np.zeros(h)
     for w, (_, _f, fc) in zip(ws, leaves):
         point += w * fc
@@ -1465,7 +1525,7 @@ def _laplace(y, h, cl, laplace_variant="auto", season_length=0,
     res = y - fitted
     # Laplace intervals: b_hat = mean|res|; quantile of Laplace distribution
     e = res[np.isfinite(res)]
-    b_hat = float(np.mean(np.abs(e))) if len(e) else 0.0
+    b_hat = _seq_sum(np.abs(e)) / len(e) if len(e) else 0.0
     p_hi = 0.5 + cl / 2.0
     q = -b_hat * math.log(2 * (1 - p_hi))  # Laplace quantile at p_hi
     steps = np.sqrt(np.arange(1, h + 1, dtype=float))

@@ -161,23 +161,41 @@ def _aic_period(y):
     return best_p, conf
 
 
-def _ssa_period(y):
-    """SSA: lag-covariance eigenvector oscillation period."""
+def _ssa_period(y, n_iter: int = 30):
+    """SSA: dominant lag-covariance eigenvector oscillation period.
+
+    The dominant eigenvector of C = X'X/m (X = L-lag trajectory matrix) is
+    found by fixed-count power iteration instead of a LAPACK eigensolver —
+    same dominant direction, but every arithmetic step is deterministic
+    sequential-order (the ``np.cumsum(...)[-1]`` trick keeps the strict
+    left-to-right summation at C speed), so the DuckDB oracle can replay
+    the run bit-for-bit. Confidence = lambda_max / trace(C) — identical to
+    the former eigh-based w[-1]/w.sum() (trace = eigenvalue sum)."""
     n = len(y)
     L = min(n // 2, 100)
     if L < 4:
         return 0, 0.0
-    X = np.lib.stride_tricks.sliding_window_view(y - y.mean(), L)
-    C = X.T @ X / len(X)
-    w, vecs = np.linalg.eigh(C)
-    v = vecs[:, -1]  # dominant eigenvector
-    # zero crossings of the dominant eigenvector → half-period
+    mean = float(np.cumsum(y)[-1]) / n
+    x = y - mean
+    X = np.lib.stride_tricks.sliding_window_view(x, L)
+    m = len(X)
+    v = np.full(L, 1.0 / math.sqrt(float(L)))
+    for _ in range(n_iter):
+        u = np.cumsum(X * v[None, :], axis=1)[:, -1]
+        w = np.cumsum(X * u[:, None], axis=0)[-1, :]
+        nrm = math.sqrt(float(np.cumsum(w * w)[-1]))
+        if nrm == 0:
+            return 0, 0.0
+        v = w / nrm
+    u = np.cumsum(X * v[None, :], axis=1)[:, -1]
+    lam = float(np.cumsum(u * u)[-1]) / m
+    tr = float(np.cumsum(np.cumsum(X * X, axis=1)[:, -1])[-1]) / m
     sgn = np.sign(v)
     zc = int(((sgn[:-1] != sgn[1:]) & (v[:-1] != 0)).sum())
     if zc == 0:
         return 0, 0.0
     p = int(round(2 * L / zc))
-    conf = float(w[-1] / w.sum()) if w.sum() > 0 else 0.0
+    conf = lam / tr if tr > 0 else 0.0
     return (p if 2 <= p <= n // 2 else 0), conf
 
 

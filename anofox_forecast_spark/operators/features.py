@@ -23,6 +23,19 @@ from pyspark.sql import types as T
 
 EPS = 2.220446049250313e-16
 
+
+def _ssum(a):
+    """Sequential left-to-right sum — the order DuckDB's list folds use.
+    The features_full oracle re-derives every feature in SQL; sharing the
+    summation order makes the arithmetic-only features bit-identical
+    (np.sum's pairwise order differs by ~scale*eps*sqrt(n), which for
+    large-magnitude features like abs_energy or the time-reversal stats
+    crosses the contract's rounding quantum)."""
+    a = np.asarray(a, dtype=float)
+    if a.size == 0:
+        return 0.0
+    return float(np.cumsum(a)[-1])
+
 _SCALAR_FEATURES = [
     "length", "sum", "mean", "minimum", "maximum", "range", "variance",
     "standard_deviation", "variation_coefficient", "large_standard_deviation",
@@ -81,12 +94,12 @@ def _autocorr(v, lag):
     n = len(v)
     if n <= lag:
         return NAN
-    mean = v.mean()
+    mean = _ssum(v) / n
     d = v - mean
-    denom = float(np.sum(d * d))
+    denom = _ssum(d * d)
     if abs(denom) < EPS:
         return 0.0
-    return float(np.sum(d[lag:] * d[:-lag]) / denom)
+    return _ssum(d[lag:] * d[:-lag]) / denom
 
 
 def _linear_trend(v):
@@ -94,13 +107,13 @@ def _linear_trend(v):
     if n < 2:
         return 0.0, float(v[0]) if n else 0.0, 0.0
     x = np.arange(n, dtype=float)
-    xm, ym = x.mean(), v.mean()
-    ss_xy = float(np.sum((x - xm) * (v - ym)))
-    ss_xx = float(np.sum((x - xm) ** 2))
-    ss_yy = float(np.sum((v - ym) ** 2))
+    xm, ym = _ssum(x) / n, _ssum(v) / n
+    ss_xy = _ssum((x - xm) * (v - ym))
+    ss_xx = _ssum((x - xm) * (x - xm))
+    ss_yy = _ssum((v - ym) * (v - ym))
     slope = ss_xy / ss_xx if ss_xx > EPS else 0.0
     intercept = ym - slope * xm
-    r2 = ss_xy ** 2 / (ss_xx * ss_yy) if ss_xx > EPS and ss_yy > EPS else 0.0
+    r2 = ss_xy * ss_xy / (ss_xx * ss_yy) if ss_xx > EPS and ss_yy > EPS else 0.0
     return slope, intercept, r2
 
 
@@ -130,10 +143,10 @@ def _benford(v):
     if total == 0:
         return 0.0
     obs = counts / total
-    em, om = expected.mean(), obs.mean()
-    num = float(np.sum((expected - em) * (obs - om)))
-    den = math.sqrt(float(np.sum((expected - em) ** 2))
-                    * float(np.sum((obs - om) ** 2)))
+    em, om = _ssum(expected) / 9.0, _ssum(obs) / 9.0
+    num = _ssum((expected - em) * (obs - om))
+    den = math.sqrt(_ssum((expected - em) * (expected - em))
+                    * _ssum((obs - om) * (obs - om)))
     return num / den if den > EPS else 0.0
 
 
@@ -202,7 +215,7 @@ def _perm_entropy(v, order=3):
     patterns = np.argsort(E, axis=1, kind="stable")
     _, counts = np.unique(patterns, axis=0, return_counts=True)
     p = counts / counts.sum()
-    ent = float(-(p * np.log(p)).sum())
+    ent = -_ssum(p * np.log(p))
     max_ent = sum(math.log(i) for i in range(1, order + 1))
     return ent / max_ent if max_ent > 0 else ent
 
@@ -236,10 +249,11 @@ def extract_features(v: np.ndarray) -> dict:
     if n == 0:
         return f
     nf = float(n)
-    s = float(v.sum())
+    s = _ssum(v)
     mean = s / nf
     mn, mx = float(v.min()), float(v.max())
-    var = float(np.mean((v - mean) ** 2))
+    dmu = v - mean
+    var = _ssum(dmu * dmu) / nf
     std = math.sqrt(var)
     f.update(length=nf, sum=s, mean=mean, minimum=mn, maximum=mx,
              range=mx - mn, variance=var, standard_deviation=std)
@@ -252,8 +266,9 @@ def extract_features(v: np.ndarray) -> dict:
         f[f"quantile_{q}"] = _quantile(sv, q)
     if std > EPS:
         z = (v - mean) / std
-        f["skewness"] = float(np.mean(z ** 3))
-        f["kurtosis"] = float(np.mean(z ** 4)) - 3.0
+        zz = z * z
+        f["skewness"] = _ssum(zz * z) / nf
+        f["kurtosis"] = _ssum(zz * zz) / nf - 3.0
     cam = float((v > mean).sum())
     cbm = float((v < mean).sum())
     f.update(count_above_mean=cam, count_below_mean=cbm,
@@ -263,10 +278,10 @@ def extract_features(v: np.ndarray) -> dict:
         zc = float(((sgn[:-1] != sgn[1:]) & (v[:-1] != 0) & (v[1:] != 0)).sum())
         f["zero_crossing_rate"] = zc / max(nf - 1.0, 1.0)
         ch = np.diff(v)
-        f["mean_change"] = float(ch.mean())
-        f["mean_abs_change"] = float(np.abs(ch).mean())
-        f["cid_ce"] = math.sqrt(float(np.sum(ch ** 2)))
-        f["absolute_sum_of_changes"] = float(np.abs(ch).sum())
+        f["mean_change"] = _ssum(ch) / (nf - 1.0)
+        f["mean_abs_change"] = _ssum(np.abs(ch)) / (nf - 1.0)
+        f["cid_ce"] = math.sqrt(_ssum(ch * ch))
+        f["absolute_sum_of_changes"] = _ssum(np.abs(ch))
     for lag in range(1, 11):
         if n > lag:
             f[f"autocorrelation_lag{lag}"] = _autocorr(v, lag)
@@ -291,12 +306,12 @@ def extract_features(v: np.ndarray) -> dict:
     f["last_location_of_maximum"] = float(maxw[-1]) / nf
     f["first_location_of_minimum"] = float(minw[0]) / nf
     f["last_location_of_minimum"] = float(minw[-1]) / nf
-    abs_energy = float(np.sum(v ** 2))
+    abs_energy = _ssum(v * v)
     f["abs_energy"] = abs_energy
     f["root_mean_square"] = math.sqrt(abs_energy / nf)
     if n > 2:
         f["mean_second_derivative_central"] = \
-            float(np.sum(v[2:] - 2 * v[1:-1] + v[:-2])) / (n - 2)
+            _ssum(v[2:] - 2 * v[1:-1] + v[:-2]) / (n - 2)
     f["longest_strike_above_mean"] = _longest_strike(v, mean, True)
     f["longest_strike_below_mean"] = _longest_strike(v, mean, False)
     if n >= 3:
@@ -320,7 +335,7 @@ def extract_features(v: np.ndarray) -> dict:
         idx = np.minimum(np.round((v - mn) / rng * 9).astype(int), 9)
         counts = np.bincount(idx, minlength=10)
         p = counts[counts > 0] / nf
-        f["binned_entropy"] = float(-(p * np.log(p)).sum())
+        f["binned_entropy"] = -_ssum(p * np.log(p))
     f["sample_entropy"] = _sample_entropy(v, 2, 0.2 * std)
     f["approximate_entropy"] = _approx_entropy(v, 2, 0.2 * std)
     f["permutation_entropy"] = _perm_entropy(v, 3)
@@ -338,16 +353,16 @@ def extract_features(v: np.ndarray) -> dict:
         float(counts[re_mask].sum()) / nf
     f["percentage_of_reoccurring_values_to_all_values"] = \
         float(re_mask.sum()) / max(len(uniq), 1)
-    f["sum_of_reoccurring_values"] = float(uniq[re_mask].sum())
-    f["sum_of_reoccurring_datapoints"] = float((uniq[re_mask] * counts[re_mask]).sum())
+    f["sum_of_reoccurring_values"] = _ssum(uniq[re_mask])
+    f["sum_of_reoccurring_datapoints"] = _ssum(uniq[re_mask] * counts[re_mask])
     for lag in range(1, 4):
         if n > 2 * lag:
             a = v[2 * lag:]
             b = v[lag: n - lag]
             c = v[: n - 2 * lag]
             f[f"time_reversal_asymmetry_stat_{lag}"] = \
-                float(np.mean(a ** 2 * b - b * c ** 2))
-            f[f"c3_lag{lag}"] = float(np.mean(a * b * c))
+                _ssum(a * a * b - b * (c * c)) / len(a)
+            f[f"c3_lag{lag}"] = _ssum(a * b * c) / len(a)
     f["lempel_ziv_complexity"] = _lempel_ziv(v, mean)
     # DFT coefficients /n (features.rs:978-996) — numpy FFT, same definition
     fft = np.fft.fft(v) / nf
@@ -368,7 +383,7 @@ def extract_features(v: np.ndarray) -> dict:
     # chunked aggregate linear trend (features.rs:1034-1075)
     chunk_len = max(n // 10, 2)
     if n >= chunk_len:
-        means = np.array([v[i:i + chunk_len].mean()
+        means = np.array([_ssum(v[i:i + chunk_len]) / len(v[i:i + chunk_len])
                           for i in range(0, n, chunk_len)])
         if len(means) < 2:
             f.update(agg_linear_trend_slope=0.0,
@@ -380,7 +395,7 @@ def extract_features(v: np.ndarray) -> dict:
             x = np.arange(m, dtype=float)
             ss_xx = float(np.sum((x - x.mean()) ** 2))
             resid = means - (aint + aslope * x)
-            stderr = (math.sqrt(float(np.sum(resid ** 2)) / (m - 2) / ss_xx)
+            stderr = (math.sqrt(_ssum(resid * resid) / (m - 2) / ss_xx)
                       if m > 2 and ss_xx > EPS else 0.0)
             f.update(agg_linear_trend_slope=aslope, agg_linear_trend_intercept=aint,
                      agg_linear_trend_rvalue=math.sqrt(ar2),

@@ -40,7 +40,24 @@ from .forecast import _future_dates_pd
 # ---------------------------------------------------------------------------
 
 def _ols(X: np.ndarray, y: np.ndarray):
-    """Least-squares with intercept; returns (beta, intercept, fitted)."""
+    """Least-squares with intercept; returns (beta, intercept, fitted).
+
+    The single-regressor case uses the explicit-sums formula in sequential
+    (fold) summation order — expression-identical to the SQL oracles, so the
+    downstream per-series optimizers see bit-identical residuals (lstsq's
+    SVD path agrees only to ~1e-12, enough to flip optimizer tie-breaks)."""
+    if X.ndim == 2 and X.shape[1] == 1:
+        x = X[:, 0].astype(float)
+        n = len(x)
+        sx = M._seq_sum(x)
+        sy = M._seq_sum(y)
+        sxy = M._seq_sum(x * y)
+        sxx = M._seq_sum(x * x)
+        den = float(n) * sxx - sx * sx
+        if den != 0:
+            b1 = (float(n) * sxy - sx * sy) / den
+            b0 = (sy - b1 * sx) / float(n)
+            return np.array([b1]), float(b0), b0 + b1 * x
     A = np.column_stack([np.ones(len(X)), X])
     coef, *_ = np.linalg.lstsq(A, y, rcond=None)
     return coef[1:], float(coef[0]), A @ coef

@@ -50,19 +50,31 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
 
 
 def _kmeans_lite(X: np.ndarray, n_clusters: int, n_iter: int = 10,
-                 seed: int = 42) -> np.ndarray:
-    """Deterministic driver-side k-means on a bounded sample."""
-    rng = np.random.default_rng(seed)
+                 seed: int = 42, init: str = "spread") -> np.ndarray:
+    """Deterministic driver-side k-means on a bounded sample.
+
+    ``init='spread'`` (default) seeds from evenly-spaced rows of the
+    (id-ordered) sample — fully engine-portable, so the whole Lloyd's run
+    can be replayed bit-for-bit by the DuckDB correctness oracle (the
+    distance and mean summations below run in sequential dim/member order,
+    matching the oracle's list folds). ``init='random'`` keeps the seeded
+    PCG draw for callers that want sampling-style seeding."""
     n = len(X)
-    idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+    k = min(n_clusters, n)
+    if init == "random":
+        rng = np.random.default_rng(seed)
+        idx = list(rng.choice(n, size=k, replace=False))
+    else:
+        idx = [(j * n) // k for j in range(k)]
     C = X[idx].copy()
     for _ in range(n_iter):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        diff = X[:, None, :] - C[None, :, :]
+        d = np.cumsum(diff * diff, axis=2)[:, :, -1]
         assign = d.argmin(axis=1)
         for c in range(len(C)):
             members = X[assign == c]
             if len(members):
-                C[c] = members.mean(axis=0)
+                C[c] = np.cumsum(members, axis=0)[-1] / len(members)
     return C
 
 
@@ -109,7 +121,8 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
             [r[0] for r in df.orderBy(id_col).limit(sample_limit)
                              .select(vec_col).collect()],
             dtype=float)
-        norms = np.linalg.norm(sample, axis=1, keepdims=True)
+        # sequential-order norms (mirrors the oracle's list folds)
+        norms = np.sqrt(np.cumsum(sample * sample, axis=1)[:, -1:])
         norms[norms == 0] = 1.0
         C = _kmeans_lite(sample / norms, n_clusters)
     unit = _unit(F.col(vec_col))
@@ -139,8 +152,10 @@ def ivf_search(indexed_df: DataFrame, centroids: list[list[float]],
     ``__cell`` filter prunes partitions written by ``ivf_build``."""
     C = np.asarray(centroids, dtype=float)
     q = np.asarray(query, dtype=float)
-    q = q / (np.linalg.norm(q) or 1.0)
-    probe_cells = np.argsort(((C - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    q = q / (float(np.sqrt(np.cumsum(q * q)[-1])) or 1.0)
+    qd = (C - q) * (C - q)
+    probe_cells = np.argsort(np.cumsum(qd, axis=1)[:, -1],
+                             kind="stable")[:n_probe].tolist()
     qcol = F.array(*[F.lit(float(x)) for x in q])
     cos = dot(_unit(F.col(vec_col)), qcol)
     return (indexed_df.filter(F.col("__cell").isin(probe_cells))
