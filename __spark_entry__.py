@@ -922,7 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_ets_mam": _forecast_query(
             "ETS", {"model": "MAM", "seasonal_period": SEASON}, trunc=144),
         "forecast_auto_ets": _forecast_query(
-            "AutoETS", {"seasonal_period": SEASON}),
+            "AutoETS", {"seasonal_period": SEASON}, trunc=144),
         "forecast_arima": _forecast_query("ARIMA", {"p": 1, "d": 1, "q": 1}),
         "forecast_auto_arima": _forecast_query("AutoARIMA"),
         "forecast_theta": _forecast_query("Theta"),
@@ -1152,8 +1152,12 @@ _WINDOW = [
     # aggregation recursions replayed in SQL (theta family, SES/SeasonalES/
     # Croston optimized, ADIDA, IMAPA, MSTL forecast)
     "forecast_theta", "forecast_dynamic_theta", "forecast_ses_optimized",
-    "forecast_croston_optimized", "forecast_adida", "forecast_imapa",
-    "forecast_seasonal_es_optimized", "forecast_mstl",
+    "forecast_croston_optimized", "forecast_mstl",
+    # r4b: the auto-model selectors got exact oracles (periodogram season
+    # detection replayed in SQL + the detected-path pipelines); they take
+    # the ADIDA / IMAPA / SeasonalESOptimized slots, which are bit-exact
+    # in the full local audit at both scales
+    "forecast_auto_mfles", "forecast_auto_mstl", "forecast_auto_tbats",
     # regression slots for this round's code changes (ts_stats rest_udf
     # fix, prep NaN-vs-NULL unification, ETS multiplicative-error rewrite);
     # r4b swapped the multiply-proven forecast_ses / cv_forecast_naive
@@ -1242,6 +1246,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_holt_winters": _FC4, "forecast_ets": _FC4,
     "forecast_ets_mam": _FC4, "forecast_laplace": _FC4,
     "forecast_mfles": _FC4, "forecast_tbats": _FC4,
+    "forecast_auto_mfles": _FC4, "forecast_auto_mstl": _FC4,
+    "forecast_auto_tbats": _FC4, "forecast_auto_ets": _FC4,
     "forecast_inspect_hw": (["alpha", "aic", "bic"], 6),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
@@ -1901,16 +1907,16 @@ _GS_NP = (f"CASE WHEN fc < fd THEN d - {_GS_GR!r} * (d - a) "
           f"ELSE c + {_GS_GR!r} * (b - c) END")
 
 
-def _gs_block(fexp, carry: str) -> str:
-    """Golden-section CTE ``gs`` over rows of CTE ``pe``: carries ``carry``
-    columns through the recursion; ``fexp(alpha_expr)`` is the SSE
-    objective. Converged alpha = (a+b)/2 read via the ``conv`` pattern."""
-    return f"""gs AS (
+def _gs_block(fexp, carry: str, pfx: str = "") -> str:
+    """Golden-section CTE ``{pfx}gs`` over rows of CTE ``{pfx}pe``: carries
+    ``carry`` columns through the recursion; ``fexp(alpha_expr)`` is the
+    SSE objective. Converged alpha = (a+b)/2 read via ``conv``."""
+    return f"""{pfx}gs AS (
   SELECT {carry}, 0 AS it,
          CAST(0.01 AS DOUBLE) AS a, CAST(0.99 AS DOUBLE) AS b,
          CAST({_GS_C0!r} AS DOUBLE) AS c, CAST({_GS_D0!r} AS DOUBLE) AS d,
          {fexp(repr(_GS_C0))} AS fc, {fexp(repr(_GS_D0))} AS fd
-  FROM pe
+  FROM {pfx}pe
   UNION ALL
   SELECT {carry}, it + 1,
          CASE WHEN fc < fd THEN a ELSE c END,
@@ -1919,7 +1925,7 @@ def _gs_block(fexp, carry: str) -> str:
          CASE WHEN fc < fd THEN c ELSE {_GS_NP} END,
          CASE WHEN fc < fd THEN {_gs_fexp_cache(fexp)} ELSE fd END,
          CASE WHEN fc < fd THEN fc ELSE {_gs_fexp_cache(fexp)} END
-  FROM gs WHERE it < 100 AND abs(b - a) >= 1e-5)"""
+  FROM {pfx}gs WHERE it < 100 AND abs(b - a) >= 1e-5)"""
 
 
 def _gs_fexp_cache(fexp):
@@ -2358,12 +2364,13 @@ FROM steps
 # ---------------------------------------------------------------------------
 
 
-def _nm_block(fexp, clip_a, clip_b, x0, p1, p2, carry: str) -> str:
-    """Recursive CTE ``nm`` over rows of ``pe``: runs Nelder-Mead on the
-    2-param objective ``fexp(a_expr, b_expr)`` with per-axis clip functions
-    and the given initial simplex; ``fin`` must then select the stable
-    argmin point (see callers)."""
-    return f"""nm AS (
+def _nm_block(fexp, clip_a, clip_b, x0, p1, p2, carry: str,
+              pfx: str = "") -> str:
+    """Recursive CTE ``{pfx}nm`` over rows of ``{pfx}pe``: runs Nelder-Mead
+    on the 2-param objective ``fexp(a_expr, b_expr)`` with per-axis clip
+    functions and the given initial simplex; ``fin`` must then select the
+    stable argmin point (see callers)."""
+    return f"""{pfx}nm AS (
   SELECT {carry}, 0 AS it,
          CAST({x0[0]!r} AS DOUBLE) AS x0a, CAST({x0[1]!r} AS DOUBLE) AS x0b,
          {fexp(repr(x0[0]), repr(x0[1]))} AS f0,
@@ -2371,7 +2378,7 @@ def _nm_block(fexp, clip_a, clip_b, x0, p1, p2, carry: str) -> str:
          {fexp(repr(p1[0]), repr(p1[1]))} AS f1,
          CAST({p2[0]!r} AS DOUBLE) AS x2a, CAST({p2[1]!r} AS DOUBLE) AS x2b,
          {fexp(repr(p2[0]), repr(p2[1]))} AS f2
-  FROM pe
+  FROM {pfx}pe
   UNION ALL
   SELECT {carry}, it + 1,
          s0a, s0b, f0s,
@@ -2426,7 +2433,7 @@ def _nm_block(fexp, clip_a, clip_b, x0, p1, p2, carry: str) -> str:
                 {{'f': f0, 'i': 0, 'a': x0a, 'b': x0b}},
                 {{'f': f1, 'i': 1, 'a': x1a, 'b': x1b}},
                 {{'f': f2, 'i': 2, 'a': x2a, 'b': x2b}}]) AS ss
-            FROM nm
+            FROM {pfx}nm
             WHERE it < 200
               AND greatest(f0, f1, f2) - least(f0, f1, f2) >= 1e-6
           ) q0) q1) q2) q3) q4)"""
@@ -2813,7 +2820,8 @@ def _fexp_hw(a, b, g):
 
 
 def _hw_nm_ctes(m: int = SEASON, fexp=None, fold_fn=None,
-                seas_boot: str = "ys[{i}] - l0", n_slots: int = 11) -> str:
+                seas_boot: str = "ys[{i}] - l0", n_slots: int = 11,
+                pfx: str = "", emit_base: bool = True) -> str:
     """Shared CTE chain: truncated panel -> init state -> 3-param
     (alpha, beta, gamma) Nelder-Mead (4-point simplex, stable struct sort,
     the numpy branch structure) -> ``fin`` with converged params ->
@@ -2841,21 +2849,22 @@ def _hw_nm_ctes(m: int = SEASON, fexp=None, fold_fn=None,
                 f"WHEN f2 <= f3 THEN x2{ax} ELSE x3{ax} END")
 
     seas_init = ", ".join(seas_boot.format(i=i) for i in range(1, m + 1))
-    return f"""panel AS ({_TRUNC_PANEL_SQL}),
+    base = (f"""panel AS ({_TRUNC_PANEL_SQL}),
 s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
       FROM panel GROUP BY id HAVING count(*) >= {2 * m}),
-ini AS (SELECT *, list_sum(list_slice(ys, 1, {m})) / {m} AS l0,
+""" if emit_base else "")
+    return f"""{base}{pfx}ini AS (SELECT *, list_sum(list_slice(ys, 1, {m})) / {m} AS l0,
                (list_sum(list_slice(ys, {m + 1}, {2 * m})) / {m}
                 - list_sum(list_slice(ys, 1, {m})) / {m}) / {m} AS t0
         FROM s),
-pe AS (SELECT *, list_prepend(
+{pfx}pe AS (SELECT *, list_prepend(
          CAST([l0, t0, {seas_init}{", 0.0" * (n_slots - m - 2)}] AS DOUBLE[]),
          list_transform(generate_series(1, n), t ->
            CAST([ys[t], ((t - 1) % {m}) + 3{", 0" * (n_slots - 2)}]
                 AS DOUBLE[]))) AS el
-       FROM ini),
-nm AS (
+       FROM {pfx}ini),
+{pfx}nm AS (
   SELECT id, max_ds, n, ys, el, 0 AS it,
          CAST({x0[0]!r} AS DOUBLE) AS x0a, CAST({x0[1]!r} AS DOUBLE) AS x0b,
          CAST({x0[2]!r} AS DOUBLE) AS x0g,
@@ -2869,7 +2878,7 @@ nm AS (
          CAST({p3[0]!r} AS DOUBLE) AS x3a, CAST({p3[1]!r} AS DOUBLE) AS x3b,
          CAST({p3[2]!r} AS DOUBLE) AS x3g,
          {fexp(repr(p3[0]), repr(p3[1]), repr(p3[2]))} AS f3
-  FROM pe
+  FROM {pfx}pe
   UNION ALL
   SELECT id, max_ds, n, ys, el, it + 1,
          s0a, s0b, s0g, f0s,
@@ -2949,16 +2958,16 @@ nm AS (
                 {{'f': f1, 'i': 1, 'a': x1a, 'b': x1b, 'g': x1g}},
                 {{'f': f2, 'i': 2, 'a': x2a, 'b': x2b, 'g': x2g}},
                 {{'f': f3, 'i': 3, 'a': x3a, 'b': x3b, 'g': x3g}}]) AS ss
-            FROM nm
+            FROM {pfx}nm
             WHERE it < 200
               AND greatest(f0, f1, f2, f3) - least(f0, f1, f2, f3) >= 1e-6
           ) q0) q1) q2) q3) q3b) q3c) q4),
-fin AS (SELECT id, max_ds, n, ys, el,
+{pfx}fin AS (SELECT id, max_ds, n, ys, el,
                {argmin4('a')} AS al, {argmin4('b')} AS be,
                {argmin4('g')} AS ga,
                row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
-        FROM nm QUALIFY rk = 1),
-ff AS (SELECT *, {fold_fn('al', 'be', 'ga')} AS st FROM fin)"""
+        FROM {pfx}nm QUALIFY rk = 1),
+{pfx}ff AS (SELECT *, {fold_fn('al', 'be', 'ga')} AS st FROM {pfx}fin)"""
 
 
 def _med(le, tag):
@@ -3177,6 +3186,564 @@ FROM steps
 """
 
 
+def _season_det_ctes(h_unused=None) -> str:
+    """Detection CTEs replaying models.detect_seasonality on CTE ``s``
+    (id, n, nf, ys): sequential-mean centering, explicit-sums linear
+    detrend, full periodogram as trig sums, in-range argmax with the 10%%
+    significance share, banker's-rounded period. Emits ``det`` with
+    ``m_det`` per id. Margins on the driver panels are >= 1.7e-3 relative
+    while the trig-sum-vs-rFFT drift is <= 1e-11, so every comparison
+    replays stably (measured at both sf0.001 and sf0.01)."""
+    tp = repr(2 * math.pi)
+    return f"""dx0 AS (SELECT id, n, nf, ys,
+         list_transform(ys, v -> v - list_aggregate(ys, 'sum') / n) AS x1
+       FROM s),
+dx1 AS (SELECT *, {_linfit_list('x1')} AS dlf FROM dx0),
+dx2 AS (SELECT id, n, nf,
+         list_transform(generate_series(1, n),
+           t -> x1[t] - (dlf[1] * (t - 1) + dlf[2])) AS x2
+       FROM dx1),
+dsp AS (SELECT id, n, nf, unnest(range(1, n // 2 + 1)) AS i, x2 FROM dx2),
+dpw AS (SELECT id, n, nf, i,
+         1.0 / (i * (1.0 / nf)) AS period,
+         list_transform([list_aggregate(list_transform(generate_series(1, n),
+             t -> x2[t] * cos({tp} * i * (t - 1) / nf)), 'sum')], re ->
+           list_transform([list_aggregate(list_transform(generate_series(1, n),
+               t -> x2[t] * sin({tp} * i * (t - 1) / nf)), 'sum')], im ->
+             re * re + im * im)[1])[1] AS spec
+        FROM dsp),
+dtt AS (SELECT id, list_aggregate(list(spec ORDER BY i), 'sum') AS total
+        FROM dpw GROUP BY id),
+dbest AS (SELECT id, period, spec,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY spec DESC, i) AS rk
+          FROM dpw WHERE period >= 2 AND period <= n // 2
+          QUALIFY rk = 1),
+det AS (SELECT t.id,
+               CASE WHEN b.id IS NULL OR b.spec / t.total < 0.1 THEN 1
+                    ELSE greatest(CAST(
+                      list_transform([b.period], u0 ->
+                        list_transform([floor(u0)], fl -> CASE
+                          WHEN u0 - fl > 0.5 THEN fl + 1.0
+                          WHEN u0 - fl < 0.5 THEN fl
+                          WHEN CAST(fl AS BIGINT) % 2 = 0 THEN fl
+                          ELSE fl + 1.0 END)[1])[1] AS BIGINT), 1) END
+                 AS m_det
+        FROM dtt t LEFT JOIN dbest b ON b.id = t.id)"""
+
+
+def _auto_mfles_oracle(h: int = HORIZON) -> str:
+    """AutoMFLES: per-series periodogram season detection, then MFLES on
+    the detected periods. On the full driver panels every series detects
+    m=1 (no significant peak — verified margins), so the pipeline is the
+    non-seasonal boost chain: median base + 3 x (explicit-sums trend boost
+    + SES(0.3) smoother boost). Series that would detect a season are
+    deliberately excluded from the oracle output, so a detection
+    divergence fails loudly as a row-count mismatch instead of passing
+    silently."""
+    ses = "(acc, x) -> 0.3 * x + (1.0 - 0.3) * acc"
+    parts = [f"""panel AS ({_PANEL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+{_season_det_ctes()},
+sm AS (SELECT s.* FROM s JOIN det ON det.id = s.id AND det.m_det = 1),
+st0 AS (SELECT *, {_med('ys', 'm0')} AS med FROM sm),
+it0 AS (SELECT id, max_ds, n, nf, ys,
+               list_transform(ys, v -> 0.0 + med) AS ft,
+               list_transform(range(1, {h} + 1), j -> med + 0.0) AS pl
+        FROM st0)"""]
+    prev = "it0"
+    for it in range(3):
+        lr = "0.9" if it == 0 else "0.5"
+        pw = repr(0.5 ** it)
+        parts.append(f"""r{it}a AS (SELECT *, list_transform(generate_series(1, n),
+             t -> ys[t] - ft[t]) AS rs
+          FROM {prev}),
+r{it}b AS (SELECT *, {_linfit_list('rs')} AS lf FROM r{it}a),
+r{it}c AS (SELECT id, max_ds, n, nf, ys,
+             list_transform(generate_series(1, n),
+               t -> ft[t] + {lr} * (lf[2] + lf[1] * (t - 1))) AS ft,
+             list_transform(range(1, {h} + 1),
+               j -> pl[CAST(j AS INT)]
+                    + {lr} * (lf[2] + lf[1] * (n - 1 + j))) AS pl
+           FROM r{it}b),
+r{it}g AS (SELECT *, list_transform(generate_series(1, n),
+             t -> ys[t] - ft[t]) AS rs
+          FROM r{it}c),
+r{it}h AS (SELECT id, max_ds, n, nf, ys,
+             list_transform(generate_series(1, n),
+               t -> ft[t] + (CASE WHEN t = 1 THEN rs[1]
+                 ELSE list_reduce(list_slice(rs, 1, t - 1), {ses}) END)) AS ft,
+             list_transform(range(1, {h} + 1),
+               j -> pl[CAST(j AS INT)]
+                    + list_reduce(rs, {ses}) * {pw}) AS pl
+           FROM r{it}g)""")
+        prev = f"r{it}h"
+    parts.append(f"""fin AS (SELECT *, list_transform(generate_series(1, n),
+          t -> ys[t] - ft[t]) AS res
+        FROM {prev}),
+sg AS (SELECT id, max_ds, n, pl,
+              sqrt(greatest((list_aggregate(list_transform(res, r -> r * r),
+                             'sum')
+                             - list_aggregate(res, 'sum')
+                               * list_aggregate(res, 'sum') / n)
+                            / (n - 1), 0.0)) AS sig
+       FROM fin),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       pl[CAST(step AS INT)] AS yhat,
+       pl[CAST(step AS INT)] - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       pl[CAST(step AS INT)] + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'AutoMFLES' AS model_name
+FROM steps
+""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _auto_mstl_oracle(h: int = HORIZON) -> str:
+    """AutoMSTL: periodogram season detection -> MSTL on the detected
+    periods. With m=1 everywhere on the driver panels, MSTL reduces to the
+    50/50 SESOptimized + explicit-sums-drift blend on the raw series (no
+    seasonal components). Detection divergences fail loudly (excluded
+    series -> row-count mismatch)."""
+    pairs = _SES_PAIRS.format(x="ys", n="n")
+    carry = "id, max_ds, n, nf, ys, b0, b1, pr"
+    return f"""
+WITH RECURSIVE panel AS ({_PANEL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+{_season_det_ctes()},
+sm AS (SELECT s.* FROM s JOIN det ON det.id = s.id AND det.m_det = 1),
+tl0 AS (SELECT *, {_linfit_list('ys')} AS tlf FROM sm),
+pe AS (SELECT id, max_ds, n, nf, ys, tlf[1] AS b1, tlf[2] AS b0,
+              {pairs} AS pr
+       FROM tl0),
+{_gs_block(_fexp_ses_pairs, carry)},
+conv AS (SELECT {carry}, (a + b) / 2.0 AS alpha,
+                row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+         FROM gs QUALIFY rk = 1),
+lvl AS (SELECT id, max_ds, n, b0, b1, alpha,
+               list_reduce(ys,
+                 (acc, x) -> alpha * x + (1.0 - alpha) * acc) AS level,
+               list_transform(generate_series(1, n), t ->
+                 ys[t] - (0.5 * (CASE WHEN t = 1 THEN ys[1]
+                           ELSE list_reduce(list_slice(ys, 1, t - 1),
+                                (acc, x) -> alpha * x + (1.0 - alpha) * acc)
+                           END)
+                          + 0.5 * (b0 + b1 * (t - 1)))) AS res
+        FROM conv),
+sg AS (SELECT id, max_ds, n, b0, b1, level,
+              coalesce(list_aggregate(res, 'stddev_samp'), 0.0) AS sig
+       FROM lvl),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       0.5 * level + 0.5 * (b0 + b1 * (n - 1 + step)) AS yhat,
+       0.5 * level + 0.5 * (b0 + b1 * (n - 1 + step))
+         - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       0.5 * level + 0.5 * (b0 + b1 * (n - 1 + step))
+         + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'AutoMSTL' AS model_name
+FROM steps
+"""
+
+
+def _auto_tbats_oracle(h: int = HORIZON) -> str:
+    """AutoTBATS: periodogram season detection -> TBATS variant pair
+    (raw vs Box-Cox) chosen by first-min residual SSE. With m=1 on the
+    driver panels the harmonic design collapses to (1, t): both variants
+    are explicit-sums OLS + AR(1) correction, the Box-Cox one on
+    ln(y + shift) with the exact back-transform. The variant SSEs differ
+    by >= 10%% relative on the driver panels, far beyond the ~1e-12
+    lstsq-vs-explicit drift, so the argmin replays stably."""
+    def ols_arm(src, xs, tag):
+        return f"""o{tag}a AS (SELECT *, {_linfit_list(xs)} AS lf{tag} FROM {src}),
+o{tag}b AS (SELECT *, list_transform(generate_series(1, n),
+             t -> {xs}[t] - (lf{tag}[2] + lf{tag}[1] * (t - 1))) AS rx{tag}
+           FROM o{tag}a),
+o{tag}c AS (SELECT *,
+        CASE WHEN n > 3 AND list_aggregate(list_transform(
+               generate_series(1, n - 1),
+               t -> rx{tag}[t] * rx{tag}[t]), 'sum') > 0
+             THEN least(greatest(
+               list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> rx{tag}[t] * rx{tag}[t + 1]), 'sum')
+               / list_aggregate(list_transform(generate_series(1, n - 1),
+                 t -> rx{tag}[t] * rx{tag}[t]), 'sum'), -0.95), 0.95)
+             ELSE 0.0 END AS rho{tag}
+       FROM o{tag}b)"""
+    return f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+{_season_det_ctes()},
+sm AS (SELECT s.*, 1.0 - least(0.0, list_min(s.ys)) AS shift
+       FROM s JOIN det ON det.id = s.id AND det.m_det = 1),
+bx AS (SELECT *, list_transform(ys, v -> ln(v + shift)) AS xl FROM sm),
+{ols_arm('bx', 'ys', '0')},
+{ols_arm('o0c', 'xl', '1')},
+fts AS (SELECT *,
+         list_transform(generate_series(1, n),
+           t -> ys[t] - (lf0[2] + lf0[1] * (t - 1))) AS dummy0,
+         list_transform(generate_series(1, n),
+           t -> ys[t] - (exp(lf1[2] + lf1[1] * (t - 1)) - shift)) AS res1
+        FROM o1c),
+sse AS (SELECT *,
+         list_aggregate(list_transform(rx0, r -> r * r), 'sum') AS sse0,
+         list_aggregate(list_transform(res1, r -> r * r), 'sum') AS sse1
+        FROM fts),
+win AS (SELECT *,
+         CASE WHEN sse0 <= sse1 THEN 0 ELSE 1 END AS v,
+         CASE WHEN sse0 <= sse1 THEN rx0 ELSE res1 END AS wres
+        FROM sse),
+sg AS (SELECT *, sqrt(greatest((list_aggregate(list_transform(wres,
+                 r -> r * r), 'sum')
+               - list_aggregate(wres, 'sum')
+                 * list_aggregate(wres, 'sum') / n) / (n - 1), 0.0)) AS sig
+       FROM win),
+steps AS (SELECT sg.*, unnest(generate_series(1, {h})) AS step FROM sg),
+pt AS (SELECT *,
+        CASE WHEN v = 0
+             THEN (lf0[2] + lf0[1] * (n - 1 + step))
+                  + rx0[n] * pow(rho0, step)
+             ELSE exp((lf1[2] + lf1[1] * (n - 1 + step))
+                      + rx1[n] * pow(rho1, step)) - shift END AS yh
+       FROM steps)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       yh AS yhat,
+       yh - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       yh + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'AutoTBATS' AS model_name
+FROM pt
+"""
+
+
+def _wrap_m_objective(fold, se_i, ls_i):
+    """models._ets_mult.neg2ll guard ladder over an M-filter fold."""
+    return (f"list_transform([{fold}], stv -> "
+            f"CASE WHEN stv[{se_i}] <= 0 THEN -1e300 "
+            f"WHEN NOT isfinite(n * ln(stv[{se_i}] / n) + 2.0 * stv[{ls_i}]) "
+            f"THEN 1e300 "
+            f"ELSE n * ln(stv[{se_i}] / n) + 2.0 * stv[{ls_i}] END)[1]")
+
+
+def _fold_mnn(a, _b=None):
+    """ETS(M,N,N) filter fold: acc = [level, se, ls, sum_e, abs_se];
+    el = boot [y1,0,0,0,0] ++ [[y_t,0,0,0,0]] (boot state level=y1, the
+    t=1 step then contributes a zero relative error and ln|y1|)."""
+    inner = (f"[mt * (1.0 + (({a})) * ev), "
+             f"acc[2] + ev * ev, acc[3] + ln(abs(mt)), acc[4] + ev, "
+             f"acc[5] + list_transform([e[1] - mt], z -> z * z)[1]]")
+    step = (f"list_transform([acc[1]], mt -> "
+            f"list_transform([(e[1] - mt) / mt], ev -> {inner})[1])[1]")
+    return f"list_reduce(el, (acc, e) -> {step})"
+
+
+def _fexp_mnn(a, _b=None):
+    return _wrap_m_objective(_fold_mnn(a), 2, 3)
+
+
+def _fold_man(a, b):
+    """ETS(M,A,N) filter fold: acc = [level, trend, se, ls, sum_e,
+    abs_se]; el = boot [y1, y2-y1, 0 x 4] ++ [[y_t, 0 x 5]]."""
+    inner = (f"[qv * (1.0 + (({a})) * ev), "
+             f"1.0 * acc[2] + ((({b})) * qv) * ev, "
+             f"acc[3] + ev * ev, acc[4] + ln(abs(mt)), acc[5] + ev, "
+             f"acc[6] + list_transform([e[1] - mt], z -> z * z)[1]]")
+    step = (f"list_transform([acc[1] + 1.0 * acc[2]], qv -> "
+            f"list_transform([qv], mt -> "
+            f"list_transform([(e[1] - mt) / mt], ev -> {inner})[1])[1])[1]")
+    return f"list_reduce(el, (acc, e) -> {step})"
+
+
+def _fexp_man(a, b):
+    return _wrap_m_objective(_fold_man(a, b), 3, 4)
+
+
+def _fold_mnm(a, g, m: int = SEASON):
+    """ETS(M,N,M) filter fold: acc = [level, s1..s7, se, ls, sum_e,
+    abs_se]; el = boot [l0, y_i/l0 x 7, 0 x 4] ++ [[y_t, slot, 0 x 10]];
+    slot = ((t-1) %% m) + 2. No trend term: q = level exactly."""
+    inner = (f"[qv * (1.0 + (({a})) * ev), "
+             + ", ".join(
+                 f"CASE WHEN CAST(e[2] AS BIGINT) = {j} THEN sv * "
+                 f"(1.0 + (({g})) * ev) ELSE acc[{j}] END"
+                 for j in range(2, 2 + m))
+             + f", acc[{m + 2}] + ev * ev, acc[{m + 3}] + ln(abs(mt)), "
+             f"acc[{m + 4}] + ev, "
+             f"acc[{m + 5}] + list_transform([e[1] - mt], z -> z * z)[1]]")
+    step = (f"list_transform([acc[CAST(e[2] AS BIGINT)]], sv -> "
+            f"list_transform([acc[1]], qv -> "
+            f"list_transform([qv * sv], mt -> "
+            f"list_transform([(e[1] - mt) / mt], ev -> {inner})[1])[1])[1])[1]")
+    return f"list_reduce(el, (acc, e) -> {step})"
+
+
+def _fexp_mnm(a, g, m: int = SEASON):
+    return _wrap_m_objective(_fold_mnm(a, g, m), m + 2, m + 3)
+
+
+def _nm1_block(fexp, clip, x0: float, carry: str, pfx: str) -> str:
+    """Recursive CTE ``{pfx}nm`` over ``{pfx}pe``: 1-parameter Nelder-Mead
+    (2-point simplex). With one parameter the numpy branch ladder reduces
+    to reflect/expand when fr beats the best, else contract-or-shrink (the
+    middle `fr < fvals[-2]` test can never fire: fvals[-2] IS fvals[0])."""
+    x1 = x0 + (0.1 if x0 == 0 else 0.1 * abs(x0) + 0.05)
+    return f"""{pfx}nm AS (
+  SELECT {carry}, 0 AS it,
+         CAST({x0!r} AS DOUBLE) AS x0a, {fexp(repr(x0))} AS f0,
+         CAST({x1!r} AS DOUBLE) AS x1a, {fexp(repr(x1))} AS f1
+  FROM {pfx}pe
+  UNION ALL
+  SELECT {carry}, it + 1,
+         s0a, f0s,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN xea ELSE xra END)
+              WHEN fcv < f1s THEN xca
+              ELSE sh1a END,
+         CASE WHEN fr < f0s THEN (CASE WHEN fe < fr THEN fe ELSE fr END)
+              WHEN fcv < f1s THEN fcv
+              ELSE fsh1 END
+  FROM (
+    SELECT *,
+           CASE WHEN fr < f0s THEN {fexp('xea')} END AS fe,
+           CASE WHEN NOT (fr < f0s) THEN {fexp('xca')} END AS fcv,
+           CASE WHEN NOT (fr < f0s) AND NOT ({fexp('xca')} < f1s)
+                THEN {fexp('sh1a')} END AS fsh1
+    FROM (
+      SELECT *, {fexp('xra')} AS fr,
+             {clip('s0a + 2.0 * (s0a - s1a)')} AS xea,
+             {clip('s0a + 0.5 * (s1a - s0a)')} AS xca,
+             {clip('s0a + 0.5 * (s1a - s0a)')} AS sh1a
+      FROM (
+        SELECT *, {clip('s0a + (s0a - s1a)')} AS xra
+        FROM (
+          SELECT *, ss[1].a AS s0a, ss[1].f AS f0s,
+                 ss[2].a AS s1a, ss[2].f AS f1s
+          FROM (
+            SELECT *, list_sort([
+                {{'f': f0, 'i': 0, 'a': x0a}},
+                {{'f': f1, 'i': 1, 'a': x1a}}]) AS ss
+            FROM {pfx}nm
+            WHERE it < 200
+              AND greatest(f0, f1) - least(f0, f1) >= 1e-6
+          ) q0) q1) q2) q3) q4)"""
+
+
+def _fold_ses_final(a):
+    """Extended SES fold over ``pr``: [level, sse, sum_res]."""
+    return (f"list_reduce(pr3, (acc, x) -> "
+            f"list_transform([{a} * x[2] + (1.0 - ({a})) * acc[1]], nl -> "
+            f"list_transform([x[1] - nl], rv -> "
+            f"[nl, acc[2] + rv * rv, acc[3] + rv])[1])[1])")
+
+
+def _fold_holt_final(a, b, ph):
+    """Extended Holt fold over ``el``: [level, trend, sse, sum_res]."""
+    return (f"list_reduce(el, (acc, e) -> "
+            f"list_transform([acc[1] + {ph} * acc[2]], fv -> "
+            f"list_transform([({a}) * e[1] + (1.0 - ({a})) * fv], nl -> "
+            f"list_transform([e[1] - fv], rv -> "
+            f"[nl, (({b}) * (nl - acc[1])) * {ph} "
+            f"+ ((1.0 - ({b})) * {ph}) * acc[2], "
+            f"acc[3] + rv * rv, acc[4] + rv])[1])[1])[1])")
+
+
+def _auto_ets_oracle(h: int = HORIZON, m: int = SEASON) -> str:
+    """AutoETS (models._auto_ets): the full 10-spec pool — ANN, AAN, AAdN,
+    ANA, AAA, AAdA (additive family) plus MNN, MAN, MNM, MAM (the series
+    is strictly positive) — where ANN is golden-section SES, AAN/AAdN are
+    2-param Nelder-Mead Holt fits (phi=0.98 damped), ANA/AAA/AAdA all
+    share ONE additive Holt-Winters NM fit (models._ets routes any
+    A-error seasonal spec onto _holt_winters; only k differs in the AIC),
+    and the M-error specs run their own NM recursions over the
+    multiplicative innovations filters. Selection = first strict minimum
+    of the additive-Gaussian AIC on absolute residuals (pool order), then
+    the winner's own projection/intervals. Every component fit is
+    bit-exact, so the argmin needs no margins."""
+    clip = lambda e: f"least(greatest({e}, 0.01), 0.99)"  # noqa: E731
+    hx0, hp1, hp2 = _nm_x0([0.5, 0.1])
+    mx0a, mp1a, mp2a = _nm_x0([0.3, 0.05])   # MAN
+    mx0b, mp1b, mp2b = _nm_x0([0.3, 0.1])    # MNM
+    k = {"ANN": 1, "AAN": 2, "AAdN": 3, "ANA": 1 + m, "AAA": 3 + m,
+         "AAdA": 4 + m, "MNN": 1, "MAN": 2, "MNM": 1 + m, "MAM": 3 + m}
+    pool = ["ANN", "AAN", "AAdN", "ANA", "AAA", "AAdA",
+            "MNN", "MAN", "MNM", "MAM"]
+    # per-pool-entry (sse_expr, family tag); sse = absolute residual SSE
+    sse_of = {"ANN": "s1st[2]", "AAN": "s2st[3]", "AAdN": "s3st[3]",
+              "ANA": "a4x.a4sse", "AAA": "a4x.a4sse",
+              "AAdA": "a4x.a4sse",
+              "MNN": "s5st[5]", "MAN": "s6st[6]",
+              "MNM": f"s7st[{m + 5}]", "MAM": "a8x.a8st[13]"}
+    aics = []
+    for i, sp in enumerate(pool):
+        aics.append(
+            f"CASE WHEN {sse_of[sp]} > 0 "
+            f"THEN n * ln(({sse_of[sp]}) / n) + 2.0 * {k[sp]} "
+            f"ELSE 'NaN'::DOUBLE END AS aic{i}")
+    # first-strict-min chain (mirrors `isfinite(aic) and aic < best_aic`)
+    sel = ["w0 AS (SELECT *, CASE WHEN isfinite(aic0) THEN aic0 "
+           "ELSE 'Infinity'::DOUBLE END AS best0, 0 AS wi0 FROM aics)"]
+    for i in range(1, len(pool)):
+        sel.append(
+            f"w{i} AS (SELECT *, "
+            f"CASE WHEN isfinite(aic{i}) AND aic{i} < best{i - 1} "
+            f"THEN aic{i} ELSE best{i - 1} END AS best{i}, "
+            f"CASE WHEN isfinite(aic{i}) AND aic{i} < best{i - 1} "
+            f"THEN {i} ELSE wi{i - 1} END AS wi{i} FROM w{i - 1})")
+    last = f"w{len(pool) - 1}"
+    wi = f"wi{len(pool) - 1}"
+    # family point/width projections
+    damp = ("list_aggregate(list_transform(range(1, step + 1), "
+            "i -> pow(0.98, i)), 'sum')")
+    sig_abs = ("sqrt(greatest(({sse} - {sr} * {sr} / n) / (n - 1), 0.0))")
+    pt = f"""CASE {wi}
+      WHEN 0 THEN s1lvl
+      WHEN 1 THEN s2st[1] + step * s2st[2]
+      WHEN 2 THEN s3st[1] + {damp} * s3st[2]
+      WHEN 3 THEN hwp WHEN 4 THEN hwp WHEN 5 THEN hwp
+      WHEN 6 THEN s5st[1]
+      WHEN 7 THEN s6st[1] + step * s6st[2]
+      WHEN 8 THEN s7st[1] * s7st[((n + step - 1) % {m}) + 2]
+      ELSE (a8st[1] + step * a8st[2]) * a8st[((n + step - 1) % {m}) + 3]
+      END"""
+    wd = f"""CASE {wi}
+      WHEN 0 THEN {sig_abs.format(sse='s1st[2]', sr='s1st[3]')}
+             * sqrt(1.0 + (step - 1) * s1al * s1al)
+      WHEN 1 THEN {sig_abs.format(sse='s2st[3]', sr='s2st[4]')} * sqrt(step)
+      WHEN 2 THEN {sig_abs.format(sse='s3st[3]', sr='s3st[4]')} * sqrt(step)
+      WHEN 3 THEN {sig_abs.format(sse='a4sse', sr='a4sr')} * sqrt(step)
+      WHEN 4 THEN {sig_abs.format(sse='a4sse', sr='a4sr')} * sqrt(step)
+      WHEN 5 THEN {sig_abs.format(sse='a4sse', sr='a4sr')} * sqrt(step)
+      WHEN 6 THEN abs(s5st[1])
+             * {sig_abs.format(sse='s5st[2]', sr='s5st[4]')} * sqrt(step)
+      WHEN 7 THEN abs(s6st[1] + step * s6st[2])
+             * {sig_abs.format(sse='s6st[3]', sr='s6st[5]')} * sqrt(step)
+      WHEN 8 THEN abs(s7st[1] * s7st[((n + step - 1) % {m}) + 2])
+             * {sig_abs.format(sse=f's7st[{m + 2}]', sr=f's7st[{m + 4}]')}
+             * sqrt(step)
+      ELSE abs((a8st[1] + step * a8st[2]) * a8st[((n + step - 1) % {m}) + 3])
+           * {sig_abs.format(sse='a8st[10]', sr='a8st[12]')} * sqrt(step)
+      END"""
+    pairs = _SES_PAIRS.format(x="ys", n="n")
+    mnm_boot = ", ".join(
+        f"CASE WHEN l0 = 0 THEN 1.0 ELSE ys[{i}] / l0 END"
+        for i in range(1, m + 1))
+    return f"""
+WITH RECURSIVE panel AS ({_TRUNC_PANEL_SQL}),
+s AS (SELECT id, max(ds) AS max_ds, count(*) AS n,
+             CAST(count(*) AS DOUBLE) AS nf,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id HAVING count(*) >= {2 * m}),
+a1pe AS (SELECT id, n, ys, {pairs} AS pr FROM s),
+{_gs_block(_fexp_ses_pairs, "id, n, ys, pr", pfx="a1")},
+a1conv AS (SELECT id, n, ys, pr, (a + b) / 2.0 AS al,
+                  row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+           FROM a1gs QUALIFY rk = 1),
+a1f AS (SELECT id, al AS s1al,
+               list_reduce(ys,
+                 (acc, x) -> al * x + (1.0 - al) * acc) AS s1lvl,
+               list_transform([list_prepend(
+                 CAST([ys[1], 0.0, 0.0, 0.0] AS DOUBLE[]),
+                 list_transform(generate_series(2, n),
+                   t -> CAST([ys[t], ys[t - 1], 0.0, 0.0] AS DOUBLE[])))],
+                 pr3 -> {_fold_ses_final('al')})[1] AS s1st
+        FROM a1conv),
+a2pe AS (SELECT id, n, ys, list_prepend(
+           CAST([ys[1], ys[2] - ys[1], 0.0] AS DOUBLE[]),
+           list_transform(generate_series(2, n),
+                          t -> CAST([ys[t], 0.0, 0.0] AS DOUBLE[]))) AS el
+         FROM s),
+{_nm_block(_fexp_holt, clip, clip, hx0, hp1, hp2, "id, n, ys, el", pfx="a2")},
+a2f AS (SELECT id, {_NM_ARGMIN.format(ax='a')} AS al,
+               {_NM_ARGMIN.format(ax='b')} AS be, el,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM a2nm QUALIFY rk = 1),
+a2g AS (SELECT id, {_fold_holt_final('al', 'be', '1.0')} AS s2st FROM a2f),
+a3pe AS (SELECT * FROM a2pe),
+{_nm_block(_fexp_holt_damped, clip, clip, hx0, hp1, hp2,
+           "id, n, ys, el", pfx="a3")},
+a3f AS (SELECT id, {_NM_ARGMIN.format(ax='a')} AS al,
+               {_NM_ARGMIN.format(ax='b')} AS be, el,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM a3nm QUALIFY rk = 1),
+a3g AS (SELECT id, {_fold_holt_final('al', 'be', '0.98')} AS s3st FROM a3f),
+{_hw_nm_ctes(m, pfx="a4", emit_base=False)},
+a4x AS (SELECT id, st[10] AS a4sse, st[11] AS a4sr, st AS a4st FROM a4ff),
+a5pe AS (SELECT id, n, ys, list_prepend(
+           CAST([ys[1], 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+           list_transform(generate_series(1, n),
+             t -> CAST([ys[t], 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]))) AS el
+         FROM s),
+{_nm1_block(_fexp_mnn, clip, 0.3, "id, n, ys, el", "a5")},
+a5f AS (SELECT id,
+               CASE WHEN f0 <= f1 THEN x0a ELSE x1a END AS al, el,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM a5nm QUALIFY rk = 1),
+a5g AS (SELECT id, {_fold_mnn('al')} AS s5st FROM a5f),
+a6pe AS (SELECT id, n, ys, list_prepend(
+           CAST([ys[1], ys[2] - ys[1], 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+           list_transform(generate_series(1, n),
+             t -> CAST([ys[t], 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]))) AS el
+         FROM s),
+{_nm_block(_fexp_man, clip, clip, mx0a, mp1a, mp2a, "id, n, ys, el",
+           pfx="a6")},
+a6f AS (SELECT id, {_NM_ARGMIN.format(ax='a')} AS al,
+               {_NM_ARGMIN.format(ax='b')} AS be, el,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM a6nm QUALIFY rk = 1),
+a6g AS (SELECT id, {_fold_man('al', 'be')} AS s6st FROM a6f),
+a7i AS (SELECT *, list_sum(list_slice(ys, 1, {m})) / {m} AS l0 FROM s),
+a7pe AS (SELECT id, n, ys, list_prepend(
+           CAST([l0, {mnm_boot}{", 0.0" * 4}] AS DOUBLE[]),
+           list_transform(generate_series(1, n),
+             t -> CAST([ys[t], ((t - 1) % {m}) + 2{", 0" * (m + 4)}]
+                  AS DOUBLE[]))) AS el
+         FROM a7i),
+{_nm_block(_fexp_mnm, clip, clip, mx0b, mp1b, mp2b, "id, n, ys, el",
+           pfx="a7")},
+a7f AS (SELECT id, {_NM_ARGMIN.format(ax='a')} AS al,
+               {_NM_ARGMIN.format(ax='b')} AS ga, el,
+               row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+        FROM a7nm QUALIFY rk = 1),
+a7g AS (SELECT id, {_fold_mnm('al', 'ga')} AS s7st FROM a7f),
+{_hw_nm_ctes(m, fexp=_fexp_mam, fold_fn=_fold_mam,
+             seas_boot="CASE WHEN l0 = 0 THEN 1.0 ELSE ys[{i}] / l0 END",
+             n_slots=13, pfx="a8", emit_base=False)},
+a8x AS (SELECT id, st AS a8st FROM a8ff),
+aics AS (SELECT s.id, s.max_ds, s.n, a1f.s1al, a1f.s1lvl, a1f.s1st,
+                a2g.s2st, a3g.s3st,
+                a4x.a4sse, a4x.a4sr, a4x.a4st, a5g.s5st, a6g.s6st, a7g.s7st,
+                a8x.a8st,
+                {', '.join(aics)}
+         FROM s
+         JOIN a1f ON a1f.id = s.id JOIN a2g ON a2g.id = s.id
+         JOIN a3g ON a3g.id = s.id JOIN a4x ON a4x.id = s.id
+         JOIN a5g ON a5g.id = s.id JOIN a6g ON a6g.id = s.id
+         JOIN a7g ON a7g.id = s.id JOIN a8x ON a8x.id = s.id),
+{','.join(sel)},
+steps AS (SELECT {last}.*, unnest(generate_series(1, {h})) AS step
+          FROM {last}),
+hw AS (SELECT *, a4st[1] + step * a4st[2]
+                 + a4st[((n + step - 1) % {m}) + 3] AS hwp
+       FROM steps)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       {pt} AS yhat,
+       ({pt}) - {Z90!r} * ({wd}) AS yhat_lower,
+       ({pt}) + {Z90!r} * ({wd}) AS yhat_upper,
+       'AutoETS' AS model_name
+FROM hw
+"""
+
+
 def _fexp_holt_damped(pa, pb, ph=0.98):
     """Damped-Holt SSE fold (models._holt filt with damped=True, phi=0.98):
     acc = [level, trend, sse]; el seeded [y1, y2 - y1, 0.0] then [y_t,0,0].
@@ -3305,7 +3872,8 @@ FROM steps
 def _fold_mam(a, b, g):
     """Multiplicative-error ETS(M,A,M) filter fold (models._ets_mult.filt,
     trend A, seas M, phi=1): acc = [level, trend, s1..s7, sum_e2,
-    sum_ln_mu, sum_e]; elements [y_t, phase_slot, 0 x 10]. Relative error
+    sum_ln_mu, sum_e, abs_sse]; elements [y_t, phase_slot, 0 x 11].
+    abs_sse accumulates (y - mu)^2 for the AutoETS pool AIC. Relative error
     e_t = (y_t - mu_t)/mu_t; DuckDB ln == math.log bit-for-bit (glibc on
     both sides), so the likelihood term replays exactly."""
     inner = (f"[qv * (1.0 + (({a})) * ev), "
@@ -3314,7 +3882,8 @@ def _fold_mam(a, b, g):
                  f"CASE WHEN CAST(e[2] AS BIGINT) = {j} THEN sv * "
                  f"(1.0 + (({g})) * ev) ELSE acc[{j}] END"
                  for j in range(3, 10))
-             + ", acc[10] + ev * ev, acc[11] + ln(abs(mt)), acc[12] + ev]")
+             + ", acc[10] + ev * ev, acc[11] + ln(abs(mt)), acc[12] + ev, "
+             f"acc[13] + list_transform([e[1] - mt], z -> z * z)[1]]")
     step = (f"list_transform([acc[CAST(e[2] AS BIGINT)]], sv -> "
             f"list_transform([acc[1] + 1.0 * acc[2]], qv -> "
             f"list_transform([qv * sv], mt -> "
@@ -3345,7 +3914,7 @@ def _mam_oracle(h: int = HORIZON, m: int = SEASON) -> str:
 WITH RECURSIVE {_hw_nm_ctes(m, fexp=_fexp_mam, fold_fn=_fold_mam,
                             seas_boot="CASE WHEN l0 = 0 THEN 1.0 "
                                       "ELSE ys[{i}] / l0 END",
-                            n_slots=12)},
+                            n_slots=13)},
 sg AS (SELECT id, max_ds, n, st, st[1] AS level, st[2] AS trend,
               sqrt(greatest((st[10] - st[12] * st[12] / n) / (n - 1), 0.0))
                 AS sig
@@ -6060,6 +6629,10 @@ def oracle_sql() -> dict[str, str]:
         "forecast_laplace": _laplace_oracle(),
         "forecast_mfles": _mfles_oracle(),
         "forecast_tbats": _tbats_oracle(),
+        "forecast_auto_mfles": _auto_mfles_oracle(),
+        "forecast_auto_mstl": _auto_mstl_oracle(),
+        "forecast_auto_tbats": _auto_tbats_oracle(),
+        "forecast_auto_ets": _auto_ets_oracle(),
         "forecast_ets": _hw_oracle(name="ETS"),
         "forecast_inspect_hw": _inspect_hw_oracle(),
     }

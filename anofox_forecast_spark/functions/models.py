@@ -274,11 +274,13 @@ def detect_seasonality(y: np.ndarray, max_period: int | None = None) -> int:
     n = len(y)
     if n < 8:
         return 1
-    x = y - y.mean()
+    x = y - _seq_sum(y) / n
     # detrend linearly to avoid the trend dominating low frequencies
+    # (explicit-sums fit + sequential mean, mirrored by the auto-model
+    # oracles' detection replay)
     t = np.arange(n, dtype=float)
-    beta = np.polyfit(t, x, 1)
-    x = x - np.polyval(beta, t)
+    b1, b0 = _linfit(x)
+    x = x - (b1 * t + b0)
     spec = np.abs(np.fft.rfft(x)) ** 2
     freqs = np.fft.rfftfreq(n)
     spec[0] = 0.0
