@@ -418,6 +418,30 @@ def _conformal_queries():
                               F.element_at("scores", 1).alias("score_q"))
         return run
 
+    def q_apply(spark, sf):
+        # pre-computed score applied per group; arrays posexploded so the
+        # driver hashes every interval bound
+        out = C.ts_conformal_apply_by(_fv_df(spark, sf), "id", "forecast", 5.0)
+        return (out.select("id", F.posexplode(F.arrays_zip("lower", "upper"))
+                           .alias("step", "__lu"))
+                   .select("id", "step",
+                           F.col("__lu.lower").alias("lower"),
+                           F.col("__lu.upper").alias("upper")))
+
+    def q_asymmetric(spark, sf):
+        # separate upper/lower corrected quantiles at alpha/2 on the signed
+        # residual sides; full point/lower/upper arrays posexploded
+        out = C.ts_conformal_by(_fv_df(spark, sf), "id", "actual", "forecast",
+                                "forecast", {"alpha": 0.1,
+                                             "method": "asymmetric"})
+        return (out.select("id", "coverage", "conformity_score", "method",
+                           F.posexplode(F.arrays_zip("point", "lower", "upper"))
+                           .alias("step", "__plu"))
+                   .select("id", "step", F.col("__plu.point").alias("point"),
+                           F.col("__plu.lower").alias("lower"),
+                           F.col("__plu.upper").alias("upper"),
+                           "coverage", "conformity_score", "method"))
+
     def q_bootstrap_quantiles(spark, sf):
         # ds-ordered residual list (index-based md5 draws need a defined
         # order) + posexploded values so the driver can hash scalars
@@ -444,6 +468,8 @@ def _conformal_queries():
         "conformal_learn_absolute": _learn("absolute"),
         "conformal_learn_normalized": _learn("normalized"),
         "conformal_bootstrap_quantiles": q_bootstrap_quantiles,
+        "conformal_apply": q_apply,
+        "conformal_asymmetric": q_asymmetric,
     }
 
 
@@ -520,6 +546,13 @@ def _analytics_queries():
         # scan in SQL on the truncated panel
         return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
                                       "y", {"method": "matrix_profile"})
+
+    def q_periods_multi(spark, sf):
+        # iterative detect-remove-repeat (3 rounds): each round's residual
+        # feeds the next round's periodogram, so the oracle unrolls the
+        # full recursion; truncated panel keeps the 3x DFT replay tractable
+        return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
+                                      "y", {"method": "multi"})
 
     def q_peak_timing(spark, sf):
         # scalar projection (arrays can't be driver-hashed); exact oracle
@@ -613,6 +646,11 @@ def _analytics_queries():
         "detect_periods_aic": _periods_m("aic"),
         "detect_periods_ssa": q_periods_ssa,
         "detect_periods_matrix_profile": q_periods_matrix_profile,
+        "detect_periods_regression": _periods_m("regression"),
+        "detect_periods_cfd_autoperiod": _periods_m("cfd_autoperiod"),
+        "detect_periods_stl": _periods_m("stl"),
+        "detect_periods_sazed": _periods_m("sazed"),
+        "detect_periods_multi": q_periods_multi,
         "detect_changepoints": q_changepoints,
         "detect_peaks": q_peaks,
         "mstl_decomposition": q_mstl,
@@ -924,7 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_auto_ets": _forecast_query(
             "AutoETS", {"seasonal_period": SEASON}, trunc=144),
         "forecast_arima": _forecast_query("ARIMA", {"p": 1, "d": 1, "q": 1}),
-        "forecast_auto_arima": _forecast_query("AutoARIMA"),
+        # truncated panel like the other heavy optimizer replays (HW/ETS/
+        # MFLES/TBATS): the oracle chains 11-12 CSS Nelder-Meads per series
+        "forecast_auto_arima": _forecast_query("AutoARIMA", trunc=144),
         "forecast_theta": _forecast_query("Theta"),
         "forecast_optimized_theta": _forecast_query("OptimizedTheta"),
         "forecast_dynamic_theta": _forecast_query("DynamicTheta"),
@@ -1122,56 +1162,46 @@ _WINDOW = [
     # regression core: one hash-checked slot per proven family
     "forecast_naive", "hier_aggregate", "cv_folds", "conformal_by",
     "dedup_minhash_md5", "text_quality", "stats_sql",
-    # never-driver-checked (cumulative coverage -> 149/149): oracle-backed
-    "peak_timing", "streaming_dedup_exact", "cv_backtest", "forecast_inspect",
-    # never-driver-checked: rows-gated (optimizer/iterative/RNG internals)
-    "conformal_bootstrap", "conformal_bootstrap_quantiles",
-    "features_full", "detect_periods_ssa",
-    "dedup_minhash_lsh", "dedup_simhash", "similarity_topk_ivf",
-    # upgraded rows->oracle in r4: matrix-profile all-lag scan, the full
-    # BOCPD run-length recursion, and the SESOptimized golden-section
-    # search — each re-derived in SQL
-    "detect_periods_matrix_profile", "detect_changepoints_bocpd",
-    "cv_forecast", "mstl_decomposition", "forecast_exog_theta",
-    # new oracle-backed variant: stored-centroid IVF rebuild
-    "similarity_topk_ivf_fixed",
-    # round-3 hash misses, contracts pinned this round (float32 round-trip /
-    # 6-decimal quantum) — must show green in r4
-    "instantaneous_period", "multimodal_features",
-    # r4b: MFLES (gradient-boosted decomposition, no optimizer — fully
-    # unrolled boost rounds) and TBATS (harmonic regression via explicit
-    # normal equations + unrolled Cholesky) got exact oracles; they take
-    # the slots of the analyze_seasonality / amplitude_modulation re-pin
-    # checks, which are bit-exact in the full local audit at both scales
-    "forecast_mfles", "forecast_tbats",
-    # 3-param Nelder-Mead Holt-Winters replay (truncated panel): the AAA
-    # ETS spec routes through the same path, and the HW introspection's
-    # alpha/aic/bic ride the same fold
-    "forecast_holt_winters", "forecast_inspect_hw",
-    # optimizer models upgraded rows->oracle late in r4: golden-section /
-    # aggregation recursions replayed in SQL (theta family, SES/SeasonalES/
-    # Croston optimized, ADIDA, IMAPA, MSTL forecast)
-    "forecast_theta", "forecast_dynamic_theta", "forecast_ses_optimized",
-    "forecast_croston_optimized", "forecast_mstl",
-    # r4b: the auto-model selectors got exact oracles (periodogram season
-    # detection replayed in SQL + the detected-path pipelines); they take
-    # the ADIDA / IMAPA / SeasonalESOptimized slots, which are bit-exact
-    # in the full local audit at both scales
-    "forecast_auto_mfles", "forecast_auto_mstl", "forecast_auto_tbats",
-    # regression slots for this round's code changes (ts_stats rest_udf
-    # fix, prep NaN-vs-NULL unification, ETS multiplicative-error rewrite);
-    # r4b swapped the multiply-proven forecast_ses / cv_forecast_naive
-    # slots for the two new exact oracles: the true M-error ETS(M,A,M)
-    # NM-on--2logL replay and the Laplace(auto) 4-leaf ensemble (their SES
-    # and CV code paths stay covered by forecast_ses_optimized and
-    # cv_forecast)
-    "stats_full", "prep_drop_gappy", "prep_drop_zeros", "forecast_ets",
-    "forecast_auto_ets", "forecast_ets_mam", "forecast_laplace",
-    # Nelder-Mead oracles landed last (simplex recursion replayed in SQL):
-    # Holt, OptimizedTheta (+Dynamic twin), AutoTheta best-of-pool
-    "forecast_holt", "forecast_optimized_theta",
-    "forecast_dynamic_optimized_theta", "forecast_auto_theta",
-    "forecast_arima",
+    # the r4 red, fixed this round (signed-zero normalization in the
+    # features_sql im_k DC bin + the contract-layer `+ 0.0` pin)
+    "features_full",
+    # oracle-ready since r4b but never driver-verified (local audit
+    # bit-exact at both scales): the last three optimizer-family gaps
+    "forecast_adida", "forecast_imapa", "forecast_seasonal_es_optimized",
+    # NEW r5: AutoARIMA order-grid + CSS Nelder-Mead replay — the last
+    # rows-only query of the 151-query ledger
+    "forecast_auto_arima",
+    # NEW r5: the five period methods that never had driver keys
+    # (regression/cfd share the proven fft/autoperiod replays; stl, sazed,
+    # and the 3-round iterative multi get fresh exact oracles)
+    "detect_periods_regression", "detect_periods_cfd_autoperiod",
+    "detect_periods_stl", "detect_periods_sazed", "detect_periods_multi",
+    # NEW r5: the last test-gated conformal surfaces — apply-by and the
+    # asymmetric method, both full-array-verified via posexplode
+    "conformal_apply", "conformal_asymmetric",
+    # code changed this round: MinHash band explode slimmed to
+    # (id, sig, band, key) with shingle verify-join — re-verify both modes
+    # (md5 mode sits in the regression core above)
+    "dedup_minhash_lsh", "dedup_simhash",
+    # contract-layer change this round (round-pin wrapper now withColumns
+    # + signed-zero normalization on both sides): re-verify one pinned
+    # query per family — SQL-path forecasts, optimizer replays, truncated
+    # -panel NM models, metrics, detection, stats, cv, conformal,
+    # similarity, multimodal, streaming
+    "forecast_ses", "forecast_sma", "forecast_swa",
+    "forecast_theta", "forecast_holt_winters",
+    "forecast_ets_mam", "forecast_laplace", "forecast_arima",
+    "forecast_auto_ets", "forecast_auto_theta",
+    "metric_mae", "metric_mqloss",
+    "prep_fill_gaps", "prep_diff",
+    "detect_periods", "detect_periods_ssa", "detect_changepoints_bocpd",
+    "mstl_decomposition", "instantaneous_period", "peak_timing",
+    "stats_full", "features_sql",
+    "cv_forecast", "cv_backtest",
+    "conformal_bootstrap",
+    "similarity_topk", "similarity_topk_ivf",
+    "multimodal_features",
+    "streaming_windowed_stats",
 ]
 
 
@@ -1211,6 +1241,11 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "detect_periods_aic": (_PERIODS_COLS, 6),
     "detect_periods_matrix_profile": (_PERIODS_COLS, 6),
     "detect_periods_ssa": (_PERIODS_COLS, 6),
+    "detect_periods_regression": (_PERIODS_COLS, 6),
+    "detect_periods_cfd_autoperiod": (_PERIODS_COLS, 6),
+    "detect_periods_stl": (_PERIODS_COLS, 6),
+    "detect_periods_sazed": (_PERIODS_COLS, 6),
+    "detect_periods_multi": (_PERIODS_COLS, 6),
     "detect_changepoints_bocpd": (["changepoint_probability"], 6),
     "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
     "seasonal_strength": (["seasonal_strength"], 6),
@@ -1242,7 +1277,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_seasonal_es_optimized": _FC4, "forecast_mstl": _FC4,
     "forecast_holt": _FC4, "forecast_optimized_theta": _FC4,
     "forecast_dynamic_optimized_theta": _FC4, "forecast_auto_theta": _FC4,
-    "forecast_arima": _FC4,
+    "forecast_arima": _FC4, "forecast_auto_arima": _FC4,
     "forecast_holt_winters": _FC4, "forecast_ets": _FC4,
     "forecast_ets_mam": _FC4, "forecast_laplace": _FC4,
     "forecast_mfles": _FC4, "forecast_tbats": _FC4,
@@ -1284,10 +1319,16 @@ def _round_pin_queries(q: dict) -> dict:
 
     def wrap(fn, cols, nd):
         def run(spark, sf):
-            df = fn(spark, sf)
-            rep = {c: F.round(F.col(c), nd).alias(c) for c in cols}
-            return df.select(*[rep.get(f.name, F.col(f.name))
-                               for f in df.schema.fields])
+            # withColumns replaces in place (order preserved) WITHOUT the
+            # eager df.schema analysis a rebuild-the-select wrapper needs;
+            # that extra driver-side analyze pass measured ~0.2 s/run on the
+            # widest plan (stats_sql, the r4 bench regression).
+            # `+ 0.0` normalizes IEEE signed zero after rounding (both
+            # engines: -0.0 + 0.0 == +0.0) — round(-2e-16, 6) is -0.0 in
+            # DuckDB but +0.0 via numpy, the exact artifact that broke
+            # features_full in r4 and one multi-period row in r5 dev.
+            return fn(spark, sf).withColumns(
+                {c: F.round(F.col(c), nd) + F.lit(0.0) for c in cols})
         return run
 
     for name, (cols, nd) in _ROUND_PIN.items():
@@ -1299,7 +1340,8 @@ def _round_pin_queries(q: dict) -> dict:
 def _round_pin_oracles(o: dict) -> dict:
     for name, (cols, nd) in _ROUND_PIN.items():
         if name in o:
-            rep = ", ".join(f"round({c}, {nd}) AS {c}" for c in cols)
+            # `+ 0.0` mirrors the query-side signed-zero normalization
+            rep = ", ".join(f"round({c}, {nd}) + 0.0 AS {c}" for c in cols)
             o[name] = f"SELECT * REPLACE ({rep}) FROM (\n{o[name]}\n)"
     return o
 
@@ -2799,6 +2841,305 @@ FROM steps
 _TRUNC_PANEL_SQL = f"""SELECT id, ds, y FROM (
   SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
   FROM ({LINEITEM_PANEL_SQL})) WHERE rn <= 144"""
+
+
+def _aa_obj(v):
+    """CSS objective (models._arima_css css + 1e300 guard) for coefficient
+    list expression `v`; uses columns p, q, el in scope."""
+    err = (f"e[1]"
+           f" - (CASE WHEN p >= 1 THEN {v}[1] * e[2] ELSE 0.0 END)"
+           f" - (CASE WHEN p >= 2 THEN {v}[2] * e[3] ELSE 0.0 END)"
+           f" - (CASE WHEN p >= 3 THEN {v}[3] * e[4] ELSE 0.0 END)"
+           f" - (CASE WHEN q >= 1 THEN {v}[p + 1] * acc[1] ELSE 0.0 END)"
+           f" - (CASE WHEN q >= 2 THEN {v}[p + 2] * acc[2] ELSE 0.0 END)")
+    fold = (f"list_reduce(el, (acc, e) -> list_transform([{err}], z -> "
+            f"CAST([z, acc[1], acc[3] + z * z, 0.0] AS DOUBLE[]))[1])[3]")
+    return (f"list_transform([{fold}], ssv -> "
+            f"CASE WHEN isfinite(ssv) THEN ssv ELSE 1e300 END)[1]")
+
+
+_AA_CLIP = "least(greatest({e}, -0.99), 0.99)"
+
+
+def _auto_arima_oracle(h: int = HORIZON) -> str:
+    """AutoARIMA (models._auto_arima): d by variance-minimization over
+    (0..2), then an 11-12 cell (p 0..3, q 0..2) grid of CSS ARMA fits —
+    each a Nelder-Mead over p+q dims replayed as one generic recursive CTE
+    whose simplex is a sorted LIST(STRUCT(f, i, x DOUBLE[])) (stable
+    argsort = struct sort on (f, position)); AR-OLS inits via the explicit
+    1-lag ratio / 2x2 / 3x3 Cramer normal equations (sequential Gram sums,
+    matching models._arima_css); cell selection by AICc (ties -> grid
+    order); the winning cell's forecast replays the padded-coefficient
+    ARMA recursion, d-fold cumulative reintegration, and psi-weight
+    intervals. Bit-exact vs the pandas UDF at sf0.001 and sf0.01.
+    Ref: benchmark/README.md:55 (AutoARIMA headline), ts_forecast_by tests.
+    """
+    gram2 = """
+   list_sum(list_transform(generate_series(1, n - 2),
+            r -> xcl[r + 1] * xcl[r + 1])) AS g200,
+   list_sum(list_transform(generate_series(1, n - 2),
+            r -> xcl[r + 1] * xcl[r])) AS g201,
+   list_sum(list_transform(generate_series(1, n - 2),
+            r -> xcl[r] * xcl[r])) AS g211,
+   list_sum(list_transform(generate_series(1, n - 2),
+            r -> xcl[r + 1] * xcl[r + 2])) AS b20,
+   list_sum(list_transform(generate_series(1, n - 2),
+            r -> xcl[r] * xcl[r + 2])) AS b21"""
+    g3 = ",\n".join(
+        f"""   list_sum(list_transform(generate_series(1, n - 3),
+            r -> xcl[r + 2 - {i}] * xcl[r + 2 - {j}])) AS g3{i}{j}"""
+        for i in range(3) for j in range(3) if i <= j)
+    b3 = ",\n".join(
+        f"""   list_sum(list_transform(generate_series(1, n - 3),
+            r -> xcl[r + 2 - {i}] * xcl[r + 3])) AS b3{i}"""
+        for i in range(3))
+    c95 = lambda e: f"least(greatest({e}, -0.95), 0.95)"  # noqa: E731
+
+    # initial simplex: x0 + per-dim offsets, clipped; f via obj; sorted
+    point_k = ("list_transform(generate_series(1, p + q), j -> "
+               "least(greatest(CASE WHEN j = k THEN x0[j] + "
+               "(CASE WHEN x0[j] = 0 THEN 0.1 "
+               "ELSE 0.1 * abs(x0[j]) + 0.05 END) "
+               "ELSE x0[j] END, -0.99), 0.99))")
+    init_sx = (f"list_sort(list_transform(generate_series(0, p + q), k -> "
+               f"list_transform([{point_k}], px -> "
+               f"{{'f': {_aa_obj('px')}, 'i': k, 'x': px}})[1]))")
+
+    # recursion step pieces (columns: sx sorted, m = len(sx), d_ = m - 1)
+    cent = ("list_transform(generate_series(1, p + q), j -> "
+            "list_sum(list_transform(generate_series(1, p + q), i2 -> "
+            "sx[i2].x[j])) / (p + q))")
+    xr = ("list_transform(generate_series(1, p + q), j -> " +
+          _AA_CLIP.format(e="cl[j] + (cl[j] - sx[p + q + 1].x[j])") + ")")
+    xe = ("list_transform(generate_series(1, p + q), j -> " +
+          _AA_CLIP.format(e="cl[j] + 2.0 * (cl[j] - sx[p + q + 1].x[j])") + ")")
+    xcon = ("list_transform(generate_series(1, p + q), j -> " +
+            _AA_CLIP.format(e="cl[j] + 0.5 * (sx[p + q + 1].x[j] - cl[j])") + ")")
+
+    # non-shrink replacement of the worst point, reindexed + stable-sorted
+    newsx_repl = ("list_sort(list_transform(generate_series(1, p + q + 1), "
+                  "i2 -> CASE WHEN i2 <= p + q THEN "
+                  "{'f': sx[i2].f, 'i': i2 - 1, 'x': sx[i2].x} "
+                  "ELSE {'f': nf, 'i': p + q, 'x': nx} END))")
+    shr_pt = ("list_transform(generate_series(1, p + q), j -> " +
+              _AA_CLIP.format(e="sx[1].x[j] + 0.5 * (sx[i2].x[j] - sx[1].x[j])")
+              + ")")
+    newsx_shr = (f"list_sort(list_transform(generate_series(1, p + q + 1), "
+                 f"i2 -> CASE WHEN i2 = 1 THEN "
+                 f"{{'f': sx[1].f, 'i': 0, 'x': sx[1].x}} "
+                 f"ELSE list_transform([{shr_pt}], spx -> "
+                 f"{{'f': {_aa_obj('spx')}, 'i': i2 - 1, 'x': spx}})[1] END))")
+
+    ar1_ratio = c95("(list_sum(list_transform(generate_series(1, n - 1), "
+                    "t -> xcl[t] * xcl[t + 1])) "
+                    "/ list_sum(list_transform(generate_series(1, n - 1), "
+                    "t -> xcl[t] * xcl[t])))")
+    c2a = c95("(b20 * g211 - g201 * b21) / dt")
+    c2b = c95("(g200 * b21 - b20 * g201) / dt")
+    c3a = c95("(b30 * (g311 * g322 - g312 * g312) "
+              "- g301 * (b31 * g322 - g312 * b32) "
+              "+ g302 * (b31 * g312 - g311 * b32)) / dt")
+    c3b = c95("(g300 * (b31 * g322 - g312 * b32) "
+              "- b30 * (g301 * g322 - g312 * g302) "
+              "+ g302 * (g301 * b32 - b31 * g302)) / dt")
+    c3c = c95("(g300 * (g311 * b32 - b31 * g312) "
+              "- g301 * (g301 * b32 - b31 * g302) "
+              "+ b30 * (g301 * g312 - g311 * g302)) / dt")
+    np_ = "p + q + 1"
+    return f"""
+WITH RECURSIVE panel AS ({_TRUNC_PANEL_SQL}),
+s0 AS (SELECT id, max(ds) AS max_ds, count(*) AS n0,
+              list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+       FROM panel GROUP BY id HAVING count(*) >= 3),
+dfx AS (SELECT *, list_transform(generate_series(2, n0),
+                                 t -> ys[t] - ys[t - 1]) AS x1 FROM s0),
+dfy AS (SELECT *, list_transform(generate_series(2, n0 - 1),
+                                 t -> x1[t] - x1[t - 1]) AS x2 FROM dfx),
+vr AS (SELECT *,
+   CASE WHEN n0 > 2 THEN list_transform([list_sum(ys) / n0], mv ->
+        list_sum(list_transform(ys, v -> (v - mv) * (v - mv))) / n0)[1]
+        ELSE 1e308 END AS v0,
+   CASE WHEN n0 - 1 > 2 THEN list_transform([list_sum(x1) / (n0 - 1)], mv ->
+        list_sum(list_transform(x1, v -> (v - mv) * (v - mv))) / (n0 - 1))[1]
+        ELSE 1e308 END AS v1,
+   CASE WHEN n0 - 2 > 2 THEN list_transform([list_sum(x2) / (n0 - 2)], mv ->
+        list_sum(list_transform(x2, v -> (v - mv) * (v - mv))) / (n0 - 2))[1]
+        ELSE 1e308 END AS v2
+   FROM dfy),
+dd AS (SELECT *, CASE WHEN v0 <= v1 AND v0 <= v2 THEN 0
+                      WHEN v1 <= v2 THEN 1 ELSE 2 END AS d FROM vr),
+xx AS (SELECT id, max_ds, n0, ys, d,
+              CASE d WHEN 0 THEN ys WHEN 1 THEN x1 ELSE x2 END AS x,
+              n0 - d AS n
+       FROM dd),
+mz AS (SELECT *, list_sum(x) / n AS mean_x FROM xx),
+xcn AS (SELECT *, list_transform(x, v -> v - mean_x) AS xcl FROM mz),
+pe AS (SELECT *, list_prepend(
+         CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+         list_transform(generate_series(1, n), t ->
+           CAST([xcl[t],
+                 CASE WHEN t > 1 THEN xcl[t - 1] ELSE 0.0 END,
+                 CASE WHEN t > 2 THEN xcl[t - 2] ELSE 0.0 END,
+                 CASE WHEN t > 3 THEN xcl[t - 3] ELSE 0.0 END]
+                AS DOUBLE[]))) AS el
+       FROM xcn),
+iv AS (SELECT *,
+   CASE WHEN list_sum(list_transform(generate_series(1, n - 1),
+                      t -> xcl[t] * xcl[t])) = 0 THEN 0.0
+        ELSE {ar1_ratio} END AS a1,
+{gram2},
+{g3},
+{b3}
+   FROM pe),
+i2v AS (SELECT *,
+   list_transform([g200 * g211 - g201 * g201], dt ->
+     CASE WHEN dt <> 0 AND isfinite(dt) THEN
+       [{c2a},
+        {c2b}]
+     ELSE [0.0, 0.0] END)[1] AS i2,
+   list_transform([g300 * (g311 * g322 - g312 * g312)
+                   - g301 * (g301 * g322 - g312 * g302)
+                   + g302 * (g301 * g312 - g311 * g302)], dt ->
+     CASE WHEN dt <> 0 AND isfinite(dt) THEN
+       [{c3a},
+        {c3b},
+        {c3c}]
+     ELSE [0.0, 0.0, 0.0] END)[1] AS i3
+   FROM iv),
+grid(p, q, ord) AS (VALUES (0,0,0),(0,1,1),(0,2,2),(1,0,3),(1,1,4),(1,2,5),
+                           (2,0,6),(2,1,7),(2,2,8),(3,0,9),(3,1,10),(3,2,11)),
+cells AS (SELECT i2v.*, g.p, g.q, g.ord,
+                 (CASE g.p WHEN 0 THEN CAST([] AS DOUBLE[])
+                           WHEN 1 THEN [a1]
+                           WHEN 2 THEN i2 ELSE i3 END)
+                 || (CASE g.q WHEN 0 THEN CAST([] AS DOUBLE[])
+                              WHEN 1 THEN [0.0] ELSE [0.0, 0.0] END) AS x0
+          FROM i2v CROSS JOIN grid g
+          WHERE NOT (g.p = 0 AND g.q = 0 AND i2v.d = 0)
+            AND i2v.n >= g.p + g.q + 3
+            AND g.p + g.q > 0),
+nm AS (
+  SELECT id, p, q, ord, n, el, 0 AS it, {init_sx} AS sx
+  FROM cells
+  UNION ALL
+  SELECT id, p, q, ord, n, el, it + 1,
+         CASE WHEN shrink THEN {newsx_shr} ELSE {newsx_repl} END
+  FROM (
+    SELECT *,
+           CASE WHEN fr < sx[1].f THEN
+                  (CASE WHEN fe < fr THEN xel ELSE xrl END)
+                WHEN fr < sx[p + q].f THEN xrl
+                WHEN fcv < sx[{np_}].f THEN xcl2
+                ELSE CAST(NULL AS DOUBLE[]) END AS nx,
+           CASE WHEN fr < sx[1].f THEN
+                  (CASE WHEN fe < fr THEN fe ELSE fr END)
+                WHEN fr < sx[p + q].f THEN fr
+                WHEN fcv < sx[{np_}].f THEN fcv
+                ELSE CAST(NULL AS DOUBLE) END AS nf,
+           NOT (fr < sx[1].f) AND NOT (fr < sx[p + q].f)
+             AND NOT (fcv < sx[{np_}].f) AS shrink
+    FROM (
+      SELECT *,
+             CASE WHEN fr < sx[1].f THEN {_aa_obj('xel')} END AS fe,
+             CASE WHEN NOT (fr < sx[1].f) AND NOT (fr < sx[p + q].f)
+                  THEN {_aa_obj('xcl2')} END AS fcv
+      FROM (
+        SELECT *, {_aa_obj('xrl')} AS fr, {xe} AS xel, {xcon} AS xcl2
+        FROM (
+          SELECT *, {xr} AS xrl
+          FROM (
+            SELECT *, {cent} AS cl
+            FROM nm
+            WHERE it < 80 AND sx[{np_}].f - sx[1].f >= 1e-6
+          ) q0) q1) q2) q3) q4),
+fin AS (SELECT id, p, q, ord, n, el, sx[1].f AS sse, sx[1].x AS v
+        FROM (SELECT *, row_number() OVER (PARTITION BY id, ord
+                                           ORDER BY it DESC) AS rk
+              FROM nm) WHERE rk = 1),
+zc AS (SELECT id, 0 AS p, 0 AS q, 0 AS ord, n, el,
+              list_sum(list_transform(xcl, v -> v * v)) AS sse,
+              CAST([] AS DOUBLE[]) AS v
+       FROM i2v WHERE d > 0 AND n >= 3),
+allc AS (SELECT * FROM fin UNION ALL SELECT * FROM zc),
+scored AS (SELECT *,
+       CASE WHEN sse <= 0 OR sse >= 1e300 OR n - (p + q + 1) - 1 <= 0
+            THEN CAST('infinity' AS DOUBLE)
+            ELSE n * ln(sse / n) + 2 * (p + q + 1)
+                 + (2.0 * (p + q + 1) * (p + q + 2)) / (n - (p + q + 1) - 1)
+       END AS aicc
+       FROM allc),
+best AS (SELECT id, p, q, sse, v FROM (
+           SELECT *, row_number() OVER (PARTITION BY id
+                                        ORDER BY aicc ASC, ord ASC) AS rb
+           FROM scored WHERE isfinite(aicc)) WHERE rb = 1),
+bb AS (SELECT b.id, b.p, b.q, b.sse, b.v, w2.max_ds, w2.n0, w2.ys, w2.d,
+              w2.n, w2.mean_x, w2.xcl, w2.el,
+              CASE WHEN b.p >= 1 THEN b.v[1] ELSE 0.0 END AS f1,
+              CASE WHEN b.p >= 2 THEN b.v[2] ELSE 0.0 END AS f2,
+              CASE WHEN b.p >= 3 THEN b.v[3] ELSE 0.0 END AS f3,
+              CASE WHEN b.q >= 1 THEN b.v[b.p + 1] ELSE 0.0 END AS t1,
+              CASE WHEN b.q >= 2 THEN b.v[b.p + 2] ELSE 0.0 END AS t2
+       FROM best b JOIN pe w2 ON w2.id = b.id),
+ee AS (SELECT *, list_reduce(el, (acc, e) ->
+         list_transform([e[1]
+             - (CASE WHEN p >= 1 THEN v[1] * e[2] ELSE 0.0 END)
+             - (CASE WHEN p >= 2 THEN v[2] * e[3] ELSE 0.0 END)
+             - (CASE WHEN p >= 3 THEN v[3] * e[4] ELSE 0.0 END)
+             - (CASE WHEN q >= 1 THEN v[p + 1] * acc[1] ELSE 0.0 END)
+             - (CASE WHEN q >= 2 THEN v[p + 2] * acc[2] ELSE 0.0 END)],
+           z -> CAST([z, acc[1], acc[3] + z * z, 0.0] AS DOUBLE[]))[1]) AS fa
+       FROM bb),
+fc AS (SELECT *, fa[1] AS e1, fa[2] AS e2 FROM ee),
+f0 AS (SELECT *,
+         f1 * xcl[n] + f2 * xcl[n - 1] + f3 * xcl[n - 2]
+           + t1 * e1 + t2 * e2 AS fc1 FROM fc),
+f0b AS (SELECT *,
+         f1 * fc1 + f2 * xcl[n] + f3 * xcl[n - 1] + t2 * e1 AS fc2 FROM f0),
+f0c AS (SELECT *, f1 * fc2 + f2 * fc1 + f3 * xcl[n] AS fc3 FROM f0b),
+f0d AS (SELECT *, f1 * fc3 + f2 * fc2 + f3 * fc1 AS fc4 FROM f0c),
+f0e AS (SELECT *, f1 * fc4 + f2 * fc3 + f3 * fc2 AS fc5 FROM f0d),
+f0f AS (SELECT *, f1 * fc5 + f2 * fc4 + f3 * fc3 AS fc6 FROM f0e),
+f0g AS (SELECT *, f1 * fc6 + f2 * fc5 + f3 * fc4 AS fc7 FROM f0f),
+fm AS (SELECT *, [fc1 + mean_x, fc2 + mean_x, fc3 + mean_x, fc4 + mean_x,
+                  fc5 + mean_x, fc6 + mean_x, fc7 + mean_x] AS fcm FROM f0g),
+p0 AS (SELECT *, 1.0 AS ps0,
+         (CASE WHEN q >= 1 THEN v[p + 1] ELSE 0.0 END) + f1 * 1.0 AS ps1
+       FROM fm),
+p1 AS (SELECT *, (CASE WHEN q >= 2 THEN v[p + 2] ELSE 0.0 END)
+                 + f1 * ps1 + f2 * ps0 AS ps2 FROM p0),
+p2 AS (SELECT *, f1 * ps2 + f2 * ps1 + f3 * ps0 AS ps3 FROM p1),
+p3 AS (SELECT *, f1 * ps3 + f2 * ps2 + f3 * ps1 AS ps4 FROM p2),
+p4 AS (SELECT *, f1 * ps4 + f2 * ps3 + f3 * ps2 AS ps5 FROM p3),
+p5 AS (SELECT *, f1 * ps5 + f2 * ps4 + f3 * ps3 AS ps6 FROM p4),
+pw AS (SELECT *, [ps0, ps1, ps2, ps3, ps4, ps5, ps6] AS psil,
+              sse / greatest(n - p - q - 1, 1) AS sig2 FROM p5),
+pt AS (SELECT *,
+         CASE d
+           WHEN 0 THEN fcm
+           WHEN 1 THEN list_transform(generate_series(1, {h}), s ->
+                         ys[n0] + list_sum(list_slice(fcm, 1, s)))
+           ELSE list_transform([list_transform(generate_series(1, {h}), s ->
+                  (ys[n0] - ys[n0 - 1]) + list_sum(list_slice(fcm, 1, s)))],
+                  inn -> list_transform(generate_series(1, {h}), s ->
+                    ys[n0] + list_sum(list_slice(inn, 1, s))))[1]
+         END AS ptl,
+         list_transform(generate_series(1, {h}), s ->
+           sqrt(list_sum(list_transform(list_slice(psil, 1, s),
+                                        pv -> pv * pv)) * sig2)
+           * (CASE WHEN d > 0 THEN sqrt(CAST(s AS DOUBLE)) ELSE 1.0 END))
+           AS wl
+       FROM pw),
+steps AS (SELECT id, max_ds, ptl, wl,
+                 unnest(generate_series(1, {h})) AS step FROM pt)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       ptl[step] AS yhat,
+       ptl[step] - {Z90!r} * wl[step] AS yhat_lower,
+       ptl[step] + {Z90!r} * wl[step] AS yhat_upper,
+       'AutoARIMA' AS model_name
+FROM steps
+"""
+
 
 
 def _fexp_hw(a, b, g):
@@ -4904,6 +5245,45 @@ SELECT id,
                   THEN 20.0 * (actual - (forecast + 5.0)) ELSE 0.0 END) AS winkler_score
 FROM fv GROUP BY id
 """
+    # conformal.ts_conformal_apply_by(score=5.0): per-group value-ordered
+    # forecast list, each element ∓ score, positions 0-based
+    o["conformal_apply"] = f"""
+WITH {_FV2},
+g AS (SELECT id, list(forecast ORDER BY forecast) AS fs, count(*) AS m
+      FROM fv GROUP BY id),
+pos AS (SELECT id, fs, unnest(generate_series(1, m)) AS t FROM g)
+SELECT id, CAST(t - 1 AS INT) AS step,
+       fs[t] - 5.0 AS lower, fs[t] + 5.0 AS upper
+FROM pos
+"""
+    # conformal.ts_conformal_by(method='asymmetric', alpha=0.1): separate
+    # corrected quantiles at alpha/2 = 0.05 — upper margin from the positive
+    # residuals, lower margin from |negative residuals|; an empty side
+    # contributes margin 0.0 (conformal.py::ts_conformal_by asymmetric arm)
+    cq95 = _CQ.format(cov=0.95)
+    o["conformal_asymmetric"] = f"""
+WITH {_FV2},
+r AS (SELECT id, actual - forecast AS r, forecast FROM fv),
+posq AS (SELECT id, {cq95} AS up_m FROM
+  (SELECT id, list(r ORDER BY r) AS arr, CAST(count(*) AS DOUBLE) AS n
+   FROM r WHERE r > 0 GROUP BY id)),
+negq AS (SELECT id, {cq95} AS lo_m FROM
+  (SELECT id, list(abs(r) ORDER BY abs(r)) AS arr,
+          CAST(count(*) AS DOUBLE) AS n
+   FROM r WHERE r < 0 GROUP BY id)),
+pts AS (SELECT id, list(forecast ORDER BY forecast) AS fs, count(*) AS m
+        FROM r GROUP BY id),
+sc AS (SELECT pts.id, fs, m, coalesce(up_m, 0.0) AS up_m,
+              coalesce(lo_m, 0.0) AS lo_m
+       FROM pts LEFT JOIN posq USING (id) LEFT JOIN negq USING (id)),
+pos AS (SELECT id, fs, up_m, lo_m, unnest(generate_series(1, m)) AS t
+        FROM sc)
+SELECT id, CAST(t - 1 AS INT) AS step, fs[t] AS point,
+       fs[t] - lo_m AS lower, fs[t] + up_m AS upper,
+       0.9 AS coverage, (lo_m + up_m) / 2.0 AS conformity_score,
+       'asymmetric_conformal' AS method
+FROM pos
+"""
     # conformal.ts_bootstrap_intervals_by with rng='md5' (n_boot=50, h=7,
     # cl=0.90, seed=42): the engine-portable draw lets SQL replay every
     # resample index, so the whole bootstrap is value-checkable.
@@ -5637,6 +6017,290 @@ SELECT id, CAST(bk AS INT) AS period,
        CAST(bk AS INT) AS primary_period,
        'lomb_scargle' AS method
 FROM best
+"""
+    # 'regression' routes through the identical FFT-top-3 branch
+    # (detect.py `m in ("fft", "regression")`); 'cfd_autoperiod' shares the
+    # autoperiod branch (`m in ("autoperiod", "cfd_autoperiod")`). Only the
+    # echoed method label differs, so the oracles are label rewrites of the
+    # already-verified fft / autoperiod replays.
+    o["detect_periods_regression"] = o["detect_periods_fft"].replace(
+        "'fft'", "'regression'")
+    o["detect_periods_cfd_autoperiod"] = o["detect_periods_autoperiod"] \
+        .replace("'autoperiod'", "'cfd_autoperiod'")
+
+    # half-even (python round()) of an arbitrary expression
+    def _she(u: str) -> str:
+        return (f"CASE WHEN {u} - floor({u}) > 0.5 THEN floor({u}) + 1 "
+                f"WHEN {u} - floor({u}) < 0.5 THEN floor({u}) "
+                f"WHEN CAST(floor({u}) AS BIGINT) % 2 = 0 THEN floor({u}) "
+                f"ELSE floor({u}) + 1 END")
+
+    # STL-flavored period pick (detect.py::_stl_period): top-5 periodogram
+    # candidate periods, each scored by the seasonal-means fit SSE on the
+    # linearly detrended RAW series; best = first candidate (periodogram
+    # order) with a strictly minimal remainder ratio, which must beat the
+    # 1.0 initialization; confidence = 1 - ratio.
+    o["detect_periods_stl"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             CASE WHEN var_pop(CAST(y AS DOUBLE)) = 0 THEN 1.0
+                  ELSE var_pop(CAST(y AS DOUBLE)) END AS vy,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(xl) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM x0) GROUP BY id),
+xd AS (SELECT x0.id, x0.n, x0.amp, x0.vy,
+              list_transform(generate_series(1, x0.n),
+                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM x0 JOIN reg ON reg.id = x0.id),
+bins AS (SELECT id, n, amp, vy, unnest(generate_series(1, n // 2)) AS k, w
+         FROM xd),
+spec AS (SELECT id, n, amp, vy, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM bins),
+cand5 AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY id
+                                         ORDER BY sp DESC, k DESC) AS it
+            FROM spec
+            WHERE CAST(n AS DOUBLE) / k >= 2.0
+              AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE))
+          WHERE it <= 5),
+pc AS (SELECT id, n, amp, vy, it, {half_even_nk} AS p FROM cand5),
+regy AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+         FROM (SELECT id, unnest(l) AS v,
+                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+               FROM s) GROUP BY id),
+xs AS (SELECT s.id, list_transform(generate_series(1, s.n),
+              t -> s.l[t] - (regy.b0 + regy.b1 * (t - 1))) AS x
+       FROM s JOIN regy ON regy.id = s.id),
+fit AS (SELECT pc.id, pc.n, pc.amp, pc.vy, pc.it, pc.p, xs.x,
+               list_transform(generate_series(0, pc.p - 1),
+                 ph -> coalesce(list_aggregate(
+                         list_slice(xs.x, ph + 1, pc.n, pc.p), 'avg'), 0.0)) AS mph
+        FROM pc JOIN xs ON xs.id = pc.id
+        WHERE pc.p >= 2 AND pc.n >= 2 * pc.p),
+rt AS (SELECT id, amp, it, p,
+              list_aggregate(list_transform(generate_series(1, n),
+                t -> pow(x[t] - mph[(t - 1) % p + 1], 2)), 'sum') / n / vy
+                AS ratio
+       FROM fit),
+sel AS (SELECT id, amp, p, ratio FROM (
+          SELECT *, row_number() OVER (PARTITION BY id
+                                       ORDER BY ratio ASC, it ASC) AS r
+          FROM rt WHERE isfinite(ratio)) WHERE r = 1 AND ratio < 1.0)
+SELECT id, CAST(p AS INT) AS period, 1.0 - ratio AS confidence,
+       1.0 - ratio AS strength, amp AS amplitude, 0.0 AS phase,
+       CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(p AS INT) AS primary_period,
+       'stl' AS method
+FROM sel
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'stl'
+FROM s LEFT JOIN sel ON sel.id = s.id WHERE sel.id IS NULL
+"""
+    # SAZED ensemble (detect.py::_sazed): periodogram top-1, ACF first local
+    # hill, and the zero-crossing estimate round(2n/zc) on the detrended RAW
+    # series vote; winner = most votes, ties to the smallest period
+    # (np.unique sorts ascending, argmax takes the first maximum);
+    # confidence = winning votes / number of estimates.
+    o["detect_periods_sazed"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(xl) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM x0) GROUP BY id),
+xd AS (SELECT x0.id, x0.n, x0.xl,
+              list_transform(generate_series(1, x0.n),
+                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM x0 JOIN reg ON reg.id = x0.id),
+bins AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w FROM xd),
+spec AS (SELECT id, n, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM bins),
+f1 AS (SELECT id, {half_even_nk} AS p FROM (
+         SELECT *, row_number() OVER (PARTITION BY id
+                                      ORDER BY sp DESC, k DESC) AS rk
+         FROM spec
+         WHERE CAST(n AS DOUBLE) / k >= 2.0
+           AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)) WHERE rk = 1),
+acfl AS (SELECT id, n, least(n // 2, 400) AS ml,
+                list_aggregate(list_transform(xl, x -> x * x), 'sum') AS ss,
+                xl
+         FROM xd),
+acf AS (SELECT id, ml, list_transform(generate_series(0, ml),
+          k -> CASE WHEN k = 0 THEN 1.0
+                    WHEN ss <= 0 THEN 0.0
+                    ELSE list_aggregate(list_transform(generate_series(1, n - k),
+                           t -> xl[t] * xl[t + k]), 'sum') / ss END) AS a
+        FROM acfl),
+a1 AS (SELECT id, CASE WHEN len(cs) = 0 THEN 0
+                       ELSE list_filter(cs, sx -> sx.c = list_aggregate(
+                              list_transform(cs, s2 -> s2.c), 'max'))[1].k
+                  END AS bk
+       FROM (SELECT id, list_filter(
+               list_transform(generate_series(2, ml - 1),
+                 k -> {{'k': k, 'c': a[k + 1]}}),
+               sx -> sx.c > a[sx.k] AND sx.c > a[sx.k + 2] AND sx.c > 0.0) AS cs
+             FROM acf)),
+regy AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+         FROM (SELECT id, unnest(l) AS v,
+                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+               FROM s) GROUP BY id),
+zc AS (SELECT id, n, len(list_filter(range(1, CAST(n AS BIGINT)), t ->
+              sign(x[t]) <> sign(x[t + 1]) AND x[t] <> 0)) AS z
+       FROM (SELECT s.id, s.n, list_transform(generate_series(1, s.n),
+                    t -> s.l[t] - (regy.b0 + regy.b1 * (t - 1))) AS x
+             FROM s JOIN regy ON regy.id = s.id)),
+el AS (SELECT s.id, s.amp, list_filter(
+         [CAST(f1.p AS INT),
+          CASE WHEN a1.bk > 0 THEN CAST(a1.bk AS INT) END,
+          CASE WHEN z.z > 0 THEN
+            CAST({_she('2.0 * CAST(z.n AS DOUBLE) / z.z')} AS INT) END],
+         v -> v IS NOT NULL) AS ests
+       FROM s LEFT JOIN f1 ON f1.id = s.id
+              LEFT JOIN a1 ON a1.id = s.id
+              LEFT JOIN zc z ON z.id = s.id),
+ev AS (SELECT id, unnest(ests) AS e, len(ests) AS ne FROM el
+       WHERE len(ests) > 0),
+vote AS (SELECT id, e, count(*) AS c, any_value(ne) AS ne FROM ev
+         GROUP BY id, e),
+win AS (SELECT id, e AS best, CAST(c AS DOUBLE) / ne AS conf FROM (
+          SELECT *, row_number() OVER (PARTITION BY id
+                                       ORDER BY c DESC, e ASC) AS r
+          FROM vote) WHERE r = 1),
+sel AS (SELECT w.id, w.best, w.conf, s.amp FROM win w JOIN s ON s.id = w.id
+        WHERE w.best >= 2)
+SELECT id, CAST(best AS INT) AS period, conf AS confidence,
+       conf AS strength, amp AS amplitude, 0.0 AS phase,
+       CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(1 AS INT) AS n_periods, CAST(best AS INT) AS primary_period,
+       'sazed' AS method
+FROM sel
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'sazed'
+FROM s LEFT JOIN sel ON sel.id = s.id WHERE sel.id IS NULL
+"""
+    # Iterative multi-period removal (detect.py 'multi' branch, truncated
+    # panel): three unrolled rounds of detect_seasonality (sequential-sum
+    # linfit + explicit DFT + 0.1 significance gate) followed by
+    # sequential-order seasonal-means removal; round k's residual feeds
+    # round k+1 bit-for-bit (the python side uses models._linfit/_seq_sum
+    # so every intermediate is replayable).
+    _LF = ("(CAST(n AS DOUBLE) * list_aggregate(list_transform("
+           "generate_series(1, n), t -> (t - 1.0) * {v}[t]), 'sum') "
+           "- CAST(n * (n - 1) // 2 AS DOUBLE) * list_aggregate({v}, 'sum')) "
+           "/ (CAST(n AS DOUBLE) * CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) "
+           "- CAST(n * (n - 1) // 2 AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE))")
+    _mi_blocks = []
+    for i in range(3):
+        lf_xm = _LF.format(v="xm")
+        lf_r = _LF.format(v="r")
+        she_nk = _she("CAST(b.n AS DOUBLE) / b.k")
+        _mi_blocks.append(f"""
+dm{i} AS (SELECT *, list_transform(r, v -> v - list_aggregate(r, 'sum') / n)
+                 AS xm FROM m{i}),
+lf{i} AS (SELECT *, {lf_xm} AS b1 FROM dm{i}),
+lg{i} AS (SELECT *, (list_aggregate(xm, 'sum')
+                     - b1 * CAST(n * (n - 1) // 2 AS DOUBLE)) / n AS b0
+          FROM lf{i}),
+wd{i} AS (SELECT *, list_transform(generate_series(1, n),
+                 t -> xm[t] - (b1 * (t - 1) + b0)) AS w FROM lg{i}),
+sb{i} AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w FROM wd{i}),
+ss{i} AS (SELECT id, n, k,
+       pow(list_aggregate(list_transform(generate_series(1, n),
+         t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+     + pow(list_aggregate(list_transform(generate_series(1, n),
+         t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+     FROM sb{i}),
+tt{i} AS (SELECT id, sum(sp) AS tot FROM ss{i} GROUP BY id),
+bb{i} AS (SELECT id, k, sp, n FROM (
+       SELECT *, row_number() OVER (PARTITION BY id
+                                    ORDER BY sp DESC, k ASC) AS rn
+       FROM ss{i}
+       WHERE CAST(n AS DOUBLE) / k >= 2.0
+         AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)) WHERE rn = 1),
+pd{i} AS (SELECT m.id,
+       CASE WHEN m.n < 8 THEN 1
+            WHEN b.k IS NULL THEN 1
+            WHEN t.tot <= 0 THEN 1
+            WHEN b.sp / t.tot < 0.1 THEN 1
+            ELSE greatest(CAST({she_nk} AS INT), 1) END AS p
+    FROM m{i} m LEFT JOIN bb{i} b ON b.id = m.id
+               LEFT JOIN tt{i} t ON t.id = m.id),
+rr{i} AS (SELECT m.*, pd.p FROM m{i} m
+          JOIN pd{i} pd ON pd.id = m.id AND pd.p > 1),
+rl{i} AS (SELECT *, {lf_r} AS c1 FROM rr{i}),
+rg{i} AS (SELECT *, (list_aggregate(r, 'sum')
+                     - c1 * CAST(n * (n - 1) // 2 AS DOUBLE)) / n AS c0
+          FROM rl{i}),
+xr{i} AS (SELECT *, list_transform(generate_series(1, n),
+                 t -> r[t] - (c0 + c1 * (t - 1))) AS x FROM rg{i}),
+mp{i} AS (SELECT *, list_transform(generate_series(0, p - 1), ph ->
+        list_transform([list_slice(x, ph + 1, n, p)], sl ->
+          list_aggregate(sl, 'sum') / greatest(len(sl), 1))[1]) AS mph
+    FROM xr{i}),
+ft{i} AS (SELECT *, list_transform(generate_series(1, n),
+                 t -> mph[(t - 1) % p + 1]) AS f FROM mp{i}),
+cf{i} AS (SELECT id, n, amp, p, r, f,
+       list_transform([list_aggregate(x, 'sum') / n], mx ->
+         list_aggregate(list_transform(x, v -> (v - mx) * (v - mx)), 'sum')
+           / n)[1] AS vx,
+       list_transform([list_transform(generate_series(1, n),
+                       t -> x[t] - f[t])], dl ->
+         list_transform([list_aggregate(dl, 'sum') / n], mr ->
+           list_aggregate(list_transform(dl, v -> (v - mr) * (v - mr)),
+                          'sum') / n)[1])[1] AS vr
+    FROM ft{i}),
+cc{i} AS (SELECT *, 1.0 - vr / (CASE WHEN vx = 0 THEN 1.0 ELSE vx END)
+                 AS conf FROM cf{i}),
+m{i + 1} AS (SELECT id, n, amp, list_transform(generate_series(1, n),
+                    t -> r[t] - f[t]) AS r FROM cc{i})""")
+    _mi_sql = ",".join(_mi_blocks)
+    o["detect_periods_multi"] = f"""
+WITH panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+      FROM panel GROUP BY id),
+m0 AS (SELECT id, n, amp, ys AS r FROM s),{_mi_sql},
+rows_ AS (
+  SELECT id, p, conf, 0 AS it, amp FROM cc0
+  UNION ALL SELECT id, p, conf, 1, amp FROM cc1
+  UNION ALL SELECT id, p, conf, 2, amp FROM cc2),
+fin AS (SELECT id, p, conf, it, amp,
+               count(*) OVER (PARTITION BY id) AS np_,
+               first_value(p) OVER (PARTITION BY id
+                                    ORDER BY conf DESC, it ASC) AS prim
+        FROM rows_)
+SELECT id, CAST(p AS INT) AS period, conf AS confidence, conf AS strength,
+       amp AS amplitude, 0.0 AS phase, CAST(it AS INT) AS iteration,
+       false AS matches_expected, CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS match_deviation,
+       CAST(np_ AS INT) AS n_periods, CAST(prim AS INT) AS primary_period,
+       'multi' AS method
+FROM fin
+UNION ALL
+SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'multi'
+FROM s LEFT JOIN (SELECT DISTINCT id FROM rows_) h ON h.id = s.id
+WHERE h.id IS NULL
 """
     # find_peaks walk: the left boundary of a peak's base is the last index
     # with a strictly greater value; prominence = peak - max(flank minima)
@@ -6624,6 +7288,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_dynamic_optimized_theta": _opt_theta_oracle(dynamic=True),
         "forecast_auto_theta": _auto_theta_oracle(),
         "forecast_arima": _arima_oracle(),
+        # r5: the AutoARIMA order grid — the last rows-only query
+        "forecast_auto_arima": _auto_arima_oracle(),
         "forecast_holt_winters": _hw_oracle(),
         "forecast_ets_mam": _mam_oracle(),
         "forecast_laplace": _laplace_oracle(),

@@ -302,9 +302,13 @@ END"""
     for k in range(10):
         re_k = FOLD(T("range(1, n + 1)",
                       f"t -> ys[t] * cos({TP} * {k} * (t - 1) / nf)")) + " / nf"
-        im_k = ("-(" + FOLD(T("range(1, n + 1)",
-                              f"t -> ys[t] * sin({TP} * {k} * (t - 1) / nf)"))
-                + ") / nf")
+        # `+ 0.0` normalizes IEEE signed zero: for k=0 the fold is exactly
+        # 0.0 and the leading negation yields -0.0, which DuckDB's round()
+        # preserves while np.fft emits +0.0 — the one cell that broke the
+        # r4 features_full hash. -0.0 + 0.0 == +0.0 restores bit parity.
+        im_k = ("(-(" + FOLD(T("range(1, n + 1)",
+                               f"t -> ys[t] * sin({TP} * {k} * (t - 1) / nf)"))
+                + ") / nf + 0.0)")
         feats[f"fft_coefficient_{k}_real"] = (
             f"CASE WHEN {k} < n THEN {re_k} ELSE 'NaN'::DOUBLE END")
         feats[f"fft_coefficient_{k}_imag"] = (

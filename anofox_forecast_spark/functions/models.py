@@ -1010,13 +1010,39 @@ def _arima_css(x, p, q, max_iter=80):
         if den != 0:
             x0[0] = min(max(num / den, -0.95), 0.95)
     elif p > 0 and n > p + 1:
-        X = np.column_stack([xc[p - i - 1: n - i - 1] for i in range(p)])
+        # explicit normal-equations solve by Cramer's rule (p <= 3),
+        # sequential-sum Gram entries — expression-identical to the
+        # AutoARIMA grid oracle's SQL init (np.linalg.lstsq's SVD path
+        # differs in the last ulp, which shifts the whole Nelder-Mead
+        # trajectory; same determinism move as the TBATS normal equations)
+        cols = [xc[p - i - 1: n - i - 1] for i in range(p)]
         yv = xc[p:]
-        try:
-            coef, *_ = np.linalg.lstsq(X, yv, rcond=None)
-            x0[:p] = np.clip(coef, -0.95, 0.95)
-        except np.linalg.LinAlgError:
-            pass
+        g = [[_seq_sum(cols[i] * cols[j]) for j in range(p)] for i in range(p)]
+        b = [_seq_sum(cols[i] * yv) for i in range(p)]
+        if p == 2:
+            det = g[0][0] * g[1][1] - g[0][1] * g[1][0]
+            if det != 0 and math.isfinite(det):
+                c0 = (b[0] * g[1][1] - g[0][1] * b[1]) / det
+                c1 = (g[0][0] * b[1] - b[0] * g[1][0]) / det
+                x0[0] = min(max(c0, -0.95), 0.95)
+                x0[1] = min(max(c1, -0.95), 0.95)
+        elif p == 3:
+            det = (g[0][0] * (g[1][1] * g[2][2] - g[1][2] * g[2][1])
+                   - g[0][1] * (g[1][0] * g[2][2] - g[1][2] * g[2][0])
+                   + g[0][2] * (g[1][0] * g[2][1] - g[1][1] * g[2][0]))
+            if det != 0 and math.isfinite(det):
+                c0 = (b[0] * (g[1][1] * g[2][2] - g[1][2] * g[2][1])
+                      - g[0][1] * (b[1] * g[2][2] - g[1][2] * b[2])
+                      + g[0][2] * (b[1] * g[2][1] - g[1][1] * b[2])) / det
+                c1 = (g[0][0] * (b[1] * g[2][2] - g[1][2] * b[2])
+                      - b[0] * (g[1][0] * g[2][2] - g[1][2] * g[2][0])
+                      + g[0][2] * (g[1][0] * b[2] - b[1] * g[2][0])) / det
+                c2 = (g[0][0] * (g[1][1] * b[2] - b[1] * g[2][1])
+                      - g[0][1] * (g[1][0] * b[2] - b[1] * g[2][0])
+                      + b[0] * (g[1][0] * g[2][1] - g[1][1] * g[2][0])) / det
+                x0[0] = min(max(c0, -0.95), 0.95)
+                x0[1] = min(max(c1, -0.95), 0.95)
+                x0[2] = min(max(c2, -0.95), 0.95)
 
     def objective(params):
         e = css(params)

@@ -172,27 +172,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = _shingle_df(df, id_col, text_col, shingle_n)
     sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes,
                                                    hash_fn))
-    # band keys: hash of each signature slice
+    # band keys: hash of each signature slice. The explode multiplies row
+    # count x bands (16x), so it carries only (id, sig, band, key): the
+    # fixed-width 64-long signature rides along (it is needed for
+    # est_jaccard and re-deriving it would re-run the 64-salt minhash — the
+    # pipeline's dominant CPU), but the full shingle array — the unbounded,
+    # document-sized payload — stays behind in the slim per-doc `sh` frame
+    # and is joined back onto the (much smaller) deduplicated candidate set
+    # for verification. Carrying shingles through the explode was the 16x
+    # shuffle-payload amplification flagged at 100 TB scale; re-shingling
+    # for the verify joins is one cheap string pass, not 64 hashes.
     band_rows = sig.select(
-        "__id", "__sig", "__sh",
+        "__id", "__sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      band_hash(F.concat_ws(",", *[
                          F.element_at(F.col("__sig"), b * r + j + 1).cast("string")
                          for j in range(r)])).alias("key"))
             for b in range(bands)])).alias("__b"))
-    band_rows = band_rows.select("__id", "__sig", "__sh",
+    band_rows = band_rows.select("__id", "__sig",
                                  F.col("__b.band").alias("__band"),
                                  F.col("__b.key").alias("__key"))
     left = band_rows.select(F.col("__id").alias("id_a"),
-                            F.col("__sig").alias("__sig_a"),
-                            F.col("__sh").alias("__sh_a"), "__band", "__key")
+                            F.col("__sig").alias("__sig_a"), "__band", "__key")
     right = band_rows.select(F.col("__id").alias("id_b"),
-                             F.col("__sig").alias("__sig_b"),
-                             F.col("__sh").alias("__sh_b"), "__band", "__key")
+                             F.col("__sig").alias("__sig_b"), "__band", "__key")
     cands = (left.join(right, ["__band", "__key"])
              .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "__sig_a", "__sig_b")
              .dropDuplicates(["id_a", "id_b"]))
+    cands = (cands
+             .join(sh.select(F.col("__id").alias("id_a"),
+                             F.col("__sh").alias("__sh_a")), "id_a")
+             .join(sh.select(F.col("__id").alias("id_b"),
+                             F.col("__sh").alias("__sh_b")), "id_b"))
     est = (F.size(F.filter(F.zip_with(F.col("__sig_a"), F.col("__sig_b"),
                                       lambda x, y: (x == y).cast("int")),
                            lambda v: v == 1)).cast("double") / num_hashes)

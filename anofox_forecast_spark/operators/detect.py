@@ -314,17 +314,28 @@ def detect_periods(y: np.ndarray, method: str = "auto",
         p, c = _sazed(y)
         add(p, c)
     elif m == "multi":
-        # iterative removal: detect, remove seasonal component, repeat
+        # iterative removal: detect, remove seasonal component, repeat.
+        # Sequential-order primitives (models._linfit / _seq_sum) throughout:
+        # the residual of round k feeds round k+1's detection, so the DuckDB
+        # oracle must replay every intermediate bit-for-bit — same pattern
+        # as the r4 optimizer replays.
+        from ..functions.models import _linfit, _seq_sum
         resid = y.copy()
         for it in range(3):
             p = detect_seasonality(resid)
             if p <= 1:
                 break
-            x = _detrend_linear(resid)
-            idx = np.array([x[ph::p].mean() for ph in range(p)])
-            add(p, 1.0 - float(np.var(x - np.array([idx[t % p] for t in range(n)]))
-                               / (np.var(x) or 1.0)), it)
-            resid = resid - np.array([idx[t % p] for t in range(n)])
+            b1, b0 = _linfit(resid)
+            x = resid - (b0 + b1 * np.arange(n, dtype=float))
+            idx = np.array([_seq_sum(x[ph::p]) / max(len(x[ph::p]), 1)
+                            for ph in range(p)])
+            fitted = np.array([idx[t % p] for t in range(n)])
+            mx = _seq_sum(x) / n
+            var_x = _seq_sum((x - mx) ** 2) / n
+            mr = _seq_sum(x - fitted) / n
+            var_r = _seq_sum((x - fitted - mr) ** 2) / n
+            add(p, 1.0 - var_r / (var_x or 1.0), it)
+            resid = resid - fitted
     else:  # auto
         p, c, validated = _autoperiod(y)
         if not validated:
