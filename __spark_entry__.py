@@ -53,6 +53,42 @@ def _forecast_query(method: str, params: dict | None = None, horizon: int = HORI
     return run
 
 
+def _forecast_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anofox_forecast_spark.operators.forecast import ts_forecast_agg
+    return ts_forecast_agg(lineitem_panel(spark, sf_dir), "id", "ds", "y",
+                           "Naive", HORIZON, "1d", {})
+
+
+def _forecast_single_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.forecast import ts_forecast
+    series = lineitem_panel(spark, sf_dir).filter(F.col("id") == 0) \
+                                          .select("ds", "y")
+    out = ts_forecast(series, "ds", "y", "Naive", HORIZON)
+    return (out.select("model_name", "aic", "bic",
+                       F.posexplode(F.arrays_zip("point_forecasts", "lower",
+                                                 "upper")).alias("step", "__z"))
+               .select("step",
+                       F.col("__z.point_forecasts").alias("yhat"),
+                       F.col("__z.lower").alias("yhat_lower"),
+                       F.col("__z.upper").alias("yhat_upper"),
+                       "model_name", "aic", "bic"))
+
+
+def _forecast_monthly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    # month-end panel via MAX (order-independent, bit-stable across
+    # partition layouts — a float SUM would not be)
+    panel = (lineitem_panel(spark, sf_dir)
+             .groupBy("id", F.last_day(F.col("ds")).alias("__m"))
+             .agg(F.max("y").alias("y"))
+             .select("id", F.col("__m").cast("timestamp").alias("ds"), "y"))
+    return ts_forecast_by(panel, "id", "ds", "y", "Naive", HORIZON, "1mo")
+
+
 def _metric_query(metric: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window
@@ -300,7 +336,16 @@ def _cv_queries():
         from anofox_forecast_spark.operators.prep import ts_check_leakage
         return ts_check_leakage(panel, "is_test")
 
+    def q_estimate_memory(spark, sf):
+        # planning helper surfaced as a 1-row frame so the formula itself
+        # (ref metrics.cpp:1081-1111) is value-checked by the driver
+        est = CV.ts_estimate_backtest_memory(100, 540, 5, 7)
+        return spark.createDataFrame(
+            [(est["bytes_per_group"], est["total_bytes"], est["note"])],
+            ["bytes_per_group", "total_bytes", "note"])
+
     return {
+        "cv_estimate_memory": q_estimate_memory,
         "cv_folds": q_folds,
         "cv_folds_sliding": q_folds_sliding,
         "cv_folds_gap": q_folds_gap,
@@ -418,6 +463,15 @@ def _conformal_queries():
                               F.element_at("scores", 1).alias("score_q"))
         return run
 
+    def q_apply_profile(spark, sf):
+        # v2 Learn -> Apply workflow: per-group absolute profile joined
+        # back onto the forecast frame (broadcast join + arithmetic)
+        fv = _fv_df(spark, sf)
+        prof = C.ts_conformal_learn_by(fv.drop("ds"), "id", "actual",
+                                       "forecast", "absolute", [0.1])
+        out = C.ts_conformal_apply_profile(fv, prof, "id", "forecast")
+        return out.select("id", "ds", "forecast", "lower", "upper")
+
     def q_apply(spark, sf):
         # pre-computed score applied per group; arrays posexploded so the
         # driver hashes every interval bound
@@ -470,6 +524,7 @@ def _conformal_queries():
         "conformal_bootstrap_quantiles": q_bootstrap_quantiles,
         "conformal_apply": q_apply,
         "conformal_asymmetric": q_asymmetric,
+        "conformal_apply_profile": q_apply_profile,
     }
 
 
@@ -496,6 +551,12 @@ def _analytics_queries():
     def q_features_sql(spark, sf):
         return FE.ts_features_by(lineitem_panel(spark, sf), "id", "ds", "y") \
                  .select("id", *_FEATURES_SQL_COLS)
+
+    def q_features_list(spark, sf):
+        return FE.ts_features_list(spark)
+
+    def q_features_config_template(spark, sf):
+        return FE.ts_features_config_template(spark)
 
     def q_periods(spark, sf):
         return D.ts_detect_periods_by(lineitem_panel(spark, sf), "id", "ds", "y",
@@ -638,6 +699,8 @@ def _analytics_queries():
     return {
         "features_full": q_features_full,
         "features_sql": q_features_sql,
+        "features_list": q_features_list,
+        "features_config_template": q_features_config_template,
         "detect_periods": q_periods,
         "detect_periods_fft": _periods_m("fft"),
         "detect_periods_acf": _periods_m("acf"),
@@ -987,6 +1050,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # optimizer-driven plain Holt stays rows-gated)
         "forecast_holt_fixed": _forecast_query("Holt", {"alpha": 0.3,
                                                         "beta": 0.1}),
+        # aggregate-function alias surface (SURVEY §4.2 one-path rule):
+        # ts_forecast_agg IS ts_forecast_by, verified through its own key
+        "forecast_agg_naive": _forecast_agg_query,
+        # single-series array form (ref ts_macros.cpp:539-567), arrays
+        # posexploded so every value is driver-hashed
+        "forecast_single": _forecast_single_query,
+        # calendar frequency with month-end clamping (ref
+        # ts_forecast_native.cpp:683-715): month-END origin dates force
+        # the Aug-31 -> Sep-30 -> Oct-31 -> ... -> Feb-28 clamp sequence
+        "forecast_naive_monthly": _forecast_monthly_query,
         "forecast_croston": _forecast_query("CrostonClassic"),
         "forecast_croston_optimized": _forecast_query("CrostonOptimized"),
         "forecast_croston_sba": _forecast_query("CrostonSBA"),
@@ -1264,6 +1337,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # forecast family: intervals carry stddev summation drift (yhat too for
     # the Croston/exog paths)
     "forecast_naive": _FC4, "forecast_seasonal_naive": _FC4,
+    "forecast_agg_naive": _FC4, "forecast_single": _FC4,
+    "forecast_naive_monthly": _FC4,
     "forecast_sma": _FC4, "forecast_rwd": _FC4, "forecast_swa": _FC4,
     "forecast_ses": _FC4, "forecast_seasonal_es": _FC4,
     "forecast_croston": _FC4, "forecast_croston_sba": _FC4,
@@ -1393,6 +1468,57 @@ steps AS (
   FROM agg)
 SELECT id, CAST(step AS INT) AS forecast_step,
        max_ds + INTERVAL (step * 86400) SECOND AS ds,
+       last_y AS yhat,
+       last_y - {Z90!r} * sig * sqrt(step) AS yhat_lower,
+       last_y + {Z90!r} * sig * sqrt(step) AS yhat_upper,
+       'Naive' AS model_name
+FROM steps
+"""
+
+
+def _forecast_single_oracle(h: int = HORIZON) -> str:
+    """Single-series ts_forecast (Naive, id = 0): same last-value/
+    diff-sigma arithmetic as the _by oracle, posexplode positions 0-based,
+    aic/bic NaN (models._naive leaves the ForecastResult defaults)."""
+    return f"""
+WITH {_forecast_oracle_prefix()},
+agg AS (
+  SELECT max_by(y, ds) AS last_y, coalesce(stddev_samp(dy), 0.0) AS sig
+  FROM w WHERE id = 0 HAVING count(*) >= 3),
+steps AS (
+  SELECT last_y, sig, unnest(generate_series(1, {h})) AS s FROM agg)
+SELECT CAST(s - 1 AS INT) AS step,
+       last_y AS yhat,
+       last_y - {Z90!r} * sig * sqrt(s) AS yhat_lower,
+       last_y + {Z90!r} * sig * sqrt(s) AS yhat_upper,
+       'Naive' AS model_name,
+       'NaN'::DOUBLE AS aic, 'NaN'::DOUBLE AS bic
+FROM steps
+"""
+
+
+def _naive_monthly_oracle(h: int = HORIZON) -> str:
+    """Naive on a month-end panel with '1mo' frequency: DuckDB's
+    timestamp + to_months(k) clamps the day to the target month's length
+    from the ORIGIN date each step — the same semantics as Spark
+    add_months and the reference's clamped month arithmetic
+    (ts_forecast_native.cpp:683-715)."""
+    return f"""
+WITH mp AS (
+  SELECT id, CAST(last_day(CAST(ds AS DATE)) AS TIMESTAMP) AS ds,
+         max(CAST(y AS DOUBLE)) AS y
+  FROM ({_PANEL}) GROUP BY id, last_day(CAST(ds AS DATE))),
+w AS (SELECT id, ds, y,
+             y - lag(y) OVER (PARTITION BY id ORDER BY ds) AS dy
+      FROM mp),
+agg AS (SELECT id, max(ds) AS max_ds, max_by(y, ds) AS last_y,
+               coalesce(stddev_samp(dy), 0.0) AS sig
+        FROM w GROUP BY id HAVING count(*) >= 3),
+steps AS (SELECT id, max_ds, last_y, sig,
+                 unnest(generate_series(1, {h})) AS step
+          FROM agg)
+SELECT id, CAST(step AS INT) AS forecast_step,
+       max_ds + to_months(CAST(step AS INT)) AS ds,
        last_y AS yhat,
        last_y - {Z90!r} * sig * sqrt(step) AS yhat_lower,
        last_y + {Z90!r} * sig * sqrt(step) AS yhat_upper,
@@ -5245,6 +5371,17 @@ SELECT id,
                   THEN 20.0 * (actual - (forecast + 5.0)) ELSE 0.0 END) AS winkler_score
 FROM fv GROUP BY id
 """
+    # conformal.ts_conformal_apply_profile: learn-absolute profile at
+    # alpha 0.1 joined back onto the forecast rows (lower/upper = f -/+ q)
+    o["conformal_apply_profile"] = f"""
+WITH {_FV2},
+r AS (SELECT id, list(abs(actual - forecast) ORDER BY abs(actual - forecast)) AS arr,
+             CAST(count(*) AS DOUBLE) AS n FROM fv GROUP BY id),
+prof AS (SELECT id, {cq} AS qv FROM r)
+SELECT fv.id, fv.ds, fv.forecast,
+       fv.forecast - prof.qv AS lower, fv.forecast + prof.qv AS upper
+FROM fv JOIN prof USING (id)
+"""
     # conformal.ts_conformal_apply_by(score=5.0): per-group value-ordered
     # forecast list, each element ∓ score, positions 0-based
     o["conformal_apply"] = f"""
@@ -7290,6 +7427,13 @@ def oracle_sql() -> dict[str, str]:
         "forecast_arima": _arima_oracle(),
         # r5: the AutoARIMA order grid — the last rows-only query
         "forecast_auto_arima": _auto_arima_oracle(),
+        # aggregate-alias surface: ts_forecast_agg IS ts_forecast_by, so
+        # the Naive oracle applies verbatim
+        "forecast_agg_naive": _naive_oracle(),
+        # single-series array form (id = 0), arrays exploded 0-based
+        "forecast_single": _forecast_single_oracle(),
+        # calendar month-end clamping exercised end-to-end
+        "forecast_naive_monthly": _naive_monthly_oracle(),
         "forecast_holt_winters": _hw_oracle(),
         "forecast_ets_mam": _mam_oracle(),
         "forecast_laplace": _laplace_oracle(),
@@ -7314,6 +7458,20 @@ def oracle_sql() -> dict[str, str]:
     o.update(_detect_oracles())
     o["features_sql"] = _features_oracle()
     o["features_full"] = features_full_oracle(_TRUNC_PANEL_SQL)
+    # constant surfaces: the feature-name catalog and the backtest memory
+    # estimator formula (ref metrics.cpp:1081-1111; 540*16*(5+1) per group)
+    from anofox_forecast_spark.operators.features import FEATURE_NAMES
+    o["features_list"] = ("SELECT unnest(["
+                          + ", ".join(f"'{x}'" for x in FEATURE_NAMES)
+                          + "]) AS feature_name")
+    o["features_config_template"] = ("SELECT unnest(["
+                                     + ", ".join(f"'{x}'" for x in FEATURE_NAMES)
+                                     + "]) AS feature, '{}' AS params_json")
+    o["cv_estimate_memory"] = """
+SELECT CAST(540 * 16 * 6 AS BIGINT) AS bytes_per_group,
+       CAST(540 * 16 * 6 * 100 AS BIGINT) AS total_bytes,
+       'Spark holds one group per task in memory; size executors so bytes_per_group * concurrent tasks fits in executor memory.' AS note
+"""
     o.update(_streaming_oracles())
     # forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
     # h=7, m=7), seasonal component only: mean-centered per-phase pattern
