@@ -1249,9 +1249,14 @@ _WINDOW = [
     # and the 3-round iterative multi get fresh exact oracles)
     "detect_periods_regression", "detect_periods_cfd_autoperiod",
     "detect_periods_stl", "detect_periods_sazed", "detect_periods_multi",
-    # NEW r5: the last test-gated conformal surfaces — apply-by and the
-    # asymmetric method, both full-array-verified via posexplode
-    "conformal_apply", "conformal_asymmetric",
+    # NEW r5: the last test-gated conformal surfaces — apply-by, the
+    # asymmetric method (both full-array-verified via posexplode), and the
+    # v2 learn->apply-profile workflow
+    "conformal_apply", "conformal_asymmetric", "conformal_apply_profile",
+    # NEW r5b: calendar '1mo' frequency on a month-END panel — the
+    # end-of-month clamp sequence (Aug-31 -> Sep-30 -> ... -> Feb-28) has
+    # never been driver-checked before
+    "forecast_naive_monthly",
     # code changed this round: MinHash band explode slimmed to
     # (id, sig, band, key) with shingle verify-join — re-verify both modes
     # (md5 mode sits in the regression core above)
@@ -1264,8 +1269,8 @@ _WINDOW = [
     "forecast_ses", "forecast_sma", "forecast_swa",
     "forecast_theta", "forecast_holt_winters",
     "forecast_ets_mam", "forecast_laplace", "forecast_arima",
-    "forecast_auto_ets", "forecast_auto_theta",
-    "metric_mae", "metric_mqloss",
+    "forecast_auto_ets",
+    "metric_mae",
     "prep_fill_gaps", "prep_diff",
     "detect_periods", "detect_periods_ssa", "detect_changepoints_bocpd",
     "mstl_decomposition", "instantaneous_period", "peak_timing",
