@@ -6177,68 +6177,65 @@ FROM best
                 f"WHEN CAST(floor({u}) AS BIGINT) % 2 = 0 THEN floor({u}) "
                 f"ELSE floor({u}) + 1 END")
 
-    # STL-flavored period pick (detect.py::_stl_period): top-5 periodogram
-    # candidate periods, each scored by the seasonal-means fit SSE on the
-    # linearly detrended RAW series; best = first candidate (periodogram
-    # order) with a strictly minimal remainder ratio, which must beat the
-    # 1.0 initialization; confidence = 1 - ratio.
+    # STL-style period pick (detect.py::_stl_period, mirroring
+    # periods.rs:952-1120): ~20 evenly spaced integer candidates in
+    # [4, n/3] (rust half-away-from-zero rounding = floor(v + 0.5)), each
+    # scored by strength = max(1 - Var(remainder)/Var(detrended), 0) on
+    # the sequential-sum linear-detrend + phase-means decomposition; first
+    # strict maximum wins (ascending candidates), best initialized to the
+    # smallest candidate at strength 0.
+    _LFL = ("(CAST(n AS DOUBLE) * list_aggregate(list_transform("
+            "generate_series(1, n), t -> (t - 1.0) * l[t]), 'sum') "
+            "- CAST(n * (n - 1) // 2 AS DOUBLE) * list_aggregate(l, 'sum')) "
+            "/ (CAST(n AS DOUBLE) * CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) "
+            "- CAST(n * (n - 1) // 2 AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE))")
     o["detect_periods_stl"] = f"""
 WITH panel AS ({_PANEL}),
-s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
-             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
-             CASE WHEN var_pop(CAST(y AS DOUBLE)) = 0 THEN 1.0
-                  ELSE var_pop(CAST(y AS DOUBLE)) END AS vy,
+s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS l
       FROM panel GROUP BY id),
-x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
-reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-        FROM (SELECT id, unnest(xl) AS v,
-                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-              FROM x0) GROUP BY id),
-xd AS (SELECT x0.id, x0.n, x0.amp, x0.vy,
-              list_transform(generate_series(1, x0.n),
-                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
-       FROM x0 JOIN reg ON reg.id = x0.id),
-bins AS (SELECT id, n, amp, vy, unnest(generate_series(1, n // 2)) AS k, w
-         FROM xd),
-spec AS (SELECT id, n, amp, vy, k,
-                pow(list_aggregate(list_transform(generate_series(1, n),
-                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
-              + pow(list_aggregate(list_transform(generate_series(1, n),
-                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
-         FROM bins),
-cand5 AS (SELECT * FROM (
-            SELECT *, row_number() OVER (PARTITION BY id
-                                         ORDER BY sp DESC, k DESC) AS it
-            FROM spec
-            WHERE CAST(n AS DOUBLE) / k >= 2.0
-              AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE))
-          WHERE it <= 5),
-pc AS (SELECT id, n, amp, vy, it, {half_even_nk} AS p FROM cand5),
-regy AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(l) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s) GROUP BY id),
-xs AS (SELECT s.id, list_transform(generate_series(1, s.n),
-              t -> s.l[t] - (regy.b0 + regy.b1 * (t - 1))) AS x
-       FROM s JOIN regy ON regy.id = s.id),
-fit AS (SELECT pc.id, pc.n, pc.amp, pc.vy, pc.it, pc.p, xs.x,
-               list_transform(generate_series(0, pc.p - 1),
-                 ph -> coalesce(list_aggregate(
-                         list_slice(xs.x, ph + 1, pc.n, pc.p), 'avg'), 0.0)) AS mph
-        FROM pc JOIN xs ON xs.id = pc.id
-        WHERE pc.p >= 2 AND pc.n >= 2 * pc.p),
-rt AS (SELECT id, amp, it, p,
-              list_aggregate(list_transform(generate_series(1, n),
-                t -> pow(x[t] - mph[(t - 1) % p + 1], 2)), 'sum') / n / vy
-                AS ratio
-       FROM fit),
-sel AS (SELECT id, amp, p, ratio FROM (
-          SELECT *, row_number() OVER (PARTITION BY id
-                                       ORDER BY ratio ASC, it ASC) AS r
-          FROM rt WHERE isfinite(ratio)) WHERE r = 1 AND ratio < 1.0)
-SELECT id, CAST(p AS INT) AS period, 1.0 - ratio AS confidence,
-       1.0 - ratio AS strength, amp AS amplitude, 0.0 AS phase,
+lf AS (SELECT *, {_LFL} AS b1 FROM s WHERE n >= 16),
+lg AS (SELECT *, (list_aggregate(l, 'sum')
+                  - b1 * CAST(n * (n - 1) // 2 AS DOUBLE)) / n AS b0
+       FROM lf),
+xs AS (SELECT *, list_transform(generate_series(1, n),
+                t -> l[t] - (b0 + b1 * (t - 1))) AS x,
+              least(n // 3, n // 2) AS maxp
+       FROM lg),
+vx AS (SELECT *, list_transform([list_aggregate(x, 'sum') / n], mx ->
+          list_aggregate(list_transform(x, v -> (v - mx) * (v - mx)),
+                         'sum') / n)[1] AS varx
+       FROM xs WHERE 4 < maxp),
+ce AS (SELECT *, list_filter(
+         list_sort(list_distinct(list_transform(generate_series(0, 19),
+           i -> CAST(floor(4 + i * greatest((maxp - 4) / 20.0, 1.0) + 0.5)
+                     AS INT)))),
+         cp -> cp >= 4 AND cp <= maxp AND n >= 2 * cp) AS cl
+       FROM vx),
+pp AS (SELECT id, n, amp, x, varx, cl[1] AS p0, unnest(cl) AS p
+       FROM ce WHERE len(cl) > 0),
+st AS (SELECT id, n, amp, p, p0,
+         CASE WHEN varx > 2.220446049250313e-16 THEN greatest(1.0 -
+           list_transform([list_transform(generate_series(0, p - 1), ph ->
+              list_transform([list_slice(x, ph + 1, n, p)], sl ->
+                list_aggregate(sl, 'sum') / greatest(len(sl), 1))[1])], mph ->
+             list_transform([list_transform(generate_series(1, n),
+                             t -> x[t] - mph[(t - 1) % p + 1])], rl ->
+               list_transform([list_aggregate(rl, 'sum') / n], mr ->
+                 list_aggregate(list_transform(rl,
+                   v -> (v - mr) * (v - mr)), 'sum') / n)[1])[1])[1]
+           / varx, 0.0) ELSE 0.0 END AS sv
+       FROM pp),
+bsel AS (SELECT id, amp, p AS bp, sv AS bs, p0 FROM (
+           SELECT *, row_number() OVER (PARTITION BY id
+                                        ORDER BY sv DESC, p ASC) AS r
+           FROM st) WHERE r = 1),
+sel AS (SELECT id, amp,
+               CASE WHEN bs > 0 THEN bp ELSE p0 END AS p,
+               CASE WHEN bs > 0 THEN bs ELSE 0.0 END AS conf
+        FROM bsel)
+SELECT id, CAST(p AS INT) AS period, conf AS confidence,
+       conf AS strength, amp AS amplitude, 0.0 AS phase,
        CAST(0 AS INT) AS iteration, false AS matches_expected,
        CAST(NULL AS INT) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,

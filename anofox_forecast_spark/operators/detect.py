@@ -200,20 +200,46 @@ def _ssa_period(y, n_iter: int = 30):
 
 
 def _stl_period(y):
-    """Pick the candidate period minimizing remainder variance after
-    seasonal-trend decomposition."""
-    cands = [p for p, _ in _fft_candidates(y, top=5)]
-    best_p, best_ratio = 0, 1.0
-    var_y = float(np.var(y)) or 1.0
+    """STL-style period pick (ref ``periods.rs:952-1120`` ``stl_period``):
+    ~20 evenly spaced integer candidates in [4, n/3] (never the degenerate
+    n/2 two-cycle fit), each scored by decomposition quality
+    strength = max(1 - Var(remainder) / Var(detrended), 0); first strict
+    maximum wins, candidates sorted ascending, best initialized to the
+    smallest candidate. Our decomposition is the linear-detrend +
+    phase-means simplification; every arithmetic step uses the
+    sequential-sum primitives so the DuckDB oracle replays it bit-exactly.
+    """
+    from ..functions.models import _linfit, _seq_sum
+    n = len(y)
+    if n < 16:
+        return 0, 0.0
+    min_p = 4
+    max_p = min(n // 3, n // 2)
+    if min_p >= max_p:
+        return 0, 0.0
+    n_cand = 20
+    step = max((max_p - min_p) / n_cand, 1.0)
+    # rust f64::round = half away from zero
+    cands = sorted({int(math.floor(min_p + i * step + 0.5))
+                    for i in range(n_cand)})
+    cands = [p for p in cands if min_p <= p <= max_p and n >= 2 * p]
+    if not cands:
+        return 0, 0.0
+    b1, b0 = _linfit(y)
+    x = y - (b0 + b1 * np.arange(n, dtype=float))
+    mx = _seq_sum(x) / n
+    var_x = _seq_sum((x - mx) ** 2) / n
+    best_p, best_s = cands[0], 0.0
     for p in cands:
-        x = _detrend_linear(y)
-        sse, _ = _seasonal_fit_sse(x, p)
-        if not math.isfinite(sse):
-            continue
-        ratio = sse / len(y) / var_y
-        if ratio < best_ratio:
-            best_p, best_ratio = p, ratio
-    return best_p, 1.0 - best_ratio if best_p else 0.0
+        idx = np.array([_seq_sum(x[ph::p]) / max(len(x[ph::p]), 1)
+                        for ph in range(p)])
+        rem = x - np.array([idx[t % p] for t in range(n)])
+        mr = _seq_sum(rem) / n
+        var_r = _seq_sum((rem - mr) ** 2) / n
+        s = max(1.0 - var_r / var_x, 0.0) if var_x > EPS else 0.0
+        if s > best_s:
+            best_p, best_s = p, s
+    return best_p, best_s
 
 
 def _matrix_profile_period(y):

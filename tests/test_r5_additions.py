@@ -119,6 +119,41 @@ def test_conformal_asymmetric_sides(spark):
     assert row["method"] == "asymmetric_conformal"
 
 
+def test_conformal_asymmetric_calibration_coverage(spark):
+    """Split-conformal invariant: with the (n+1)(1-a/2)/n corrected
+    quantiles, calibration-set coverage is >= 1 - alpha."""
+    rng = np.random.default_rng(3)
+    n = 200
+    actual = rng.normal(50, 5, n)
+    forecast = actual + rng.normal(0.5, 2.0, n)  # biased + noisy
+    pdf = pd.DataFrame({"id": ["s"] * n, "actual": actual,
+                        "forecast": forecast})
+    out = ts_conformal_by(spark.createDataFrame(pdf), "id", "actual",
+                          "forecast", "forecast",
+                          {"alpha": 0.1, "method": "asymmetric"}).toPandas()
+    row = out.iloc[0]
+    lo_m = row["point"][0] - row["lower"][0]
+    up_m = row["upper"][0] - row["point"][0]
+    covered = np.mean((actual >= forecast - lo_m) & (actual <= forecast + up_m))
+    assert covered >= 0.9
+
+
+def test_stl_sazed_find_weekly_period():
+    t = np.arange(210, dtype=float)
+    y = 20.0 + 5.0 * np.sin(2 * np.pi * t / 7) + 0.01 * t
+    out = detect_periods(y, "sazed")
+    assert out["primary_period"] == 7
+    assert out["periods"][0]["confidence"] > 0.5
+    # stl maximizes decomposition strength over a candidate grid capped at
+    # n/3 (ref periods.rs:952-1120); any harmonic multiple of the true
+    # period fits perfectly, so assert period % 7 == 0 with high strength
+    # — never the degenerate n/2 two-cycle fit the pre-r5 variant chose
+    out = detect_periods(y, "stl")
+    p = out["primary_period"]
+    assert p % 7 == 0 and 4 <= p <= 70, p
+    assert out["periods"][0]["confidence"] > 0.9
+
+
 def test_monthly_forecast_clamps_month_ends(spark):
     """Aug-31 origin: future months clamp to each month's length
     (ref ts_forecast_native.cpp:683-715)."""
