@@ -1120,7 +1120,14 @@ def _auto_arima(y, h, cl, season_length=1, **kw):
     vars_ = []
     for d in range(3):
         xd = _difference(y, d)
-        vars_.append(np.var(xd) if len(xd) > 2 else float("inf"))
+        if len(xd) > 2:
+            # sequential-sum variance so the selection is expression-
+            # identical to the oracle's list_sum replay (np.var's pairwise
+            # summation could flip d on a near-tie)
+            mu = _seq_sum(xd) / len(xd)
+            vars_.append(_seq_sum((xd - mu) ** 2) / len(xd))
+        else:
+            vars_.append(float("inf"))
     d = int(np.argmin(vars_))
     for p in range(4):
         for q in range(3):

@@ -153,6 +153,19 @@ def _prev_snapshot_bench() -> dict | None:
             ["git", "log", "--grep", "^round ", "-1", "--format=%H"],
             cwd=repo, capture_output=True, text=True, timeout=30,
         ).stdout.strip()
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if commit and commit == head:
+            # HEAD itself is the round-N commit (the driver commits per
+            # round); comparing HEAD vs HEAD is meaningless — take the
+            # previous round snapshot instead.
+            commit = subprocess.run(
+                ["git", "log", "HEAD~1", "--grep", "^round ", "-1",
+                 "--format=%H"],
+                cwd=repo, capture_output=True, text=True, timeout=30,
+            ).stdout.strip()
         if not commit:
             return None
         wt = tempfile.mkdtemp(prefix="bench_ab_")
