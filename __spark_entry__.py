@@ -603,10 +603,27 @@ def _analytics_queries():
                                       "y", {"method": "ssa"})
 
     def q_periods_matrix_profile(spark, sf):
-        # oracle re-derives the z-normalized all-lag subsequence-distance
-        # scan in SQL on the truncated panel
+        # true NN-profile matrix-profile period (periods.rs:1134-1250):
+        # oracle re-derives the z-normalized nearest-neighbor profile,
+        # 25th-percentile motif threshold, and motif-spacing histogram in
+        # SQL on the truncated panel
         return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
                                       "y", {"method": "matrix_profile"})
+
+    def q_periods_stl(spark, sf):
+        # STL-decomposition-scored candidate grid (periods.rs:952-1120):
+        # the oracle unrolls the 2-iteration _stl_lite decomposition per
+        # candidate; truncated panel keeps the O(cand x n x window) replay
+        # in budget
+        return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
+                                      "y", {"method": "stl"})
+
+    def q_periods_sazed(spark, sf):
+        # faithful SAZED (periods.rs:1259-1330): Hann window, 4x zero-pad,
+        # fractional period, SNR vs median noise floor — oracle replays the
+        # padded DFT bit-exactly on the truncated panel
+        return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
+                                      "y", {"method": "sazed"})
 
     def q_periods_multi(spark, sf):
         # iterative detect-remove-repeat (3 rounds): each round's residual
@@ -711,8 +728,8 @@ def _analytics_queries():
         "detect_periods_matrix_profile": q_periods_matrix_profile,
         "detect_periods_regression": _periods_m("regression"),
         "detect_periods_cfd_autoperiod": _periods_m("cfd_autoperiod"),
-        "detect_periods_stl": _periods_m("stl"),
-        "detect_periods_sazed": _periods_m("sazed"),
+        "detect_periods_stl": q_periods_stl,
+        "detect_periods_sazed": q_periods_sazed,
         "detect_periods_multi": q_periods_multi,
         "detect_changepoints": q_changepoints,
         "detect_peaks": q_peaks,
@@ -1234,52 +1251,42 @@ def _streaming_queries():
 _WINDOW = [
     # regression core: one hash-checked slot per proven family
     "forecast_naive", "hier_aggregate", "cv_folds", "conformal_by",
-    "dedup_minhash_md5", "text_quality", "stats_sql",
-    # the r4 red, fixed this round (signed-zero normalization in the
-    # features_sql im_k DC bin + the contract-layer `+ 0.0` pin)
-    "features_full",
-    # oracle-ready since r4b but never driver-verified (local audit
-    # bit-exact at both scales): the last three optimizer-family gaps
-    "forecast_adida", "forecast_imapa", "forecast_seasonal_es_optimized",
-    # NEW r5: AutoARIMA order-grid + CSS Nelder-Mead replay — the last
-    # rows-only query of the 151-query ledger
+    "dedup_minhash_md5", "text_quality", "stats_sql", "features_full",
+    # code changed this round: AutoARIMA d-selection variances now
+    # sequential-sum (expression-identical to the oracle's list_sum v0/v1/v2)
     "forecast_auto_arima",
-    # NEW r5: the five period methods that never had driver keys
-    # (regression/cfd share the proven fft/autoperiod replays; stl, sazed,
-    # and the 3-round iterative multi get fresh exact oracles)
-    "detect_periods_regression", "detect_periods_cfd_autoperiod",
-    "detect_periods_stl", "detect_periods_sazed", "detect_periods_multi",
-    # NEW r5: the last test-gated conformal surfaces — apply-by, the
-    # asymmetric method (both full-array-verified via posexplode), and the
-    # v2 learn->apply-profile workflow
-    "conformal_apply", "conformal_asymmetric", "conformal_apply_profile",
-    # NEW r5b: calendar '1mo' frequency on a month-END panel — the
-    # end-of-month clamp sequence (Aug-31 -> Sep-30 -> ... -> Feb-28) has
-    # never been driver-checked before
-    "forecast_naive_monthly",
-    # code changed this round: MinHash band explode slimmed to
-    # (id, sig, band, key) with shingle verify-join — re-verify both modes
-    # (md5 mode sits in the regression core above)
-    "dedup_minhash_lsh", "dedup_simhash",
-    # contract-layer change this round (round-pin wrapper now withColumns
-    # + signed-zero normalization on both sides): re-verify one pinned
-    # query per family — SQL-path forecasts, optimizer replays, truncated
-    # -panel NM models, metrics, detection, stats, cv, conformal,
-    # similarity, multimodal, streaming
-    "forecast_ses", "forecast_sma", "forecast_swa",
-    "forecast_theta", "forecast_holt_winters",
+    # NEW r6 slots: the five r5b keys that have exact oracles and local
+    # bit-exact audits but have never been driver-confirmed
+    "forecast_single", "forecast_agg_naive", "features_list",
+    "features_config_template", "cv_estimate_memory",
+    # REWRITTEN r6 (query + oracle + window together): all 14 detect_periods
+    # keys now carry the reference-default confidence filter
+    # (periods.rs:1488-1546: peak-to-mean FFT confidence @ 5.0, 0.3
+    # ACF-like otherwise, "(no seasonality)" empty results), DOUBLE period
+    # schema (the reference's f64), true NN matrix-profile
+    # (periods.rs:1134-1250), faithful fractional-period SAZED
+    # (periods.rs:1259-1330), and STL-decomposition candidate scoring
+    # (periods.rs:952-1120)
+    "detect_periods", "detect_periods_fft", "detect_periods_acf",
+    "detect_periods_regression", "detect_periods_lomb_scargle",
+    "detect_periods_autoperiod", "detect_periods_cfd_autoperiod",
+    "detect_periods_aic", "detect_periods_ssa", "detect_periods_stl",
+    "detect_periods_sazed", "detect_periods_matrix_profile",
+    "detect_periods_multi", "analyze_seasonality",
+    # oracle upgraded this round: level/trend components now value-hashed
+    "forecast_explain",
+    # family rotation: one hash-checked slot per remaining proven family
+    "forecast_ses", "forecast_theta", "forecast_holt_winters",
     "forecast_ets_mam", "forecast_laplace", "forecast_arima",
     "forecast_auto_ets",
     "metric_mae",
     "prep_fill_gaps", "prep_diff",
-    "detect_periods", "detect_periods_ssa", "detect_changepoints_bocpd",
-    "mstl_decomposition", "instantaneous_period", "peak_timing",
+    "detect_changepoints_bocpd", "mstl_decomposition",
     "stats_full", "features_sql",
     "cv_forecast", "cv_backtest",
     "conformal_bootstrap",
-    "similarity_topk", "similarity_topk_ivf",
-    "multimodal_features",
-    "streaming_windowed_stats",
+    "similarity_topk_ivf", "dedup_minhash_lsh",
+    "multimodal_features", "streaming_windowed_stats",
 ]
 
 
@@ -5575,16 +5582,23 @@ SELECT d.id, d.ds, d.y,
 FROM det d JOIN ic ON ic.id = d.id AND ic.phase = (d.rn - 1) % 7
 WHERE d.n >= 14
 """
+    # Shared no-seasonality fallback row shape (reference periods.rs:1505-1516:
+    # empty periods, primary 0.0, method suffixed " (no seasonality)").
+    def _ns_row(meth: str) -> str:
+        return (f"0.0, 0.0, 0.0, 0.0, 0.0, 0, false, CAST(NULL AS DOUBLE), "
+                f"CAST(NULL AS DOUBLE), 0, 0.0, '{meth} (no seasonality)'")
+
     # ACF period detection (detect.py::_acf_period): highest local maximum of
     # the full-denominator ACF over lags 2..max_lag-1; ties → smallest lag
-    # (the numpy loop's strict `>` keeps the first occurrence).
+    # (the numpy loop's strict `>` keeps the first occurrence). Default
+    # confidence filter (periods.rs:1488-1546): survivors need conf >= 0.3,
+    # else the no-seasonality row.
     o["detect_periods_acf"] = f"""
 WITH panel AS ({_PANEL}),
 s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
-             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS l
       FROM panel GROUP BY id),
-pr AS (SELECT id, n, amp, least(n // 2, 400) AS ml,
+pr AS (SELECT id, n, least(n // 2, 400) AS ml,
               list_transform(l, v -> v - mu) AS dl
        FROM s),
 pr2 AS (SELECT *, list_aggregate(list_transform(dl, x -> x * x), 'sum') AS ss
@@ -5600,7 +5614,7 @@ cand AS (SELECT *, list_filter(
              k -> {{'k': k, 'c': a[k + 1]}}),
            sx -> sx.c > a[sx.k] AND sx.c > a[sx.k + 2] AND sx.c > 0.0) AS cs
          FROM acf),
-best AS (SELECT id, amp,
+best AS (SELECT id,
                 CASE WHEN len(cs) = 0 THEN 0
                      ELSE list_filter(cs, sx -> sx.c = list_aggregate(
                             list_transform(cs, s2 -> s2.c), 'max'))[1].k END AS bk,
@@ -5608,25 +5622,30 @@ best AS (SELECT id, amp,
                      ELSE list_aggregate(list_transform(cs, s2 -> s2.c), 'max')
                 END AS bc
          FROM cand)
-SELECT id, CAST(bk AS INT) AS period, bc AS confidence, bc AS strength,
-       CASE WHEN bk >= 2 THEN amp ELSE 0.0 END AS amplitude,
+SELECT id, CAST(bk AS DOUBLE) AS period, bc AS confidence, bc AS strength,
+       0.0 AS amplitude,
        0.0 AS phase, CAST(0 AS INT) AS iteration,
        false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(CASE WHEN bk >= 2 THEN 1 ELSE 0 END AS INT) AS n_periods,
-       CAST(bk AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods,
+       CAST(bk AS DOUBLE) AS primary_period,
        'acf' AS method
-FROM best
+FROM best WHERE bk >= 2 AND bc >= 0.3
+UNION ALL
+SELECT id, {_ns_row('acf')}
+FROM best WHERE NOT (bk >= 2 AND bc >= 0.3)
 """
     # FFT periodogram top-3 (detect.py::_fft_candidates): DFT of the
     # linear-detrended demeaned series as explicit trig sums; candidate
     # ordering mirrors np.argsort(spec)[::-1] (spec DESC, bin DESC on ties),
-    # periods rounded half-even like python round().
+    # periods rounded half-even like python round(). Confidence is the
+    # reference's peak-to-MEAN power ratio (periods.rs:1370-1375):
+    # sp * (n // 2) / total; default threshold 5.0, survivors are a prefix
+    # of the power-ordered candidates.
     o["detect_periods_fft"] = f"""
 WITH panel AS ({_PANEL}),
 s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
-             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
              list(CAST(y AS DOUBLE) ORDER BY ds) AS l
       FROM panel GROUP BY id),
 x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
@@ -5635,13 +5654,13 @@ reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
               FROM x0)
         GROUP BY id),
-xd AS (SELECT x0.id, x0.n, x0.amp,
+xd AS (SELECT x0.id, x0.n,
               list_transform(generate_series(1, x0.n),
                 t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
        FROM x0 JOIN reg ON reg.id = x0.id),
-bins AS (SELECT id, n, amp, unnest(generate_series(1, n // 2)) AS k, w
+bins AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w
          FROM xd),
-spec AS (SELECT id, n, amp, k,
+spec AS (SELECT id, n, k,
                 pow(list_aggregate(list_transform(generate_series(1, n),
                   t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
               + pow(list_aggregate(list_transform(generate_series(1, n),
@@ -5649,7 +5668,7 @@ spec AS (SELECT id, n, amp, k,
          FROM bins),
 tot AS (SELECT id, CASE WHEN sum(sp) = 0 THEN 1.0 ELSE sum(sp) END AS tt
         FROM spec GROUP BY id),
-elig AS (SELECT id, n, amp, k, sp,
+elig AS (SELECT id, n, k, sp,
                 row_number() OVER (PARTITION BY id ORDER BY sp DESC, k DESC)
                   AS rk
          FROM spec
@@ -5659,6 +5678,8 @@ top3 AS (SELECT e.*, t.tt,
                 row_number() OVER (PARTITION BY e.id ORDER BY e.rk) AS it
          FROM (SELECT * FROM elig) e JOIN tot t ON t.id = e.id
          QUALIFY it <= 3),
+surv AS (SELECT *, sp * (n // 2) / tt AS conf FROM top3
+         WHERE sp * (n // 2) / tt >= 5.0),
 rows_ AS (SELECT id,
        CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
                  THEN floor(CAST(n AS DOUBLE) / k) + 1
@@ -5666,8 +5687,8 @@ rows_ AS (SELECT id,
                  THEN floor(CAST(n AS DOUBLE) / k)
                  WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
                  THEN floor(CAST(n AS DOUBLE) / k)
-                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS INT) AS period,
-       sp / tt AS confidence, amp,
+                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS DOUBLE) AS period,
+       conf AS confidence,
        CAST(it - 1 AS INT) AS iteration,
        count(*) OVER (PARTITION BY id) AS np_,
        first_value(CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
@@ -5676,26 +5697,32 @@ rows_ AS (SELECT id,
                  THEN floor(CAST(n AS DOUBLE) / k)
                  WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
                  THEN floor(CAST(n AS DOUBLE) / k)
-                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS INT))
+                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS DOUBLE))
          OVER (PARTITION BY id ORDER BY it) AS prim
-  FROM top3)
-SELECT id, period, confidence, confidence AS strength, amp AS amplitude,
+  FROM surv)
+SELECT id, period, confidence, confidence AS strength, 0.0 AS amplitude,
        0.0 AS phase, iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
        CAST(np_ AS INT) AS n_periods, prim AS primary_period,
        'fft' AS method
 FROM rows_
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'fft'
-FROM s LEFT JOIN (SELECT DISTINCT id FROM top3) h ON h.id = s.id
+SELECT s.id, {_ns_row('fft')}
+FROM s LEFT JOIN (SELECT DISTINCT id FROM surv) h ON h.id = s.id
 WHERE h.id IS NULL
 """
-    # Matrix-profile period (detect.py::_matrix_profile_period): z-normalize
-    # every length-m sliding window, then the lag minimizing the mean
-    # window-to-window L2 distance wins (ties -> smallest lag, mirroring the
-    # python loop's strict <). Runs on the 144-point truncated panel to keep
-    # the O(lags x windows x m) scan tractable at oracle scale.
+    # Matrix-profile period (detect.py::_matrix_profile_period, ref
+    # periods.rs:1134-1250): z-normalize every length-m window
+    # (m = clamp(n/10, 4, n/4)), nearest-neighbor distance profile with
+    # exclusion zone max(m/4, 1) (struct-sort ties -> smallest partner, ==
+    # np.argmin's first occurrence == the Rust strict-< update order),
+    # motif threshold 2x the 25th-percentile profile value, period = most
+    # common |mpi - i| spacing with ex < lag < n/2 (ties -> smallest lag),
+    # confidence = that lag's share of good motifs, 0.3 default filter.
+    # Runs on the 144-point truncated panel to keep the O(nw^2 m) scan
+    # tractable at oracle scale; every sum is a sequential list fold ==
+    # the python cumsum rows, so the replay is bit-exact.
     _TRUNC_PANEL = f"""SELECT id, ds, y FROM (
   SELECT id, ds, y, row_number() OVER (PARTITION BY id ORDER BY ds) AS rn
   FROM ({_PANEL})) WHERE rn <= 144"""
@@ -5752,63 +5779,76 @@ pd AS (SELECT *,
           AS p,
         CASE WHEN tr > 0 THEN lam / tr ELSE 0.0 END AS conf
        FROM lm WHERE zc > 0),
-best AS (SELECT id, CAST(p AS INT) AS period, conf, amp
-         FROM pd WHERE p >= 2 AND p <= n // 2)
-SELECT id, period, conf AS confidence, conf AS strength, amp AS amplitude,
+best AS (SELECT id, CAST(p AS DOUBLE) AS period, conf
+         FROM pd WHERE p >= 2 AND p <= n // 2 AND conf >= 0.3)
+SELECT id, period, conf AS confidence, conf AS strength, 0.0 AS amplitude,
        0.0 AS phase, CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
        CAST(1 AS INT) AS n_periods, period AS primary_period,
        'ssa' AS method
 FROM best
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'ssa'
+SELECT s.id, {_ns_row('ssa')}
 FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
 """
     o["detect_periods_matrix_profile"] = f"""
 WITH panel AS ({_TRUNC_PANEL}),
-s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
-             list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
+s AS (SELECT id, count(*) AS n, list(CAST(y AS DOUBLE) ORDER BY ds) AS ys
       FROM panel GROUP BY id),
-p1 AS (SELECT id, n, amp, ys, greatest(4, n // 20) AS m FROM s),
-p2 AS (SELECT *, n - m + 1 AS nw FROM p1),
-zn AS (SELECT id, n, m, nw, amp,
+p1 AS (SELECT id, n, ys, least(greatest(n // 10, 4), n // 4) AS m
+       FROM s WHERE n >= 32),
+p2 AS (SELECT *, greatest(m // 4, 1) AS ex, n - m + 1 AS nw FROM p1
+       WHERE n - (least(greatest(n // 10, 4), n // 4)) + 1 >= 10),
+zn AS (SELECT id, n, m, ex, nw,
   list_transform(generate_series(1, nw), i ->
-    list_transform(generate_series(1, m), j ->
-      (ys[i + j - 1] - list_sum(list_slice(ys, i, i + m - 1)) / m)
-      / (CASE WHEN sqrt(list_sum(list_transform(generate_series(1, m),
-                 u -> pow(ys[i + u - 1]
-                          - list_sum(list_slice(ys, i, i + m - 1)) / m, 2)))) = 0
-              THEN 1.0
-              ELSE sqrt(list_sum(list_transform(generate_series(1, m),
-                 u -> pow(ys[i + u - 1]
-                          - list_sum(list_slice(ys, i, i + m - 1)) / m, 2))))
-         END))) AS z
-  FROM p2 WHERE n >= 3 * m),
-lagd AS (SELECT id, n, m, nw, amp,
-                unnest(generate_series(2, least(n // 2, nw - 1) - 1)) AS lag, z
-         FROM zn),
-dist AS (SELECT id, amp, lag,
-    list_sum(list_transform(generate_series(1, nw - lag), i ->
-      sqrt(list_sum(list_transform(generate_series(1, m), j ->
-        pow(z[i][j] - z[i + lag][j], 2)))))) / (nw - lag) AS d
-  FROM lagd),
-best AS (SELECT id, amp, lag AS period, d,
-                row_number() OVER (PARTITION BY id ORDER BY d, lag) AS rk
-         FROM dist QUALIFY rk = 1)
-SELECT id, CAST(period AS INT) AS period,
-       greatest(0.0, 1.0 - d / 2.0) AS confidence,
-       greatest(0.0, 1.0 - d / 2.0) AS strength, amp AS amplitude,
+    list_transform([list_sum(list_slice(ys, i, i + m - 1)) / m], mu ->
+      list_transform([greatest(sqrt(list_sum(list_transform(
+          generate_series(0, m - 1),
+          j -> (ys[i + j] - mu) * (ys[i + j] - mu))) / m),
+          2.220446049250313e-16)], sd ->
+        list_transform(generate_series(0, m - 1),
+                       j -> (ys[i + j] - mu) / sd))[1])[1]) AS z
+  FROM p2),
+mpx AS (SELECT id, n, ex, nw, m, z, unnest(generate_series(1, nw)) AS xi
+        FROM zn),
+nn AS (SELECT id, n, ex, xi,
+  list_sort(list_transform(
+    list_filter(generate_series(1, nw), pp -> abs(pp - xi) >= ex),
+    pp -> {{'d': sqrt(list_sum(list_transform(generate_series(1, m),
+               j -> (z[xi][j] - z[pp][j]) * (z[xi][j] - z[pp][j])))),
+           'pp': pp}}))[1] AS best
+  FROM mpx),
+prof AS (SELECT id, any_value(n) AS n, any_value(ex) AS ex,
+                list(best.d ORDER BY xi) AS mps,
+                list({{'xi': xi, 'd': best.d, 'pi': best.pp}}
+                     ORDER BY xi) AS recs
+         FROM nn GROUP BY id),
+thr AS (SELECT *, CASE WHEN len(mps) > 10
+                       THEN list_sort(mps)[len(mps) // 4 + 1] * 2.0
+                       ELSE 1e308 END AS th FROM prof),
+lg AS (SELECT id, n, abs(r.pi - r.xi) AS lag
+       FROM (SELECT id, n, ex, th, unnest(recs) AS r FROM thr) u
+       WHERE r.d < th AND abs(r.pi - r.xi) > ex
+         AND abs(r.pi - r.xi) < n // 2),
+cnt AS (SELECT id, lag, count(*) AS c FROM lg GROUP BY id, lag),
+tot AS (SELECT id, count(*) AS v FROM lg GROUP BY id),
+sel AS (SELECT c.id, c.lag, CAST(c.c AS DOUBLE) / t.v AS conf
+        FROM (SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY c DESC, lag ASC) AS rk FROM cnt) c
+        JOIN tot t ON t.id = c.id WHERE c.rk = 1),
+surv AS (SELECT * FROM sel WHERE conf >= 0.3)
+SELECT id, CAST(lag AS DOUBLE) AS period, conf AS confidence,
+       conf AS strength, 0.0 AS amplitude,
        0.0 AS phase, CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(period AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, CAST(lag AS DOUBLE) AS primary_period,
        'matrix_profile' AS method
-FROM best
+FROM surv
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0,
-       'matrix_profile'
-FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
+SELECT s.id, {_ns_row('matrix_profile')}
+FROM s LEFT JOIN surv b ON b.id = s.id WHERE b.id IS NULL
 """
     # BOCPD (detect.py::bocpd): the full sequential run-length posterior
     # recursion (NIG prior, Student-t predictive) replayed as a recursive
@@ -5982,21 +6022,21 @@ sel AS (SELECT id, amp, p_, conf_, true AS validated FROM (
 fb AS (SELECT id, amp, p_, conf_ * 0.5 AS conf_, false AS validated
        FROM vv WHERE it = 1),
 pick AS (SELECT coalesce(s2.id, f2.id) AS id,
-                coalesce(s2.amp, f2.amp) AS amp,
                 coalesce(s2.p_, f2.p_) AS p_,
                 coalesce(s2.conf_, f2.conf_) AS conf_
-         FROM fb f2 LEFT JOIN sel s2 ON s2.id = f2.id)
-SELECT id, CAST(p_ AS INT) AS period, conf_ AS confidence,
-       conf_ AS strength, amp AS amplitude, 0.0 AS phase,
+         FROM fb f2 LEFT JOIN sel s2 ON s2.id = f2.id),
+surv AS (SELECT * FROM pick WHERE p_ >= 2 AND conf_ >= 0.3)
+SELECT id, CAST(p_ AS DOUBLE) AS period, conf_ AS confidence,
+       conf_ AS strength, 0.0 AS amplitude, 0.0 AS phase,
        CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(p_ AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, CAST(p_ AS DOUBLE) AS primary_period,
        'autoperiod' AS method
-FROM pick
+FROM surv
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'autoperiod'
-FROM s LEFT JOIN (SELECT DISTINCT id FROM cand5) h ON h.id = s.id
+SELECT s.id, {_ns_row('autoperiod')}
+FROM s LEFT JOIN (SELECT DISTINCT id FROM surv) h ON h.id = s.id
 WHERE h.id IS NULL
 """
     o["detect_periods_autoperiod"] = o["detect_periods_autoperiod"].replace(
@@ -6022,8 +6062,8 @@ p2 AS (SELECT s.id,
                    ELSE greatest(b.bp, 1) END AS p2
        FROM s LEFT JOIN (SELECT * FROM bb WHERE r = 1) b ON b.id = s.id
        LEFT JOIN totraw t ON t.id = s.id),
-fbr AS (SELECT id, amp, p_, conf_ FROM vv WHERE it = 1),
-pick AS (SELECT f2.id, f2.amp,
+fbr AS (SELECT id, p_, conf_ FROM vv WHERE it = 1),
+pick AS (SELECT f2.id,
                 CASE WHEN s2.id IS NOT NULL THEN s2.p_
                      WHEN p2.p2 > 1 THEN p2.p2
                      ELSE f2.p_ END AS p_,
@@ -6032,23 +6072,19 @@ pick AS (SELECT f2.id, f2.amp,
                      ELSE f2.conf_ END AS conf_
          FROM fbr f2
          LEFT JOIN sel s2 ON s2.id = f2.id
-         JOIN p2 ON p2.id = f2.id)
-SELECT id, CAST(p_ AS INT) AS period, conf_ AS confidence,
-       conf_ AS strength, amp AS amplitude, 0.0 AS phase,
+         JOIN p2 ON p2.id = f2.id),
+surv AS (SELECT * FROM pick WHERE p_ >= 2 AND conf_ >= 0.3)
+SELECT id, CAST(p_ AS DOUBLE) AS period, conf_ AS confidence,
+       conf_ AS strength, 0.0 AS amplitude, 0.0 AS phase,
        CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(p_ AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, CAST(p_ AS DOUBLE) AS primary_period,
        'auto' AS method
-FROM pick WHERE p_ >= 2
+FROM surv
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'auto'
-FROM s LEFT JOIN (SELECT id FROM (SELECT f2.id,
-         CASE WHEN s2.id IS NOT NULL THEN s2.p_
-              WHEN p2.p2 > 1 THEN p2.p2 ELSE f2.p_ END AS p_
-       FROM (SELECT id, p_, conf_ FROM vv WHERE it = 1) f2
-       LEFT JOIN sel s2 ON s2.id = f2.id
-       JOIN p2 ON p2.id = f2.id) WHERE p_ >= 2) h ON h.id = s.id
+SELECT s.id, {_ns_row('auto')}
+FROM s LEFT JOIN (SELECT DISTINCT id FROM surv) h ON h.id = s.id
 WHERE h.id IS NULL
 """
     # AIC period selection (detect.py::_aic_period): per candidate period,
@@ -6081,20 +6117,21 @@ sse AS (SELECT id, n, amp, p,
                list_aggregate(list_transform(generate_series(1, n),
                  t -> pow(x[t] - mph[(t - 1) % p + 1], 2)), 'sum') AS e
         FROM fit),
-aic AS (SELECT id, amp, p, n * ln(e / n) + 2 * p AS a
+aic AS (SELECT id, p, n * ln(e / n) + 2 * p AS a
         FROM sse WHERE isfinite(e) AND e > 0),
-best AS (SELECT id, amp, p FROM (
+best AS (SELECT id, p FROM (
            SELECT *, row_number() OVER (PARTITION BY id ORDER BY a ASC, p ASC) AS r
            FROM aic) WHERE r = 1)
-SELECT id, CAST(p AS INT) AS period, 1.0 AS confidence, 1.0 AS strength,
-       amp AS amplitude, 0.0 AS phase, CAST(0 AS INT) AS iteration,
-       false AS matches_expected, CAST(NULL AS INT) AS matched_expected_period,
+SELECT id, CAST(p AS DOUBLE) AS period, 1.0 AS confidence, 1.0 AS strength,
+       0.0 AS amplitude, 0.0 AS phase, CAST(0 AS INT) AS iteration,
+       false AS matches_expected,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(p AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, CAST(p AS DOUBLE) AS primary_period,
        'aic' AS method
 FROM best
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'aic'
+SELECT s.id, {_ns_row('aic')}
 FROM s LEFT JOIN best b ON b.id = s.id WHERE b.id IS NULL
 """
     # Lomb-Scargle periodogram (detect.py::_lomb_scargle): per candidate
@@ -6140,35 +6177,41 @@ bsel AS (SELECT id, p AS bp, power AS bpw FROM (
                                      ORDER BY power DESC, p ASC) AS rk
            FROM pwr)
          WHERE rk = 1 AND power > 0),
-best AS (SELECT s.id, s.amp, coalesce(b.bp, 0) AS bk,
-                coalesce(b.bpw, 0.0) AS bpw
-         FROM s LEFT JOIN bsel b ON b.id = s.id)
-SELECT id, CAST(bk AS INT) AS period,
-       CASE WHEN bk >= 2 THEN
-            (CASE WHEN bpw < 700 THEN 1.0 - exp(-bpw) ELSE 1.0 END)
-            ELSE 0.0 END AS confidence,
-       CASE WHEN bk >= 2 THEN
-            (CASE WHEN bpw < 700 THEN 1.0 - exp(-bpw) ELSE 1.0 END)
-            ELSE 0.0 END AS strength,
-       CASE WHEN bk >= 2 THEN amp ELSE 0.0 END AS amplitude,
+best AS (SELECT s.id, coalesce(b.bp, 0) AS bk, coalesce(b.bpw, 0.0) AS bpw
+         FROM s LEFT JOIN bsel b ON b.id = s.id),
+conf AS (SELECT id, bk,
+                CASE WHEN bpw < 700 THEN 1.0 - exp(-bpw) ELSE 1.0 END AS c
+         FROM best)
+SELECT id, CAST(bk AS DOUBLE) AS period, c AS confidence, c AS strength,
+       0.0 AS amplitude,
        0.0 AS phase, CAST(0 AS INT) AS iteration,
        false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(CASE WHEN bk >= 2 THEN 1 ELSE 0 END AS INT) AS n_periods,
-       CAST(bk AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods,
+       CAST(bk AS DOUBLE) AS primary_period,
        'lomb_scargle' AS method
-FROM best
+FROM conf WHERE bk >= 2 AND c >= 0.3
+UNION ALL
+SELECT id, {_ns_row('lomb_scargle')}
+FROM conf WHERE NOT (bk >= 2 AND c >= 0.3)
 """
-    # 'regression' routes through the identical FFT-top-3 branch
-    # (detect.py `m in ("fft", "regression")`); 'cfd_autoperiod' shares the
-    # autoperiod branch (`m in ("autoperiod", "cfd_autoperiod")`). Only the
-    # echoed method label differs, so the oracles are label rewrites of the
-    # already-verified fft / autoperiod replays.
-    o["detect_periods_regression"] = o["detect_periods_fft"].replace(
-        "'fft'", "'regression'")
-    o["detect_periods_cfd_autoperiod"] = o["detect_periods_autoperiod"] \
-        .replace("'autoperiod'", "'cfd_autoperiod'")
+    # 'regression' routes through the FFT-top-3 branch but keeps the
+    # share-of-total-power confidence (0-1 scale, ACF-like 0.3 threshold —
+    # the reference's non-FFT methods all use DEFAULT_MIN_CONFIDENCE_ACF,
+    # periods.rs:1494-1498); 'cfd_autoperiod' shares the autoperiod branch
+    # (`m in ("autoperiod", "cfd_autoperiod")`).
+    o["detect_periods_regression"] = (
+        o["detect_periods_fft"]
+        .replace("WHERE sp * (n // 2) / tt >= 5.0", "WHERE sp / tt >= 0.3")
+        .replace("sp * (n // 2) / tt AS conf", "sp / tt AS conf")
+        .replace("'fft (no seasonality)'", "'regression (no seasonality)'")
+        .replace("'fft'", "'regression'"))
+    o["detect_periods_cfd_autoperiod"] = (
+        o["detect_periods_autoperiod"]
+        .replace("'autoperiod (no seasonality)'",
+                 "'cfd_autoperiod (no seasonality)'")
+        .replace("'autoperiod'", "'cfd_autoperiod'"))
 
     # half-even (python round()) of an arbitrary expression
     def _she(u: str) -> str:
@@ -6177,166 +6220,171 @@ FROM best
                 f"WHEN CAST(floor({u}) AS BIGINT) % 2 = 0 THEN floor({u}) "
                 f"ELSE floor({u}) + 1 END")
 
-    # STL-style period pick (detect.py::_stl_period, mirroring
-    # periods.rs:952-1120): ~20 evenly spaced integer candidates in
-    # [4, n/3] (rust half-away-from-zero rounding = floor(v + 0.5)), each
-    # scored by strength = max(1 - Var(remainder)/Var(detrended), 0) on
-    # the sequential-sum linear-detrend + phase-means decomposition; first
-    # strict maximum wins (ascending candidates), best initialized to the
-    # smallest candidate at strength 0.
-    _LFL = ("(CAST(n AS DOUBLE) * list_aggregate(list_transform("
-            "generate_series(1, n), t -> (t - 1.0) * l[t]), 'sum') "
-            "- CAST(n * (n - 1) // 2 AS DOUBLE) * list_aggregate(l, 'sum')) "
-            "/ (CAST(n AS DOUBLE) * CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) "
-            "- CAST(n * (n - 1) // 2 AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE))")
+    # STL period pick (detect.py::_stl_period, mirroring periods.rs:952-1120):
+    # ~20 evenly spaced integer candidates in [4, n/3] (rust half-away-from-
+    # zero rounding = floor(v + 0.5)), each scored on the ACTUAL 2-iteration
+    # _stl_lite decomposition (sequential-sum replica _stl_decompose_seq) by
+    # strength = max(1 - Var(remainder)/Var(seasonal + remainder), 0); first
+    # strict maximum wins (ascending candidates). Truncated panel keeps the
+    # O(cand x n x window) replay in budget; every reduction is a
+    # sequential list fold == the python slice seq-sums, so the replay is
+    # bit-exact. Constant series (total seq-var < EPS) -> no seasonality.
     o["detect_periods_stl"] = f"""
-WITH panel AS ({_PANEL}),
-s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
-             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+WITH panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, list(CAST(y AS DOUBLE) ORDER BY ds) AS l
       FROM panel GROUP BY id),
-lf AS (SELECT *, {_LFL} AS b1 FROM s WHERE n >= 16),
-lg AS (SELECT *, (list_aggregate(l, 'sum')
-                  - b1 * CAST(n * (n - 1) // 2 AS DOUBLE)) / n AS b0
-       FROM lf),
-xs AS (SELECT *, list_transform(generate_series(1, n),
-                t -> l[t] - (b0 + b1 * (t - 1))) AS x,
-              least(n // 3, n // 2) AS maxp
-       FROM lg),
-vx AS (SELECT *, list_transform([list_aggregate(x, 'sum') / n], mx ->
-          list_aggregate(list_transform(x, v -> (v - mx) * (v - mx)),
-                         'sum') / n)[1] AS varx
-       FROM xs WHERE 4 < maxp),
+vx AS (SELECT *, least(n // 3, n // 2) AS maxp,
+              list_transform([list_sum(l) / n], mx ->
+                list_sum(list_transform(l, v -> (v - mx) * (v - mx)))
+                / n)[1] AS tv
+       FROM s WHERE n >= 16),
 ce AS (SELECT *, list_filter(
          list_sort(list_distinct(list_transform(generate_series(0, 19),
            i -> CAST(floor(4 + i * greatest((maxp - 4) / 20.0, 1.0) + 0.5)
                      AS INT)))),
          cp -> cp >= 4 AND cp <= maxp AND n >= 2 * cp) AS cl
-       FROM vx),
-pp AS (SELECT id, n, amp, x, varx, cl[1] AS p0, unnest(cl) AS p
-       FROM ce WHERE len(cl) > 0),
-st AS (SELECT id, n, amp, p, p0,
-         CASE WHEN varx > 2.220446049250313e-16 THEN greatest(1.0 -
-           list_transform([list_transform(generate_series(0, p - 1), ph ->
-              list_transform([list_slice(x, ph + 1, n, p)], sl ->
-                list_aggregate(sl, 'sum') / greatest(len(sl), 1))[1])], mph ->
-             list_transform([list_transform(generate_series(1, n),
-                             t -> x[t] - mph[(t - 1) % p + 1])], rl ->
-               list_transform([list_aggregate(rl, 'sum') / n], mr ->
-                 list_aggregate(list_transform(rl,
-                   v -> (v - mr) * (v - mr)), 'sum') / n)[1])[1])[1]
-           / varx, 0.0) ELSE 0.0 END AS sv
+       FROM vx WHERE 4 < maxp AND tv >= 2.220446049250313e-16),
+pp AS (SELECT id, n, l, unnest(cl) AS p FROM ce WHERE len(cl) > 0),
+k1 AS (SELECT *, (CASE WHEN p % 2 = 1 THEN p ELSE p + 1 END) // 2 AS kk
        FROM pp),
-bsel AS (SELECT id, amp, p AS bp, sv AS bs, p0 FROM (
+s1 AS (SELECT *, list_transform([list_transform(generate_series(0, p - 1),
+          ph -> list_transform([list_slice(l, ph + 1, n, p)], sl ->
+            list_sum(sl) / len(sl))[1])], m1 ->
+        list_transform([list_sum(m1) / p], mm ->
+          list_transform(m1, v -> v - mm))[1])[1] AS sx1
+       FROM k1),
+se1 AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> sx1[(t - 1) % p + 1]) AS seas1 FROM s1),
+ds1 AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> l[t] - seas1[t]) AS des1 FROM se1),
+tr1 AS (SELECT *, list_transform(generate_series(1, n), t ->
+          list_sum(list_slice(des1, greatest(t - kk, 1), least(t + kk, n)))
+          / (least(t + kk, n) - greatest(t - kk, 1) + 1)) AS trd1 FROM ds1),
+dt2 AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> l[t] - trd1[t]) AS det2 FROM tr1),
+s2 AS (SELECT *, list_transform([list_transform(generate_series(0, p - 1),
+          ph -> list_transform([list_slice(det2, ph + 1, n, p)], sl ->
+            list_sum(sl) / len(sl))[1])], m2 ->
+        list_transform([list_sum(m2) / p], mm ->
+          list_transform(m2, v -> v - mm))[1])[1] AS sx2
+       FROM dt2),
+se2 AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> sx2[(t - 1) % p + 1]) AS seas2 FROM s2),
+ds2 AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> l[t] - seas2[t]) AS des2 FROM se2),
+tr2 AS (SELECT *, list_transform(generate_series(1, n), t ->
+          list_sum(list_slice(des2, greatest(t - kk, 1), least(t + kk, n)))
+          / (least(t + kk, n) - greatest(t - kk, 1) + 1)) AS trd2 FROM ds2),
+rr AS (SELECT id, n, p, seas2,
+        list_transform(generate_series(1, n),
+                       t -> l[t] - trd2[t] - seas2[t]) AS resid
+       FROM tr2),
+dd AS (SELECT *, list_transform(generate_series(1, n),
+                  t -> seas2[t] + resid[t]) AS detr FROM rr),
+vv AS (SELECT id, n, p,
+        list_transform([list_sum(resid) / n], mr ->
+          list_sum(list_transform(resid, v -> (v - mr) * (v - mr)))
+          / n)[1] AS vr,
+        list_transform([list_sum(detr) / n], md ->
+          list_sum(list_transform(detr, v -> (v - md) * (v - md)))
+          / n)[1] AS vd
+       FROM dd),
+sc AS (SELECT id, p, CASE WHEN vd > 2.220446049250313e-16
+                          THEN greatest(1.0 - vr / vd, 0.0)
+                          ELSE 0.0 END AS sv FROM vv),
+bsel AS (SELECT id, p, sv FROM (
            SELECT *, row_number() OVER (PARTITION BY id
                                         ORDER BY sv DESC, p ASC) AS r
-           FROM st) WHERE r = 1),
-sel AS (SELECT id, amp,
-               CASE WHEN bs > 0 THEN bp ELSE p0 END AS p,
-               CASE WHEN bs > 0 THEN bs ELSE 0.0 END AS conf
-        FROM bsel)
-SELECT id, CAST(p AS INT) AS period, conf AS confidence,
-       conf AS strength, amp AS amplitude, 0.0 AS phase,
+           FROM sc) WHERE r = 1),
+surv AS (SELECT * FROM bsel WHERE sv >= 0.3)
+SELECT id, CAST(p AS DOUBLE) AS period, sv AS confidence,
+       sv AS strength, 0.0 AS amplitude, 0.0 AS phase,
        CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(p AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, CAST(p AS DOUBLE) AS primary_period,
        'stl' AS method
-FROM sel
+FROM surv
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'stl'
-FROM s LEFT JOIN sel ON sel.id = s.id WHERE sel.id IS NULL
+SELECT s.id, {_ns_row('stl')}
+FROM s LEFT JOIN surv ON surv.id = s.id WHERE surv.id IS NULL
 """
-    # SAZED ensemble (detect.py::_sazed): periodogram top-1, ACF first local
-    # hill, and the zero-crossing estimate round(2n/zc) on the detrended RAW
-    # series vote; winner = most votes, ties to the smallest period
-    # (np.unique sorts ascending, argmax takes the first maximum);
-    # confidence = winning votes / number of estimates.
+    # SAZED (detect.py::_sazed, ref periods.rs:1259-1330): mean-removed
+    # Hann-windowed series zero-padded to next_power_of_two(4n); O(n^2) DFT
+    # power spectrum replayed as explicit trig sums (DuckDB cos/sin are
+    # bitwise libm-identical to numpy on this host and every sum is a
+    # sequential list fold, so the whole spectral pipeline is bit-exact);
+    # local-max peaks with FRACTIONAL period padded_len/k in [2, n/2];
+    # noise floor = median in-band power; confidence = min(snr, 1),
+    # strength = raw peak power; 0.3 default filter. Truncated panel keeps
+    # the O(k_range x n) DFT tractable at oracle scale.
     o["detect_periods_sazed"] = f"""
-WITH panel AS ({_PANEL}),
-s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
-             sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
-             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+WITH panel AS ({_TRUNC_PANEL}),
+s AS (SELECT id, count(*) AS n, list(CAST(y AS DOUBLE) ORDER BY ds) AS l
       FROM panel GROUP BY id),
-x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
-reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-        FROM (SELECT id, unnest(xl) AS v,
-                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-              FROM x0) GROUP BY id),
-xd AS (SELECT x0.id, x0.n, x0.xl,
-              list_transform(generate_series(1, x0.n),
-                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
-       FROM x0 JOIN reg ON reg.id = x0.id),
-bins AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w FROM xd),
-spec AS (SELECT id, n, k,
-                pow(list_aggregate(list_transform(generate_series(1, n),
-                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
-              + pow(list_aggregate(list_transform(generate_series(1, n),
-                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
-         FROM bins),
-f1 AS (SELECT id, {half_even_nk} AS p FROM (
-         SELECT *, row_number() OVER (PARTITION BY id
-                                      ORDER BY sp DESC, k DESC) AS rk
-         FROM spec
-         WHERE CAST(n AS DOUBLE) / k >= 2.0
-           AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)) WHERE rk = 1),
-acfl AS (SELECT id, n, least(n // 2, 400) AS ml,
-                list_aggregate(list_transform(xl, x -> x * x), 'sum') AS ss,
-                xl
-         FROM xd),
-acf AS (SELECT id, ml, list_transform(generate_series(0, ml),
-          k -> CASE WHEN k = 0 THEN 1.0
-                    WHEN ss <= 0 THEN 0.0
-                    ELSE list_aggregate(list_transform(generate_series(1, n - k),
-                           t -> xl[t] * xl[t + k]), 'sum') / ss END) AS a
-        FROM acfl),
-a1 AS (SELECT id, CASE WHEN len(cs) = 0 THEN 0
-                       ELSE list_filter(cs, sx -> sx.c = list_aggregate(
-                              list_transform(cs, s2 -> s2.c), 'max'))[1].k
-                  END AS bk
-       FROM (SELECT id, list_filter(
-               list_transform(generate_series(2, ml - 1),
-                 k -> {{'k': k, 'c': a[k + 1]}}),
-               sx -> sx.c > a[sx.k] AND sx.c > a[sx.k + 2] AND sx.c > 0.0) AS cs
-             FROM acf)),
-regy AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
-         FROM (SELECT id, unnest(l) AS v,
-                      CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
-               FROM s) GROUP BY id),
-zc AS (SELECT id, n, len(list_filter(range(1, CAST(n AS BIGINT)), t ->
-              sign(x[t]) <> sign(x[t + 1]) AND x[t] <> 0)) AS z
-       FROM (SELECT s.id, s.n, list_transform(generate_series(1, s.n),
-                    t -> s.l[t] - (regy.b0 + regy.b1 * (t - 1))) AS x
-             FROM s JOIN regy ON regy.id = s.id)),
-el AS (SELECT s.id, s.amp, list_filter(
-         [CAST(f1.p AS INT),
-          CASE WHEN a1.bk > 0 THEN CAST(a1.bk AS INT) END,
-          CASE WHEN z.z > 0 THEN
-            CAST({_she('2.0 * CAST(z.n AS DOUBLE) / z.z')} AS INT) END],
-         v -> v IS NOT NULL) AS ests
-       FROM s LEFT JOIN f1 ON f1.id = s.id
-              LEFT JOIN a1 ON a1.id = s.id
-              LEFT JOIN zc z ON z.id = s.id),
-ev AS (SELECT id, unnest(ests) AS e, len(ests) AS ne FROM el
-       WHERE len(ests) > 0),
-vote AS (SELECT id, e, count(*) AS c, any_value(ne) AS ne FROM ev
-         GROUP BY id, e),
-win AS (SELECT id, e AS best, CAST(c AS DOUBLE) / ne AS conf FROM (
-          SELECT *, row_number() OVER (PARTITION BY id
-                                       ORDER BY c DESC, e ASC) AS r
-          FROM vote) WHERE r = 1),
-sel AS (SELECT w.id, w.best, w.conf, s.amp FROM win w JOIN s ON s.id = w.id
-        WHERE w.best >= 2)
-SELECT id, CAST(best AS INT) AS period, conf AS confidence,
-       conf AS strength, amp AS amplitude, 0.0 AS phase,
-       CAST(0 AS INT) AS iteration, false AS matches_expected,
-       CAST(NULL AS INT) AS matched_expected_period,
+pm AS (SELECT *, list_sum(l) / n AS mu,
+              list_min(list_filter(
+                list_transform(generate_series(4, 24),
+                               e -> CAST(pow(2.0, e) AS BIGINT)),
+                v -> v >= 4 * n)) AS pl
+       FROM s WHERE n >= 16),
+hw AS (SELECT *, pl // greatest(n // 2, 1) AS klo, pl // 2 AS khi,
+              list_transform(generate_series(1, n), t ->
+                (l[t] - mu) * (0.5 * (1.0 - cos(2.0 * pi() * (t - 1)
+                                                / (n - 1))))) AS v
+       FROM pm),
+bins AS (SELECT id, n, pl, klo, khi, v,
+                unnest(generate_series(greatest(klo - 1, 1), pl // 2 - 1))
+                  AS k
+         FROM hw),
+spc AS (SELECT id, n, pl, klo, khi, k,
+               list_transform([list_sum(list_transform(generate_series(1, n),
+                   t -> v[t] * cos(-2.0 * pi() * k * (t - 1) / pl)))], re ->
+                 list_transform([list_sum(list_transform(generate_series(1, n),
+                     t -> v[t] * sin(-2.0 * pi() * k * (t - 1) / pl)))], im ->
+                   (re * re + im * im) / pl)[1])[1] AS pw
+        FROM bins),
+sl AS (SELECT id, any_value(n) AS n, any_value(pl) AS pl,
+              any_value(klo) AS klo, any_value(khi) AS khi,
+              list(pw ORDER BY k) AS sp,
+              min(k) AS k0
+       FROM spc GROUP BY id),
+pk AS (SELECT *, list_filter(
+         list_transform(generate_series(klo, pl // 2 - 1), k ->
+           {{'pw': sp[k - k0 + 1], 'k': k,
+            'prv': sp[k - k0], 'nxt': CASE WHEN k + 1 >= pl // 2 THEN NULL
+                                           ELSE sp[k - k0 + 2] END}}),
+         x -> (x.k = 1 OR x.pw > x.prv)
+              AND (x.nxt IS NULL OR x.pw > x.nxt)
+              AND CAST(pl AS DOUBLE) / x.k >= 2.0
+              AND CAST(pl AS DOUBLE) / x.k <= CAST(n // 2 AS DOUBLE)) AS pks,
+         list_sort(list_transform(generate_series(klo, pl // 2 - 1),
+                                  k -> sp[k - k0 + 1])) AS ib
+       FROM sl),
+pku AS (SELECT id, n, pl, ib, unnest(pks) AS pk_
+        FROM pk WHERE len(pks) > 0),
+top AS (SELECT id, n, pl,
+               CASE WHEN len(ib) > 0 THEN ib[len(ib) // 2 + 1]
+                    ELSE 1.0 END AS noise,
+               pk_.pw AS pw, pk_.k AS k
+        FROM pku
+        QUALIFY row_number() OVER (PARTITION BY id
+                  ORDER BY pk_.pw DESC, pk_.k ASC) = 1),
+sel AS (SELECT id, CAST(pl AS DOUBLE) / k AS period, pw,
+               CASE WHEN noise > 0 THEN pw / noise ELSE pw END AS snr
+        FROM top),
+surv AS (SELECT id, period, least(snr, 1.0) AS conf, pw FROM sel
+         WHERE period >= 2 AND least(snr, 1.0) >= 0.3)
+SELECT id, period, conf AS confidence, pw AS strength, 0.0 AS amplitude,
+       0.0 AS phase, CAST(0 AS INT) AS iteration, false AS matches_expected,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(1 AS INT) AS n_periods, CAST(best AS INT) AS primary_period,
+       CAST(1 AS INT) AS n_periods, period AS primary_period,
        'sazed' AS method
-FROM sel
+FROM surv
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'sazed'
-FROM s LEFT JOIN sel ON sel.id = s.id WHERE sel.id IS NULL
+SELECT s.id, {_ns_row('sazed')}
+FROM s LEFT JOIN surv ON surv.id = s.id WHERE surv.id IS NULL
 """
     # Iterative multi-period removal (detect.py 'multi' branch, truncated
     # panel): three unrolled rounds of detect_seasonality (sequential-sum
@@ -6421,24 +6469,26 @@ s AS (SELECT id, count(*) AS n, sqrt(var_pop(CAST(y AS DOUBLE))) AS amp,
       FROM panel GROUP BY id),
 m0 AS (SELECT id, n, amp, ys AS r FROM s),{_mi_sql},
 rows_ AS (
-  SELECT id, p, conf, 0 AS it, amp FROM cc0
-  UNION ALL SELECT id, p, conf, 1, amp FROM cc1
-  UNION ALL SELECT id, p, conf, 2, amp FROM cc2),
-fin AS (SELECT id, p, conf, it, amp,
+  SELECT id, p, conf, 0 AS it FROM cc0
+  UNION ALL SELECT id, p, conf, 1 FROM cc1
+  UNION ALL SELECT id, p, conf, 2 FROM cc2),
+surv AS (SELECT * FROM rows_ WHERE conf >= 0.3),
+fin AS (SELECT id, p, conf, it,
                count(*) OVER (PARTITION BY id) AS np_,
                first_value(p) OVER (PARTITION BY id
                                     ORDER BY conf DESC, it ASC) AS prim
-        FROM rows_)
-SELECT id, CAST(p AS INT) AS period, conf AS confidence, conf AS strength,
-       amp AS amplitude, 0.0 AS phase, CAST(it AS INT) AS iteration,
-       false AS matches_expected, CAST(NULL AS INT) AS matched_expected_period,
+        FROM surv)
+SELECT id, CAST(p AS DOUBLE) AS period, conf AS confidence, conf AS strength,
+       0.0 AS amplitude, 0.0 AS phase, CAST(it AS INT) AS iteration,
+       false AS matches_expected,
+       CAST(NULL AS DOUBLE) AS matched_expected_period,
        CAST(NULL AS DOUBLE) AS match_deviation,
-       CAST(np_ AS INT) AS n_periods, CAST(prim AS INT) AS primary_period,
+       CAST(np_ AS INT) AS n_periods, CAST(prim AS DOUBLE) AS primary_period,
        'multi' AS method
 FROM fin
 UNION ALL
-SELECT s.id, 0, 0.0, 0.0, 0.0, 0.0, 0, false, NULL, NULL, 0, 0, 'multi'
-FROM s LEFT JOIN (SELECT DISTINCT id FROM rows_) h ON h.id = s.id
+SELECT s.id, {_ns_row('multi')}
+FROM s LEFT JOIN (SELECT DISTINCT id FROM surv) h ON h.id = s.id
 WHERE h.id IS NULL
 """
     # find_peaks walk: the left boundary of a peak's base is the last index

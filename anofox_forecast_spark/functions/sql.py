@@ -626,11 +626,11 @@ class DetectPeriodsUDTF:
         g = group_col.value
         out = T.StructType([
             T.StructField(g, table.dataType[g].dataType),
-            T.StructField("period", T.IntegerType()),
+            T.StructField("period", T.DoubleType()),
             T.StructField("confidence", T.DoubleType()),
             T.StructField("strength", T.DoubleType()),
             T.StructField("n_periods", T.IntegerType()),
-            T.StructField("primary_period", T.IntegerType()),
+            T.StructField("primary_period", T.DoubleType()),
             T.StructField("method", T.StringType()),
         ])
         return AnalyzeResult(schema=out, partitionBy=[PartitioningColumn(g)],
@@ -654,7 +654,7 @@ class DetectPeriodsUDTF:
         y = np.array([math.nan if r[y_col] is None else float(r[y_col])
                       for r in self._rows])
         res = detect_periods(y, str(method))
-        for d in res["periods"] or [{"period": 0, "confidence": 0.0,
+        for d in res["periods"] or [{"period": 0.0, "confidence": 0.0,
                                      "strength": 0.0}]:
             yield (g, d["period"], d["confidence"], d["strength"],
                    res["n_periods"], res["primary_period"], res["method"])

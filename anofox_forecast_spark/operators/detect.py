@@ -64,6 +64,13 @@ def _acf_all(y, max_lag):
 
 
 def _fft_candidates(y, top=5):
+    """Top periodogram candidates as (period, share_conf, peak_mean_conf).
+
+    ``share_conf`` is the bin's share of total spectral power (0-1 scale,
+    used by the regression/autoperiod branches); ``peak_mean_conf`` is the
+    peak-to-mean power ratio — the reference's FFT confidence convention
+    (``periods.rs:1370-1375``: "FFT confidence is peak-to-mean power
+    ratio"), against which the 5.0 default threshold applies."""
     freqs, spec = _periodogram(y)
     n = len(y)
     cands = []
@@ -77,7 +84,8 @@ def _fft_candidates(y, top=5):
         if len(cands) >= top:
             break
     total = float(spec.sum()) or 1.0
-    return [(p, pw / total) for p, pw in cands]
+    nbins = n // 2
+    return [(p, pw / total, pw * nbins / total) for p, pw in cands]
 
 
 def _acf_period(y):
@@ -118,7 +126,7 @@ def _lomb_scargle(y):
 
 def _autoperiod(y):
     """FFT candidate periods validated on the ACF (autoperiod algorithm)."""
-    cands = _fft_candidates(y, top=5)
+    cands = [(p, share) for p, share, _ in _fft_candidates(y, top=5)]
     n = len(y)
     max_lag = min(n // 2, 400)
     acf = _acf_all(y, max_lag)
@@ -199,24 +207,49 @@ def _ssa_period(y, n_iter: int = 30):
     return (p if 2 <= p <= n // 2 else 0), conf
 
 
+def _stl_decompose_seq(y, m, iterations=2):
+    """Sequential-sum replica of ``models._stl_lite`` (identical algorithm:
+    iterate seasonal = centered phase-means of the detrended series, trend =
+    clipped centered MA of the deseasonalized series) with every reduction
+    strict left-to-right, so the period-scoring decisions built on it are
+    replayable bit-for-bit by the DuckDB oracle's ``list_sum`` folds."""
+    from ..functions.models import _seq_sum
+    n = len(y)
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    w = m if m % 2 == 1 else m + 1
+    k = w // 2
+    for _ in range(iterations):
+        detr = y - trend
+        idx = np.array([_seq_sum(detr[ph::m]) / len(detr[ph::m])
+                        for ph in range(m)])
+        idx = idx - _seq_sum(idx) / m
+        seasonal = idx[np.arange(n) % m]
+        deseas = y - seasonal
+        trend = np.array([
+            _seq_sum(deseas[max(0, t - k):min(n, t + k + 1)])
+            / (min(n, t + k + 1) - max(0, t - k)) for t in range(n)])
+    resid = y - trend - seasonal
+    return trend, seasonal, resid
+
+
 def _stl_period(y):
-    """STL-style period pick (ref ``periods.rs:952-1120`` ``stl_period``):
-    ~20 evenly spaced integer candidates in [4, n/3] (never the degenerate
-    n/2 two-cycle fit), each scored by decomposition quality
-    strength = max(1 - Var(remainder) / Var(detrended), 0); first strict
-    maximum wins, candidates sorted ascending, best initialized to the
-    smallest candidate. Our decomposition is the linear-detrend +
-    phase-means simplification; every arithmetic step uses the
-    sequential-sum primitives so the DuckDB oracle replays it bit-exactly.
-    """
-    from ..functions.models import _linfit, _seq_sum
+    """STL period pick (ref ``periods.rs:952-1120`` ``stl_period``):
+    ~20 evenly spaced integer candidates in [4, n/3] (Rust half-away-from-
+    zero rounding), each scored on the *actual STL decomposition* (our
+    ``_stl_lite`` algorithm, sequential-sum replica) by
+    strength = max(1 - Var(remainder) / Var(seasonal + remainder), 0)
+    — the reference's seasonal-strength formula; strict maximum wins over
+    ascending candidates, best initialized to the smallest candidate.
+    Constant series → (NaN, 0) like the reference's total_var < EPS path."""
+    from ..functions.models import _seq_sum
     n = len(y)
     if n < 16:
-        return 0, 0.0
+        return float("nan"), 0.0
     min_p = 4
     max_p = min(n // 3, n // 2)
     if min_p >= max_p:
-        return 0, 0.0
+        return float("nan"), 0.0
     n_cand = 20
     step = max((max_p - min_p) / n_cand, 1.0)
     # rust f64::round = half away from zero
@@ -224,87 +257,172 @@ def _stl_period(y):
                     for i in range(n_cand)})
     cands = [p for p in cands if min_p <= p <= max_p and n >= 2 * p]
     if not cands:
-        return 0, 0.0
-    b1, b0 = _linfit(y)
-    x = y - (b0 + b1 * np.arange(n, dtype=float))
-    mx = _seq_sum(x) / n
-    var_x = _seq_sum((x - mx) ** 2) / n
+        return float("nan"), 0.0
+    my = _seq_sum(y) / n
+    total_var = _seq_sum((y - my) ** 2) / n
+    if total_var < EPS:
+        return float("nan"), 0.0
     best_p, best_s = cands[0], 0.0
     for p in cands:
-        idx = np.array([_seq_sum(x[ph::p]) / max(len(x[ph::p]), 1)
-                        for ph in range(p)])
-        rem = x - np.array([idx[t % p] for t in range(n)])
-        mr = _seq_sum(rem) / n
-        var_r = _seq_sum((rem - mr) ** 2) / n
-        s = max(1.0 - var_r / var_x, 0.0) if var_x > EPS else 0.0
+        _, seasonal, resid = _stl_decompose_seq(y, p)
+        detr = seasonal + resid
+        md = _seq_sum(detr) / n
+        var_d = _seq_sum((detr - md) ** 2) / n
+        mr = _seq_sum(resid) / n
+        var_r = _seq_sum((resid - mr) ** 2) / n
+        s = max(1.0 - var_r / var_d, 0.0) if var_d > EPS else 0.0
         if s > best_s:
             best_p, best_s = p, s
-    return best_p, best_s
+    return float(best_p), best_s
 
 
 def _matrix_profile_period(y):
-    """Simplified matrix-profile period: the lag with the smallest mean
-    z-normalized subsequence distance."""
+    """Matrix-profile period (ref ``periods.rs:1134-1250``
+    ``matrix_profile_period``): z-normalized nearest-neighbor distance
+    profile with subsequence length m = clamp(n/10, 4, n/4) and exclusion
+    zone max(m/4, 1); good motifs are profile entries below 2× the 25th
+    percentile; the period is the most common |mpi[i] - i| motif spacing
+    with exclusion < lag < n/2, confidence = that lag's share of good
+    motifs. On tied counts we take the smallest lag (the reference's
+    ``max_by_key`` iterates a HashMap, which is order-nondeterministic —
+    a deterministic tie-break is required for replay). All reductions are
+    sequential (np.cumsum rows) so the DuckDB oracle replays every
+    distance, threshold, and count bit-for-bit."""
     n = len(y)
-    m = max(4, n // 20)
-    if n < 3 * m:
-        return 0, 0.0
-    X = np.lib.stride_tricks.sliding_window_view(y, m)
-    Xn = (X - X.mean(axis=1, keepdims=True))
-    norms = np.linalg.norm(Xn, axis=1)
-    norms[norms == 0] = 1.0
-    Xn = Xn / norms[:, None]
-    best_p, best_d = 0, float("inf")
-    for lag in range(2, min(n // 2, len(X) - 1)):
-        d = np.linalg.norm(Xn[:-lag] - Xn[lag:], axis=1).mean()
-        if d < best_d:
-            best_p, best_d = lag, float(d)
-    conf = max(0.0, 1.0 - best_d / 2.0)
-    return best_p, conf
+    if n < 32:
+        return float("nan"), 0.0
+    m = min(max(n // 10, 4), n // 4)
+    excl = max(m // 4, 1)
+    nw = n - m + 1
+    if nw < 10:
+        return float("nan"), 0.0
+    W = np.lib.stride_tricks.sliding_window_view(np.asarray(y, float), m)
+    means = np.cumsum(W, axis=1)[:, -1] / m
+    dev = W - means[:, None]
+    stds = np.sqrt(np.cumsum(dev * dev, axis=1)[:, -1] / m)
+    stds = np.maximum(stds, EPS)
+    Z = dev / stds[:, None]
+    D = np.full((nw, nw), np.inf)
+    for lag in range(excl, nw):
+        A = Z[:-lag] - Z[lag:]
+        d = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        i = np.arange(nw - lag)
+        D[i, i + lag] = d
+        D[i + lag, i] = d
+    mp = D.min(axis=1)
+    # argmin keeps the first (smallest-index) partner on ties — the same
+    # winner as the reference's strict `<` update order
+    mpi = D.argmin(axis=1)
+    finite = np.sort(mp[np.isfinite(mp)])
+    thr = finite[len(finite) // 4] * 2.0 if len(finite) > 10 else float("inf")
+    lag_counts: dict[int, int] = {}
+    valid = 0
+    for i in range(nw):
+        if math.isfinite(mp[i]) and mp[i] < thr:
+            lag = abs(int(mpi[i]) - i)
+            if excl < lag < n // 2:
+                lag_counts[lag] = lag_counts.get(lag, 0) + 1
+                valid += 1
+    if not lag_counts:
+        return float("nan"), 0.0
+    best_lag, best_count = max(lag_counts.items(),
+                               key=lambda kv: (kv[1], -kv[0]))
+    return float(best_lag), best_count / valid
 
 
 def _sazed(y):
-    """SAZED ensemble: spectral + ACF + zero-crossing estimates, majority."""
-    ests = []
-    f = _fft_candidates(y, top=1)
-    if f:
-        ests.append(f[0][0])
-    a, _ = _acf_period(y)
-    if a:
-        ests.append(a)
-    x = _detrend_linear(y)
-    sgn = np.sign(x)
-    zc = int(((sgn[:-1] != sgn[1:]) & (x[:-1] != 0)).sum())
-    if zc > 0:
-        ests.append(int(round(2 * len(y) / zc)))
-    if not ests:
-        return 0, 0.0
-    vals, counts = np.unique(ests, return_counts=True)
-    best = int(vals[np.argmax(counts)])
-    conf = float(counts.max()) / len(ests)
-    return best, conf
+    """SAZED (ref ``periods.rs:1259-1330`` ``sazed_period``): mean-removed
+    Hann-windowed series zero-padded to next_power_of_two(4n); O(n²) DFT
+    power spectrum; local-maximum peaks whose FRACTIONAL period
+    padded_len/k lies in [2, n/2]; noise floor = median in-band power;
+    returns (period, power, snr) for the strongest peak, period as a
+    fractional double exactly like the reference. Every spectrum sum is
+    strict left-to-right (np.cumsum) and DuckDB's cos/sin are bitwise
+    libm-identical on this host, so the oracle replays the whole spectral
+    pipeline bit-for-bit. (NaN, 0, 0) when no peak qualifies."""
+    n = len(y)
+    if n < 16:
+        return float("nan"), 0.0, 0.0
+    pl = 1
+    while pl < 4 * n:
+        pl *= 2
+    mean = float(np.cumsum(y)[-1]) / n
+    i = np.arange(n, dtype=float)
+    hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * i / (n - 1)))
+    vals = (y - mean) * hann
+    min_p, max_p = 2, n // 2
+    klo = max(pl // max_p, 1)
+    khi = min(pl // min_p, pl // 2)   # exclusive upper bound of the k loop
+
+    def power(k):
+        c = -2.0 * np.pi * k
+        ang = c * i / pl
+        real = float(np.cumsum(vals * np.cos(ang))[-1])
+        imag = float(np.cumsum(vals * np.sin(ang))[-1])
+        return (real * real + imag * imag) / pl
+
+    spec = {k: power(k) for k in range(max(klo - 1, 1),
+                                       min(khi + 1, pl // 2))}
+    peaks = []
+    in_band = []
+    for k in range(klo, khi):
+        p = spec[k]
+        in_band.append(p)
+        is_peak = ((k == 1 or p > spec[k - 1])
+                   and (k + 1 >= pl // 2 or p > spec[k + 1]))
+        period = pl / k
+        if is_peak and min_p <= period <= max_p:
+            peaks.append((period, p))
+    peaks.sort(key=lambda t: -t[1])   # stable: ties keep k ascending
+    in_band.sort()
+    noise = in_band[len(in_band) // 2] if in_band else 1.0
+    if not peaks:
+        return float("nan"), 0.0, 0.0
+    period, pw = peaks[0]
+    snr = pw / noise if noise > 0 else pw
+    return period, pw, snr
+
+
+#: Reference method-default confidence thresholds (``periods.rs:1363-1375``):
+#: FFT confidence is a peak-to-mean power ratio so its bar is higher; every
+#: other method is on a 0-1 ACF-like scale.
+DEFAULT_MIN_CONFIDENCE_ACF = 0.3
+DEFAULT_MIN_CONFIDENCE_FFT = 5.0
 
 
 def detect_periods(y: np.ndarray, method: str = "auto",
-                   expected_periods: list[int] | None = None) -> dict:
-    """Multi-method period detection (``periods.rs:275-1500``)."""
+                   expected_periods: list[float] | None = None,
+                   min_confidence: float | None = None) -> dict:
+    """Multi-method period detection (``periods.rs:275-1500``).
+
+    Mirrors the reference surface's default confidence filtering
+    (``ts_periods.cpp:95-163`` passes -1.0 → ``periods.rs:1488-1546``
+    applies the method-default threshold): candidates below the threshold
+    are dropped, and when every candidate is cut the result is the
+    "no seasonality" answer — empty periods, primary_period 0.0, and the
+    method label suffixed with " (no seasonality)". ``min_confidence=None``
+    selects the method default (5.0 for fft, 0.3 otherwise); a value <= 0
+    disables filtering. Periods are doubles (the reference's f64 — sazed
+    returns fractional periods). ``amplitude``/``phase`` are 0.0 like every
+    arm of the reference dispatch (``periods.rs:1521-1760``)."""
     y = interpolate_nulls(np.asarray(y, dtype=float))
     n = len(y)
     periods: list[dict] = []
 
     def add(p, conf, iteration=0, strength=None):
-        if p and p >= 2:
+        if p and not math.isnan(p) and p >= 2:
             matched = None
             dev = None
             if expected_periods:
                 diffs = [(abs(p - e), e) for e in expected_periods]
                 d, e = min(diffs)
-                if d / max(e, 1) <= 0.2:
-                    matched, dev = e, d / max(e, 1)
+                # reference DEFAULT_TOLERANCE = 0.1 (periods.rs:1378-1380)
+                if e > 0 and d / e <= 0.1:
+                    matched, dev = float(e), d / e
             periods.append({
-                "period": int(p), "confidence": float(conf),
+                "period": float(p), "confidence": float(conf),
                 "strength": float(strength if strength is not None else conf),
-                "amplitude": float(np.std(y)),
+                "amplitude": 0.0,
                 "phase": 0.0, "iteration": iteration,
                 "matches_expected": matched is not None,
                 "matched_expected_period": matched,
@@ -312,9 +430,12 @@ def detect_periods(y: np.ndarray, method: str = "auto",
             })
 
     m = method.lower()
-    if m in ("fft", "regression"):
-        for i, (p, c) in enumerate(_fft_candidates(y, top=3)):
-            add(p, c, i)
+    if m == "fft":
+        for i, (p, _share, pm) in enumerate(_fft_candidates(y, top=3)):
+            add(p, pm, i)
+    elif m == "regression":
+        for i, (p, share, _pm) in enumerate(_fft_candidates(y, top=3)):
+            add(p, share, i)
     elif m == "acf":
         p, c = _acf_period(y)
         add(p, c)
@@ -337,8 +458,10 @@ def detect_periods(y: np.ndarray, method: str = "auto",
         p, c = _matrix_profile_period(y)
         add(p, c)
     elif m == "sazed":
-        p, c = _sazed(y)
-        add(p, c)
+        p, pw, snr = _sazed(y)
+        # dispatch confidence = snr.min(1.0), strength = raw spectral power
+        # (periods.rs:1742-1760)
+        add(p, min(snr, 1.0), strength=pw)
     elif m == "multi":
         # iterative removal: detect, remove seasonal component, repeat.
         # Sequential-order primitives (models._linfit / _seq_sum) throughout:
@@ -370,12 +493,18 @@ def detect_periods(y: np.ndarray, method: str = "auto",
                 p, c = p2, max(c, 0.5)
         add(p, c)
 
+    # reference-default confidence filter (periods.rs:1488-1546)
+    thr = min_confidence if min_confidence is not None else (
+        DEFAULT_MIN_CONFIDENCE_FFT if m == "fft"
+        else DEFAULT_MIN_CONFIDENCE_ACF)
+    if thr > 0:
+        periods = [d for d in periods if d["confidence"] >= thr]
     periods.sort(key=lambda d: -d["confidence"])
     return {
         "periods": periods,
         "n_periods": len(periods),
-        "primary_period": periods[0]["period"] if periods else 0,
-        "method": method,
+        "primary_period": periods[0]["period"] if periods else 0.0,
+        "method": method if periods else f"{method} (no seasonality)",
     }
 
 
@@ -722,27 +851,31 @@ def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     p = dict(params or {})
     method = str(p.get("method", "auto"))
     expected = p.get("expected_periods")
+    min_confidence = p.get("min_confidence")
     gtype = df.schema[group_col].dataType
     schema = T.StructType([
         T.StructField(group_col, gtype),
-        T.StructField("period", T.IntegerType()),
+        T.StructField("period", T.DoubleType()),
         T.StructField("confidence", T.DoubleType()),
         T.StructField("strength", T.DoubleType()),
         T.StructField("amplitude", T.DoubleType()),
         T.StructField("phase", T.DoubleType()),
         T.StructField("iteration", T.IntegerType()),
         T.StructField("matches_expected", T.BooleanType()),
-        T.StructField("matched_expected_period", T.IntegerType()),
+        T.StructField("matched_expected_period", T.DoubleType()),
         T.StructField("match_deviation", T.DoubleType()),
         T.StructField("n_periods", T.IntegerType()),
-        T.StructField("primary_period", T.IntegerType()),
+        T.StructField("primary_period", T.DoubleType()),
         T.StructField("method", T.StringType()),
     ])
 
     def build(g, pdf):
-        res = detect_periods(pdf[y_col].to_numpy(dtype=float), method, expected)
+        res = detect_periods(pdf[y_col].to_numpy(dtype=float), method,
+                             expected,
+                             min_confidence=(None if min_confidence is None
+                                             else float(min_confidence)))
         rows = []
-        for d in res["periods"] or [{"period": 0, "confidence": 0.0, "strength": 0.0,
+        for d in res["periods"] or [{"period": 0.0, "confidence": 0.0, "strength": 0.0,
                                      "amplitude": 0.0, "phase": 0.0, "iteration": 0,
                                      "matches_expected": False,
                                      "matched_expected_period": None,

@@ -141,8 +141,11 @@ def test_conformal_asymmetric_calibration_coverage(spark):
 def test_stl_sazed_find_weekly_period():
     t = np.arange(210, dtype=float)
     y = 20.0 + 5.0 * np.sin(2 * np.pi * t / 7) + 0.01 * t
+    # sazed returns a FRACTIONAL period padded_len/k (periods.rs:1259-1330);
+    # with n=210 the padded grid is 1024 bins so the resolution near 7 is
+    # ~0.05 — assert the fractional estimate brackets the true period
     out = detect_periods(y, "sazed")
-    assert out["primary_period"] == 7
+    assert abs(out["primary_period"] - 7.0) < 0.1
     assert out["periods"][0]["confidence"] > 0.5
     # stl maximizes decomposition strength over a candidate grid capped at
     # n/3 (ref periods.rs:952-1120); any harmonic multiple of the true

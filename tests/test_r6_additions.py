@@ -1,0 +1,160 @@
+"""Round-6 fidelity additions: reference-default period-confidence filtering
+(``periods.rs:1488-1546``), true matrix-profile period (``periods.rs:1134-
+1250``), faithful fractional-period SAZED (``periods.rs:1259-1330``), and
+STL-decomposition candidate scoring (``periods.rs:952-1120``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from anofox_forecast_spark.operators.detect import (
+    DEFAULT_MIN_CONFIDENCE_ACF,
+    DEFAULT_MIN_CONFIDENCE_FFT,
+    _matrix_profile_period,
+    _sazed,
+    _stl_period,
+    detect_periods,
+    ts_detect_periods_by,
+)
+
+
+def _noise(n=200, seed=5):
+    return np.asarray(np.random.default_rng(seed).normal(0.0, 1.0, n))
+
+
+def test_default_thresholds_match_reference():
+    # periods.rs:1363-1375
+    assert DEFAULT_MIN_CONFIDENCE_ACF == 0.3
+    assert DEFAULT_MIN_CONFIDENCE_FFT == 5.0
+
+
+def test_weak_seasonality_returns_no_seasonality():
+    """The reference SQL surface answers "no seasonality" on noise
+    (ts_periods.cpp:95-163 -> periods.rs:1505-1516): empty periods,
+    primary_period 0.0, method suffixed ' (no seasonality)'."""
+    y = _noise()
+    for method in ("acf", "auto", "stl", "matrix_profile"):
+        out = detect_periods(y, method)
+        assert out["periods"] == [], method
+        assert out["n_periods"] == 0
+        assert out["primary_period"] == 0.0
+        assert out["method"] == f"{method} (no seasonality)"
+
+
+def test_min_confidence_zero_disables_filter():
+    y = _noise()
+    out = detect_periods(y, "acf", min_confidence=0.0)
+    # unfiltered: the best ACF local max is emitted even when weak
+    assert out["n_periods"] >= 1
+    assert out["method"] == "acf"
+    # custom threshold: an impossible bar always yields the empty result
+    out = detect_periods(y, "acf", min_confidence=2.0)
+    assert out["periods"] == []
+    assert out["method"] == "acf (no seasonality)"
+
+
+def test_fft_confidence_is_peak_to_mean():
+    t = np.arange(140, dtype=float)
+    y = 5.0 + np.sin(2 * np.pi * t / 7)
+    out = detect_periods(y, "fft")
+    # a pure sine concentrates nearly all power in one of 70 bins: the
+    # peak-to-mean ratio is ~n_bins, far above the 5.0 default threshold
+    assert out["periods"][0]["confidence"] > 50.0
+    assert out["primary_period"] == 7.0
+    # the share-of-total convention (regression branch) stays on [0, 1]
+    reg = detect_periods(y, "regression")
+    assert 0.0 <= reg["periods"][0]["confidence"] <= 1.0
+
+
+def test_sazed_fractional_period():
+    t = np.arange(210, dtype=float)
+    y = 20.0 + 5.0 * np.sin(2 * np.pi * t / 7)
+    p, pw, snr = _sazed(y)
+    # period = padded_len / k is fractional (f64 in the reference)
+    assert p != int(p)
+    assert abs(p - 7.0) < 0.1
+    assert snr > 1.0 and pw > 0.0
+
+
+def test_sazed_padded_len_is_next_pow2_of_4n():
+    # n=210 -> 4n=840 -> 1024; detected period must be 1024/k for integer k
+    t = np.arange(210, dtype=float)
+    y = 1.0 + np.sin(2 * np.pi * t / 10)
+    p, _, _ = _sazed(y)
+    k = 1024.0 / p
+    assert abs(k - round(k)) < 1e-9
+
+
+def test_matrix_profile_reference_parameters():
+    """m = clamp(n/10, 4, n/4), exclusion m/4, period from the motif-index
+    spacing histogram (periods.rs:1134-1250)."""
+    rng = np.random.default_rng(7)
+    t = np.arange(300, dtype=float)
+    y = 10.0 + 4.0 * np.sin(2 * np.pi * t / 25) + rng.normal(0, 0.4, 300)
+    p, conf = _matrix_profile_period(y)
+    # noisy periodic series: NN spacings concentrate on the true period
+    assert p % 25.0 == 0.0 or abs(p - 25.0) <= 2.0
+    assert 0.0 < conf <= 1.0
+    # too-short series errors out in the reference (n < 32) -> NaN here
+    p, conf = _matrix_profile_period(y[:20])
+    assert np.isnan(p) and conf == 0.0
+
+
+def test_stl_scores_with_decomposition():
+    t = np.arange(210, dtype=float)
+    y = 20.0 + 5.0 * np.sin(2 * np.pi * t / 7) + 0.05 * t
+    p, s = _stl_period(y)
+    assert p % 7.0 == 0.0
+    assert s > 0.9
+    # constant series: total_var < EPS -> (NaN, 0) like periods.rs:996-1006
+    p, s = _stl_period(np.full(100, 3.25))
+    assert np.isnan(p) and s == 0.0
+
+
+def test_detect_periods_by_schema_is_double(spark):
+    t = np.arange(96)
+    pdf = pd.DataFrame({
+        "id": ["a"] * 96,
+        "ds": t,
+        "y": 10.0 + 3.0 * np.sin(2 * np.pi * t / 12),
+    })
+    out = ts_detect_periods_by(spark.createDataFrame(pdf), "id", "ds", "y",
+                               {"method": "fft"})
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert types["period"] == "double"
+    assert types["primary_period"] == "double"
+    assert types["matched_expected_period"] == "double"
+    rows = out.toPandas()
+    assert rows["period"].iloc[0] == 12.0
+
+
+def test_detect_periods_by_min_confidence_param(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "id": ["a"] * 128,
+        "ds": np.arange(128),
+        "y": rng.normal(0, 1, 128),
+    })
+    df = spark.createDataFrame(pdf)
+    filtered = ts_detect_periods_by(df, "id", "ds", "y",
+                                    {"method": "acf"}).toPandas()
+    assert filtered["method"].iloc[0] == "acf (no seasonality)"
+    assert filtered["n_periods"].iloc[0] == 0
+    raw = ts_detect_periods_by(df, "id", "ds", "y",
+                               {"method": "acf",
+                                "min_confidence": 0.0}).toPandas()
+    assert raw["method"].iloc[0] == "acf"
+    assert raw["n_periods"].iloc[0] >= 1
+
+
+def test_expected_period_tolerance_is_reference_default():
+    """DEFAULT_TOLERANCE = 0.1: |p - e| / e <= 0.1 (periods.rs:1378-1380)."""
+    t = np.arange(140, dtype=float)
+    y = 5.0 + np.sin(2 * np.pi * t / 7)
+    out = detect_periods(y, "acf", expected_periods=[7.5])
+    d = out["periods"][0]
+    assert d["matches_expected"] and d["matched_expected_period"] == 7.5
+    out = detect_periods(y, "acf", expected_periods=[8.0])
+    assert not out["periods"][0]["matches_expected"]
