@@ -336,6 +336,30 @@ def _cv_queries():
         from anofox_forecast_spark.operators.prep import ts_check_leakage
         return ts_check_leakage(panel, "is_test")
 
+    def _featured_src(spark, sf):
+        # panel widened with two deterministic covariates so the regression
+        # adapters have features to carry through
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf)
+        return panel.select(
+            "id", "ds", "y",
+            (F.dayofmonth("ds") % 7).cast("double").alias("x1"),
+            F.month("ds").cast("long").alias("x2"))
+
+    def q_hydrate_features(spark, sf):
+        panel = lineitem_panel(spark, sf)
+        cv = CV.ts_cv_split_by(panel, "id", "ds", "y",
+                               ["1998-01-01", "1999-01-01"], 7, "1d")
+        return CV.ts_hydrate_features_by(cv, _featured_src(spark, sf),
+                                         "id", "ds")
+
+    def q_prepare_regression(spark, sf):
+        panel = lineitem_panel(spark, sf)
+        cv = CV.ts_cv_split_by(panel, "id", "ds", "y",
+                               ["1998-01-01", "1999-01-01"], 7, "1d")
+        return CV.ts_prepare_regression_input_by(
+            cv, _featured_src(spark, sf), "id", "ds", "y")
+
     def q_estimate_memory(spark, sf):
         # planning helper surfaced as a 1-row frame so the formula itself
         # (ref metrics.cpp:1081-1111) is value-checked by the driver
@@ -354,6 +378,8 @@ def _cv_queries():
         "cv_split_folds": q_split_folds,
         "cv_split_index": q_split_index,
         "cv_hydrate": q_hydrate,
+        "cv_hydrate_features": q_hydrate_features,
+        "cv_prepare_regression": q_prepare_regression,
         "cv_check_leakage": q_check_leakage,
         "cv_forecast": q_cv_forecast,
         "cv_backtest": q_backtest,
@@ -512,10 +538,24 @@ def _conformal_queries():
         return out.select("id", "quantile",
                           F.posexplode("values").alias("step", "value"))
 
+    def q_mean_width(spark, sf):
+        # scalar ts_mean_interval_width over per-series bound arrays
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf)
+        arrs = panel.groupBy("id").agg(
+            F.expr("transform(array_sort(collect_list(struct(ds, y))), "
+                   "s -> CAST(s.y AS DOUBLE) * 0.9)").alias("lo"),
+            F.expr("transform(array_sort(collect_list(struct(ds, y))), "
+                   "s -> CAST(s.y AS DOUBLE) * 1.1)").alias("up"))
+        return arrs.select(
+            "id", C.ts_mean_interval_width(F.col("lo"), F.col("up"))
+                   .alias("mean_width"))
+
     return {
         "conformal_calibrate": q_calibrate,
         "conformal_by": q_conformal_by,
         "conformal_interval_width": q_interval_width,
+        "conformal_mean_width_scalar": q_mean_width,
         "conformal_evaluate": q_evaluate,
         "conformal_bootstrap": q_bootstrap,
         "conformal_per_step": q_per_step,
@@ -632,6 +672,18 @@ def _analytics_queries():
         return D.ts_detect_periods_by(_trunc_panel(spark, sf), "id", "ds",
                                       "y", {"method": "multi"})
 
+    def q_estimate_period_acf(spark, sf):
+        # scalar ts_estimate_period_acf over per-series value arrays
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf)
+        arrs = panel.groupBy("id").agg(
+            F.expr("transform(array_sort(collect_list(struct(ds, y))), "
+                   "s -> CAST(s.y AS DOUBLE))").alias("ys"))
+        out = arrs.select("id", D.ts_estimate_period_acf(F.col("ys"))
+                                 .alias("r"))
+        return out.select("id", "r.period", "r.frequency", "r.power",
+                          "r.confidence", "r.method")
+
     def q_peak_timing(spark, sf):
         # scalar projection (arrays can't be driver-hashed); exact oracle
         # re-derives peaks/circular variance/cycle stds in SQL
@@ -746,6 +798,7 @@ def _analytics_queries():
         "amplitude_modulation": q_amplitude_modulation,
         "detect_changepoints_bocpd": q_changepoints_bocpd,
         "peak_timing": q_peak_timing,
+        "estimate_period_acf": q_estimate_period_acf,
     }
 
 
@@ -810,17 +863,42 @@ def _ext_queries():
                           "inspection.aic", "inspection.bic")
 
     def q_explain(spark, sf):
-        # project the seasonal component to exploded scalars: it's an exact
-        # deterministic function of the history (mean-centered phase
-        # pattern), so it gets a hash-exact oracle; the level/trend arrays
-        # ride on the optimizer-driven Theta point path (parity-gated in
-        # tests/test_parity.py) and arrays can't be driver-hashed anyway.
+        # all four components exploded to scalars: the seasonal pattern is
+        # an exact function of the history, and the level/trend/residual
+        # arrays ride the seasonal-Theta point path, which
+        # _explain_theta_oracle replays in full (ACF seasonality test,
+        # multiplicative decompose, golden-section alpha, reseasonalize).
         out = FX.ts_forecast_explain_by(lineitem_panel(spark, sf), "id", "ds",
                                         "y", "Theta", HORIZON,
                                         {"seasonal_period": SEASON})
+        comp = F.arrays_zip(
+            F.col("decomposition.seasonal").alias("seasonal"),
+            F.col("decomposition.level").alias("level"),
+            F.col("decomposition.trend").alias("trend"),
+            F.col("decomposition.residual").alias("residual"))
         return out.select(
-            "id", "decomposition.horizon",
-            F.posexplode("decomposition.seasonal").alias("step", "seasonal"))
+            "id", F.col("decomposition.horizon").alias("horizon"),
+            F.posexplode(comp).alias("step", "c")) \
+            .select("id", "horizon", "step", "c.seasonal", "c.level",
+                    "c.trend", "c.residual")
+
+    def q_explain_mstl(spark, sf):
+        # second explain family: MSTL's point path is the already-verified
+        # forecast_mstl oracle, so the four components project out of it
+        # via _explain_projection_oracle.
+        out = FX.ts_forecast_explain_by(lineitem_panel(spark, sf), "id", "ds",
+                                        "y", "MSTL", HORIZON,
+                                        {"seasonal_period": SEASON})
+        comp = F.arrays_zip(
+            F.col("decomposition.seasonal").alias("seasonal"),
+            F.col("decomposition.level").alias("level"),
+            F.col("decomposition.trend").alias("trend"),
+            F.col("decomposition.residual").alias("residual"))
+        return out.select(
+            "id", F.col("decomposition.horizon").alias("horizon"),
+            F.posexplode(comp).alias("step", "c")) \
+            .select("id", "horizon", "step", "c.seasonal", "c.level",
+                    "c.trend", "c.residual")
 
     return {
         "forecast_exog_naive": q_exog_naive,
@@ -829,6 +907,7 @@ def _ext_queries():
         "forecast_inspect": q_inspect,
         "forecast_inspect_hw": q_inspect_hw,
         "forecast_explain": q_explain,
+        "forecast_explain_mstl": q_explain_mstl,
     }
 
 
@@ -1274,13 +1353,20 @@ _WINDOW = [
     "detect_periods_sazed", "detect_periods_matrix_profile",
     "detect_periods_multi", "analyze_seasonality",
     # oracle upgraded this round: level/trend components now value-hashed
-    "forecast_explain",
+    # (forecast_explain replays the full seasonal-Theta point path;
+    # forecast_explain_mstl projects the verified MSTL point oracle)
+    "forecast_explain", "forecast_explain_mstl",
     # family rotation: one hash-checked slot per remaining proven family
-    "forecast_ses", "forecast_theta", "forecast_holt_winters",
+    # (forecast_ses rotated out this round — driver-green r1+r5 and
+    # re-verified in every bench round — to fit the new explain key)
+    "forecast_theta", "forecast_holt_winters",
     "forecast_ets_mam", "forecast_laplace", "forecast_arima",
     "forecast_auto_ets",
-    "metric_mae",
-    "prep_fill_gaps", "prep_diff",
+    # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
+    # tests): first driver check; displace metric_mae + prep_diff, both
+    # multi-round green and re-verified in every bench round
+    "cv_hydrate_features", "cv_prepare_regression",
+    "prep_fill_gaps",
     "detect_changepoints_bocpd", "mstl_decomposition",
     "stats_full", "features_sql",
     "cv_forecast", "cv_backtest",
@@ -1333,6 +1419,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "detect_periods_multi": (_PERIODS_COLS, 6),
     "detect_changepoints_bocpd": (["changepoint_probability"], 6),
     "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
+    # ACF values carry pairwise-vs-sequential mean/sum drift
+    "estimate_period_acf": (["period", "frequency", "power",
+                             "confidence"], 6),
     "seasonal_strength": (["seasonal_strength"], 6),
     "seasonal_strength_windowed": (["seasonal_strength"], 6),
     "decompose_seasonal": (["trend", "seasonal", "remainder"], 6),
@@ -1371,6 +1460,11 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_auto_mfles": _FC4, "forecast_auto_mstl": _FC4,
     "forecast_auto_tbats": _FC4, "forecast_auto_ets": _FC4,
     "forecast_inspect_hw": (["alpha", "aic", "bic"], 6),
+    # level/trend ride the golden-section Theta point path; residual is
+    # float-expression noise that pins to 0.0 on both sides
+    "forecast_explain": (["seasonal", "level", "trend", "residual"], 4),
+    "forecast_explain_mstl": (["seasonal", "level", "trend",
+                               "residual"], 4),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
        for m in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias", "mase",
@@ -2197,6 +2291,207 @@ SELECT id, CAST(step AS INT) AS forecast_step,
          + {Z90!r} * sig * sqrt(step) AS yhat_upper,
        '{name}' AS model_name
 FROM steps
+"""
+
+
+def _explain_theta_oracle(h: int = HORIZON) -> str:
+    """forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
+    m=7): all four components value-hashed. The point path replays
+    models._theta INCLUDING the seasonal branch — ACF seasonality test
+    (90% band, lag m), classical multiplicative centered-MA decomposition
+    (sequential-sum phase means), golden-section SES alpha over the
+    theta(2) line of the deseasonalized series, reseasonalized point —
+    then the explain_decompose projection (ref ts_macros.cpp:687-731):
+    seasonal = mean-centered phase pattern of the raw history continued
+    from start phase n%7, level = first deseasonalized point, trend =
+    deseasonalized increments, residual = the exact float-expression
+    remainder point - ((level + trend) + seasonal)."""
+
+    def fexp(p):
+        return (f"list_reduce(el, (acc, e) -> ["
+                f"{p} * e[2] + (1.0 - ({p})) * acc[1], "
+                f"acc[2] + list_transform([e[1] - (({p} * e[2] "
+                f"+ (1.0 - ({p})) * acc[1])"
+                f" / 2.0 + (1.0 - 1.0 / 2.0) * e[3])], z -> z * z)[1]])[2]")
+
+    carry = "id, n, seasonal2, idx, tls, b0, b1, el"
+    return f"""
+WITH RECURSIVE panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, list(CAST(y AS DOUBLE) ORDER BY ds) AS xs
+      FROM panel GROUP BY id HAVING count(*) >= 3),
+-- models._seasonality_test(y, 7): ACF lags 1..7 vs the 1.645 band
+ac0 AS (SELECT id, n, xs, list_aggregate(xs, 'sum') / n AS mu FROM s),
+ac AS (SELECT id, n, xs, list_transform(xs, v -> v - mu) AS xc FROM ac0),
+acd AS (SELECT id, n, xs, xc,
+               list_aggregate(list_transform(xc, v -> v * v), 'sum') AS den
+        FROM ac),
+acf AS (SELECT id, n, xs,
+               CASE WHEN n >= 21 AND den != 0.0 THEN
+                 list_transform(generate_series(1, 7), k ->
+                   list_aggregate(list_transform(generate_series(1, n - k),
+                     t -> xc[t] * xc[t + k]), 'sum') / den)
+               END AS a7
+        FROM acd),
+sf1 AS (SELECT id, n, xs,
+               a7 IS NOT NULL AND abs(a7[7]) > 1.645 * sqrt((1.0 + 2.0 *
+                 (((((a7[1] * a7[1] + a7[2] * a7[2]) + a7[3] * a7[3])
+                    + a7[4] * a7[4]) + a7[5] * a7[5]) + a7[6] * a7[6])) / n)
+               AS seasonal
+        FROM acf),
+-- models._seasonal_decompose_mult: centered MA via prefix sums (m=7 odd),
+-- per-phase sequential-mean of finite y/MA ratios, indices normalized to m
+cm AS (SELECT id, n, xs, seasonal,
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, n),
+                  t -> list_aggregate(list_slice(xs, 1, t), 'sum'))) AS cum
+       FROM sf1),
+rt AS (SELECT id, n, xs, seasonal,
+              list_transform(generate_series(1, n), p ->
+                CASE WHEN p >= 4 AND p <= n - 3
+                          AND (cum[p + 4] - cum[p - 3]) / 7.0 != 0.0
+                     THEN xs[p] / ((cum[p + 4] - cum[p - 3]) / 7.0)
+                     END) AS ratio
+       FROM cm),
+ph AS (SELECT id, n, xs, seasonal,
+              list_transform(generate_series(0, 6), f ->
+                list_filter(
+                  list_transform(generate_series(0, (n - 1 - f) // 7),
+                    j -> ratio[f + 1 + 7 * j]),
+                  v -> v IS NOT NULL AND isfinite(v))) AS pv
+       FROM rt),
+ix AS (SELECT id, n, xs, seasonal,
+              list_transform(pv, l ->
+                CASE WHEN length(l) > 0
+                     THEN list_aggregate(l, 'sum') / length(l)
+                     ELSE 1.0 END) AS ix0
+       FROM ph),
+nx AS (SELECT id, n, xs, seasonal,
+              CASE WHEN list_aggregate(ix0, 'sum') != 0.0
+                   THEN list_transform(ix0,
+                          v -> v * 7.0 / list_aggregate(ix0, 'sum'))
+                   ELSE ix0 END AS idx
+       FROM ix),
+-- x = y / seas (near-zero indices neutralized to 1.0); revert to the
+-- non-seasonal path when any deseasonalized value is non-finite
+xx AS (SELECT id, n, xs, seasonal, idx,
+              CASE WHEN seasonal THEN
+                list_transform(generate_series(1, n), p ->
+                  xs[p] / (CASE WHEN abs(idx[(p - 1) % 7 + 1]) < 1e-8
+                           THEN 1.0 ELSE idx[(p - 1) % 7 + 1] END))
+              ELSE xs END AS xl0
+       FROM nx),
+fi AS (SELECT id, n, idx,
+              seasonal AND length(list_filter(xl0,
+                v -> NOT isfinite(v))) = 0 AS seasonal2,
+              CASE WHEN seasonal AND length(list_filter(xl0,
+                     v -> NOT isfinite(v))) = 0
+                   THEN xl0 ELSE xs END AS xl
+       FROM xx),
+-- theta(2.0) pipeline on the (de)seasonalized series (as _theta_oracle)
+treg AS (SELECT id, b1, (sv - b1 * st) / nd AS b0 FROM (
+           SELECT id, sv, st, nd,
+                  (nd * stv - st * sv) / (nd * st2 - st * st) AS b1 FROM (
+             SELECT id, CAST(n AS DOUBLE) AS nd,
+                    CAST(n * (n - 1) // 2 AS DOUBLE) AS st,
+                    CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) AS st2,
+                    list_aggregate(xl, 'sum') AS sv,
+                    list_aggregate(list_transform(generate_series(1, n),
+                                   t -> (t - 1) * xl[t]), 'sum') AS stv
+             FROM fi))),
+tl AS (SELECT f.id, f.n, f.xl, f.seasonal2, f.idx, tr.b0, tr.b1,
+              list_transform(generate_series(1, f.n),
+                t -> 2.0 * f.xl[t]
+                     + (1.0 - 2.0) * (tr.b0 + tr.b1 * (t - 1))) AS tls
+       FROM fi f JOIN treg tr ON tr.id = f.id),
+pe AS (SELECT *, list_prepend(
+         CAST([tls[1], list_transform([xl[1] - (tls[1] / 2.0
+               + (1.0 - 1.0 / 2.0) * (b0 + b1 * 0))],
+               z -> z * z)[1]] AS DOUBLE[]),
+         list_transform(generate_series(2, n),
+           t -> CAST([xl[t], tls[t - 1], b0 + b1 * (t - 1)] AS DOUBLE[])))
+         AS el
+       FROM tl),
+{_gs_block(fexp, carry)},
+conv AS (SELECT {carry}, (a + b) / 2.0 AS alpha,
+                row_number() OVER (PARTITION BY id ORDER BY it DESC) AS rk
+         FROM gs QUALIFY rk = 1),
+lvl AS (SELECT id, n, seasonal2, idx, b0, b1,
+               list_reduce(tls,
+                 (acc, x) -> alpha * x + (1.0 - alpha) * acc) AS level
+        FROM conv),
+steps AS (SELECT lvl.*, unnest(generate_series(1, {h})) AS step FROM lvl),
+pt AS (SELECT id, n, step,
+              CASE WHEN seasonal2
+                   THEN (level / 2.0 + (1.0 - 1.0 / 2.0)
+                         * (b0 + b1 * (n - 1 + step)))
+                        * idx[(n + step - 1) % 7 + 1]
+                   ELSE level / 2.0 + (1.0 - 1.0 / 2.0)
+                        * (b0 + b1 * (n - 1 + step)) END AS point
+       FROM steps),
+-- explain_decompose: raw-history phase pattern + deseasonalized level
+w AS (SELECT p.id, CAST(p.y AS DOUBLE) AS x, s.n,
+             CAST(row_number() OVER (PARTITION BY p.id ORDER BY p.ds) - 1
+                  AS BIGINT) AS t
+      FROM panel p JOIN s USING (id)),
+v AS (SELECT id, n, t % 7 AS phs, x
+      FROM w WHERE t < (n // 7) * 7 AND n >= 14),
+pm AS (SELECT id, phs, avg(x) AS m FROM v GROUP BY id, phs),
+gm AS (SELECT id, avg(x) AS g FROM v GROUP BY id),
+pat AS (SELECT pm.id, pm.phs, pm.m - gm.g AS p FROM pm JOIN gm USING (id)),
+ex AS (SELECT pt.id, pt.step, pt.point,
+              CASE WHEN pt.n >= 14 THEN pat.p ELSE 0.0 END AS seas
+       FROM pt LEFT JOIN pat ON pat.id = pt.id
+                            AND pat.phs = (pt.n % 7 + pt.step - 1) % 7),
+ex2 AS (SELECT id, step, point, seas,
+               first_value(point - seas)
+                 OVER (PARTITION BY id ORDER BY step) AS lev
+        FROM ex)
+SELECT id, CAST(7 AS BIGINT) AS horizon, CAST(step - 1 AS INT) AS step,
+       seas AS seasonal, lev AS level,
+       (point - seas) - lev AS trend,
+       point - ((lev + ((point - seas) - lev)) + seas) AS residual
+FROM ex2
+"""
+
+
+def _explain_projection_oracle(point_sql: str) -> str:
+    """Wrap a verified forecast oracle's (id, forecast_step, yhat) point
+    path with the explain_decompose projection (forecast_ext.py:281-309):
+    seasonal = mean-centered phase pattern of the raw history (m=7, start
+    phase n%7, zero when n<2m), level = first deseasonalized point, trend =
+    deseasonalized increments, residual = the exact float-expression
+    remainder. Reuses the already-replayed point path, so every explain
+    family with a green forecast oracle gets a four-component oracle for
+    free (ref ts_macros.cpp:687-731)."""
+    return f"""
+WITH pt0 AS (SELECT id, forecast_step AS step, yhat AS point
+             FROM ({point_sql})),
+panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n FROM panel GROUP BY id HAVING count(*) >= 3),
+pt AS (SELECT pt0.id, pt0.step, pt0.point, s.n
+       FROM pt0 JOIN s ON s.id = pt0.id),
+w AS (SELECT p.id, CAST(p.y AS DOUBLE) AS x, s.n,
+             CAST(row_number() OVER (PARTITION BY p.id ORDER BY p.ds) - 1
+                  AS BIGINT) AS t
+      FROM panel p JOIN s USING (id)),
+v AS (SELECT id, n, t % 7 AS phs, x
+      FROM w WHERE t < (n // 7) * 7 AND n >= 14),
+pm AS (SELECT id, phs, avg(x) AS m FROM v GROUP BY id, phs),
+gm AS (SELECT id, avg(x) AS g FROM v GROUP BY id),
+pat AS (SELECT pm.id, pm.phs, pm.m - gm.g AS p FROM pm JOIN gm USING (id)),
+ex AS (SELECT pt.id, pt.step, pt.point,
+              CASE WHEN pt.n >= 14 THEN pat.p ELSE 0.0 END AS seas
+       FROM pt LEFT JOIN pat ON pat.id = pt.id
+                            AND pat.phs = (pt.n % 7 + pt.step - 1) % 7),
+ex2 AS (SELECT id, step, point, seas,
+               first_value(point - seas)
+                 OVER (PARTITION BY id ORDER BY step) AS lev
+        FROM ex)
+SELECT id, CAST(7 AS BIGINT) AS horizon, CAST(step - 1 AS INT) AS step,
+       seas AS seasonal, lev AS level,
+       (point - seas) - lev AS trend,
+       point - ((lev + ((point - seas) - lev)) + seas) AS residual
+FROM ex2
 """
 
 
@@ -4769,6 +5064,44 @@ SELECT id, ds, y, fold_id, split FROM (
                      (1, TIMESTAMP '1999-01-01')) f(fold_id, c))
 WHERE split IS NOT NULL
 """
+    # shared CTE text for the regression adapters: the cv_split assignment
+    # plus the two-covariate source (cv.py::ts_hydrate_features_by /
+    # ts_prepare_regression_input_by; ref test/sql/ts_hydrate_features.test
+    # and ts_prepare_regression_input.test)
+    _reg_base = f"""
+WITH panel AS ({_PANEL}),
+cv AS (
+  SELECT id, ds, y, fold_id, split FROM (
+    SELECT p.id, p.ds, p.y, CAST(f.fold_id AS BIGINT) AS fold_id,
+           CASE WHEN p.ds::TIMESTAMP <= f.c THEN 'train'
+                WHEN p.ds::TIMESTAMP >= f.c + INTERVAL 86400 SECOND
+                 AND p.ds::TIMESTAMP <= f.c + INTERVAL (7 * 86400) SECOND
+                THEN 'test'
+           END AS split
+    FROM panel p
+    CROSS JOIN (VALUES (0, TIMESTAMP '1998-01-01'),
+                       (1, TIMESTAMP '1999-01-01')) f(fold_id, c))
+  WHERE split IS NOT NULL),
+src AS (SELECT id, ds, CAST(y AS DOUBLE) AS y,
+               CAST(day(ds) % 7 AS DOUBLE) AS x1,
+               CAST(month(ds) AS BIGINT) AS x2
+        FROM panel)"""
+    o["cv_hydrate_features"] = _reg_base + """,
+cuts AS (SELECT fold_id, max(ds::TIMESTAMP) AS _train_cutoff
+         FROM cv WHERE split = 'train' GROUP BY fold_id)
+SELECT cv.fold_id, cv.split, cv.id AS group_col, cv.ds AS date_col,
+       cv.y AS target_col, cv.split = 'test' AS _is_test,
+       cuts._train_cutoff, src.x1, src.x2
+FROM cv JOIN src ON src.id = cv.id AND src.ds = cv.ds
+LEFT JOIN cuts ON cuts.fold_id = cv.fold_id
+"""
+    o["cv_prepare_regression"] = _reg_base + """
+SELECT cv.fold_id, cv.split, cv.id AS group_col, cv.ds AS date_col,
+       CASE WHEN cv.split = 'test' THEN NULL ELSE src.y END AS masked_target,
+       cv.split = 'test' AS _is_test,
+       src.y, src.x1, src.x2
+FROM cv JOIN src ON src.id = cv.id AND src.ds = cv.ds
+"""
     o["cv_split_folds"] = f"""
 WITH panel AS ({_PANEL}),
 g AS (SELECT min(ds::TIMESTAMP) AS mn FROM panel)
@@ -5342,6 +5675,15 @@ SELECT id, avg((forecast + 5.0) - (forecast - 5.0)) AS mean_width,
        CAST(count(*) AS BIGINT) AS n_intervals
 FROM fv GROUP BY id
 """
+    # scalar ts_mean_interval_width (conformal.py; ref conformal.cpp:1202):
+    # sequential fold over ds-ordered widths == Spark F.aggregate fold
+    o["conformal_mean_width_scalar"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, list(CAST(y AS DOUBLE) * 1.1 - CAST(y AS DOUBLE) * 0.9
+                      ORDER BY ds) AS w
+      FROM panel GROUP BY id)
+SELECT id, list_aggregate(w, 'sum') / len(w) AS mean_width FROM s
+"""
     o["conformal_per_step"] = f"""
 WITH {_FV2},
 s AS (SELECT id, CAST(day(ds) % 7 + 1 AS INT) AS forecast_step,
@@ -5635,6 +5977,47 @@ FROM best WHERE bk >= 2 AND bc >= 0.3
 UNION ALL
 SELECT id, {_ns_row('acf')}
 FROM best WHERE NOT (bk >= 2 AND bc >= 0.3)
+"""
+    # scalar ts_estimate_period_acf (detect.py; ref ts_periods.cpp:551-624):
+    # same ACF local-max search as the detect arm but with the reference's
+    # n/2 lag bound (python clamp max(3, min(n//2, n-1)) replayed)
+    o["estimate_period_acf"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+pr AS (SELECT id, n, greatest(3, least(n // 2, n - 1)) AS ml,
+              list_transform(l, v -> v - mu) AS dl
+       FROM s),
+pr2 AS (SELECT *, list_aggregate(list_transform(dl, x -> x * x), 'sum') AS ss
+        FROM pr),
+acf AS (SELECT *, list_transform(generate_series(0, ml),
+          k -> CASE WHEN k = 0 THEN 1.0
+                    WHEN ss <= 0 THEN 0.0
+                    ELSE list_aggregate(list_transform(generate_series(1, n - k),
+                           t -> dl[t] * dl[t + k]), 'sum') / ss END) AS a
+        FROM pr2),
+cand AS (SELECT *, list_filter(
+           list_transform(generate_series(2, ml - 1),
+             k -> {{'k': k, 'c': a[k + 1]}}),
+           sx -> sx.c > a[sx.k] AND sx.c > a[sx.k + 2] AND sx.c > 0.0) AS cs
+         FROM acf),
+best AS (SELECT id, n,
+                CASE WHEN len(cs) = 0 THEN 0
+                     ELSE list_filter(cs, sx -> sx.c = list_aggregate(
+                            list_transform(cs, s2 -> s2.c), 'max'))[1].k END AS bk,
+                CASE WHEN len(cs) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(cs, s2 -> s2.c), 'max')
+                END AS bc
+         FROM cand)
+SELECT id,
+       CASE WHEN n < 4 THEN NULL ELSE CAST(bk AS DOUBLE) END AS period,
+       CASE WHEN n < 4 THEN NULL
+            WHEN bk > 0 THEN 1.0 / CAST(bk AS DOUBLE) ELSE 0.0 END AS frequency,
+       CASE WHEN n < 4 THEN NULL ELSE bc END AS power,
+       CASE WHEN n < 4 THEN NULL ELSE bc END AS confidence,
+       CASE WHEN n < 4 THEN NULL ELSE 'acf' END AS method
+FROM best
 """
     # FFT periodogram top-3 (detect.py::_fft_candidates): DFT of the
     # linear-detrended demeaned series as explicit trig sums; candidate
@@ -7525,28 +7908,12 @@ SELECT CAST(540 * 16 * 6 AS BIGINT) AS bytes_per_group,
        'Spark holds one group per task in memory; size executors so bytes_per_group * concurrent tasks fits in executor memory.' AS note
 """
     o.update(_streaming_oracles())
-    # forecast_explain (forecast_ext.py::ts_forecast_explain_by, Theta,
-    # h=7, m=7), seasonal component only: mean-centered per-phase pattern
-    # over the first (n//7)*7 observations, continued into the future from
-    # start phase n%7; zero when n < 2*m. The query posexplodes the array.
-    o["forecast_explain"] = f"""
-WITH panel AS ({LINEITEM_PANEL_SQL}),
-s AS (SELECT id, count(*) AS n FROM panel GROUP BY id),
-w AS (SELECT p.id, CAST(p.y AS DOUBLE) AS x, s.n,
-             CAST(row_number() OVER (PARTITION BY p.id ORDER BY p.ds) - 1
-                  AS BIGINT) AS t
-      FROM panel p JOIN s USING (id) WHERE s.n >= 3),
-v AS (SELECT id, n, t % 7 AS phs, x
-      FROM w WHERE t < (n // 7) * 7 AND n >= 14),
-pm AS (SELECT id, phs, avg(x) AS m FROM v GROUP BY id, phs),
-gm AS (SELECT id, avg(x) AS g FROM v GROUP BY id),
-pat AS (SELECT pm.id, pm.phs, pm.m - gm.g AS p FROM pm JOIN gm USING (id)),
-hs AS (SELECT id, n, unnest(range(0, 7)) AS i FROM s WHERE n >= 3)
-SELECT hs.id, CAST(7 AS BIGINT) AS horizon, CAST(hs.i AS INT) AS step,
-       CASE WHEN hs.n >= 14 THEN pat.p ELSE 0.0 END AS seasonal
-FROM hs LEFT JOIN pat ON pat.id = hs.id
-                     AND pat.phs = (hs.n % 7 + hs.i) % 7
-"""
+    # forecast_explain: all four components (seasonal pattern + the full
+    # seasonal-Theta point path projection) — see _explain_theta_oracle.
+    o["forecast_explain"] = _explain_theta_oracle()
+    # second explain family: project the verified MSTL point oracle
+    o["forecast_explain_mstl"] = _explain_projection_oracle(
+        _mstl_forecast_oracle())
     o.update(_llm_oracles())
     return _round_pin_oracles(o)
 

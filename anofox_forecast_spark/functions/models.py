@@ -848,8 +848,10 @@ def _seasonal_decompose_mult(y, m):
         vals = ratio[ph::m]
         vals = vals[np.isfinite(vals)]
         if len(vals):
-            idx[ph] = float(np.mean(vals))
-    s = idx.sum()
+            # sequential fold: the downstream theta line / golden-section
+            # alpha search branches on these values (see _seq_sum)
+            idx[ph] = _seq_sum(vals) / len(vals)
+    s = _seq_sum(idx)
     if s != 0:
         idx = idx * m / s
     seasonal = np.array([idx[t % m] for t in range(n)])

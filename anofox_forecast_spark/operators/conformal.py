@@ -178,6 +178,19 @@ def ts_conformal_coverage_by(df: DataFrame, group_col: str, actual_col: str,
         F.avg(F.when((a >= lo) & (a <= up), 1.0).otherwise(0.0)).alias("coverage"))
 
 
+def ts_mean_interval_width(lower: Column, upper: Column) -> Column:
+    """Mean prediction-interval width over ``DOUBLE[]`` pairs (ref scalar
+    ``conformal.cpp:1202-1244`` → ``conformal.rs:459-465``): NULL when the
+    lists differ in length (the reference's error path), NaN when both are
+    empty (``mean_interval_width`` on an empty slice). Pure Catalyst —
+    stays inside whole-stage codegen."""
+    widths = F.zip_with(upper, lower, lambda u, l: u - l)
+    return (F.when(F.size(lower) != F.size(upper), F.lit(None))
+            .when(F.size(lower) == 0, F.lit(float("nan")))
+            .otherwise(F.aggregate(widths, F.lit(0.0), lambda a, w: a + w)
+                       / F.size(widths)))
+
+
 def ts_interval_width_by(df: DataFrame, group_col: str, lower_col: str,
                          upper_col: str) -> DataFrame:
     """(group, mean_width, n_intervals) — ref macro ``ts_macros.cpp:1569-1599``."""

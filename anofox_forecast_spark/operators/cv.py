@@ -302,6 +302,78 @@ def ts_cv_hydrate_by(cv_df: DataFrame, source_df: DataFrame, group_col: str,
     return out
 
 
+def ts_hydrate_features_by(cv_df: DataFrame, source_df: DataFrame,
+                           group_col: str, ds_col: str,
+                           params: dict | None = None) -> DataFrame:
+    """Join CV fold assignments back onto the full-width source table — the
+    leakage-safe starting point for regression backtests (ref
+    ``test/sql/ts_hydrate_features.test``; companion of ``ts_cv_split_by``).
+
+    Output contract (the reference's literal names): ``fold_id, split,
+    group_col, date_col, target_col, _is_test, _train_cutoff`` followed by
+    every source column except the join keys and the target.
+    ``_train_cutoff`` is the fold's max train date — the one value needed
+    for downstream unknown-feature masking/filling. The target column is
+    inferred from the cv frame (its single non-key data column) or passed
+    via ``params={'target_col': ...}``.
+
+    Scale: one shuffle join on (group, date); the per-fold cutoffs reduce
+    to a k-row aggregate broadcast back — never a window over ``fold_id``,
+    which would funnel each fold's rows through one task."""
+    p = dict(params or {})
+    known = {group_col, ds_col, "fold_id", "split"}
+    cands = [c for c in cv_df.columns if c not in known]
+    target = p.get("target_col") or (cands[0] if len(cands) == 1 else None)
+    if target is None:
+        raise ValueError(
+            "ts_hydrate_features_by: ambiguous cv columns "
+            f"{cv_df.columns}; pass params={{'target_col': ...}}")
+    cuts = (cv_df.filter(F.col("split") == "train")
+            .groupBy("fold_id")
+            .agg(F.max(F.col(ds_col).cast("timestamp"))
+                 .alias("_train_cutoff")))
+    feats = [c for c in source_df.columns
+             if c not in (group_col, ds_col, target)]
+    src = source_df.select(group_col, ds_col, *feats)
+    return (cv_df.join(src, on=[group_col, ds_col], how="inner")
+            .join(F.broadcast(cuts), on="fold_id", how="left")
+            .select(F.col("fold_id"), F.col("split"),
+                    F.col(group_col).alias("group_col"),
+                    F.col(ds_col).alias("date_col"),
+                    F.col(target).alias("target_col"),
+                    (F.col("split") == "test").alias("_is_test"),
+                    F.col("_train_cutoff"), *feats))
+
+
+def ts_prepare_regression_input_by(cv_df: DataFrame, source_df: DataFrame,
+                                   group_col: str, ds_col: str, y_col: str,
+                                   params: dict | None = None) -> DataFrame:
+    """Adapter feeding fit-predict regression backtests (ref
+    ``test/sql/ts_prepare_regression_input.test``): each source row joined
+    to its CV fold assignments with the target forced NULL on test rows,
+    so a downstream fit-predict treats them as prediction rows; gap/embargo
+    rows drop out because the cv frame only carries train/test.
+
+    Output: ``fold_id, split, group_col, date_col, masked_target,
+    _is_test`` then every source column except the join keys — the raw
+    target INCLUDED, as in the reference (its backtest examples select it
+    back as the actual for metric computation).
+
+    Scale: a single shuffle join on (group, date); per-fold row
+    multiplication is bounded by the fold count."""
+    feats = [c for c in source_df.columns if c not in (group_col, ds_col)]
+    j = (cv_df.select(group_col, ds_col, "fold_id", "split")
+         .join(source_df, on=[group_col, ds_col], how="inner"))
+    masked = (F.when(F.col("split") == "test", F.lit(None))
+              .otherwise(F.col(y_col).cast("double")))
+    return j.select("fold_id", "split",
+                    F.col(group_col).alias("group_col"),
+                    F.col(ds_col).alias("date_col"),
+                    masked.alias("masked_target"),
+                    (F.col("split") == "test").alias("_is_test"),
+                    *feats)
+
+
 def ts_estimate_backtest_memory(n_series: int, length: int, folds: int,
                                 horizon: int) -> dict:
     """Planning helper (ref ``metrics.cpp:1081-1111``): rough bytes needed.

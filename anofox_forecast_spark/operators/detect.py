@@ -88,15 +88,18 @@ def _fft_candidates(y, top=5):
     return [(p, pw / total, pw * nbins / total) for p, pw in cands]
 
 
-def _acf_period(y):
-    n = len(y)
-    max_lag = min(n // 2, 400)
+def _acf_peak(y, max_lag):
     acf = _acf_all(y, max_lag)
     best, conf = 0, 0.0
     for k in range(2, max_lag):
         if acf[k] > acf[k - 1] and acf[k] > acf[k + 1] and acf[k] > conf:
             best, conf = k, float(acf[k])
     return best, max(conf, 0.0)
+
+
+def _acf_period(y):
+    n = len(y)
+    return _acf_peak(y, min(n // 2, 400))
 
 
 def _lomb_scargle(y):
@@ -841,6 +844,36 @@ def _grouped_udf(df, group_col, ds_col, y_col, schema, build_rows):
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))
     return batched_grouped_map(base, [group_col], ds_col, schema,
                                lambda kt, g: build_rows(kt[0], g))
+
+
+def ts_estimate_period_acf(values, max_lag: int | None = None):
+    """Scalar single-period ACF estimate over a ``DOUBLE[]`` column (ref
+    ``ts_periods.cpp:551-624`` → ``periods.rs:299-315``): returns
+    ``struct(period, frequency, power, confidence, method)``. Fields are
+    NULL when the series has fewer than 4 points (the reference's
+    InsufficientData error maps the whole value to NULL). ``max_lag``
+    defaults to the reference's n/2; the vectorized Arrow batch keeps the
+    crossing per-batch, not per-row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("period double, frequency double, power double, "
+                "confidence double, method string")
+    def _est(vs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in vs:
+            y = interpolate_nulls(np.asarray(v, dtype=float))
+            n = len(y)
+            if n < 4:
+                rows.append((None, None, None, None, None))
+                continue
+            lag = int(max_lag) if max_lag else n // 2
+            lag = max(3, min(lag, n - 1))
+            p, c = _acf_peak(y, lag)
+            rows.append((float(p), 1.0 / p if p else 0.0, c, c, "acf"))
+        return pd.DataFrame(rows, columns=["period", "frequency", "power",
+                                           "confidence", "method"])
+
+    return _est(values)
 
 
 def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,

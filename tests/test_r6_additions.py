@@ -5,6 +5,8 @@ STL-decomposition candidate scoring (``periods.rs:952-1120``)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -158,3 +160,42 @@ def test_expected_period_tolerance_is_reference_default():
     assert d["matches_expected"] and d["matched_expected_period"] == 7.5
     out = detect_periods(y, "acf", expected_periods=[8.0])
     assert not out["periods"][0]["matches_expected"]
+
+
+def test_mean_interval_width_scalar(spark):
+    """ref conformal.cpp:1202-1244 / conformal.rs:459-465: mean of
+    elementwise widths; NULL on length mismatch; NaN on empty."""
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.conformal import (
+        ts_mean_interval_width,
+    )
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 5.0]), ([1.0], [2.0, 3.0]), ([], [])],
+        "lo array<double>, up array<double>")
+    rows = df.select(ts_mean_interval_width(F.col("lo"), F.col("up"))
+                     .alias("w")).collect()
+    assert rows[0]["w"] == 2.5
+    assert rows[1]["w"] is None
+    assert math.isnan(rows[2]["w"])
+
+
+def test_estimate_period_acf_scalar(spark):
+    """ref ts_periods.cpp:551-624: struct(period, frequency, power,
+    confidence, method); NULL fields under 4 points."""
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.detect import (
+        ts_estimate_period_acf,
+    )
+    t = np.arange(140, dtype=float)
+    y = (5.0 + np.sin(2 * np.pi * t / 7)).tolist()
+    df = spark.createDataFrame([(y,), ([1.0, 2.0, 3.0],)],
+                               "ys array<double>")
+    rows = df.select(ts_estimate_period_acf(F.col("ys")).alias("r")) \
+             .select("r.*").collect()
+    assert rows[0]["period"] == 7.0
+    assert rows[0]["frequency"] == pytest.approx(1.0 / 7.0)
+    assert rows[0]["method"] == "acf"
+    assert rows[0]["confidence"] > 0.3
+    assert rows[1]["period"] is None and rows[1]["method"] is None
