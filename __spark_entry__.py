@@ -684,6 +684,18 @@ def _analytics_queries():
         return out.select("id", "r.period", "r.frequency", "r.power",
                           "r.confidence", "r.method")
 
+    def q_estimate_period_fft(spark, sf):
+        # scalar ts_estimate_period_fft over per-series value arrays
+        from pyspark.sql import functions as F
+        panel = lineitem_panel(spark, sf)
+        arrs = panel.groupBy("id").agg(
+            F.expr("transform(array_sort(collect_list(struct(ds, y))), "
+                   "s -> CAST(s.y AS DOUBLE))").alias("ys"))
+        out = arrs.select("id", D.ts_estimate_period_fft(F.col("ys"))
+                                 .alias("r"))
+        return out.select("id", "r.period", "r.frequency", "r.power",
+                          "r.confidence", "r.method")
+
     def q_peak_timing(spark, sf):
         # scalar projection (arrays can't be driver-hashed); exact oracle
         # re-derives peaks/circular variance/cycle stds in SQL
@@ -799,6 +811,7 @@ def _analytics_queries():
         "detect_changepoints_bocpd": q_changepoints_bocpd,
         "peak_timing": q_peak_timing,
         "estimate_period_acf": q_estimate_period_acf,
+        "estimate_period_fft": q_estimate_period_fft,
     }
 
 
@@ -882,13 +895,7 @@ def _ext_queries():
             .select("id", "horizon", "step", "c.seasonal", "c.level",
                     "c.trend", "c.residual")
 
-    def q_explain_mstl(spark, sf):
-        # second explain family: MSTL's point path is the already-verified
-        # forecast_mstl oracle, so the four components project out of it
-        # via _explain_projection_oracle.
-        out = FX.ts_forecast_explain_by(lineitem_panel(spark, sf), "id", "ds",
-                                        "y", "MSTL", HORIZON,
-                                        {"seasonal_period": SEASON})
+    def _explain_scalars(out):
         comp = F.arrays_zip(
             F.col("decomposition.seasonal").alias("seasonal"),
             F.col("decomposition.level").alias("level"),
@@ -900,6 +907,27 @@ def _ext_queries():
             .select("id", "horizon", "step", "c.seasonal", "c.level",
                     "c.trend", "c.residual")
 
+    def q_explain_mstl(spark, sf):
+        # second explain family: MSTL's point path is the already-verified
+        # forecast_mstl oracle, so the four components project out of it
+        # via _explain_projection_oracle.
+        return _explain_scalars(FX.ts_forecast_explain_by(
+            lineitem_panel(spark, sf), "id", "ds", "y", "MSTL", HORIZON,
+            {"seasonal_period": SEASON}))
+
+    def q_explain_ets(spark, sf):
+        # third explain family: ETS(AAA) on the truncated panel; the point
+        # path is the verified Holt-Winters NM replay (forecast_ets), the
+        # components project out of it.
+        from pyspark.sql import Window
+        w = Window.partitionBy("id").orderBy("ds")
+        panel = (lineitem_panel(spark, sf)
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= 144).drop("__rn"))
+        return _explain_scalars(FX.ts_forecast_explain_by(
+            panel, "id", "ds", "y", "ETS", HORIZON,
+            {"model": "AAA", "seasonal_period": SEASON}))
+
     return {
         "forecast_exog_naive": q_exog_naive,
         "forecast_exog_theta": q_exog_theta,
@@ -908,6 +936,7 @@ def _ext_queries():
         "forecast_inspect_hw": q_inspect_hw,
         "forecast_explain": q_explain,
         "forecast_explain_mstl": q_explain_mstl,
+        "forecast_explain_ets": q_explain_ets,
     }
 
 
@@ -1309,10 +1338,23 @@ def _streaming_queries():
         res = _run_to_table(spark, out, "append")
         return res.select("fingerprint")
 
+    def q_stream_conformal(spark, sf):
+        # online conformal calibration: a deterministic reference forecast
+        # (0.9*y + 1) rides along so residuals are reproducible; one
+        # availableNow trigger == the batch calibrate over the last 512
+        # residuals per series, bit-for-bit (conformal_score_np ==
+        # ts_conformal_quantile expression-for-expression)
+        ev = _event_stream(spark, sf)
+        feed = ev.select("id", "ds", F.col("y").alias("actual"),
+                         (F.col("y") * 0.9 + 1.0).alias("forecast"))
+        out = ST.stream_conformal(feed, alpha=0.1)
+        return _run_to_table(spark, out, "update")
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
         "streaming_dedup_exact": q_stream_dedup,
+        "streaming_conformal": q_stream_conformal,
     }
 
 
@@ -1355,11 +1397,12 @@ _WINDOW = [
     # oracle upgraded this round: level/trend components now value-hashed
     # (forecast_explain replays the full seasonal-Theta point path;
     # forecast_explain_mstl projects the verified MSTL point oracle)
-    "forecast_explain", "forecast_explain_mstl",
+    "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
     # family rotation: one hash-checked slot per remaining proven family
-    # (forecast_ses rotated out this round — driver-green r1+r5 and
-    # re-verified in every bench round — to fit the new explain key)
-    "forecast_theta", "forecast_holt_winters",
+    # (forecast_ses and forecast_holt_winters rotated out this round —
+    # both multi-round green, and the HW NM replay is exactly the engine
+    # forecast_explain_ets drives end-to-end)
+    "forecast_theta",
     "forecast_ets_mam", "forecast_laplace", "forecast_arima",
     "forecast_auto_ets",
     # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
@@ -1372,7 +1415,9 @@ _WINDOW = [
     "cv_forecast", "cv_backtest",
     "conformal_bootstrap",
     "similarity_topk_ivf", "dedup_minhash_lsh",
-    "multimodal_features", "streaming_windowed_stats",
+    # streaming_conformal is r6-new (never driver-checked); windowed_stats
+    # yielded its slot (green r3+r5)
+    "multimodal_features", "streaming_conformal",
 ]
 
 
@@ -1419,8 +1464,11 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "detect_periods_multi": (_PERIODS_COLS, 6),
     "detect_changepoints_bocpd": (["changepoint_probability"], 6),
     "analyze_seasonality": (["seasonal_strength", "trend_strength"], 6),
-    # ACF values carry pairwise-vs-sequential mean/sum drift
+    # ACF values carry pairwise-vs-sequential mean/sum drift; FFT values
+    # carry rfft-vs-trig-sum drift (same pin as detect_periods_fft)
     "estimate_period_acf": (["period", "frequency", "power",
+                             "confidence"], 6),
+    "estimate_period_fft": (["period", "frequency", "power",
                              "confidence"], 6),
     "seasonal_strength": (["seasonal_strength"], 6),
     "seasonal_strength_windowed": (["seasonal_strength"], 6),
@@ -1465,6 +1513,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "forecast_explain": (["seasonal", "level", "trend", "residual"], 4),
     "forecast_explain_mstl": (["seasonal", "level", "trend",
                                "residual"], 4),
+    "forecast_explain_ets": (["seasonal", "level", "trend",
+                              "residual"], 4),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
        for m in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias", "mase",
@@ -2454,7 +2504,8 @@ FROM ex2
 """
 
 
-def _explain_projection_oracle(point_sql: str) -> str:
+def _explain_projection_oracle(point_sql: str,
+                               panel_sql: str | None = None) -> str:
     """Wrap a verified forecast oracle's (id, forecast_step, yhat) point
     path with the explain_decompose projection (forecast_ext.py:281-309):
     seasonal = mean-centered phase pattern of the raw history (m=7, start
@@ -2466,7 +2517,7 @@ def _explain_projection_oracle(point_sql: str) -> str:
     return f"""
 WITH pt0 AS (SELECT id, forecast_step AS step, yhat AS point
              FROM ({point_sql})),
-panel AS ({_PANEL}),
+panel AS ({panel_sql or _PANEL}),
 s AS (SELECT id, count(*) AS n FROM panel GROUP BY id HAVING count(*) >= 3),
 pt AS (SELECT pt0.id, pt0.step, pt0.point, s.n
        FROM pt0 JOIN s ON s.id = pt0.id),
@@ -6019,6 +6070,62 @@ SELECT id,
        CASE WHEN n < 4 THEN NULL ELSE 'acf' END AS method
 FROM best
 """
+    # scalar ts_estimate_period_fft: the detect_periods_fft DFT replay at
+    # top-1 WITHOUT the default-threshold filter (the raw estimate);
+    # power = bin share of total, confidence = peak-to-mean
+    _fft_round = """CAST(CASE WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) > 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k) + 1
+                 WHEN CAST(n AS DOUBLE) / k - floor(CAST(n AS DOUBLE) / k) < 0.5
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 WHEN CAST(floor(CAST(n AS DOUBLE) / k) AS BIGINT) % 2 = 0
+                 THEN floor(CAST(n AS DOUBLE) / k)
+                 ELSE floor(CAST(n AS DOUBLE) / k) + 1 END AS DOUBLE)"""
+    o["estimate_period_fft"] = f"""
+WITH panel AS ({_PANEL}),
+s AS (SELECT id, count(*) AS n, avg(CAST(y AS DOUBLE)) AS mu,
+             list(CAST(y AS DOUBLE) ORDER BY ds) AS l
+      FROM panel GROUP BY id),
+x0 AS (SELECT *, list_transform(l, v -> v - mu) AS xl FROM s),
+reg AS (SELECT id, regr_slope(v, t) AS b1, regr_intercept(v, t) AS b0
+        FROM (SELECT id, unnest(xl) AS v,
+                     CAST(unnest(generate_series(0, n - 1)) AS DOUBLE) AS t
+              FROM x0)
+        GROUP BY id),
+xd AS (SELECT x0.id, x0.n,
+              list_transform(generate_series(1, x0.n),
+                t -> x0.xl[t] - (reg.b0 + reg.b1 * (t - 1))) AS w
+       FROM x0 JOIN reg ON reg.id = x0.id),
+bins AS (SELECT id, n, unnest(generate_series(1, n // 2)) AS k, w
+         FROM xd),
+spec AS (SELECT id, n, k,
+                pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * cos(2 * pi() * k * (t - 1) / n)), 'sum'), 2)
+              + pow(list_aggregate(list_transform(generate_series(1, n),
+                  t -> w[t] * sin(2 * pi() * k * (t - 1) / n)), 'sum'), 2) AS sp
+         FROM bins),
+tot AS (SELECT id, CASE WHEN sum(sp) = 0 THEN 1.0 ELSE sum(sp) END AS tt
+        FROM spec GROUP BY id),
+top1 AS (SELECT id, n, k, sp,
+                row_number() OVER (PARTITION BY id ORDER BY sp DESC, k DESC)
+                  AS rk
+         FROM spec
+         WHERE CAST(n AS DOUBLE) / k >= 2.0
+           AND CAST(n AS DOUBLE) / k <= CAST(n // 2 AS DOUBLE)
+         QUALIFY rk = 1)
+SELECT s.id,
+       CASE WHEN s.n < 4 THEN NULL
+            WHEN t.k IS NULL THEN 0.0 ELSE {{pr}} END AS period,
+       CASE WHEN s.n < 4 THEN NULL
+            WHEN t.k IS NULL THEN 0.0 ELSE 1.0 / {{pr}} END AS frequency,
+       CASE WHEN s.n < 4 THEN NULL
+            WHEN t.k IS NULL THEN 0.0 ELSE t.sp / tot.tt END AS power,
+       CASE WHEN s.n < 4 THEN NULL
+            WHEN t.k IS NULL THEN 0.0
+            ELSE t.sp * (t.n // 2) / tot.tt END AS confidence,
+       CASE WHEN s.n < 4 THEN NULL ELSE 'fft' END AS method
+FROM s LEFT JOIN top1 t ON t.id = s.id
+       LEFT JOIN tot ON tot.id = s.id
+""".replace("{pr}", _fft_round.replace("n ", "t.n ").replace("/ k", "/ t.k"))
     # FFT periodogram top-3 (detect.py::_fft_candidates): DFT of the
     # linear-detrended demeaned series as explicit trig sums; candidate
     # ordering mirrors np.argsort(spec)[::-1] (spec DESC, bin DESC on ties),
@@ -7447,6 +7554,36 @@ SELECT id, CAST(unnest(generate_series(1, 7)) AS INT) AS forecast_step,
        level AS yhat, CAST(n_obs AS BIGINT) AS n_obs
 FROM lvl
 """
+    # ``streaming_conformal``: one micro-batch => the stateful calibrate
+    # equals the batch conformal quantile over the last 512 residuals per
+    # tie-free series; the interpolation replays _interp_quantile exactly
+    o["streaming_conformal"] = """
+WITH ev AS (SELECT user_id AS id, ts AS ds, CAST(value AS DOUBLE) AS y
+            FROM events),
+r AS (SELECT id, ds, y - (y * 0.9 + 1.0) AS r FROM ev
+      WHERE y IS NOT NULL),
+g AS (SELECT id, count(*) AS n, list(r ORDER BY ds) AS rl
+      FROM r GROUP BY id),
+t AS (SELECT id, list_slice(rl, greatest(n - 512 + 1, 1), n) AS rl FROM g),
+s AS (SELECT id, list_sort(list_transform(rl, v -> abs(v))) AS arr,
+             len(rl) AS n
+      FROM t),
+q AS (SELECT id, arr, n, CAST(n AS DOUBLE) AS nd,
+             least(greatest(ceil((n + 1.0) * (1.0 - 0.1)) / n, 0.0), 1.0)
+               AS lvl
+      FROM s),
+i AS (SELECT id, arr, n,
+             lvl * (nd - 1.0) AS ix,
+             CAST(floor(lvl * (nd - 1.0)) AS INT) AS lo
+      FROM q)
+SELECT id,
+       CASE WHEN n = 1 THEN arr[1]
+            ELSE arr[lo + 1] * (1.0 - (ix - lo))
+                 + arr[least(lo + 2, n)] * (ix - lo) END AS conformity_score,
+       1.0 - 0.1 AS coverage,
+       CAST(n AS BIGINT) AS n_residuals
+FROM i
+"""
     # ``streaming_dedup_exact``: dropDuplicatesWithinWatermark keeps exactly
     # one row per content fingerprint (which one is arbitrary, so the query
     # projects fingerprints only); the surviving set = DISTINCT fingerprints
@@ -7914,6 +8051,10 @@ SELECT CAST(540 * 16 * 6 AS BIGINT) AS bytes_per_group,
     # second explain family: project the verified MSTL point oracle
     o["forecast_explain_mstl"] = _explain_projection_oracle(
         _mstl_forecast_oracle())
+    # third explain family: ETS(AAA) = the Holt-Winters NM replay on the
+    # truncated panel; pattern CTEs run on the same truncated panel
+    o["forecast_explain_ets"] = _explain_projection_oracle(
+        _hw_oracle(name="ETS"), panel_sql=_TRUNC_PANEL_SQL)
     o.update(_llm_oracles())
     return _round_pin_oracles(o)
 

@@ -56,6 +56,27 @@ def ts_conformal_quantile(residuals: Column, alpha: float) -> Column:
     return _interp_quantile(arr, level)
 
 
+def conformal_score_np(res, alpha: float) -> float:
+    """numpy replica of :func:`ts_conformal_quantile` — expression-identical
+    (same clamp, same 1-based interpolation) so the streaming stateful op
+    and its batch/DuckDB oracle agree bit-for-bit."""
+    import math
+
+    arr = np.sort(np.abs(np.asarray(res, dtype=float)))
+    n = len(arr)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(arr[0])
+    level = min(max(math.ceil((n + 1.0) * (1.0 - alpha)) / n, 0.0), 1.0)
+    idx = level * (n - 1.0)
+    lo = int(math.floor(idx))
+    frac = idx - float(lo)
+    at_lo = float(arr[lo])
+    at_hi = float(arr[min(lo + 1, n - 1)])
+    return at_lo * (1.0 - frac) + at_hi * frac
+
+
 def ts_conformal_intervals(forecasts: Column, score: Column | float):
     """(lower[], upper[]) = forecasts ∓ score (``conformal.rs:171``)."""
     s = F.lit(score) if not isinstance(score, Column) else score

@@ -876,6 +876,39 @@ def ts_estimate_period_acf(values, max_lag: int | None = None):
     return _est(values)
 
 
+def ts_estimate_period_fft(values):
+    """Scalar single-period FFT estimate over a ``DOUBLE[]`` column (ref
+    ``ts_periods.cpp`` ts_estimate_period_fft → ``periods.rs:275-287``):
+    ``struct(period, frequency, power, confidence, method)`` from the top
+    periodogram bin — period banker's-rounded n/k as in the detect arm,
+    power = the bin's share of total spectral power, confidence = the
+    reference's peak-to-mean ratio (``periods.rs:1370-1375``). The raw
+    estimate carries NO default-threshold filter (that belongs to the
+    detect_periods SQL surface); fields are NULL under 4 points and zero
+    when no bin lands in [2, n/2]."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("period double, frequency double, power double, "
+                "confidence double, method string")
+    def _est(vs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in vs:
+            y = interpolate_nulls(np.asarray(v, dtype=float))
+            if len(y) < 4:
+                rows.append((None, None, None, None, None))
+                continue
+            cands = _fft_candidates(y, top=1)
+            if not cands:
+                rows.append((0.0, 0.0, 0.0, 0.0, "fft"))
+                continue
+            p, share, pm = cands[0]
+            rows.append((float(p), 1.0 / p, share, pm, "fft"))
+        return pd.DataFrame(rows, columns=["period", "frequency", "power",
+                                           "confidence", "method"])
+
+    return _est(values)
+
+
 def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                          params: dict | None = None) -> DataFrame:
     """One row per detected period: (<group>, period, confidence, strength,

@@ -284,7 +284,17 @@ def explain_decompose(yv: np.ndarray, r, h: int, season: int) -> dict:
 
     Seasonal component: mean-centered per-phase pattern continued into the
     future; level = de-seasonalized baseline; trend = successive increments
-    of the de-seasonalized point path."""
+    of the de-seasonalized point path.
+
+    Fidelity note: the reference macro (``ts_macros.cpp:687-731`` →
+    ``forecast.rs:1899-2010``) delegates the per-model decomposition to the
+    ``anofox_forecast`` crate's ``Explainable`` impls, whose source is NOT
+    vendored in the reference repo — only the observable contract (four
+    additive per-horizon arrays summing to the point forecast) is
+    recoverable. This function implements that contract with a documented
+    convention, and the driver oracles replay it exactly (all three
+    explainable families bit-exact, including the full seasonal-Theta
+    point path)."""
     yv = M.interpolate_nulls(yv)
     m = int((r.params or {}).get("seasonal_period", season) or 0)
     point = np.asarray(r.point, dtype=float)

@@ -4,7 +4,7 @@ The reference has no event-stream data model (its "streaming" means DuckDB
 pipelined execution — SURVEY.md §1.3), so this module is beyond-parity
 surface: the same panel operators re-expressed over unbounded input.
 
-Four shapes, each the idiomatic Spark mapping of a batch operator:
+Five shapes, each the idiomatic Spark mapping of a batch operator:
 
 - ``stream_panel_stats`` — sliding/tumbling windowed per-series aggregates
   with a watermark for late data. Pure built-in aggs; state is bounded by
@@ -17,6 +17,10 @@ Four shapes, each the idiomatic Spark mapping of a batch operator:
   (``dropDuplicatesWithinWatermark`` on the same md5 fingerprint as the
   batch ``dedup_exact``); state per fingerprint is evicted past the
   watermark, so an unbounded ingest stream keeps bounded state.
+- ``stream_conformal`` — ``applyInPandasWithState``: per-series bounded
+  window of forecast residuals; each trigger re-emits the conformity score
+  with the exact batch quantile convention. The online analogue of
+  ``ts_conformal_calibrate``.
 - ``stream_forecast_foreach_batch`` — micro-batch bridge: run the full batch
   ``ts_forecast_by`` on each micro-batch (exactly the batch semantics, at
   trigger cadence), for when full refits per trigger are acceptable.
@@ -151,6 +155,58 @@ def stream_dedup_exact(stream: DataFrame, id_col: str, text_col: str,
     return (stream.select(F.col(id_col), F.col(event_col), F.col(text_col), fp)
             .withWatermark(event_col, watermark)
             .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
+_CONF_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("conformity_score", T.DoubleType()),
+    T.StructField("coverage", T.DoubleType()),
+    T.StructField("n_residuals", T.LongType()),
+])
+_CONF_STATE_SCHEMA = T.StructType([
+    T.StructField("res", T.ArrayType(T.DoubleType())),
+])
+
+
+def stream_conformal(stream: DataFrame, alpha: float = 0.1,
+                     state_rows: int = 512) -> DataFrame:
+    """Stateful online conformal calibration — the streaming analogue of
+    ``ts_conformal_calibrate``: per-series state holds the latest
+    ``state_rows`` forecast residuals (bounded, watermark-free safe); each
+    trigger appends the new (actual - forecast) residuals in event-time
+    order, truncates, and emits the fresh conformity score using the exact
+    batch quantile convention (``conformal_score_np`` ==
+    ``ts_conformal_quantile`` expression-for-expression, so a one-trigger
+    run equals the batch operator bit-for-bit).
+
+    Input columns: (id, ds, actual, forecast).
+    Output: (id, conformity_score, coverage, n_residuals).
+    """
+    from ..operators.conformal import conformal_score_np
+    a = float(alpha)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        res: list[float] = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[pdf["actual"].notna() & pdf["forecast"].notna()]
+            rows.extend(zip(sub["ds"], (sub["actual"].astype(float)
+                                        - sub["forecast"].astype(float))))
+        rows.sort(key=lambda t: t[0])
+        res.extend(float(r) for _, r in rows)
+        res = res[-int(state_rows):]
+        state.update((res,))
+        if res:
+            yield pd.DataFrame({
+                "id": [key[0]],
+                "conformity_score": [conformal_score_np(res, a)],
+                "coverage": [1.0 - a],
+                "n_residuals": [len(res)],
+            })
+
+    return (stream.groupBy("id")
+            .applyInPandasWithState(fn, _CONF_SCHEMA, _CONF_STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))
 
 
 def stream_forecast_foreach_batch(stream: DataFrame, sink_fn,

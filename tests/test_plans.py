@@ -197,3 +197,30 @@ def test_nonnull_panel_skips_interpolation_windows(spark):
     assert nullable.schema["y"].nullable
     out = interpolate_nulls_df(nullable, "id", "ds", "y")
     assert out is not nullable
+
+
+def test_regression_adapters_plan_shape(spark):
+    """r6 adapters: the only shuffle is the (group, ds) join; per-fold
+    cutoffs ride a broadcast, and nothing goes cartesian."""
+    from anofox_forecast_spark.operators.cv import (
+        ts_cv_split_by,
+        ts_hydrate_features_by,
+        ts_prepare_regression_input_by,
+    )
+    panel = lineitem_panel(spark, SF_DIR)
+    cv = ts_cv_split_by(panel, "id", "ds", "y",
+                        ["1998-01-01", "1999-01-01"], 7, "1d")
+    src = panel.select("id", "ds", "y",
+                       (F.dayofmonth("ds") % 7).cast("double").alias("x1"))
+    hyd = ts_hydrate_features_by(cv, src, "id", "ds")
+    rep = P.plan_report(hyd)
+    # ts_cv_split_by's 2-row broadcast fold-spec crossJoin shows up as a
+    # BroadcastNestedLoopJoin by design; a true cartesian is the bug.
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0, "adapters must stay JVM-side"
+    assert rep["broadcast_hash_joins"] >= 1, \
+        "per-fold cutoffs must broadcast"
+    prep = P.plan_report(ts_prepare_regression_input_by(cv, src, "id",
+                                                        "ds", "y"))
+    assert prep["cartesian_products"] == 0
+    assert prep["python_udf_nodes"] == 0

@@ -199,3 +199,23 @@ def test_estimate_period_acf_scalar(spark):
     assert rows[0]["method"] == "acf"
     assert rows[0]["confidence"] > 0.3
     assert rows[1]["period"] is None and rows[1]["method"] is None
+
+
+def test_estimate_period_fft_scalar(spark):
+    """ref ts_periods.cpp ts_estimate_period_fft: raw top-bin estimate, no
+    default-threshold filter; power = share, confidence = peak-to-mean."""
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.detect import (
+        ts_estimate_period_fft,
+    )
+    t = np.arange(140, dtype=float)
+    y = (5.0 + np.sin(2 * np.pi * t / 7)).tolist()
+    df = spark.createDataFrame([(y,), ([1.0, 2.0, 3.0],)],
+                               "ys array<double>")
+    rows = df.select(ts_estimate_period_fft(F.col("ys")).alias("r")) \
+             .select("r.*").collect()
+    assert rows[0]["period"] == 7.0
+    assert rows[0]["confidence"] > 5.0  # strong peak clears the default bar
+    assert 0.0 < rows[0]["power"] <= 1.0
+    assert rows[1]["period"] is None

@@ -92,3 +92,36 @@ def test_stream_dedup_exact_drops_duplicates(spark, tmp_path):
     # three case/whitespace variants of "hello world" collapse to one row
     assert len(got) == 2
     assert set(got["fingerprint"].str.len()) == {32}
+
+
+def test_stream_conformal_matches_batch_and_truncates(spark, tmp_path):
+    """One availableNow trigger == batch ts_conformal_calibrate over the
+    last state_rows residuals, using the identical quantile convention."""
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.conformal import conformal_score_np
+    rng = np.random.default_rng(11)
+    n = 40
+    rows = pd.DataFrame({
+        "id": [1] * n,
+        "ds": pd.date_range("2024-01-01", periods=n, freq="D"),
+        "actual": rng.normal(10.0, 2.0, n),
+        "forecast": np.full(n, 10.0),
+    })
+    src = str(tmp_path / "conf")
+    spark.createDataFrame(rows).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = ST.stream_conformal(stream, alpha=0.1, state_rows=25)
+    q = (out.writeStream.format("memory").queryName("conf_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("conf_t").toPandas()
+    assert len(got) == 1
+    # bounded state: only the LAST 25 residuals (in ds order) survive
+    assert got["n_residuals"].iloc[0] == 25
+    res = (rows.sort_values("ds")["actual"] - rows["forecast"]).to_numpy()[-25:]
+    assert got["conformity_score"].iloc[0] == conformal_score_np(res, 0.1)
+    assert got["coverage"].iloc[0] == 0.9
