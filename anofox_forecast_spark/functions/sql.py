@@ -356,6 +356,14 @@ _SQL_SCALARS: list[tuple[str, str, str]] = [
                  zip_with(zip_with(a, lo, (x, l) -> struct(x AS a, l AS l)),
                           up, (p, u) -> struct(p.a AS a, p.l AS l, u AS u)),
                  t -> t.a >= t.l AND t.a <= t.u)) AS DOUBLE) / size(a) END"""),
+    # ref scalar conformal.cpp:1202-1244: NULL on length mismatch, NaN on
+    # empty (mean_interval_width over an empty slice)
+    ("ts_mean_interval_width",
+     "(lo ARRAY<DOUBLE>, up ARRAY<DOUBLE>) RETURNS DOUBLE",
+     f"""CASE WHEN size(lo) != size(up) THEN CAST(NULL AS DOUBLE)
+          WHEN size(lo) = 0 THEN {_NAN_SQL}
+          ELSE aggregate(zip_with(up, lo, (u, l) -> u - l),
+                         0.0D, (acc, w) -> acc + w) / size(lo) END"""),
 ]
 
 
@@ -2371,6 +2379,82 @@ class CvHydrateUDTF:
                 yield tuple(vals[c] for c in cols)
 
 
+class PrepareRegressionInputUDTF:
+    """``ts_prepare_regression_input_by(TABLE(cv ⋈ features pre-join),
+    'id', 'ds', 'y')`` — fit-predict adapter (mirror of
+    cv.ts_prepare_regression_input_by; takes the cv-to-source pre-join
+    since Spark UDTFs accept one TABLE argument). Row-wise: target
+    NULL-masked on test rows, reference-literal output names."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, target_col):
+        g, d = group_col.value, ds_col.value
+        fields = {f.name: f.dataType for f in table.dataType.fields}
+        feats = [n for n in fields
+                 if n not in (g, d, "fold_id", "split")]
+        return AnalyzeResult(schema=T.StructType(
+            [_f("fold_id", fields["fold_id"]), _f("split", T.StringType()),
+             _f("group_col", fields[g]), _f("date_col", fields[d]),
+             _f("masked_target", T.DoubleType()),
+             _f("_is_test", T.BooleanType())]
+            + [_f(n, fields[n]) for n in feats]))
+
+    def eval(self, row, group_col, ds_col, target_col):
+        vals = row.asDict()
+        g, d, y = group_col, ds_col, target_col
+        feats = [n for n in vals
+                 if n not in (g, d, "fold_id", "split")]
+        is_test = vals.get("split") == "test"
+        tgt = vals.get(y)
+        yield tuple([vals.get("fold_id"), vals.get("split"), vals.get(g),
+                     vals.get(d),
+                     None if is_test or tgt is None else float(tgt),
+                     is_test] + [vals.get(n) for n in feats])
+
+
+class HydrateFeaturesUDTF:
+    """``ts_hydrate_features_by(TABLE(cv ⋈ features pre-join), 'id', 'ds',
+    'y')`` — leakage-safe feature hydration (mirror of
+    cv.ts_hydrate_features_by). Partitioned by fold so ``_train_cutoff``
+    (the fold's max train date) is computable per partition."""
+
+    @staticmethod
+    def analyze(table, group_col, ds_col, target_col):
+        g, d, y = group_col.value, ds_col.value, target_col.value
+        fields = {f.name: f.dataType for f in table.dataType.fields}
+        feats = [n for n in fields
+                 if n not in (g, d, y, "fold_id", "split")]
+        return AnalyzeResult(schema=T.StructType(
+            [_f("fold_id", fields["fold_id"]), _f("split", T.StringType()),
+             _f("group_col", fields[g]), _f("date_col", fields[d]),
+             _f("target_col", fields[y]), _f("_is_test", T.BooleanType()),
+             _f("_train_cutoff", fields[d])]
+            + [_f(n, fields[n]) for n in feats]),
+            partitionBy=[PartitioningColumn("fold_id")])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, target_col):
+        self._args = (group_col, ds_col, target_col)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        g, d, y = self._args
+        feats = [n for n in self._rows[0].asDict()
+                 if n not in (g, d, y, "fold_id", "split")]
+        cutoff = max((r[d] for r in self._rows if r["split"] == "train"),
+                     default=None)
+        for r in self._rows:
+            vals = r.asDict()
+            yield tuple([vals.get("fold_id"), vals.get("split"),
+                         vals.get(g), vals.get(d), vals.get(y),
+                         vals.get("split") == "test", cutoff]
+                        + [vals.get(n) for n in feats])
+
+
 _R4B_UDTFS = {
     "ts_quality_report": QualityReportUDTF,
     "ts_stats_summary": StatsSummaryUDTF,
@@ -2396,6 +2480,8 @@ _R4B_UDTFS = {
     "ts_cv_split_by": CvSplitUDTF,
     "ts_cv_forecast_by": CvForecastUDTF,
     "ts_cv_hydrate_by": CvHydrateUDTF,
+    "ts_prepare_regression_input_by": PrepareRegressionInputUDTF,
+    "ts_hydrate_features_by": HydrateFeaturesUDTF,
 }
 
 
@@ -2450,4 +2536,13 @@ def register_all(spark: SparkSession) -> None:
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "
                       f"RETURN {body}")
         names.append(name)
+    # the two scalar period estimators (ref ts_periods.cpp:551-624 and the
+    # fft sibling) need numpy, so they register as Arrow-batched UDFs
+    from ..operators.detect import estimate_period_udf
+    for nm, kind in (("ts_estimate_period_acf", "acf"),
+                     ("ts_estimate_period_fft", "fft")):
+        fn = estimate_period_udf(kind)
+        spark.udf.register(nm, fn)
+        spark.udf.register(f"anofox_fcst_{nm}", fn)
+        names.append(nm)
     REGISTERED_NAMES[:] = names

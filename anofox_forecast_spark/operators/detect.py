@@ -846,14 +846,9 @@ def _grouped_udf(df, group_col, ds_col, y_col, schema, build_rows):
                                lambda kt, g: build_rows(kt[0], g))
 
 
-def ts_estimate_period_acf(values, max_lag: int | None = None):
-    """Scalar single-period ACF estimate over a ``DOUBLE[]`` column (ref
-    ``ts_periods.cpp:551-624`` → ``periods.rs:299-315``): returns
-    ``struct(period, frequency, power, confidence, method)``. Fields are
-    NULL when the series has fewer than 4 points (the reference's
-    InsufficientData error maps the whole value to NULL). ``max_lag``
-    defaults to the reference's n/2; the vectorized Arrow batch keeps the
-    crossing per-batch, not per-row."""
+def estimate_period_udf(kind: str, max_lag: int | None = None):
+    """Build the Arrow-batched struct UDF behind the two scalar period
+    estimators; also registered on the SQL surface (``functions/sql.py``)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("period double, frequency double, power double, "
@@ -866,14 +861,33 @@ def ts_estimate_period_acf(values, max_lag: int | None = None):
             if n < 4:
                 rows.append((None, None, None, None, None))
                 continue
-            lag = int(max_lag) if max_lag else n // 2
-            lag = max(3, min(lag, n - 1))
-            p, c = _acf_peak(y, lag)
-            rows.append((float(p), 1.0 / p if p else 0.0, c, c, "acf"))
+            if kind == "acf":
+                lag = int(max_lag) if max_lag else n // 2
+                lag = max(3, min(lag, n - 1))
+                p, c = _acf_peak(y, lag)
+                rows.append((float(p), 1.0 / p if p else 0.0, c, c, "acf"))
+            else:
+                cands = _fft_candidates(y, top=1)
+                if not cands:
+                    rows.append((0.0, 0.0, 0.0, 0.0, "fft"))
+                else:
+                    p, share, pm = cands[0]
+                    rows.append((float(p), 1.0 / p, share, pm, "fft"))
         return pd.DataFrame(rows, columns=["period", "frequency", "power",
                                            "confidence", "method"])
 
-    return _est(values)
+    return _est
+
+
+def ts_estimate_period_acf(values, max_lag: int | None = None):
+    """Scalar single-period ACF estimate over a ``DOUBLE[]`` column (ref
+    ``ts_periods.cpp:551-624`` → ``periods.rs:299-315``): returns
+    ``struct(period, frequency, power, confidence, method)``. Fields are
+    NULL when the series has fewer than 4 points (the reference's
+    InsufficientData error maps the whole value to NULL). ``max_lag``
+    defaults to the reference's n/2; the vectorized Arrow batch keeps the
+    crossing per-batch, not per-row."""
+    return estimate_period_udf("acf", max_lag)(values)
 
 
 def ts_estimate_period_fft(values):
@@ -886,27 +900,7 @@ def ts_estimate_period_fft(values):
     estimate carries NO default-threshold filter (that belongs to the
     detect_periods SQL surface); fields are NULL under 4 points and zero
     when no bin lands in [2, n/2]."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("period double, frequency double, power double, "
-                "confidence double, method string")
-    def _est(vs: pd.Series) -> pd.DataFrame:
-        rows = []
-        for v in vs:
-            y = interpolate_nulls(np.asarray(v, dtype=float))
-            if len(y) < 4:
-                rows.append((None, None, None, None, None))
-                continue
-            cands = _fft_candidates(y, top=1)
-            if not cands:
-                rows.append((0.0, 0.0, 0.0, 0.0, "fft"))
-                continue
-            p, share, pm = cands[0]
-            rows.append((float(p), 1.0 / p, share, pm, "fft"))
-        return pd.DataFrame(rows, columns=["period", "frequency", "power",
-                                           "confidence", "method"])
-
-    return _est(values)
+    return estimate_period_udf("fft")(values)
 
 
 def ts_detect_periods_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,

@@ -219,3 +219,42 @@ def test_estimate_period_fft_scalar(spark):
     assert rows[0]["confidence"] > 5.0  # strong peak clears the default bar
     assert 0.0 < rows[0]["power"] <= 1.0
     assert rows[1]["period"] is None
+
+
+def test_sql_surface_r6_names(spark):
+    """The r6 additions are callable from SQL: scalar
+    ts_mean_interval_width (pure SQL UDF), the two period-estimator UDFs,
+    and the regression-adapter UDTFs over a cv-to-source pre-join."""
+    import datetime
+
+    from anofox_forecast_spark.functions.sql import register_all
+    register_all(spark)
+    w = spark.sql("SELECT ts_mean_interval_width(array(1.0D, 2.0D), "
+                  "array(3.0D, 5.0D)) AS w").collect()[0]["w"]
+    assert w == 2.5
+    rows = [([float(5 + math.sin(2 * math.pi * i / 7))
+              for i in range(140)],)]
+    spark.createDataFrame(rows, "ys array<double>") \
+         .createOrReplaceTempView("r6_arrs")
+    got = spark.sql("SELECT ts_estimate_period_acf(ys).period AS pa, "
+                    "ts_estimate_period_fft(ys).period AS pf "
+                    "FROM r6_arrs").collect()[0]
+    assert got["pa"] == 7.0 and got["pf"] == 7.0
+    data = []
+    for i in range(40):
+        split = "train" if i < 30 else ("test" if i < 37 else None)
+        if split:
+            data.append(("A", datetime.datetime(2024, 1, 1)
+                         + datetime.timedelta(days=i),
+                         10.0 + i, 20 + i % 10, 1, split))
+    df = spark.createDataFrame(
+        data, ["id", "ds", "y", "temp", "fold_id", "split"])
+    df.createOrReplaceTempView("r6_prejoin")
+    p = spark.sql("SELECT * FROM ts_prepare_regression_input_by("
+                  "TABLE(r6_prejoin), 'id', 'ds', 'y')").toPandas()
+    assert p[p.split == "test"].masked_target.isna().all()
+    assert p[p.split == "train"].masked_target.notna().all()
+    h = spark.sql("SELECT * FROM ts_hydrate_features_by("
+                  "TABLE(r6_prejoin), 'id', 'ds', 'y')").toPandas()
+    assert "_train_cutoff" in h.columns and "target_col" in h.columns
+    assert (h._train_cutoff == h[h.split == "train"].date_col.max()).all()
