@@ -360,6 +360,23 @@ def _cv_queries():
         return CV.ts_prepare_regression_input_by(
             cv, _featured_src(spark, sf), "id", "ds", "y")
 
+    def q_ols_fit_predict(spark, sf):
+        # the full regression-backtest composition the reference examples
+        # run (cv_split -> prepare_regression_input -> ols_fit_predict):
+        # per-fold intercept+2-feature OLS on the NULL-masked target,
+        # predictions for every row, pure Catalyst
+        from anofox_forecast_spark.operators.regression import (
+            ols_fit_predict_by,
+        )
+        panel = lineitem_panel(spark, sf)
+        cv = CV.ts_cv_split_by(panel, "id", "ds", "y",
+                               ["1998-01-01", "1999-01-01"], 7, "1d")
+        prep = CV.ts_prepare_regression_input_by(
+            cv, _featured_src(spark, sf), "id", "ds", "y")
+        return ols_fit_predict_by(prep, "fold_id",
+                                  ["group_col", "date_col"],
+                                  "masked_target", ["x1", "x2"])
+
     def q_estimate_memory(spark, sf):
         # planning helper surfaced as a 1-row frame so the formula itself
         # (ref metrics.cpp:1081-1111) is value-checked by the driver
@@ -380,6 +397,7 @@ def _cv_queries():
         "cv_hydrate": q_hydrate,
         "cv_hydrate_features": q_hydrate_features,
         "cv_prepare_regression": q_prepare_regression,
+        "ols_fit_predict": q_ols_fit_predict,
         "cv_check_leakage": q_check_leakage,
         "cv_forecast": q_cv_forecast,
         "cv_backtest": q_backtest,
@@ -1408,8 +1426,8 @@ _WINDOW = [
     # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
     # tests): first driver check; displace metric_mae + prep_diff, both
     # multi-round green and re-verified in every bench round
-    "cv_hydrate_features", "cv_prepare_regression",
-    "prep_fill_gaps",
+    "cv_hydrate_features", "cv_prepare_regression", "ols_fit_predict",
+    # prep_fill_gaps rotated out (green r1+r5, re-verified every bench)
     "detect_changepoints_bocpd", "mstl_decomposition",
     "stats_full", "features_sql",
     "cv_forecast", "cv_backtest",
@@ -5152,6 +5170,59 @@ SELECT cv.fold_id, cv.split, cv.id AS group_col, cv.ds AS date_col,
        cv.split = 'test' AS _is_test,
        src.y, src.x1, src.x2
 FROM cv JOIN src ON src.id = cv.id AND src.ds = cv.ds
+"""
+    # ols_fit_predict (operators/regression.py): TWO-LEVEL deterministic
+    # sums — per-(fold, series) partial sums over ds-ordered bounded
+    # arrays, then a sequential fold of the partials ordered by series —
+    # and coefficients via the SAME Cramer expression text the Spark side
+    # evaluates (regression.cramer_sql); predictions are per-row.
+    from anofox_forecast_spark.operators.regression import (
+        _det_sql, cramer_sql, ols_fold_exprs, ols_sums,
+    )
+    _names = ["one", "x1", "x2"]
+    _snames = list(ols_sums(2))
+    _a = [[f"s_{_names[min(r, c)]}_{_names[max(r, c)]}" for c in range(3)]
+          for r in range(3)]
+    _coefs = cramer_sql(_a, [f"s_{n}_y" for n in _names])
+    _detx = _det_sql(_a)
+    _folds_sql = ",\n       ".join(ols_fold_exprs(2, "tr", "duckdb"))
+    _lvl2_sql = ",\n       ".join(
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(ps, e -> e.{nm})), (a, b) -> a + b) AS {nm}"
+        for nm in _snames)
+    _ps_pack = ", ".join([f"g := g"] + [f"{nm} := {nm}" for nm in _snames])
+    _coef_sql = ",\n       ".join(
+        f"CASE WHEN s_one_one >= 3 AND ({_detx}) != 0.0 "
+        f"THEN {ex} END AS b{i}" for i, ex in enumerate(_coefs))
+    o["ols_fit_predict"] = _reg_base + f""",
+pr AS (SELECT cv.fold_id, cv.id AS g, cv.ds AS d,
+              CASE WHEN cv.split = 'test' THEN NULL ELSE src.y END AS y,
+              src.x1, CAST(src.x2 AS DOUBLE) AS x2
+       FROM cv JOIN src ON src.id = cv.id AND src.ds = cv.ds),
+g1 AS (SELECT fold_id, g,
+              list(struct_pack(d := d, y := y, x1 := x1, x2 := x2)
+                   ORDER BY d) AS rows_
+       FROM pr GROUP BY fold_id, g),
+t1 AS (SELECT fold_id, g,
+              list_filter(rows_, e -> e.y IS NOT NULL
+                          AND e.x1 IS NOT NULL AND e.x2 IS NOT NULL) AS tr
+       FROM g1),
+p1 AS (SELECT fold_id, g,
+       {_folds_sql}
+       FROM t1),
+g2 AS (SELECT fold_id,
+              list(struct_pack({_ps_pack}) ORDER BY g) AS ps
+       FROM p1 GROUP BY fold_id),
+s2 AS (SELECT fold_id,
+       {_lvl2_sql}
+       FROM g2),
+cf AS (SELECT fold_id,
+       {_coef_sql}
+       FROM s2)
+SELECT pr.fold_id, pr.g AS group_col, pr.d AS date_col,
+       pr.y AS masked_target,
+       CAST(cf.b0 + cf.b1 * pr.x1 + cf.b2 * pr.x2 AS DOUBLE) AS yhat
+FROM pr JOIN cf ON cf.fold_id = pr.fold_id
 """
     o["cv_split_folds"] = f"""
 WITH panel AS ({_PANEL}),

@@ -2455,6 +2455,91 @@ class HydrateFeaturesUDTF:
                         + [vals.get(n) for n in feats])
 
 
+def _det_py(m: list[list[float]]) -> float:
+    """Cofactor expansion matching regression._det_sql's evaluation order."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    acc = 0.0
+    for j in range(n):
+        minor = [[m[r][c] for c in range(n) if c != j] for r in range(1, n)]
+        term = m[0][j] * _det_py(minor)
+        acc = acc + term if j % 2 == 0 else acc - term
+    return acc
+
+
+class OlsFitPredictUDTF:
+    """``ols_fit_predict_by(TABLE(reg_input), 'fold_id',
+    'group_col,date_col', 'masked_target', 'x1,x2')`` — per-group OLS
+    fit-predict (mirror of regression.ols_fit_predict_by; the regression
+    leg of the reference's backtest examples, shipped there by the
+    companion anofox_statistics extension)."""
+
+    @staticmethod
+    def analyze(table, group_col, order_csv, target_col, x_csv):
+        g = group_col.value
+        fields = {f.name: f.dataType for f in table.dataType.fields}
+        ords = [c for c in order_csv.value.split(",") if c]
+        return AnalyzeResult(schema=T.StructType(
+            [_f(g, fields[g])] + [_f(c, fields[c]) for c in ords]
+            + [_f(target_col.value, T.DoubleType()),
+               _f("yhat", T.DoubleType())]),
+            partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, order_csv, target_col, x_csv):
+        self._args = (group_col, str(order_csv).split(","),
+                      target_col, [c for c in str(x_csv).split(",") if c])
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        g, ords, y, xs = self._args
+        k = len(xs)
+        rows = sorted(self._rows, key=lambda r: tuple(r[c] for c in ords))
+        train = [r for r in rows
+                 if r[y] is not None
+                 and all(r[c] is not None for c in xs)]
+        # sequential normal-equation sums (same order as the fold exprs)
+        dim = k + 1
+
+        def feat(r):
+            return [1.0] + [float(r[c]) for c in xs]
+
+        a = [[0.0] * dim for _ in range(dim)]
+        b = [0.0] * dim
+        for r in train:
+            f = feat(r)
+            for i in range(dim):
+                for j in range(i, dim):
+                    a[i][j] += f[i] * f[j]
+                b[i] += f[i] * float(r[y])
+        for i in range(dim):
+            for j in range(i):
+                a[i][j] = a[j][i]
+        det = _det_py(a)
+        coefs = None
+        if len(train) >= dim and det != 0.0:
+            coefs = []
+            for i in range(dim):
+                ai = [[(b[r] if c == i else a[r][c]) for c in range(dim)]
+                      for r in range(dim)]
+                coefs.append(_det_py(ai) / det)
+        for r in rows:
+            if coefs is None:
+                yh = None
+            else:
+                f = feat(r) if all(r[c] is not None for c in xs) else None
+                yh = (None if f is None else
+                      sum(cf * fv for cf, fv in zip(coefs, f)))
+            tv = r[y]
+            yield tuple([r[g]] + [r[c] for c in ords]
+                        + [None if tv is None else float(tv), yh])
+
+
 _R4B_UDTFS = {
     "ts_quality_report": QualityReportUDTF,
     "ts_stats_summary": StatsSummaryUDTF,
@@ -2482,6 +2567,7 @@ _R4B_UDTFS = {
     "ts_cv_hydrate_by": CvHydrateUDTF,
     "ts_prepare_regression_input_by": PrepareRegressionInputUDTF,
     "ts_hydrate_features_by": HydrateFeaturesUDTF,
+    "ols_fit_predict_by": OlsFitPredictUDTF,
 }
 
 

@@ -91,3 +91,88 @@ def test_hydrate_features_ambiguous_target_raises(frames, spark):
     out = CV.ts_hydrate_features_by(wide, src, "series_id", "date",
                                     {"target_col": "revenue"})
     assert out.count() > 0
+
+
+def test_ols_fit_predict_recovers_coefficients(spark):
+    """Intercept + 2-feature OLS per group: matches numpy lstsq to 1e-9,
+    NULL-target rows predicted but never trained on."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark.operators.regression import ols_fit_predict_by
+    rng = np.random.default_rng(3)
+    rows = []
+    for fold in (1, 2):
+        for i in range(50):
+            x1, x2 = float(i % 10), float((i * 3) % 7)
+            y = 2.0 + 1.5 * x1 - 0.8 * x2 + float(rng.normal(0, 0.1))
+            rows.append((fold, "A",
+                         datetime.datetime(2024, 1, 1)
+                         + datetime.timedelta(days=i),
+                         None if i >= 40 else y, x1, x2, y))
+    pdf = pd.DataFrame(rows, columns=["fold_id", "gid", "ds", "masked",
+                                      "x1", "x2", "truth"])
+    df = spark.createDataFrame(
+        pdf[["fold_id", "gid", "ds", "masked", "x1", "x2"]])
+    out = ols_fit_predict_by(df, "fold_id", ["gid", "ds"], "masked",
+                             ["x1", "x2"]).toPandas()
+    assert len(out) == 100 and out.yhat.notna().all()
+    for fold in (1, 2):
+        tr = pdf[(pdf.fold_id == fold) & pdf.masked.notna()]
+        A = np.column_stack([np.ones(len(tr)), tr.x1, tr.x2])
+        b, *_ = np.linalg.lstsq(A, tr.masked.astype(float), rcond=None)
+        sub = out[out.fold_id == fold].sort_values("ds")
+        want = b[0] + b[1] * pdf[pdf.fold_id == fold].sort_values("ds").x1.to_numpy() \
+            + b[2] * pdf[pdf.fold_id == fold].sort_values("ds").x2.to_numpy()
+        assert np.allclose(sub.yhat.to_numpy(), want, atol=1e-9)
+
+
+def test_ols_fit_predict_singular_design_yields_null(spark):
+    """Collinear features (x2 = 2*x1) make det(X'X) == 0 -> NULL yhat, no
+    crash (the operator's singularity guard)."""
+    import pandas as pd
+
+    from anofox_forecast_spark.operators.regression import ols_fit_predict_by
+    pdf = pd.DataFrame({
+        "fold_id": [1] * 6, "ord": range(6),
+        "y": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "x1": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "x2": [2.0, 4.0, 6.0, 8.0, 10.0, 12.0],
+    })
+    out = ols_fit_predict_by(spark.createDataFrame(pdf), "fold_id", ["ord"],
+                             "y", ["x1", "x2"]).toPandas()
+    assert out.yhat.isna().all()
+
+
+def test_ols_fit_predict_sql_matches_dataframe(spark):
+    """SQL UDTF == DataFrame op on the same reg input (rtol 1e-9)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark.functions.sql import register_all
+    from anofox_forecast_spark.operators.regression import ols_fit_predict_by
+    register_all(spark)
+    rng = np.random.default_rng(9)
+    rows = []
+    for fold in (1, 2):
+        for i in range(30):
+            x1, x2 = float(i % 5), float((i * 7) % 11)
+            y = 1.0 + 0.5 * x1 + 2.0 * x2 + float(rng.normal(0, 0.2))
+            rows.append((fold, i,
+                         None if i >= 25 else y, x1, x2))
+    pdf = pd.DataFrame(rows, columns=["fold_id", "ord", "masked",
+                                      "x1", "x2"])
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("reg_in")
+    sql_out = spark.sql(
+        "SELECT * FROM ols_fit_predict_by(TABLE(reg_in), 'fold_id', "
+        "'ord', 'masked', 'x1,x2')").toPandas().sort_values(
+        ["fold_id", "ord"]).reset_index(drop=True)
+    df_out = ols_fit_predict_by(df, "fold_id", ["ord"], "masked",
+                                ["x1", "x2"]).toPandas().sort_values(
+        ["fold_id", "ord"]).reset_index(drop=True)
+    np.testing.assert_allclose(sql_out.yhat, df_out.yhat, rtol=1e-9)
