@@ -377,6 +377,22 @@ def _cv_queries():
                                   ["group_col", "date_col"],
                                   "masked_target", ["x1", "x2"])
 
+    def q_ridge_fit_predict(spark, sf):
+        # same composition with the ridge penalty (l2=10) on the
+        # non-intercept diagonal — the statistics extension's Ridge leg
+        from anofox_forecast_spark.operators.regression import (
+            ols_fit_predict_by,
+        )
+        panel = lineitem_panel(spark, sf)
+        cv = CV.ts_cv_split_by(panel, "id", "ds", "y",
+                               ["1998-01-01", "1999-01-01"], 7, "1d")
+        prep = CV.ts_prepare_regression_input_by(
+            cv, _featured_src(spark, sf), "id", "ds", "y")
+        return ols_fit_predict_by(prep, "fold_id",
+                                  ["group_col", "date_col"],
+                                  "masked_target", ["x1", "x2"],
+                                  {"l2": 10.0})
+
     def q_estimate_memory(spark, sf):
         # planning helper surfaced as a 1-row frame so the formula itself
         # (ref metrics.cpp:1081-1111) is value-checked by the driver
@@ -398,6 +414,7 @@ def _cv_queries():
         "cv_hydrate_features": q_hydrate_features,
         "cv_prepare_regression": q_prepare_regression,
         "ols_fit_predict": q_ols_fit_predict,
+        "ridge_fit_predict": q_ridge_fit_predict,
         "cv_check_leakage": q_check_leakage,
         "cv_forecast": q_cv_forecast,
         "cv_backtest": q_backtest,
@@ -5179,22 +5196,22 @@ FROM cv JOIN src ON src.id = cv.id AND src.ds = cv.ds
     from anofox_forecast_spark.operators.regression import (
         _det_sql, cramer_sql, ols_fold_exprs, ols_sums,
     )
-    _names = ["one", "x1", "x2"]
+    from anofox_forecast_spark.operators.regression import normal_matrix
     _snames = list(ols_sums(2))
-    _a = [[f"s_{_names[min(r, c)]}_{_names[max(r, c)]}" for c in range(3)]
-          for r in range(3)]
-    _coefs = cramer_sql(_a, [f"s_{n}_y" for n in _names])
-    _detx = _det_sql(_a)
     _folds_sql = ",\n       ".join(ols_fold_exprs(2, "tr", "duckdb"))
     _lvl2_sql = ",\n       ".join(
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(ps, e -> e.{nm})), (a, b) -> a + b) AS {nm}"
         for nm in _snames)
-    _ps_pack = ", ".join([f"g := g"] + [f"{nm} := {nm}" for nm in _snames])
-    _coef_sql = ",\n       ".join(
-        f"CASE WHEN s_one_one >= 3 AND ({_detx}) != 0.0 "
-        f"THEN {ex} END AS b{i}" for i, ex in enumerate(_coefs))
-    o["ols_fit_predict"] = _reg_base + f""",
+    _ps_pack = ", ".join(["g := g"] + [f"{nm} := {nm}" for nm in _snames])
+    for _key, _l2 in (("ols_fit_predict", 0.0), ("ridge_fit_predict", 10.0)):
+        _a, _b = normal_matrix(2, _l2)
+        _coefs = cramer_sql(_a, _b)
+        _detx = _det_sql(_a)
+        _coef_sql = ",\n       ".join(
+            f"CASE WHEN s_one_one >= 3 AND ({_detx}) != 0.0 "
+            f"THEN {ex} END AS b{i}" for i, ex in enumerate(_coefs))
+        o[_key] = _reg_base + f""",
 pr AS (SELECT cv.fold_id, cv.id AS g, cv.ds AS d,
               CASE WHEN cv.split = 'test' THEN NULL ELSE src.y END AS y,
               src.x1, CAST(src.x2 AS DOUBLE) AS x2

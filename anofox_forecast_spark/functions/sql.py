@@ -2476,7 +2476,7 @@ class OlsFitPredictUDTF:
     companion anofox_statistics extension)."""
 
     @staticmethod
-    def analyze(table, group_col, order_csv, target_col, x_csv):
+    def analyze(table, group_col, order_csv, target_col, x_csv, *rest):
         g = group_col.value
         fields = {f.name: f.dataType for f in table.dataType.fields}
         ords = [c for c in order_csv.value.split(",") if c]
@@ -2489,15 +2489,16 @@ class OlsFitPredictUDTF:
     def __init__(self):
         self._rows: list = []
 
-    def eval(self, row, group_col, order_csv, target_col, x_csv):
+    def eval(self, row, group_col, order_csv, target_col, x_csv, *rest):
         self._args = (group_col, str(order_csv).split(","),
-                      target_col, [c for c in str(x_csv).split(",") if c])
+                      target_col, [c for c in str(x_csv).split(",") if c],
+                      float(rest[0]) if rest else 0.0)
         self._rows.append(row)
 
     def terminate(self):
         if not self._rows:
             return
-        g, ords, y, xs = self._args
+        g, ords, y, xs, l2 = self._args
         k = len(xs)
         rows = sorted(self._rows, key=lambda r: tuple(r[c] for c in ords))
         train = [r for r in rows
@@ -2520,6 +2521,8 @@ class OlsFitPredictUDTF:
         for i in range(dim):
             for j in range(i):
                 a[i][j] = a[j][i]
+        for i in range(1, dim):
+            a[i][i] += l2  # ridge: intercept unpenalized
         det = _det_py(a)
         coefs = None
         if len(train) >= dim and det != 0.0:

@@ -100,21 +100,36 @@ def ols_fold_exprs(k: int, arr: str, dialect: str = "spark") -> list[str]:
     return out
 
 
-def ols_normal_eq_sql(k: int, arr: str = "tr") -> tuple[list[str], list[str]]:
-    """(coefficient expressions, Spark sum-fold expressions) for an
-    intercept + k-feature OLS over array column ``arr`` of
-    ``struct(y, x1..xk)`` rows. The Cramer text is the shared
-    Spark/DuckDB arithmetic."""
+def normal_matrix(k: int, l2: float = 0.0) -> tuple[list[list[str]],
+                                                    list[str]]:
+    """(A, b) expression matrix for the (possibly ridge-penalized) normal
+    equations over the named sum columns. ``l2`` adds the penalty to the
+    non-intercept diagonal (standard ridge: the intercept is unpenalized),
+    with a repr'd literal so both engines parse the identical double."""
     names = ["one"] + [f"x{i}" for i in range(1, k + 1)]
     a = [[f"s_{names[min(r, c)]}_{names[max(r, c)]}" for c in range(k + 1)]
          for r in range(k + 1)]
+    if l2:
+        for i in range(1, k + 1):
+            a[i][i] = f"({a[i][i]} + {float(l2)!r})"
     b = [f"s_{names[r]}_y" for r in range(k + 1)]
+    return a, b
+
+
+def ols_normal_eq_sql(k: int, arr: str = "tr",
+                      l2: float = 0.0) -> tuple[list[str], list[str]]:
+    """(coefficient expressions, Spark sum-fold expressions) for an
+    intercept + k-feature OLS (or ridge when ``l2 > 0``) over array column
+    ``arr`` of ``struct(y, x1..xk)`` rows. The Cramer text is the shared
+    Spark/DuckDB arithmetic."""
+    a, b = normal_matrix(k, l2)
     return cramer_sql(a, b), ols_fold_exprs(k, arr, "spark")
 
 
 def _ols_fit_predict_distributed(df: DataFrame, group_col: str,
                                  order_cols: list[str], y_col: str,
-                                 x_cols: list[str]) -> DataFrame:
+                                 x_cols: list[str],
+                                 l2: float = 0.0) -> DataFrame:
     """Scale path: normal-equation sums as native ``SUM()`` aggregations
     (map-side combined, never materializing a group as one array — the
     right shape when a 'group' is a whole fold of a 100 TB table), then
@@ -145,13 +160,12 @@ def _ols_fit_predict_distributed(df: DataFrame, group_col: str,
         aggs.append(F.sum(term(names[r]) * F.col("__y"))
                      .alias(f"s_{names[r]}_y"))
     sums = tr.groupBy(group_col).agg(*aggs)
-    a = [[f"s_{names[min(r, c)]}_{names[max(r, c)]}" for c in range(k + 1)]
-         for r in range(k + 1)]
+    a, b = normal_matrix(k, l2)
     det = _det_sql(a)
     coefs = sums.selectExpr(group_col, *[
         f"CASE WHEN s_one_one >= {k + 1} AND ({det}) != 0.0 "
         f"THEN {ex} END AS b{i}"
-        for i, ex in enumerate(cramer_sql(a, [f"s_{n}_y" for n in names]))])
+        for i, ex in enumerate(cramer_sql(a, b))])
     pred = " + ".join(["b0"] + [f"b{i + 1} * __x{i + 1}" for i in range(k)])
     out = base.join(F.broadcast(coefs), on=group_col, how="left")
     return out.selectExpr(group_col, *order_cols,
@@ -188,12 +202,13 @@ def ols_fit_predict_by(df: DataFrame, group_col: str, order_cols: list[str],
     k = len(x_cols)
     if not 1 <= k <= 4:
         raise ValueError("ols_fit_predict_by supports 1-4 features")
+    l2 = float(dict(params or {}).get("l2", 0.0))
     if not dict(params or {}).get("exact", True):
         return _ols_fit_predict_distributed(df, group_col, order_cols,
-                                            y_col, x_cols)
+                                            y_col, x_cols, l2)
     sub = order_cols[0]
     rest = list(order_cols[1:])
-    coef_exprs, fold = ols_normal_eq_sql(k, arr="__tr")
+    coef_exprs, fold = ols_normal_eq_sql(k, arr="__tr", l2=l2)
     sum_names = list(ols_sums(k))
     ord_struct = ", ".join([*rest, f"{y_col} AS y"]
                            + [f"CAST({c} AS DOUBLE) AS x{i + 1}"
@@ -216,9 +231,7 @@ def ols_fit_predict_by(df: DataFrame, group_col: str, order_cols: list[str],
         f"AS {nm}" for nm in sum_names]
     g2 = g2.selectExpr(group_col, *lvl2)
     # singularity / insufficient-rows guard, then the shared Cramer text
-    names = ["one"] + [f"x{i}" for i in range(1, k + 1)]
-    a = [[f"s_{names[min(r, c)]}_{names[max(r, c)]}" for c in range(k + 1)]
-         for r in range(k + 1)]
+    a, _b = normal_matrix(k, l2)
     det = _det_sql(a)
     coefs = g2.selectExpr(group_col, *[
         f"CASE WHEN s_one_one >= {k + 1} AND ({det}) != 0.0 "

@@ -176,3 +176,34 @@ def test_ols_fit_predict_sql_matches_dataframe(spark):
                                 ["x1", "x2"]).toPandas().sort_values(
         ["fold_id", "ord"]).reset_index(drop=True)
     np.testing.assert_allclose(sql_out.yhat, df_out.yhat, rtol=1e-9)
+
+
+def test_ridge_shrinks_coefficients(spark):
+    """params={'l2': λ} penalizes the non-intercept diagonal: slope
+    magnitudes shrink monotonically with λ, intercept stays unpenalized."""
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark.operators.regression import ols_fit_predict_by
+    rng = np.random.default_rng(5)
+    n = 60
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    y = 3.0 + 2.0 * x1 - 1.0 * x2 + rng.normal(0, 0.1, n)
+    pdf = pd.DataFrame({"g": [1] * n, "ord": range(n), "y": y,
+                        "x1": x1, "x2": x2})
+    df = spark.createDataFrame(pdf)
+
+    def slopes(l2):
+        out = ols_fit_predict_by(df, "g", ["ord"], "y", ["x1", "x2"],
+                                 {"l2": l2}).toPandas().sort_values("ord")
+        # recover slopes from predictions at three probe rows via lstsq
+        A = np.column_stack([np.ones(n), x1, x2])
+        b, *_ = np.linalg.lstsq(A, out.yhat.to_numpy(), rcond=None)
+        return b
+
+    b0 = slopes(0.0)
+    b10 = slopes(10.0)
+    b100 = slopes(100.0)
+    assert abs(b10[1]) < abs(b0[1]) and abs(b100[1]) < abs(b10[1])
+    assert abs(b10[2]) < abs(b0[2]) and abs(b100[2]) < abs(b10[2])
