@@ -224,3 +224,29 @@ def test_regression_adapters_plan_shape(spark):
                                                         "ds", "y"))
     assert prep["cartesian_products"] == 0
     assert prep["python_udf_nodes"] == 0
+
+
+def test_ols_fit_predict_plan_shape(spark):
+    """r6 OLS: exact path = two bounded-array aggs + broadcast coef join;
+    distributed path = one map-side-combined SUM agg, no arrays at all."""
+    from anofox_forecast_spark.operators.regression import ols_fit_predict_by
+    panel = lineitem_panel(spark, SF_DIR)
+    df = panel.select(
+        F.lit(1).alias("fold"), "id", "ds",
+        F.col("y").alias("target"),
+        (F.dayofmonth("ds") % 7).cast("double").alias("x1"))
+    exact = ols_fit_predict_by(df, "fold", ["id", "ds"], "target", ["x1"])
+    rep = P.plan_report(exact)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    # a literal fold key constant-folds the join condition, so the
+    # broadcast shows up as an exchange (nested-loop on 1 row), not a
+    # hash join — either way the coefficient side must broadcast
+    assert rep["broadcast_exchanges"] >= 1, "coefficients must broadcast"
+    dist = ols_fit_predict_by(df, "fold", ["id", "ds"], "target", ["x1"],
+                              {"exact": False})
+    rep2 = P.plan_report(dist)
+    assert rep2["python_udf_nodes"] == 0
+    assert rep2["broadcast_exchanges"] >= 1
+    assert "collect_list" not in P.physical_plan(dist), \
+        "distributed path must not materialize group arrays"
