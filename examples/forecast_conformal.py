@@ -1,0 +1,55 @@
+"""Forecast + conformal intervals — the core per-series workflow:
+
+    panel -> ts_forecast_by (any of the 33 models)
+          -> ts_conformal_by for calibrated intervals
+          -> ts_detect_periods_by to sanity-check seasonality first
+
+Run: python examples/forecast_conformal.py [sf_dir]
+"""
+from __future__ import annotations
+
+import sys
+
+
+def run(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.conformal import ts_conformal_by
+    from anofox_forecast_spark.operators.detect import ts_detect_periods_by
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    from anofox_forecast_spark.sources import lineitem_panel
+
+    panel = lineitem_panel(spark, sf_dir)
+
+    # 1. detected seasonality (reference-default confidence filtering:
+    #    weakly seasonal series come back as "no seasonality")
+    periods = ts_detect_periods_by(panel, "id", "ds", "y", {"method": "auto"})
+
+    # 2. point forecasts + model intervals
+    fc = ts_forecast_by(panel, "id", "ds", "y", "AutoETS", 7, "1d",
+                        {"seasonal_period": 7})
+
+    # 3. conformal recalibration from in-sample residuals: a naive
+    #    one-step backtest frame (actual vs lag-7 forecast) per series
+    fv = panel.withColumn(
+        "forecast", F.lag("y", 7).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("id").orderBy("ds"))) \
+        .filter(F.col("forecast").isNotNull()) \
+        .withColumnRenamed("y", "actual")
+    conf = ts_conformal_by(fv, "id", "actual", "forecast", "forecast",
+                           {"alpha": 0.1})
+    return periods, fc, conf
+
+
+if __name__ == "__main__":
+    from anofox_forecast_spark.session import get_spark
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="example-forecast-conformal",
+                      master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    periods, fc, conf = run(spark, sf)
+    periods.select("id", "primary_period", "method").show(5)
+    fc.show(5)
+    conf.select("id", "conformity_score", "coverage").show(5)
+    spark.stop()
