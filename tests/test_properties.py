@@ -162,3 +162,50 @@ def test_conformal_empirical_coverage_on_calibration(spark):
     cov = ts_conformal_coverage_by(j, "id", "actual", "lower", "upper")
     low = cov.filter(F.col("coverage") < 1 - alpha - 1e-9).count()
     assert low == 0
+
+
+def test_conformal_score_np_equals_sql_quantile(spark):
+    """The streaming replica (conformal_score_np) and the Column fn
+    (ts_conformal_quantile) are expression-identical — property-checked
+    over random residual arrays of every small size."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.conformal import (
+        conformal_score_np,
+        ts_conformal_quantile,
+    )
+    rng = np.random.default_rng(17)
+    cases = [rng.normal(0, 5, n).tolist()
+             for n in [1, 2, 3, 5, 8, 13, 50, 101]]
+    for alpha in (0.05, 0.1, 0.25):
+        df = spark.createDataFrame([(c,) for c in cases], "r array<double>")
+        got = [r["q"] for r in df.select(
+            ts_conformal_quantile(F.col("r"), alpha).alias("q")).collect()]
+        want = [conformal_score_np(c, alpha) for c in cases]
+        assert got == want, f"alpha={alpha}"
+
+
+def test_cramer_sql_matches_numpy_solve(spark):
+    """regression.cramer_sql: the shared Cramer text solves random
+    well-conditioned normal systems to numpy accuracy, dims 2-5."""
+    import numpy as np
+
+    from anofox_forecast_spark.operators.regression import cramer_sql
+    rng = np.random.default_rng(23)
+    for dim in (2, 3, 4, 5):
+        X = rng.normal(0, 1, (40, dim))
+        A = X.T @ X + np.eye(dim)  # well-conditioned SPD
+        b = rng.normal(0, 1, dim)
+        cols, vals = [], {}
+        amat = [[f"a_{r}_{c}" for c in range(dim)] for r in range(dim)]
+        for r in range(dim):
+            for c in range(dim):
+                vals[f"a_{r}_{c}"] = float(A[r, c])
+            vals[f"b_{r}"] = float(b[r])
+        exprs = cramer_sql(amat, [f"b_{r}" for r in range(dim)])
+        row = spark.createDataFrame([vals]).selectExpr(
+            *[f"{e} AS x{i}" for i, e in enumerate(exprs)]).collect()[0]
+        want = np.linalg.solve(A, b)
+        got = np.array([row[f"x{i}"] for i in range(dim)])
+        np.testing.assert_allclose(got, want, rtol=1e-8)
