@@ -310,13 +310,19 @@ def explain_decompose(yv: np.ndarray, r, h: int, season: int) -> dict:
     lvl = np.full(h, deseason[0])
     trend = deseason - lvl
     resid = point - (lvl + trend + seas)
-    return {
-        "horizon": h,
+    comp = {
         "level": [float(v) for v in lvl],
         "trend": [float(v) for v in trend],
         "seasonal": [float(v) for v in seas],
         "residual": [float(v) for v in resid],
     }
+    import json
+    # the reference macro also carries the component map as JSON
+    # (named_components_json / raw_json — ts_macros.cpp:687-731); ours
+    # names the four standard components
+    return {"horizon": h, **comp,
+            "named_components_json": json.dumps(comp, sort_keys=True),
+            "raw_json": json.dumps({"horizon": h, **comp}, sort_keys=True)}
 
 
 def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
@@ -343,6 +349,8 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
             T.StructField("trend", arr),
             T.StructField("seasonal", arr),
             T.StructField("residual", arr),
+            T.StructField("named_components_json", T.StringType()),
+            T.StructField("raw_json", T.StringType()),
         ])),
     ])
 
