@@ -1061,6 +1061,18 @@ def _llm_queries():
         return SIM.cosine_topk_ivf(embs.filter(F.col("vec_id") > 0),
                                    "vec_id", "embedding", list(qvec), 10)
 
+    def q_topk_pq(spark, sf):
+        # product-quantization ADC probe (similarity.py::cosine_topk_pq):
+        # 4 subvector codebooks learned by the same deterministic-sample
+        # kmeans as IVF; the oracle replays all four Lloyd runs + the
+        # encode argmin + the ADC table lookups
+        embs = _embs(spark, sf)
+        qvec = embs.filter(F.col("vec_id") == 0) \
+                   .select("embedding").first()["embedding"]
+        return SIM.cosine_topk_pq(embs.filter(F.col("vec_id") > 0),
+                                  "vec_id", "embedding", list(qvec), 10,
+                                  m=4, n_codes=8)
+
     def q_topk_ivf_fixed(spark, sf):
         # stored-centroid rebuild (ivf_build(centroids=...)): centroids =
         # unit-normalized embeddings 1..8 — deterministic and
@@ -1140,6 +1152,7 @@ def _llm_queries():
         "similarity_topk": q_topk,
         "similarity_topk_ivf": q_topk_ivf,
         "similarity_topk_ivf_fixed": q_topk_ivf_fixed,
+        "similarity_topk_pq": q_topk_pq,
         "similarity_knn_join": q_knn_join,
         "multimodal_metadata": q_media_meta,
         "multimodal_features": q_media_features,
@@ -1574,6 +1587,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "similarity_topk": (["cosine"], 6),
     "similarity_topk_ivf": (["cosine"], 6),
     "similarity_topk_ivf_fixed": (["cosine"], 6),
+    "similarity_topk_pq": (["cosine"], 6),
     # bootstrap: quantile_cont vs np.quantile lerp association
     "conformal_bootstrap": (["yhat", "yhat_lower", "yhat_upper"], 6),
     "conformal_bootstrap_quantiles": (["value"], 6),
@@ -7681,6 +7695,79 @@ SELECT DISTINCT md5({_NORM_TXT}) AS fingerprint FROM documents
     return o
 
 
+def _pq_oracle(m: int = 4, nc: int = 8, sub: int = 16) -> str:
+    """similarity.py::cosine_topk_pq replayed end-to-end: one Lloyd
+    recursion per subvector (the proven IVF kmeans replay, sliced), the
+    encode argmin, and the ADC distance built as the same left-assoc sum
+    of per-subvector lookups; cosine = 1 - d2/2 on unit vectors."""
+    ctes = ["""ebase AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id > 0),
+smp1 AS (SELECT vec_id,
+                list_transform([sqrt(list_sum(list_transform(v, y -> y * y)))],
+                  nr -> list_transform(v, x ->
+                    x / (CASE WHEN nr = 0 THEN 1.0 ELSE nr END)))[1] AS vn
+         FROM (SELECT vec_id, v FROM ebase ORDER BY vec_id LIMIT 10000)),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT list_transform([sqrt(list_sum(list_transform(v, y -> y * y)))],
+              nr -> list_transform(v, x ->
+                x / (CASE WHEN nr = 0 THEN 1.0 ELSE nr END)))[1] AS v
+       FROM qv),
+u AS (SELECT vec_id, list_transform(v, x ->
+              x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM ebase)"""]
+    for j in range(m):
+        lo = j * sub + 1
+        ctes.append(f"""smpj{j} AS (SELECT list(list_slice(vn, {lo}, {lo + sub - 1})
+                     ORDER BY vec_id) AS pts, count(*) AS np FROM smp1),
+ini{j} AS (SELECT pts, np, list_transform(range(0, {nc}),
+             x -> pts[CAST((x * np) // {nc} AS BIGINT) + 1]) AS cs
+           FROM smpj{j}),
+km{j} AS (
+  SELECT 0 AS it, cs FROM ini{j}
+  UNION ALL
+  SELECT it + 1,
+         list_transform([
+             list_transform(s.pts, p ->
+               list_aggregate(list_transform(range(1, {nc + 1}), c ->
+                 {{'d': list_sum(list_transform(range(1, {sub + 1}),
+                         i -> (p[i] - km{j}.cs[c][i])
+                              * (p[i] - km{j}.cs[c][i]))),
+                  'c': c}}), 'min').c)
+           ], asg ->
+           list_transform(range(1, {nc + 1}), c ->
+             list_transform([list_filter(range(1, CAST(s.np AS BIGINT) + 1),
+                                         pi -> asg[pi] = c)], mem ->
+               CASE WHEN len(mem) = 0 THEN km{j}.cs[c]
+                    ELSE list_transform(range(1, {sub + 1}), i ->
+                      list_sum(list_transform(mem, pi -> s.pts[pi][i]))
+                      / len(mem)) END)[1]))[1]
+  FROM km{j}, smpj{j} s WHERE it < 10),
+bk{j} AS (SELECT cs FROM km{j} WHERE it = 10)""")
+    # per-subvector ADC term: distance from the query subvector to the
+    # codebook entry chosen by the encode argmin
+    terms = []
+    for j in range(m):
+        lo = j * sub
+        code = (f"list_aggregate(list_transform(range(1, {nc + 1}), c -> "
+                f"{{'d': list_sum(list_transform(range(1, {sub + 1}), "
+                f"i -> (u.v[{lo} + i] - bk{j}.cs[c][i])"
+                f" * (u.v[{lo} + i] - bk{j}.cs[c][i]))), 'c': c}}), 'min').c")
+        terms.append(
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> (bk{j}.cs[{code}][i] - qn.v[{lo} + i])"
+            f" * (bk{j}.cs[{code}][i] - qn.v[{lo} + i])))")
+    d2 = "0.0 + " + " + ".join(terms)
+    froms = " CROSS JOIN ".join(["u"] + [f"bk{j}" for j in range(m)]
+                                + ["qn"])
+    return ("WITH RECURSIVE\n" + ",\n".join(ctes) + f"""
+SELECT u.vec_id, 1.0 - ({d2}) / 2.0 AS cosine
+FROM {froms}
+ORDER BY cosine DESC, u.vec_id LIMIT 10
+""")
+
+
 def _llm_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
     o["text_tokens"] = f"""
@@ -7933,6 +8020,7 @@ SELECT cell.vec_id,
 FROM cell CROSS JOIN qn WHERE cell.c IN (SELECT c FROM probe)
 ORDER BY cosine DESC, cell.vec_id LIMIT 10
 """
+    o["similarity_topk_pq"] = _pq_oracle()
     o["similarity_topk_ivf_fixed"] = """
 WITH qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings WHERE vec_id = 0),

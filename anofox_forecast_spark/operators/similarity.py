@@ -164,6 +164,93 @@ def ivf_search(indexed_df: DataFrame, centroids: list[list[float]],
             .limit(int(k)))
 
 
+def pq_build(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
+             n_codes: int = 8, sample_limit: int = 10000,
+             codebooks: list | None = None):
+    """Product-quantization encode — the memory-compression leg of the
+    100 TB ANN stack (IVF prunes WHICH rows to scan; PQ shrinks WHAT each
+    scan reads: dim×4 bytes per vector down to ``m`` small codes).
+
+    Unit-normalized vectors are split into ``m`` subvectors; each
+    subvector gets an ``n_codes`` codebook learned by the same
+    deterministic bounded-sample ``_kmeans_lite`` as ``ivf_build`` (so the
+    whole build replays in the DuckDB oracle), and every row is encoded as
+    the array of nearest-code indices — a JVM-side ``array_min`` over
+    (distance, code) structs, no Python in the data path. Pass stored
+    ``codebooks`` to encode new rows without relearning (incremental
+    ingest, like ``ivf_build(centroids=...)``).
+
+    Returns ``(encoded_df, codebooks)`` where ``encoded_df`` carries a
+    ``__pq`` ``array<int>`` column and ``codebooks`` is a plain
+    ``list[m][n_codes][dim/m]`` to store next to the table."""
+    if codebooks is not None:
+        books = [np.asarray(b, dtype=float) for b in codebooks]
+        sub = books[0].shape[1]
+    else:
+        sample = np.array(
+            [r[0] for r in df.orderBy(id_col).limit(sample_limit)
+                             .select(vec_col).collect()],
+            dtype=float)
+        norms = np.sqrt(np.cumsum(sample * sample, axis=1)[:, -1:])
+        norms[norms == 0] = 1.0
+        S = sample / norms
+        dim = S.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        books = [_kmeans_lite(S[:, j * sub:(j + 1) * sub], n_codes)
+                 for j in range(m)]
+    unit = _unit(F.col(vec_col))
+    codes = []
+    for j, B in enumerate(books):
+        subv = F.slice(unit, j * sub + 1, sub)
+        dists = []
+        for c in range(len(B)):
+            cc = F.array(*[F.lit(float(x)) for x in B[c]])
+            dists.append(F.aggregate(
+                F.zip_with(subv, cc, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v))
+        codes.append(F.array_min(F.array(*[
+            F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+            for c in range(len(B))]))["c"])
+    encoded = df.withColumn("__pq", F.array(*codes))
+    return encoded, [[list(map(float, row)) for row in B] for B in books]
+
+
+def pq_search(encoded_df: DataFrame, codebooks: list, id_col: str,
+              query: list[float], k: int = 10) -> DataFrame:
+    """ADC probe over PQ codes: per-subvector distance tables from the
+    query (m×n_codes floats, computed driver-side), approximate distance =
+    sum of table lookups on the stored codes — a handful of ``element_at``
+    per row, never touching the original vectors. On unit vectors
+    ``cos ≈ 1 - d²/2``, which is what the ``cosine`` column reports."""
+    books = [np.asarray(b, dtype=float) for b in codebooks]
+    sub = books[0].shape[1]
+    q = np.asarray(query, dtype=float)
+    q = q / (float(np.sqrt(np.cumsum(q * q)[-1])) or 1.0)
+    d2 = F.lit(0.0)
+    for j, B in enumerate(books):
+        qj = q[j * sub:(j + 1) * sub]
+        diff = B - qj[None, :]
+        table = np.cumsum(diff * diff, axis=1)[:, -1]
+        tcol = F.array(*[F.lit(float(x)) for x in table])
+        d2 = d2 + F.element_at(tcol, F.element_at("__pq", j + 1) + 1)
+    return (encoded_df
+            .select(F.col(id_col), (F.lit(1.0) - d2 / 2.0).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(int(k)))
+
+
+def cosine_topk_pq(df: DataFrame, id_col: str, vec_col: str,
+                   query: list[float], k: int = 10, m: int = 4,
+                   n_codes: int = 8,
+                   sample_limit: int = 10000) -> DataFrame:
+    """One-shot PQ build + ADC probe (build-once/probe-many is the
+    production path, exactly as with IVF)."""
+    enc, books = pq_build(df, id_col, vec_col, m, n_codes, sample_limit)
+    return pq_search(enc, books, id_col, query, k)
+
+
 def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
                  vec_col: str, k: int = 5, n_planes: int = 10,
                  seed: int = 42, n_tables: int = 1) -> DataFrame:

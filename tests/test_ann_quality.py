@@ -72,3 +72,39 @@ def test_knn_join_lsh_recall_at_k(spark):
         truth = _exact_topk(rows, np.array(q), 3)
         recalls.append(len(got.get(qid, set()) & truth) / 3)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_pq_recall_at_k(spark):
+    """PQ ADC shortlist (top-3k) must recover the exact top-k on clustered
+    data — the shortlist-then-rerank pattern PQ serves in production."""
+    from anofox_forecast_spark.operators.similarity import cosine_topk_pq
+    centers, rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rng = np.random.default_rng(11)
+    recalls = []
+    for ci in range(4):
+        q = centers[ci] + 0.05 * rng.standard_normal(D)
+        truth = _exact_topk(rows, q, K)
+        got = {r["vec_id"] for r in
+               cosine_topk_pq(df, "vec_id", "embedding",
+                              [float(x) for x in q], k=3 * K,
+                              m=4, n_codes=16).collect()}
+        recalls.append(len(truth & got) / K)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_pq_codes_are_compact_and_reusable(spark):
+    """pq_build emits m small codes per row and stored codebooks encode
+    new rows without relearning (incremental ingest, like IVF)."""
+    from anofox_forecast_spark.operators.similarity import pq_build
+    _, rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc, books = pq_build(df, "vec_id", "embedding", m=4, n_codes=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == D // 4
+    first = enc.select("__pq").first()[0]
+    assert len(first) == 4 and all(0 <= c < 8 for c in first)
+    # stored-codebook re-encode: identical codes, no relearn
+    enc2, _ = pq_build(df, "vec_id", "embedding", codebooks=books)
+    a = {r["vec_id"]: r["__pq"] for r in enc.select("vec_id", "__pq").collect()}
+    b = {r["vec_id"]: r["__pq"] for r in enc2.select("vec_id", "__pq").collect()}
+    assert a == b
