@@ -1462,7 +1462,9 @@ _WINDOW = [
     "stats_full", "features_sql",
     "cv_forecast", "cv_backtest",
     "conformal_bootstrap",
-    "similarity_topk_ivf", "dedup_minhash_lsh",
+    # PQ is r6-new (never driver-checked); topk_ivf yielded its slot
+    # (green r4+r5, same Lloyd-replay machinery PQ drives 4x over)
+    "similarity_topk_pq", "dedup_minhash_lsh",
     # streaming_conformal is r6-new (never driver-checked); windowed_stats
     # yielded its slot (green r3+r5)
     "multimodal_features", "streaming_conformal",
