@@ -1,0 +1,61 @@
+"""LLM training-data pipeline over the documents/embeddings tables:
+
+    documents -> text quality filter -> exact dedup -> MinHash-LSH near-dup
+    embeddings -> PQ index build -> ADC similarity probe (shortlist)
+
+Every stage is bucket-keyed or code-compressed — nothing materializes a
+cross product, nothing holds more than bounded per-row state, which is
+what lets the same pipeline run over a 100 TB crawl.
+
+Run: python examples/llm_data_pipeline.py [sf_dir]
+"""
+from __future__ import annotations
+
+import sys
+
+
+def run(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+    )
+    from anofox_forecast_spark.operators.similarity import cosine_topk_pq
+    from anofox_forecast_spark.operators.text import text_quality
+    from anofox_forecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality scoring (pure JVM maps, pipelines with the scan)
+    scored = text_quality(docs, "text")
+    kept = scored.filter(F.col("quality_score") > 0.3)
+
+    # 2. exact dedup groups (md5 fingerprint hash-groupBy, one shuffle)
+    dup_groups = exact_dup_groups(docs, "doc_id", "text")
+
+    # 3. near-dup candidates (MinHash band-bucket join, fixed-width
+    #    signature payload — never all-pairs)
+    near = minhash_lsh_pairs(docs.limit(500), "doc_id", "text",
+                             num_hashes=32, bands=8)
+
+    # 4. embedding similarity: PQ-compressed ADC shortlist
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = list(embs.orderBy("vec_id").select("embedding").first()[0])
+    shortlist = cosine_topk_pq(embs, "vec_id", "embedding", q, k=20,
+                               m=4, n_codes=8)
+    return kept, dup_groups, near, shortlist
+
+
+if __name__ == "__main__":
+    from anofox_forecast_spark.session import get_spark
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="example-llm-pipeline",
+                      master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    kept, dup_groups, near, shortlist = run(spark, sf)
+    print("quality-kept docs:", kept.count())
+    print("exact-dup groups:", dup_groups.count())
+    print("near-dup candidate pairs:", near.count())
+    shortlist.show(5)
+    spark.stop()

@@ -18,3 +18,12 @@ def test_forecast_conformal_example(spark):
     assert periods.count() > 0
     assert fc.count() > 0
     assert conf.count() > 0
+
+
+def test_llm_pipeline_example(spark):
+    from examples.llm_data_pipeline import run
+    kept, dup_groups, near, shortlist = run(spark, SF_DIR)
+    assert kept.count() > 0
+    assert dup_groups.count() >= 0
+    assert near.count() >= 0
+    assert shortlist.count() > 0
