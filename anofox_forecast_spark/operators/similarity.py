@@ -251,6 +251,37 @@ def cosine_topk_pq(df: DataFrame, id_col: str, vec_col: str,
     return pq_search(enc, books, id_col, query, k)
 
 
+def ivf_pq_build(df: DataFrame, id_col: str, vec_col: str,
+                 n_clusters: int = 16, m: int = 4, n_codes: int = 8,
+                 sample_limit: int = 10000):
+    """The production 100 TB index: IVF cells for probe pruning × PQ codes
+    for memory compression — a pure composition of the two verified
+    builders. Returns ``(indexed_df, centroids, codebooks)``; the frame
+    carries both ``__cell`` (partition-prunable) and ``__pq`` (m-code
+    sketch)."""
+    indexed, C = ivf_build(df, id_col, vec_col, n_clusters, sample_limit,
+                           repartition_by_cell=False)
+    encoded, books = pq_build(indexed, id_col, vec_col, m, n_codes,
+                              sample_limit)
+    return encoded, C, books
+
+
+def ivf_pq_search(indexed_df: DataFrame, centroids: list, codebooks: list,
+                  id_col: str, query: list[float], k: int = 10,
+                  n_probe: int = 4) -> DataFrame:
+    """Probe ``n_probe`` IVF cells, score survivors by PQ ADC lookups —
+    a probe reads n_probe/n_clusters of the data AND touches only the
+    m-byte codes, never the raw vectors."""
+    C = np.asarray(centroids, dtype=float)
+    q = np.asarray(query, dtype=float)
+    qn = q / (float(np.sqrt(np.cumsum(q * q)[-1])) or 1.0)
+    qd = (C - qn) * (C - qn)
+    probe_cells = np.argsort(np.cumsum(qd, axis=1)[:, -1],
+                             kind="stable")[:n_probe].tolist()
+    return pq_search(indexed_df.filter(F.col("__cell").isin(probe_cells)),
+                     codebooks, id_col, query, k)
+
+
 def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
                  vec_col: str, k: int = 5, n_planes: int = 10,
                  seed: int = 42, n_tables: int = 1) -> DataFrame:

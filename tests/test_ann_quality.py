@@ -108,3 +108,28 @@ def test_pq_codes_are_compact_and_reusable(spark):
     a = {r["vec_id"]: r["__pq"] for r in enc.select("vec_id", "__pq").collect()}
     b = {r["vec_id"]: r["__pq"] for r in enc2.select("vec_id", "__pq").collect()}
     assert a == b
+
+
+def test_ivf_pq_recall_at_k(spark):
+    """The combined index (cell pruning x code compression) still recovers
+    the exact top-k via the top-3k ADC shortlist on clustered data."""
+    from anofox_forecast_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+    centers, rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, C, books = ivf_pq_build(df, "vec_id", "embedding",
+                                     n_clusters=N_CLUSTERS, m=4, n_codes=16)
+    indexed = indexed.cache()
+    rng = np.random.default_rng(13)
+    recalls = []
+    for ci in range(4):
+        q = centers[ci] + 0.05 * rng.standard_normal(D)
+        truth = _exact_topk(rows, q, K)
+        got = {r["vec_id"] for r in
+               ivf_pq_search(indexed, C, books, "vec_id",
+                             [float(x) for x in q], k=3 * K,
+                             n_probe=4).collect()}
+        recalls.append(len(truth & got) / K)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
