@@ -1160,6 +1160,58 @@ def _llm_queries():
     }
 
 
+#: r7 pipeline-operator parameters, shared between query and oracle sides
+_DECON_N, _DECON_T, _DECON_MOD = 3, 0.08, 17
+_PACK_W, _PACK_B = 256, 4
+_STRAT_K = 5
+
+
+def _pipeline_queries():
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators import pipeline as PL
+
+    def q_gopher(spark, sf):
+        return PL.gopher_stats(_docs(spark, sf), "doc_id", "text").select(
+            "doc_id", "n_chars", "n_words", "mean_word_len",
+            "symbol_word_ratio", "alpha_word_frac", "dup_line_frac",
+            "dup_line_char_frac", "top_2gram_char_frac",
+            "top_3gram_char_frac", "top_4gram_char_frac",
+            "dup_5gram_char_frac", "dup_10gram_char_frac", "gopher_keep")
+
+    def q_c4(spark, sf):
+        return PL.c4_stats(_docs(spark, sf), "doc_id", "text")
+
+    def q_decontaminate(spark, sf):
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+        return PL.decontaminate_ngrams(docs, bench, "doc_id", "text",
+                                       n=_DECON_N, threshold=_DECON_T)
+
+    def q_sample_hash(spark, sf):
+        return PL.sample_by_hash(_docs(spark, sf), "doc_id", 0.25, "r7") \
+                 .select("doc_id", "sample_u")
+
+    def q_sample_stratified(spark, sf):
+        return PL.sample_stratified(_docs(spark, sf), "lang", "doc_id",
+                                    _STRAT_K, "r7") \
+                 .select("doc_id", "lang", "sample_u", "sample_rank")
+
+    def q_pack(spark, sf):
+        return PL.pack_chunked(_docs(spark, sf), "doc_id", "text",
+                               window_tokens=_PACK_W, buckets=_PACK_B,
+                               seed="pk")
+
+    return {
+        "pipeline_gopher": q_gopher,
+        "pipeline_c4": q_c4,
+        "pipeline_decontaminate": q_decontaminate,
+        "pipeline_sample_hash": q_sample_hash,
+        "pipeline_sample_stratified": q_sample_stratified,
+        "pipeline_pack_chunked": q_pack,
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: SeasonalNaive forecast over the lineitem panel at sf0.001."""
     return _forecast_query("SeasonalNaive", {"seasonal_period": SEASON}, 14)(
@@ -1295,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_analytics_queries())
     q.update(_ext_queries())
     q.update(_llm_queries())
+    q.update(_pipeline_queries())
     q.update(_streaming_queries())
     return _ordered(_round_pin_queries(q))
 
@@ -1447,21 +1500,29 @@ _WINDOW = [
     # forecast_explain_mstl projects the verified MSTL point oracle)
     "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
     # family rotation: one hash-checked slot per remaining proven family
-    # (forecast_ses and forecast_holt_winters rotated out this round —
-    # both multi-round green, and the HW NM replay is exactly the engine
-    # forecast_explain_ets drives end-to-end)
+    # (forecast_ses and forecast_holt_winters rotated out in r6 — both
+    # multi-round green, and the HW NM replay is exactly the engine
+    # forecast_explain_ets drives end-to-end; r7 rotates out ets_mam /
+    # laplace / arima / auto_ets / bocpd / mstl_decomposition / stats_full
+    # / features_sql / cv_backtest / conformal_bootstrap — every one
+    # driver-green in r4 or r5 with no code change since — to make room
+    # for the never-checked r6/r7 keys below)
     "forecast_theta",
-    "forecast_ets_mam", "forecast_laplace", "forecast_arima",
-    "forecast_auto_ets",
     # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
     # tests): first driver check; displace metric_mae + prep_diff, both
     # multi-round green and re-verified in every bench round
     "cv_hydrate_features", "cv_prepare_regression", "ols_fit_predict",
-    # prep_fill_gaps rotated out (green r1+r5, re-verified every bench)
-    "detect_changepoints_bocpd", "mstl_decomposition",
-    "stats_full", "features_sql",
-    "cv_forecast", "cv_backtest",
-    "conformal_bootstrap",
+    "cv_forecast",
+    # r6 keys that had exact oracles + bit-exact local audits but no r6
+    # window slot: first driver check
+    "ridge_fit_predict", "conformal_mean_width_scalar",
+    "estimate_period_acf", "estimate_period_fft",
+    # r7-new training-data pipeline family (operators/pipeline.py):
+    # Gopher/C4 signals, n-gram decontamination, md5-uniform sampling,
+    # concat-and-chunk packing — all bit-exact at sf0.001 + sf0.01
+    "pipeline_gopher", "pipeline_c4", "pipeline_decontaminate",
+    "pipeline_sample_hash", "pipeline_sample_stratified",
+    "pipeline_pack_chunked",
     # PQ is r6-new (never driver-checked); topk_ivf yielded its slot
     # (green r4+r5, same Lloyd-replay machinery PQ drives 4x over)
     "similarity_topk_pq", "dedup_minhash_lsh",
@@ -7770,6 +7831,193 @@ ORDER BY cosine DESC, u.vec_id LIMIT 10
 """)
 
 
+#: duck replay of operators/pipeline._words (lowercased whitespace words)
+_PL_WS = ("CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+          "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END")
+
+
+def _pl_ngrams(ws: str, n) -> str:
+    """Duck replay of operators/pipeline._word_ngrams: space-joined word
+    n-grams, empty list below n words. ``n`` may be an int or a SQL ref."""
+    return (f"CASE WHEN len({ws}) >= {n} THEN "
+            f"list_transform(range(1, len({ws}) - ({n}) + 2), "
+            f"i -> array_to_string(list_slice({ws}, i, i + ({n}) - 1), ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END")
+
+
+def _pl_hexfold(h: str, nchars: int) -> str:
+    """Fold the first ``nchars`` hex digits of expression ``h`` to BIGINT."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, {nchars + 1}), i -> "
+            f"CAST(strpos('0123456789abcdef', "
+            f"substr({h}, CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), "
+            f"(a, x) -> a * 16 + x)")
+
+
+def _pl_uniform(key_sql: str, seed: str) -> str:
+    h = f"md5(concat('{seed}', ':', CAST({key_sql} AS VARCHAR)))"
+    return f"(CAST({_pl_hexfold(h, 8)} AS DOUBLE) / 4294967296.0)"
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    """Exact replays of operators/pipeline.py: the Gopher/C4 signal maps,
+    n-gram decontamination, md5-uniform sampling, and chunk packing."""
+    from anofox_forecast_spark.operators.pipeline import GOPHER_THRESHOLDS as T
+    o: dict[str, str] = {}
+
+    dup_lines = ("list_filter(lines, x -> "
+                 "len(list_filter(lines, y -> y = x)) >= 2)")
+    o["pipeline_gopher"] = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS nc,
+         string_split(text, chr(10)) AS lines, {_PL_WS} AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, nc, ws, len(ws) AS nw, len(lines) AS nl,
+    len({dup_lines}) AS ndl,
+    coalesce(list_sum(list_transform({dup_lines}, x -> length(x))), 0) AS dlc,
+    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS nsym,
+    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS nalpha,
+    coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS wlen
+  FROM base),
+g AS (
+  SELECT doc_id, n, unnest({_pl_ngrams('ws', 'n')}) AS gram
+  FROM base, (VALUES (2), (3), (4), (5), (10)) nn(n)),
+cnt AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+pern AS (
+  SELECT doc_id, n, min({{'c': -cnt, 'g': gram}}) AS tp,
+    sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY doc_id, n),
+fr AS (
+  SELECT p.doc_id, p.n,
+    CASE WHEN -struct_extract(tp, 'c') >= 2 AND b.nc > 0
+         THEN (-struct_extract(tp, 'c')) * length(struct_extract(tp, 'g'))
+              / CAST(b.nc AS DOUBLE) ELSE 0.0 END AS top_frac,
+    CASE WHEN b.nc > 0 THEN CAST(p.dup_chars AS DOUBLE) / b.nc
+         ELSE 0.0 END AS dup_frac
+  FROM pern p JOIN b USING (doc_id)),
+wide AS (
+  SELECT doc_id,
+    sum(CASE WHEN n = 2 THEN top_frac ELSE 0.0 END) AS top_2gram_char_frac,
+    sum(CASE WHEN n = 3 THEN top_frac ELSE 0.0 END) AS top_3gram_char_frac,
+    sum(CASE WHEN n = 4 THEN top_frac ELSE 0.0 END) AS top_4gram_char_frac,
+    sum(CASE WHEN n = 5 THEN dup_frac ELSE 0.0 END) AS dup_5gram_char_frac,
+    sum(CASE WHEN n = 10 THEN dup_frac ELSE 0.0 END) AS dup_10gram_char_frac
+  FROM fr GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.nc AS n_chars, b.nw AS n_words,
+    CASE WHEN nw > 0 THEN CAST(wlen AS DOUBLE) / nw ELSE 0.0 END AS mean_word_len,
+    CASE WHEN nw > 0 THEN CAST(nsym AS DOUBLE) / nw ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / nw ELSE 0.0 END AS alpha_word_frac,
+    CASE WHEN nl > 0 THEN CAST(ndl AS DOUBLE) / nl ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN nc > 0 THEN CAST(dlc AS DOUBLE) / nc ELSE 0.0 END AS dup_line_char_frac,
+    coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+    coalesce(top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+    coalesce(top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+    coalesce(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+    coalesce(dup_10gram_char_frac, 0.0) AS dup_10gram_char_frac
+  FROM b LEFT JOIN wide USING (doc_id))
+SELECT m.*,
+  (n_words >= {T['min_words']} AND n_words <= {T['max_words']}
+   AND mean_word_len >= {T['min_mean_word_len']}
+   AND mean_word_len <= {T['max_mean_word_len']}
+   AND symbol_word_ratio <= {T['max_symbol_word_ratio']}
+   AND alpha_word_frac >= {T['min_alpha_word_frac']}
+   AND dup_line_frac <= {T['max_dup_line_frac']}
+   AND dup_line_char_frac <= {T['max_dup_line_char_frac']}
+   AND top_2gram_char_frac <= {T['max_top_2gram_char_frac']}
+   AND top_3gram_char_frac <= {T['max_top_3gram_char_frac']}
+   AND top_4gram_char_frac <= {T['max_top_4gram_char_frac']}
+   AND dup_5gram_char_frac <= {T['max_dup_5gram_char_frac']}
+   AND dup_10gram_char_frac <= {T['max_dup_10gram_char_frac']}) AS gopher_keep
+FROM m
+"""
+
+    five_words = ("list_filter(lines, x -> (CASE WHEN length(trim(x)) = 0 "
+                  "THEN 0 ELSE len(regexp_split_to_array(trim(x), '\\s+')) "
+                  "END) >= 5)")
+    o["pipeline_c4"] = f"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS lt, string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences
+  FROM documents)
+SELECT doc_id, n_sentences,
+  regexp_matches(trim(text), '[.!?"'']$') AS ends_terminal_punct,
+  contains(lt, '{{') AS has_curly_brace,
+  contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
+  contains(lt, 'javascript') AS has_javascript,
+  CASE WHEN len(lines) > 0
+       THEN CAST(len({five_words}) AS DOUBLE) / len(lines)
+       ELSE 0.0 END AS frac_lines_5plus_words,
+  (n_sentences >= 3 AND NOT contains(lt, '{{')
+   AND NOT contains(lt, 'lorem ipsum')) AS c4_keep
+FROM t
+"""
+
+    grams = _pl_ngrams(_PL_WS, _DECON_N)
+    o["pipeline_decontaminate"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({grams}) AS grams FROM documents),
+bset AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM d
+  WHERE doc_id % {_DECON_MOD} = 0),
+tot AS (SELECT doc_id, len(grams) AS n_ngrams FROM d),
+m AS (
+  SELECT doc_id, count(*) AS n_matched
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM d) dg
+  JOIN bset USING (gram) GROUP BY doc_id)
+SELECT t.doc_id, t.n_ngrams, coalesce(m.n_matched, 0) AS n_matched,
+  CASE WHEN t.n_ngrams > 0
+       THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
+       ELSE 0.0 END AS contamination_frac,
+  (CASE WHEN t.n_ngrams > 0
+        THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
+        ELSE 0.0 END) >= {_DECON_T} AS contaminated
+FROM tot t LEFT JOIN m USING (doc_id)
+"""
+
+    u = _pl_uniform("doc_id", "r7")
+    o["pipeline_sample_hash"] = f"""
+SELECT doc_id, u AS sample_u
+FROM (SELECT doc_id, {u} AS u FROM documents) WHERE u < 0.25
+"""
+    o["pipeline_sample_stratified"] = f"""
+SELECT doc_id, lang, sample_u, sample_rank FROM (
+  SELECT doc_id, lang, u AS sample_u,
+    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS sample_rank
+  FROM (SELECT doc_id, lang, {u} AS u FROM documents))
+WHERE sample_rank <= {_STRAT_K}
+"""
+
+    pu = _pl_uniform("doc_id", "pk")
+    bh = _pl_hexfold("md5(concat('pkb', ':', CAST(doc_id AS VARCHAR)))", 4)
+    o["pipeline_pack_chunked"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    {pu} AS u, CAST({bh} % {_PACK_B} AS INTEGER) AS bucket
+  FROM documents),
+off AS (
+  SELECT doc_id, n_tokens, bucket,
+    coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+  FROM t)
+SELECT doc_id, n_tokens, bucket, token_offset,
+  token_offset // {_PACK_W} AS start_chunk,
+  CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // {_PACK_W}
+       ELSE token_offset // {_PACK_W} END AS end_chunk,
+  CASE WHEN n_tokens > 0
+       THEN (CASE WHEN n_tokens > 0
+                  THEN (token_offset + n_tokens - 1) // {_PACK_W}
+                  ELSE token_offset // {_PACK_W} END)
+            - token_offset // {_PACK_W} + 1
+       ELSE 0 END AS n_chunks
+FROM off
+"""
+    return o
+
+
 def _llm_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
     o["text_tokens"] = f"""
@@ -8234,6 +8482,7 @@ SELECT CAST(540 * 16 * 6 AS BIGINT) AS bytes_per_group,
     o["forecast_explain_ets"] = _explain_projection_oracle(
         _hw_oracle(name="ETS"), panel_sql=_TRUNC_PANEL_SQL)
     o.update(_llm_oracles())
+    o.update(_pipeline_oracles())
     return _round_pin_oracles(o)
 
 

@@ -79,6 +79,14 @@ from .hierarchy import (  # noqa: F401
     ts_split_keys,
     ts_validate_separator,
 )
+from .pipeline import (  # noqa: F401
+    c4_stats,
+    decontaminate_ngrams,
+    gopher_stats,
+    pack_chunked,
+    sample_by_hash,
+    sample_stratified,
+)
 from .prep import (  # noqa: F401
     ts_check_leakage,
     ts_diff_by,

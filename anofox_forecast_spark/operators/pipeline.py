@@ -1,0 +1,352 @@
+"""Training-data pipeline operators: repetition/quality filters,
+benchmark decontamination, deterministic sampling, and sequence packing.
+
+Beyond-parity surface (the reference has no document pipeline; these are the
+operations a 100 TB LLM-pretraining corpus build needs on top of the
+dedup/similarity/text families already in this package):
+
+- :func:`gopher_stats` — the repetition + quality signals of the Gopher
+  data pipeline (Rae et al. 2021, "Scaling Language Models", Table A1):
+  duplicate-line fractions, top-n-gram character fraction, duplicated
+  n-gram character fraction, symbol-to-word ratio, alpha-word fraction,
+  and the combined keep flag.
+- :func:`c4_stats` — C4-style heuristic document filters (Raffel et al.
+  2020 §2.2): terminal punctuation, sentence count, curly braces,
+  boilerplate markers.
+- :func:`decontaminate_ngrams` — train/test decontamination by n-gram
+  overlap against a benchmark table (the GPT-3 appendix-C method reduced
+  to set semantics): fraction of a document's distinct word n-grams that
+  appear anywhere in the benchmark side.
+- :func:`sample_by_hash` / :func:`sample_stratified` — deterministic,
+  engine-portable sampling from an md5-derived uniform in [0, 1): the
+  same rows are kept on any cluster size, any partitioning, any engine.
+- :func:`pack_chunked` — concat-and-chunk sequence packing (the GPT-2
+  pretraining layout): a deterministic hash order within hash buckets,
+  running token offsets, and the context-window span of every document.
+
+Scale design (SCALE.md "pipeline" family):
+
+- gopher/c4 line + symbol stats are narrow JVM maps fused into the scan.
+- The n-gram frequency stats shuffle once keyed by ``(id, n, gram)`` —
+  high-cardinality keys, map-side partial aggregation, no skew — then once
+  by ``id``; both shuffles carry counts, never text.
+- Decontamination broadcasts the benchmark n-gram set (benchmarks are
+  KB-to-MB scale vs the TB corpus side), so the corpus never shuffles.
+- Sampling is a stateless filter on a hash expression — no shuffle at all.
+- Packing partitions the stream into ``buckets`` independent hash buckets
+  (embarrassingly parallel, one bounded window sort per bucket) instead of
+  a single global order, which is the difference between a per-bucket sort
+  and a 100 TB total-order at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _words(text: Column) -> Column:
+    """Lowercased whitespace words; empty array for blank/empty text."""
+    return F.when(F.length(F.trim(text)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when fewer than n words."""
+    k = F.size(ws) - F.lit(n - 1)
+    return F.when(k >= 1,
+                  F.transform(F.sequence(F.lit(1), k),
+                              lambda i: F.concat_ws(" ", F.slice(ws, i, n)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def md5_uniform(key: Column, seed: str) -> Column:
+    """Deterministic uniform in [0, 1) from the first 8 md5 hex digits of
+    ``seed || ':' || key`` — bit-identical in any engine that has md5
+    (the dedup family's portable-hash trick, ``dedup.py`` md5 mode)."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+            .cast("double") / F.lit(4294967296.0))
+
+
+def md5_uniform_sql(key_sql: str, seed: str) -> str:
+    """DuckDB replay of :func:`md5_uniform` (hex fold, no hex-cast dialect)."""
+    h = f"md5(concat('{seed}', ':', CAST({key_sql} AS VARCHAR)))"
+    fold = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, 9), i -> "
+            f"CAST(strpos('{HEX}', substr({h}, CAST(i AS INTEGER), 1)) - 1 "
+            f"AS BIGINT))), (a, x) -> a * 16 + x)")
+    return f"(CAST({fold} AS DOUBLE) / 4294967296.0)"
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition / quality signals
+# ---------------------------------------------------------------------------
+
+#: Rae et al. 2021 Table A1 thresholds for the signals we compute.
+GOPHER_THRESHOLDS = {
+    "min_words": 50, "max_words": 100000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.80,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_10gram_char_frac": 0.10,
+}
+
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 10)
+
+
+def gopher_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher repetition + quality signals per document.
+
+    Line stats and word/symbol ratios are narrow array expressions (no
+    shuffle). The n-gram frequency fractions explode word n-grams once and
+    aggregate by ``(id, n, gram)`` then ``id`` — two count-only shuffles.
+
+    ``top_{n}gram_char_frac`` = occurrences x chars of the single most
+    frequent word n-gram / total chars (0 when nothing repeats; ties break
+    to the lexicographically smallest gram). ``dup_{n}gram_char_frac`` =
+    chars covered by all n-grams occurring twice or more / total chars
+    (the standard non-overlap-adjusted approximation of Gopher's rule).
+    """
+    t = F.col(text_col)
+    ws = _words(t)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    # per-line duplicate mask via self-count (L^2 on the per-doc line count,
+    # which is bounded; stays JVM-side with zero shuffle)
+    dup_line_chars = F.aggregate(
+        F.filter(lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2),
+        F.lit(0), lambda acc, x: acc + F.length(x))
+    n_dup_lines = F.size(
+        F.filter(lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2))
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("int")
+    n_alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("double") / n_words).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        F.when(n_words > 0, n_symbols.cast("double") / n_words)
+         .otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        F.when(n_words > 0, n_alpha_words.cast("double") / n_words)
+         .otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+        F.when(n_lines > 0, n_dup_lines.cast("double") / n_lines)
+         .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(n_chars > 0, dup_line_chars.cast("double") / n_chars)
+         .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+    # one exploded (id, n, gram) frame for every n we need
+    grams = None
+    for n in (*TOP_NS, *DUP_NS):
+        g = (base.select(id_col, "n_chars",
+                         F.explode(_word_ngrams(F.col("__ws"), n)).alias("gram"))
+                 .withColumn("n", F.lit(n)))
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = grams.groupBy(id_col, "n", "gram", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    per_n = cnt.groupBy(id_col, "n").agg(
+        # top gram: max count, ties to smallest gram (min over (-cnt, gram))
+        F.min(F.struct((-F.col("cnt")).alias("c"), F.col("gram").alias("g"))
+              ).alias("top"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+               .otherwise(F.lit(0))).alias("dup_chars"),
+        F.first("n_chars").alias("__nc"))
+    per_n = per_n.select(
+        id_col, "n",
+        F.when((-F.col("top.c") >= 2) & (F.col("__nc") > 0),
+               (-F.col("top.c")) * F.length("top.g")
+               / F.col("__nc").cast("double"))
+         .otherwise(F.lit(0.0)).alias("top_frac"),
+        F.when(F.col("__nc") > 0,
+               F.col("dup_chars").cast("double") / F.col("__nc"))
+         .otherwise(F.lit(0.0)).alias("dup_frac"))
+    wide = per_n.groupBy(id_col).agg(
+        *[F.sum(F.when(F.col("n") == n, F.col("top_frac")).otherwise(F.lit(0.0)))
+           .alias(f"top_{n}gram_char_frac") for n in TOP_NS],
+        *[F.sum(F.when(F.col("n") == n, F.col("dup_frac")).otherwise(F.lit(0.0)))
+           .alias(f"dup_{n}gram_char_frac") for n in DUP_NS])
+
+    th = GOPHER_THRESHOLDS
+    out = base.drop("__ws").join(wide, on=id_col, how="left")
+    for n in TOP_NS:
+        out = out.withColumn(f"top_{n}gram_char_frac",
+                             F.coalesce(F.col(f"top_{n}gram_char_frac"),
+                                        F.lit(0.0)))
+    for n in DUP_NS:
+        out = out.withColumn(f"dup_{n}gram_char_frac",
+                             F.coalesce(F.col(f"dup_{n}gram_char_frac"),
+                                        F.lit(0.0)))
+    keep = ((F.col("n_words") >= th["min_words"])
+            & (F.col("n_words") <= th["max_words"])
+            & (F.col("mean_word_len") >= th["min_mean_word_len"])
+            & (F.col("mean_word_len") <= th["max_mean_word_len"])
+            & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+            & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+            & (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+            & (F.col("dup_line_char_frac") <= th["max_dup_line_char_frac"])
+            & (F.col("top_2gram_char_frac") <= th["max_top_2gram_char_frac"])
+            & (F.col("top_3gram_char_frac") <= th["max_top_3gram_char_frac"])
+            & (F.col("top_4gram_char_frac") <= th["max_top_4gram_char_frac"])
+            & (F.col("dup_5gram_char_frac") <= th["max_dup_5gram_char_frac"])
+            & (F.col("dup_10gram_char_frac") <= th["max_dup_10gram_char_frac"]))
+    return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic filters
+# ---------------------------------------------------------------------------
+
+def c4_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4 heuristic document signals (Raffel et al. 2020 §2.2): sentence
+    count, terminal punctuation, curly braces, boilerplate markers, and the
+    line-level word-count filter. Pure narrow map — fuses into the scan."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    lines_5w = F.size(F.filter(
+        lines, lambda x: F.when(F.length(F.trim(x)) == 0, F.lit(0))
+                          .otherwise(F.size(F.split(F.trim(x), r"\s+"))) >= 5))
+    n_sentences = F.regexp_count(t, F.lit(r"[.!?]+")).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_sentences.alias("n_sentences"),
+        F.trim(t).rlike(r"[.!?\"']$").alias("ends_terminal_punct"),
+        lower.contains("{").alias("has_curly_brace"),
+        lower.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        lower.contains("javascript").alias("has_javascript"),
+        F.when(n_lines > 0, lines_5w.cast("double") / n_lines)
+         .otherwise(F.lit(0.0)).alias("frac_lines_5plus_words"),
+        ((n_sentences >= 3)
+         & ~lower.contains("{")
+         & ~lower.contains("lorem ipsum")).alias("c4_keep"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate_ngrams(docs: DataFrame, bench: DataFrame, id_col: str,
+                         text_col: str, bench_text_col: str | None = None,
+                         n: int = 8, threshold: float = 0.5) -> DataFrame:
+    """Train/test decontamination by word n-gram overlap (the GPT-3
+    appendix-C method as set semantics): for each corpus document, the
+    fraction of its DISTINCT word n-grams that occur anywhere in the
+    benchmark table, plus a ``contaminated`` flag at ``threshold``.
+
+    The benchmark n-gram set is broadcast (benchmarks are KB–MB vs the TB
+    corpus), so the corpus side never shuffles on text — one explode, one
+    broadcast hash join, one count-only groupBy per document.
+    """
+    bench_text_col = bench_text_col or text_col
+    bgrams = (bench.select(F.explode(F.array_distinct(
+                  _word_ngrams(_words(F.col(bench_text_col)), n)))
+                  .alias("gram"))
+                   .distinct())
+    dgrams = docs.select(
+        F.col(id_col),
+        F.array_distinct(_word_ngrams(_words(F.col(text_col)), n))
+         .alias("__grams"))
+    totals = dgrams.select(id_col, F.size("__grams").alias("n_ngrams"))
+    matched = (dgrams.select(id_col, F.explode("__grams").alias("gram"))
+               .join(F.broadcast(bgrams), on="gram", how="inner")
+               .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched")))
+    out = (totals.join(matched, on=id_col, how="left")
+           .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0))))
+    frac = F.when(F.col("n_ngrams") > 0,
+                  F.col("n_matched").cast("double") / F.col("n_ngrams")) \
+            .otherwise(F.lit(0.0))
+    return (out.withColumn("contamination_frac", frac)
+               .withColumn("contaminated", frac >= F.lit(threshold)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+def sample_by_hash(df: DataFrame, key_col: str, rate: float,
+                   seed: str = "s0") -> DataFrame:
+    """Keep rows whose md5-derived uniform is below ``rate`` — a stateless
+    filter, reproducible across engines, partitionings, and cluster sizes
+    (unlike ``df.sample``, whose output depends on the partition layout)."""
+    u = md5_uniform(F.col(key_col), seed)
+    return df.withColumn("sample_u", u).filter(F.col("sample_u") < rate)
+
+
+def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
+                      k: int, seed: str = "s0") -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by the same
+    deterministic hash order — one window sort per stratum, no skew beyond
+    the stratum sizes themselves (AQE skew-split applies)."""
+    u = md5_uniform(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(u, F.col(key_col))
+    return (df.withColumn("sample_u", u)
+              .withColumn("sample_rank", F.row_number().over(w))
+              .filter(F.col("sample_rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_chunked(df: DataFrame, id_col: str, text_col: str,
+                 window_tokens: int = 256, buckets: int = 8,
+                 seed: str = "pk") -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-2 pretraining layout):
+    documents are ordered deterministically (md5 hash, then id) inside
+    ``buckets`` independent hash buckets, token counts accumulate down each
+    bucket's stream, and every document is mapped to the half-open token
+    interval it occupies and the context windows it spans.
+
+    Per-bucket (not global) ordering is the scale choice: each bucket packs
+    independently with one bounded window sort, so 100 TB packs as
+    ``buckets`` parallel streams instead of one total order.
+    """
+    tokens = token_count(F.col(text_col), "whitespace")
+    u = md5_uniform(F.col(id_col), seed)
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed + "b"),
+                          F.col(id_col).cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % buckets).cast("int")
+    w = (Window.partitionBy("bucket").orderBy("__u", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (df.select(F.col(id_col), tokens.alias("n_tokens"),
+                     bucket.alias("bucket"), u.alias("__u"))
+             .withColumn("token_offset",
+                         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+             .drop("__u"))
+    start = F.expr(f"token_offset div {window_tokens}")
+    end = F.when(F.col("n_tokens") > 0,
+                 F.expr(f"(token_offset + n_tokens - 1) div {window_tokens}")) \
+           .otherwise(F.expr(f"token_offset div {window_tokens}"))
+    return (out.withColumn("start_chunk", start)
+               .withColumn("end_chunk", end)
+               .withColumn("n_chunks",
+                           F.when(F.col("n_tokens") > 0,
+                                  F.col("end_chunk") - F.col("start_chunk") + 1)
+                            .otherwise(F.lit(0)).cast("bigint")))
