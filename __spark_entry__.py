@@ -1029,6 +1029,14 @@ def _llm_queries():
         docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
         return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=16)
 
+    def q_dedup_clusters(spark, sf):
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        pairs = DD.minhash_lsh_pairs(docs, "doc_id", "text",
+                                     num_hashes=32, bands=8, threshold=0.4)
+        return DD.dup_clusters(pairs).select(
+            F.col("id").alias("doc_id"), "cluster_id", "cluster_size",
+            "is_canonical")
+
     def q_minhash_md5(spark, sf):
         # portable-hash mode: md5-based signatures are bit-identical in any
         # engine, so this run is verified end-to-end against the DuckDB
@@ -1145,6 +1153,7 @@ def _llm_queries():
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_simhash,
         "dedup_minhash_md5": q_minhash_md5,
         "dedup_simhash_md5": q_simhash_md5,
@@ -1506,8 +1515,10 @@ _WINDOW = [
     # laplace / arima / auto_ets / bocpd / mstl_decomposition / stats_full
     # / features_sql / cv_backtest / conformal_bootstrap — every one
     # driver-green in r4 or r5 with no code change since — to make room
-    # for the never-checked r6/r7 keys below)
-    "forecast_theta",
+    # for the never-checked r6/r7 keys below; forecast_theta yielded its
+    # slot to r7's dedup_clusters — theta is green r1-r5 with unchanged
+    # code and stays timed in every bench round)
+    "dedup_clusters",
     # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
     # tests): first driver check; displace metric_mae + prep_diff, both
     # multi-round green and re-verified in every bench round
@@ -8176,6 +8187,25 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 16
 """
     o["dedup_minhash_lsh"] = _xxh_minhash_oracle()
+    # dedup.dup_clusters over the exact same MinHash pair set: transitive
+    # closure as a recursive CTE (min reachable id = cluster id), replaying
+    # the Spark label-propagation fixpoint exactly.
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM ({_xxh_minhash_oracle()}) q),
+edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (SELECT id, id AS lbl FROM nodes
+          UNION
+          SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.id AS doc_id, c.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       (c.id = c.cluster_id) AS is_canonical
+FROM comp c JOIN sz s USING (cluster_id)
+"""
     o["dedup_simhash"] = _xxh_simhash_oracle()
     o["dedup_embedding_cosine"] = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -423,3 +423,82 @@ def embedding_cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= float(threshold))
             .select("id_a", "id_b", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+                 max_iter: int = 50) -> DataFrame:
+    """Resolve near-duplicate PAIRS into connected components.
+
+    Near-dup detection (`minhash_lsh_pairs`, `simhash_pairs`,
+    `embedding_cosine_pairs`) emits edges; corpus dedup needs the
+    transitive closure — if A~B and B~C, all three are one duplicate
+    cluster even when A~C was never emitted as a pair. The reference stops
+    at pairwise detection; this is the missing cluster step a corpus-scale
+    pipeline runs between "pairs" and "keep one per cluster".
+
+    Algorithm: hash-min label propagation with pointer-doubling shortcuts.
+    Every node starts labeled with its own id; each round takes the min
+    label over graph neighbors, then shortcuts ``lbl <- lbl(lbl)``
+    (pointer doubling), so convergence is O(log diameter) rounds rather
+    than O(diameter). Each round is two shuffle joins + one group-min over
+    the LABEL table (2 longs per node) — never over document payloads —
+    and the frame is ``localCheckpoint``-ed per round to truncate lineage
+    (at cluster scale, set ``spark.checkpoint.dir`` and swap for
+    ``checkpoint()`` to survive executor loss). Convergence is detected
+    with a LIMIT-1 existence probe, not a full count.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(id, cluster_id, cluster_size, is_canonical)`` where ``cluster_id``
+    is the component's minimum id and ``is_canonical`` marks the survivor.
+    Nodes in no pair are singleton clusters by definition and are omitted
+    (left-join this output back onto the corpus; null cluster = keep).
+    """
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+              .distinct().localCheckpoint())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+                   .withColumn("lbl", F.col("id")))
+    for _ in range(int(max_iter)):
+        nbr = (edges.join(labels.select(F.col("id").alias("a"),
+                                        F.col("lbl").alias("albl")), "a")
+                    .groupBy(F.col("b").alias("id"))
+                    .agg(F.min("albl").alias("nlbl")))
+        stepped = (labels.withColumnRenamed("lbl", "prev")
+                         .join(nbr, "id", "left")
+                         .select("id",
+                                 F.least(F.col("prev"),
+                                         F.coalesce("nlbl", "prev"))
+                                  .alias("lbl"),
+                                 "prev"))
+        m = stepped.select(F.col("id").alias("__mid"),
+                           F.col("lbl").alias("__mlbl"))
+        short = (stepped.join(m, stepped["lbl"] == m["__mid"], "left")
+                 .select(stepped["id"],
+                         F.least(stepped["lbl"],
+                                 F.coalesce(m["__mlbl"], stepped["lbl"]))
+                          .alias("lbl"),
+                         stepped["prev"])
+                 .localCheckpoint())
+        labels = short.select("id", "lbl")
+        if short.filter(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
+            break
+    sz = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sz, "lbl")
+            .select("id", F.col("lbl").alias("cluster_id"), "cluster_size",
+                    (F.col("id") == F.col("lbl")).alias("is_canonical")))
+
+
+def resolve_duplicates(df: DataFrame, id_col: str, pairs: DataFrame,
+                       a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Keep exactly one document per duplicate CLUSTER (the min-id
+    canonical), unlike `minhash_lsh_dedup`'s single pruning round which
+    can over-drop on chains (B dropped for A, C dropped for B even though
+    C survives into no kept doc's pair). Transitive-closure-correct."""
+    drops = (dup_clusters(pairs, a_col, b_col)
+             .filter(~F.col("is_canonical"))
+             .select(F.col("id").alias(id_col)))
+    return df.join(drops, on=id_col, how="left_anti")

@@ -163,3 +163,36 @@ def test_pack_chunked_single_shuffle(spark, docs):
     df = PL.pack_chunked(docs, "doc_id", "text")
     P.assert_max_exchanges(df, 1)
     assert P.plan_report(df)["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (dedup.dup_clusters)
+# ---------------------------------------------------------------------------
+
+def test_dup_clusters_transitive_closure(spark):
+    """A chain a-b-c-...-g is ONE cluster even though most pairs were never
+    emitted; disjoint components keep separate labels."""
+    from anofox_forecast_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+         (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint")
+    got = {r["id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+           for r in dup_clusters(pairs).collect()}
+    assert {i: got[i][0] for i in got} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+        10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got[1] == (1, 7, True) and got[7] == (1, 7, False)
+    assert [i for i, v in got.items() if v[2]] == [1, 10, 20]
+
+
+def test_resolve_duplicates_vs_single_round_prune(spark):
+    """Cluster resolution keeps exactly one doc per component; docs in no
+    pair are untouched."""
+    from anofox_forecast_spark.operators.dedup import resolve_duplicates
+    pairs = spark.createDataFrame([(5, 3), (3, 9)], "id_a bigint, id_b bigint")
+    docs = spark.createDataFrame([(i,) for i in (3, 5, 9, 42)],
+                                 "doc_id bigint")
+    kept = sorted(r["doc_id"] for r in
+                  resolve_duplicates(docs, "doc_id", pairs).collect())
+    assert kept == [3, 42]  # canonical = min id of {3,5,9}; 42 singleton
