@@ -286,6 +286,57 @@ def decontaminate_ngrams(docs: DataFrame, bench: DataFrame, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide line/paragraph dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                min_docs: int = 2, sep: str = "\n") -> DataFrame:
+    """Remove lines that occur in ``min_docs`` or more DISTINCT documents —
+    the CCNet/RefinedWeb boilerplate-removal step (navigation bars, cookie
+    banners, license footers repeat across a crawl; prose does not).
+
+    ``sep`` sets the unit: ``"\\n"`` for lines (default), ``"\\n\\n"`` for
+    paragraphs. Blank units (empty after trim) are never counted and never
+    removed. Output: one row per input document —
+    ``(<id>, clean_text, n_lines, n_removed_lines)`` with surviving units
+    re-joined by ``sep`` in their original order.
+
+    Scale shape: one posexplode, one count-only groupBy keyed on the
+    md5 of the trimmed unit (the shuffle carries a 32-char hash + count,
+    never the unit text), one left-anti join back on that hash (Catalyst
+    reuses the hash partitioning), and one per-document reassembly groupBy.
+    The duplicated-unit side is the *output* of a HAVING-style filter —
+    tiny next to the corpus — and AQE broadcast-joins it when it fits.
+    """
+    # \Q...\E-quote: ``sep`` is a literal separator, not a regex
+    lines = F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+    ex = (df.select(F.col(id_col),
+                    F.posexplode(lines).alias("__pos", "__line"))
+            .withColumn("__h", F.md5(F.trim(F.col("__line"))))
+            .withColumn("__blank", F.length(F.trim(F.col("__line"))) == 0))
+    dup = (ex.filter(~F.col("__blank"))
+             .groupBy("__h")
+             .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+             .filter(F.col("__nd") >= int(min_docs))
+             .select("__h"))
+    kept = ex.filter(F.col("__blank")).unionByName(
+        ex.filter(~F.col("__blank")).join(dup, "__h", "left_anti"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.concat_ws(sep, F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__pos"), F.col("__line")))),
+                    lambda s: s["__line"])).alias("clean_text"),
+                F.count(F.lit(1)).alias("__n_kept")))
+    tot = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return (tot.join(agg, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("bigint").alias("n_removed_lines")))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------
 
@@ -308,6 +359,91 @@ def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
     return (df.withColumn("sample_u", u)
               .withColumn("sample_rank", F.row_number().over(w))
               .filter(F.col("sample_rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Source mixing and token budgets
+# ---------------------------------------------------------------------------
+
+def mix_sources(df: DataFrame, id_col: str, source_col: str, text_col: str,
+                targets: dict[str, float], seed: str = "mx") -> DataFrame:
+    """Downsample sources to hit a target token MIXTURE (the fixed-weight
+    corpus-mixing step of every pretraining data recipe — e.g. the Pile /
+    LLaMA tables of per-source percentages).
+
+    ``targets`` maps source → desired share of the OUTPUT's tokens. The
+    per-source keep rate is ``target_share / actual_share``, normalized by
+    the largest ratio so the binding source keeps rate 1.0 and everything
+    else downsamples proportionally (no upsampling — this operator drops
+    rows, it never duplicates them). Rows are kept by the deterministic
+    md5 uniform (:func:`sample_by_hash` semantics), so the mixture is
+    reproducible on any partitioning and any engine. Sources missing from
+    ``targets`` get rate 0.0 (dropped).
+
+    Output: input ``id_col`` + ``source``, ``n_tokens``, ``keep_rate``,
+    ``sample_u``, ``mix_keep``. Scale shape: one count/sum aggregate over
+    sources (tiny), broadcast back as a literal map via join; the corpus
+    side is a stateless filter — no text ever shuffles.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    tokens = token_count(F.col(text_col), "whitespace")
+    base = df.select(F.col(id_col), F.col(source_col).alias("source"),
+                     tokens.alias("n_tokens"))
+    totals = (base.groupBy("source")
+                  .agg(F.sum("n_tokens").alias("__src_tokens")))
+    tgt = F.create_map(*[x for s, t in sorted(targets.items())
+                         for x in (F.lit(s), F.lit(float(t)))])
+    rated = totals.withColumn(
+        "__ratio",
+        F.coalesce(tgt[F.col("source")], F.lit(0.0))
+        / (F.col("__src_tokens").cast("double")))
+    # normalize so the most-underrepresented TARGETED source keeps 1.0
+    mx = rated.agg(F.max("__ratio").alias("__mx"))
+    rated = (rated.join(F.broadcast(mx))
+                  .withColumn("keep_rate",
+                              F.when(F.col("__mx") > 0,
+                                     F.col("__ratio") / F.col("__mx"))
+                               .otherwise(F.lit(0.0)))
+                  .select("source", "keep_rate"))
+    u = md5_uniform(F.col(id_col), seed)
+    return (base.join(F.broadcast(rated), on="source")
+                .withColumn("sample_u", u)
+                .withColumn("mix_keep", F.col("sample_u") < F.col("keep_rate")))
+
+
+def token_budget_filter(df: DataFrame, id_col: str, text_col: str,
+                        budget_tokens: int, strata_col: str | None = None,
+                        order_col: str | None = None,
+                        ascending: bool = False) -> DataFrame:
+    """Select documents until a token budget is filled — per stratum when
+    ``strata_col`` is given (e.g. per source or per language), globally
+    otherwise. Documents are taken in ``order_col`` order (a quality score,
+    descending by default; falls back to ``id_col`` ascending), and a
+    document is kept while the running token total BEFORE it is under the
+    budget — the standard greedy fill, so the budget may be overshot by at
+    most one document.
+
+    Output: ``(<id>[, <strata>], n_tokens, tokens_before, budget_keep)``.
+    Scale shape: one window sort per stratum (AQE skew-split on skewed
+    strata); the global form is a single total order — use strata at
+    100 TB, exactly like ``pack_chunked``'s bucket argument.
+    """
+    tokens = token_count(F.col(text_col), "whitespace")
+    cols = [F.col(id_col)] + ([F.col(strata_col)] if strata_col else [])
+    base = df.select(*cols, tokens.alias("n_tokens"))
+    if order_col is not None:
+        oc = F.col(order_col)
+        order = [oc.asc() if ascending else oc.desc(), F.col(id_col)]
+        base = df.select(*cols, F.col(order_col), tokens.alias("n_tokens"))
+    else:
+        order = [F.col(id_col)]
+    w = (Window.partitionBy(*([strata_col] if strata_col else []))
+         .orderBy(*order).rowsBetween(Window.unboundedPreceding, -1))
+    out = base.withColumn("tokens_before",
+                          F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.withColumn("budget_keep",
+                          F.col("tokens_before") < F.lit(int(budget_tokens)))
 
 
 # ---------------------------------------------------------------------------

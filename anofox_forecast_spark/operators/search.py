@@ -1,0 +1,77 @@
+"""Keyword search over document tables: BM25 scoring and top-k retrieval.
+
+Beyond-parity surface (BASELINE.json north star): the lexical-retrieval
+counterpart of ``similarity.py``'s embedding ANN — a training-data pipeline
+needs both (keyword audits of a 100 TB corpus: "find the documents about X",
+contamination spot-checks, targeted sampling).
+
+Scale design: the query has a handful of terms, so per-term term frequencies
+are computed as narrow JVM array expressions fused into the scan — no
+explode, no inverted-index shuffle. Corpus statistics (N, avg document
+length, per-term document frequencies) reduce to ONE single-row aggregate
+that is broadcast back, and top-k is a ``TakeOrderedAndProject`` (per
+partition heap + driver merge), not a full sort shuffle. Net: one pass over
+the corpus, zero wide shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pipeline import _words
+
+
+def bm25_score(df: DataFrame, id_col: str, text_col: str,
+               query_terms: list[str], k1: float = 1.2,
+               b: float = 0.75) -> DataFrame:
+    """BM25 score of every document against ``query_terms`` (Robertson &
+    Zaragoza 2009; the Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf,
+    which is non-negative). Output: (<id>, score) for ALL documents —
+    compose with a filter or use :func:`bm25_topk` for retrieval.
+
+    Tokenization is the pipeline family's lowercased whitespace split
+    (``pipeline._words``), so BM25 agrees with ``token_count`` /
+    ``gopher_stats`` about what a word is.
+    """
+    terms = [str(t).lower() for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    ws = _words(F.col(text_col))
+
+    def tf_of(term):
+        # a one-arg closure: a two-arg lambda would make F.filter pass the
+        # array index as the second argument
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).alias("__dl"),
+        *[tf_of(t).alias(f"__tf{i}") for i, t in enumerate(terms)])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    scored = base.join(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
+        score = score + idf * (tf * (k1 + 1.0)
+                               / (tf + k1 * (1.0 - b + b * F.col("__dl")
+                                             .cast("double") / avgdl)))
+    return scored.select(F.col(id_col), score.alias("score"))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """Top-k documents by BM25 — ties break to the lower id. The orderBy +
+    limit compiles to ``TakeOrderedAndProject`` (no full-sort shuffle)."""
+    return (bm25_score(df, id_col, text_col, query_terms, k1, b)
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(int(k)))

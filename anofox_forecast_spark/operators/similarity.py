@@ -282,6 +282,57 @@ def ivf_pq_search(indexed_df: DataFrame, centroids: list, codebooks: list,
                      codebooks, id_col, query, k)
 
 
+def semdedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.95, n_clusters: int = 16,
+                   sample_limit: int = 10000,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """Semantic near-duplicate PAIRS by cluster-then-compare (SemDeDup,
+    Abbas et al. 2023): embeddings are assigned to k-means cells
+    (:func:`ivf_build` — learned from a deterministic bounded sample, or
+    stored ``centroids`` for incremental ingest), and cosine similarity is
+    computed only WITHIN a cell. Output: (id_a, id_b, cell, cosine) for
+    pairs with cosine ≥ ``threshold``.
+
+    Scale shape: the comparison join is keyed on ``__cell``, so the
+    worst case is Σ|cell|² — bounded by choosing ``n_clusters`` so cells
+    fit (the SemDeDup paper's k ≈ n/10k), never the corpus-wide all-pairs
+    product. Semantic dups that land in different cells are missed — the
+    paper's documented recall tradeoff.
+    """
+    indexed, _ = ivf_build(df, id_col, vec_col, n_clusters, sample_limit,
+                           repartition_by_cell=False, centroids=centroids)
+    u = indexed.select(F.col(id_col).alias("__id"), "__cell",
+                       _unit(F.col(vec_col)).alias("__v"))
+    a = u.select(F.col("__id").alias("id_a"), "__cell",
+                 F.col("__v").alias("__va"))
+    b = u.select(F.col("__id").alias("id_b"), "__cell",
+                 F.col("__v").alias("__vb"))
+    cos = dot(F.col("__va"), F.col("__vb"))
+    return (a.join(b, "__cell").filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= float(threshold))
+             .select("id_a", "id_b", F.col("__cell").alias("cell"), "cosine"))
+
+
+def semdedup(df: DataFrame, id_col: str, vec_col: str,
+             threshold: float = 0.95, n_clusters: int = 16,
+             sample_limit: int = 10000,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """Full SemDeDup verdict per row: cluster-then-compare pairs resolved
+    into connected components (``dedup.dup_clusters`` — transitive closure,
+    labels-only shuffles), keep = min-id canonical per component (rows in
+    no pair are their own canonical). Output: input ``id_col`` +
+    ``semdedup_keep`` boolean."""
+    from .dedup import dup_clusters
+    pairs = semdedup_pairs(df, id_col, vec_col, threshold, n_clusters,
+                           sample_limit, centroids)
+    drops = (dup_clusters(pairs).filter(~F.col("is_canonical"))
+             .select(F.col("id").alias(id_col),
+                     F.lit(False).alias("semdedup_keep")))
+    return (df.select(id_col).join(drops, on=id_col, how="left")
+              .fillna({"semdedup_keep": True}))
+
+
 def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
                  vec_col: str, k: int = 5, n_planes: int = 10,
                  seed: int = 42, n_tables: int = 1) -> DataFrame:

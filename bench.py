@@ -82,6 +82,7 @@ def main() -> None:
         "dedup_exact_groups",
         "dedup_minhash_lsh",
         "similarity_topk",
+        "search_bm25",
     ]
     qs = entry_mod.queries()
 
