@@ -1413,8 +1413,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_ext_queries())
     q.update(_llm_queries())
     q.update(_pipeline_queries())
+    q.update(_events_queries())
     q.update(_streaming_queries())
     return _ordered(_round_pin_queries(q))
+
+
+#: r7c event-analytics parameters, shared between query and oracle sides
+_SESS_GAP = 3600.0
+_ASOF_TOL = 7 * 86400.0
+
+
+def _events_queries():
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators import events as EV
+    from anofox_forecast_spark.sources import events_table
+
+    def q_sessionize(spark, sf):
+        e = events_table(spark, sf)
+        return EV.sessionize(e, "user_id", "ts", _SESS_GAP,
+                             order_cols=["event_id"]) \
+                 .select("event_id", "user_id", "ts", "event_type",
+                         "is_session_start", "session_seq")
+
+    def q_session_stats(spark, sf):
+        e = events_table(spark, sf)
+        return EV.session_stats(e, "user_id", "ts", "value", _SESS_GAP,
+                                order_cols=["event_id"])
+
+    def q_asof(spark, sf):
+        e = events_table(spark, sf)
+        left = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+        right = (e.filter(F.col("event_type") == "signup")
+                 .select("user_id", "ts",
+                         F.col("value").alias("signup_value")))
+        return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
+                            tolerance_seconds=_ASOF_TOL)
+
+    return {
+        "events_sessionize": q_sessionize,
+        "events_session_stats": q_session_stats,
+        "events_asof_join": q_asof,
+    }
 
 
 def _stream_dir(sf_dir: str, table: str) -> str:
@@ -1542,7 +1583,10 @@ _WINDOW = [
     # window slots (cv x4, conformal x2, the md5-uniform trick inside the
     # pipeline_sample keys), and text_quality stays timed in every bench —
     # freeing slots for the five never-checked r7b keys at the bottom)
-    "forecast_naive", "hier_aggregate", "stats_sql", "features_full",
+    # (forecast_naive also yielded its slot in r7c — green r1-r6, timed in
+    # every bench round, and forecast_auto_arima exercises a superset of
+    # the forecast stack from inside the window)
+    "hier_aggregate", "stats_sql", "features_full",
     # code changed this round: AutoARIMA d-selection variances now
     # sequential-sum (expression-identical to the oracle's list_sum v0/v1/v2)
     "forecast_auto_arima",
@@ -1583,7 +1627,6 @@ _WINDOW = [
     # tests): first driver check; displace metric_mae + prep_diff, both
     # multi-round green and re-verified in every bench round
     "cv_hydrate_features", "cv_prepare_regression", "ols_fit_predict",
-    "cv_forecast",
     # r6 keys that had exact oracles + bit-exact local audits but no r6
     # window slot: first driver check
     "ridge_fit_predict", "conformal_mean_width_scalar",
@@ -1601,13 +1644,20 @@ _WINDOW = [
     # dedup_clusters' oracle, so it stays transitively hash-verified.
     "similarity_topk_pq",
     # streaming_conformal is r6-new (never driver-checked); windowed_stats
-    # yielded its slot (green r3+r5)
-    "multimodal_features", "streaming_conformal",
+    # yielded its slot (green r3+r5); multimodal_features (green r4+r5)
+    # and cv_forecast (green r5 x2, family covered by cv_hydrate/
+    # cv_prepare/ols/ridge in-window) yielded theirs to the r7c events keys
+    "streaming_conformal",
     # r7b additions, all bit-exact at sf0.001 + sf0.01: SemDeDup
     # (cluster-then-compare + component resolution), CCNet-style line
     # dedup, fixed-weight source mixing, greedy token-budget fill, BM25
     "semdedup", "pipeline_dedup_lines", "pipeline_mix_sources",
     "pipeline_token_budget", "search_bm25",
+    # r7c event-analytics family (operators/events.py), all bit-exact at
+    # sf0.001 + sf0.01: gap sessionization, session aggregates (ordered
+    # sequential value fold), and the union-and-window as-of join checked
+    # against DuckDB's native ASOF LEFT JOIN with a tolerance window
+    "events_sessionize", "events_session_stats", "events_asof_join",
 ]
 
 
@@ -8710,7 +8760,67 @@ SELECT CAST(540 * 16 * 6 AS BIGINT) AS bytes_per_group,
         _hw_oracle(name="ETS"), panel_sql=_TRUNC_PANEL_SQL)
     o.update(_llm_oracles())
     o.update(_pipeline_oracles())
+    o.update(_events_oracles())
     return _round_pin_oracles(o)
+
+
+def _events_oracles() -> dict[str, str]:
+    """Exact replays of operators/events.py. Gap and tolerance comparisons
+    are integer microsecond arithmetic on both sides; the session value sum
+    is a sequential fold over the (ts, event_id)-ordered member list,
+    mirroring the Spark side's array_sort + aggregate."""
+    o: dict[str, str] = {}
+    gap_us = int(round(_SESS_GAP * 1_000_000))
+    tol_us = int(round(_ASOF_TOL * 1_000_000))
+    sess = f"""
+SELECT event_id, user_id, ts, event_type, value,
+       (lag(ts) OVER w IS NULL
+        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us})
+       AS is_session_start
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+    o["events_sessionize"] = f"""
+WITH s AS ({sess})
+SELECT event_id, user_id, ts, event_type, is_session_start,
+  CAST(SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS session_seq
+FROM s
+"""
+    o["events_session_stats"] = f"""
+WITH s AS ({sess}),
+q AS (SELECT *, CAST(SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq FROM s)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS ts_start, max(ts) AS ts_end,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(value ORDER BY ts, event_id)),
+                   (a, x) -> a + x) AS value_sum,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000.0
+         AS duration_seconds
+FROM q GROUP BY user_id, session_seq
+"""
+    # operators/events.py::asof_join == DuckDB's native ASOF LEFT JOIN
+    # (inclusive >=), with the tolerance window nulling stale matches
+    o["events_asof_join"] = f"""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts, value AS signup_value FROM events
+      WHERE event_type = 'signup'),
+j AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+             s.signup_value, s.ts AS matched_ts
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN epoch_us(ts) - epoch_us(matched_ts) <= {tol_us}
+       THEN signup_value END AS signup_value,
+  CASE WHEN epoch_us(ts) - epoch_us(matched_ts) <= {tol_us}
+       THEN matched_ts END AS matched_ts
+FROM j
+"""
+    return o
 
 
 def _mqloss_oracle() -> str:

@@ -1,0 +1,149 @@
+"""Event-stream analytics: gap-based sessionization and as-of joins.
+
+Beyond-parity surface (BASELINE.json north star): the two event-table
+operations every large-scale analytics engine is asked for —
+
+- :func:`sessionize` — split each key's event stream into sessions at
+  inactivity gaps (the canonical clickstream/telemetry operator).
+- :func:`session_stats` — one row per session (bounds, duration, counts,
+  deterministic value sum).
+- :func:`asof_join` — for every left row, the most recent right row at or
+  before its timestamp (market-data/state-lookup semantics; DuckDB/kdb
+  ``ASOF JOIN``). Spark has no built-in; the classic scalable encoding is
+  the union-and-window trick below.
+
+Scale design: all three are ONE shuffle on the join/session key. The
+as-of join never builds a range product: left and right are unioned,
+sorted once per key, and the match is a running ``last(ignorenulls)`` —
+O(n log n) per key, constant memory per row, skew handled by AQE the same
+as any window. ``sessionize`` is two window passes over one partitioning
+(lag + running sum — Catalyst plans them in a single sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(col: Column) -> Column:
+    """Exact epoch microseconds for TIMESTAMP **or** TIMESTAMP_NTZ input
+    (parquet written with isAdjustedToUTC=false arrives as NTZ; the cast
+    is value-preserving under the session factory's UTC timezone and a
+    no-op for already-zoned timestamps)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_seconds: float = 1800.0,
+               order_cols: list[str] | None = None) -> DataFrame:
+    """Assign a per-key session sequence number: a new session starts at the
+    first event and whenever the gap since the previous event exceeds
+    ``gap_seconds`` (strictly greater, so a gap of exactly ``gap_seconds``
+    stays in-session). Output: input columns + ``session_seq`` (1-based per
+    key) + ``is_session_start``.
+
+    Gap comparison is exact integer microsecond arithmetic
+    (``unix_micros``), so engine parity does not depend on float rounding.
+    ``order_cols`` breaks timestamp ties deterministically (defaults to the
+    timestamp alone — pass an event id when keys can emit simultaneous
+    events).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (prev.isNull()
+              | ((_us(F.col(ts_col)) - _us(prev)) > F.lit(gap_us)))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("is_session_start", is_new)
+              .withColumn("session_seq",
+                          F.sum(F.col("is_session_start").cast("long"))
+                           .over(wrun)))
+
+
+def session_stats(df: DataFrame, key_col: str, ts_col: str,
+                  value_col: str | None = None,
+                  gap_seconds: float = 1800.0,
+                  order_cols: list[str] | None = None) -> DataFrame:
+    """One row per session: ``(key, session_seq, n_events, ts_start,
+    ts_end, duration_seconds[, value_sum])``.
+
+    ``value_sum`` folds the session's values in (ts, order_cols) order —
+    a sequential sum over the sorted member list, deterministic on any
+    partitioning (and replayable by an engine-side ordered list fold),
+    unlike a bare ``F.sum`` whose float accumulation order is
+    partition-dependent. Sessions are bounded by the inactivity gap, so
+    the per-session list is bounded by construction.
+    """
+    s = sessionize(df, key_col, ts_col, gap_seconds, order_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("ts_start"),
+        F.max(ts_col).alias("ts_end"),
+    ]
+    if value_col is not None:
+        order_struct = F.struct(
+            F.col(ts_col), *[F.col(c) for c in (order_cols or [])],
+            F.col(value_col).alias("__v"))
+        aggs.append(F.aggregate(
+            F.array_sort(F.collect_list(order_struct)),
+            F.lit(0.0), lambda acc, x: acc + x["__v"]).alias("value_sum"))
+    out = s.groupBy(key_col, "session_seq").agg(*aggs)
+    dur = ((_us(F.col("ts_end")) - _us(F.col("ts_start")))
+           .cast("double") / F.lit(1_000_000.0))
+    return out.withColumn("duration_seconds", dur)
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, value_cols: list[str],
+              tolerance_seconds: float | None = None,
+              right_ts_alias: str = "matched_ts") -> DataFrame:
+    """As-of join: every left row picks up ``value_cols`` from the most
+    recent right row with ``right.ts <= left.ts`` on the same key
+    (inclusive — equal timestamps match, like DuckDB's ``ASOF JOIN`` with
+    ``>=``). Unmatched left rows keep NULLs (left-join semantics).
+    ``tolerance_seconds`` drops matches older than the window.
+
+    Implementation is the union-and-window encoding: tag sides, union,
+    sort once per key by (ts, side) — right before left at equal ts, so
+    equality matches — then a running ``last(ignorenulls)`` carries the
+    latest right values forward; finally keep the left rows. One shuffle,
+    no range cross product, bounded state per row. When several right rows
+    share (key, ts), the running last takes the one latest in the sort —
+    deduplicate the right side first if that order matters.
+
+    Output: all left columns + ``value_cols`` + ``<right_ts_alias>``.
+    """
+    lcols = left.columns
+    probe = [c for c in [*value_cols, right_ts_alias] if c in lcols]
+    if probe:
+        raise ValueError(f"left already has columns {probe}")
+    l = left.withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn(right_ts_alias,
+                     F.lit(None).cast(right.schema[ts_col].dataType))
+    r = right.select(
+        F.col(key_col), F.col(ts_col), F.lit(0).alias("__side"),
+        *[F.col(c) for c in value_cols],
+        F.col(ts_col).alias(right_ts_alias),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (key_col, ts_col)])
+    u = l.unionByName(r)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col), F.col("__side"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c)
+               for c in [*value_cols, right_ts_alias]]
+    out = (u.select(*[F.col(c) for c in lcols], F.col("__side"), *carried)
+            .filter(F.col("__side") == 1).drop("__side"))
+    if tolerance_seconds is not None:
+        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+        fresh = ((_us(F.col(ts_col)) - _us(F.col(right_ts_alias)))
+                 <= F.lit(tol_us))
+        out = out.select(
+            *[F.col(c) for c in lcols],
+            *[F.when(fresh, F.col(c)).alias(c)
+              for c in [*value_cols, right_ts_alias]])
+    return out

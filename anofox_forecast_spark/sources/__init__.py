@@ -113,6 +113,21 @@ def orders_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` as a true microsecond timestamp.
+
+    The parquet stores TIMESTAMP(NANOS) (read as long via nanosAsLong);
+    the conversion uses integer ``div 1000`` — exact, and identical to
+    DuckDB's nanos->micros truncation. (``events_panel``'s float ``/1000``
+    is fine for its day-truncated use but can be off by ~256 ns at 2^60
+    magnitudes, which matters for as-of joins and session gaps.)"""
+    from pyspark.sql import types as T
+    e = load_table(spark, sf_dir, "events")
+    if isinstance(e.schema["ts"].dataType, T.LongType):
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
 def events_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Irregular panel: (user_id, day(ts), count(*)).
 

@@ -1,0 +1,110 @@
+"""Round-7 additions, part 3: event-stream analytics — gap-based
+sessionization, session aggregates, and the as-of join.
+
+Value parity vs DuckDB (including its native ASOF JOIN) is covered by
+test_entry_oracle.py (`events_sessionize`, `events_session_stats`,
+`events_asof_join`); these tests pin edge semantics and plan shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark import plans as P
+from anofox_forecast_spark.operators import events as EV
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def test_sessionize_gap_semantics(spark):
+    """New session strictly AFTER the gap; an exact-gap event stays."""
+    rows = [(1, _ts(0)), (1, _ts(10)),          # gap 600s == gap -> same
+            (1, _ts(20, 1)),                    # 601s  -> new session
+            (2, _ts(0))]                        # other key independent
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {(r.user_id, r.ts.minute): (r.session_seq, r.is_session_start)
+           for r in EV.sessionize(df, "user_id", "ts", 600).collect()}
+    assert got[(1, 0)] == (1, True)
+    assert got[(1, 10)] == (1, False)
+    assert got[(1, 20)] == (2, True)
+    assert got[(2, 0)] == (1, True)
+
+
+def test_session_stats_values_and_duration(spark):
+    rows = [(1, _ts(0), 1.5), (1, _ts(5), 2.25), (1, _ts(40), 10.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {r.session_seq: r for r in
+           EV.session_stats(df, "user_id", "ts", "value", 600).collect()}
+    assert got[1].n_events == 2 and got[1].value_sum == 3.75
+    assert got[1].duration_seconds == 300.0
+    assert got[2].n_events == 1 and got[2].value_sum == 10.0
+    assert got[2].duration_seconds == 0.0
+
+
+def test_sessionize_single_sort_plan(spark):
+    """lag + running sum share one partitioning/sort — one exchange."""
+    df = spark.createDataFrame([(1, _ts(0))], "user_id bigint, ts timestamp")
+    out = EV.sessionize(df, "user_id", "ts", 600)
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_most_recent(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _ts(5)), (11, 1, _ts(20)), (12, 1, _ts(1)), (13, 2, _ts(5))],
+        "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), 100.0), (1, _ts(5), 200.0), (1, _ts(30), 300.0)],
+        "user_id bigint, ts timestamp, state double")
+    got = {r.event_id: (r.state, r.matched_ts)
+           for r in EV.asof_join(left, right, "user_id", "ts",
+                                 ["state"]).collect()}
+    assert got[10] == (200.0, _ts(5))       # equal ts matches (inclusive)
+    assert got[11] == (200.0, _ts(5))       # most recent at-or-before
+    assert got[12] == (None, None)          # nothing before -> left join null
+    assert got[13] == (None, None)          # key with no right rows
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(10, 1, _ts(30))],
+                                 "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(0), 5.0)],
+                                  "user_id bigint, ts timestamp, state double")
+    fresh = EV.asof_join(left, right, "user_id", "ts", ["state"],
+                         tolerance_seconds=3600).collect()[0]
+    assert fresh.state == 5.0
+    stale = EV.asof_join(left, right, "user_id", "ts", ["state"],
+                         tolerance_seconds=60).collect()[0]
+    assert stale.state is None and stale.matched_ts is None
+
+
+def test_asof_join_rejects_column_clash(spark):
+    left = spark.createDataFrame([(1, _ts(0), 1.0)],
+                                 "user_id bigint, ts timestamp, state double")
+    with pytest.raises(ValueError):
+        EV.asof_join(left, left, "user_id", "ts", ["state"])
+
+
+def test_asof_join_one_shuffle_no_range_product(spark):
+    left = spark.createDataFrame([(10, 1, _ts(5))],
+                                 "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(2), 1.0)],
+                                  "user_id bigint, ts timestamp, state double")
+    out = EV.asof_join(left, right, "user_id", "ts", ["state"])
+    rep = P.plan_report(out)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    # union-and-window: the only wide exchange is the per-key sort
+    P.assert_max_exchanges(out, 1)
