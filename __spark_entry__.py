@@ -1451,10 +1451,26 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_range_join(spark, sf):
+        # concurrency analysis: for every purchase, the sessions (ANY user)
+        # whose [ts_start, ts_end] contains the purchase instant — a keyless
+        # range join, the shape a naive plan turns into a cross product and
+        # the binned encoding keeps a hash join
+        e = events_table(spark, sf)
+        sess = (EV.session_stats(e, "user_id", "ts", None, _SESS_GAP,
+                                 order_cols=["event_id"])
+                .select(F.col("user_id").alias("session_user"),
+                        "session_seq", "ts_start", "ts_end"))
+        pts = (e.filter(F.col("event_type") == "purchase")
+                .select("event_id", "user_id", "ts", "value"))
+        return EV.range_join_points(pts, sess, "ts", "ts_start", "ts_end",
+                                    bucket_seconds=_SESS_GAP)
+
     return {
         "events_sessionize": q_sessionize,
         "events_session_stats": q_session_stats,
         "events_asof_join": q_asof,
+        "events_range_join": q_range_join,
     }
 
 
@@ -1583,10 +1599,10 @@ _WINDOW = [
     # window slots (cv x4, conformal x2, the md5-uniform trick inside the
     # pipeline_sample keys), and text_quality stays timed in every bench —
     # freeing slots for the five never-checked r7b keys at the bottom)
-    # (forecast_naive also yielded its slot in r7c — green r1-r6, timed in
-    # every bench round, and forecast_auto_arima exercises a superset of
-    # the forecast stack from inside the window)
-    "hier_aggregate", "stats_sql", "features_full",
+    # (forecast_naive and hier_aggregate also yielded their slots in r7c —
+    # both green r1-r6, timed in every bench round, and forecast_auto_arima
+    # exercises a superset of the forecast stack from inside the window)
+    "stats_sql", "features_full",
     # code changed this round: AutoARIMA d-selection variances now
     # sequential-sum (expression-identical to the oracle's list_sum v0/v1/v2)
     "forecast_auto_arima",
@@ -1658,6 +1674,7 @@ _WINDOW = [
     # sequential value fold), and the union-and-window as-of join checked
     # against DuckDB's native ASOF LEFT JOIN with a tolerance window
     "events_sessionize", "events_session_stats", "events_asof_join",
+    "events_range_join",
 ]
 
 
@@ -8819,6 +8836,26 @@ SELECT event_id, user_id, ts, value,
   CASE WHEN epoch_us(ts) - epoch_us(matched_ts) <= {tol_us}
        THEN matched_ts END AS matched_ts
 FROM j
+"""
+    # operators/events.py::range_join_points, keyless: purchases x the
+    # sessions containing them (the binned equi-join reduces to the plain
+    # BETWEEN predicate the oracle states directly)
+    o["events_range_join"] = f"""
+WITH q AS ({sess}),
+r AS (SELECT *, CAST(SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_seq FROM q),
+sess2 AS (SELECT user_id AS session_user, session_seq,
+                 min(ts) AS ts_start, max(ts) AS ts_end
+          FROM r GROUP BY user_id, session_seq),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.session_user, s.session_seq, s.ts_start, s.ts_end
+FROM p JOIN sess2 s
+  ON epoch_us(p.ts) >= epoch_us(s.ts_start)
+ AND epoch_us(p.ts) <= epoch_us(s.ts_end)
 """
     return o
 

@@ -95,6 +95,46 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
     return out.withColumn("duration_seconds", dur)
 
 
+def range_join_points(points: DataFrame, intervals: DataFrame,
+                      point_ts: str, start_col: str, end_col: str,
+                      bucket_seconds: float = 3600.0,
+                      key_col: str | None = None) -> DataFrame:
+    """Range join: every point row paired with every interval row whose
+    ``[start, end]`` contains its timestamp (inclusive both ends), optionally
+    also matching on ``key_col``. Spark has no native range join — the
+    naive encoding is a broadcast-nested-loop/cross product; this is the
+    standard BINNED encoding instead: time is cut into ``bucket_seconds``
+    buckets, each interval is exploded onto the buckets it covers (explode
+    factor = duration/bucket + 1 — pick a bucket near the typical interval
+    length), each point lands in exactly ONE bucket, and the equi-join on
+    the bucket id turns the range predicate into a hash join + residual
+    filter. A (point, interval) pair can meet in only the point's bucket,
+    so no dedup pass is needed.
+
+    Output: all point columns + all interval columns (names must not
+    clash). Scale shape: one explode bounded by interval length, one
+    hash-partitioned equi-join on (bucket[, key]) — never a cross product;
+    bucket-id skew (a hot hour) is AQE's skew-join case.
+    """
+    clash = [c for c in intervals.columns if c in points.columns
+             and c != (key_col or "")]
+    if clash:
+        raise ValueError(f"column clash between sides: {clash}")
+    bus = int(round(float(bucket_seconds) * 1_000_000))
+    if bus <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    p = points.withColumn("__b", F.expr(
+        f"unix_micros(cast({point_ts} as timestamp)) div {bus}"))
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.expr(f"unix_micros(cast({start_col} as timestamp)) div {bus}"),
+            F.expr(f"unix_micros(cast({end_col} as timestamp)) div {bus}"))))
+    on = ["__b"] + ([key_col] if key_col else [])
+    cond = ((_us(F.col(point_ts)) >= _us(F.col(start_col)))
+            & (_us(F.col(point_ts)) <= _us(F.col(end_col))))
+    return (p.join(i, on=on).filter(cond).drop("__b"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               ts_col: str, value_cols: list[str],
               tolerance_seconds: float | None = None,

@@ -108,3 +108,47 @@ def test_asof_join_one_shuffle_no_range_product(spark):
     assert rep["python_udf_nodes"] == 0
     # union-and-window: the only wide exchange is the per-key sort
     P.assert_max_exchanges(out, 1)
+
+
+# ---------------------------------------------------------------------------
+# range_join_points
+# ---------------------------------------------------------------------------
+
+def test_range_join_inclusive_bounds_and_multibucket(spark):
+    """Bounds are inclusive; an interval spanning many buckets still pairs
+    with each contained point exactly once."""
+    pts = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(30)), (3, _ts(59)), (4, _ts(59, 1))],
+        "pid bigint, ts timestamp")
+    iv = spark.createDataFrame([(100, _ts(0), _ts(59))],
+                               "iid bigint, s timestamp, e timestamp")
+    got = sorted(r.pid for r in EV.range_join_points(
+        pts, iv, "ts", "s", "e", bucket_seconds=60).collect())
+    assert got == [1, 2, 3]                      # 59:01 outside; both ends in
+    # exactly once per pair despite the 60 exploded buckets
+    assert len(got) == len(set(got))
+
+
+def test_range_join_key_and_clash(spark):
+    pts = spark.createDataFrame([(1, 7, _ts(10))],
+                                "pid bigint, user_id bigint, ts timestamp")
+    iv = spark.createDataFrame(
+        [(7, _ts(0), _ts(20)), (8, _ts(0), _ts(20))],
+        "user_id bigint, s timestamp, e timestamp")
+    keyed = EV.range_join_points(pts, iv, "ts", "s", "e", 600,
+                                 key_col="user_id").collect()
+    assert len(keyed) == 1 and keyed[0].user_id == 7
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EV.range_join_points(pts, iv.withColumnRenamed("s", "ts"),
+                             "ts", "ts", "e", 600)
+
+
+def test_range_join_no_cross_product_plan(spark):
+    pts = spark.createDataFrame([(1, _ts(0))], "pid bigint, ts timestamp")
+    iv = spark.createDataFrame([(2, _ts(0), _ts(1))],
+                               "iid bigint, s timestamp, e timestamp")
+    out = EV.range_join_points(pts, iv, "ts", "s", "e", 3600)
+    rep = P.plan_report(out)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
