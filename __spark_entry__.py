@@ -1573,11 +1573,21 @@ def _streaming_queries():
         out = ST.stream_conformal(feed, alpha=0.1)
         return _run_to_table(spark, out, "update")
 
+    def q_stream_sessionize(spark, sf):
+        # native session_window sessions over the event stream: new session
+        # at delta > gap (exactly-gap merges — measured and pinned in
+        # test_r7c), append emission = sessions with end <= max(event time)
+        # - watermark delay (measured and pinned, like windowed_stats)
+        ev = _event_stream(spark, sf).select("id", "ds")
+        out = ST.stream_sessionize(ev, gap="1 hour", watermark="1 day")
+        return _run_to_table(spark, out, "append")
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
         "streaming_dedup_exact": q_stream_dedup,
         "streaming_conformal": q_stream_conformal,
+        "streaming_sessionize": q_stream_sessionize,
     }
 
 
@@ -1599,10 +1609,11 @@ _WINDOW = [
     # window slots (cv x4, conformal x2, the md5-uniform trick inside the
     # pipeline_sample keys), and text_quality stays timed in every bench —
     # freeing slots for the five never-checked r7b keys at the bottom)
-    # (forecast_naive and hier_aggregate also yielded their slots in r7c —
-    # both green r1-r6, timed in every bench round, and forecast_auto_arima
-    # exercises a superset of the forecast stack from inside the window)
-    "stats_sql", "features_full",
+    # (forecast_naive, hier_aggregate, and stats_sql also yielded their
+    # slots in r7c — green r1-r6, timed in every bench round, and
+    # forecast_auto_arima + features_full exercise supersets of the same
+    # stacks from inside the window)
+    "features_full",
     # code changed this round: AutoARIMA d-selection variances now
     # sequential-sum (expression-identical to the oracle's list_sum v0/v1/v2)
     "forecast_auto_arima",
@@ -1675,6 +1686,9 @@ _WINDOW = [
     # against DuckDB's native ASOF LEFT JOIN with a tolerance window
     "events_sessionize", "events_session_stats", "events_asof_join",
     "events_range_join",
+    # native session_window streaming sessions (r7c): a REAL streaming run
+    # in the driver env is the evidence that matters for this family
+    "streaming_sessionize",
 ]
 
 
@@ -7902,6 +7916,32 @@ FROM i
     # projects fingerprints only); the surviving set = DISTINCT fingerprints
     o["streaming_dedup_exact"] = f"""
 SELECT DISTINCT md5({_NORM_TXT}) AS fingerprint FROM documents
+"""
+    # ``streaming_sessionize``: session_window merges an event whose delta
+    # from the previous is <= gap (measured: an exactly-gap event MERGES,
+    # pinned in test_r7c test_session_window_gap_convention), so a new
+    # session starts at delta > gap — the same convention as the batch
+    # events.sessionize. Append emits sessions whose end <= max(event
+    # time) - watermark delay (measured at both test scales, equality
+    # verified). Timestamps + counts only — exact with no float pins.
+    o["streaming_sessionize"] = """
+WITH e AS (SELECT user_id AS id, ts AS ds FROM events),
+s AS (SELECT id, ds,
+        (lag(ds) OVER w IS NULL
+         OR epoch_us(ds) - epoch_us(lag(ds) OVER w) > 3600000000)
+        AS st
+      FROM e WINDOW w AS (PARTITION BY id ORDER BY ds)),
+g AS (SELECT *, SUM(CASE WHEN st THEN 1 ELSE 0 END)
+        OVER (PARTITION BY id ORDER BY ds
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM s),
+agg AS (SELECT id, min(ds) AS session_start,
+               max(ds) + INTERVAL 1 HOUR AS session_end,
+               count(*) AS n_events
+        FROM g GROUP BY id, seq),
+m AS (SELECT max(ts) AS mx FROM events)
+SELECT id, session_start, session_end, n_events
+FROM agg, m WHERE session_end <= mx - INTERVAL 1 DAY
 """
     return o
 

@@ -4,7 +4,7 @@ The reference has no event-stream data model (its "streaming" means DuckDB
 pipelined execution — SURVEY.md §1.3), so this module is beyond-parity
 surface: the same panel operators re-expressed over unbounded input.
 
-Five shapes, each the idiomatic Spark mapping of a batch operator:
+Six shapes, each the idiomatic Spark mapping of a batch operator:
 
 - ``stream_panel_stats`` — sliding/tumbling windowed per-series aggregates
   with a watermark for late data. Pure built-in aggs; state is bounded by
@@ -21,6 +21,8 @@ Five shapes, each the idiomatic Spark mapping of a batch operator:
   window of forecast residuals; each trigger re-emits the conformity score
   with the exact batch quantile convention. The online analogue of
   ``ts_conformal_calibrate``.
+- ``stream_sessionize`` — native ``session_window`` gap sessions with
+  watermark-bounded state; the unbounded twin of ``events.sessionize``.
 - ``stream_forecast_foreach_batch`` — micro-batch bridge: run the full batch
   ``ts_forecast_by`` on each micro-batch (exactly the batch semantics, at
   trigger cadence), for when full refits per trigger are acceptable.
@@ -75,6 +77,29 @@ def stream_panel_stats(stream: DataFrame, window: str = "1 day",
             .select("id", F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"),
                     "n", "mean", "std_dev", "min", "max", "sum"))
+
+
+def stream_sessionize(stream: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 day") -> DataFrame:
+    """Streaming gap-based sessionization — the unbounded twin of
+    ``operators.events.sessionize``, using Spark's native
+    ``session_window`` aggregate: per-key sessions merge while consecutive
+    events are at most ``gap`` apart (an event exactly ``gap`` after the
+    last MERGES — the same strictly-greater new-session rule as the batch
+    ``sessionize``), and append mode emits a session once the watermark
+    passes its end — i.e. it can no longer grow.
+
+    Output: (id, session_start, session_end, n_events). State per open
+    session is one merging window buffer; the watermark bounds total
+    state, exactly the built-in's design for 100 TB event streams.
+    """
+    return (stream.withWatermark("ds", watermark)
+            .groupBy("id", F.session_window(F.col("ds"), gap))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
 
 
 _FC_SCHEMA = T.StructType([

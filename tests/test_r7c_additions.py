@@ -152,3 +152,24 @@ def test_range_join_no_cross_product_plan(spark):
     rep = P.plan_report(out)
     assert rep["cartesian_products"] == 0
     assert rep["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionize (batch-mode pin of the session_window convention)
+# ---------------------------------------------------------------------------
+
+def test_session_window_gap_convention(spark):
+    """session_window merges an event exactly `gap` after the last (new
+    session only at delta > gap) — the same convention as the batch
+    events.sessionize and the rule the streaming_sessionize oracle
+    replays with `delta > gap`."""
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)),        # exactly gap -> merges
+         (1, _ts(20, 1)),                  # gap + 1s -> new session
+         (1, _ts(25))],
+        "id bigint, ds timestamp")
+    got = (df.groupBy("id", F.session_window("ds", "10 minutes"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select("session_window.start", "n")
+             .orderBy("start").collect())
+    assert [(r.start.minute, r.n) for r in got] == [(0, 2), (20, 2)]
