@@ -8233,7 +8233,10 @@ FROM sp LEFT JOIN agg USING (doc_id)
     o["pipeline_mix_sources"] = f"""
 WITH base AS (SELECT doc_id, source, {_TOK_WS} AS n_tokens FROM documents),
 totals AS (SELECT source, sum(n_tokens) AS st FROM base GROUP BY source),
-rated0 AS (SELECT source, coalesce({mix_case}, 0.0) / CAST(st AS DOUBLE) AS ratio
+rated0 AS (SELECT source,
+                  CASE WHEN st > 0
+                       THEN coalesce({mix_case}, 0.0) / CAST(st AS DOUBLE)
+                       ELSE 0.0 END AS ratio
            FROM totals),
 mxr AS (SELECT max(ratio) AS m FROM rated0),
 rated AS (SELECT source, CASE WHEN m > 0 THEN ratio / m ELSE 0.0 END AS keep_rate

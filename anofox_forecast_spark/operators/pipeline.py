@@ -394,10 +394,14 @@ def mix_sources(df: DataFrame, id_col: str, source_col: str, text_col: str,
                   .agg(F.sum("n_tokens").alias("__src_tokens")))
     tgt = F.create_map(*[x for s, t in sorted(targets.items())
                          for x in (F.lit(s), F.lit(float(t)))])
+    # a source can reach here with zero tokens (everything upstream
+    # filtered/emptied) — its ratio is 0, never a division by zero
     rated = totals.withColumn(
         "__ratio",
-        F.coalesce(tgt[F.col("source")], F.lit(0.0))
-        / (F.col("__src_tokens").cast("double")))
+        F.when(F.col("__src_tokens") > 0,
+               F.coalesce(tgt[F.col("source")], F.lit(0.0))
+               / F.col("__src_tokens").cast("double"))
+         .otherwise(F.lit(0.0)))
     # normalize so the most-underrepresented TARGETED source keeps 1.0
     mx = rated.agg(F.max("__ratio").alias("__mx"))
     rated = (rated.join(F.broadcast(mx))

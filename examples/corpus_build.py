@@ -1,0 +1,90 @@
+"""End-to-end pretraining-corpus build over the documents table — the
+round-7 pipeline family composed the way a 100 TB crawl run would be:
+
+    documents -> Gopher quality gate -> cross-doc line dedup (boilerplate)
+              -> benchmark decontamination -> source mixing (token targets)
+              -> per-source token budget -> sequence packing
+
+plus BM25 keyword retrieval as the audit tool ("what's in this corpus
+about X?"). No stage materializes a cross product; the only wide
+operations are count-keyed shuffles, broadcast joins against tiny sides
+(benchmark n-grams, per-source rates), and per-bucket window sorts.
+
+Run: python examples/corpus_build.py [sf_dir]
+"""
+from __future__ import annotations
+
+import sys
+
+
+def run(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.pipeline import (
+        decontaminate_ngrams,
+        dedup_lines,
+        gopher_stats,
+        mix_sources,
+        pack_chunked,
+        token_budget_filter,
+    )
+    from anofox_forecast_spark.operators.search import bm25_topk
+    from anofox_forecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. Gopher repetition/quality gate (Rae et al. 2021 Table A1)
+    quality = gopher_stats(docs, "doc_id", "text")
+    survivors = docs.join(
+        quality.filter(F.col("gopher_keep")).select("doc_id"), "doc_id")
+
+    # 2. cross-doc line dedup (boilerplate removal; words stand in for
+    #    lines on the single-line synthetic docs)
+    lined = survivors.select(
+        "doc_id", "source", F.translate("text", " ", "\n").alias("text"))
+    cleaned = (dedup_lines(lined, "doc_id", "text", min_docs=200)
+               .join(lined.select("doc_id", "source"), "doc_id")
+               .select("doc_id", "source",
+                       F.translate("clean_text", "\n", " ").alias("text")))
+
+    # 3. benchmark decontamination (broadcast n-gram set)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    decon = decontaminate_ngrams(cleaned, bench, "doc_id", "text", n=3,
+                                 threshold=0.5)
+    clean = cleaned.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+
+    # 4. fixed-weight source mixing toward token targets
+    mixed = (mix_sources(clean, "doc_id", "source", "text",
+                         {f"src{i}": 0.05 for i in range(20)})
+             .filter(F.col("mix_keep")))
+
+    # 5. per-source token budget (greedy fill in id order)
+    kept = clean.join(mixed.select("doc_id"), "doc_id")
+    budgeted = (token_budget_filter(kept, "doc_id", "text", 10_000,
+                                    strata_col="source")
+                .filter(F.col("budget_keep")))
+
+    # 6. sequence packing into context windows
+    packed = pack_chunked(kept.join(budgeted.select("doc_id"), "doc_id"),
+                          "doc_id", "text", window_tokens=256, buckets=4)
+
+    # audit: keyword retrieval over the final corpus
+    audit = bm25_topk(kept, "doc_id", "text", ["spark", "join"], k=10)
+
+    return quality, cleaned, decon, mixed, budgeted, packed, audit
+
+
+if __name__ == "__main__":
+    from anofox_forecast_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="corpus-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    quality, cleaned, decon, mixed, budgeted, packed, audit = run(spark, sf)
+    print("gopher keep:", quality.filter("gopher_keep").count(),
+          "/", quality.count())
+    print("decontaminated out:", decon.filter("contaminated").count())
+    print("mixed in:", mixed.count(), "| budget keep:", budgeted.count(),
+          "| packed chunks:", packed.agg({"n_chunks": "sum"}).first()[0])
+    audit.show(10, truncate=60)

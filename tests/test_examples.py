@@ -27,3 +27,22 @@ def test_llm_pipeline_example(spark):
     assert dup_groups.count() >= 0
     assert near.count() >= 0
     assert shortlist.count() > 0
+
+
+def test_events_analytics_example(spark):
+    from examples.events_analytics import run
+    sessions, stats, enriched, concurrency = run(spark, SF_DIR)
+    assert sessions.count() > 0
+    assert stats.count() > 0
+    assert enriched.count() > 0
+    assert concurrency.count() > 0
+
+
+def test_corpus_build_example(spark):
+    from examples.corpus_build import run
+    quality, cleaned, decon, mixed, budgeted, packed, audit = run(spark, SF_DIR)
+    assert quality.count() > 0
+    assert cleaned.count() > 0
+    assert mixed.count() >= 0
+    assert packed.count() >= 0
+    assert audit.count() > 0
