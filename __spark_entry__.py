@@ -1263,6 +1263,15 @@ def _pipeline_queries():
         return SR.bm25_score(_docs(spark, sf), "doc_id", "text",
                              list(_BM25_TERMS))
 
+    def q_top_terms(spark, sf):
+        from anofox_forecast_spark.operators import search as SR
+        return SR.top_terms(_docs(spark, sf), "source", "text", k=10)
+
+    def q_tfidf(spark, sf):
+        from anofox_forecast_spark.operators import search as SR
+        docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
+        return SR.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
     return {
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
@@ -1274,6 +1283,8 @@ def _pipeline_queries():
         "pipeline_mix_sources": q_mix_sources,
         "pipeline_token_budget": q_token_budget,
         "search_bm25": q_bm25,
+        "search_top_terms": q_top_terms,
+        "search_tfidf": q_tfidf,
     }
 
 
@@ -1816,6 +1827,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "conformal_bootstrap_quantiles": (["value"], 6),
     # ln() is the one libm call in the scoring path (DuckDB vs JVM last-ulp)
     "search_bm25": (["score"], 6),
+    "search_tfidf": (["tfidf"], 6),
 }
 
 
@@ -8294,6 +8306,42 @@ SELECT doc_id,
   + {score}
   AS score
 FROM t, s
+"""
+    # search.top_terms: heavy-hitter vocabulary per source; counts only,
+    # ties to the smaller term — fully integer-deterministic
+    o["search_top_terms"] = f"""
+WITH w AS (SELECT source,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ws
+           FROM documents),
+t AS (SELECT source, unnest(ws) AS term FROM w),
+c AS (SELECT source, term, count(*) AS term_count FROM t GROUP BY 1, 2)
+SELECT source, term, term_count, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY term_count DESC, term) AS rank FROM c)
+WHERE rank <= 10
+"""
+    # search.tfidf_top_terms: sklearn's smoothed idf ln((1+N)/(1+df)) + 1;
+    # in-document ties share exact float values (same (tf, df) inputs), so
+    # the term tiebreak is engine-stable
+    o["search_tfidf"] = f"""
+WITH w AS (SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ws
+           FROM documents WHERE doc_id < 200),
+t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM w),
+s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE)
+               * (ln((1.0 + n.n) / (1.0 + CAST(dfq.dfc AS DOUBLE))) + 1.0)
+               AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rank FROM s)
+WHERE rank <= 5
 """
     return o
 

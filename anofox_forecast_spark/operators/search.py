@@ -75,3 +75,56 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     return (bm25_score(df, id_col, text_col, query_terms, k1, b)
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(int(k)))
+
+
+def top_terms(df: DataFrame, group_col: str, text_col: str,
+              k: int = 10) -> DataFrame:
+    """Heavy-hitter terms per group (corpus vocabulary audit: "what are the
+    top words per source / language?"). Output:
+    (<group>, term, term_count, rank), rank 1..k per group, ties to the
+    lexicographically smaller term.
+
+    Scale shape: one explode + one count-only groupBy on (group, term) —
+    high-cardinality keys, map-side combine — then a per-group top-k window
+    over the (group, term)-aggregated counts (rows = vocabulary size per
+    group, not corpus size)."""
+    from pyspark.sql import Window
+    from .pipeline import _words
+    cnt = (df.select(F.col(group_col),
+                     F.explode(_words(F.col(text_col))).alias("term"))
+             .groupBy(group_col, "term")
+             .agg(F.count(F.lit(1)).alias("term_count")))
+    w = Window.partitionBy(group_col).orderBy(F.col("term_count").desc(),
+                                              F.col("term"))
+    return (cnt.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= int(k)))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` highest tf-idf terms of
+    each document. tf = in-document term count; idf = the smoothed
+    ``ln((1 + N) / (1 + df)) + 1`` (sklearn's convention, always positive).
+    Output: (<id>, term, tf, tfidf, rank), ties to the smaller term.
+
+    Scale shape: one explode + (id, term) count, one (term) document-
+    frequency count (count-only shuffles, never text payloads), a broadcast
+    single-row N, and a per-document top-k window."""
+    from pyspark.sql import Window
+    from .pipeline import _words
+    toks = df.select(F.col(id_col),
+                     F.explode(_words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("__df")))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = (F.log((F.lit(1.0) + F.col("__n").cast("double"))
+                 / (F.lit(1.0) + F.col("__df").cast("double")))
+           + F.lit(1.0))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term"))
+    return (tf.join(dfreq, "term").join(F.broadcast(n))
+              .withColumn("tfidf", F.col("tf").cast("double") * idf)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= int(k))
+              .select(id_col, "term", "tf", "tfidf", "rank"))

@@ -195,3 +195,43 @@ def test_token_budget_order_col(spark):
                                            order_col="q").collect()}
     # quality-desc: doc 2 fills the budget first
     assert got == {2: True, 1: False}
+
+
+# ---------------------------------------------------------------------------
+# top_terms / tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+def test_top_terms_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x x y z"), (2, "a", "x w"), (3, "b", "q q r")],
+        "doc_id bigint, src string, text string")
+    got = {(r.src, r.rank): (r.term, r.term_count)
+           for r in SR.top_terms(df, "src", "text", k=2).collect()}
+    assert got[("a", 1)] == ("x", 3)
+    # ties (y, z, w all count 1) break to the smaller term
+    assert got[("a", 2)] == ("w", 1)
+    assert got[("b", 1)] == ("q", 2) and got[("b", 2)] == ("r", 1)
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common other"), (3, "common thing")],
+        "doc_id bigint, text string")
+    got = {r.rank: (r.term, r.tf, r.tfidf)
+           for r in SR.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+           if r.doc_id == 1}
+    # 'rare': tf=2, df=1 beats 'common': tf=1, df=3
+    assert got[1][0] == "rare" and got[2][0] == "common"
+    assert got[1][2] == pytest.approx(2 * (math.log(4 / 2) + 1), rel=1e-12)
+    assert got[2][2] == pytest.approx(1 * (math.log(4 / 4) + 1), rel=1e-12)
+
+
+def test_term_analytics_plan_shapes(spark):
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "doc_id bigint, src string, text string")
+    for out in (SR.top_terms(df, "src", "text"),
+                SR.tfidf_top_terms(df, "doc_id", "text")):
+        rep = P.plan_report(out)
+        assert rep["cartesian_products"] == 0
+        assert rep["python_udf_nodes"] == 0
