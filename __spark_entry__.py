@@ -1462,6 +1462,13 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_time_rollup(spark, sf):
+        # hypertable-style continuous aggregate: hour/day/week buckets per
+        # event type from ONE scan (explode x3 -> one groupBy)
+        e = events_table(spark, sf)
+        return EV.time_rollup(e, "ts", "value", ("hour", "day", "week"),
+                              key_cols=["event_type"])
+
     def q_range_join(spark, sf):
         # concurrency analysis: for every purchase, the sessions (ANY user)
         # whose [ts_start, ts_end] contains the purchase instant — a keyless
@@ -1482,6 +1489,7 @@ def _events_queries():
         "events_session_stats": q_session_stats,
         "events_asof_join": q_asof,
         "events_range_join": q_range_join,
+        "events_time_rollup": q_time_rollup,
     }
 
 
@@ -1828,6 +1836,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # ln() is the one libm call in the scoring path (DuckDB vs JVM last-ulp)
     "search_bm25": (["score"], 6),
     "search_tfidf": (["tfidf"], 6),
+    # float accumulation order (Spark partial aggs vs DuckDB) — ulp only
+    "events_time_rollup": (["value_sum"], 6),
 }
 
 
@@ -8947,6 +8957,23 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/events.py::time_rollup: hour/day/week continuous aggregate
+    # per event type; min/max are exact picks, the float sum rides the
+    # round-6 pin (accumulation-order ulp only)
+    o["events_time_rollup"] = """
+WITH e AS (SELECT ts, event_type, value FROM events),
+x AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+         event_type, value FROM e
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, value FROM e
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts), event_type, value FROM e)
+SELECT granularity, bucket, event_type, count(*) AS n,
+       sum(value) AS value_sum, min(value) AS value_min,
+       max(value) AS value_max
+FROM x GROUP BY 1, 2, 3
 """
     return o
 

@@ -95,6 +95,48 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
     return out.withColumn("duration_seconds", dur)
 
 
+#: granularities accepted by time_rollup, in Spark/DuckDB date_trunc terms
+ROLLUP_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def time_rollup(df: DataFrame, ts_col: str, value_col: str,
+                granularities: tuple[str, ...] = ("hour", "day", "week"),
+                key_cols: list[str] | None = None) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (the continuous-aggregate
+    shape): one pass over the events produces per-bucket aggregates at
+    EVERY requested granularity — ``(granularity, bucket[, keys], n,
+    value_sum, value_min, value_max)``.
+
+    Single-scan design: each row is exploded onto one (granularity,
+    bucket-label) pair per grain (a small constant factor, e.g. 3×), then
+    ONE count/sum/min/max groupBy keyed on (granularity, bucket, keys)
+    aggregates everything — map-side partial aggregation means the shuffle
+    carries one row per bucket per grain, not per event. The alternative
+    (one groupBy per grain, unioned) scans the 100 TB input once per
+    grain; this scans it once total. Coarse-grain buckets are hot reduce
+    keys by construction — constant-size aggregate state, AQE handles the
+    size skew.
+    """
+    bad = [g for g in granularities if g not in ROLLUP_GRAINS]
+    if bad:
+        raise ValueError(f"unknown granularities {bad}; pick from "
+                         f"{ROLLUP_GRAINS}")
+    keys = list(key_cols or [])
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(g).alias("granularity"),
+                 F.date_trunc(g, F.col(ts_col)).alias("bucket"))
+        for g in granularities]))
+    base = df.select(*[F.col(c) for c in keys],
+                     F.col(value_col).alias("__v"), pairs.alias("__gb"))
+    return (base.select(*keys, F.col("__gb.granularity").alias("granularity"),
+                        F.col("__gb.bucket").alias("bucket"), "__v")
+            .groupBy("granularity", "bucket", *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__v").alias("value_sum"),
+                 F.min("__v").alias("value_min"),
+                 F.max("__v").alias("value_max")))
+
+
 def range_join_points(points: DataFrame, intervals: DataFrame,
                       point_ts: str, start_col: str, end_col: str,
                       bucket_seconds: float = 3600.0,

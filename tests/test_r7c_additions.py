@@ -173,3 +173,33 @@ def test_session_window_gap_convention(spark):
              .select("session_window.start", "n")
              .orderBy("start").collect())
     assert [(r.start.minute, r.n) for r in got] == [(0, 2), (20, 2)]
+
+
+# ---------------------------------------------------------------------------
+# time_rollup
+# ---------------------------------------------------------------------------
+
+def test_time_rollup_multi_grain_single_pass(spark):
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 10), 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 50), 2.0),
+            (1, dt.datetime(2024, 1, 1, 5, 0), 4.0),
+            (2, dt.datetime(2024, 1, 2, 0, 0), 8.0)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {(r.granularity, str(r.bucket)): (r.n, r.value_sum)
+           for r in EV.time_rollup(df, "ts", "value",
+                                   ("hour", "day")).collect()}
+    assert got[("hour", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[("hour", "2024-01-01 05:00:00")] == (1, 4.0)
+    assert got[("day", "2024-01-01 00:00:00")] == (3, 7.0)
+    assert got[("day", "2024-01-02 00:00:00")] == (1, 8.0)
+    # single scan: explode + ONE aggregate -> exactly one exchange
+    out = EV.time_rollup(df, "ts", "value", ("hour", "day", "week"))
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
+
+
+def test_time_rollup_rejects_unknown_grain(spark):
+    df = spark.createDataFrame([(1, _ts(0), 1.0)],
+                               "user_id bigint, ts timestamp, value double")
+    with pytest.raises(ValueError):
+        EV.time_rollup(df, "ts", "value", ("fortnight",))
