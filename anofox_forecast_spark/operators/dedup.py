@@ -157,13 +157,25 @@ def minhash_signature(sh: Column, num_hashes: int = 64,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
                       threshold: float = 0.7,
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs via MinHash-LSH: (id_a, id_b, est_jaccard, jaccard).
 
     ``est_jaccard`` = fraction of equal signature components;
     ``jaccard`` = exact verification on the shingle sets of candidates only.
     ``hash_fn='md5'`` makes signatures and band keys engine-portable and
     retry-deterministic (see :func:`minhash_signature`).
+
+    ``max_bucket_size`` caps LSH bucket width before the self-join — the
+    near-dup counterpart of ``ngram_jaccard_pairs``' ``max_doc_freq``. A
+    bucket of L identical-signature docs expands to ~L²/2 candidates, so a
+    corpus with heavy EXACT duplication (the realistic crawl shape —
+    measured in the 10x soak: ×100 candidate blow-up from 10 exact copies
+    per doc) turns the join quadratic. Capped pairs can still collide in
+    another band (OR-amplification rescues partial overlaps); the right
+    production order is exact dedup FIRST, then LSH on the survivors —
+    the cap is the safety valve against the hot buckets that remain.
+    Default ``None`` (exact, matches the driver-key oracles).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -193,6 +205,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band_rows = band_rows.select("__id", "__sig",
                                  F.col("__b.band").alias("__band"),
                                  F.col("__b.key").alias("__key"))
+    if max_bucket_size is not None:
+        ok = (band_rows.groupBy("__band", "__key")
+              .agg(F.count(F.lit(1)).alias("__bs"))
+              .filter(F.col("__bs") <= int(max_bucket_size))
+              .select("__band", "__key"))
+        # same join key as the self-join below -> shuffle reuse
+        band_rows = band_rows.join(ok, ["__band", "__key"])
     left = band_rows.select(F.col("__id").alias("id_a"),
                             F.col("__sig").alias("__sig_a"), "__band", "__key")
     right = band_rows.select(F.col("__id").alias("id_b"),

@@ -196,3 +196,21 @@ def test_resolve_duplicates_vs_single_round_prune(spark):
     kept = sorted(r["doc_id"] for r in
                   resolve_duplicates(docs, "doc_id", pairs).collect())
     assert kept == [3, 42]  # canonical = min id of {3,5,9}; 42 singleton
+
+
+def test_minhash_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket_size: a 12-copy exact-dup pileup (one hot bucket per
+    band) is dropped at cap 10, while a 2-doc near-dup pair survives."""
+    from anofox_forecast_spark.operators.dedup import minhash_lsh_pairs
+    hot = [(i, "identical text for every copy here") for i in range(12)]
+    pair = [(100, "a quite different document about spark windows"),
+            (101, "a quite different document about spark window")]
+    df = spark.createDataFrame(hot + pair, "doc_id bigint, text string")
+    got = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8,
+                            threshold=0.4, max_bucket_size=10).collect()
+    ids = {i for r in got for i in (r.id_a, r.id_b)}
+    assert ids == {100, 101}
+    # uncapped: the pileup's 66 pairs all appear
+    full = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8,
+                             threshold=0.4).count()
+    assert full == 66 + 1

@@ -235,3 +235,18 @@ def test_term_analytics_plan_shapes(spark):
         rep = P.plan_report(out)
         assert rep["cartesian_products"] == 0
         assert rep["python_udf_nodes"] == 0
+
+
+def test_semdedup_arrow_assignment_matches_expr(spark):
+    """The Arrow matmul assignment (large-k scale path) agrees with the
+    oracle-replayable expression argmin on well-separated cells."""
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + \
+           [(10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    a = {r.vec_id: r.semdedup_keep for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.99, centroids=cents).collect()}
+    b = {r.vec_id: r.semdedup_keep for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.99, centroids=cents,
+        assign_mode="arrow").collect()}
+    assert a == b and a[0] is True and not all(a.values())

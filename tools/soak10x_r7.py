@@ -44,11 +44,27 @@ def run_suite(d):
                         "ts_start", "ts_end"))
 
     suite = {
+        # production order: exact dedup FIRST (collapses the 10 exact
+        # copies per doc), then LSH with the hot-bucket cap on survivors.
+        # Without this the 10x exact-dup structure blows candidates up
+        # x100 (measured: >30 min vs seconds) - the lesson the soak
+        # exists to surface.
         "dedup_clusters": lambda: DD.dup_clusters(
-            DD.minhash_lsh_pairs(docs, "doc_id", "text",
-                                 num_hashes=32, bands=8, threshold=0.4)),
-        "semdedup": lambda: SIM.semdedup(embs, "vec_id", "embedding",
-                                         threshold=0.3, n_clusters=16),
+            DD.minhash_lsh_pairs(
+                DD.dedup_exact(docs, "doc_id", "text")
+                  .select("doc_id", "text"),
+                "doc_id", "text", num_hashes=32, bands=8, threshold=0.4,
+                max_bucket_size=50)),
+        # SemDeDup's k grows with the corpus (paper: k ~ n/10k) so the
+        # per-cell pair count - the quadratic term - stays constant and
+        # total cost scales linearly
+        # k grows with the corpus (SemDeDup: k ~ n/10k) so the per-cell
+        # quadratic term stays constant; at large k the assignment flips
+        # to the Arrow matmul path (the expr argmin is rows x k x dim)
+        "semdedup": lambda: SIM.semdedup(
+            embs, "vec_id", "embedding", threshold=0.3,
+            n_clusters=max(16, embs.count() // 125),
+            assign_mode="arrow"),
         "pipeline_dedup_lines": lambda: PL.dedup_lines(
             docs.select("doc_id",
                         F.translate("text", " ", "\n").alias("text")),
