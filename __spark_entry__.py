@@ -1462,6 +1462,19 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_asof_forward(spark, sf):
+        # conversion analysis: each signup joined to the user's FIRST
+        # purchase at-or-after it (forward as-of); DuckDB's native
+        # ASOF LEFT JOIN with <= is the oracle
+        e = events_table(spark, sf)
+        left = (e.filter(F.col("event_type") == "signup")
+                 .select("event_id", "user_id", "ts", "value"))
+        right = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("value").alias("purchase_value")))
+        return EV.asof_join(left, right, "user_id", "ts",
+                            ["purchase_value"], direction="forward")
+
     def q_time_rollup(spark, sf):
         # hypertable-style continuous aggregate: hour/day/week buckets per
         # event type from ONE scan (explode x3 -> one groupBy)
@@ -1490,6 +1503,7 @@ def _events_queries():
         "events_asof_join": q_asof,
         "events_range_join": q_range_join,
         "events_time_rollup": q_time_rollup,
+        "events_asof_forward": q_asof_forward,
     }
 
 
@@ -8957,6 +8971,17 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/events.py::asof_join(direction='forward') == DuckDB's
+    # native ASOF LEFT JOIN with <= (earliest right at-or-after)
+    o["events_asof_forward"] = """
+WITH s AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts, value AS purchase_value FROM events
+      WHERE event_type = 'purchase')
+SELECT s.event_id, s.user_id, s.ts, s.value,
+       p.purchase_value, p.ts AS matched_ts
+FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
 """
     # operators/events.py::time_rollup: hour/day/week continuous aggregate
     # per event type; min/max are exact picks, the float sum rides the

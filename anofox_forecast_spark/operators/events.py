@@ -180,23 +180,29 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               ts_col: str, value_cols: list[str],
               tolerance_seconds: float | None = None,
-              right_ts_alias: str = "matched_ts") -> DataFrame:
-    """As-of join: every left row picks up ``value_cols`` from the most
-    recent right row with ``right.ts <= left.ts`` on the same key
-    (inclusive — equal timestamps match, like DuckDB's ``ASOF JOIN`` with
-    ``>=``). Unmatched left rows keep NULLs (left-join semantics).
-    ``tolerance_seconds`` drops matches older than the window.
+              right_ts_alias: str = "matched_ts",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: every left row picks up ``value_cols`` from the nearest
+    right row on the same key — ``direction='backward'`` (default) takes
+    the most recent right row with ``right.ts <= left.ts`` (inclusive —
+    equal timestamps match, like DuckDB's ``ASOF JOIN`` with ``>=``);
+    ``direction='forward'`` the earliest with ``right.ts >= left.ts``.
+    Unmatched left rows keep NULLs (left-join semantics).
+    ``tolerance_seconds`` drops matches farther than the window.
 
     Implementation is the union-and-window encoding: tag sides, union,
     sort once per key by (ts, side) — right before left at equal ts, so
-    equality matches — then a running ``last(ignorenulls)`` carries the
-    latest right values forward; finally keep the left rows. One shuffle,
+    equality matches; forward mode sorts ts descending, which mirrors the
+    running carry — then a running ``last(ignorenulls)`` carries the
+    nearest right values across; finally keep the left rows. One shuffle,
     no range cross product, bounded state per row. When several right rows
     share (key, ts), the running last takes the one latest in the sort —
     deduplicate the right side first if that order matters.
 
     Output: all left columns + ``value_cols`` + ``<right_ts_alias>``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
     probe = [c for c in [*value_cols, right_ts_alias] if c in lcols]
     if probe:
@@ -213,8 +219,10 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key_col, ts_col)])
     u = l.unionByName(r)
+    ts_order = (F.col(ts_col).asc() if direction == "backward"
+                else F.col(ts_col).desc())
     w = (Window.partitionBy(key_col)
-         .orderBy(F.col(ts_col), F.col("__side"))
+         .orderBy(ts_order, F.col("__side"))
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = [F.last(c, ignorenulls=True).over(w).alias(c)
                for c in [*value_cols, right_ts_alias]]
@@ -222,8 +230,10 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
             .filter(F.col("__side") == 1).drop("__side"))
     if tolerance_seconds is not None:
         tol_us = int(round(float(tolerance_seconds) * 1_000_000))
-        fresh = ((_us(F.col(ts_col)) - _us(F.col(right_ts_alias)))
-                 <= F.lit(tol_us))
+        gap = (_us(F.col(ts_col)) - _us(F.col(right_ts_alias))
+               if direction == "backward"
+               else _us(F.col(right_ts_alias)) - _us(F.col(ts_col)))
+        fresh = gap <= F.lit(tol_us)
         out = out.select(
             *[F.col(c) for c in lcols],
             *[F.when(fresh, F.col(c)).alias(c)

@@ -203,3 +203,26 @@ def test_time_rollup_rejects_unknown_grain(spark):
                                "user_id bigint, ts timestamp, value double")
     with pytest.raises(ValueError):
         EV.time_rollup(df, "ts", "value", ("fortnight",))
+
+
+def test_asof_join_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _ts(5)), (11, 1, _ts(31))],
+        "event_id bigint, user_id bigint, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0), (1, _ts(30), 2.0)],
+        "user_id bigint, ts timestamp, state double")
+    got = {r.event_id: (r.state, r.matched_ts)
+           for r in EV.asof_join(left, right, "user_id", "ts", ["state"],
+                                 direction="forward").collect()}
+    assert got[10] == (1.0, _ts(5))      # equal ts matches (inclusive)
+    assert got[11] == (None, None)       # nothing at-or-after
+    tol = {r.event_id: r.state
+           for r in EV.asof_join(left, right, "user_id", "ts", ["state"],
+                                 direction="forward",
+                                 tolerance_seconds=60).collect()}
+    assert tol[10] == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EV.asof_join(left, right, "user_id", "ts", ["state"],
+                     direction="nearest")
