@@ -1462,6 +1462,16 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_funnel(spark, sf):
+        # signup -> click -> purchase conversion funnel, first-touch,
+        # 7-day horizon; the oracle is the per-step conditional-min chain
+        # (equivalent to the greedy fold: earliest match never hurts a
+        # later step)
+        e = events_table(spark, sf)
+        return EV.funnel(e, "user_id", "ts", "event_type",
+                         ["signup", "click", "purchase"],
+                         within_seconds=_ASOF_TOL)
+
     def q_asof_forward(spark, sf):
         # conversion analysis: each signup joined to the user's FIRST
         # purchase at-or-after it (forward as-of); DuckDB's native
@@ -1504,6 +1514,7 @@ def _events_queries():
         "events_range_join": q_range_join,
         "events_time_rollup": q_time_rollup,
         "events_asof_forward": q_asof_forward,
+        "events_funnel": q_funnel,
     }
 
 
@@ -8971,6 +8982,32 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/events.py::funnel: greedy first-touch == per-step
+    # conditional minima (t1 = min signup; t_i = min step_i with us > t_i-1
+    # and us - t1 <= horizon)
+    o["events_funnel"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 AND us - t1 <= 604800000000
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(us) AS t3
+       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 AND us - t1 <= 604800000000
+       GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed,
+  (t3 IS NOT NULL) AS converted,
+  make_timestamp(t1) AS step_1_ts,
+  make_timestamp(t2) AS step_2_ts,
+  make_timestamp(t3) AS step_3_ts
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
 """
     # operators/events.py::asof_join(direction='forward') == DuckDB's
     # native ASOF LEFT JOIN with <= (earliest right at-or-after)

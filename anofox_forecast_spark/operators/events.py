@@ -95,6 +95,61 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
     return out.withColumn("duration_seconds", dur)
 
 
+def funnel(df: DataFrame, key_col: str, ts_col: str, type_col: str,
+           steps: list[str], within_seconds: float | None = None) -> DataFrame:
+    """Funnel analysis (first-touch convention): for every key, how far
+    through the ordered ``steps`` sequence its event stream progresses.
+    Step 1 anchors at the key's EARLIEST step-1 event; each later step
+    matches its earliest event STRICTLY after the previous step's match;
+    ``within_seconds`` bounds the whole funnel from the step-1 anchor.
+
+    Output: ``(<key>, steps_completed, converted, step_1_ts..step_k_ts)``.
+    Greedy earliest matching makes per-step times the conditional minima —
+    the convention every funnel tool (and the SQL oracle) uses.
+
+    Scale shape: events are filtered to the funnel's types FIRST (the
+    hard prune — funnels are over rare event types), then one groupBy
+    collects each key's pruned, sorted (ts, type) list and a single
+    JVM-side ``aggregate`` fold walks it — one shuffle, no iteration, no
+    Python. Per-key state is the pruned event list; for keys with
+    pathological step-event counts, pre-aggregate or cap upstream.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    lit_steps = F.array(*[F.lit(s) for s in steps])
+    win_us = (None if within_seconds is None
+              else int(round(float(within_seconds) * 1_000_000)))
+    ev = (df.filter(F.col(type_col).isin(list(steps)))
+            .select(F.col(key_col), _us(F.col(ts_col)).alias("__us"),
+                    F.col(type_col).alias("__ty")))
+    arr = F.array_sort(F.collect_list(F.struct("__us", "__ty")))
+
+    def step(acc, e):
+        # F.get (0-based) is null-safe out of bounds — element_at would
+        # throw under ANSI when a guard's other branch still evaluates it
+        n = F.size(acc["t"])
+        ok = (n < k) & (e["__ty"] == F.get(lit_steps, n))
+        ok = ok & ((n == 0) | (e["__us"] > F.get(acc["t"], n - 1)))
+        if win_us is not None:
+            ok = ok & ((n == 0)
+                       | (e["__us"] - F.get(acc["t"], 0) <= win_us))
+        return F.when(ok, F.struct(
+            F.concat(acc["t"], F.array(e["__us"])).alias("t"))).otherwise(acc)
+
+    fold = F.aggregate(
+        arr,
+        F.struct(F.array().cast("array<long>").alias("t")),
+        step)["t"]
+    out = (ev.groupBy(key_col).agg(fold.alias("__t"))
+             .select(key_col,
+                     F.size("__t").alias("steps_completed"),
+                     (F.size("__t") == k).alias("converted"),
+                     *[F.timestamp_micros(F.get("__t", i))
+                        .alias(f"step_{i + 1}_ts") for i in range(k)]))
+    return out
+
+
 #: granularities accepted by time_rollup, in Spark/DuckDB date_trunc terms
 ROLLUP_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
 

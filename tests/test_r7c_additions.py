@@ -226,3 +226,46 @@ def test_asof_join_forward_direction(spark):
     with _pt.raises(ValueError):
         EV.asof_join(left, right, "user_id", "ts", ["state"],
                      direction="nearest")
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_greedy_first_touch(spark):
+    rows = [
+        (1, _ts(0), "signup"), (1, _ts(1), "click"), (1, _ts(2), "buy"),
+        (2, _ts(0), "click"), (2, _ts(1), "signup"), (2, _ts(2), "click"),
+        (3, _ts(0), "signup"),
+        (4, _ts(0), "other"),
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp, et string")
+    got = {r.uid: (r.steps_completed, r.converted, r.step_3_ts)
+           for r in EV.funnel(df, "uid", "ts", "et",
+                              ["signup", "click", "buy"]).collect()}
+    assert got[1] == (3, True, _ts(2))
+    # user 2: click BEFORE signup doesn't count; click after does; no buy
+    assert got[2] == (2, False, None)
+    assert got[3] == (1, False, None)
+    assert 4 not in got  # no funnel-type events at all
+
+
+def test_funnel_within_window(spark):
+    rows = [(1, _ts(0), "a"), (1, _ts(30), "b"),
+            (2, _ts(0), "a"), (2, _ts(5), "b")]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp, et string")
+    got = {r.uid: r.steps_completed
+           for r in EV.funnel(df, "uid", "ts", "et", ["a", "b"],
+                              within_seconds=600).collect()}
+    assert got == {1: 1, 2: 2}   # 30 min > 10 min window for user 1
+
+
+def test_funnel_single_shuffle(spark):
+    df = spark.createDataFrame([(1, _ts(0), "a")],
+                               "uid bigint, ts timestamp, et string")
+    out = EV.funnel(df, "uid", "ts", "et", ["a", "b"])
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EV.funnel(df, "uid", "ts", "et", [])
