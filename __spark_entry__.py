@@ -1462,6 +1462,11 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_retention(spark, sf):
+        # weekly cohort retention over all events
+        e = events_table(spark, sf)
+        return EV.retention(e, "user_id", "ts", "week")
+
     def q_funnel(spark, sf):
         # signup -> click -> purchase conversion funnel, first-touch,
         # 7-day horizon; the oracle is the per-step conditional-min chain
@@ -1515,6 +1520,7 @@ def _events_queries():
         "events_time_rollup": q_time_rollup,
         "events_asof_forward": q_asof_forward,
         "events_funnel": q_funnel,
+        "events_retention": q_retention,
     }
 
 
@@ -8982,6 +8988,22 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/events.py::retention: weekly cohorts; activity deduped
+    # to (key, week) before counting; rate = exact int/int division
+    o["events_retention"] = """
+WITH a AS (SELECT DISTINCT user_id AS k, date_trunc('week', ts) AS b
+           FROM events),
+f AS (SELECT k, min(b) AS cohort FROM a GROUP BY 1),
+c AS (SELECT cohort,
+             CAST((epoch_us(b) - epoch_us(cohort)) / 604800000000 AS INT)
+               AS period,
+             count(DISTINCT k) AS n_active
+      FROM a JOIN f USING (k) GROUP BY 1, 2),
+s AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT c.cohort, c.period, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+FROM c JOIN s USING (cohort)
 """
     # operators/events.py::funnel: greedy first-touch == per-step
     # conditional minima (t1 = min signup; t_i = min step_i with us > t_i-1

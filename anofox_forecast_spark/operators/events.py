@@ -150,6 +150,54 @@ def funnel(df: DataFrame, key_col: str, ts_col: str, type_col: str,
     return out
 
 
+def retention(df: DataFrame, key_col: str, ts_col: str,
+              cohort_grain: str = "week",
+              max_periods: int | None = None) -> DataFrame:
+    """Cohort retention: keys are grouped into cohorts by the truncated
+    time of their FIRST event; for each (cohort, period-offset) cell the
+    output counts how many of the cohort's keys were active that period.
+    Output: ``(cohort, period, n_active, cohort_size, retention_rate)``
+    with period 0 = the cohort's own bucket (so rate 1.0 by definition).
+
+    Scale shape: first-event per key is one min-aggregate; activity is
+    deduplicated to (key, period-bucket) BEFORE counting (the count-only
+    shuffle carries one row per key-period, not per event); the per-key
+    cohort stamp joins back on the key — all hash joins on the key
+    column, no windows, no Python. ``max_periods`` bounds the matrix.
+
+    Period offsets use integer month arithmetic for calendar grains
+    (``months_between`` on truncated buckets is exact) and epoch division
+    for fixed-width grains.
+    """
+    if cohort_grain not in ROLLUP_GRAINS:
+        raise ValueError(f"unknown grain {cohort_grain!r}; pick from "
+                         f"{ROLLUP_GRAINS}")
+    bucket = F.date_trunc(cohort_grain, F.col(ts_col))
+    acts = (df.select(F.col(key_col).alias("__k"), bucket.alias("__b"))
+              .distinct())
+    first = acts.groupBy("__k").agg(F.min("__b").alias("cohort"))
+    joined = acts.join(first, "__k")
+    if cohort_grain in ("month", "quarter", "year"):
+        mdiv = {"month": 1, "quarter": 3, "year": 12}[cohort_grain]
+        period = (F.months_between(F.col("__b"), F.col("cohort"))
+                  / mdiv).cast("int")
+    else:
+        width = {"hour": 3600, "day": 86400, "week": 7 * 86400}[cohort_grain]
+        period = ((_us(F.col("__b")) - _us(F.col("cohort")))
+                  / F.lit(width * 1_000_000)).cast("int")
+    cells = joined.withColumn("period", period)
+    if max_periods is not None:
+        cells = cells.filter(F.col("period") < int(max_periods))
+    counts = (cells.groupBy("cohort", "period")
+                   .agg(F.count_distinct("__k").alias("n_active")))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (counts.join(sizes, "cohort")
+            .select("cohort", "period", "n_active", "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size")).alias("retention_rate")))
+
+
 #: granularities accepted by time_rollup, in Spark/DuckDB date_trunc terms
 ROLLUP_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
 

@@ -3,6 +3,9 @@
     events -> gap sessionization -> session stats
            -> as-of join (each purchase picks up the latest signup state)
            -> range join (purchases x the sessions containing them)
+           -> funnel (signup -> click -> purchase, first-touch, 7-day)
+           -> weekly cohort retention
+           -> hour/day/week time rollup
 
 Every stage is one shuffle on the session/join key — the as-of join is
 the union-and-window encoding (no range product), the range join is the
@@ -22,9 +25,12 @@ def run(spark, sf_dir: str):
 
     from anofox_forecast_spark.operators.events import (
         asof_join,
+        funnel,
         range_join_points,
+        retention,
         session_stats,
         sessionize,
+        time_rollup,
     )
     from anofox_forecast_spark.sources import events_table
 
@@ -55,7 +61,14 @@ def run(spark, sf_dir: str):
                    .groupBy("event_id")
                    .agg(F.count(F.lit(1)).alias("concurrent_sessions")))
 
-    return sessions, stats, enriched, concurrency
+    # 5. funnel, retention, rollup — the classic event-analytics trio
+    fun = funnel(ev, "user_id", "ts", "event_type",
+                 ["signup", "click", "purchase"], within_seconds=7 * 86400)
+    ret = retention(ev, "user_id", "ts", "week")
+    rollup = time_rollup(ev, "ts", "value", ("hour", "day", "week"),
+                         key_cols=["event_type"])
+
+    return sessions, stats, enriched, concurrency, fun, ret, rollup
 
 
 if __name__ == "__main__":
@@ -64,7 +77,10 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="events-analytics")
     spark.sparkContext.setLogLevel("ERROR")
-    sessions, stats, enriched, concurrency = run(spark, sf)
+    sessions, stats, enriched, concurrency, fun, ret, rollup = run(spark, sf)
     print("sessions:", sessions.count(), "| session stats:", stats.count())
     enriched.show(5, truncate=False)
     concurrency.orderBy("concurrent_sessions", ascending=False).show(5)
+    print("converted:", fun.filter("converted").count(), "/", fun.count())
+    ret.orderBy("cohort", "period").show(10)
+    rollup.groupBy("granularity").count().show()

@@ -31,11 +31,14 @@ def test_llm_pipeline_example(spark):
 
 def test_events_analytics_example(spark):
     from examples.events_analytics import run
-    sessions, stats, enriched, concurrency = run(spark, SF_DIR)
+    sessions, stats, enriched, concurrency, fun, ret, rollup = run(spark, SF_DIR)
     assert sessions.count() > 0
     assert stats.count() > 0
     assert enriched.count() > 0
     assert concurrency.count() > 0
+    assert fun.count() > 0
+    assert ret.count() > 0
+    assert rollup.count() > 0
 
 
 def test_corpus_build_example(spark):

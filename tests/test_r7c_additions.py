@@ -269,3 +269,39 @@ def test_funnel_single_shuffle(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         EV.funnel(df, "uid", "ts", "et", [])
+
+
+# ---------------------------------------------------------------------------
+# retention
+# ---------------------------------------------------------------------------
+
+def test_retention_cohort_matrix(spark):
+    d0, d1, d2 = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8),
+                  dt.datetime(2024, 1, 15))
+    rows = [(1, d0), (1, d1), (1, d2),        # cohort w0, active w0 w1 w2
+            (2, d0), (2, d2),                 # cohort w0, active w0 w2
+            (3, d1)]                          # cohort w1, active w1 only
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp")
+    got = {(str(r.cohort), r.period): (r.n_active, r.cohort_size,
+                                       r.retention_rate)
+           for r in EV.retention(df, "uid", "ts", "week").collect()}
+    w0, w1 = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    assert got[(w0, 0)] == (2, 2, 1.0)
+    assert got[(w0, 1)] == (1, 2, 0.5)
+    assert got[(w0, 2)] == (2, 2, 1.0)
+    assert got[(w1, 0)] == (1, 1, 1.0)
+    assert (w1, 1) not in got
+
+
+def test_retention_month_grain_and_cap(spark):
+    rows = [(1, dt.datetime(2024, 1, 5)), (1, dt.datetime(2024, 4, 20))]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp")
+    got = {r.period for r in EV.retention(df, "uid", "ts", "month").collect()}
+    assert got == {0, 3}
+    capped = {r.period
+              for r in EV.retention(df, "uid", "ts", "month",
+                                    max_periods=2).collect()}
+    assert capped == {0}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EV.retention(df, "uid", "ts", "fortnight")
