@@ -1462,6 +1462,33 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_overlap_join(spark, sf):
+        # co-active sessions: even-user sessions x odd-user sessions whose
+        # intervals intersect — the binned interval x interval join with
+        # the canonical-meeting-bucket exactly-once rule
+        e = events_table(spark, sf)
+        sess = (EV.session_stats(e, "user_id", "ts", None, _SESS_GAP,
+                                 order_cols=["event_id"])
+                .select("user_id", "session_seq", "ts_start", "ts_end"))
+        l = (sess.filter(F.col("user_id") % 2 == 0)
+             .select(F.col("user_id").alias("l_user"),
+                     F.col("session_seq").alias("l_seq"),
+                     F.col("ts_start").alias("l_start"),
+                     F.col("ts_end").alias("l_end")))
+        r = (sess.filter(F.col("user_id") % 2 == 1)
+             .select(F.col("user_id").alias("r_user"),
+                     F.col("session_seq").alias("r_seq"),
+                     F.col("ts_start").alias("r_start"),
+                     F.col("ts_end").alias("r_end")))
+        return EV.interval_overlap_join(l, r, "l_start", "l_end",
+                                        "r_start", "r_end",
+                                        bucket_seconds=_SESS_GAP)
+
+    def q_transitions(spark, sf):
+        e = events_table(spark, sf)
+        return EV.event_transitions(e, "user_id", "ts", "event_type",
+                                    order_cols=["event_id"])
+
     def q_retention(spark, sf):
         # weekly cohort retention over all events
         e = events_table(spark, sf)
@@ -1521,6 +1548,8 @@ def _events_queries():
         "events_asof_forward": q_asof_forward,
         "events_funnel": q_funnel,
         "events_retention": q_retention,
+        "events_overlap_join": q_overlap_join,
+        "events_transitions": q_transitions,
     }
 
 
@@ -8988,6 +9017,41 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/events.py::interval_overlap_join: the binned join
+    # reduces to the plain inequality predicate the oracle states
+    o["events_overlap_join"] = """
+WITH sraw AS (SELECT user_id, ts, event_id,
+        (lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000) AS st
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+q AS (SELECT *, CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS seq FROM sraw),
+sess AS (SELECT user_id, seq, min(ts) AS a, max(ts) AS b
+         FROM q GROUP BY user_id, seq),
+l AS (SELECT user_id AS l_user, seq AS l_seq, a AS l_start, b AS l_end
+      FROM sess WHERE user_id % 2 = 0),
+r AS (SELECT user_id AS r_user, seq AS r_seq, a AS r_start, b AS r_end
+      FROM sess WHERE user_id % 2 = 1)
+SELECT l.*, r.* FROM l JOIN r
+  ON epoch_us(l_start) <= epoch_us(r_end)
+ AND epoch_us(r_start) <= epoch_us(l_end)
+"""
+    # operators/events.py::event_transitions: per-user lead pairs, counts,
+    # row-normalized probability (exact int/int double division)
+    o["events_transitions"] = """
+WITH p AS (SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n_transitions) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE) AS probability
+FROM c JOIN t USING (from_type)
 """
     # operators/events.py::retention: weekly cohorts; activity deduped
     # to (key, week) before counting; rate = exact int/int division

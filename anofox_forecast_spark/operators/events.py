@@ -280,6 +280,73 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
     return (p.join(i, on=on).filter(cond).drop("__b"))
 
 
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str, r_start: str,
+                          r_end: str, bucket_seconds: float = 3600.0,
+                          key_col: str | None = None) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    ``[start, end]`` ranges intersect (inclusive), optionally also matching
+    on ``key_col``. The binned encoding of :func:`range_join_points`
+    extended to two interval sides: both explode onto covered time
+    buckets, and the pair is kept only in its CANONICAL meeting bucket —
+    the bucket of ``max(l_start, r_start)``, which every overlapping pair
+    covers on both sides — so the join is exactly-once with no dedup
+    pass. Never a cross product.
+    """
+    clash = [c for c in right.columns if c in left.columns
+             and c != (key_col or "")]
+    if clash:
+        raise ValueError(f"column clash between sides: {clash}")
+    bus = int(round(float(bucket_seconds) * 1_000_000))
+    if bus <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    def explode_buckets(df, s, e):
+        return df.withColumn("__b", F.explode(F.sequence(
+            F.expr(f"unix_micros(cast({s} as timestamp)) div {bus}"),
+            F.expr(f"unix_micros(cast({e} as timestamp)) div {bus}"))))
+
+    l = explode_buckets(left, l_start, l_end)
+    r = explode_buckets(right, r_start, r_end)
+    on = ["__b"] + ([key_col] if key_col else [])
+    overlap = ((_us(F.col(l_start)) <= _us(F.col(r_end)))
+               & (_us(F.col(r_start)) <= _us(F.col(l_end))))
+    # integer `div`, same arithmetic as the explode bounds (float floor
+    # could round across a bucket edge at 2^50+ microsecond magnitudes)
+    canonical = (F.col("__b") == F.expr(
+        f"greatest(unix_micros(cast({l_start} as timestamp)), "
+        f"unix_micros(cast({r_start} as timestamp))) div {bus}"))
+    return l.join(r, on=on).filter(overlap & canonical).drop("__b")
+
+
+def event_transitions(df: DataFrame, key_col: str, ts_col: str,
+                      type_col: str,
+                      order_cols: list[str] | None = None) -> DataFrame:
+    """First-order transition matrix over each key's event stream (Markov
+    path analysis: "what do users do after X?"). Output:
+    ``(from_type, to_type, n_transitions, probability)`` where probability
+    is row-normalized over ``from_type``.
+
+    Scale shape: one per-key window (lead), then a count-only groupBy on
+    the (from, to) pair — cardinality = |type|², tiny — and the
+    normalization joins the per-from totals back. Integer counts, exact
+    int/int probability division.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (df.select(F.col(type_col).alias("from_type"),
+                       F.lead(F.col(type_col)).over(w).alias("to_type"))
+               .filter(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+                   .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__tot"))
+    return (counts.join(totals, "from_type")
+            .select("from_type", "to_type", "n_transitions",
+                    (F.col("n_transitions").cast("double")
+                     / F.col("__tot").cast("double")).alias("probability")))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key_col: str,
               ts_col: str, value_cols: list[str],
               tolerance_seconds: float | None = None,

@@ -305,3 +305,52 @@ def test_retention_month_grain_and_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         EV.retention(df, "uid", "ts", "fortnight")
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join / event_transitions
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_exactly_once(spark):
+    """Overlapping pairs appear exactly once even when both intervals span
+    many buckets; touching endpoints (inclusive) match; disjoint don't."""
+    l = spark.createDataFrame(
+        [(1, _ts(0), _ts(30)), (2, _ts(40), _ts(45))],
+        "lid bigint, ls timestamp, le timestamp")
+    r = spark.createDataFrame(
+        [(10, _ts(30), _ts(50)),   # touches 1 at minute 30; overlaps 2
+         (11, _ts(31), _ts(39))],  # disjoint from both
+        "rid bigint, rs timestamp, re timestamp")
+    got = sorted((x.lid, x.rid) for x in EV.interval_overlap_join(
+        l, r, "ls", "le", "rs", "re", bucket_seconds=60).collect())
+    assert got == [(1, 10), (2, 10)]
+
+
+def test_interval_overlap_keyed_and_plan(spark):
+    l = spark.createDataFrame([(1, 7, _ts(0), _ts(10))],
+                              "lid bigint, k bigint, ls timestamp, le timestamp")
+    r = spark.createDataFrame(
+        [(7, _ts(5), _ts(15)), (8, _ts(5), _ts(15))],
+        "k bigint, rs timestamp, re timestamp")
+    got = EV.interval_overlap_join(l, r, "ls", "le", "rs", "re", 600,
+                                   key_col="k").collect()
+    assert len(got) == 1 and got[0].k == 7
+    rep = P.plan_report(EV.interval_overlap_join(
+        l, r.withColumnRenamed("k", "k2"), "ls", "le", "rs", "re", 600))
+    assert rep["cartesian_products"] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):   # un-keyed shared column is a clash
+        EV.interval_overlap_join(l, r, "ls", "le", "rs", "re", 600)
+
+
+def test_event_transitions_matrix(spark):
+    rows = [(1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "a"),
+            (2, _ts(0), "a"), (2, _ts(1), "b"), (2, _ts(2), "b")]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp, et string")
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.probability)
+           for r in EV.event_transitions(df, "uid", "ts", "et").collect()}
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "b")] == (1, 0.5)
+    # no cross-key transition (1's last 'a' never pairs with 2's first 'a')
+    assert ("a", "a") not in got
