@@ -354,3 +354,16 @@ def test_event_transitions_matrix(spark):
     assert got[("b", "b")] == (1, 0.5)
     # no cross-key transition (1's last 'a' never pairs with 2's first 'a')
     assert ("a", "a") not in got
+
+
+def test_retention_and_transitions_plan_shapes(spark):
+    df = spark.createDataFrame([(1, _ts(0), "a", 1.0)],
+                               "uid bigint, ts timestamp, et string, v double")
+    ret = EV.retention(df, "uid", "ts", "week")
+    rep = P.plan_report(ret)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    tr = EV.event_transitions(df, "uid", "ts", "et")
+    rep = P.plan_report(tr)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
