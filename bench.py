@@ -83,6 +83,9 @@ def main() -> None:
         "dedup_minhash_lsh",
         "similarity_topk",
         "search_bm25",
+        # event analytics (r7): one window-sort family + the one-scan rollup
+        "events_sessionize",
+        "events_time_rollup",
     ]
     qs = entry_mod.queries()
 
