@@ -137,3 +137,67 @@ def test_range_join_matches_bruteforce(spark, points, ivals, bucket):
     expect = sorted((i, j) for i, s in enumerate(points)
                     for j, (a, w) in enumerate(ivals) if a <= s <= a + w)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# funnel vs linear reference
+# ---------------------------------------------------------------------------
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 3000),
+                          st.sampled_from(["a", "b", "c", "x"])),
+                min_size=1, max_size=25, unique_by=lambda t: t[0]),
+       st.one_of(st.none(), st.integers(1, 2000)))
+def test_funnel_matches_linear_reference(spark, events, within):
+    from anofox_forecast_spark.operators.events import funnel
+    rows = [(1, EPOCH + dt.timedelta(seconds=s), t) for s, t in events]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp, et string")
+    steps = ["a", "b", "c"]
+    got = {r.uid: r.steps_completed
+           for r in funnel(df, "uid", "ts", "et", steps,
+                           within_seconds=within).collect()}
+    # linear greedy reference
+    times = []
+    for s, t in sorted(e for e in events if e[1] in steps):
+        n = len(times)
+        if (n < 3 and t == steps[n]
+                and (n == 0 or s > times[-1])
+                and (n == 0 or within is None or s - times[0] <= within)):
+            times.append(s)
+    if any(t in steps for _, t in events):
+        assert got[1] == len(times)
+    else:
+        assert 1 not in got
+
+
+# ---------------------------------------------------------------------------
+# retention vs dict reference
+# ---------------------------------------------------------------------------
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 40)),
+                min_size=1, max_size=30))
+def test_retention_matches_reference(spark, pairs):
+    """pairs = (key, day-offset); week cohorts computed by hand."""
+    from anofox_forecast_spark.operators.events import retention
+    rows = [(k, EPOCH + dt.timedelta(days=d)) for k, d in pairs]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp")
+    got = {(str(r.cohort), r.period): (r.n_active, r.cohort_size)
+           for r in retention(df, "uid", "ts", "week").collect()}
+    # reference: EPOCH (2024-01-01) is a Monday, so week = day // 7
+    weeks = {}
+    for k, d in pairs:
+        weeks.setdefault(k, set()).add(d // 7)
+    first = {k: min(ws) for k, ws in weeks.items()}
+    ref = {}
+    for k, ws in weeks.items():
+        for w in ws:
+            key = (str(EPOCH + dt.timedelta(weeks=first[k])), w - first[k])
+            ref[key] = ref.get(key, 0) + 1
+    sizes = {}
+    for k, f in first.items():
+        c = str(EPOCH + dt.timedelta(weeks=f))
+        sizes[c] = sizes.get(c, 0) + 1
+    assert {kk: v[0] for kk, v in got.items()} == ref
+    for (c, _), (_, size) in got.items():
+        assert size == sizes[c]
