@@ -1462,6 +1462,12 @@ def _events_queries():
         return EV.asof_join(left, right, "user_id", "ts", ["signup_value"],
                             tolerance_seconds=_ASOF_TOL)
 
+    def q_group_quantiles(spark, sf):
+        from anofox_forecast_spark.operators.stats import group_quantiles
+        e = events_table(spark, sf)
+        return group_quantiles(e, ["event_type"], "value",
+                               (0.25, 0.5, 0.75, 0.95))
+
     def q_overlap_join(spark, sf):
         # co-active sessions: even-user sessions x odd-user sessions whose
         # intervals intersect — the binned interval x interval join with
@@ -1550,6 +1556,7 @@ def _events_queries():
         "events_retention": q_retention,
         "events_overlap_join": q_overlap_join,
         "events_transitions": q_transitions,
+        "stats_group_quantiles": q_group_quantiles,
     }
 
 
@@ -1898,6 +1905,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "search_tfidf": (["tfidf"], 6),
     # float accumulation order (Spark partial aggs vs DuckDB) — ulp only
     "events_time_rollup": (["value_sum"], 6),
+    # interpolation arithmetic is expression-identical; pin like the
+    # conformal quantiles
+    "stats_group_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
 }
 
 
@@ -9017,6 +9027,22 @@ SELECT p.event_id, p.user_id, p.ts, p.value,
 FROM p JOIN sess2 s
   ON epoch_us(p.ts) >= epoch_us(s.ts_start)
  AND epoch_us(p.ts) <= epoch_us(s.ts_end)
+"""
+    # operators/stats.py::group_quantiles: exact type-7 (numpy linear)
+    # interpolated selection on the per-group sorted value list — the
+    # conformal family's convention, identical expressions both sides
+    o["stats_group_quantiles"] = """
+WITH g AS (SELECT event_type,
+                  list_sort(list(CAST(value AS DOUBLE))
+                            FILTER (WHERE value IS NOT NULL)) AS arr,
+                  CAST(count(value) AS INT) AS n
+           FROM events GROUP BY 1)
+SELECT event_type, n,
+       CASE WHEN n = 1 THEN arr[1] ELSE arr[CAST(floor(0.25 * (n - 1)) AS INT) + 1] * (1.0 - (0.25 * CAST(n - 1 AS DOUBLE) - floor(0.25 * (n - 1)))) + arr[least(CAST(floor(0.25 * (n - 1)) AS INT) + 2, n)] * (0.25 * CAST(n - 1 AS DOUBLE) - floor(0.25 * (n - 1))) END AS q_0_25,
+       CASE WHEN n = 1 THEN arr[1] ELSE arr[CAST(floor(0.5 * (n - 1)) AS INT) + 1] * (1.0 - (0.5 * CAST(n - 1 AS DOUBLE) - floor(0.5 * (n - 1)))) + arr[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, n)] * (0.5 * CAST(n - 1 AS DOUBLE) - floor(0.5 * (n - 1))) END AS q_0_5,
+       CASE WHEN n = 1 THEN arr[1] ELSE arr[CAST(floor(0.75 * (n - 1)) AS INT) + 1] * (1.0 - (0.75 * CAST(n - 1 AS DOUBLE) - floor(0.75 * (n - 1)))) + arr[least(CAST(floor(0.75 * (n - 1)) AS INT) + 2, n)] * (0.75 * CAST(n - 1 AS DOUBLE) - floor(0.75 * (n - 1))) END AS q_0_75,
+       CASE WHEN n = 1 THEN arr[1] ELSE arr[CAST(floor(0.95 * (n - 1)) AS INT) + 1] * (1.0 - (0.95 * CAST(n - 1 AS DOUBLE) - floor(0.95 * (n - 1)))) + arr[least(CAST(floor(0.95 * (n - 1)) AS INT) + 2, n)] * (0.95 * CAST(n - 1 AS DOUBLE) - floor(0.95 * (n - 1))) END AS q_0_95
+FROM g
 """
     # operators/events.py::interval_overlap_join: the binned join
     # reduces to the plain inequality predicate the oracle states

@@ -653,3 +653,39 @@ def ts_data_quality_summary(df: DataFrame, group_col: str, ds_col: str,
         F.sum(F.when(s < 0.5, 1).otherwise(0)).alias("n_poor"),
         F.avg(s).alias("avg_score"),
     )
+
+
+def group_quantiles(df: DataFrame, key_cols: list[str], value_col: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """EXACT per-group quantiles (numpy type-7 linear interpolation — the
+    same convention as the conformal family), beyond-parity EDA surface.
+    Output: key columns + ``n`` + one ``q_<percent>`` column per quantile.
+
+    Unlike ``percentile_approx``, results are deterministic on any
+    partitioning and replayable by an engine-side sorted-list fold: each
+    group's non-null values are collected and sorted once, and every
+    quantile is an interpolated selection on that array (JVM higher-order
+    expressions, no Python). Per-group state is the group's value list —
+    right for grouped EDA (groups of up to ~millions of rows); for
+    corpus-wide single-group quantiles at 100 TB use a distributed sketch
+    instead.
+    """
+    from pyspark.sql import functions as F
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    arr = F.array_sort(F.collect_list(
+        F.when(F.col(value_col).isNotNull(),
+               F.col(value_col).cast("double"))))
+    base = df.groupBy(*key_cols).agg(arr.alias("__a"))
+    n = F.size("__a")
+    cols = [n.alias("n")]
+    for q in qs:
+        ix = F.lit(float(q)) * (n - 1).cast("double")
+        lo = F.floor(ix).cast("int")
+        frac = ix - lo.cast("double")
+        val = F.when(n == 1, F.get("__a", 0)).otherwise(
+            F.get("__a", lo) * (F.lit(1.0) - frac)
+            + F.get("__a", F.least(lo + 1, n - 1)) * frac)
+        label = f"q_{str(q).replace('.', '_')}"
+        cols.append(val.alias(label))
+    return base.select(*key_cols, *cols)

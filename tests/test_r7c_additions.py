@@ -367,3 +367,17 @@ def test_retention_and_transitions_plan_shapes(spark):
     rep = P.plan_report(tr)
     assert rep["cartesian_products"] == 0
     assert rep["python_udf_nodes"] == 0
+
+
+def test_group_quantiles_type7(spark):
+    import numpy as np
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    rows = [("g", v) for v in vals] + [("h", 7.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    from anofox_forecast_spark.operators.stats import group_quantiles
+    got = {r.k: r for r in group_quantiles(df, ["k"], "v",
+                                           (0.25, 0.5, 0.9)).collect()}
+    for q, col in ((0.25, "q_0_25"), (0.5, "q_0_5"), (0.9, "q_0_9")):
+        assert got["g"][col] == pytest.approx(
+            float(np.quantile(vals, q)), rel=1e-12)
+    assert got["h"].q_0_5 == 7.0 and got["h"].n == 1
