@@ -1432,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: r7c event-analytics parameters, shared between query and oracle sides
 _SESS_GAP = 3600.0
 _ASOF_TOL = 7 * 86400.0
+_FUNNEL_CAP = 25  # per-key pruned-event cap for the capped funnel variant
 
 
 def _events_queries():
@@ -1510,6 +1511,17 @@ def _events_queries():
                          ["signup", "click", "purchase"],
                          within_seconds=_ASOF_TOL)
 
+    def q_funnel_capped(spark, sf):
+        # same funnel with the hot-key memory guard: each user's pruned
+        # step-event stream is capped to its EARLIEST 25 events before the
+        # fold (row_number over the fold's own (ts, type) order), so one
+        # pathological key can't hold an unbounded list on an executor
+        e = events_table(spark, sf)
+        return EV.funnel(e, "user_id", "ts", "event_type",
+                         ["signup", "click", "purchase"],
+                         within_seconds=_ASOF_TOL,
+                         max_events_per_key=_FUNNEL_CAP)
+
     def q_asof_forward(spark, sf):
         # conversion analysis: each signup joined to the user's FIRST
         # purchase at-or-after it (forward as-of); DuckDB's native
@@ -1553,6 +1565,7 @@ def _events_queries():
         "events_time_rollup": q_time_rollup,
         "events_asof_forward": q_asof_forward,
         "events_funnel": q_funnel,
+        "events_funnel_capped": q_funnel_capped,
         "events_retention": q_retention,
         "events_overlap_join": q_overlap_join,
         "events_transitions": q_transitions,
@@ -8145,8 +8158,12 @@ def _pipeline_oracles() -> dict[str, str]:
     from anofox_forecast_spark.operators.pipeline import GOPHER_THRESHOLDS as T
     o: dict[str, str] = {}
 
-    dup_lines = ("list_filter(lines, x -> "
-                 "len(list_filter(lines, y -> y = x)) >= 2)")
+    # beyond-the-first convention: a line's first occurrence is not a
+    # duplicate (matches operators/pipeline.py::gopher_stats)
+    ndl_expr = "len(lines) - len(list_distinct(lines))"
+    dlc_expr = ("coalesce(list_sum(list_transform(list_distinct(lines), "
+                "x -> (len(list_filter(lines, y -> y = x)) - 1) "
+                "* length(x))), 0)")
     o["pipeline_gopher"] = f"""
 WITH base AS (
   SELECT doc_id, text, length(text) AS nc,
@@ -8154,8 +8171,8 @@ WITH base AS (
   FROM documents),
 b AS (
   SELECT doc_id, nc, ws, len(ws) AS nw, len(lines) AS nl,
-    len({dup_lines}) AS ndl,
-    coalesce(list_sum(list_transform({dup_lines}, x -> length(x))), 0) AS dlc,
+    {ndl_expr} AS ndl,
+    {dlc_expr} AS dlc,
     len(regexp_extract_all(text, '#|\\.\\.\\.')) AS nsym,
     len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS nalpha,
     coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS wlen
@@ -8279,20 +8296,24 @@ WITH t AS (
     {pu} AS u, CAST({bh} % {_PACK_B} AS INTEGER) AS bucket
   FROM documents),
 off AS (
+  -- CAST: DuckDB's window SUM over BIGINT yields HUGEINT, which pandas
+  -- renders as float64; Spark emits bigint. Cast so the driver's typed
+  -- hash compares int-to-int (r7's only red was this dtype artifact).
   SELECT doc_id, n_tokens, bucket,
-    coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS token_offset
   FROM t)
 SELECT doc_id, n_tokens, bucket, token_offset,
-  token_offset // {_PACK_W} AS start_chunk,
-  CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // {_PACK_W}
-       ELSE token_offset // {_PACK_W} END AS end_chunk,
-  CASE WHEN n_tokens > 0
+  CAST(token_offset // {_PACK_W} AS BIGINT) AS start_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // {_PACK_W}
+       ELSE token_offset // {_PACK_W} END AS BIGINT) AS end_chunk,
+  CAST(CASE WHEN n_tokens > 0
        THEN (CASE WHEN n_tokens > 0
                   THEN (token_offset + n_tokens - 1) // {_PACK_W}
                   ELSE token_offset // {_PACK_W} END)
             - token_offset // {_PACK_W} + 1
-       ELSE 0 END AS n_chunks
+       ELSE 0 END AS BIGINT) AS n_chunks
 FROM off
 """
     # pipeline.dedup_lines over space->newline rewritten docs: words become
@@ -9101,6 +9122,39 @@ FROM c JOIN s USING (cohort)
     o["events_funnel"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
            WHERE event_type IN ('signup', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(us) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 AND us - t1 <= 604800000000
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(us) AS t3
+       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 AND us - t1 <= 604800000000
+       GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed,
+  (t3 IS NOT NULL) AS converted,
+  make_timestamp(t1) AS step_1_ts,
+  make_timestamp(t2) AS step_2_ts,
+  make_timestamp(t3) AS step_3_ts
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+    # capped variant: the per-key event stream is cut to its earliest
+    # _FUNNEL_CAP rows (row_number over the fold's own (us, type) order —
+    # post-prune ties are identical rows, so the kept multiset is
+    # deterministic) BEFORE the conditional-min chain, mirroring
+    # events.funnel(max_events_per_key=...)
+    o["events_funnel_capped"] = f"""
+WITH e0 AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+            WHERE event_type IN ('signup', 'click', 'purchase')),
+e AS (SELECT user_id, us, event_type FROM (
+      SELECT user_id, us, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY us, event_type)
+          AS rn
+      FROM e0) WHERE rn <= {_FUNNEL_CAP}),
 s1 AS (SELECT user_id, min(us) AS t1 FROM e
        WHERE event_type = 'signup' GROUP BY 1),
 s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)

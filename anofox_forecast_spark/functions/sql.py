@@ -2574,6 +2574,315 @@ _R4B_UDTFS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# beyond-parity families on the SQL surface (r8): events_*, search_*
+#
+# The DataFrame ops (operators/events.py, operators/search.py) are the
+# performance paths — pure Catalyst, one shuffle each. These UDTFs are the
+# SQL-string compatibility forms, value-identical to the DataFrame ops
+# (pinned in tests/test_sql_surface.py).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import json as _json
+import re as _re
+
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _py_us(v):
+    """Epoch microseconds for a timestamp value as PySpark hands it to a
+    UDTF: naive datetime for TIMESTAMP/TIMESTAMP_NTZ under the session
+    factory's UTC timezone, aware datetime when zoned, int = epoch seconds
+    (mirroring events._us's CAST(bigint AS timestamp))."""
+    if isinstance(v, _dt.datetime):
+        epoch = _EPOCH_UTC if v.tzinfo is not None else _EPOCH_NAIVE
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    return int(v) * 1_000_000
+
+
+def _py_words(s):
+    """Python replay of pipeline._words: trim spaces (F.trim strips the
+    space character only), lowercase, ASCII ``\\s+`` split (Java regex
+    semantics)."""
+    if s is None:
+        return []
+    t = s.strip(" ")
+    if not t:
+        return []
+    return _re.split(r"\s+", t.lower(), flags=_re.ASCII)
+
+
+def _py_trunc(grain: str, v: _dt.datetime) -> _dt.datetime:
+    """Python replay of Spark date_trunc for the ROLLUP_GRAINS."""
+    if grain == "hour":
+        return v.replace(minute=0, second=0, microsecond=0)
+    d = v.replace(hour=0, minute=0, second=0, microsecond=0)
+    if grain == "day":
+        return d
+    if grain == "week":                      # Monday start, like Spark
+        return d - _dt.timedelta(days=d.weekday())
+    if grain == "month":
+        return d.replace(day=1)
+    if grain == "quarter":
+        return d.replace(month=3 * ((d.month - 1) // 3) + 1, day=1)
+    if grain == "year":
+        return d.replace(month=1, day=1)
+    raise ValueError(f"unknown grain {grain!r}")
+
+
+class EventsSessionizeUDTF:
+    """``events_sessionize(TABLE(t), key_col, ts_col, gap_seconds)`` — SQL
+    form of ``operators/events.py::sessionize``. Output = input columns +
+    ``is_session_start`` + ``session_seq``. ``analyze`` requests PARTITION
+    BY key and ORDER BY ts, so Catalyst plans the same single per-key
+    Exchange as the DataFrame path; the walk is the same strict
+    integer-microsecond gap rule."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                ts_col: AnalyzeArgument,
+                gap_seconds: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        out = T.StructType(
+            list(schema.fields)
+            + [T.StructField("is_session_start", T.BooleanType()),
+               T.StructField("session_seq", T.LongType())])
+        return AnalyzeResult(
+            schema=out,
+            partitionBy=[PartitioningColumn(key_col.value)],
+            orderBy=[OrderingColumn(ts_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, key_col, ts_col, gap_seconds):
+        self._args = (ts_col, float(gap_seconds))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        ts_col, gap = self._args
+        gap_us = int(round(gap * 1_000_000))
+        seq, prev = 0, None
+        for r in self._rows:
+            us = _py_us(r[ts_col])
+            new = prev is None or (us - prev) > gap_us
+            if new:
+                seq += 1
+            prev = us
+            yield (*r, bool(new), seq)
+
+
+class EventsAsofJoinUDTF:
+    """``events_asof_join(TABLE(u), key_col, ts_col, side_col,
+    value_cols_json, direction[, tolerance_seconds])`` — SQL form of
+    ``operators/events.py::asof_join`` over the union-tagged encoding the
+    DataFrame op builds internally: ``u`` = left rows with ``side_col=1``
+    unioned with right rows carrying the value columns and ``side_col=0``
+    (value columns null on left rows). Output: all columns except the side
+    column, value columns carried from the nearest right row, plus
+    ``matched_ts``. Left-join semantics, inclusive bounds, per-column
+    ``last(ignorenulls)`` carry — exactly the DataFrame op's rules."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                ts_col: AnalyzeArgument, side_col: AnalyzeArgument,
+                value_cols_json: AnalyzeArgument,
+                direction: AnalyzeArgument,
+                tolerance_seconds: AnalyzeArgument | None = None
+                ) -> AnalyzeResult:
+        schema = table.dataType
+        vcols = list(_json.loads(value_cols_json.value))
+        side = side_col.value
+        ts = ts_col.value
+        keep = [f for f in schema.fields
+                if f.name != side and f.name not in vcols]
+        out = T.StructType(
+            keep
+            + [T.StructField(c, schema[c].dataType) for c in vcols]
+            + [T.StructField("matched_ts", schema[ts].dataType)])
+        return AnalyzeResult(
+            schema=out,
+            partitionBy=[PartitioningColumn(key_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, key_col, ts_col, side_col, value_cols_json,
+             direction, tolerance_seconds=None):
+        self._args = (ts_col, side_col, value_cols_json, direction,
+                      tolerance_seconds)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        ts_col, side_col, vjson, direction, tol = self._args
+        if direction not in ("backward", "forward"):
+            raise ValueError(f"unknown direction {direction!r}")
+        vcols = list(_json.loads(vjson))
+        back = direction == "backward"
+        tol_us = (None if tol is None
+                  else int(round(float(tol) * 1_000_000)))
+        # (ts asc, side asc) for backward; (ts desc, side asc) forward —
+        # right (side 0) before left at equal ts, so equality matches
+        rows = sorted(self._rows,
+                      key=lambda r: (_py_us(r[ts_col]) * (1 if back else -1),
+                                     r[side_col]))
+        out_cols = [c for c in self._rows[0].__fields__
+                    if c != side_col and c not in vcols]
+        carried = {c: None for c in vcols}
+        matched = None                        # (value, us)
+        for r in rows:
+            if r[side_col] == 0:
+                for c in vcols:
+                    if r[c] is not None:
+                        carried[c] = r[c]
+                matched = (r[ts_col], _py_us(r[ts_col]))
+                continue
+            vals, mts = dict(carried), matched
+            if tol_us is not None:
+                if mts is None:
+                    vals, mts = {c: None for c in vcols}, None
+                else:
+                    gap = (_py_us(r[ts_col]) - mts[1] if back
+                           else mts[1] - _py_us(r[ts_col]))
+                    if gap > tol_us:
+                        vals, mts = {c: None for c in vcols}, None
+            yield (*[r[c] for c in out_cols],
+                   *[vals[c] for c in vcols],
+                   mts[0] if mts is not None else None)
+
+
+class EventsTimeRollupUDTF:
+    """``events_time_rollup(TABLE(t), ts_col, value_col, grains_json[,
+    key_col])`` — SQL form of ``operators/events.py::time_rollup`` with
+    one optional key column. ``analyze`` partitions by the key when given
+    (one hash exchange, each key's cells aggregate locally — the same
+    (granularity, bucket, key) cells as the DataFrame op); keyless falls
+    back to a single partition (audit scale only — use the DataFrame op
+    on a large corpus)."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, ts_col: AnalyzeArgument,
+                value_col: AnalyzeArgument, grains_json: AnalyzeArgument,
+                key_col: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        fields = [T.StructField("granularity", T.StringType()),
+                  T.StructField("bucket", schema[ts_col.value].dataType)]
+        if key_col is not None:
+            fields.append(T.StructField(
+                key_col.value, schema[key_col.value].dataType))
+        fields += [T.StructField("n", T.LongType()),
+                   T.StructField("value_sum", T.DoubleType()),
+                   T.StructField("value_min", T.DoubleType()),
+                   T.StructField("value_max", T.DoubleType())]
+        out = T.StructType(fields)
+        if key_col is not None:
+            return AnalyzeResult(
+                schema=out,
+                partitionBy=[PartitioningColumn(key_col.value)])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, ts_col, value_col, grains_json, key_col=None):
+        self._args = (ts_col, value_col, grains_json, key_col)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        ts_col, value_col, grains_json, key_col = self._args
+        from ..operators.events import ROLLUP_GRAINS
+        grains = list(_json.loads(grains_json))
+        bad = [g for g in grains if g not in ROLLUP_GRAINS]
+        if bad:
+            raise ValueError(f"unknown granularities {bad}; pick from "
+                             f"{ROLLUP_GRAINS}")
+        cells: dict = {}
+        for r in self._rows:
+            v = r[value_col]
+            v = float(v) if v is not None else None
+            key = r[key_col] if key_col is not None else None
+            for g in grains:
+                b = _py_trunc(g, r[ts_col])
+                c = cells.setdefault((g, b, key), [0, None, None, None])
+                c[0] += 1
+                if v is not None:
+                    c[1] = v if c[1] is None else c[1] + v
+                    c[2] = v if c[2] is None else min(c[2], v)
+                    c[3] = v if c[3] is None else max(c[3], v)
+        for (g, b, key), (n, s, mn, mx) in sorted(
+                cells.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+            if key_col is not None:
+                yield (g, b, key, n, s, mn, mx)
+            else:
+                yield (g, b, n, s, mn, mx)
+
+
+class SearchBm25UDTF:
+    """``search_bm25(TABLE(docs), id_col, text_col, terms_json[, k1, b])``
+    — SQL form of ``operators/search.py::bm25_score``: every document
+    scored (compose ``ORDER BY score DESC LIMIT k`` for ``bm25_topk``).
+    BM25 needs corpus-global stats (N, avgdl, per-term df), so ``analyze``
+    requests a single partition — the audit-scale convenience form; the
+    DataFrame op (narrow tf map + one broadcast 1-row aggregate) is the
+    scale path. Same Lucene idf, same tokenizer, same term-order float
+    accumulation."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument, terms_json: AnalyzeArgument,
+                k1: AnalyzeArgument | None = None,
+                b: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        out = T.StructType(
+            [T.StructField(id_col.value, schema[id_col.value].dataType),
+             T.StructField("score", T.DoubleType())])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, terms_json, k1=None, b=None):
+        self._args = (id_col, text_col, terms_json,
+                      1.2 if k1 is None else float(k1),
+                      0.75 if b is None else float(b))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, terms_json, k1, b = self._args
+        terms = [str(t).lower() for t in _json.loads(terms_json)]
+        if not terms:
+            raise ValueError("query_terms must be non-empty")
+        docs = []
+        for r in self._rows:
+            ws = _py_words(r[text_col])
+            docs.append((r[id_col], len(ws),
+                         [sum(1 for w in ws if w == t) for t in terms]))
+        n = float(len(docs))
+        sumdl = sum(d[1] for d in docs)
+        avgdl = float(sumdl) / n
+        dfs = [float(sum(1 for d in docs if d[2][i] > 0))
+               for i in range(len(terms))]
+        for did, dl, tfs in docs:
+            score = 0.0
+            for i in range(len(terms)):
+                tf = float(tfs[i])
+                idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+                score = score + idf * (tf * (k1 + 1.0)
+                                       / (tf + k1 * (1.0 - b
+                                                     + b * float(dl) / avgdl)))
+            yield (did, score)
+
+
 #: every registered SQL name (populated by register_all's first run);
 #: each also gets the reference's ``anofox_fcst_`` alias
 #: (``ts_macros.cpp:2185-2197`` registers both spellings for every macro).
@@ -2620,6 +2929,12 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("ts_stats", StatsUDTF)  # ref registers both spellings
     for name, cls in _R4B_UDTFS.items():
         reg_udtf(name, cls)
+    # beyond-parity event/search families (r8) — SQL forms of the stable
+    # DataFrame ops, value-identical (tests/test_sql_surface.py pins)
+    reg_udtf("events_sessionize", EventsSessionizeUDTF)
+    reg_udtf("events_asof_join", EventsAsofJoinUDTF)
+    reg_udtf("events_time_rollup", EventsTimeRollupUDTF)
+    reg_udtf("search_bm25", SearchBm25UDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

@@ -505,6 +505,13 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
         labels = short.select("id", "lbl")
         if short.filter(F.col("lbl") != F.col("prev")).limit(1).count() == 0:
             break
+    else:
+        # max_iter rounds elapsed without the change probe reaching zero:
+        # the labels are PARTIAL components — returning them silently
+        # would under-merge clusters (a correctness bug, not a perf one)
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iter={max_iter} rounds; "
+            "raise max_iter (pointer doubling needs ~log2(diameter) + 2)")
     sz = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sz, "lbl")
             .select("id", F.col("lbl").alias("cluster_id"), "cluster_size",

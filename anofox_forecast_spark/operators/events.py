@@ -96,7 +96,8 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
 
 
 def funnel(df: DataFrame, key_col: str, ts_col: str, type_col: str,
-           steps: list[str], within_seconds: float | None = None) -> DataFrame:
+           steps: list[str], within_seconds: float | None = None,
+           max_events_per_key: int | None = None) -> DataFrame:
     """Funnel analysis (first-touch convention): for every key, how far
     through the ordered ``steps`` sequence its event stream progresses.
     Step 1 anchors at the key's EARLIEST step-1 event; each later step
@@ -111,11 +112,17 @@ def funnel(df: DataFrame, key_col: str, ts_col: str, type_col: str,
     hard prune — funnels are over rare event types), then one groupBy
     collects each key's pruned, sorted (ts, type) list and a single
     JVM-side ``aggregate`` fold walks it — one shuffle, no iteration, no
-    Python. Per-key state is the pruned event list; for keys with
-    pathological step-event counts, pre-aggregate or cap upstream.
+    Python. Per-key state is the pruned event list; ``max_events_per_key``
+    caps it (row_number over the fold's own (ts, type) ordering, keeping
+    the EARLIEST events — greedy matching never consults later ones
+    unless earlier ones miss, so the cap only affects pathological keys)
+    so one hot key can't hold a whole key-group's event list in a single
+    executor's memory at 100 TB.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_events_per_key is not None and max_events_per_key < 1:
+        raise ValueError("max_events_per_key must be >= 1")
     k = len(steps)
     lit_steps = F.array(*[F.lit(s) for s in steps])
     win_us = (None if within_seconds is None
@@ -123,6 +130,14 @@ def funnel(df: DataFrame, key_col: str, ts_col: str, type_col: str,
     ev = (df.filter(F.col(type_col).isin(list(steps)))
             .select(F.col(key_col), _us(F.col(ts_col)).alias("__us"),
                     F.col(type_col).alias("__ty")))
+    if max_events_per_key is not None:
+        # Same total order as the fold's array_sort(struct(us, ty)): rows
+        # that tie on both are identical post-prune, so the kept multiset
+        # is deterministic on any partitioning.
+        wcap = Window.partitionBy(key_col).orderBy("__us", "__ty")
+        ev = (ev.withColumn("__rn", F.row_number().over(wcap))
+                .filter(F.col("__rn") <= max_events_per_key)
+                .drop("__rn"))
     arr = F.array_sort(F.collect_list(F.struct("__us", "__ty")))
 
     def step(acc, e):
@@ -259,7 +274,9 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
     Output: all point columns + all interval columns (names must not
     clash). Scale shape: one explode bounded by interval length, one
     hash-partitioned equi-join on (bucket[, key]) — never a cross product;
-    bucket-id skew (a hot hour) is AQE's skew-join case.
+    bucket-id skew (a hot hour) is AQE's skew-join case. Malformed
+    intervals (``end < start``) are dropped before the explode — they can
+    never satisfy the residual and must not materialize a bucket list.
     """
     clash = [c for c in intervals.columns if c in points.columns
              and c != (key_col or "")]
@@ -270,10 +287,18 @@ def range_join_points(points: DataFrame, intervals: DataFrame,
         raise ValueError("bucket_seconds must be positive")
     p = points.withColumn("__b", F.expr(
         f"unix_micros(cast({point_ts} as timestamp)) div {bus}"))
-    i = intervals.withColumn(
-        "__b", F.explode(F.sequence(
-            F.expr(f"unix_micros(cast({start_col} as timestamp)) div {bus}"),
-            F.expr(f"unix_micros(cast({end_col} as timestamp)) div {bus}"))))
+    # drop malformed intervals (end < start) BEFORE the explode: they can
+    # never satisfy the residual start <= ts <= end, but an unguarded
+    # descending sequence() would still materialize a bucket list per bad
+    # row — corrupt data must not cost memory
+    i = (intervals
+         .filter(_us(F.col(end_col)) >= _us(F.col(start_col)))
+         .withColumn(
+             "__b", F.explode(F.sequence(
+                 F.expr(f"unix_micros(cast({start_col} as timestamp))"
+                        f" div {bus}"),
+                 F.expr(f"unix_micros(cast({end_col} as timestamp))"
+                        f" div {bus}")))))
     on = ["__b"] + ([key_col] if key_col else [])
     cond = ((_us(F.col(point_ts)) >= _us(F.col(start_col)))
             & (_us(F.col(point_ts)) <= _us(F.col(end_col))))
@@ -291,7 +316,9 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     buckets, and the pair is kept only in its CANONICAL meeting bucket —
     the bucket of ``max(l_start, r_start)``, which every overlapping pair
     covers on both sides — so the join is exactly-once with no dedup
-    pass. Never a cross product.
+    pass. Never a cross product. Malformed intervals (``end < start``)
+    are dropped on both sides before the explode — they are corrupt data
+    and must not materialize a bucket list.
     """
     clash = [c for c in right.columns if c in left.columns
              and c != (key_col or "")]
@@ -302,9 +329,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         raise ValueError("bucket_seconds must be positive")
 
     def explode_buckets(df, s, e):
-        return df.withColumn("__b", F.explode(F.sequence(
-            F.expr(f"unix_micros(cast({s} as timestamp)) div {bus}"),
-            F.expr(f"unix_micros(cast({e} as timestamp)) div {bus}"))))
+        return (df.filter(_us(F.col(e)) >= _us(F.col(s)))
+                  .withColumn("__b", F.explode(F.sequence(
+                      F.expr(f"unix_micros(cast({s} as timestamp))"
+                             f" div {bus}"),
+                      F.expr(f"unix_micros(cast({e} as timestamp))"
+                             f" div {bus}")))))
 
     l = explode_buckets(left, l_start, l_end)
     r = explode_buckets(right, r_start, r_end)

@@ -128,13 +128,16 @@ def gopher_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ws = _words(t)
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
-    # per-line duplicate mask via self-count (L^2 on the per-doc line count,
-    # which is bounded; stays JVM-side with zero shuffle)
+    # Canonical Gopher convention (Rae et al. Table A1 as reproduced by
+    # the public filtering stacks): a line's FIRST occurrence is not a
+    # duplicate — only repeats beyond the first count. Per-distinct-line
+    # self-count stays JVM-side with zero shuffle (L^2 on the bounded
+    # per-doc line count).
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
     dup_line_chars = F.aggregate(
-        F.filter(lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2),
-        F.lit(0), lambda acc, x: acc + F.length(x))
-    n_dup_lines = F.size(
-        F.filter(lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2))
+        F.array_distinct(lines), F.lit(0),
+        lambda acc, x: acc
+        + (F.size(F.filter(lines, lambda y: y == x)) - 1) * F.length(x))
     n_chars = F.length(t)
     n_words = F.size(ws)
     n_symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("int")

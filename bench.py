@@ -68,6 +68,10 @@ def main() -> None:
         "forecast_ses",
         "forecast_theta",
         "forecast_croston",
+        # heavy applyInPandas model (iterative per-series optimizer) — keeps
+        # the Python/Arrow crossing path regression-tracked, not just the
+        # SQL-path cheap models
+        "forecast_holt_winters",
         # metrics
         "metric_mae",
         "metric_smape",

@@ -72,7 +72,24 @@ def run(spark, sf_dir: str):
     # audit: keyword retrieval over the final corpus
     audit = bm25_topk(kept, "doc_id", "text", ["spark", "join"], k=10)
 
-    return quality, cleaned, decon, mixed, budgeted, packed, audit
+    # 7. semantic dedup, learn-once production shape: centroids are
+    #    learned ONCE (here: from the embeddings table's bounded sample;
+    #    at 100 TB: on a 1-in-N sample of the first ingest batch), stored
+    #    as plain lists next to the table, and every later ingest re-uses
+    #    them via semdedup(..., centroids=stored) — assignment is then a
+    #    single map pass (arrow GEMM), no per-batch relearning, and cell
+    #    ids stay stable across batches so cross-batch duplicates land in
+    #    the same cell.
+    from anofox_forecast_spark.operators.similarity import ivf_build, semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, stored_centroids = ivf_build(emb, "vec_id", "embedding",
+                                    n_clusters=8, sample_limit=2000,
+                                    repartition_by_cell=False)
+    sem = semdedup(emb, "vec_id", "embedding", threshold=0.95,
+                   centroids=stored_centroids, assign_mode="arrow")
+
+    return quality, cleaned, decon, mixed, budgeted, packed, audit, sem
 
 
 if __name__ == "__main__":
@@ -81,10 +98,13 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="corpus-build")
     spark.sparkContext.setLogLevel("ERROR")
-    quality, cleaned, decon, mixed, budgeted, packed, audit = run(spark, sf)
+    (quality, cleaned, decon, mixed, budgeted, packed, audit,
+     sem) = run(spark, sf)
     print("gopher keep:", quality.filter("gopher_keep").count(),
           "/", quality.count())
     print("decontaminated out:", decon.filter("contaminated").count())
     print("mixed in:", mixed.count(), "| budget keep:", budgeted.count(),
           "| packed chunks:", packed.agg({"n_chunks": "sum"}).first()[0])
+    print("semdedup keep:", sem.filter("semdedup_keep").count(),
+          "/", sem.count())
     audit.show(10, truncate=60)

@@ -46,10 +46,11 @@ def test_gopher_repetition_signals(spark):
     assert out[1]["top_2gram_char_frac"] == pytest.approx(6 * 3 / 23)
     assert out[1]["dup_5gram_char_frac"] > 0.9  # everything repeats
     assert not out[1]["gopher_keep"]
-    # doc 2: 2 of 3 lines are duplicates
-    assert out[2]["dup_line_frac"] == pytest.approx(2 / 3)
+    # doc 2: beyond-the-first convention — "first line" appears twice, so
+    # ONE of three lines is a duplicate (the first occurrence is not)
+    assert out[2]["dup_line_frac"] == pytest.approx(1 / 3)
     assert out[2]["dup_line_char_frac"] == pytest.approx(
-        2 * len("first line") / len(rows[1][1]))
+        1 * len("first line") / len(rows[1][1]))
     # doc 3: no repetition anywhere
     assert out[3]["top_2gram_char_frac"] == 0.0
     assert out[3]["dup_10gram_char_frac"] == 0.0
@@ -184,6 +185,20 @@ def test_dup_clusters_transitive_closure(spark):
         10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     assert got[1] == (1, 7, True) and got[7] == (1, 7, False)
     assert [i for i, v in got.items() if v[2]] == [1, 10, 20]
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """max_iter too small for the chain's diameter must raise, not return
+    partial (under-merged) components."""
+    import pytest as _pt
+    from anofox_forecast_spark.operators.dedup import dup_clusters
+    chain = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=1).collect()
+    # ...and with enough rounds the same chain is one component
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {1}
 
 
 def test_resolve_duplicates_vs_single_round_prune(spark):

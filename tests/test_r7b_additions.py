@@ -250,3 +250,35 @@ def test_semdedup_arrow_assignment_matches_expr(spark):
         df, "vec_id", "embedding", 0.99, centroids=cents,
         assign_mode="arrow").collect()}
     assert a == b and a[0] is True and not all(a.values())
+
+
+def test_semdedup_learn_once_stored_centroids_bit_exact(spark):
+    """The production learn-once path: centroids learned by one ivf_build
+    call, stored as plain lists, and passed back via ``centroids=`` must
+    reproduce the inline-learned semdedup verdicts EXACTLY — same cells,
+    same pairs, same keeps — so a 100 TB ingest can learn on its first
+    batch and reuse forever (SCALE.md recipe; examples/corpus_build.py
+    stage 7)."""
+    rows = ([(i, [1.0, 0.001 * i]) for i in range(6)]
+            + [(20 + i, [0.0, 1.0 + 0.001 * i]) for i in range(6)])
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # learn once
+    _, stored = SIM.ivf_build(df, "vec_id", "embedding", n_clusters=2,
+                              sample_limit=100, repartition_by_cell=False)
+    assert (isinstance(stored, list)
+            and all(isinstance(x, float) for row in stored for x in row))
+    inline = sorted(tuple(r) for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.999, n_clusters=2,
+        sample_limit=100).collect())
+    reused = sorted(tuple(r) for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.999, centroids=stored).collect())
+    reused_arrow = sorted(tuple(r) for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.999, centroids=stored,
+        assign_mode="arrow").collect())
+    assert inline == reused == reused_arrow
+    # round-trip through JSON (how centroids would be stored on disk)
+    import json
+    rt = json.loads(json.dumps(stored))
+    reused_rt = sorted(tuple(r) for r in SIM.semdedup(
+        df, "vec_id", "embedding", 0.999, centroids=rt).collect())
+    assert reused_rt == inline

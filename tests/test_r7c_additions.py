@@ -144,6 +144,28 @@ def test_range_join_key_and_clash(spark):
                              "ts", "ts", "e", 600)
 
 
+def test_range_join_malformed_interval_dropped(spark):
+    """end < start is corrupt data: it can never satisfy the residual, and
+    must be dropped BEFORE the explode (no descending bucket list)."""
+    pts = spark.createDataFrame([(1, _ts(10))], "pid bigint, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, _ts(0), _ts(20)),        # well-formed, contains the point
+         (101, _ts(50), _ts(0))],       # malformed: end < start
+        "iid bigint, s timestamp, e timestamp")
+    got = [r.iid for r in EV.range_join_points(
+        pts, iv, "ts", "s", "e", bucket_seconds=60).collect()]
+    assert got == [100]
+    # overlap join: same guard on both sides
+    left = spark.createDataFrame([(1, _ts(0), _ts(30))],
+                                 "lid bigint, ls timestamp, le timestamp")
+    right = spark.createDataFrame(
+        [(2, _ts(10), _ts(20)), (3, _ts(25), _ts(5))],
+        "rid bigint, rs timestamp, re timestamp")
+    pairs = [(x.lid, x.rid) for x in EV.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", 60).collect()]
+    assert pairs == [(1, 2)]
+
+
 def test_range_join_no_cross_product_plan(spark):
     pts = spark.createDataFrame([(1, _ts(0))], "pid bigint, ts timestamp")
     iv = spark.createDataFrame([(2, _ts(0), _ts(1))],
@@ -269,6 +291,40 @@ def test_funnel_single_shuffle(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         EV.funnel(df, "uid", "ts", "et", [])
+
+
+def test_funnel_max_events_per_key(spark):
+    # user 1's 'b' sits beyond the cap of 2 earliest events -> dropped;
+    # user 2 completes inside the cap. The guard keeps the EARLIEST rows.
+    rows = [(1, _ts(0), "a"), (1, _ts(1), "a"), (1, _ts(2), "b"),
+            (2, _ts(0), "a"), (2, _ts(1), "b"), (2, _ts(2), "a")]
+    df = spark.createDataFrame(rows, "uid bigint, ts timestamp, et string")
+    got = {r.uid: r.steps_completed
+           for r in EV.funnel(df, "uid", "ts", "et", ["a", "b"],
+                              max_events_per_key=2).collect()}
+    assert got == {1: 1, 2: 2}
+    # uncapped, user 1 converts too
+    got2 = {r.uid: r.steps_completed
+            for r in EV.funnel(df, "uid", "ts", "et", ["a", "b"]).collect()}
+    assert got2 == {1: 2, 2: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        EV.funnel(df, "uid", "ts", "et", ["a"], max_events_per_key=0)
+
+
+def test_funnel_cap_plan_shape(spark):
+    # the cap adds ONE row_number window partitioned on the funnel key;
+    # it shares the key's hash partitioning with the groupBy, so the
+    # whole capped funnel still runs on a single exchange
+    df = spark.createDataFrame([(1, _ts(0), "a")],
+                               "uid bigint, ts timestamp, et string")
+    out = EV.funnel(df, "uid", "ts", "et", ["a", "b"],
+                    max_events_per_key=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan and "uid" in plan, \
+        "cap window missing from physical plan"
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
 
 
 # ---------------------------------------------------------------------------

@@ -595,3 +595,100 @@ def test_surface_name_count_and_aliases(spark):
     n = spark.sql("SELECT * FROM anofox_fcst_ts_forecast_by(TABLE(alias_t), "
                   "'id', 'ds', 'y', 'Naive', 7, '1d')").count()
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# beyond-parity families on the SQL surface (r8): events_*, search_*
+# ---------------------------------------------------------------------------
+
+def _pd_sorted(df, cols):
+    return (df.toPandas()[cols].sort_values(cols)
+              .reset_index(drop=True))
+
+
+def test_events_sessionize_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.events import sessionize
+    from anofox_forecast_spark.sources import events_table
+    ev = events_table(spark, SF_DIR).select("user_id", "ts", "event_type")
+    ev.createOrReplaceTempView("sess_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_sessionize(TABLE(sess_sql_t), 'user_id', "
+        "'ts', 1800.0)")
+    df_out = sessionize(ev, "user_id", "ts", 1800.0)
+    cols = ["user_id", "ts", "event_type", "is_session_start", "session_seq"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_events_asof_join_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.events import asof_join
+    from anofox_forecast_spark.sources import events_table
+    e = events_table(spark, SF_DIR)
+    left = (e.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts", "value"))
+    right = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("value").alias("click_value")))
+    df_out = asof_join(left, right, "user_id", "ts", ["click_value"],
+                       tolerance_seconds=7 * 86400.0)
+    # union-tagged SQL encoding (what the DataFrame op builds internally)
+    l = (left.withColumn("side", F.lit(1))
+             .withColumn("click_value", F.lit(None).cast("double")))
+    r = right.select(
+        "user_id", "ts", F.lit(0).alias("side"), "click_value",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"))
+    l.unionByName(r).createOrReplaceTempView("asof_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_asof_join(TABLE(asof_sql_t), 'user_id', "
+        "'ts', 'side', '[\"click_value\"]', 'backward', 604800.0)")
+    cols = ["event_id", "user_id", "ts", "value", "click_value",
+            "matched_ts"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_events_time_rollup_udtf_matches_dataframe(spark):
+    register_all(spark)
+    import numpy as np
+    from anofox_forecast_spark.operators.events import time_rollup
+    from anofox_forecast_spark.sources import events_table
+    ev = events_table(spark, SF_DIR)
+    df_out = time_rollup(ev, "ts", "value", ("hour", "day", "week"),
+                         key_cols=["event_type"])
+    ev.createOrReplaceTempView("rollup_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_time_rollup(TABLE(rollup_sql_t), 'ts', "
+        "'value', '[\"hour\", \"day\", \"week\"]', 'event_type')")
+    cols = ["granularity", "bucket", "event_type", "n",
+            "value_sum", "value_min", "value_max"]
+    key = ["granularity", "bucket", "event_type"]
+    a = sql_out.toPandas()[cols].sort_values(key).reset_index(drop=True)
+    b = df_out.toPandas()[cols].sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a[key + ["n"]].astype(str).equals(b[key + ["n"]].astype(str))
+    for c in ("value_sum", "value_min", "value_max"):
+        np.testing.assert_allclose(a[c].astype(float), b[c].astype(float),
+                                   rtol=1e-9, err_msg=c)
+
+
+def test_search_bm25_udtf_matches_dataframe(spark):
+    register_all(spark)
+    import numpy as np
+    from anofox_forecast_spark.operators.search import bm25_score
+    from anofox_forecast_spark.sources import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    df_out = bm25_score(docs, "doc_id", "text", ["spark", "join"])
+    docs.createOrReplaceTempView("bm25_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM search_bm25(TABLE(bm25_sql_t), 'doc_id', 'text', "
+        "'[\"spark\", \"join\"]')")
+    a = _pd_sorted(sql_out, ["doc_id", "score"])
+    b = _pd_sorted(df_out, ["doc_id", "score"])
+    assert len(a) == len(b) > 0
+    assert a["doc_id"].equals(b["doc_id"])
+    np.testing.assert_allclose(a["score"].astype(float),
+                               b["score"].astype(float), rtol=1e-12)
