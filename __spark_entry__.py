@@ -1193,6 +1193,9 @@ _STRAT_K = 5
 _SEMD_THR = 0.3
 _DL_MIN, _DL_DOCS = 100, 300
 _BM25_TERMS = ("spark", "join", "window")
+#: r8: ExactSubstr duplicated-span window length (tokens); weighted-sample k
+_SPAN_K = 5
+_SW_K = 10
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1272,6 +1275,24 @@ def _pipeline_queries():
         docs = _docs(spark, sf).filter(F.col("doc_id") < 200)
         return SR.tfidf_top_terms(docs, "doc_id", "text", k=5)
 
+    def q_sample_weighted(spark, sf):
+        # quality-proportional corpus sampling: weight = document length,
+        # k per language stratum (Efraimidis-Spirakis u^(1/w) ranking)
+        docs = _docs(spark, sf).withColumn(
+            "w", F.length("text").cast("double"))
+        return PL.sample_weighted(docs, "doc_id", "w", k=_SW_K,
+                                  strata_col="lang", seed="w8")
+
+    def q_dup_spans(spark, sf):
+        # ExactSubstr-style duplicated spans: 5-gram windows occurring
+        # twice+ anywhere in the corpus, merged into maximal spans
+        return PL.dup_spans(_docs(spark, sf), "doc_id", "text",
+                            k=_SPAN_K, min_count=2)
+
+    def q_dup_span_stats(spark, sf):
+        return PL.dup_span_stats(_docs(spark, sf), "doc_id", "text",
+                                 k=_SPAN_K, min_count=2)
+
     return {
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
@@ -1285,6 +1306,9 @@ def _pipeline_queries():
         "search_bm25": q_bm25,
         "search_top_terms": q_top_terms,
         "search_tfidf": q_tfidf,
+        "pipeline_dup_spans": q_dup_spans,
+        "pipeline_dup_span_stats": q_dup_span_stats,
+        "pipeline_sample_weighted": q_sample_weighted,
     }
 
 
@@ -1469,6 +1493,22 @@ def _events_queries():
         return group_quantiles(e, ["event_type"], "value",
                                (0.25, 0.5, 0.75, 0.95))
 
+    def q_hll_users(spark, sf):
+        # distinct users per event type via the portable md5 HLL sketch;
+        # 150 users vs m=4096 buckets = the linear-counting (ln) branch
+        from anofox_forecast_spark.operators.stats import hll_count_distinct
+        e = events_table(spark, sf)
+        return hll_count_distinct(e, "user_id", ["event_type"],
+                                  precision_bits=12, seed="h8")
+
+    def q_hll_raw(spark, sf):
+        # distinct event ids per type at m=256: n >> 2.5m = the raw
+        # alpha_m * m^2 / sum(2^-M) estimator branch
+        from anofox_forecast_spark.operators.stats import hll_count_distinct
+        e = events_table(spark, sf)
+        return hll_count_distinct(e, "event_id", ["event_type"],
+                                  precision_bits=8, seed="h8")
+
     def q_overlap_join(spark, sf):
         # co-active sessions: even-user sessions x odd-user sessions whose
         # intervals intersect — the binned interval x interval join with
@@ -1570,6 +1610,8 @@ def _events_queries():
         "events_overlap_join": q_overlap_join,
         "events_transitions": q_transitions,
         "stats_group_quantiles": q_group_quantiles,
+        "stats_hll_distinct": q_hll_users,
+        "stats_hll_distinct_raw": q_hll_raw,
     }
 
 
@@ -1702,92 +1744,54 @@ def _streaming_queries():
 # regression slots for this round's code changes (stats rest_udf, prep NaN
 # semantics, ETS rewrite).
 _WINDOW = [
-    # regression core: one hash-checked slot per proven family (r7b slims
-    # this to four — cv_folds/conformal_by/dedup_minhash_md5/text_quality
-    # are multi-round green with unchanged code, their families keep other
-    # window slots (cv x4, conformal x2, the md5-uniform trick inside the
-    # pipeline_sample keys), and text_quality stays timed in every bench —
-    # freeing slots for the five never-checked r7b keys at the bottom)
-    # (forecast_naive, hier_aggregate, and stats_sql also yielded their
-    # slots in r7c — green r1-r6, timed in every bench round, and
-    # forecast_auto_arima + features_full exercise supersets of the same
-    # stacks from inside the window)
-    "features_full",
-    # code changed this round: AutoARIMA d-selection variances now
-    # sequential-sum (expression-identical to the oracle's list_sum v0/v1/v2)
-    "forecast_auto_arima",
-    # NEW r6 slots: the five r5b keys that have exact oracles and local
-    # bit-exact audits but have never been driver-confirmed
-    "forecast_single", "forecast_agg_naive", "features_list",
-    "features_config_template", "cv_estimate_memory",
-    # REWRITTEN r6 (query + oracle + window together): all 14 detect_periods
-    # keys now carry the reference-default confidence filter
-    # (periods.rs:1488-1546: peak-to-mean FFT confidence @ 5.0, 0.3
-    # ACF-like otherwise, "(no seasonality)" empty results), DOUBLE period
-    # schema (the reference's f64), true NN matrix-profile
-    # (periods.rs:1134-1250), faithful fractional-period SAZED
-    # (periods.rs:1259-1330), and STL-decomposition candidate scoring
-    # (periods.rs:952-1120)
-    "detect_periods", "detect_periods_fft", "detect_periods_acf",
-    "detect_periods_regression", "detect_periods_lomb_scargle",
-    "detect_periods_autoperiod", "detect_periods_cfd_autoperiod",
-    "detect_periods_aic", "detect_periods_ssa", "detect_periods_stl",
-    "detect_periods_sazed", "detect_periods_matrix_profile",
-    "detect_periods_multi", "analyze_seasonality",
-    # oracle upgraded this round: level/trend components now value-hashed
-    # (forecast_explain replays the full seasonal-Theta point path;
-    # forecast_explain_mstl projects the verified MSTL point oracle)
-    "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
-    # family rotation: one hash-checked slot per remaining proven family
-    # (forecast_ses and forecast_holt_winters rotated out in r6 — both
-    # multi-round green, and the HW NM replay is exactly the engine
-    # forecast_explain_ets drives end-to-end; r7 rotates out ets_mam /
-    # laplace / arima / auto_ets / bocpd / mstl_decomposition / stats_full
-    # / features_sql / cv_backtest / conformal_bootstrap — every one
-    # driver-green in r4 or r5 with no code change since — to make room
-    # for the never-checked r6/r7 keys below; forecast_theta yielded its
-    # slot to r7's dedup_clusters — theta is green r1-r5 with unchanged
-    # code and stays timed in every bench round)
-    "dedup_clusters",
-    # new r6 operators (ref ts_hydrate_features / ts_prepare_regression
-    # tests): first driver check; displace metric_mae + prep_diff, both
-    # multi-round green and re-verified in every bench round
-    "cv_hydrate_features", "cv_prepare_regression", "ols_fit_predict",
-    # r6 keys that had exact oracles + bit-exact local audits but no r6
-    # window slot: first driver check
-    "ridge_fit_predict", "conformal_mean_width_scalar",
-    "estimate_period_acf", "estimate_period_fft",
-    # r7-new training-data pipeline family (operators/pipeline.py):
-    # Gopher/C4 signals, n-gram decontamination, md5-uniform sampling,
-    # concat-and-chunk packing — all bit-exact at sf0.001 + sf0.01
-    "pipeline_gopher", "pipeline_c4", "pipeline_decontaminate",
-    "pipeline_sample_hash", "pipeline_sample_stratified",
+    # --- r8 priority 1: this round's red fix + changed contracts ---
+    # the one r7 red (oracle HUGEINT->float64 dtype artifact; oracle now
+    # CASTs the window sum + derived chunk columns to BIGINT)
     "pipeline_pack_chunked",
-    # PQ is r6-new (never driver-checked); topk_ivf yielded its slot
-    # (green r4+r5, same Lloyd-replay machinery PQ drives 4x over).
-    # dedup_minhash_lsh yielded its r7 slot to the r7b keys below: the
-    # identical xxhash64 minhash pair pipeline is the INPUT half of
-    # dedup_clusters' oracle, so it stays transitively hash-verified.
-    "similarity_topk_pq",
-    # streaming_conformal is r6-new (never driver-checked); windowed_stats
-    # yielded its slot (green r3+r5); multimodal_features (green r4+r5)
-    # and cv_forecast (green r5 x2, family covered by cv_hydrate/
-    # cv_prepare/ols/ridge in-window) yielded theirs to the r7c events keys
-    "streaming_conformal",
-    # r7b additions, all bit-exact at sf0.001 + sf0.01: SemDeDup
-    # (cluster-then-compare + component resolution), CCNet-style line
-    # dedup, fixed-weight source mixing, greedy token-budget fill, BM25
-    "semdedup", "pipeline_dedup_lines", "pipeline_mix_sources",
-    "pipeline_token_budget", "search_bm25",
-    # r7c event-analytics family (operators/events.py), all bit-exact at
-    # sf0.001 + sf0.01: gap sessionization, session aggregates (ordered
-    # sequential value fold), and the union-and-window as-of join checked
-    # against DuckDB's native ASOF LEFT JOIN with a tolerance window
+    # dup_line convention changed to canonical beyond-the-first counting
+    # (ADVICE r7) — query AND oracle moved together, re-verify
+    "pipeline_gopher",
+    # --- r8 priority 2: the 9 r7d keys never in a driver window (all
+    # judge-audited bit-exact at sf0.01 in the r7 session; this closes
+    # the 202/202 cumulative-confirmation gap) ---
+    "events_funnel", "events_retention", "events_overlap_join",
+    "events_transitions", "events_asof_forward", "events_time_rollup",
+    "search_tfidf", "search_top_terms", "stats_group_quantiles",
+    # --- r8-new keys, bit-exact at sf0.01 locally: capped funnel
+    # (max_events_per_key hot-key guard, oracle mirrors the row_number
+    # cap) and ExactSubstr duplicated spans (Lee et al. 2022) ---
+    "events_funnel_capped", "pipeline_dup_spans", "pipeline_dup_span_stats",
+    # r8-new: weighted corpus sampling (Efraimidis-Spirakis) and the
+    # engine-portable HLL distinct sketch, both estimator branches
+    "pipeline_sample_weighted", "stats_hll_distinct", "stats_hll_distinct_raw",
+    # --- code changed this round (malformed-interval pre-explode guard;
+    # dup_clusters non-convergence raise) — re-verify the touched plans ---
+    "events_range_join", "dedup_clusters",
+    # --- family regression slots: one green key per proven family, the
+    # heaviest machinery preferred. Rotated out vs r7 (all r7-green with
+    # unchanged code): features_config_template, 10 of the 14
+    # detect_periods method keys (the rewritten oracles were confirmed
+    # green across all 14 in r7; auto/fft/matrix_profile/sazed keep
+    # slots — dispatch + the three hardest methods), estimate_period_fft
+    # (acf twin stays), conformal_mean_width_scalar (streaming_conformal
+    # carries the conformal family end-to-end) ---
+    "features_full", "features_list", "forecast_auto_arima",
+    "forecast_single", "forecast_agg_naive",
+    "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
+    # (matrix_profile/sazed/estimate_period_acf yielded their slots to the
+    # three r8 keys above — all r7-green under the rewritten oracles, and
+    # detect_periods auto + fft keep the family's dispatch + hardest path)
+    "detect_periods", "detect_periods_fft", "analyze_seasonality",
+    "cv_hydrate_features", "cv_prepare_regression", "cv_estimate_memory",
+    "ols_fit_predict", "ridge_fit_predict",
+    "similarity_topk_pq", "semdedup",
+    "pipeline_c4", "pipeline_decontaminate", "pipeline_sample_hash",
+    "pipeline_sample_stratified", "pipeline_dedup_lines",
+    "pipeline_mix_sources", "pipeline_token_budget",
+    "search_bm25",
     "events_sessionize", "events_session_stats", "events_asof_join",
-    "events_range_join",
-    # native session_window streaming sessions (r7c): a REAL streaming run
-    # in the driver env is the evidence that matters for this family
-    "streaming_sessionize",
+    # real streaming runs in the driver env — keep both streaming slots
+    "streaming_sessionize", "streaming_conformal",
 ]
 
 
@@ -1921,6 +1925,10 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # interpolation arithmetic is expression-identical; pin like the
     # conformal quantiles
     "stats_group_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
+    # ln() in the linear-counting branch is the one libm call; the fold
+    # over exact powers of two is order-pinned and bit-equal unpinned
+    "stats_hll_distinct": (["hll_estimate"], 4),
+    "stats_hll_distinct_raw": (["hll_estimate"], 4),
 }
 
 
@@ -8444,6 +8452,64 @@ SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank FROM (
               ORDER BY tfidf DESC, term) AS rank FROM s)
 WHERE rank <= 5
 """
+    # pipeline.dup_spans / dup_span_stats (ExactSubstr, Lee et al. 2022):
+    # k-gram occurrences counted on the md5 of the space-joined gram
+    # (exactly the Spark wire payload); islands merged with the same
+    # gap > k rule; all span columns BIGINT to match Spark's casts
+    k = _SPAN_K
+    spans_cte = f"""
+w AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+g AS (SELECT doc_id, pos,
+        md5(array_to_string(ws[pos : pos + {k} - 1], ' ')) AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {k} + 2)) AS pos
+            FROM w WHERE len(ws) >= {k})),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 > {k}
+               THEN 1 ELSE 0 END AS b
+        FROM m),
+isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        FROM brk),
+spans AS (SELECT doc_id,
+            CAST(min(pos) AS BIGINT) AS span_start,
+            CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+            CAST(max(pos) + {k} - min(pos) AS BIGINT) AS span_tokens
+          FROM isl GROUP BY doc_id, sid)"""
+    o["pipeline_dup_spans"] = f"""
+WITH {spans_cte}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+    # pipeline.sample_weighted (Efraimidis-Spirakis): rank by pow(u, 1/w)
+    # DESC, ties to the smaller id; the pow score itself is never emitted
+    # (engines may differ in pow's last ulp — a rank flip needs two scores
+    # within one ulp, ~n^2 * 2^-52), u and w are exact
+    uw = _pl_uniform("doc_id", "w8")
+    o["pipeline_sample_weighted"] = f"""
+WITH b AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS w,
+                  {uw} AS sample_u
+           FROM documents WHERE CAST(length(text) AS DOUBLE) > 0)
+SELECT doc_id, lang, w, sample_u, sample_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY pow(sample_u, 1.0 / w) DESC, doc_id) AS sample_rank
+  FROM b)
+WHERE sample_rank <= {_SW_K}
+"""
+    o["pipeline_dup_span_stats"] = f"""
+WITH {spans_cte},
+per AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CASE WHEN len(w.ws) > 0
+       THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / len(w.ws)
+       ELSE 0.0 END AS dup_token_frac
+FROM w LEFT JOIN per USING (doc_id)
+"""
     return o
 
 
@@ -9203,7 +9269,58 @@ SELECT granularity, bucket, event_type, count(*) AS n,
        max(value) AS value_max
 FROM x GROUP BY 1, 2, 3
 """
+    # operators/stats.py::hll_count_distinct — the exact algorithm replay:
+    # md5 bucket/rho by pure string arithmetic, registers folded in bucket
+    # order (sequential exact powers of two), alpha literal computed by
+    # the SAME Python expression as the Spark side; the one ln() rides the
+    # 4-decimal pin
+    o["stats_hll_distinct"] = _hll_oracle("user_id", 12, "h8")
+    o["stats_hll_distinct_raw"] = _hll_oracle("event_id", 8, "h8")
     return o
+
+
+def _hll_oracle(key: str, precision_bits: int, seed: str) -> str:
+    """DuckDB replay of stats.hll_count_distinct over events grouped by
+    event_type."""
+    m = 1 << precision_bits
+    nib = precision_bits // 4
+    alpha = {16: 0.673, 256: 0.718213,
+             4096: 0.7225719999999999}.get(m, 0.7213 / (1 + 1.079 / m))
+    s15 = f"substr(h, {nib + 1}, 15)"
+    lz = (f"CASE substr(ltrim({s15}, '0'), 1, 1) "
+          "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+          "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+          "ELSE 0 END")
+    rho = (f"CASE WHEN ltrim({s15}, '0') = '' THEN 61 "
+           f"ELSE (length({s15}) - length(ltrim({s15}, '0'))) * 4 "
+           f"+ {lz} + 1 END")
+    return f"""
+WITH h AS (SELECT event_type,
+             md5(concat('{seed}', ':', CAST({key} AS VARCHAR))) AS h
+           FROM events WHERE {key} IS NOT NULL),
+br AS (SELECT event_type, {_pl_hexfold('h', nib)} AS b, {rho} AS r FROM h),
+regs AS (SELECT event_type, b, max(r) AS mreg FROM br GROUP BY 1, 2),
+packed AS (SELECT event_type,
+             list({{'b': b, 'm': mreg}} ORDER BY b) AS rs,
+             count(*) AS used
+           FROM regs GROUP BY 1),
+est AS (SELECT event_type, used,
+          CAST({m} - used AS DOUBLE) AS zeros,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(rs, x ->
+              pow(2.0, -CAST(struct_extract(x, 'm') AS DOUBLE)))),
+            (a, x) -> a + x) AS ssum
+        FROM packed),
+raw AS (SELECT event_type, used, zeros,
+          {alpha * m * m!r} / (ssum + zeros) AS rawv
+        FROM est)
+SELECT event_type,
+  CASE WHEN rawv <= {2.5 * m!r} AND zeros > 0
+       THEN {float(m)!r} * ln({float(m)!r} / zeros)
+       ELSE rawv END AS hll_estimate,
+  CAST(used AS BIGINT) AS n_buckets_used
+FROM raw
+"""
 
 
 def _mqloss_oracle() -> str:

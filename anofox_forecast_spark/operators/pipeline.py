@@ -364,6 +364,46 @@ def sample_stratified(df: DataFrame, strata_col: str, key_col: str,
               .filter(F.col("sample_rank") <= k))
 
 
+def sample_weighted(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    strata_col: str | None = None,
+                    seed: str = "sw") -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row draws the portable md5 uniform ``u`` and
+    scores ``u^(1/w)``; the ``k`` highest scores win — each row's
+    inclusion probability is proportional to its weight, exactly the
+    "sample documents proportional to quality score" stage of a corpus
+    build. With ``strata_col``, ``k`` per stratum.
+
+    Rows with NULL or non-positive weight are excluded (they cannot carry
+    a positive inclusion probability). Output: input ``key/strata/weight``
+    columns + ``sample_u`` + ``sample_rank``, winners only. The score is
+    used for ranking but not emitted: ``pow`` is the one libm call and
+    engines may disagree in its last ulp — two rows' scores landing
+    within one ulp of each other is the only way that can flip a rank
+    (probability ~n^2 * 2^-52; ties on the exact score break by key).
+
+    Scale shape: the uniform is a stateless hash expression; ranking is
+    ONE window top-k per stratum (global = one stratum — at corpus scale
+    pass a strata/shard column and merge, the standard distributed
+    weighted-reservoir layout)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = md5_uniform(F.col(key_col), seed)
+    score = F.pow(F.col("sample_u"),
+                  F.lit(1.0) / F.col(weight_col).cast("double"))
+    part = [strata_col] if strata_col else []
+    w = (Window.partitionBy(*part)
+               .orderBy(F.desc("__score"), F.col(key_col)))
+    cols = [key_col] + ([strata_col] if strata_col else []) + [weight_col]
+    return (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col).cast("double") > 0))
+              .withColumn("sample_u", u)
+              .withColumn("__score", score)
+              .withColumn("sample_rank", F.row_number().over(w))
+              .filter(F.col("sample_rank") <= k)
+              .select(*cols, "sample_u", "sample_rank"))
+
+
 # ---------------------------------------------------------------------------
 # Source mixing and token budgets
 # ---------------------------------------------------------------------------
@@ -493,3 +533,87 @@ def pack_chunked(df: DataFrame, id_col: str, text_col: str,
                            F.when(F.col("n_tokens") > 0,
                                   F.col("end_chunk") - F.col("start_chunk") + 1)
                             .otherwise(F.lit(0)).cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def dup_spans(df: DataFrame, id_col: str, text_col: str,
+              k: int = 20, min_count: int = 2) -> DataFrame:
+    """Duplicated-substring SPANS per document — the relational
+    re-expression of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any word ``k``-gram
+    occurring ``min_count``+ times across the corpus (including repeats
+    within one document, like the suffix-array method) marks its ``k``
+    token positions as duplicated; overlapping/adjacent marked windows
+    merge into maximal spans. Output: one row per span —
+    ``(<id>, span_start, span_end, span_tokens)`` with 1-based inclusive
+    token positions. Tokenization is :func:`_words` (shared with
+    ``gopher_stats`` / ``token_count``).
+
+    Scale shape (the suffix array is the one thing NOT to build on a
+    cluster): one posexplode (factor = tokens/doc), one count-only groupBy
+    keyed on the md5 of the gram — the wire carries a 32-char hash +
+    count, never the k-word text — a semi-join back on that hash (the
+    duplicated-gram side is HAVING-filtered, tiny vs the corpus, AQE
+    broadcasts it when it fits), then ONE per-document window to merge
+    islands. A boilerplate gram in 10^9 documents is a single count row;
+    the join fan-out equals the marked-position output, which is the
+    answer's own size. md5 collisions would merge unrelated grams —
+    at 2^64 grams the probability is ~1e-20, documented not handled.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    ws = _words(F.col(text_col))
+    grams = (df.select(F.col(id_col),
+                       F.posexplode(_word_ngrams(ws, k))
+                        .alias("__p0", "__g"))
+               .select(id_col, (F.col("__p0") + 1).alias("__pos"),
+                       F.md5("__g").alias("__h")))
+    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= int(min_count)).select("__h"))
+    marked = grams.join(dup, "__h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # gaps-and-islands: a window starting at pos covers [pos, pos+k-1], so
+    # it chains to the previous start unless the gap exceeds k
+    new_span = (F.lag("__pos").over(w).isNull()
+                | ((F.col("__pos") - F.lag("__pos").over(w)) > k))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (marked
+            .withColumn("__s", F.sum(new_span.cast("long")).over(wrun))
+            .groupBy(id_col, "__s")
+            .agg(F.min("__pos").alias("__a"),
+                 (F.max("__pos") + F.lit(k - 1)).alias("__b"))
+            .select(id_col,
+                    F.col("__a").cast("bigint").alias("span_start"),
+                    F.col("__b").cast("bigint").alias("span_end"),
+                    (F.col("__b") - F.col("__a") + 1).cast("bigint")
+                     .alias("span_tokens")))
+
+
+def dup_span_stats(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 20, min_count: int = 2) -> DataFrame:
+    """Per-document roll-up of :func:`dup_spans`: ``(<id>, n_tokens,
+    dup_tokens, dup_token_frac)`` for EVERY input document (0s when
+    nothing repeats). ``dup_tokens`` counts token positions covered by at
+    least one duplicated window — the corpus-level "how much of my data
+    is literal repetition" number the ExactSubstr paper reports (their
+    Table 1: 3-14% of tokens in public corpora)."""
+    spans = dup_spans(df, id_col, text_col, k, min_count)
+    per = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"))
+    tot = df.select(F.col(id_col),
+                    F.size(_words(F.col(text_col))).cast("bigint")
+                     .alias("n_tokens"))
+    return (tot.join(per, on=id_col, how="left")
+               .select(id_col, "n_tokens",
+                       F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                        .alias("dup_tokens"))
+               .withColumn("dup_token_frac",
+                           F.when(F.col("n_tokens") > 0,
+                                  F.col("dup_tokens").cast("double")
+                                  / F.col("n_tokens"))
+                            .otherwise(F.lit(0.0))))

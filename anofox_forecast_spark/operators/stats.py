@@ -689,3 +689,76 @@ def group_quantiles(df: DataFrame, key_cols: list[str], value_col: str,
         label = f"q_{str(q).replace('.', '_')}"
         cols.append(val.alias(label))
     return base.select(*key_cols, *cols)
+
+
+def hll_count_distinct(df: DataFrame, key_col: str,
+                       group_cols: list[str] | None = None,
+                       precision_bits: int = 12,
+                       seed: str = "hll") -> DataFrame:
+    """Engine-portable HyperLogLog distinct count (Flajolet et al. 2007):
+    the 100 TB answer to "how many distinct URLs/users/docs" that
+    ``count_distinct`` answers with a corpus-wide shuffle of every key —
+    the wire here carries one (bucket, max-rho) pair per non-empty bucket
+    per group, constant ``2^precision_bits`` (default 4096) state regardless of input
+    size, and sketches merge across partitions/batches by construction
+    (max is associative). The one libm call (the linear-counting ``ln``)
+    can differ between engines in its last ulp — the contract pins the
+    estimate to 4 decimals; a count estimate carries no meaning there.
+
+    Unlike Spark's ``approx_count_distinct`` (whose xxhash64-based sketch
+    no other engine replays), the hash is md5: bucket = the first
+    ``precision_bits`` bits of md5(seed:key), rho = leading-zero count of
+    the next 60 bits + 1, extracted with pure string/CASE arithmetic so
+    both sides are bit-exact — no float log2 anywhere near the bit math.
+    The estimator is the standard alpha_m * m^2 / sum(2^-M) with the
+    small-range linear-counting correction; the one float fold runs over
+    the bucket-sorted registers (deterministic on any partitioning).
+    Output: group cols + ``hll_estimate`` (double) + ``n_buckets_used``.
+
+    Accuracy: ~1.04/sqrt(m) relative error (m=4096 -> ~1.6%). NULL keys
+    are ignored, like count_distinct.
+    """
+    if not (4 <= precision_bits <= 16) or precision_bits % 4 != 0:
+        # hex-nibble-aligned buckets keep the bit split pure substring math
+        raise ValueError("precision_bits must be 4, 8, 12, or 16")
+    m = 1 << precision_bits
+    gcols = list(group_cols or [])
+    nib = precision_bits // 4
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, nib), 16, 10).cast("bigint")
+    # rho over the NEXT 15 hex chars (60 bits): 4 * (leading '0' chars)
+    # + per-nibble leading zeros of the first non-zero char + 1
+    s = F.substring(h, nib + 1, 15)
+    stripped = F.regexp_replace(s, "^0+", "")
+    zchars = F.length(s) - F.length(stripped)
+    first = F.upper(F.substring(stripped, 1, 1))
+    nib_lz = (F.when(first == "1", 3)
+               .when(first.isin("2", "3"), 2)
+               .when(first.isin("4", "5", "6", "7"), 1)
+               .otherwise(0))
+    rho = (F.when(F.length(stripped) == 0, F.lit(61))
+            .otherwise(zchars * 4 + nib_lz + 1)).cast("int")
+
+    regs = (df.filter(F.col(key_col).isNotNull())
+              .select(*gcols, bucket.alias("__b"), rho.alias("__r"))
+              .groupBy(*gcols, "__b").agg(F.max("__r").alias("__m")))
+    # deterministic float fold: registers sorted by bucket id, sequential
+    # sum of exact powers of two (order-pinned, replayable engine-side)
+    packed = regs.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list(F.struct("__b", "__m"))).alias("__rs"))
+    used = F.size("__rs")
+    ssum = F.aggregate(
+        F.col("__rs"), F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r["__m"].cast("double")))
+    # empty buckets contribute 2^0 = 1 each
+    zeros = (F.lit(m) - used).cast("double")
+    alpha = {16: 0.673, 256: 0.718213,
+             4096: 0.7225719999999999}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = F.lit(alpha * m * m) / (ssum + zeros)
+    # linear counting below the 2.5m threshold when empty buckets remain
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+           .otherwise(raw)
+    return packed.select(*gcols,
+                         est.alias("hll_estimate"),
+                         used.cast("bigint").alias("n_buckets_used"))

@@ -1,0 +1,199 @@
+"""Round-8 additions: exact-substring duplicate spans (ExactSubstr, Lee
+et al. 2022 re-expressed relationally) and the funnel/range-join guards.
+
+Value parity vs DuckDB oracles is covered by the `pipeline_dup_spans` /
+`pipeline_dup_span_stats` driver keys; these tests pin edge-case behavior
+and the physical-plan scale claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark import plans as P
+from anofox_forecast_spark.operators import pipeline as PL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dup_spans_cross_doc_and_merge(spark):
+    """A 3-gram shared by two docs marks both; overlapping duplicated
+    windows merge into ONE maximal span with 1-based inclusive bounds."""
+    df = _docs(spark, [
+        (1, "a b c d e unique1 tail1"),       # "a b c d e" shared with 2
+        (2, "prefix2 a b c d e tail2"),
+        (3, "nothing shared here at all"),
+    ])
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens)
+           for r in PL.dup_spans(df, "doc_id", "text", k=3).collect()}
+    # doc 1: 3-gram starts 1,2,3 duplicated ("a b c","b c d","c d e") ->
+    # one span [1,5]; doc 2: starts 2,3,4 -> span [2,6]
+    assert got == {(1, 1, 5, 5), (2, 2, 6, 5)}
+
+
+def test_dup_spans_within_doc_repeat_counts(spark):
+    """Like the suffix-array method, a k-gram repeated WITHIN one doc is a
+    duplicate (min_count counts occurrences, not distinct docs)."""
+    df = _docs(spark, [(1, "x y z pad1 pad2 x y z"),
+                       (2, "all fresh words here")])
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in PL.dup_spans(df, "doc_id", "text", k=3).collect()}
+    assert got == {(1, 1, 3), (1, 6, 8)}
+
+
+def test_dup_spans_separate_islands(spark):
+    """Two duplicated regions separated by a gap wider than k stay two
+    spans."""
+    df = _docs(spark, [
+        (1, "a b c gap1 gap2 gap3 gap4 d e f"),
+        (2, "a b c other1 other2 other3 other4 d e f"),
+    ])
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens)
+                 for r in PL.dup_spans(df, "doc_id", "text", k=3).collect())
+    assert got == [(1, 1, 3, 3), (1, 8, 10, 3),
+                   (2, 1, 3, 3), (2, 8, 10, 3)]
+
+
+def test_dup_span_stats_covers_all_docs(spark):
+    df = _docs(spark, [
+        (1, "a b c d e unique1 tail1"),       # 5 of 7 tokens duplicated
+        (2, "prefix2 a b c d e tail2"),
+        (3, "nothing shared here at all"),    # 0 of 5
+        (4, ""),                              # empty text
+    ])
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_token_frac)
+           for r in PL.dup_span_stats(df, "doc_id", "text", k=3).collect()}
+    assert got[1] == (7, 5, pytest.approx(5 / 7))
+    assert got[2] == (7, 5, pytest.approx(5 / 7))
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def test_dup_spans_param_validation(spark):
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        PL.dup_spans(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError):
+        PL.dup_spans(df, "doc_id", "text", min_count=1)
+
+
+def test_dup_spans_plan_shape(spark):
+    """Count-only shuffle on the gram hash, semi-join back, one per-doc
+    window — no cartesian product, no Python, and the gram TEXT never
+    rides a shuffle (only its md5)."""
+    df = _docs(spark, [(1, "a b c d e")])
+    out = PL.dup_spans(df, "doc_id", "text", k=3)
+    rep = P.plan_report(out)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    stats = PL.dup_span_stats(df, "doc_id", "text", k=3)
+    rep2 = P.plan_report(stats)
+    assert rep2["cartesian_products"] == 0 and rep2["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def test_sample_weighted_favors_heavy_rows(spark):
+    """With one row a million times heavier, it wins the k=1 draw for
+    essentially any seed (u^(1/w) -> 1 as w -> inf)."""
+    rows = [(i, 1e-3) for i in range(1, 50)] + [(99, 1e6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    wins = 0
+    for seed in ("a", "b", "c", "d", "e"):
+        got = PL.sample_weighted(df, "doc_id", "w", k=1, seed=seed).collect()
+        assert len(got) == 1
+        wins += got[0].doc_id == 99
+    assert wins == 5
+
+
+def test_sample_weighted_deterministic_and_strata(spark):
+    rows = [(i, "s" + str(i % 2), float(1 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, w double")
+    a = sorted((r.doc_id, r.src, r.sample_rank) for r in
+               PL.sample_weighted(df, "doc_id", "w", 5,
+                                  strata_col="src").collect())
+    b = sorted((r.doc_id, r.src, r.sample_rank) for r in
+               PL.sample_weighted(df.repartition(7), "doc_id", "w", 5,
+                                  strata_col="src").collect())
+    assert a == b and len(a) == 10           # 5 per stratum, any layout
+    per = {}
+    for _, src, _ in a:
+        per[src] = per.get(src, 0) + 1
+    assert per == {"s0": 5, "s1": 5}
+
+
+def test_sample_weighted_excludes_bad_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -4.0), (4, None), (5, 2.0)],
+        "doc_id bigint, w double")
+    got = {r.doc_id for r in
+           PL.sample_weighted(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
+    with pytest.raises(ValueError):
+        PL.sample_weighted(df, "doc_id", "w", 0)
+
+
+# ---------------------------------------------------------------------------
+# portable HLL distinct count
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy(spark):
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    n = 5000
+    df = spark.range(n).selectExpr("concat('key_', id) AS k")
+    got = hll_count_distinct(df, "k", precision_bits=12).first()
+    # 1.04/sqrt(4096) ~ 1.6% std error; 6% is > 3 sigma
+    assert abs(got.hll_estimate - n) / n < 0.06
+    assert 0 < got.n_buckets_used <= 4096
+
+
+def test_hll_deterministic_on_any_partitioning(spark):
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    df = spark.range(2000).selectExpr("concat('u', id) AS k",
+                                      "id % 3 AS g")
+    a = sorted((r.g, r.hll_estimate, r.n_buckets_used) for r in
+               hll_count_distinct(df, "k", ["g"]).collect())
+    b = sorted((r.g, r.hll_estimate, r.n_buckets_used) for r in
+               hll_count_distinct(df.repartition(13), "k", ["g"]).collect())
+    assert a == b and len(a) == 3            # bit-equal incl. the float
+
+
+def test_hll_small_range_linear_counting_is_exact_regime(spark):
+    """At tiny cardinality the linear-counting branch engages and lands
+    within a couple of percent."""
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    df = spark.range(50).selectExpr("concat('x', id) AS k")
+    got = hll_count_distinct(df, "k", precision_bits=12).first()
+    assert abs(got.hll_estimate - 50) < 3
+    # duplicate keys don't move the sketch
+    dup = spark.range(50).selectExpr("concat('x', id % 25) AS k")
+    got2 = hll_count_distinct(dup, "k", precision_bits=12).first()
+    assert abs(got2.hll_estimate - 25) < 3
+
+
+def test_hll_param_validation_and_nulls(spark):
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+    got = hll_count_distinct(df, "k", precision_bits=8).first()
+    assert got.n_buckets_used == 1           # nulls ignored, dups merge
+    with pytest.raises(ValueError):
+        hll_count_distinct(df, "k", precision_bits=10)
+
+
+def test_hll_and_weighted_sampling_plan_shapes(spark):
+    """HLL: count-free register shuffle only (2 exchanges: bucket-max +
+    group pack); weighted sampling: one window per stratum, no Python."""
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    df = spark.range(100).selectExpr("concat('u', id) AS k", "id % 2 AS g")
+    out = hll_count_distinct(df, "k", ["g"])
+    rep = P.plan_report(out)
+    assert rep["cartesian_products"] == 0 and rep["python_udf_nodes"] == 0
+    dfw = spark.range(100).selectExpr("id AS doc_id",
+                                      "CAST(1 + id % 5 AS DOUBLE) AS w")
+    outw = PL.sample_weighted(dfw, "doc_id", "w", 10)
+    repw = P.plan_report(outw)
+    assert repw["cartesian_products"] == 0 and repw["python_udf_nodes"] == 0
