@@ -1501,6 +1501,14 @@ def _events_queries():
         return hll_count_distinct(e, "user_id", ["event_type"],
                                   precision_bits=12, seed="h8")
 
+    def q_skew_report(spark, sf):
+        # shuffle pre-flight on the event key: 150 users, top-5 hot keys;
+        # the array column flattens to one string for the typed hash
+        from anofox_forecast_spark.operators.stats import skew_report
+        e = events_table(spark, sf)
+        return (skew_report(e, ["user_id"], top_k=5)
+                .withColumn("top_keys", F.concat_ws(",", "top_keys")))
+
     def q_hll_raw(spark, sf):
         # distinct event ids per type at m=256: n >> 2.5m = the raw
         # alpha_m * m^2 / sum(2^-M) estimator branch
@@ -1612,6 +1620,7 @@ def _events_queries():
         "stats_group_quantiles": q_group_quantiles,
         "stats_hll_distinct": q_hll_users,
         "stats_hll_distinct_raw": q_hll_raw,
+        "stats_skew_report": q_skew_report,
     }
 
 
@@ -1764,6 +1773,7 @@ _WINDOW = [
     # r8-new: weighted corpus sampling (Efraimidis-Spirakis) and the
     # engine-portable HLL distinct sketch, both estimator branches
     "pipeline_sample_weighted", "stats_hll_distinct", "stats_hll_distinct_raw",
+    "stats_skew_report",
     # --- code changed this round (malformed-interval pre-explode guard;
     # dup_clusters non-convergence raise) — re-verify the touched plans ---
     "events_range_join", "dedup_clusters",
@@ -1778,10 +1788,11 @@ _WINDOW = [
     "features_full", "features_list", "forecast_auto_arima",
     "forecast_single", "forecast_agg_naive",
     "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
-    # (matrix_profile/sazed/estimate_period_acf yielded their slots to the
-    # three r8 keys above — all r7-green under the rewritten oracles, and
-    # detect_periods auto + fft keep the family's dispatch + hardest path)
-    "detect_periods", "detect_periods_fft", "analyze_seasonality",
+    # (matrix_profile/sazed/estimate_period_acf/analyze_seasonality
+    # yielded their slots to the four r8 keys above — all r7-green under
+    # the rewritten oracles, and detect_periods auto + fft keep the
+    # family's dispatch + hardest path)
+    "detect_periods", "detect_periods_fft",
     "cv_hydrate_features", "cv_prepare_regression", "cv_estimate_memory",
     "ols_fit_predict", "ridge_fit_predict",
     "similarity_topk_pq", "semdedup",
@@ -9276,6 +9287,35 @@ FROM x GROUP BY 1, 2, 3
     # 4-decimal pin
     o["stats_hll_distinct"] = _hll_oracle("user_id", 12, "h8")
     o["stats_hll_distinct_raw"] = _hll_oracle("event_id", 8, "h8")
+    # operators/stats.py::skew_report — exact type-7 quantiles on the
+    # sorted per-key count list; hot keys ordered (count DESC, key ASC)
+    def q7(p: float) -> str:
+        return (f"CASE WHEN n = 1 THEN CAST(arr[1] AS DOUBLE) ELSE "
+                f"CAST(arr[CAST(floor({p} * (n - 1)) AS BIGINT) + 1]"
+                f" AS DOUBLE)"
+                f" * (1.0 - ({p} * (n - 1)"
+                f"           - floor({p} * (n - 1))))"
+                f" + CAST(arr[least(CAST(floor({p} * (n - 1)) AS BIGINT)"
+                f"                  + 2, n)] AS DOUBLE)"
+                f" * ({p} * (n - 1) - floor({p} * (n - 1))) END")
+    o["stats_skew_report"] = f"""
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+           FROM events GROUP BY 1),
+a AS (SELECT list(c ORDER BY c) AS arr,
+        list(concat(k, '=', CAST(c AS VARCHAR)) ORDER BY c DESC, k) AS hot,
+        sum(c) AS n_rows, count(*) AS n
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n_keys,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_rows AS DOUBLE) / n AS mean_per_key,
+  {q7(0.5)} AS p50_per_key,
+  {q7(0.99)} AS p99_per_key,
+  CAST(arr[CAST(n AS BIGINT)] AS BIGINT) AS max_per_key,
+  CAST(arr[CAST(n AS BIGINT)] AS DOUBLE)
+    / (CAST(n_rows AS DOUBLE) / n) AS skew_ratio,
+  array_to_string(hot[1:5], ',') AS top_keys
+FROM a
+"""
     return o
 
 

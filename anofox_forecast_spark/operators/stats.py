@@ -762,3 +762,62 @@ def hll_count_distinct(df: DataFrame, key_col: str,
     return packed.select(*gcols,
                          est.alias("hll_estimate"),
                          used.cast("bigint").alias("n_buckets_used"))
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                top_k: int = 10) -> DataFrame:
+    """Pre-flight shuffle-skew diagnostic: per-key row counts summarized
+    into the numbers that decide a 100 TB join/groupBy strategy — key
+    cardinality, the mean/median/p99/max rows-per-key, the max/mean skew
+    ratio (AQE's skew-join trigger is ~5x median), and the ``top_k``
+    hottest keys (to salt, cap, or broadcast around). Beyond-parity ops
+    tooling: run it on the join key BEFORE the join.
+
+    Output: one row — ``(n_keys, n_rows, mean_per_key, p50_per_key,
+    p99_per_key, max_per_key, skew_ratio, top_keys)`` where ``top_keys``
+    is an array of "key=count" strings (count desc, then key asc — both
+    components deterministic) and ``skew_ratio`` = max/mean.
+
+    Scale shape: one count-only groupBy on the key (map-side combined,
+    the thing being measured is also the only shuffle), then a single
+    1-row aggregate over (key, count) pairs; the quantiles are the exact
+    type-7 selection on the sorted count list — per-key counts fit one
+    aggregate buffer as long as key cardinality does, which is the regime
+    where an exact report is meaningful (beyond that, sample first).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (df.select(key.alias("__k"))
+                .groupBy("__k").agg(F.count(F.lit(1)).alias("__c")))
+    arr = F.array_sort(F.collect_list("__c"))
+    hot = F.slice(
+        F.array_sort(F.collect_list(F.struct(
+            (-F.col("__c")).alias("negc"), F.col("__k").alias("k")))),
+        1, top_k)
+    agg = counts.agg(arr.alias("__a"), hot.alias("__h"),
+                     F.sum("__c").alias("n_rows"))
+    n = F.size("__a")
+
+    def q7(p):
+        ix = F.lit(float(p)) * (n - 1).cast("double")
+        lo = F.floor(ix).cast("int")
+        frac = ix - lo.cast("double")
+        return (F.when(n == 1, F.get("__a", 0).cast("double")).otherwise(
+            F.get("__a", lo).cast("double") * (F.lit(1.0) - frac)
+            + F.get("__a", F.least(lo + 1, n - 1)).cast("double") * frac))
+
+    mean = F.col("n_rows").cast("double") / n.cast("double")
+    mx = F.element_at("__a", -1).cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        mean.alias("mean_per_key"),
+        q7(0.5).alias("p50_per_key"),
+        q7(0.99).alias("p99_per_key"),
+        mx.cast("bigint").alias("max_per_key"),
+        (mx / mean).alias("skew_ratio"),
+        F.transform("__h", lambda s: F.concat_ws(
+            "=", s["k"], (-s["negc"]).cast("string"))).alias("top_keys"))

@@ -90,6 +90,10 @@ def main() -> None:
         # event analytics (r7): one window-sort family + the one-scan rollup
         "events_sessionize",
         "events_time_rollup",
+        # r8: ExactSubstr span detection (explode + count-only shuffle +
+        # islands window) and the portable HLL sketch (register shuffle)
+        "pipeline_dup_spans",
+        "stats_hll_distinct_raw",
     ]
     qs = entry_mod.queries()
 

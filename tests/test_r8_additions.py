@@ -197,3 +197,42 @@ def test_hll_and_weighted_sampling_plan_shapes(spark):
     outw = PL.sample_weighted(dfw, "doc_id", "w", 10)
     repw = P.plan_report(outw)
     assert repw["cartesian_products"] == 0 and repw["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# skew_report
+# ---------------------------------------------------------------------------
+
+def test_skew_report_values(spark):
+    from anofox_forecast_spark.operators.stats import skew_report
+    # key 'a' x 6, 'b' x 2, 'c' x 1, 'd' x 1  -> counts [1,1,2,6]
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, ["k"], top_k=2).first()
+    assert (r.n_keys, r.n_rows, r.max_per_key) == (4, 10, 6)
+    assert r.mean_per_key == pytest.approx(2.5)
+    assert r.p50_per_key == pytest.approx(1.5)      # type-7 on [1,1,2,6]
+    assert r.skew_ratio == pytest.approx(6 / 2.5)
+    assert r.top_keys == ["a=6", "b=2"]
+
+
+def test_skew_report_composite_key_and_validation(spark):
+    from anofox_forecast_spark.operators.stats import skew_report
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")],
+                               "a bigint, b string")
+    r = skew_report(df, ["a", "b"]).first()
+    assert r.n_keys == 2 and r.top_keys[0] == "1|x=2"
+    with pytest.raises(ValueError):
+        skew_report(df, [])
+    with pytest.raises(ValueError):
+        skew_report(df, ["a"], top_k=0)
+
+
+def test_skew_report_deterministic_and_plan(spark):
+    from anofox_forecast_spark.operators.stats import skew_report
+    df = spark.range(500).selectExpr("CAST(id % 37 AS STRING) AS k")
+    a = skew_report(df, ["k"]).first()
+    b = skew_report(df.repartition(11), ["k"]).first()
+    assert a == b
+    rep = P.plan_report(skew_report(df, ["k"]))
+    assert rep["cartesian_products"] == 0 and rep["python_udf_nodes"] == 0
