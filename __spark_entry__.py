@@ -1293,6 +1293,10 @@ def _pipeline_queries():
         return PL.dup_span_stats(_docs(spark, sf), "doc_id", "text",
                                  k=_SPAN_K, min_count=2)
 
+    def q_remove_dup_spans(spark, sf):
+        return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
+                                   k=_SPAN_K, min_count=2)
+
     return {
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
@@ -1308,6 +1312,7 @@ def _pipeline_queries():
         "search_tfidf": q_tfidf,
         "pipeline_dup_spans": q_dup_spans,
         "pipeline_dup_span_stats": q_dup_span_stats,
+        "pipeline_remove_dup_spans": q_remove_dup_spans,
         "pipeline_sample_weighted": q_sample_weighted,
     }
 
@@ -1772,8 +1777,8 @@ _WINDOW = [
     "events_funnel_capped", "pipeline_dup_spans", "pipeline_dup_span_stats",
     # r8-new: weighted corpus sampling (Efraimidis-Spirakis) and the
     # engine-portable HLL distinct sketch, both estimator branches
-    "pipeline_sample_weighted", "stats_hll_distinct", "stats_hll_distinct_raw",
-    "stats_skew_report",
+    "pipeline_sample_weighted", "pipeline_remove_dup_spans",
+    "stats_hll_distinct", "stats_hll_distinct_raw", "stats_skew_report",
     # --- code changed this round (malformed-interval pre-explode guard;
     # dup_clusters non-convergence raise) — re-verify the touched plans ---
     "events_range_join", "dedup_clusters",
@@ -1785,7 +1790,9 @@ _WINDOW = [
     # slots — dispatch + the three hardest methods), estimate_period_fft
     # (acf twin stays), conformal_mean_width_scalar (streaming_conformal
     # carries the conformal family end-to-end) ---
-    "features_full", "features_list", "forecast_auto_arima",
+    # (features_list yielded its slot to pipeline_remove_dup_spans —
+    # r7-green static surface listing with unchanged code)
+    "features_full", "forecast_auto_arima",
     "forecast_single", "forecast_agg_naive",
     "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
     # (matrix_profile/sazed/estimate_period_acf/analyze_seasonality
@@ -8520,6 +8527,26 @@ SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
        THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / len(w.ws)
        ELSE 0.0 END AS dup_token_frac
 FROM w LEFT JOIN per USING (doc_id)
+"""
+    # pipeline.remove_dup_spans: drop every covered token position,
+    # re-join survivors by single spaces in original order
+    o["pipeline_remove_dup_spans"] = f"""
+WITH {spans_cte},
+cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+        FROM spans),
+t AS (SELECT doc_id, unnest(ws) AS word,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM w),
+kept AS (SELECT t.doc_id, t.pos, t.word
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+         WHERE cov.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  CAST(len(w.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM w LEFT JOIN agg USING (doc_id)
 """
     return o
 

@@ -617,3 +617,47 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str,
                                   F.col("dup_tokens").cast("double")
                                   / F.col("n_tokens"))
                             .otherwise(F.lit(0.0))))
+
+
+def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 20, min_count: int = 2) -> DataFrame:
+    """Rewrite each document with its duplicated spans REMOVED — the
+    conservative apply-step of :func:`dup_spans` (every occurrence of a
+    corpus-duplicated ``k``-gram window goes; the ExactSubstr paper's
+    leave-one-copy variant needs a global occurrence order that costs a
+    corpus total-order at 100 TB, so the documented policy here is
+    drop-all, the common conservative reproduction). Output: one row per
+    input document — ``(<id>, clean_text, n_tokens, n_removed_tokens)``
+    with survivors re-joined by single spaces in original order
+    (tokenization is :func:`_words`, so reconstruction is lossy about
+    whitespace/case by construction — this is a token-stream operator).
+
+    Scale shape: :func:`dup_spans`' shape plus one bounded explode of the
+    span ranges (output-sized), one anti-join on (id, position) — both
+    sides hash-partition on the id — and one per-doc reassembly groupBy.
+    """
+    spans = dup_spans(df, id_col, text_col, k, min_count)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("span_start"),
+                             F.col("span_end"))).alias("__pos"))
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(_words(F.col(text_col)))
+                       .alias("__p0", "__w"))
+              .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__w"))
+    kept = toks.join(covered, [id_col, "__pos"], "left_anti")
+    agg = (kept.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__pos"), F.col("__w")))),
+                    lambda s: s["__w"])).alias("clean_text"),
+                F.count(F.lit(1)).alias("__n_kept")))
+    tot = df.select(F.col(id_col),
+                    F.size(_words(F.col(text_col))).cast("bigint")
+                     .alias("n_tokens"))
+    return (tot.join(agg, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_tokens",
+                    (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("bigint").alias("n_removed_tokens")))

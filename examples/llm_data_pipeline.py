@@ -44,7 +44,35 @@ def run(spark, sf_dir: str):
     q = list(embs.orderBy("vec_id").select("embedding").first()[0])
     shortlist = cosine_topk_pq(embs, "vec_id", "embedding", q, k=20,
                                m=4, n_codes=8)
-    return kept, dup_groups, near, shortlist
+
+    # 5. (r8) exact-substring repetition: measure duplicated-token mass,
+    #    then rewrite documents with the duplicated spans removed
+    #    (ExactSubstr conservative policy)
+    from anofox_forecast_spark.operators.pipeline import (
+        dup_span_stats,
+        remove_dup_spans,
+        sample_weighted,
+    )
+    span_stats = dup_span_stats(docs, "doc_id", "text", k=5)
+    rewritten = remove_dup_spans(docs, "doc_id", "text", k=5)
+
+    # 6. (r8) quality-proportional sampling: keep 50 docs per language,
+    #    inclusion probability ~ quality score (deterministic on any
+    #    partitioning — the same rows win on a 1000-executor cluster)
+    weighted = sample_weighted(
+        docs.join(scored.select("doc_id", "quality_score"), "doc_id"),
+        "doc_id", "quality_score", k=50, strata_col="lang")
+
+    # 7. (r8) pre-flight shuffle diagnostics + corpus cardinality sketch
+    from anofox_forecast_spark.operators.stats import (
+        hll_count_distinct,
+        skew_report,
+    )
+    skew = skew_report(docs, ["source"], top_k=5)
+    card = hll_count_distinct(docs, "text", ["lang"])
+
+    return (kept, dup_groups, near, shortlist, span_stats, rewritten,
+            weighted, skew, card)
 
 
 if __name__ == "__main__":
@@ -53,9 +81,17 @@ if __name__ == "__main__":
     spark = get_spark(app_name="example-llm-pipeline",
                       master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    kept, dup_groups, near, shortlist = run(spark, sf)
+    (kept, dup_groups, near, shortlist, span_stats, rewritten, weighted,
+     skew, card) = run(spark, sf)
     print("quality-kept docs:", kept.count())
     print("exact-dup groups:", dup_groups.count())
     print("near-dup candidate pairs:", near.count())
     shortlist.show(5)
+    import pyspark.sql.functions as F
+    print("duplicated-token mass:",
+          span_stats.agg(F.sum("dup_tokens")).first()[0], "tokens")
+    print("rewritten docs:", rewritten.filter("n_removed_tokens > 0").count())
+    print("weighted sample size:", weighted.count())
+    skew.show(truncate=False)
+    card.show()
     spark.stop()

@@ -236,3 +236,29 @@ def test_skew_report_deterministic_and_plan(spark):
     assert a == b
     rep = P.plan_report(skew_report(df, ["k"]))
     assert rep["cartesian_products"] == 0 and rep["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# remove_dup_spans (the apply step of dup_spans)
+# ---------------------------------------------------------------------------
+
+def test_remove_dup_spans_rewrites(spark):
+    df = _docs(spark, [
+        (1, "a b c d e unique1 tail1"),
+        (2, "prefix2 a b c d e tail2"),
+        (3, "all fresh words here"),
+        (4, ""),
+    ])
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_removed_tokens)
+           for r in PL.remove_dup_spans(df, "doc_id", "text", k=3).collect()}
+    assert got[1] == ("unique1 tail1", 7, 5)
+    assert got[2] == ("prefix2 tail2", 7, 5)
+    assert got[3] == ("all fresh words here", 4, 0)
+    assert got[4] == ("", 0, 0)
+
+
+def test_remove_dup_spans_plan(spark):
+    df = _docs(spark, [(1, "a b c")])
+    out = PL.remove_dup_spans(df, "doc_id", "text", k=2)
+    rep = P.plan_report(out)
+    assert rep["cartesian_products"] == 0 and rep["python_udf_nodes"] == 0
