@@ -22,11 +22,17 @@ def test_forecast_conformal_example(spark):
 
 def test_llm_pipeline_example(spark):
     from examples.llm_data_pipeline import run
-    kept, dup_groups, near, shortlist = run(spark, SF_DIR)
+    (kept, dup_groups, near, shortlist, span_stats, rewritten, weighted,
+     skew, card) = run(spark, SF_DIR)
     assert kept.count() > 0
     assert dup_groups.count() >= 0
     assert near.count() >= 0
     assert shortlist.count() > 0
+    assert span_stats.count() > 0
+    assert rewritten.count() > 0
+    assert weighted.count() > 0
+    assert skew.count() == 1
+    assert card.count() > 0
 
 
 def test_events_analytics_example(spark):
@@ -43,9 +49,11 @@ def test_events_analytics_example(spark):
 
 def test_corpus_build_example(spark):
     from examples.corpus_build import run
-    quality, cleaned, decon, mixed, budgeted, packed, audit = run(spark, SF_DIR)
+    (quality, cleaned, decon, mixed, budgeted, packed, audit,
+     sem) = run(spark, SF_DIR)
     assert quality.count() > 0
     assert cleaned.count() > 0
     assert mixed.count() >= 0
     assert packed.count() >= 0
     assert audit.count() > 0
+    assert sem.count() > 0
