@@ -586,8 +586,22 @@ def _conformal_queries():
             "id", C.ts_mean_interval_width(F.col("lo"), F.col("up"))
                    .alias("mean_width"))
 
+    def q_adaptive(spark, sf):
+        # ACI (Gibbs & Candes 2021) over the panel with the deterministic
+        # reference forecast 0.9*y + 1 (same rider as streaming_conformal);
+        # covered's t=1 NULL coalesces to FALSE in the contract (NULL
+        # boolean crosses the two pandas paths differently)
+        from pyspark.sql import functions as F
+        p = lineitem_panel(spark, sf).withColumn(
+            "fc", F.col("y").cast("double") * 0.9 + 1.0)
+        out = C.ts_adaptive_conformal_by(p, "id", "ds", "y", "fc",
+                                         alpha=0.1, gamma=0.02)
+        return out.withColumn("covered",
+                              F.coalesce("covered", F.lit(False)))
+
     return {
         "conformal_calibrate": q_calibrate,
+        "conformal_adaptive": q_adaptive,
         "conformal_by": q_conformal_by,
         "conformal_interval_width": q_interval_width,
         "conformal_mean_width_scalar": q_mean_width,
@@ -812,6 +826,19 @@ def _analytics_queries():
         return D.ts_detect_amplitude_modulation_by(lineitem_panel(spark, sf),
                                                    "id", "ds", "y", 7)
 
+    def q_detect_anomalies(spark, sf):
+        # rolling-MAD robust z over a trailing 14-point window (the point
+        # itself excluded; exact type-7 medians). The contract coalesces
+        # the NULL verdict (insufficient history) to FALSE because a NULL
+        # boolean crosses duckdb->pandas as NaN but spark->pandas as None
+        # and the typed hash can't equate them; the OPERATOR keeps NULL.
+        from pyspark.sql import functions as F
+        out = D.ts_detect_anomalies_by(lineitem_panel(spark, sf),
+                                       "id", "ds", "y", window=14,
+                                       threshold=3.5, min_obs=5)
+        return out.withColumn("is_anomaly",
+                              F.coalesce("is_anomaly", F.lit(False)))
+
     return {
         "features_full": q_features_full,
         "features_sql": q_features_sql,
@@ -847,6 +874,7 @@ def _analytics_queries():
         "peak_timing": q_peak_timing,
         "estimate_period_acf": q_estimate_period_acf,
         "estimate_period_fft": q_estimate_period_fft,
+        "detect_anomalies": q_detect_anomalies,
     }
 
 
@@ -1779,6 +1807,9 @@ _WINDOW = [
     # engine-portable HLL distinct sketch, both estimator branches
     "pipeline_sample_weighted", "pipeline_remove_dup_spans",
     "stats_hll_distinct", "stats_hll_distinct_raw", "stats_skew_report",
+    # r8-new: ACI online conformal (recursive-CTE oracle, bit-exact incl.
+    # the serial alpha walk) and rolling-MAD anomaly detection
+    "conformal_adaptive", "detect_anomalies",
     # --- code changed this round (malformed-interval pre-explode guard;
     # dup_clusters non-convergence raise) — re-verify the touched plans ---
     "events_range_join", "dedup_clusters",
@@ -1794,7 +1825,10 @@ _WINDOW = [
     # r7-green static surface listing with unchanged code)
     "features_full", "forecast_auto_arima",
     "forecast_single", "forecast_agg_naive",
-    "forecast_explain", "forecast_explain_mstl", "forecast_explain_ets",
+    # (explain_mstl/_ets yielded slots to conformal_adaptive +
+    # detect_anomalies — both r7-green; forecast_explain keeps the
+    # explain family's hardest path, the full seasonal-Theta replay)
+    "forecast_explain",
     # (matrix_profile/sazed/estimate_period_acf/analyze_seasonality
     # yielded their slots to the four r8 keys above — all r7-green under
     # the rewritten oracles, and detect_periods auto + fft keep the
@@ -6340,6 +6374,70 @@ paths AS (SELECT id, b, t,
           FROM drawn)
 {" UNION ALL ".join(qsel)}
 """
+    # ts_adaptive_conformal_by (ACI): the serial alpha_t walk as a
+    # recursive CTE; q_t is the SAME corrected quantile expression as
+    # conformal_calibrate's, evaluated over the expanding residual prefix
+    # res[1 : t-1]; every float op mirrors the Spark fold's order
+    def _aciq(hist: str, a: str) -> str:
+        n = f"len({hist})"
+        lvl = (f"least(greatest(ceil(({n} + 1.0) * (1.0 - {a}))"
+               f" / {n}, 0.0), 1.0)")
+        ix = f"({lvl} * ({n} - 1.0))"
+        lo = f"CAST(floor({ix}) AS BIGINT)"
+        sa = f"list_sort({hist})"
+        return (f"CASE WHEN {n} = 0 THEN NULL "
+                f"WHEN {n} = 1 THEN {sa}[1] "
+                f"ELSE {sa}[{lo} + 1] * (1.0 - ({ix} - floor({ix}))) "
+                f"+ {sa}[least({lo} + 2, CAST({n} AS BIGINT))]"
+                f" * ({ix} - floor({ix})) END")
+
+    _aq = _aciq("arr.res[1 : st.t - 1]", "st.a")
+    o["conformal_adaptive"] = f"""
+WITH RECURSIVE p AS ({_PANEL}),
+f AS (SELECT id, ds, CAST(y AS DOUBLE) AS act,
+             CAST(y AS DOUBLE) * 0.9 + 1.0 AS fc
+      FROM p WHERE y IS NOT NULL),
+arr AS (SELECT id,
+          list(struct_pack(ds := ds, act := act, fc := fc)
+               ORDER BY ds) AS e,
+          list(abs(act - fc) ORDER BY ds) AS res,
+          count(*) AS n
+        FROM f GROUP BY id),
+st AS (
+  -- increments are exact double literals (Python-computed), pure adds:
+  -- a + g*(alpha-err) as a multiply-add lets the C compiler emit an FMA
+  -- (one rounding) where the JVM rounds twice
+  SELECT id, 1 AS t, CAST(0.1 AS DOUBLE) AS a FROM arr
+  UNION ALL
+  SELECT s.id, s.t + 1,
+    CASE WHEN s.q IS NULL THEN s.a
+         ELSE least(greatest(s.a + s.inc, 0.001), 0.999) END
+  FROM (SELECT st.id, st.t, st.a, arr.n, {_aq} AS q,
+          CASE WHEN {_aq} IS NULL THEN NULL
+               WHEN struct_extract(arr.e[st.t], 'act')
+                      < struct_extract(arr.e[st.t], 'fc') - ({_aq})
+                 OR struct_extract(arr.e[st.t], 'act')
+                      > struct_extract(arr.e[st.t], 'fc') + ({_aq})
+               THEN CAST('{0.02 * (0.1 - 1.0)!r}' AS DOUBLE)
+               ELSE CAST('{0.02 * (0.1 - 0.0)!r}' AS DOUBLE)
+          END AS inc
+        FROM st JOIN arr USING (id)) s
+  WHERE s.t < s.n)
+SELECT st.id,
+  struct_extract(arr.e[st.t], 'ds') AS ds,
+  struct_extract(arr.e[st.t], 'act') AS y,
+  struct_extract(arr.e[st.t], 'fc') AS fc,
+  st.a AS alpha_t,
+  {_aq} AS q_t,
+  struct_extract(arr.e[st.t], 'fc') - ({_aq}) AS lower,
+  struct_extract(arr.e[st.t], 'fc') + ({_aq}) AS upper,
+  coalesce(struct_extract(arr.e[st.t], 'act')
+             >= struct_extract(arr.e[st.t], 'fc') - ({_aq})
+           AND struct_extract(arr.e[st.t], 'act')
+             <= struct_extract(arr.e[st.t], 'fc') + ({_aq}),
+           FALSE) AS covered
+FROM st JOIN arr USING (id)
+"""
     return o
 
 
@@ -7831,6 +7929,43 @@ SELECT w0.id, w0.ds,
        CASE WHEN coalesce(list_contains(c.cps, w0.t), FALSE)
             THEN 1.0 ELSE 0.0 END AS changepoint_probability
 FROM w0 LEFT JOIN cpsets c ON c.id = w0.id
+"""
+    # ts_detect_anomalies_by (detect.py): rolling-MAD modified z-score,
+    # the point itself excluded from its window; exact type-7 medians on
+    # the sorted trailing list; FILTER drops NULL y like collect_list
+    def _t7(arr, n):
+        ix = f"(0.5 * ({n} - 1))"
+        lo = f"CAST(floor({ix}) AS BIGINT)"
+        return (f"CASE WHEN {n} = 1 THEN {arr}[1] ELSE "
+                f"{arr}[{lo} + 1] * (1.0 - ({ix} - floor({ix}))) "
+                f"+ {arr}[least({lo} + 2, {n})] * ({ix} - floor({ix})) END")
+
+    o["detect_anomalies"] = f"""
+WITH p AS ({_PANEL}),
+h AS (SELECT id, ds, y,
+        list(CAST(y AS DOUBLE)) FILTER (WHERE y IS NOT NULL)
+          OVER (PARTITION BY id ORDER BY ds
+                ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS hw
+      FROM p),
+m AS (SELECT id, ds, y, list_sort(hw) AS sh, len(hw) AS n FROM h),
+med AS (SELECT id, ds, y, sh, n,
+          CASE WHEN n >= 5 THEN {_t7('sh', 'n')} END AS rolling_median
+        FROM m),
+mad AS (SELECT id, ds, y, n, rolling_median,
+          CASE WHEN rolling_median IS NOT NULL THEN
+            {_t7("list_sort(list_transform(sh, v -> abs(v - rolling_median)))", 'n')}
+          END AS rolling_mad
+        FROM med)
+SELECT id, ds, y, rolling_median, rolling_mad,
+  CASE WHEN rolling_mad > 0
+       THEN 0.6745 * (CAST(y AS DOUBLE) - rolling_median) / rolling_mad
+       END AS robust_z,
+  coalesce(CASE WHEN rolling_median IS NULL OR y IS NULL THEN NULL
+       WHEN rolling_mad > 0
+       THEN abs(0.6745 * (CAST(y AS DOUBLE) - rolling_median)
+                / rolling_mad) > 3.5
+       ELSE CAST(y AS DOUBLE) != rolling_median END, FALSE) AS is_anomaly
+FROM mad
 """
     return o
 

@@ -446,3 +446,106 @@ def ts_bootstrap_quantiles(df: DataFrame, group_col: str, resid_col: str,
         return pd.DataFrame(out)
 
     return df.groupBy(group_col).applyInPandas(fn, schema)
+
+
+def ts_adaptive_conformal_by(df: DataFrame, group_col: str, ds_col: str,
+                             actual_col: str, forecast_col: str,
+                             alpha: float = 0.1,
+                             gamma: float = 0.01) -> DataFrame:
+    """Adaptive Conformal Inference (Gibbs & Candès 2021) per series:
+    the online update
+
+        alpha_{t+1} = clamp(alpha_t + gamma * (alpha - err_t), 1e-3, 0.999)
+
+    where ``err_t`` = 1 when the actual lands outside the interval built
+    from the trailing residuals at the CURRENT effective level alpha_t —
+    so miscoverage raises the level (wider intervals) and streaks of
+    coverage tighten it, tracking distribution shift that a fixed split-
+    conformal score cannot. ``q_t`` is the same corrected quantile as
+    :func:`ts_conformal_quantile` over the EXPANDING history of absolute
+    residuals strictly before t (NULL at t=1 — no history, no interval,
+    no update). Output per input row: ``(group, ds, actual, forecast,
+    alpha_t, q_t, lower, upper, covered)``. Rows with NULL actual or
+    forecast are excluded (they can neither score nor be scored).
+
+    Implementation is ONE sequential fold per series over the sorted
+    row list (JVM ``aggregate`` — the state alpha_t is genuinely serial,
+    the per-step quantile reads a static prefix of the residual array),
+    so the operator is deterministic on any partitioning and replayable
+    by an engine-side recursive CTE. One shuffle on the series key; the
+    per-series state is the series itself, the same bound as every
+    other per-series operator.
+    """
+    a0, g0 = float(alpha), float(gamma)
+    if not (0.0 < a0 < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    if g0 <= 0:
+        raise ValueError("gamma must be positive")
+    base = df.filter(F.col(actual_col).isNotNull()
+                     & F.col(forecast_col).isNotNull())
+    ev = F.array_sort(F.collect_list(F.struct(
+        F.col(ds_col).alias("ds"),
+        F.col(actual_col).cast("double").alias("act"),
+        F.col(forecast_col).cast("double").alias("fc"))))
+    grouped = base.groupBy(group_col).agg(ev.alias("__e"))
+    res = F.transform(F.col("__e"), lambda e: F.abs(e["act"] - e["fc"]))
+    grouped = grouped.withColumn("__res", res)
+
+    def q_of(hist, a_t):
+        arr = F.sort_array(hist)
+        n = F.size(arr).cast("double")
+        level = F.least(F.greatest(
+            F.ceil((n + 1.0) * (1.0 - a_t)) / n, F.lit(0.0)), F.lit(1.0))
+        idx = level * (n - 1.0)
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        return F.when(F.size(arr) == 0, F.lit(None).cast("double")) \
+                .when(F.size(arr) == 1, F.get(arr, 0)) \
+                .otherwise(F.get(arr, lo) * (F.lit(1.0) - frac)
+                           + F.get(arr, F.least(lo + 1, F.size(arr) - 1))
+                           * frac)
+
+    def step(acc, t):
+        a_t = F.element_at(acc["a"], -1)
+        q_t = q_of(F.slice(F.col("__res"), 1, t - 1), a_t)
+        e = F.element_at(F.col("__e"), t)
+        miss = (e["act"] < e["fc"] - q_t) | (e["act"] > e["fc"] + q_t)
+        # increments precomputed as exact double literals: `a + g*(alpha -
+        # err)` written as a multiply-add invites the C compiler's FMA
+        # fusion engine-side (one rounding) while the JVM rounds twice —
+        # a pure add of the same literal is bit-identical everywhere
+        inc = F.when(miss, F.lit(g0 * (a0 - 1.0)))                .otherwise(F.lit(g0 * (a0 - 0.0)))
+        a_next = F.when(q_t.isNull(), a_t).otherwise(
+            F.least(F.greatest(a_t + inc, F.lit(0.001)), F.lit(0.999)))
+        return F.struct(
+            F.concat(acc["a"], F.array(a_next)).alias("a"),
+            F.concat(acc["q"], F.array(q_t)).alias("q"))
+
+    # the q array MUST be nullable-element (q_1 is NULL): an init derived
+    # from the non-nullable residual array makes concat() insert NULL into
+    # a containsNull=false array, which codegen reads back as 0.0
+    init = F.struct(
+        F.array(F.lit(a0)).cast("array<double>").alias("a"),
+        F.expr("CAST(array() AS array<double>)").alias("q"))
+    state = F.aggregate(F.sequence(F.lit(1), F.size("__e")), init, step)
+    out = (grouped.withColumn("__st", state)
+           .withColumn("__qs", F.col("__st")["q"])
+           .withColumn("__as", F.slice(F.col("__st")["a"], 1,
+                                       F.size("__e")))
+           .select(group_col,
+                   F.posexplode(F.arrays_zip(
+                       F.col("__e"), F.col("__qs"), F.col("__as")))
+                    .alias("__t0", "__z")))
+    z = F.col("__z")
+    e, q_t, a_t = z["__e"], z["__qs"], z["__as"]
+    lower = F.when(q_t.isNotNull(), e["fc"] - q_t)
+    upper = F.when(q_t.isNotNull(), e["fc"] + q_t)
+    covered = F.when(q_t.isNotNull(),
+                     (e["act"] >= e["fc"] - q_t)
+                     & (e["act"] <= e["fc"] + q_t))
+    return out.select(
+        group_col, e["ds"].alias(ds_col),
+        e["act"].alias(actual_col), e["fc"].alias(forecast_col),
+        a_t.alias("alpha_t"), q_t.alias("q_t"),
+        lower.alias("lower"), upper.alias("upper"),
+        covered.alias("covered"))

@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1398,3 +1398,71 @@ def ts_detect_amplitude_modulation_by(df: DataFrame, group_col: str, ds_col: str
                               "amplitude_trend": trend}])
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
+
+
+def ts_detect_anomalies_by(df: DataFrame, group_col: str, ds_col: str,
+                           y_col: str, window: int = 28,
+                           threshold: float = 3.5,
+                           min_obs: int = 5) -> DataFrame:
+    """Rolling-MAD robust anomaly detection per series (beyond-parity
+    detection surface; the Iglewicz-Hoaglin modified z-score over a
+    trailing window): for each point, the window is the previous
+    ``window`` observations (the point itself EXCLUDED, so an anomaly
+    cannot mask itself), center = exact type-7 median of the window,
+    scale = median absolute deviation from that center, and
+
+        robust_z = 0.6745 * (y - median) / MAD
+
+    flagged when ``|robust_z| > threshold`` (3.5 is the Iglewicz-Hoaglin
+    recommendation). Points with fewer than ``min_obs`` trailing
+    observations, NULL values, or a zero MAD (a constant window — any
+    deviation is infinitely surprising, flagged when y != median) get
+    NULL / rule-based handling documented below.
+
+    Output: ``(group, ds, y, rolling_median, rolling_mad, robust_z,
+    is_anomaly)``. ``robust_z`` is NULL when history < min_obs or y is
+    NULL; when MAD = 0, robust_z is NULL but is_anomaly = (y != median).
+
+    Scale shape: ONE per-series window sort (rowsBetween bounded by
+    ``window``), exact medians by sorted-array interpolation — pure
+    Catalyst, bounded per-row state, no Python. 100 TB = shuffle on the
+    series key once, like every other per-series window operator.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_obs < 1 or min_obs > window:
+        raise ValueError("min_obs must be in [1, window]")
+    w = (Window.partitionBy(group_col).orderBy(ds_col)
+         .rowsBetween(-int(window), -1))
+    hist = F.sort_array(F.collect_list(F.col(y_col).cast("double")).over(w))
+
+    def med(arr):
+        n = F.size(arr)
+        ix = F.lit(0.5) * (n - 1).cast("double")
+        lo = F.floor(ix).cast("int")
+        frac = ix - lo.cast("double")
+        return (F.when(n == 1, F.get(arr, 0)).otherwise(
+            F.get(arr, lo) * (F.lit(1.0) - frac)
+            + F.get(arr, F.least(lo + 1, n - 1)) * frac))
+
+    out = (df.withColumn("__h", hist)
+             .withColumn("rolling_median", F.when(
+                 F.size("__h") >= min_obs, med(F.col("__h")))))
+    dev = F.sort_array(F.transform(
+        F.col("__h"), lambda v: F.abs(v - F.col("rolling_median"))))
+    out = out.withColumn("rolling_mad",
+                         F.when(F.col("rolling_median").isNotNull(),
+                                med(dev)))
+    y = F.col(y_col).cast("double")
+    z = F.when(F.col("rolling_mad") > 0,
+               F.lit(0.6745) * (y - F.col("rolling_median"))
+               / F.col("rolling_mad"))
+    anom = (F.when(F.col("rolling_median").isNull() | y.isNull(),
+                   F.lit(None).cast("boolean"))
+             .when(F.col("rolling_mad") > 0,
+                   F.abs(z) > float(threshold))
+             .otherwise(y != F.col("rolling_median")))
+    return (out.withColumn("robust_z", z)
+               .withColumn("is_anomaly", anom)
+               .select(group_col, ds_col, y_col, "rolling_median",
+                       "rolling_mad", "robust_z", "is_anomaly"))

@@ -262,3 +262,129 @@ def test_remove_dup_spans_plan(spark):
     out = PL.remove_dup_spans(df, "doc_id", "text", k=2)
     rep = P.plan_report(out)
     assert rep["cartesian_products"] == 0 and rep["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling-MAD anomaly detection
+# ---------------------------------------------------------------------------
+
+def test_anomaly_rolling_mad_flags_spike(spark):
+    import datetime as dt
+    from anofox_forecast_spark.operators.detect import ts_detect_anomalies_by
+    base = dt.datetime(2024, 1, 1)
+    ys = [10.0, 11.0, 10.0, 12.0, 11.0, 10.0, 11.0, 100.0, 11.0, 10.0]
+    rows = [(1, base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "id bigint, ds timestamp, y double")
+    got = {r.ds.day: (r.robust_z, r.is_anomaly) for r in
+           ts_detect_anomalies_by(df, "id", "ds", "y", window=7,
+                                  min_obs=5).collect()}
+    # first 5 points: insufficient history -> NULLs
+    for d in (1, 2, 3, 4, 5):
+        assert got[d] == (None, None)
+    assert got[8][1] is True          # the 100.0 spike
+    assert got[9][1] is False         # back to normal (spike in window
+                                      # but median/MAD are robust to it)
+    assert abs(got[8][0]) > 3.5
+
+
+def test_anomaly_zero_mad_and_nulls(spark):
+    import datetime as dt
+    from anofox_forecast_spark.operators.detect import ts_detect_anomalies_by
+    base = dt.datetime(2024, 1, 1)
+    ys = [5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 7.0, None]
+    rows = [(1, base + dt.timedelta(days=i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "id bigint, ds timestamp, y double")
+    got = {r.ds.day: (r.rolling_mad, r.robust_z, r.is_anomaly) for r in
+           ts_detect_anomalies_by(df, "id", "ds", "y", window=6,
+                                  min_obs=5).collect()}
+    # day 6: constant window -> MAD 0, same value -> not anomalous
+    assert got[6] == (0.0, None, False)
+    # day 7: constant window, deviating value -> flagged via the MAD=0 rule
+    assert got[7] == (0.0, None, True)
+    # day 8: NULL value -> NULL verdict
+    assert got[8][2] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ts_detect_anomalies_by(df, "id", "ds", "y", window=0)
+    with _pt.raises(ValueError):
+        ts_detect_anomalies_by(df, "id", "ds", "y", window=5, min_obs=9)
+
+
+def test_anomaly_plan_single_window(spark):
+    import datetime as dt
+    from anofox_forecast_spark.operators.detect import ts_detect_anomalies_by
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "id bigint, ds timestamp, y double")
+    out = ts_detect_anomalies_by(df, "id", "ds", "y")
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# adaptive conformal (ACI, Gibbs & Candes 2021)
+# ---------------------------------------------------------------------------
+
+def _aci_df(spark, ys_fc):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=i), y, f)
+            for i, (y, f) in enumerate(ys_fc)]
+    return spark.createDataFrame(rows,
+                                 "id bigint, ds timestamp, y double, fc double")
+
+
+def test_aci_update_direction_and_clamp(spark):
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    # constant residual 0.2, then one big miss at the end
+    data = [(10.0, 10.2)] * 9 + [(20.0, 10.2)]
+    df = _aci_df(spark, data)
+    got = sorted((r.ds.day, r.alpha_t, r.q_t, r.covered) for r in
+                 ts_adaptive_conformal_by(df, "id", "ds", "y", "fc",
+                                          alpha=0.1, gamma=0.05).collect())
+    # t=1: no history -> NULL q, NULL covered, alpha unchanged at t=2
+    assert got[0][1:] == (0.1, None, None)
+    assert got[1][1] == 0.1
+    # covered steps RAISE alpha by gamma*alpha each step
+    assert got[2][1] == pytest.approx(0.105)
+    assert got[9][3] is False                  # the miss
+    # after a covered step alpha rose; after the final miss there is no
+    # emitted step, but the q at the miss came from history of 0.2s
+    assert got[9][2] == pytest.approx(0.2)
+
+
+def test_aci_alpha_clamped(spark):
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    # every step covered with huge gamma -> alpha would run past 1
+    data = [(10.0, 10.0)] * 30
+    df = _aci_df(spark, data)
+    got = [r.alpha_t for r in
+           ts_adaptive_conformal_by(df, "id", "ds", "y", "fc",
+                                    alpha=0.5, gamma=1.0).collect()]
+    assert max(got) <= 0.999 and min(got) >= 0.001
+
+
+def test_aci_validation_and_null_rows(spark):
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    df = _aci_df(spark, [(1.0, 1.0), (None, 2.0), (3.0, None), (4.0, 4.0)])
+    out = ts_adaptive_conformal_by(df, "id", "ds", "y", "fc").collect()
+    assert len(out) == 2                       # null rows excluded
+    with pytest.raises(ValueError):
+        ts_adaptive_conformal_by(df, "id", "ds", "y", "fc", alpha=1.5)
+    with pytest.raises(ValueError):
+        ts_adaptive_conformal_by(df, "id", "ds", "y", "fc", gamma=0.0)
+
+
+def test_aci_plan_single_shuffle_no_python(spark):
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    df = _aci_df(spark, [(1.0, 1.0)])
+    out = ts_adaptive_conformal_by(df, "id", "ds", "y", "fc")
+    P.assert_max_exchanges(out, 1)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
