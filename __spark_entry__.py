@@ -1756,6 +1756,20 @@ def _streaming_queries():
         out = ST.stream_conformal(feed, alpha=0.1)
         return _run_to_table(spark, out, "update")
 
+    def q_stream_adaptive(spark, sf):
+        # streaming ACI: one availableNow trigger == the batch fold (the
+        # per-user histories fit state_rows, so the sliding cap never
+        # binds); same deterministic 0.9*y + 1 rider, covered coalesced
+        # like the batch key
+        ev = _event_stream(spark, sf)
+        feed = ev.select("id", "ds", F.col("y").alias("actual"),
+                         (F.col("y") * 0.9 + 1.0).alias("forecast"))
+        out = ST.stream_adaptive_conformal(feed, alpha=0.1, gamma=0.02,
+                                           state_rows=4096)
+        res = _run_to_table(spark, out, "update")
+        return res.withColumn("covered",
+                              F.coalesce("covered", F.lit(False)))
+
     def q_stream_sessionize(spark, sf):
         # native session_window sessions over the event stream: new session
         # at delta > gap (exactly-gap merges — measured and pinned in
@@ -1770,6 +1784,7 @@ def _streaming_queries():
         "streaming_stateful_forecast": q_stream_forecast,
         "streaming_dedup_exact": q_stream_dedup,
         "streaming_conformal": q_stream_conformal,
+        "streaming_adaptive_conformal": q_stream_adaptive,
         "streaming_sessionize": q_stream_sessionize,
     }
 
@@ -1834,7 +1849,7 @@ _WINDOW = [
     # the rewritten oracles, and detect_periods auto + fft keep the
     # family's dispatch + hardest path)
     "detect_periods", "detect_periods_fft",
-    "cv_hydrate_features", "cv_prepare_regression", "cv_estimate_memory",
+    "cv_hydrate_features", "cv_prepare_regression",
     "ols_fit_predict", "ridge_fit_predict",
     "similarity_topk_pq", "semdedup",
     "pipeline_c4", "pipeline_decontaminate", "pipeline_sample_hash",
@@ -1842,8 +1857,11 @@ _WINDOW = [
     "pipeline_mix_sources", "pipeline_token_budget",
     "search_bm25",
     "events_sessionize", "events_session_stats", "events_asof_join",
-    # real streaming runs in the driver env — keep both streaming slots
+    # real streaming runs in the driver env — keep the streaming slots,
+    # incl. the r8 streaming ACI (cv_estimate_memory yielded its slot —
+    # r7-green static estimator with unchanged code)
     "streaming_sessionize", "streaming_conformal",
+    "streaming_adaptive_conformal",
 ]
 
 
@@ -6375,9 +6393,22 @@ paths AS (SELECT id, b, t,
 {" UNION ALL ".join(qsel)}
 """
     # ts_adaptive_conformal_by (ACI): the serial alpha_t walk as a
-    # recursive CTE; q_t is the SAME corrected quantile expression as
-    # conformal_calibrate's, evaluated over the expanding residual prefix
-    # res[1 : t-1]; every float op mirrors the Spark fold's order
+    # recursive CTE over the panel — shared builder, also used by the
+    # streaming twin (streaming_adaptive_conformal) over the events feed
+    o["conformal_adaptive"] = _aci_oracle_sql(
+        f"SELECT id, ds, CAST(y AS DOUBLE) AS act, "
+        f"CAST(y AS DOUBLE) * 0.9 + 1.0 AS fc "
+        f"FROM ({_PANEL}) p WHERE y IS NOT NULL", act_name="y")
+    return o
+
+
+def _aci_oracle_sql(f_source_sql: str, act_name: str = "actual",
+                    fc_name: str = "fc") -> str:
+    """Recursive-CTE replay of ACI (ts_adaptive_conformal_by and its
+    streaming twin): q_t is the SAME corrected quantile expression as
+    conformal_calibrate's, evaluated over the expanding residual prefix
+    res[1 : t-1]; every float op mirrors the Spark fold's order.
+    ``f_source_sql`` must yield (id, ds, act, fc) rows."""
     def _aciq(hist: str, a: str) -> str:
         n = f"len({hist})"
         lvl = (f"least(greatest(ceil(({n} + 1.0) * (1.0 - {a}))"
@@ -6392,11 +6423,8 @@ paths AS (SELECT id, b, t,
                 f" * ({ix} - floor({ix})) END")
 
     _aq = _aciq("arr.res[1 : st.t - 1]", "st.a")
-    o["conformal_adaptive"] = f"""
-WITH RECURSIVE p AS ({_PANEL}),
-f AS (SELECT id, ds, CAST(y AS DOUBLE) AS act,
-             CAST(y AS DOUBLE) * 0.9 + 1.0 AS fc
-      FROM p WHERE y IS NOT NULL),
+    return f"""
+WITH RECURSIVE f AS ({f_source_sql}),
 arr AS (SELECT id,
           list(struct_pack(ds := ds, act := act, fc := fc)
                ORDER BY ds) AS e,
@@ -6425,8 +6453,8 @@ st AS (
   WHERE s.t < s.n)
 SELECT st.id,
   struct_extract(arr.e[st.t], 'ds') AS ds,
-  struct_extract(arr.e[st.t], 'act') AS y,
-  struct_extract(arr.e[st.t], 'fc') AS fc,
+  struct_extract(arr.e[st.t], 'act') AS {act_name},
+  struct_extract(arr.e[st.t], 'fc') AS {fc_name},
   st.a AS alpha_t,
   {_aq} AS q_t,
   struct_extract(arr.e[st.t], 'fc') - ({_aq}) AS lower,
@@ -6438,7 +6466,6 @@ SELECT st.id,
            FALSE) AS covered
 FROM st JOIN arr USING (id)
 """
-    return o
 
 
 def _detect_oracles() -> dict[str, str]:
@@ -8177,6 +8204,14 @@ SELECT id,
        CAST(n AS BIGINT) AS n_residuals
 FROM i
 """
+    # ``streaming_adaptive_conformal``: one availableNow trigger == the
+    # batch ACI fold (stream_adaptive_conformal's state_rows cap unhit at
+    # this scale) — the shared recursive-CTE builder over the events feed
+    o["streaming_adaptive_conformal"] = _aci_oracle_sql(
+        "SELECT user_id AS id, ts AS ds, CAST(value AS DOUBLE) AS act, "
+        "CAST(value AS DOUBLE) * 0.9 + 1.0 AS fc "
+        "FROM events WHERE value IS NOT NULL",
+        act_name="actual", fc_name="forecast")
     # ``streaming_dedup_exact``: dropDuplicatesWithinWatermark keeps exactly
     # one row per content fingerprint (which one is arbitrary, so the query
     # projects fingerprints only); the surviving set = DISTINCT fingerprints

@@ -249,3 +249,82 @@ def stream_forecast_foreach_batch(stream: DataFrame, sink_fn,
         sink_fn(out, batch_id)
 
     return stream.writeStream.foreachBatch(process)
+
+
+_ACI_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("ds", T.TimestampType()),
+    T.StructField("actual", T.DoubleType()),
+    T.StructField("forecast", T.DoubleType()),
+    T.StructField("alpha_t", T.DoubleType()),
+    T.StructField("q_t", T.DoubleType()),
+    T.StructField("lower", T.DoubleType()),
+    T.StructField("upper", T.DoubleType()),
+    T.StructField("covered", T.BooleanType()),
+])
+
+_ACI_STATE_SCHEMA = T.StructType([
+    T.StructField("alpha", T.DoubleType()),
+    T.StructField("res", T.ArrayType(T.DoubleType())),
+])
+
+
+def stream_adaptive_conformal(stream: DataFrame, alpha: float = 0.1,
+                              gamma: float = 0.01,
+                              state_rows: int = 512) -> DataFrame:
+    """Streaming Adaptive Conformal Inference — the online twin of
+    ``ts_adaptive_conformal_by``: per-series state carries (alpha_t, the
+    trailing absolute residuals); each arriving row is scored at the
+    CURRENT alpha_t (``conformal_score_np`` — the exact batch quantile
+    convention), alpha_t updates on the coverage error, the residual
+    joins the history. Within the first ``state_rows`` observations per
+    series a one-trigger run equals the batch operator bit-for-bit
+    (same quantile, same precomputed-literal increments — no FMA drift);
+    past the cap this is the sliding-window ACI variant, which is the
+    bounded-state posture an unbounded stream requires.
+
+    Input columns: (id, ds, actual, forecast).
+    Output per row: (id, ds, actual, forecast, alpha_t, q_t, lower,
+    upper, covered) — alpha_t is the level USED at that step.
+    """
+    from ..operators.conformal import conformal_score_np
+    a0, g0 = float(alpha), float(gamma)
+    if not (0.0 < a0 < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    if g0 <= 0:
+        raise ValueError("gamma must be positive")
+    inc_miss = g0 * (a0 - 1.0)
+    inc_cov = g0 * (a0 - 0.0)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            a, res = float(state.get[0]), list(state.get[1])
+        else:
+            a, res = a0, []
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[pdf["actual"].notna() & pdf["forecast"].notna()]
+            rows.extend(zip(sub["ds"], sub["actual"].astype(float),
+                            sub["forecast"].astype(float)))
+        rows.sort(key=lambda t: t[0])
+        out = []
+        for ds, act, fc in rows:
+            a_t = a
+            if res:
+                q = conformal_score_np(res, a_t)
+                lo, up = fc - q, fc + q
+                cov = bool(lo <= act <= up)
+                a = min(max(a + (inc_miss if not cov else inc_cov),
+                            0.001), 0.999)
+            else:
+                q = lo = up = cov = None
+            out.append((key[0], ds, act, fc, a_t, q, lo, up, cov))
+            res.append(abs(act - fc))
+            res = res[-int(state_rows):]
+        state.update((a, res))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in _ACI_SCHEMA])
+
+    return (stream.groupBy("id")
+            .applyInPandasWithState(fn, _ACI_SCHEMA, _ACI_STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

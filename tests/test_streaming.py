@@ -125,3 +125,74 @@ def test_stream_conformal_matches_batch_and_truncates(spark, tmp_path):
     res = (rows.sort_values("ds")["actual"] - rows["forecast"]).to_numpy()[-25:]
     assert got["conformity_score"].iloc[0] == conformal_score_np(res, 0.1)
     assert got["coverage"].iloc[0] == 0.9
+
+
+def test_stream_adaptive_conformal_matches_batch_bitwise(spark, tmp_path):
+    """One availableNow trigger of the streaming ACI == the batch
+    ts_adaptive_conformal_by fold, bit-for-bit, while the per-series
+    history stays inside state_rows."""
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    rng = np.random.default_rng(7)
+    n, ids = 35, (1, 2)
+    rows = pd.concat([pd.DataFrame({
+        "id": [i] * n,
+        "ds": pd.date_range("2024-01-01", periods=n, freq="D"),
+        "actual": rng.normal(10.0, 2.0, n),
+        "forecast": np.full(n, 10.0),
+    }) for i in ids])
+    src = str(tmp_path / "aci")
+    spark.createDataFrame(rows).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = ST.stream_adaptive_conformal(stream, alpha=0.1, gamma=0.05,
+                                       state_rows=512)
+    q = (out.writeStream.format("memory").queryName("aci_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("aci_t").toPandas()
+           .sort_values(["id", "ds"]).reset_index(drop=True))
+    want = (ts_adaptive_conformal_by(batch, "id", "ds", "actual",
+                                     "forecast", alpha=0.1, gamma=0.05)
+            .toPandas().sort_values(["id", "ds"]).reset_index(drop=True))
+    assert len(got) == len(want) == 2 * n
+    for c in ("alpha_t", "q_t", "lower", "upper"):
+        a = got[c].to_numpy(dtype=float)
+        b = want[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    assert got["covered"].astype(str).equals(want["covered"].astype(str))
+
+
+def test_stream_adaptive_conformal_sliding_cap(spark, tmp_path):
+    """Past state_rows the streaming variant slides its window (bounded
+    state) — still emits one verdict per row and keeps alpha in range."""
+    import numpy as np
+    import pandas as pd
+
+    from anofox_forecast_spark import streaming as ST
+    rng = np.random.default_rng(3)
+    n = 30
+    rows = pd.DataFrame({
+        "id": [1] * n,
+        "ds": pd.date_range("2024-01-01", periods=n, freq="D"),
+        "actual": rng.normal(0.0, 1.0, n),
+        "forecast": np.zeros(n),
+    })
+    src = str(tmp_path / "aci2")
+    spark.createDataFrame(rows).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = ST.stream_adaptive_conformal(stream, alpha=0.2, gamma=0.1,
+                                       state_rows=5)
+    q = (out.writeStream.format("memory").queryName("aci_s")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("aci_s").toPandas()
+    assert len(got) == n
+    assert got["alpha_t"].between(0.001, 0.999).all()
+    assert got["q_t"].isna().sum() == 1        # only the first row
