@@ -250,3 +250,31 @@ def test_ols_fit_predict_plan_shape(spark):
     assert rep2["broadcast_exchanges"] >= 1
     assert "collect_list" not in P.physical_plan(dist), \
         "distributed path must not materialize group arrays"
+
+
+def test_r8_operator_shuffle_budgets(spark):
+    """Constant exchange budgets for the r8 family — a regression here
+    means a new shuffle crept into a plan (the budgets are constants,
+    independent of data size)."""
+    from anofox_forecast_spark.operators import pipeline as PL
+    from anofox_forecast_spark.operators.stats import (
+        hll_count_distinct,
+        skew_report,
+    )
+    docs = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e f")],
+                                 "doc_id bigint, text string")
+    wdocs = docs.selectExpr("doc_id", "CAST(length(text) AS DOUBLE) AS w",
+                            "CAST(doc_id % 2 AS STRING) AS src")
+    budgets = [
+        (PL.dup_spans(docs, "doc_id", "text", k=3), 3),
+        (PL.dup_span_stats(docs, "doc_id", "text", k=3), 4),
+        (PL.remove_dup_spans(docs, "doc_id", "text", k=3), 7),
+        (PL.sample_weighted(wdocs, "doc_id", "w", 1, strata_col="src"), 1),
+        (hll_count_distinct(docs, "text"), 2),
+        (skew_report(docs, ["doc_id"]), 2),
+    ]
+    for df, budget in budgets:
+        P.assert_max_exchanges(df, budget)
+        rep = P.plan_report(df)
+        assert rep["cartesian_products"] == 0
+        assert rep["python_udf_nodes"] == 0
