@@ -2825,6 +2825,78 @@ class EventsTimeRollupUDTF:
                 yield (g, b, n, s, mn, mx)
 
 
+class EventsFunnelUDTF:
+    """``events_funnel(TABLE(t), key_col, ts_col, type_col, steps_json[,
+    within_seconds[, max_events_per_key]])`` — SQL form of
+    ``operators/events.py::funnel``: greedy first-touch matching of the
+    ordered step sequence per key, the same strict ``>`` ordering,
+    ``within_seconds`` horizon from the step-1 anchor, and the optional
+    earliest-N per-key cap. ``analyze`` partitions by the key (the same
+    single Exchange as the DataFrame op's groupBy). Prune the stream to
+    the funnel's event types BEFORE calling for the DataFrame op's scale
+    posture — the UDTF walks whatever rows it is given."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                ts_col: AnalyzeArgument, type_col: AnalyzeArgument,
+                steps_json: AnalyzeArgument,
+                within_seconds: AnalyzeArgument | None = None,
+                max_events_per_key: AnalyzeArgument | None = None
+                ) -> AnalyzeResult:
+        schema = table.dataType
+        steps = list(_json.loads(steps_json.value))
+        out = T.StructType(
+            [T.StructField(key_col.value, schema[key_col.value].dataType),
+             T.StructField("steps_completed", T.IntegerType()),
+             T.StructField("converted", T.BooleanType())]
+            + [T.StructField(f"step_{i + 1}_ts",
+                             schema[ts_col.value].dataType)
+               for i in range(len(steps))])
+        return AnalyzeResult(
+            schema=out,
+            partitionBy=[PartitioningColumn(key_col.value)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, key_col, ts_col, type_col, steps_json,
+             within_seconds=None, max_events_per_key=None):
+        self._args = (key_col, ts_col, type_col, steps_json,
+                      within_seconds, max_events_per_key)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        key_col, ts_col, type_col, sjson, within, cap = self._args
+        steps = list(_json.loads(sjson))
+        if not steps:
+            raise ValueError("steps must be non-empty")
+        k = len(steps)
+        win_us = (None if within is None
+                  else int(round(float(within) * 1_000_000)))
+        ev = [( _py_us(r[ts_col]), r[type_col], r[ts_col])
+              for r in self._rows if r[type_col] in steps]
+        if not ev:
+            return
+        ev.sort(key=lambda e: (e[0], e[1]))
+        if cap is not None:
+            ev = ev[:int(cap)]
+        hit: list = []
+        for us, ty, ts in ev:
+            n = len(hit)
+            if n >= k or ty != steps[n]:
+                continue
+            if n > 0 and us <= hit[-1][0]:
+                continue
+            if win_us is not None and n > 0 and us - hit[0][0] > win_us:
+                continue
+            hit.append((us, ts))
+        key = self._rows[0][key_col]
+        yield (key, len(hit), len(hit) == k,
+               *[hit[i][1] if i < len(hit) else None for i in range(k)])
+
+
 class SearchBm25UDTF:
     """``search_bm25(TABLE(docs), id_col, text_col, terms_json[, k1, b])``
     — SQL form of ``operators/search.py::bm25_score``: every document
@@ -2934,6 +3006,7 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("events_sessionize", EventsSessionizeUDTF)
     reg_udtf("events_asof_join", EventsAsofJoinUDTF)
     reg_udtf("events_time_rollup", EventsTimeRollupUDTF)
+    reg_udtf("events_funnel", EventsFunnelUDTF)
     reg_udtf("search_bm25", SearchBm25UDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):

@@ -692,3 +692,26 @@ def test_search_bm25_udtf_matches_dataframe(spark):
     assert a["doc_id"].equals(b["doc_id"])
     np.testing.assert_allclose(a["score"].astype(float),
                                b["score"].astype(float), rtol=1e-12)
+
+
+def test_events_funnel_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.events import funnel
+    from anofox_forecast_spark.sources import events_table
+    ev = (events_table(spark, SF_DIR)
+          .filter(F.col("event_type").isin("signup", "click", "purchase"))
+          .select("user_id", "ts", "event_type"))
+    df_out = funnel(ev, "user_id", "ts", "event_type",
+                    ["signup", "click", "purchase"],
+                    within_seconds=604800.0, max_events_per_key=25)
+    ev.createOrReplaceTempView("funnel_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_funnel(TABLE(funnel_sql_t), 'user_id', "
+        "'ts', 'event_type', '[\"signup\", \"click\", \"purchase\"]', "
+        "604800.0, 25)")
+    cols = ["user_id", "steps_completed", "converted",
+            "step_1_ts", "step_2_ts", "step_3_ts"]
+    a = _pd_sorted(sql_out, cols)
+    b = _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
