@@ -6441,30 +6441,28 @@ st AS (
     CASE WHEN s.q IS NULL THEN s.a
          ELSE least(greatest(s.a + s.inc, 0.001), 0.999) END
   FROM (SELECT st.id, st.t, st.a, arr.n, {_aq} AS q,
-          CASE WHEN {_aq} IS NULL THEN NULL
+          -- lateral alias reuse: the quantile (a per-step list sort)
+          -- is computed ONCE per step, not once per reference
+          CASE WHEN q IS NULL THEN NULL
                WHEN struct_extract(arr.e[st.t], 'act')
-                      < struct_extract(arr.e[st.t], 'fc') - ({_aq})
+                      < struct_extract(arr.e[st.t], 'fc') - q
                  OR struct_extract(arr.e[st.t], 'act')
-                      > struct_extract(arr.e[st.t], 'fc') + ({_aq})
+                      > struct_extract(arr.e[st.t], 'fc') + q
                THEN CAST('{0.02 * (0.1 - 1.0)!r}' AS DOUBLE)
                ELSE CAST('{0.02 * (0.1 - 0.0)!r}' AS DOUBLE)
           END AS inc
         FROM st JOIN arr USING (id)) s
   WHERE s.t < s.n)
-SELECT st.id,
-  struct_extract(arr.e[st.t], 'ds') AS ds,
-  struct_extract(arr.e[st.t], 'act') AS {act_name},
-  struct_extract(arr.e[st.t], 'fc') AS {fc_name},
-  st.a AS alpha_t,
-  {_aq} AS q_t,
-  struct_extract(arr.e[st.t], 'fc') - ({_aq}) AS lower,
-  struct_extract(arr.e[st.t], 'fc') + ({_aq}) AS upper,
-  coalesce(struct_extract(arr.e[st.t], 'act')
-             >= struct_extract(arr.e[st.t], 'fc') - ({_aq})
-           AND struct_extract(arr.e[st.t], 'act')
-             <= struct_extract(arr.e[st.t], 'fc') + ({_aq}),
-           FALSE) AS covered
-FROM st JOIN arr USING (id)
+SELECT id, ds, act AS {act_name}, fc AS {fc_name}, alpha_t, q_t,
+  fc - q_t AS lower, fc + q_t AS upper,
+  coalesce(act >= fc - q_t AND act <= fc + q_t, FALSE) AS covered
+FROM (SELECT st.id,
+        struct_extract(arr.e[st.t], 'ds') AS ds,
+        struct_extract(arr.e[st.t], 'act') AS act,
+        struct_extract(arr.e[st.t], 'fc') AS fc,
+        st.a AS alpha_t,
+        {_aq} AS q_t
+      FROM st JOIN arr USING (id))
 """
 
 
