@@ -39,7 +39,24 @@ def run(spark, sf_dir: str):
         .withColumnRenamed("y", "actual")
     conf = ts_conformal_by(fv, "id", "actual", "forecast", "forecast",
                            {"alpha": 0.1})
-    return periods, fc, conf
+
+    # 4. (r8) adaptive conformal on the same backtest frame: alpha_t
+    #    tracks coverage errors online, so the intervals widen through
+    #    regime shifts a fixed split-conformal score would under-cover
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    aci = ts_adaptive_conformal_by(fv, "id", "ds", "actual", "forecast",
+                                   alpha=0.1, gamma=0.02)
+
+    # 5. (r8) pre-modeling anomaly screen: rolling-MAD robust z flags the
+    #    points that would poison a fit (the point is excluded from its
+    #    own window, so a spike can't mask itself)
+    from anofox_forecast_spark.operators.detect import ts_detect_anomalies_by
+    anomalies = ts_detect_anomalies_by(panel, "id", "ds", "y",
+                                       window=28, threshold=3.5)
+
+    return periods, fc, conf, aci, anomalies
 
 
 if __name__ == "__main__":
@@ -48,8 +65,13 @@ if __name__ == "__main__":
     spark = get_spark(app_name="example-forecast-conformal",
                       master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    periods, fc, conf = run(spark, sf)
+    periods, fc, conf, aci, anomalies = run(spark, sf)
     periods.select("id", "primary_period", "method").show(5)
     fc.show(5)
     conf.select("id", "conformity_score", "coverage").show(5)
+    from pyspark.sql import functions as F
+    aci.groupBy("id").agg(F.avg(F.col("covered").cast("double"))
+                          .alias("empirical_coverage")).show(5)
+    print("anomalous points:",
+          anomalies.filter("is_anomaly").count())
     spark.stop()

@@ -14,7 +14,9 @@ def test_regression_backtest_example(spark):
 
 def test_forecast_conformal_example(spark):
     from examples.forecast_conformal import run
-    periods, fc, conf = run(spark, SF_DIR)
+    periods, fc, conf, aci, anomalies = run(spark, SF_DIR)
+    assert aci.count() > 0
+    assert anomalies.count() > 0
     assert periods.count() > 0
     assert fc.count() > 0
     assert conf.count() > 0
