@@ -718,10 +718,26 @@ def hll_count_distinct(df: DataFrame, key_col: str,
     Accuracy: ~1.04/sqrt(m) relative error (m=4096 -> ~1.6%). NULL keys
     are ignored, like count_distinct.
     """
+    gcols = list(group_cols or [])
+    regs = hll_registers(df, key_col, gcols, precision_bits, seed)
+    return hll_estimate_from_registers(regs, gcols, precision_bits)
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: list[str] | None = None,
+                  precision_bits: int = 12,
+                  seed: str = "hll") -> DataFrame:
+    """The register table of :func:`hll_count_distinct` — ``(groups,
+    hll_bucket, hll_max_rho)`` — for INCREMENTAL ingest: compute per
+    batch/shard, persist (at most ``2^p`` rows per group regardless of
+    input size), then :func:`hll_merge_registers` +
+    :func:`hll_estimate_from_registers` at read time. Merging is exact:
+    registers are per-bucket maxima, and max is associative/commutative/
+    idempotent, so ANY partition of the input into batches yields the
+    identical merged sketch (pinned in tests)."""
     if not (4 <= precision_bits <= 16) or precision_bits % 4 != 0:
         # hex-nibble-aligned buckets keep the bit split pure substring math
         raise ValueError("precision_bits must be 4, 8, 12, or 16")
-    m = 1 << precision_bits
     gcols = list(group_cols or [])
     nib = precision_bits // 4
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
@@ -738,14 +754,41 @@ def hll_count_distinct(df: DataFrame, key_col: str,
                .otherwise(0))
     rho = (F.when(F.length(stripped) == 0, F.lit(61))
             .otherwise(zchars * 4 + nib_lz + 1)).cast("int")
+    return (df.filter(F.col(key_col).isNotNull())
+              .select(*gcols, bucket.alias("hll_bucket"),
+                      rho.alias("hll_max_rho"))
+              .groupBy(*gcols, "hll_bucket")
+              .agg(F.max("hll_max_rho").alias("hll_max_rho")))
 
-    regs = (df.filter(F.col(key_col).isNotNull())
-              .select(*gcols, bucket.alias("__b"), rho.alias("__r"))
-              .groupBy(*gcols, "__b").agg(F.max("__r").alias("__m")))
+
+def hll_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
+    """Merge register tables from independent batches/shards: union +
+    per-(groups, bucket) max. Output schema = input schema."""
+    if not reg_dfs:
+        raise ValueError("at least one register table required")
+    u = reg_dfs[0]
+    for r in reg_dfs[1:]:
+        u = u.unionByName(r)
+    keys = [c for c in u.columns if c not in ("hll_max_rho",)]
+    return (u.groupBy(*keys)
+             .agg(F.max("hll_max_rho").alias("hll_max_rho"))
+             .select(*u.columns))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list[str] | None = None,
+                                precision_bits: int = 12) -> DataFrame:
+    """Estimate from a (merged) register table — the read-time half of
+    the incremental sketch. Same estimator (and the same bucket-ordered
+    deterministic float fold) as :func:`hll_count_distinct`."""
+    gcols = list(group_cols or [])
+    m = 1 << precision_bits
     # deterministic float fold: registers sorted by bucket id, sequential
     # sum of exact powers of two (order-pinned, replayable engine-side)
     packed = regs.groupBy(*gcols).agg(
-        F.array_sort(F.collect_list(F.struct("__b", "__m"))).alias("__rs"))
+        F.array_sort(F.collect_list(F.struct(
+            F.col("hll_bucket").alias("__b"),
+            F.col("hll_max_rho").alias("__m")))).alias("__rs"))
     used = F.size("__rs")
     ssum = F.aggregate(
         F.col("__rs"), F.lit(0.0),

@@ -388,3 +388,33 @@ def test_aci_plan_single_shuffle_no_python(spark):
     out = ts_adaptive_conformal_by(df, "id", "ds", "y", "fc")
     P.assert_max_exchanges(out, 1)
     assert P.plan_report(out)["python_udf_nodes"] == 0
+
+
+def test_hll_incremental_merge_equals_whole_corpus(spark):
+    """The incremental-ingest path: per-batch register tables merged via
+    hll_merge_registers give the BIT-IDENTICAL estimate of sketching the
+    whole corpus at once — any batch split, any order."""
+    from anofox_forecast_spark.operators.stats import (
+        hll_count_distinct,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+    df = spark.range(3000).selectExpr("concat('k', id) AS k", "id % 2 AS g")
+    whole = sorted((r.g, r.hll_estimate, r.n_buckets_used) for r in
+                   hll_count_distinct(df, "k", ["g"]).collect())
+    b1 = hll_registers(df.filter("id < 1000"), "k", ["g"])
+    b2 = hll_registers(df.filter("id >= 1000 AND id < 2222"), "k", ["g"])
+    b3 = hll_registers(df.filter("id >= 2222"), "k", ["g"])
+    merged = hll_merge_registers(b3, b1, b2)      # order irrelevant
+    inc = sorted((r.g, r.hll_estimate, r.n_buckets_used) for r in
+                 hll_estimate_from_registers(merged, ["g"]).collect())
+    assert inc == whole
+    # overlapping batches (re-ingest) are idempotent too
+    again = hll_merge_registers(merged, b2)
+    inc2 = sorted((r.g, r.hll_estimate, r.n_buckets_used) for r in
+                  hll_estimate_from_registers(again, ["g"]).collect())
+    assert inc2 == whole
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hll_merge_registers()

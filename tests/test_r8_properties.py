@@ -138,3 +138,60 @@ def test_hll_matches_python_replay_bitwise(spark, keys, p):
     # 1e-12 relative is ~4 orders tighter than the pin and admits only
     # that last-ulp difference.
     assert math.isclose(got.hll_estimate, want_est, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ACI vs a pure-Python replay
+# ---------------------------------------------------------------------------
+
+def _ref_aci(rows, alpha, gamma):
+    """Single-process ACI replay (same corrected quantile, same literal
+    increments as the Spark fold)."""
+    from anofox_forecast_spark.operators.conformal import conformal_score_np
+    inc_miss = gamma * (alpha - 1.0)
+    inc_cov = gamma * (alpha - 0.0)
+    a, res, out = alpha, [], []
+    for ds, act, fc in sorted(rows):
+        if res:
+            q = conformal_score_np(res, a)
+            cov = (fc - q) <= act <= (fc + q)
+            out.append((ds, a, q, cov))
+            a = min(max(a + (inc_miss if not cov else inc_cov),
+                        0.001), 0.999)
+        else:
+            out.append((ds, a, None, None))
+        res.append(abs(act - fc))
+    return out
+
+
+series_strategy = st.lists(
+    st.tuples(st.floats(-50, 50, allow_nan=False),
+              st.floats(-50, 50, allow_nan=False)),
+    min_size=1, max_size=20)
+
+
+@SLOW
+@given(series_strategy,
+       st.floats(0.05, 0.5), st.floats(0.01, 0.2))
+def test_aci_matches_python_replay(spark, pairs, alpha, gamma):
+    import datetime as dt
+    from anofox_forecast_spark.operators.conformal import (
+        ts_adaptive_conformal_by,
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), float(a), float(f))
+            for i, (a, f) in enumerate(pairs)]
+    df = spark.createDataFrame([(1, *r) for r in rows],
+                               "id bigint, ds timestamp, y double, fc double")
+    got = sorted((r.ds, r.alpha_t, r.q_t, r.covered) for r in
+                 ts_adaptive_conformal_by(df, "id", "ds", "y", "fc",
+                                          alpha=alpha,
+                                          gamma=gamma).collect())
+    want = [(ds, a, q, c) for ds, a, q, c in _ref_aci(rows, alpha, gamma)]
+    assert len(got) == len(want)
+    for (ds_g, a_g, q_g, c_g), (ds_w, a_w, q_w, c_w) in zip(got, want):
+        assert ds_g == ds_w and c_g == c_w
+        assert a_g == a_w                      # bit-equal alpha walk
+        assert (q_g is None) == (q_w is None)
+        if q_g is not None:
+            assert q_g == q_w                  # bit-equal quantile
