@@ -7,6 +7,7 @@ alias — in Python the module path serves that role).
 """
 
 from .conformal import (  # noqa: F401
+    ts_adaptive_conformal_by,
     ts_bootstrap_intervals_by,
     ts_conformal_apply_by,
     ts_conformal_apply_profile,
@@ -43,6 +44,7 @@ from .dedup import (  # noqa: F401
 )
 from .detect import (  # noqa: F401
     ts_analyze_peak_timing_by,
+    ts_detect_anomalies_by,
     ts_analyze_seasonality_by,
     ts_classify_seasonality_by,
     ts_decompose_seasonal_by,
@@ -79,13 +81,40 @@ from .hierarchy import (  # noqa: F401
     ts_split_keys,
     ts_validate_separator,
 )
+from .events import (  # noqa: F401
+    asof_join,
+    event_transitions,
+    funnel,
+    interval_overlap_join,
+    range_join_points,
+    retention,
+    session_stats,
+    sessionize,
+    time_rollup,
+)
 from .pipeline import (  # noqa: F401
     c4_stats,
     decontaminate_ngrams,
+    dedup_lines,
+    dup_span_stats,
+    dup_spans,
     gopher_stats,
+    mix_sources,
     pack_chunked,
+    remove_dup_spans,
     sample_by_hash,
     sample_stratified,
+    sample_weighted,
+    token_budget_filter,
+)
+from .regression import (  # noqa: F401
+    ols_fit_predict_by,
+)
+from .search import (  # noqa: F401
+    bm25_score,
+    bm25_topk,
+    tfidf_top_terms,
+    top_terms,
 )
 from .prep import (  # noqa: F401
     ts_check_leakage,
@@ -112,9 +141,19 @@ from .prep import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_ivf,
+    ivf_build,
+    ivf_search,
     knn_join_lsh,
+    semdedup,
+    semdedup_pairs,
 )
 from .stats import (  # noqa: F401
+    group_quantiles,
+    hll_count_distinct,
+    hll_estimate_from_registers,
+    hll_merge_registers,
+    hll_registers,
+    skew_report,
     ts_data_quality,
     ts_data_quality_by,
     ts_data_quality_summary,
