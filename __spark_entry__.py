@@ -1034,6 +1034,11 @@ def _llm_queries():
                  .select("doc_id", "n_words", "punct_ratio", "alpha_ratio",
                          "stopword_ratio", "mean_word_len", "quality_score")
 
+    def q_entropy(spark, sf):
+        return TX.text_entropy(_docs(spark, sf), "text") \
+                 .select("doc_id", "char_entropy", "word_entropy",
+                         "n_distinct_chars", "n_distinct_words")
+
     def q_langid(spark, sf):
         return TX.language_id(_docs(spark, sf), "text") \
                  .select("doc_id", "lang_pred")
@@ -1192,6 +1197,7 @@ def _llm_queries():
         "text_tokens": q_tokens,
         "text_fingerprint": q_fingerprint,
         "text_quality": q_quality,
+        "text_entropy": q_entropy,
         "text_langid": q_langid,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -1823,8 +1829,10 @@ _WINDOW = [
     "pipeline_sample_weighted", "pipeline_remove_dup_spans",
     "stats_hll_distinct", "stats_hll_distinct_raw", "stats_skew_report",
     # r8-new: ACI online conformal (recursive-CTE oracle, bit-exact incl.
-    # the serial alpha walk) and rolling-MAD anomaly detection
-    "conformal_adaptive", "detect_anomalies",
+    # the serial alpha walk), rolling-MAD anomaly detection, and the
+    # entropy quality signal (pipeline_c4 yielded its slot — r7-green,
+    # the pipeline family keeps 8 other slots)
+    "conformal_adaptive", "detect_anomalies", "text_entropy",
     # --- code changed this round (malformed-interval pre-explode guard;
     # dup_clusters non-convergence raise) — re-verify the touched plans ---
     "events_range_join", "dedup_clusters",
@@ -1852,7 +1860,7 @@ _WINDOW = [
     "cv_hydrate_features", "cv_prepare_regression",
     "ols_fit_predict", "ridge_fit_predict",
     "similarity_topk_pq", "semdedup",
-    "pipeline_c4", "pipeline_decontaminate", "pipeline_sample_hash",
+    "pipeline_decontaminate", "pipeline_sample_hash",
     "pipeline_sample_stratified", "pipeline_dedup_lines",
     "pipeline_mix_sources", "pipeline_token_budget",
     "search_bm25",
@@ -1999,6 +2007,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # over exact powers of two is order-pinned and bit-equal unpinned
     "stats_hll_distinct": (["hll_estimate"], 4),
     "stats_hll_distinct_raw": (["hll_estimate"], 4),
+    # ln per distinct symbol + a possible engine-side FMA in the fold
+    "text_entropy": (["char_entropy", "word_entropy"], 6),
 }
 
 
@@ -8730,6 +8740,31 @@ FROM documents
 """
     o["text_fingerprint"] = f"""
 SELECT doc_id, md5({_NORM_TXT}) AS fingerprint FROM documents
+"""
+    # text_entropy: -sum p*ln(p) over SORTED distinct symbols (the same
+    # sequential fold order as the Spark expression); ln (and a possible
+    # engine-side FMA in acc + p*lnp) ride the 6-decimal pin
+    def _ent(arr: str) -> str:
+        n = f"CAST(len({arr}) AS DOUBLE)"
+        cnt = f"CAST(len(list_filter({arr}, x -> x = u)) AS DOUBLE)"
+        return (f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+                f"-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(list_sort(list_distinct({arr})), "
+                f"u -> ({cnt} / {n}) * ln({cnt} / {n}))), "
+                f"(a, x) -> a + x) + 0.0 END")
+
+    chars_sql = ("CASE WHEN length(text) > 0 THEN "
+                 "list_transform(range(1, length(text) + 1), "
+                 "i -> substr(text, CAST(i AS INTEGER), 1)) "
+                 "ELSE CAST([] AS VARCHAR[]) END")
+    o["text_entropy"] = f"""
+WITH b AS (SELECT doc_id, {chars_sql} AS cs, {_PL_WS} AS ws FROM documents)
+SELECT doc_id,
+  {_ent('cs')} AS char_entropy,
+  {_ent('ws')} AS word_entropy,
+  CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct_chars,
+  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+FROM b
 """
     en = _stop_sql("en")
     o["text_quality"] = f"""

@@ -150,3 +150,48 @@ def text_analysis(df: DataFrame, text_col: str) -> DataFrame:
     return text_fingerprint(
         language_id(text_quality(text_token_counts(df, text_col), text_col),
                     text_col), text_col)
+
+
+def text_entropy(df: DataFrame, text_col: str) -> DataFrame:
+    """Character- and word-level Shannon entropy (nats) per document —
+    the classic gibberish/boilerplate signal a quality gate composes
+    with :func:`text_quality`: natural prose sits around 2.8-4.2 nats of
+    character entropy; base64/hex blobs run higher with a flat
+    distribution, repeated boilerplate collapses toward 0. Output: input
+    + ``char_entropy``, ``word_entropy``, ``n_distinct_chars``,
+    ``n_distinct_words``.
+
+    Pure JVM array expressions, zero shuffle: the frequency of each
+    DISTINCT symbol is a filter-count over the symbol array (cost
+    distinct x length per doc — bounded by document size, the same L^2
+    bound as gopher_stats' line self-counts), and the entropy fold runs
+    over the SORTED distinct symbols so the float summation order is
+    deterministic and engine-replayable. The one libm call (ln) rides
+    the contract's 6-decimal pin.
+    """
+    t = F.col(text_col)
+    empty = F.array().cast("array<string>")
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, and the
+    # module's bare split gives [''] for blank text — both must be []
+    chars = F.when(F.length(t) > 0,
+                   F.transform(F.sequence(F.lit(1), F.length(t)),
+                               lambda i: t.substr(i, F.lit(1))))              .otherwise(empty)
+    words = F.when(F.length(F.trim(t)) > 0, _words(t)).otherwise(empty)
+
+    def entropy(arr):
+        n = F.size(arr).cast("double")
+        uniq = F.array_sort(F.array_distinct(arr))
+        # + 0.0 normalizes the -0.0 a negated zero-sum produces
+        return F.when(F.size(arr) > 0, -F.aggregate(
+            uniq, F.lit(0.0),
+            lambda acc, u: acc + (
+                F.size(F.filter(arr, lambda x: x == u)).cast("double") / n)
+            * F.log(F.size(F.filter(arr, lambda x: x == u))
+                    .cast("double") / n)) + F.lit(0.0)).otherwise(F.lit(0.0))
+
+    return (df.withColumn("char_entropy", entropy(chars))
+              .withColumn("word_entropy", entropy(words))
+              .withColumn("n_distinct_chars",
+                          F.size(F.array_distinct(chars)).cast("bigint"))
+              .withColumn("n_distinct_words",
+                          F.size(F.array_distinct(words)).cast("bigint")))

@@ -418,3 +418,34 @@ def test_hll_incremental_merge_equals_whole_corpus(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hll_merge_registers()
+
+
+# ---------------------------------------------------------------------------
+# text entropy
+# ---------------------------------------------------------------------------
+
+def test_text_entropy_values(spark):
+    import math
+    from anofox_forecast_spark.operators.text import text_entropy
+    df = spark.createDataFrame(
+        [(1, "aaaa"),              # one symbol -> 0 nats
+         (2, "abab"),              # two equal symbols -> ln 2
+         (3, "x y x y"),           # words: 2 distinct, equal -> ln 2
+         (4, "")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: (r.char_entropy, r.word_entropy,
+                      r.n_distinct_chars, r.n_distinct_words)
+           for r in text_entropy(df, "text").collect()}
+    assert got[1][0] == pytest.approx(0.0)
+    assert got[2][0] == pytest.approx(math.log(2))
+    assert got[3][1] == pytest.approx(math.log(2))
+    assert got[3][3] == 2
+    assert got[4] == (0.0, 0.0, 0, 0)
+
+
+def test_text_entropy_plan_no_shuffle(spark):
+    from anofox_forecast_spark.operators.text import text_entropy
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    out = text_entropy(df, "text")
+    P.assert_max_exchanges(out, 0)
+    assert P.plan_report(out)["python_udf_nodes"] == 0
