@@ -6413,12 +6413,15 @@ paths AS (SELECT id, b, t,
 
 
 def _aci_oracle_sql(f_source_sql: str, act_name: str = "actual",
-                    fc_name: str = "fc") -> str:
+                    fc_name: str = "fc", alpha: float = 0.1,
+                    gamma: float = 0.02) -> str:
     """Recursive-CTE replay of ACI (ts_adaptive_conformal_by and its
     streaming twin): q_t is the SAME corrected quantile expression as
     conformal_calibrate's, evaluated over the expanding residual prefix
     res[1 : t-1]; every float op mirrors the Spark fold's order.
-    ``f_source_sql`` must yield (id, ds, act, fc) rows."""
+    ``f_source_sql`` must yield (id, ds, act, fc) rows. ``alpha``/
+    ``gamma`` parameterize the walk (ADVICE r8: the seed and the two
+    increment literals are derived below, not hardcoded)."""
     def _aciq(hist: str, a: str) -> str:
         n = f"len({hist})"
         lvl = (f"least(greatest(ceil(({n} + 1.0) * (1.0 - {a}))"
@@ -6436,16 +6439,20 @@ def _aci_oracle_sql(f_source_sql: str, act_name: str = "actual",
     return f"""
 WITH RECURSIVE f AS ({f_source_sql}),
 arr AS (SELECT id,
+          -- tie order pinned to (ds, act, fc) — the exact lexicographic
+          -- order of the Spark side's array_sort over the (ds, act, fc)
+          -- struct, so duplicate-ds series walk identically in both
+          -- engines and e/res always agree with each other (ADVICE r8)
           list(struct_pack(ds := ds, act := act, fc := fc)
-               ORDER BY ds) AS e,
-          list(abs(act - fc) ORDER BY ds) AS res,
+               ORDER BY ds, act, fc) AS e,
+          list(abs(act - fc) ORDER BY ds, act, fc) AS res,
           count(*) AS n
         FROM f GROUP BY id),
 st AS (
   -- increments are exact double literals (Python-computed), pure adds:
   -- a + g*(alpha-err) as a multiply-add lets the C compiler emit an FMA
   -- (one rounding) where the JVM rounds twice
-  SELECT id, 1 AS t, CAST(0.1 AS DOUBLE) AS a FROM arr
+  SELECT id, 1 AS t, CAST('{float(alpha)!r}' AS DOUBLE) AS a FROM arr
   UNION ALL
   SELECT s.id, s.t + 1,
     CASE WHEN s.q IS NULL THEN s.a
@@ -6458,8 +6465,8 @@ st AS (
                       < struct_extract(arr.e[st.t], 'fc') - q
                  OR struct_extract(arr.e[st.t], 'act')
                       > struct_extract(arr.e[st.t], 'fc') + q
-               THEN CAST('{0.02 * (0.1 - 1.0)!r}' AS DOUBLE)
-               ELSE CAST('{0.02 * (0.1 - 0.0)!r}' AS DOUBLE)
+               THEN CAST('{gamma * (alpha - 1.0)!r}' AS DOUBLE)
+               ELSE CAST('{gamma * (alpha - 0.0)!r}' AS DOUBLE)
           END AS inc
         FROM st JOIN arr USING (id)) s
   WHERE s.t < s.n)
@@ -9554,8 +9561,11 @@ def _hll_oracle(key: str, precision_bits: int, seed: str) -> str:
     event_type."""
     m = 1 << precision_bits
     nib = precision_bits // 4
-    alpha = {16: 0.673, 256: 0.718213,
-             4096: 0.7225719999999999}.get(m, 0.7213 / (1 + 1.079 / m))
+    # canonical Flajolet bias correction: 0.673 only for m=16; the
+    # closed form 0.7213/(1+1.079/m) for m>=128 (ADVICE r8: the old
+    # pinned literals 0.718213/0.722572 carried a +0.2% transcription
+    # bias; operator, oracle, and test replay moved together)
+    alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
     s15 = f"substr(h, {nib + 1}, 15)"
     lz = (f"CASE substr(ltrim({s15}, '0'), 1, 1) "
           "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "

@@ -2771,8 +2771,15 @@ class EventsTimeRollupUDTF:
                 value_col: AnalyzeArgument, grains_json: AnalyzeArgument,
                 key_col: AnalyzeArgument | None = None) -> AnalyzeResult:
         schema = table.dataType
+        # ADVICE r8: an integer ts column is epoch seconds (the _py_us
+        # convention the sibling events UDTFs share); its buckets are
+        # timestamps, matching the DataFrame op's date_trunc output
+        ts_dt = schema[ts_col.value].dataType
+        bucket_dt = (ts_dt if isinstance(
+            ts_dt, (T.TimestampType, T.TimestampNTZType))
+            else T.TimestampType())
         fields = [T.StructField("granularity", T.StringType()),
-                  T.StructField("bucket", schema[ts_col.value].dataType)]
+                  T.StructField("bucket", bucket_dt)]
         if key_col is not None:
             fields.append(T.StructField(
                 key_col.value, schema[key_col.value].dataType))
@@ -2809,8 +2816,14 @@ class EventsTimeRollupUDTF:
             v = r[value_col]
             v = float(v) if v is not None else None
             key = r[key_col] if key_col is not None else None
+            tsv = r[ts_col]
+            if not isinstance(tsv, _dt.datetime):
+                # int epoch seconds (the _py_us convention) -> naive
+                # UTC datetime, same value CAST(bigint AS timestamp)
+                # yields under the session factory's UTC timezone
+                tsv = _EPOCH_NAIVE + _dt.timedelta(seconds=int(tsv))
             for g in grains:
-                b = _py_trunc(g, r[ts_col])
+                b = _py_trunc(g, tsv)
                 c = cells.setdefault((g, b, key), [0, None, None, None])
                 c[0] += 1
                 if v is not None:

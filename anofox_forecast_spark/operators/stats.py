@@ -795,8 +795,11 @@ def hll_estimate_from_registers(regs: DataFrame,
         lambda acc, r: acc + F.pow(F.lit(2.0), -r["__m"].cast("double")))
     # empty buckets contribute 2^0 = 1 each
     zeros = (F.lit(m) - used).cast("double")
-    alpha = {16: 0.673, 256: 0.718213,
-             4096: 0.7225719999999999}.get(m, 0.7213 / (1 + 1.079 / m))
+    # canonical Flajolet bias correction: 0.673 only for m=16; the
+    # closed form 0.7213/(1+1.079/m) for m>=128 (ADVICE r8: the old
+    # pinned literals 0.718213/0.722572 carried a +0.2% transcription
+    # bias; operator, oracle, and test replay moved together)
+    alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
     raw = F.lit(alpha * m * m) / (ssum + zeros)
     # linear counting below the 2.5m threshold when empty buckets remain
     est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),

@@ -128,6 +128,11 @@ def stream_forecast(stream: DataFrame, method: str = "SES", horizon: int = 7,
     h-step forecast (one row per step).
     """
     from ..functions import models as M
+    if int(state_rows) < 1:
+        # ADVICE r8: state_rows=0 would make res[-0:] keep the ENTIRE
+        # history — unbounded per-key state, the opposite of the
+        # documented bounded-state posture; negatives keep arbitrary tails
+        raise ValueError("state_rows must be >= 1")
     h = int(horizon)
     pars = dict(params or {})
     season = int(pars.get("seasonal_period", 0) or 0)
@@ -208,6 +213,8 @@ def stream_conformal(stream: DataFrame, alpha: float = 0.1,
     Output: (id, conformity_score, coverage, n_residuals).
     """
     from ..operators.conformal import conformal_score_np
+    if int(state_rows) < 1:
+        raise ValueError("state_rows must be >= 1")  # see stream_forecast
     a = float(alpha)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -293,6 +300,8 @@ def stream_adaptive_conformal(stream: DataFrame, alpha: float = 0.1,
         raise ValueError("alpha must be in (0, 1)")
     if g0 <= 0:
         raise ValueError("gamma must be positive")
+    if int(state_rows) < 1:
+        raise ValueError("state_rows must be >= 1")  # see stream_forecast
     inc_miss = g0 * (a0 - 1.0)
     inc_cov = g0 * (a0 - 0.0)
 

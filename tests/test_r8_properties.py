@@ -113,8 +113,11 @@ def _ref_hll(keys, p, seed):
     for b in sorted(regs):
         ssum = ssum + 2.0 ** (-regs[b])
     zeros = float(m - len(regs))
-    alpha = {16: 0.673, 256: 0.718213,
-             4096: 0.7225719999999999}.get(m, 0.7213 / (1 + 1.079 / m))
+    # canonical Flajolet bias correction: 0.673 only for m=16; the
+    # closed form 0.7213/(1+1.079/m) for m>=128 (ADVICE r8: the old
+    # pinned literals 0.718213/0.722572 carried a +0.2% transcription
+    # bias; operator, oracle, and test replay moved together)
+    alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
     raw = (alpha * m * m) / (ssum + zeros)
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros), len(regs)
