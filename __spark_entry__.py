@@ -1331,6 +1331,14 @@ def _pipeline_queries():
         return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
                                    k=_SPAN_K, min_count=2)
 
+    def q_remove_dup_spans_keep_first(spark, sf):
+        # leave-one-copy variant (Lee et al.'s actual dedup semantics):
+        # each duplicated gram's canonical (doc_id, pos)-argmin occurrence
+        # survives — a per-gram argmin column on the same count aggregate,
+        # no corpus total-order
+        return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
+                                   k=_SPAN_K, min_count=2, keep_first=True)
+
     return {
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
@@ -1347,6 +1355,7 @@ def _pipeline_queries():
         "pipeline_dup_spans": q_dup_spans,
         "pipeline_dup_span_stats": q_dup_span_stats,
         "pipeline_remove_dup_spans": q_remove_dup_spans,
+        "pipeline_remove_dup_spans_keep_first": q_remove_dup_spans_keep_first,
         "pipeline_sample_weighted": q_sample_weighted,
     }
 
@@ -1807,69 +1816,50 @@ def _streaming_queries():
 # regression slots for this round's code changes (stats rest_udf, prep NaN
 # semantics, ETS rewrite).
 _WINDOW = [
-    # --- r8 priority 1: this round's red fix + changed contracts ---
-    # the one r7 red (oracle HUGEINT->float64 dtype artifact; oracle now
-    # CASTs the window sum + derived chunk columns to BIGINT)
-    "pipeline_pack_chunked",
-    # dup_line convention changed to canonical beyond-the-first counting
-    # (ADVICE r7) — query AND oracle moved together, re-verify
-    "pipeline_gopher",
-    # --- r8 priority 2: the 9 r7d keys never in a driver window (all
-    # judge-audited bit-exact at sf0.01 in the r7 session; this closes
-    # the 202/202 cumulative-confirmation gap) ---
-    "events_funnel", "events_retention", "events_overlap_join",
-    "events_transitions", "events_asof_forward", "events_time_rollup",
-    "search_tfidf", "search_top_terms", "stats_group_quantiles",
-    # --- r8-new keys, bit-exact at sf0.01 locally: capped funnel
-    # (max_events_per_key hot-key guard, oracle mirrors the row_number
-    # cap) and ExactSubstr duplicated spans (Lee et al. 2022) ---
-    "events_funnel_capped", "pipeline_dup_spans", "pipeline_dup_span_stats",
-    # r8-new: weighted corpus sampling (Efraimidis-Spirakis) and the
-    # engine-portable HLL distinct sketch, both estimator branches
-    "pipeline_sample_weighted", "pipeline_remove_dup_spans",
-    "stats_hll_distinct", "stats_hll_distinct_raw", "stats_skew_report",
-    # r8-new: ACI online conformal (recursive-CTE oracle, bit-exact incl.
-    # the serial alpha walk), rolling-MAD anomaly detection, and the
-    # entropy quality signal (pipeline_c4 yielded its slot — r7-green,
-    # the pipeline family keeps 8 other slots)
-    "conformal_adaptive", "detect_anomalies", "text_entropy",
-    # --- code changed this round (malformed-interval pre-explode guard;
-    # dup_clusters non-convergence raise) — re-verify the touched plans ---
-    "events_range_join", "dedup_clusters",
-    # --- family regression slots: one green key per proven family, the
-    # heaviest machinery preferred. Rotated out vs r7 (all r7-green with
-    # unchanged code): features_config_template, 10 of the 14
-    # detect_periods method keys (the rewritten oracles were confirmed
-    # green across all 14 in r7; auto/fft/matrix_profile/sazed keep
-    # slots — dispatch + the three hardest methods), estimate_period_fft
-    # (acf twin stays), conformal_mean_width_scalar (streaming_conformal
-    # carries the conformal family end-to-end) ---
-    # (features_list yielded its slot to pipeline_remove_dup_spans —
-    # r7-green static surface listing with unchanged code)
-    "features_full", "forecast_auto_arima",
-    "forecast_single", "forecast_agg_naive",
-    # (explain_mstl/_ets yielded slots to conformal_adaptive +
-    # detect_anomalies — both r7-green; forecast_explain keeps the
-    # explain family's hardest path, the full seasonal-Theta replay)
-    "forecast_explain",
-    # (matrix_profile/sazed/estimate_period_acf/analyze_seasonality
-    # yielded their slots to the four r8 keys above — all r7-green under
-    # the rewritten oracles, and detect_periods auto + fft keep the
-    # family's dispatch + hardest path)
-    "detect_periods", "detect_periods_fft",
-    "cv_hydrate_features", "cv_prepare_regression",
-    "ols_fit_predict", "ridge_fit_predict",
-    "similarity_topk_pq", "semdedup",
-    "pipeline_decontaminate", "pipeline_sample_hash",
-    "pipeline_sample_stratified", "pipeline_dedup_lines",
-    "pipeline_mix_sources", "pipeline_token_budget",
-    "search_bm25",
-    "events_sessionize", "events_session_stats", "events_asof_join",
-    # real streaming runs in the driver env — keep the streaming slots,
-    # incl. the r8 streaming ACI (cv_estimate_memory yielded its slot —
-    # r7-green static estimator with unchanged code)
-    "streaming_sessionize", "streaming_conformal",
-    "streaming_adaptive_conformal",
+    # --- r9 policy: STALEST-FIRST rotation (r8 judge directive #1).
+    # 50 contract keys were last driver-checked in r1-r2 (six+ rounds
+    # ago); every non-reserved slot goes to the oldest ledger entries so
+    # no key's driver evidence ages past r2 after this round. All 214
+    # keys are replayed vs their exact oracles at HEAD by
+    # test_entry_oracle.py regardless of window membership.
+    # --- reserved: r9-changed contracts (re-verify at the driver) ---
+    # HLL alpha_m bias fix (ADVICE r8 medium) — operator + oracle + test
+    # replay moved together; both estimator branches
+    "stats_hll_distinct", "stats_hll_distinct_raw",
+    # ACI fold rewritten to incremental sorted-prefix maintenance (r8
+    # judge item: kills the per-step sort); oracle tie order pinned to
+    # (ds, act, fc); the streaming twin shares the parameterized builder
+    "conformal_adaptive", "streaming_adaptive_conformal",
+    # --- reserved: r9-new contract ---
+    # ExactSubstr leave-one-copy (keep_first): per-gram (id, pos)-argmin
+    # canonical copy survives — Lee et al.'s dedup semantics without a
+    # corpus total-order
+    "pipeline_remove_dup_spans_keep_first",
+    # --- stalest cohort, r1 (the full 14) ---
+    "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
+    "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
+    "metric_coverage", "metric_quantile_loss",
+    "prep_fill_forward", "prep_fill_nulls_forward",
+    "prep_fill_nulls_backward", "prep_fill_nulls_const",
+    # --- stalest cohort, r2 (31 of 36; the 5 deferred to r10 —
+    # dedup_ngram_jaccard, cv_split, hier_combine_keys,
+    # prep_fill_gaps_monthly, stats_quality_report — are exactly the r2
+    # keys the r8 judge independently bit-audited at sf0.01, so they
+    # carry the freshest non-driver evidence of the cohort) ---
+    "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
+    "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
+    "forecast_naive_intds", "forecast_exog_naive",
+    "prep_drop_short", "prep_drop_constant", "prep_drop_leading_zeros",
+    "prep_mark_unknown", "prep_fill_unknown_last",
+    "prep_validate_timestamps",
+    "hier_split_keys", "hier_validate_separator",
+    "cv_folds_sliding", "cv_split_folds", "cv_hydrate",
+    "cv_check_leakage",
+    "stats_summary",
+    "conformal_calibrate", "conformal_interval_width",
+    "conformal_evaluate", "conformal_per_step",
+    "text_tokens", "text_fingerprint", "text_langid",
+    "dedup_exact_groups", "dedup_simhash_md5", "dedup_embedding_cosine",
 ]
 
 
@@ -8717,6 +8707,51 @@ FROM w LEFT JOIN per USING (doc_id)
     # re-join survivors by single spaces in original order
     o["pipeline_remove_dup_spans"] = f"""
 WITH {spans_cte},
+cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+        FROM spans),
+t AS (SELECT doc_id, unnest(ws) AS word,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM w),
+kept AS (SELECT t.doc_id, t.pos, t.word
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+         WHERE cov.pos IS NULL),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  CAST(len(w.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM w LEFT JOIN agg USING (doc_id)
+"""
+    # keep-first variant: a per-hash row_number over (doc_id, pos) — the
+    # exact lexicographic argmin the Spark side takes with
+    # min(struct(id, pos)) — and only rn > 1 occurrences are marked
+    o["pipeline_remove_dup_spans_keep_first"] = f"""
+WITH w AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+g AS (SELECT doc_id, pos,
+        md5(array_to_string(ws[pos : pos + {_SPAN_K} - 1], ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, len(ws) - {_SPAN_K} + 2)) AS pos
+            FROM w WHERE len(ws) >= {_SPAN_K})),
+rk AS (SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+       FROM g),
+m AS (SELECT doc_id, pos FROM rk WHERE c >= 2 AND rn > 1),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 > {_SPAN_K}
+               THEN 1 ELSE 0 END AS b
+        FROM m),
+isl AS (SELECT doc_id, pos,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        FROM brk),
+spans AS (SELECT doc_id,
+            CAST(min(pos) AS BIGINT) AS span_start,
+            CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, sid),
 cov AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
         FROM spans),
 t AS (SELECT doc_id, unnest(ws) AS word,

@@ -540,7 +540,8 @@ def pack_chunked(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def dup_spans(df: DataFrame, id_col: str, text_col: str,
-              k: int = 20, min_count: int = 2) -> DataFrame:
+              k: int = 20, min_count: int = 2,
+              keep_first: bool = False) -> DataFrame:
     """Duplicated-substring SPANS per document — the relational
     re-expression of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): any word ``k``-gram
@@ -551,6 +552,15 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
     ``(<id>, span_start, span_end, span_tokens)`` with 1-based inclusive
     token positions. Tokenization is :func:`_words` (shared with
     ``gopher_stats`` / ``token_count``).
+
+    ``keep_first=True`` leaves each duplicated gram's CANONICAL first
+    occurrence (the lexicographic min ``(<id>, position)`` over its
+    occurrences) unmarked — Lee et al.'s actual dedup semantics, where
+    one copy of every repeated string survives the corpus. No corpus
+    total-order is needed: the canonical copy is a per-gram argmin, one
+    extra column on the same count aggregate. A canonical window can
+    still land inside a span when a DIFFERENT gram's non-canonical
+    occurrence overlaps it — the guarantee is per gram, not per span.
 
     Scale shape (the suffix array is the one thing NOT to build on a
     cluster): one posexplode (factor = tokens/doc), one count-only groupBy
@@ -573,9 +583,26 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
                         .alias("__p0", "__g"))
                .select(id_col, (F.col("__p0") + 1).alias("__pos"),
                        F.md5("__g").alias("__h")))
-    dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-                .filter(F.col("__c") >= int(min_count)).select("__h"))
-    marked = grams.join(dup, "__h", "left_semi")
+    if keep_first:
+        # one aggregate carries both the count and the canonical argmin —
+        # the wire still holds one (hash, count, first-(id,pos)) row per
+        # distinct gram; the inner join then drops exactly the canonical
+        # occurrence of each duplicated gram
+        dup = (grams.groupBy("__h")
+                    .agg(F.count(F.lit(1)).alias("__c"),
+                         F.min(F.struct(F.col(id_col).alias("i"),
+                                        F.col("__pos").alias("p")))
+                          .alias("__f"))
+                    .filter(F.col("__c") >= int(min_count))
+                    .select("__h", "__f"))
+        marked = (grams.join(dup, "__h")
+                       .filter(~((F.col(id_col) == F.col("__f")["i"])
+                                 & (F.col("__pos") == F.col("__f")["p"])))
+                       .select(id_col, "__pos"))
+    else:
+        dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+                    .filter(F.col("__c") >= int(min_count)).select("__h"))
+        marked = grams.join(dup, "__h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("__pos")
     # gaps-and-islands: a window starting at pos covers [pos, pos+k-1], so
     # it chains to the previous start unless the gap exceeds k
@@ -595,14 +622,16 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
 
 
 def dup_span_stats(df: DataFrame, id_col: str, text_col: str,
-                   k: int = 20, min_count: int = 2) -> DataFrame:
+                   k: int = 20, min_count: int = 2,
+                   keep_first: bool = False) -> DataFrame:
     """Per-document roll-up of :func:`dup_spans`: ``(<id>, n_tokens,
     dup_tokens, dup_token_frac)`` for EVERY input document (0s when
     nothing repeats). ``dup_tokens`` counts token positions covered by at
     least one duplicated window — the corpus-level "how much of my data
     is literal repetition" number the ExactSubstr paper reports (their
-    Table 1: 3-14% of tokens in public corpora)."""
-    spans = dup_spans(df, id_col, text_col, k, min_count)
+    Table 1: 3-14% of tokens in public corpora). ``keep_first`` as in
+    :func:`dup_spans`."""
+    spans = dup_spans(df, id_col, text_col, k, min_count, keep_first)
     per = spans.groupBy(id_col).agg(
         F.sum("span_tokens").alias("dup_tokens"))
     tot = df.select(F.col(id_col),
@@ -620,23 +649,26 @@ def dup_span_stats(df: DataFrame, id_col: str, text_col: str,
 
 
 def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
-                     k: int = 20, min_count: int = 2) -> DataFrame:
+                     k: int = 20, min_count: int = 2,
+                     keep_first: bool = False) -> DataFrame:
     """Rewrite each document with its duplicated spans REMOVED — the
-    conservative apply-step of :func:`dup_spans` (every occurrence of a
-    corpus-duplicated ``k``-gram window goes; the ExactSubstr paper's
-    leave-one-copy variant needs a global occurrence order that costs a
-    corpus total-order at 100 TB, so the documented policy here is
-    drop-all, the common conservative reproduction). Output: one row per
-    input document — ``(<id>, clean_text, n_tokens, n_removed_tokens)``
-    with survivors re-joined by single spaces in original order
-    (tokenization is :func:`_words`, so reconstruction is lossy about
-    whitespace/case by construction — this is a token-stream operator).
+    apply-step of :func:`dup_spans`. Default policy is drop-all (every
+    occurrence of a corpus-duplicated ``k``-gram window goes — the
+    conservative reproduction); ``keep_first=True`` leaves each
+    duplicated gram's canonical first occurrence in place (per-gram
+    ``(<id>, position)`` argmin — Lee et al.'s leave-one-copy semantics
+    without a corpus total-order; see :func:`dup_spans`). Output: one
+    row per input document — ``(<id>, clean_text, n_tokens,
+    n_removed_tokens)`` with survivors re-joined by single spaces in
+    original order (tokenization is :func:`_words`, so reconstruction is
+    lossy about whitespace/case by construction — this is a token-stream
+    operator).
 
     Scale shape: :func:`dup_spans`' shape plus one bounded explode of the
     span ranges (output-sized), one anti-join on (id, position) — both
     sides hash-partition on the id — and one per-doc reassembly groupBy.
     """
-    spans = dup_spans(df, id_col, text_col, k, min_count)
+    spans = dup_spans(df, id_col, text_col, k, min_count, keep_first)
     covered = spans.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("span_start"),
