@@ -2584,6 +2584,7 @@ _R4B_UDTFS = {
 # ---------------------------------------------------------------------------
 
 import datetime as _dt
+import hashlib as _hashlib
 import json as _json
 import re as _re
 
@@ -2968,6 +2969,479 @@ class SearchBm25UDTF:
             yield (did, score)
 
 
+def _py_us_any(v):
+    """_py_us that also passes through None."""
+    return None if v is None else _py_us(v)
+
+
+def _ts_or_timestamp(dt):
+    """Output dtype for a bucket derived from a ts column: keep timestamp
+    flavors, map int epoch-seconds to TIMESTAMP (the DataFrame ops'
+    implicit-cast behavior)."""
+    return dt if isinstance(dt, (T.TimestampType, T.TimestampNTZType)) \
+        else T.TimestampType()
+
+
+def _py_ts(v):
+    """Timestamp value as a naive datetime (int = epoch seconds, the
+    shared _py_us convention)."""
+    if isinstance(v, _dt.datetime):
+        return v
+    return _EPOCH_NAIVE + _dt.timedelta(seconds=int(v))
+
+
+class EventsRetentionUDTF:
+    """``events_retention(TABLE(t), key_col, ts_col[, cohort_grain[,
+    max_periods]])`` — SQL form of ``operators/events.py::retention``.
+    Cohort cells need corpus-global first-event state, so ``analyze``
+    requests a single partition — the audit-scale convenience form; the
+    DataFrame op (min-aggregate + key-hash joins) is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                ts_col: AnalyzeArgument,
+                cohort_grain: AnalyzeArgument | None = None,
+                max_periods: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        out = T.StructType([
+            T.StructField("cohort",
+                          _ts_or_timestamp(schema[ts_col.value].dataType)),
+            T.StructField("period", T.IntegerType()),
+            T.StructField("n_active", T.LongType()),
+            T.StructField("cohort_size", T.LongType()),
+            T.StructField("retention_rate", T.DoubleType())])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, key_col, ts_col, cohort_grain=None,
+             max_periods=None):
+        self._args = (key_col, ts_col,
+                      "week" if cohort_grain is None else str(cohort_grain),
+                      max_periods)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        key_col, ts_col, grain, max_p = self._args
+        from ..operators.events import ROLLUP_GRAINS
+        if grain not in ROLLUP_GRAINS:
+            raise ValueError(f"unknown grain {grain!r}; pick from "
+                             f"{ROLLUP_GRAINS}")
+        acts = {(r[key_col], _py_trunc(grain, _py_ts(r[ts_col])))
+                for r in self._rows}
+        first: dict = {}
+        for k, b in acts:
+            if k not in first or b < first[k]:
+                first[k] = b
+        cells: dict = {}
+        for k, b in acts:
+            c = first[k]
+            if grain in ("month", "quarter", "year"):
+                mdiv = {"month": 1, "quarter": 3, "year": 12}[grain]
+                months = (b.year * 12 + b.month) - (c.year * 12 + c.month)
+                period = int(months / mdiv)
+            else:
+                width = {"hour": 3600, "day": 86400,
+                         "week": 7 * 86400}[grain]
+                period = int((_py_us(b) - _py_us(c))
+                             // (width * 1_000_000))
+            if max_p is not None and period >= int(max_p):
+                continue
+            cells.setdefault((c, period), set()).add(k)
+        sizes: dict = {}
+        for k, c in first.items():
+            sizes[c] = sizes.get(c, 0) + 1
+        for (c, period), ks in sorted(cells.items()):
+            yield (c, period, len(ks), sizes[c],
+                   float(len(ks)) / float(sizes[c]))
+
+
+class EventsTransitionsUDTF:
+    """``events_transitions(TABLE(t), key_col, ts_col, type_col)`` — SQL
+    form of ``operators/events.py::event_transitions`` (first-order
+    transition matrix, row-normalized). The matrix is corpus-global, so
+    single partition — audit scale; the DataFrame op (per-key lead window
+    + count-only groupBy) is the scale path. Keep (key, ts) unique —
+    duplicate timestamps walk in an unspecified order on both paths."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                ts_col: AnalyzeArgument,
+                type_col: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        ty = schema[type_col.value].dataType
+        out = T.StructType([
+            T.StructField("from_type", ty), T.StructField("to_type", ty),
+            T.StructField("n_transitions", T.LongType()),
+            T.StructField("probability", T.DoubleType())])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, key_col, ts_col, type_col):
+        self._args = (key_col, ts_col, type_col)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        key_col, ts_col, type_col = self._args
+        per_key: dict = {}
+        for r in self._rows:
+            per_key.setdefault(r[key_col], []).append(
+                (_py_us(r[ts_col]), r[type_col]))
+        counts: dict = {}
+        for evs in per_key.values():
+            evs.sort(key=lambda t: t[0])
+            for (_, a), (_, b) in zip(evs, evs[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        totals: dict = {}
+        for (a, _), n in counts.items():
+            totals[a] = totals.get(a, 0) + n
+        for (a, b), n in sorted(counts.items()):
+            yield (a, b, n, float(n) / float(totals[a]))
+
+
+class PipelineGopherUDTF:
+    """``pipeline_gopher_stats(TABLE(docs), id_col, text_col)`` — SQL form
+    of ``operators/pipeline.py::gopher_stats``. Every signal is
+    per-document, so ``analyze`` requests no partitioning at all — the
+    UDTF maps whatever partitions arrive (unlike the corpus-global
+    single-partition UDTFs, this one scales with the input)."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument) -> AnalyzeResult:
+        from ..operators.pipeline import TOP_NS, DUP_NS
+        schema = table.dataType
+        fields = [T.StructField(id_col.value,
+                                schema[id_col.value].dataType),
+                  T.StructField("n_chars", T.IntegerType()),
+                  T.StructField("n_words", T.IntegerType()),
+                  T.StructField("mean_word_len", T.DoubleType()),
+                  T.StructField("symbol_word_ratio", T.DoubleType()),
+                  T.StructField("alpha_word_frac", T.DoubleType()),
+                  T.StructField("dup_line_frac", T.DoubleType()),
+                  T.StructField("dup_line_char_frac", T.DoubleType())]
+        fields += [T.StructField(f"top_{n}gram_char_frac", T.DoubleType())
+                   for n in TOP_NS]
+        fields += [T.StructField(f"dup_{n}gram_char_frac", T.DoubleType())
+                   for n in DUP_NS]
+        fields.append(T.StructField("gopher_keep", T.BooleanType()))
+        return AnalyzeResult(schema=T.StructType(fields))
+
+    def eval(self, row, id_col, text_col):
+        from ..operators.pipeline import TOP_NS, DUP_NS, GOPHER_THRESHOLDS
+        t = row[text_col] or ""
+        ws = _py_words(t)
+        lines = t.split("\n")
+        n_lines = len(lines)
+        distinct_lines = set(lines)
+        n_dup_lines = n_lines - len(distinct_lines)
+        dup_line_chars = sum(
+            (lines.count(x) - 1) * len(x) for x in distinct_lines)
+        n_chars = len(t)
+        n_words = len(ws)
+        n_symbols = len(_re.findall(r"#|\.\.\.", t))
+        n_alpha = sum(1 for w in ws if _re.search(r"[a-z]", w, _re.ASCII))
+        mean_wl = (sum(len(w) for w in ws) / n_words) if n_words else 0.0
+        sig = {
+            "n_chars": n_chars, "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "symbol_word_ratio": (n_symbols / n_words) if n_words else 0.0,
+            "alpha_word_frac": (n_alpha / n_words) if n_words else 0.0,
+            "dup_line_frac": (n_dup_lines / n_lines) if n_lines else 0.0,
+            "dup_line_char_frac":
+                (dup_line_chars / n_chars) if n_chars else 0.0,
+        }
+        for ns, top in ((TOP_NS, True), (DUP_NS, False)):
+            for n in ns:
+                grams = [" ".join(ws[i:i + n])
+                         for i in range(len(ws) - n + 1)]
+                cnt: dict = {}
+                for g in grams:
+                    cnt[g] = cnt.get(g, 0) + 1
+                col = (f"top_{n}gram_char_frac" if top
+                       else f"dup_{n}gram_char_frac")
+                if not cnt or n_chars <= 0:
+                    sig[col] = 0.0
+                elif top:
+                    c, g = min((-c, g) for g, c in cnt.items())
+                    sig[col] = ((-c) * len(g) / n_chars
+                                if -c >= 2 else 0.0)
+                else:
+                    sig[col] = sum(c * len(g) for g, c in cnt.items()
+                                   if c >= 2) / n_chars
+        th = GOPHER_THRESHOLDS
+        keep = (th["min_words"] <= n_words <= th["max_words"]
+                and th["min_mean_word_len"] <= sig["mean_word_len"]
+                <= th["max_mean_word_len"]
+                and sig["symbol_word_ratio"] <= th["max_symbol_word_ratio"]
+                and sig["alpha_word_frac"] >= th["min_alpha_word_frac"]
+                and sig["dup_line_frac"] <= th["max_dup_line_frac"]
+                and sig["dup_line_char_frac"]
+                <= th["max_dup_line_char_frac"]
+                and all(sig[f"top_{n}gram_char_frac"]
+                        <= th[f"max_top_{n}gram_char_frac"]
+                        for n in TOP_NS)
+                and all(sig[f"dup_{n}gram_char_frac"]
+                        <= th[f"max_dup_{n}gram_char_frac"]
+                        for n in DUP_NS))
+        yield (row[id_col], *sig.values(), keep)
+
+
+class PipelineC4UDTF:
+    """``pipeline_c4_stats(TABLE(docs), id_col, text_col)`` — SQL form of
+    ``operators/pipeline.py::c4_stats``. Pure per-document map, no
+    partitioning requested."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(id_col.value, schema[id_col.value].dataType),
+            T.StructField("n_sentences", T.IntegerType()),
+            T.StructField("ends_terminal_punct", T.BooleanType()),
+            T.StructField("has_curly_brace", T.BooleanType()),
+            T.StructField("has_lorem_ipsum", T.BooleanType()),
+            T.StructField("has_javascript", T.BooleanType()),
+            T.StructField("frac_lines_5plus_words", T.DoubleType()),
+            T.StructField("c4_keep", T.BooleanType())]))
+
+    def eval(self, row, id_col, text_col):
+        t = row[text_col] or ""
+        lower = t.lower()
+        lines = t.split("\n")
+        n_lines = len(lines)
+
+        def wc(x):
+            xt = x.strip(" ")
+            return 0 if not xt else len(_re.split(r"\s+", xt, flags=_re.ASCII))
+
+        lines_5w = sum(1 for x in lines if wc(x) >= 5)
+        n_sent = len(_re.findall(r"[.!?]+", t))
+        curly = "{" in lower
+        lorem = "lorem ipsum" in lower
+        yield (row[id_col], n_sent,
+               bool(_re.search(r"[.!?\"']$", t.strip(" "))),
+               curly, lorem, "javascript" in lower,
+               (lines_5w / n_lines) if n_lines else 0.0,
+               n_sent >= 3 and not curly and not lorem)
+
+
+class PipelineDupSpansUDTF:
+    """``pipeline_dup_spans(TABLE(docs), id_col, text_col[, k[, min_count[,
+    keep_first]]])`` — SQL form of ``operators/pipeline.py::dup_spans``
+    (ExactSubstr duplicated spans). Gram counts are corpus-global, so
+    single partition — audit scale; the DataFrame op (count-only md5-gram
+    shuffle + islands window) is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument,
+                k: AnalyzeArgument | None = None,
+                min_count: AnalyzeArgument | None = None,
+                keep_first: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(id_col.value, schema[id_col.value].dataType),
+            T.StructField("span_start", T.LongType()),
+            T.StructField("span_end", T.LongType()),
+            T.StructField("span_tokens", T.LongType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, k=None, min_count=None,
+             keep_first=None):
+        self._args = (id_col, text_col,
+                      20 if k is None else int(k),
+                      2 if min_count is None else int(min_count),
+                      bool(keep_first))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, k, min_count, keep_first = self._args
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if min_count < 2:
+            raise ValueError("min_count must be >= 2")
+        occ: dict = {}
+        for r in self._rows:
+            ws = _py_words(r[text_col] or "")
+            for p in range(len(ws) - k + 1):
+                occ.setdefault(" ".join(ws[p:p + k]), []).append(
+                    (r[id_col], p + 1))
+        marked: dict = {}
+        for ps in occ.values():
+            if len(ps) >= min_count:
+                for did, pos in (sorted(ps)[1:] if keep_first
+                                 else ps):
+                    marked.setdefault(did, set()).add(pos)
+        for did in sorted(marked):
+            run: list = []
+            for p in sorted(marked[did]):
+                if run and p - run[-1] > k:
+                    yield (did, run[0], run[-1] + k - 1,
+                           run[-1] + k - run[0])
+                    run = []
+                run.append(p)
+            if run:
+                yield (did, run[0], run[-1] + k - 1,
+                       run[-1] + k - run[0])
+
+
+class StatsHllDistinctUDTF:
+    """``stats_hll_distinct(TABLE(t), key_col[, precision_bits[, seed[,
+    group_col]]])`` — SQL form of
+    ``operators/stats.py::hll_count_distinct`` (engine-portable md5 HLL).
+    With a group column ``analyze`` partitions by it (same single
+    exchange as the DataFrame op); ungrouped falls back to a single
+    partition. Same estimator, same bucket-ordered float fold."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                precision_bits: AnalyzeArgument | None = None,
+                seed: AnalyzeArgument | None = None,
+                group_col: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        fields = []
+        if group_col is not None:
+            fields.append(T.StructField(
+                group_col.value, schema[group_col.value].dataType))
+        fields += [T.StructField("hll_estimate", T.DoubleType()),
+                   T.StructField("n_buckets_used", T.LongType())]
+        out = T.StructType(fields)
+        if group_col is not None:
+            return AnalyzeResult(
+                schema=out,
+                partitionBy=[PartitioningColumn(group_col.value)])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._regs: dict = {}
+        self._group = None
+        self._has_group = False
+
+    def eval(self, row, key_col, precision_bits=None, seed=None,
+             group_col=None):
+        p = 12 if precision_bits is None else int(precision_bits)
+        if not (4 <= p <= 16) or p % 4 != 0:
+            raise ValueError("precision_bits must be 4, 8, 12, or 16")
+        self._p = p
+        self._seed = "hll" if seed is None else str(seed)
+        if group_col is not None:
+            self._group, self._has_group = row[group_col], True
+        key = row[key_col]
+        if key is None:
+            return
+        nib = p // 4
+        h = _hashlib.md5(
+            f"{self._seed}:{key}".encode("utf-8")).hexdigest()
+        bucket = int(h[:nib], 16)
+        s = h[nib:nib + 15]
+        stripped = s.lstrip("0")
+        if not stripped:
+            rho = 61
+        else:
+            zchars = len(s) - len(stripped)
+            first = stripped[0].upper()
+            nib_lz = (3 if first == "1" else 2 if first in "23"
+                      else 1 if first in "4567" else 0)
+            rho = zchars * 4 + nib_lz + 1
+        if rho > self._regs.get(bucket, 0):
+            self._regs[bucket] = rho
+
+    def terminate(self):
+        if not hasattr(self, "_p"):
+            return
+        m = 1 << self._p
+        used = len(self._regs)
+        ssum = 0.0
+        for b in sorted(self._regs):
+            ssum = ssum + 2.0 ** (-self._regs[b])
+        zeros = float(m - used)
+        alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
+        raw = (alpha * m * m) / (ssum + zeros)
+        if raw <= 2.5 * m and zeros > 0:
+            est = float(m) * math.log(float(m) / zeros)
+        else:
+            est = raw
+        if self._has_group:
+            yield (self._group, est, used)
+        else:
+            yield (est, used)
+
+
+class StatsSkewReportUDTF:
+    """``stats_skew_report(TABLE(t), key_cols_json[, top_k])`` — SQL form
+    of ``operators/stats.py::skew_report`` (pre-flight shuffle-skew
+    diagnostic; one summary row). The report is corpus-global by
+    definition — single partition; the DataFrame op (count-only groupBy +
+    1-row aggregate) is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_cols_json: AnalyzeArgument,
+                top_k: AnalyzeArgument | None = None) -> AnalyzeResult:
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField("n_keys", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("mean_per_key", T.DoubleType()),
+            T.StructField("p50_per_key", T.DoubleType()),
+            T.StructField("p99_per_key", T.DoubleType()),
+            T.StructField("max_per_key", T.LongType()),
+            T.StructField("skew_ratio", T.DoubleType()),
+            T.StructField("top_keys",
+                          T.ArrayType(T.StringType()))]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._counts: dict = {}
+
+    def eval(self, row, key_cols_json, top_k=None):
+        keys = list(_json.loads(key_cols_json))
+        if not keys:
+            raise ValueError("key_cols must be non-empty")
+        self._top_k = 10 if top_k is None else int(top_k)
+        if self._top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        # concat_ws SKIPS nulls (no separator slot) — mirror that
+        k = "|".join(str(row[c]) for c in keys if row[c] is not None)
+        self._counts[k] = self._counts.get(k, 0) + 1
+
+    def terminate(self):
+        if not self._counts:
+            return
+        counts = sorted(self._counts.values())
+        n = len(counts)
+        n_rows = sum(counts)
+        mean = float(n_rows) / float(n)
+
+        def q7(p):
+            if n == 1:
+                return float(counts[0])
+            ix = float(p) * float(n - 1)
+            lo = math.floor(ix)
+            frac = ix - float(lo)
+            hi = min(lo + 1, n - 1)
+            return (float(counts[int(lo)]) * (1.0 - frac)
+                    + float(counts[int(hi)]) * frac)
+
+        mx = float(counts[-1])
+        hot = sorted(((-c, k) for k, c in self._counts.items()))
+        top = [f"{k}={-negc}" for negc, k in hot[:self._top_k]]
+        yield (n, n_rows, mean, q7(0.5), q7(0.99), int(mx),
+               mx / mean, top)
+
+
 #: every registered SQL name (populated by register_all's first run);
 #: each also gets the reference's ``anofox_fcst_`` alias
 #: (``ts_macros.cpp:2185-2197`` registers both spellings for every macro).
@@ -3021,6 +3495,16 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("events_time_rollup", EventsTimeRollupUDTF)
     reg_udtf("events_funnel", EventsFunnelUDTF)
     reg_udtf("search_bm25", SearchBm25UDTF)
+    # r9: the remaining stable beyond-parity families (retention,
+    # transitions, gopher/c4 doc signals, ExactSubstr spans, HLL,
+    # skew report) — SQL==DataFrame pins in test_sql_surface.py
+    reg_udtf("events_retention", EventsRetentionUDTF)
+    reg_udtf("events_transitions", EventsTransitionsUDTF)
+    reg_udtf("pipeline_gopher_stats", PipelineGopherUDTF)
+    reg_udtf("pipeline_c4_stats", PipelineC4UDTF)
+    reg_udtf("pipeline_dup_spans", PipelineDupSpansUDTF)
+    reg_udtf("stats_hll_distinct", StatsHllDistinctUDTF)
+    reg_udtf("stats_skew_report", StatsSkewReportUDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

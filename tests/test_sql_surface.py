@@ -4,10 +4,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from anofox_forecast_spark.functions.sql import register_all
-from anofox_forecast_spark.sources import lineitem_panel
+from anofox_forecast_spark.sources import lineitem_panel, load_table
 from tests.conftest import SF_DIR
 
 
@@ -715,3 +716,145 @@ def test_events_funnel_udtf_matches_dataframe(spark):
     b = _pd_sorted(df_out, cols)
     assert len(a) == len(b) > 0
     assert a.astype(str).equals(b.astype(str))
+
+
+# --- r9 registrations: retention / transitions / gopher / c4 / dup_spans
+# / hll / skew_report (SQL==DataFrame pins) ---
+
+def test_events_retention_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.events import retention
+    from anofox_forecast_spark.sources import events_table
+    ev = events_table(spark, SF_DIR).select("user_id", "ts")
+    df_out = retention(ev, "user_id", "ts", cohort_grain="week",
+                       max_periods=8)
+    ev.createOrReplaceTempView("ret_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_retention(TABLE(ret_sql_t), 'user_id', "
+        "'ts', 'week', 8)")
+    cols = ["cohort", "period", "n_active", "cohort_size",
+            "retention_rate"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_events_transitions_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.events import event_transitions
+    from anofox_forecast_spark.sources import events_table
+    # unique (user, ts) — duplicate timestamps have unspecified walk
+    # order on BOTH paths (documented)
+    ev = (events_table(spark, SF_DIR)
+          .groupBy("user_id", "ts").agg(F.min("event_type")
+                                        .alias("event_type")))
+    df_out = event_transitions(ev, "user_id", "ts", "event_type")
+    ev.createOrReplaceTempView("trans_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM events_transitions(TABLE(trans_sql_t), "
+        "'user_id', 'ts', 'event_type')")
+    cols = ["from_type", "to_type", "n_transitions", "probability"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert list(a["from_type"]) == list(b["from_type"])
+    assert list(a["n_transitions"]) == list(b["n_transitions"])
+    np.testing.assert_allclose(a["probability"].astype(float),
+                               b["probability"].astype(float), rtol=0)
+
+
+def test_pipeline_gopher_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import gopher_stats
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df_out = gopher_stats(docs, "doc_id", "text")
+    docs.createOrReplaceTempView("gopher_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_gopher_stats(TABLE(gopher_sql_t), "
+        "'doc_id', 'text')")
+    cols = df_out.columns
+    assert sql_out.columns == cols
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c], b[c], rtol=0, err_msg=c)
+        else:
+            assert a[c].astype(str).equals(b[c].astype(str)), c
+
+
+def test_pipeline_c4_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import c4_stats
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df_out = c4_stats(docs, "doc_id", "text")
+    docs.createOrReplaceTempView("c4_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_c4_stats(TABLE(c4_sql_t), "
+        "'doc_id', 'text')")
+    cols = df_out.columns
+    assert sql_out.columns == cols
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_pipeline_dup_spans_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import dup_spans
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("spans_sql_t")
+    for kf in (False, True):
+        df_out = dup_spans(docs, "doc_id", "text", k=5, min_count=2,
+                           keep_first=kf)
+        sql_out = spark.sql(
+            "SELECT * FROM pipeline_dup_spans(TABLE(spans_sql_t), "
+            f"'doc_id', 'text', 5, 2, {str(kf).lower()})")
+        cols = ["doc_id", "span_start", "span_end", "span_tokens"]
+        a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+        assert len(a) == len(b) > 0, f"keep_first={kf}"
+        assert a.equals(b), f"keep_first={kf}"
+
+
+def test_stats_hll_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.stats import hll_count_distinct
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.createOrReplaceTempView("hll_sql_t")
+    # grouped: one exchange on the group col (same plan family as the op)
+    df_g = hll_count_distinct(docs, "doc_id", ["lang"], precision_bits=8)
+    sql_g = spark.sql(
+        "SELECT * FROM stats_hll_distinct(TABLE(hll_sql_t), 'doc_id', "
+        "8, 'hll', 'lang')")
+    cols = ["lang", "hll_estimate", "n_buckets_used"]
+    a, b = _pd_sorted(sql_g, cols), _pd_sorted(df_g, cols)
+    assert len(a) == len(b) > 0
+    assert list(a["lang"]) == list(b["lang"])
+    assert list(a["n_buckets_used"]) == list(b["n_buckets_used"])
+    # ln may differ in its last ulp between JVM and libm — everything
+    # else in the estimator is bit-pinned
+    np.testing.assert_allclose(a["hll_estimate"], b["hll_estimate"],
+                               rtol=1e-12)
+    # ungrouped single-partition form
+    df_u = hll_count_distinct(docs, "doc_id", precision_bits=8).first()
+    sql_u = spark.sql(
+        "SELECT * FROM stats_hll_distinct(TABLE(hll_sql_t), 'doc_id', "
+        "8)").first()
+    assert sql_u["n_buckets_used"] == df_u["n_buckets_used"]
+    np.testing.assert_allclose(sql_u["hll_estimate"],
+                               df_u["hll_estimate"], rtol=1e-12)
+
+
+def test_stats_skew_report_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.stats import skew_report
+    from anofox_forecast_spark.sources import events_table
+    ev = events_table(spark, SF_DIR).select("user_id", "event_type")
+    df_out = skew_report(ev, ["user_id", "event_type"], top_k=5).first()
+    ev.createOrReplaceTempView("skew_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM stats_skew_report(TABLE(skew_sql_t), "
+        "'[\"user_id\", \"event_type\"]', 5)").first()
+    for c in ("n_keys", "n_rows", "max_per_key", "top_keys"):
+        assert sql_out[c] == df_out[c], c
+    for c in ("mean_per_key", "p50_per_key", "p99_per_key", "skew_ratio"):
+        assert float(sql_out[c]) == float(df_out[c]), c
