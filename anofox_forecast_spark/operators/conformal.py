@@ -357,7 +357,7 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
         T.StructField("yhat_upper", T.DoubleType()),
     ])
 
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf[y_col].astype(float).to_numpy()
         y = y[np.isfinite(y)]
         if len(y) < 3:
@@ -419,7 +419,7 @@ def ts_bootstrap_quantiles(df: DataFrame, group_col: str, resid_col: str,
         T.StructField("values", T.ArrayType(T.DoubleType())),
     ])
 
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, row in pdf.iterrows():
             resid = np.asarray(row[resid_col], dtype=float)

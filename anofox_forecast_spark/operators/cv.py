@@ -222,7 +222,7 @@ def ts_cv_forecast_by(folds_df: DataFrame, group_col: str, ds_col: str,
         T.StructField("model_name", T.StringType()),
     ])
 
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gval, fold = key
         train = pdf[pdf["split"] == "train"]
         test = pdf[pdf["split"] == "test"]

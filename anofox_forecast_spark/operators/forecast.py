@@ -395,8 +395,11 @@ def ts_forecast(df: DataFrame, ds_col: str, y_col: str, method: str,
             "aic": [r.aic], "bic": [r.bic],
         })
 
+    def keyed(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf)
+
     return (df.select(F.lit(1).alias("__g"), ds_col, F.col(y_col).cast("double").alias(y_col))
-              .groupBy("__g").applyInPandas(lambda k, p: fn(p), schema))
+              .groupBy("__g").applyInPandas(keyed, schema))
 
 
 # ts_forecast_agg is the aggregate-function form of the same computation in

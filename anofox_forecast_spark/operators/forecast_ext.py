@@ -99,7 +99,7 @@ def ts_forecast_exog_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         T.StructField("model_name", T.StringType()),
     ])
 
-    def fn(key, hist: pd.DataFrame, fut: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, hist: pd.DataFrame, fut: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
         if hist.empty or fut.empty:
             return empty
@@ -254,7 +254,7 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
             [T.StructField(n, t) for n, t in _INSPECT_SCHEMA_FIELDS])),
     ])
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame | None:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame | None:
         yv = pdf[y_col].astype(float).to_numpy()
         try:
             r = M.forecast(yv, 1, model, season_length=season, level=level,
@@ -354,7 +354,7 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
         ])),
     ])
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame | None:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame | None:
         yv = pdf[y_col].astype(float).to_numpy()
         try:
             r = M.forecast(yv, h, model, season_length=season, level=level,

@@ -17,7 +17,10 @@ Beyond-parity surface (BASELINE.json north star):
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,7 +108,7 @@ def _assign_cells_arrow(df: DataFrame, vec_col: str, C: "np.ndarray"):
     out_schema = T.StructType(df.schema.fields
                               + [T.StructField("__cell", T.IntegerType())])
 
-    def assign(batches):
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             X = np.array([np.asarray(v, dtype=float)
                           for v in pdf[vec_col]], dtype=np.float64)

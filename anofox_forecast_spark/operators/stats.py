@@ -624,7 +624,7 @@ def ts_data_quality(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     schema = T.StructType([T.StructField("unique_id", gtype)]
                           + [T.StructField(n, t) for n, t in DQ_FIELDS])
 
-    def fn(key, pdf: pd.DataFrame):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ds_col)
         y = pdf[y_col].to_numpy(dtype=float)
         if is_int_ds:

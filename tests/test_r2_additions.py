@@ -67,7 +67,9 @@ def test_feature_config_loaders(spark, tmp_path):
     assert cfg["feature_names"] == ["sum"]
     assert cfg["overrides"][0]["feature"] == "sum"
 
-    cfg = FE.ts_features_config_from_csv("feature,params_json\nmean,{}\nstd_x,{}")
+    with pytest.warns(UserWarning, match="std_x"):
+        cfg = FE.ts_features_config_from_csv(
+            "feature,params_json\nmean,{}\nstd_x,{}")
     assert cfg["feature_names"] == ["mean"]
 
     # config drives ts_features_by
