@@ -75,6 +75,44 @@ def run(spark, sf_dir: str):
             weighted, skew, card)
 
 
+def run_incremental_hll(spark, sf_dir: str, registers_dir: str):
+    """(r9) The incremental-ingest cardinality story end-to-end: two
+    simulated crawl batches each persist their CONSTANT-SIZE register
+    table (<= 2^p rows per group, whatever the batch size) to parquet;
+    read-time merges the persisted sketches and estimates — no re-scan of
+    historical batches, ever. Returns (merged_estimate_df,
+    whole_corpus_estimate_df); the two are identical by construction
+    (registers are per-bucket maxima — max is associative/commutative/
+    idempotent), which test_examples.py asserts."""
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.stats import (
+        hll_count_distinct,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+    from anofox_forecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)   # "yesterday's crawl"
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)   # "today's crawl"
+
+    # ingest time: one register table per batch, persisted
+    for i, b in ((1, batch1), (2, batch2)):
+        hll_registers(b, "text", ["lang"], precision_bits=12) \
+            .write.mode("overwrite").parquet(f"{registers_dir}/batch{i}")
+
+    # read time: reload + merge + estimate — the historical batch's raw
+    # rows are never touched again
+    regs = [spark.read.parquet(f"{registers_dir}/batch{i}")
+            for i in (1, 2)]
+    merged = hll_estimate_from_registers(
+        hll_merge_registers(*regs), ["lang"], precision_bits=12)
+    whole = hll_count_distinct(docs, "text", ["lang"], precision_bits=12)
+    return merged, whole
+
+
 if __name__ == "__main__":
     from anofox_forecast_spark.session import get_spark
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -94,4 +132,11 @@ if __name__ == "__main__":
     print("weighted sample size:", weighted.count())
     skew.show(truncate=False)
     card.show()
+    import tempfile
+    with tempfile.TemporaryDirectory(prefix="hll_regs_") as d:
+        merged, whole = run_incremental_hll(spark, sf, d)
+        print("incremental HLL (2 persisted batches, merged at read):")
+        merged.orderBy("lang").show()
+        print("whole-corpus sketch (must be identical):")
+        whole.orderBy("lang").show()
     spark.stop()

@@ -37,6 +37,22 @@ def test_llm_pipeline_example(spark):
     assert card.count() > 0
 
 
+def test_llm_pipeline_incremental_hll(tmp_path, spark):
+    """The persist/reload cycle: two batches' register tables written to
+    parquet, merged at read time — the merged-sketch estimate equals the
+    whole-corpus sketch EXACTLY (registers are per-bucket maxima; merge
+    is associative/idempotent, so batch splitting is invisible)."""
+    from examples.llm_data_pipeline import run_incremental_hll
+    merged, whole = run_incremental_hll(spark, SF_DIR, str(tmp_path))
+    a = merged.orderBy("lang").collect()
+    b = whole.orderBy("lang").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["lang"] == rb["lang"]
+        assert ra["n_buckets_used"] == rb["n_buckets_used"]
+        assert ra["hll_estimate"] == rb["hll_estimate"]
+
+
 def test_events_analytics_example(spark):
     from examples.events_analytics import run
     sessions, stats, enriched, concurrency, fun, ret, rollup = run(spark, SF_DIR)
