@@ -1193,6 +1193,25 @@ def _llm_queries():
         return out.select("doc_id", "frame_index",
                           F.decode("frame", "UTF-8").alias("frame_text"))
 
+    def q_dedup_keep_best(spark, sf):
+        # quality-aware survivor choice over a doubled corpus where the
+        # copy carries 3 trailing spaces: same normalized fingerprint,
+        # +3 length score — so the argmax must pick the COPY in every
+        # group (score ordering exercised cross-engine), while exact
+        # in-corpus duplicates exercise the min-id tie-break. The
+        # contract score is an integer-derived double (text length —
+        # bit-exact in any engine); the quality_score float composition
+        # is pinned separately (text_quality).
+        docs = _docs(spark, sf).select("doc_id", "text")
+        copy = docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                           F.concat(F.col("text"), F.lit("   "))
+                            .alias("text"))
+        both = docs.unionByName(copy).withColumn(
+            "score", F.length("text").cast("double"))
+        from anofox_forecast_spark.operators.dedup import (
+            exact_dedup_keep_best)
+        return exact_dedup_keep_best(both, "doc_id", "text", "score")
+
     return {
         "text_tokens": q_tokens,
         "text_fingerprint": q_fingerprint,
@@ -1200,6 +1219,7 @@ def _llm_queries():
         "text_entropy": q_entropy,
         "text_langid": q_langid,
         "dedup_exact_groups": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -1331,6 +1351,14 @@ def _pipeline_queries():
         return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
                                    k=_SPAN_K, min_count=2)
 
+    def q_lm_score(spark, sf):
+        # CCNet-style LM quality: add-1 bigram model trained on the
+        # corpus itself; contract carries (n_bigrams, mean_logprob) —
+        # perplexity = exp(-mean) amplifies the ln ulp by its own
+        # magnitude, documented convenience column, not hash-gated
+        return PL.lm_score(_docs(spark, sf), "doc_id", "text", k=1.0) \
+                 .select("doc_id", "n_bigrams", "mean_logprob")
+
     def q_remove_dup_spans_keep_first(spark, sf):
         # leave-one-copy variant (Lee et al.'s actual dedup semantics):
         # each duplicated gram's canonical (doc_id, pos)-argmin occurrence
@@ -1357,6 +1385,7 @@ def _pipeline_queries():
         "pipeline_remove_dup_spans": q_remove_dup_spans,
         "pipeline_remove_dup_spans_keep_first": q_remove_dup_spans_keep_first,
         "pipeline_sample_weighted": q_sample_weighted,
+        "pipeline_lm_score": q_lm_score,
     }
 
 
@@ -1830,22 +1859,30 @@ _WINDOW = [
     # judge item: kills the per-step sort); oracle tie order pinned to
     # (ds, act, fc); the streaming twin shares the parameterized builder
     "conformal_adaptive", "streaming_adaptive_conformal",
-    # --- reserved: r9-new contract ---
+    # --- reserved: r9-new contracts ---
     # ExactSubstr leave-one-copy (keep_first): per-gram (id, pos)-argmin
     # canonical copy survives — Lee et al.'s dedup semantics without a
     # corpus total-order
     "pipeline_remove_dup_spans_keep_first",
+    # CCNet-style add-1 bigram LM quality score (position-ordered logprob
+    # fold; mean pinned 6dp, perplexity documented out of the contract)
+    "pipeline_lm_score",
+    # quality-aware exact-dedup survivor choice (argmax score, min-id
+    # ties) over the 3-trailing-spaces doubled corpus
+    "dedup_keep_best",
     # --- stalest cohort, r1 (the full 14) ---
     "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
     "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
     "metric_coverage", "metric_quantile_loss",
     "prep_fill_forward", "prep_fill_nulls_forward",
     "prep_fill_nulls_backward", "prep_fill_nulls_const",
-    # --- stalest cohort, r2 (31 of 36; the 5 deferred to r10 —
+    # --- stalest cohort, r2 (29 of 36; the 7 deferred to r10 —
     # dedup_ngram_jaccard, cv_split, hier_combine_keys,
-    # prep_fill_gaps_monthly, stats_quality_report — are exactly the r2
-    # keys the r8 judge independently bit-audited at sf0.01, so they
-    # carry the freshest non-driver evidence of the cohort) ---
+    # prep_fill_gaps_monthly, stats_quality_report, conformal_calibrate,
+    # text_langid — are exactly the r2 keys the r8 judge independently
+    # bit-audited at sf0.01, so they carry the freshest non-driver
+    # evidence of the cohort; two of their slots went to the r9-new
+    # lm_score/keep_best contracts) ---
     "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
     "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
     "forecast_naive_intds", "forecast_exog_naive",
@@ -1856,9 +1893,9 @@ _WINDOW = [
     "cv_folds_sliding", "cv_split_folds", "cv_hydrate",
     "cv_check_leakage",
     "stats_summary",
-    "conformal_calibrate", "conformal_interval_width",
+    "conformal_interval_width",
     "conformal_evaluate", "conformal_per_step",
-    "text_tokens", "text_fingerprint", "text_langid",
+    "text_tokens", "text_fingerprint",
     "dedup_exact_groups", "dedup_simhash_md5", "dedup_embedding_cosine",
 ]
 
@@ -1999,6 +2036,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "stats_hll_distinct_raw": (["hll_estimate"], 4),
     # ln per distinct symbol + a possible engine-side FMA in the fold
     "text_entropy": (["char_entropy", "word_entropy"], 6),
+    # one ln per bigram, summed in position order on both sides — drift
+    # is ~n_bigrams ulps of a magnitude-10 value, far under the quantum
+    "pipeline_lm_score": (["mean_logprob"], 6),
 }
 
 
@@ -8768,6 +8808,33 @@ SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
   CAST(len(w.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM w LEFT JOIN agg USING (doc_id)
 """
+    # pipeline.lm_score (CCNet-style): add-1 bigram LM self-perplexity;
+    # every float op mirrors the Spark side — (c12+1.0)/(c1+1.0*V) one
+    # add/one add/one division per bigram, logprobs summed in POSITION
+    # order (list ORDER BY pos == the Spark array_sort fold), one final
+    # division; the ln's last ulp rides the 6dp contract pin
+    o["pipeline_lm_score"] = f"""
+WITH d AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(ws) AS w1 FROM d) GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+bg AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS pos
+             FROM d WHERE len(ws) >= 2)),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+j AS (SELECT bg.doc_id, bg.pos,
+        ln((CAST(bc.c12 AS DOUBLE) + 1.0)
+           / (CAST(uni.c1 AS DOUBLE) + 1.0 * v.V)) AS lp
+      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1), v),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   list(lp ORDER BY pos)),
+                      (a, x) -> a + x) AS s
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.s / per.n_bigrams AS mean_logprob
+FROM d LEFT JOIN per USING (doc_id)
+"""
     return o
 
 
@@ -8861,6 +8928,26 @@ g AS (SELECT md5({_NORM_TXT}) AS fingerprint, count(*) AS dup_count,
              min(doc_id) AS keep_id
       FROM doubled GROUP BY 1)
 SELECT fingerprint, dup_count, keep_id FROM g WHERE dup_count > 1
+"""
+    # dedup.exact_dedup_keep_best: argmax(score) per fingerprint, ties to
+    # the smaller id — replayed as a (score DESC, id) row_number; the copy
+    # side's 3 trailing spaces vanish under normalization but add +3 to
+    # the length score, so the copy must win every group
+    o["dedup_keep_best"] = f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text || '   ' FROM documents),
+s AS (SELECT doc_id, md5({_NORM_TXT}) AS fingerprint,
+             CAST(length(text) AS DOUBLE) AS score
+      FROM doubled),
+r AS (SELECT fingerprint, doc_id, score,
+        row_number() OVER (PARTITION BY fingerprint
+                           ORDER BY score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY fingerprint) AS c
+      FROM s)
+SELECT fingerprint, doc_id AS keep_id, score AS keep_score,
+       CAST(c AS BIGINT) AS dup_count
+FROM r WHERE rn = 1
 """
     o["dedup_ngram_jaccard"] = f"""
 WITH docs AS (SELECT doc_id, {_NORM_TXT} AS t FROM documents WHERE doc_id < 40),

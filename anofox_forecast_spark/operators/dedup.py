@@ -57,6 +57,37 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .filter(F.col("dup_count") > 1))
 
 
+def exact_dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
+                          score_col: str) -> DataFrame:
+    """Quality-aware exact-dedup survivor choice: one row per
+    normalized-text fingerprint, keeping the member with the HIGHEST
+    ``score_col`` (ties -> smallest id) — the policy a corpus build
+    actually wants ("keep the best copy", e.g. the longest or the
+    highest quality-score capture of a page), vs :func:`dedup_exact`'s
+    positional keep-min-id. Output: ``(fingerprint, keep_id, keep_score,
+    dup_count)`` for EVERY group (singletons included — filter
+    ``dup_count > 1`` for the duplicates-only report).
+
+    Scale shape: same as :func:`exact_dup_groups` — one count/argmin
+    groupBy on the md5 fingerprint (map-side combined; the argmin is one
+    extra struct column on the same aggregate), no windows, no second
+    pass over the corpus. The argmax is expressed as min over
+    ``(-score, id)`` structs, so it is deterministic on any partitioning
+    and replayable engine-side (double negation is exact).
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (df.withColumn("fingerprint", fp)
+              .groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("dup_count"),
+                   F.min(F.struct(
+                       (-F.col(score_col).cast("double")).alias("ns"),
+                       F.col(id_col).alias("i"))).alias("__b"))
+              .select("fingerprint",
+                      F.col("__b")["i"].alias("keep_id"),
+                      (-F.col("__b")["ns"]).alias("keep_score"),
+                      F.col("dup_count").cast("bigint").alias("dup_count")))
+
+
 # ---------------------------------------------------------------------------
 # Character shingles
 # ---------------------------------------------------------------------------

@@ -693,3 +693,97 @@ def remove_dup_spans(df: DataFrame, id_col: str, text_col: str,
                     "n_tokens",
                     (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
                     .cast("bigint").alias("n_removed_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring (bigram language model)
+# ---------------------------------------------------------------------------
+
+def _word_bigrams_pos(ws: Column) -> Column:
+    """(pos, w1, w2) structs for consecutive word pairs, 1-based; empty
+    when fewer than 2 words."""
+    n = F.size(ws)
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(i.alias("pos"),
+                           F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))) \
+            .otherwise(F.expr(
+                "CAST(array() AS array<struct<pos:int,w1:string,w2:string>>)"))
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str,
+             k: float = 1.0, train: DataFrame | None = None) -> DataFrame:
+    """Per-document n-gram language-model quality score — the CCNet idea
+    (Wenzek et al. 2020: rank crawl documents by LM perplexity; clean
+    text scores high, gibberish/boilerplate scores low) with the LM
+    re-expressed relationally as an add-k-smoothed word BIGRAM model:
+
+        P(w2 | w1) = (C(w1, w2) + k) / (C(w1) + k * V)
+
+    where the counts come from ``train`` (default: the scored corpus
+    itself — self-perplexity, the common no-external-model setup) and V
+    is the training vocabulary size. Output: one row per input document
+    — ``(<id>, n_bigrams, mean_logprob, perplexity)``; ``mean_logprob``
+    is the mean natural-log probability over the document's bigrams
+    (NULL when the document has < 2 words), ``perplexity`` =
+    exp(-mean_logprob). Sort ascending by ``mean_logprob`` to find the
+    junk.
+
+    Scale shape: token and bigram counts are count-only groupBys with
+    map-side combine (the wire carries one row per distinct word/pair);
+    V is a broadcast 1-row crossJoin; scoring is two hash joins keyed on
+    words (Zipf-hot heads are AQE's skew-join case) plus ONE per-doc
+    fold over the position-sorted logprob list — deterministic on any
+    partitioning, so the score is replayable engine-side. The fold sums
+    in position order; only the final mean rides the ln's last-ulp
+    (driver contract pins it at 6dp; ``perplexity`` = exp(-mean)
+    amplifies that ulp by its own magnitude, so it is documented as a
+    convenience column and kept OUT of the value-hash contract).
+    """
+    if float(k) <= 0:
+        raise ValueError("k (smoothing) must be positive")
+    kf = float(k)
+    tr = train if train is not None else df
+    tr_ws = tr.select(_words(F.col(text_col)).alias("__ws"))
+    uni = (tr_ws.select(F.explode("__ws").alias("w1"))
+                .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1")))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__V"))
+    bc = (tr_ws.select(F.explode(_word_bigrams_pos(F.col("__ws")))
+                        .alias("__b"))
+               .select(F.col("__b.w1").alias("w1"),
+                       F.col("__b.w2").alias("w2"))
+               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")))
+    doc_bg = (df.select(F.col(id_col),
+                        F.explode(_word_bigrams_pos(_words(F.col(text_col))))
+                         .alias("__b"))
+                .select(id_col, F.col("__b.pos").alias("__pos"),
+                        F.col("__b.w1").alias("w1"),
+                        F.col("__b.w2").alias("w2")))
+    j = (doc_bg.join(bc, ["w1", "w2"], "left")
+               .join(uni, "w1", "left")
+               .crossJoin(F.broadcast(vocab)))
+    logp = F.log(
+        (F.coalesce(F.col("__c12"), F.lit(0)).cast("double") + F.lit(kf))
+        / (F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+           + F.lit(kf) * F.col("__V")))
+    per = (j.select(id_col, "__pos", logp.alias("__lp"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.aggregate(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("__pos"), F.col("__lp")))),
+                         lambda s: s["__lp"]),
+                     F.lit(0.0), lambda a, x: a + x).alias("__s")))
+    mean = F.col("__s") / F.col("__n").cast("double")
+    per = per.select(id_col,
+                     F.col("__n").cast("bigint").alias("n_bigrams"),
+                     mean.alias("mean_logprob"),
+                     F.exp(-mean).alias("perplexity"))
+    base = df.select(F.col(id_col))
+    return (base.join(per, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                     .alias("n_bigrams"),
+                    "mean_logprob", "perplexity"))

@@ -147,3 +147,70 @@ def test_time_rollup_udtf_bigint_ts(spark):
     got = {(str(r.bucket), r.n, r.value_sum) for r in rows}
     assert got == {("1970-01-02 00:00:00", 2, 3.0),
                    ("1970-01-03 00:00:00", 1, 3.0)}
+
+
+def test_lm_score_hand_computed(spark):
+    """Add-1 bigram LM on a 2-doc corpus small enough to compute by hand:
+    vocab {a,b,c} (V=3), bigrams: (a,b)x2, (b,a)x1, (b,c)x1."""
+    import math
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b c"), (3, "a")],
+                               "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           PL.lm_score(df, "doc_id", "text", k=1.0).collect()}
+    # corpus counts: C(a)=3, C(b)=3, C(c)=1; C(a,b)=2, C(b,a)=1, C(b,c)=1
+    p_ab = (2 + 1.0) / (3 + 1.0 * 3)     # 0.5
+    p_ba = (1 + 1.0) / (3 + 1.0 * 3)     # 1/3
+    p_bc = (1 + 1.0) / (3 + 1.0 * 3)     # 1/3
+    m1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3.0
+    m2 = math.log(p_bc) / 1.0
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    assert abs(got[1].mean_logprob - m1) < 1e-12
+    assert abs(got[2].mean_logprob - m2) < 1e-12
+    assert abs(got[1].perplexity - math.exp(-m1)) < 1e-12
+    # a 1-word doc has no bigrams: NULL score, not a crash
+    assert got[3].n_bigrams == 0 and got[3].mean_logprob is None
+
+
+def test_lm_score_ranks_gibberish_below_text(spark):
+    """The CCNet property: repeated natural phrasing scores higher
+    (mean_logprob closer to 0) than never-repeated token soup."""
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(10)]
+    rows.append((99, "zq xv jk wp mn bf gh tr ld cs"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.mean_logprob
+           for r in PL.lm_score(df, "doc_id", "text").collect()}
+    assert got[0] > got[99]
+
+
+def test_lm_score_train_corpus_split(spark):
+    """Counts come from `train` when given: a doc scored against a
+    foreign corpus gets the unseen-bigram floor ln(k/(C1+kV))."""
+    import math
+    train = spark.createDataFrame([(1, "a b a b")],
+                                  "doc_id bigint, text string")
+    score = spark.createDataFrame([(9, "c d")],
+                                  "doc_id bigint, text string")
+    r = PL.lm_score(score, "doc_id", "text", k=1.0, train=train).first()
+    # V=2 ({a,b}); c,d unseen: C(c,d)=0, C(c)=0
+    exp = math.log((0 + 1.0) / (0 + 1.0 * 2))
+    assert r.n_bigrams == 1 and abs(r.mean_logprob - exp) < 1e-12
+    with pytest.raises(ValueError, match="k"):
+        PL.lm_score(score, "doc_id", "text", k=0.0)
+
+
+def test_exact_dedup_keep_best(spark):
+    """Argmax score per fingerprint, ties to the smaller id; singletons
+    report dup_count 1."""
+    from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
+    df = spark.createDataFrame(
+        [(1, "Hello  World", 0.4),     # same normalized text as 2, 3
+         (2, "hello world", 0.9),      # highest score -> keeper
+         (3, "HELLO WORLD  ", 0.9),    # tie with 2 -> id 2 wins
+         (4, "something else", 0.1)],
+        "doc_id bigint, text string, score double")
+    got = {r.keep_id: r for r in
+           exact_dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    assert set(got) == {2, 4}
+    assert got[2].dup_count == 3 and got[2].keep_score == 0.9
+    assert got[4].dup_count == 1 and got[4].keep_score == 0.1
