@@ -732,14 +732,21 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: token and bigram counts are count-only groupBys with
     map-side combine (the wire carries one row per distinct word/pair);
-    V is a broadcast 1-row crossJoin; scoring is two hash joins keyed on
-    words (Zipf-hot heads are AQE's skew-join case) plus ONE per-doc
-    fold over the position-sorted logprob list — deterministic on any
-    partitioning, so the score is replayable engine-side. The fold sums
-    in position order; only the final mean rides the ln's last-ulp
-    (driver contract pins it at 6dp; ``perplexity`` = exp(-mean)
-    amplifies that ulp by its own magnitude, so it is documented as a
-    convenience column and kept OUT of the value-hash contract).
+    V is a broadcast 1-row crossJoin; the per-doc reduction is ONE fold
+    over the position-sorted logprob list — deterministic on any
+    partitioning, so the score is replayable engine-side. In the default
+    self-scoring mode the unigram denominator is pre-joined ONTO the
+    (count-table-sized) bigram table, so the corpus side crosses exactly
+    TWO shuffles: the (w1, w2) scoring join and the per-doc fold — the
+    count tables, not the corpus, absorb the extra exchange. With a
+    foreign ``train`` the corpus takes two LEFT joins instead (an unseen
+    bigram must still find its seen-prefix C(w1) for the backoff floor
+    ln(k / (C(w1) + kV))). Word keys are Zipf-hot — AQE's skew-join
+    case. The fold sums in position order; only the final mean rides the
+    ln's last-ulp (driver contract pins it at 6dp; ``perplexity`` =
+    exp(-mean) amplifies that ulp by its own magnitude, so it is
+    documented as a convenience column and kept OUT of the value-hash
+    contract).
     """
     if float(k) <= 0:
         raise ValueError("k (smoothing) must be positive")
@@ -760,9 +767,17 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
                 .select(id_col, F.col("__b.pos").alias("__pos"),
                         F.col("__b.w1").alias("w1"),
                         F.col("__b.w2").alias("w2")))
-    j = (doc_bg.join(bc, ["w1", "w2"], "left")
-               .join(uni, "w1", "left")
-               .crossJoin(F.broadcast(vocab)))
+    if train is None:
+        # self-scoring: every scored bigram exists in the counts, so the
+        # denominator pre-join (count tables only) + ONE inner join on
+        # the corpus side is value-identical to the two-join form
+        denom = bc.join(uni, "w1")
+        j = (doc_bg.join(denom, ["w1", "w2"])
+                   .crossJoin(F.broadcast(vocab)))
+    else:
+        j = (doc_bg.join(bc, ["w1", "w2"], "left")
+                   .join(uni, "w1", "left")
+                   .crossJoin(F.broadcast(vocab)))
     logp = F.log(
         (F.coalesce(F.col("__c12"), F.lit(0)).cast("double") + F.lit(kf))
         / (F.coalesce(F.col("__c1"), F.lit(0)).cast("double")

@@ -278,3 +278,45 @@ def test_r8_operator_shuffle_budgets(spark):
         rep = P.plan_report(df)
         assert rep["cartesian_products"] == 0
         assert rep["python_udf_nodes"] == 0
+
+
+def test_r9_operator_shuffle_budgets(spark):
+    """r9 family plan guards: lm_score's only nested-loop join is the
+    broadcast 1-ROW vocab crossJoin (bounded by construction);
+    keep_first adds no exchange over drop-all; keep_best is the same
+    single aggregate as exact_dup_groups."""
+    from anofox_forecast_spark.operators import pipeline as PL
+    from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", 1.0), (2, "a b c d e f", 2.0)],
+        "doc_id bigint, text string, score double")
+    # keep_first: same exchange budget as the default policy (the argmin
+    # rides the existing count aggregate)
+    for kf in (False, True):
+        df = PL.dup_spans(docs, "doc_id", "text", k=3, keep_first=kf)
+        P.assert_max_exchanges(df, 3)
+        rep = P.plan_report(df)
+        assert rep["cartesian_products"] == 0
+        assert rep["python_udf_nodes"] == 0
+    # lm_score: 8 exchanges total, but only THREE touch corpus-sized data
+    # (the (w1,w2) scoring join input, the per-doc fold, and the id-only
+    # final-join projection) — the other five shuffle the distinct-word /
+    # distinct-pair count tables (the denominator pre-join deliberately
+    # moves an exchange from the corpus onto the counts); zero Python
+    df = PL.lm_score(docs, "doc_id", "text")
+    P.assert_max_exchanges(df, 8)
+    rep = P.plan_report(df)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    plan = P.physical_plan(df)
+    import re
+    corpus_keys = [m for m in re.findall(
+        r"Exchange hashpartitioning\((\w+)", plan) if m.startswith("doc_id")]
+    assert len(corpus_keys) <= 2, \
+        f"corpus side crosses {len(corpus_keys)} id-keyed shuffles"
+    # keep_best: ONE aggregate exchange, no windows
+    df = exact_dedup_keep_best(docs, "doc_id", "text", "score")
+    P.assert_max_exchanges(df, 1)
+    rep = P.plan_report(df)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
