@@ -34,6 +34,7 @@ from .cv import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     dedup_exact,
+    exact_dedup_keep_best,
     embedding_cosine_pairs,
     embedding_cosine_pairs_exact,
     exact_dup_groups,
@@ -99,6 +100,7 @@ from .pipeline import (  # noqa: F401
     dup_span_stats,
     dup_spans,
     gopher_stats,
+    lm_score,
     mix_sources,
     pack_chunked,
     remove_dup_spans,

@@ -73,18 +73,25 @@ def exact_dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
     extra struct column on the same aggregate), no windows, no second
     pass over the corpus. The argmax is expressed as min over
     ``(-score, id)`` structs, so it is deterministic on any partitioning
-    and replayable engine-side (double negation is exact).
+    and replayable engine-side (double negation is exact). A NULL score
+    ranks WORST (coalesced to +inf in the negated key — without that,
+    Spark's null-first struct order would make NULL-scored rows win
+    every group); a group whose every member has NULL score reports
+    ``keep_score`` NULL.
     """
     fp = F.md5(normalize_text(F.col(text_col)))
+    neg = F.coalesce((-F.col(score_col).cast("double")),
+                     F.lit(float("inf")))
     return (df.withColumn("fingerprint", fp)
               .groupBy("fingerprint")
               .agg(F.count(F.lit(1)).alias("dup_count"),
                    F.min(F.struct(
-                       (-F.col(score_col).cast("double")).alias("ns"),
+                       neg.alias("ns"),
                        F.col(id_col).alias("i"))).alias("__b"))
               .select("fingerprint",
                       F.col("__b")["i"].alias("keep_id"),
-                      (-F.col("__b")["ns"]).alias("keep_score"),
+                      F.when(F.col("__b")["ns"] != float("inf"),
+                             -F.col("__b")["ns"]).alias("keep_score"),
                       F.col("dup_count").cast("bigint").alias("dup_count")))
 
 

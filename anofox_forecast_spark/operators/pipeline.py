@@ -723,7 +723,9 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
 
     where the counts come from ``train`` (default: the scored corpus
     itself — self-perplexity, the common no-external-model setup) and V
-    is the training vocabulary size. Output: one row per input document
+    is the training vocabulary size (a train corpus with no tokens gives
+    V = 0, a degenerate model whose scores are +Inf logprobs — feed a
+    non-empty ``train``). Output: one row per input document
     — ``(<id>, n_bigrams, mean_logprob, perplexity)``; ``mean_logprob``
     is the mean natural-log probability over the document's bigrams
     (NULL when the document has < 2 words), ``perplexity`` =

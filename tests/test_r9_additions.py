@@ -214,3 +214,18 @@ def test_exact_dedup_keep_best(spark):
     assert set(got) == {2, 4}
     assert got[2].dup_count == 3 and got[2].keep_score == 0.9
     assert got[4].dup_count == 1 and got[4].keep_score == 0.1
+
+
+def test_exact_dedup_keep_best_null_scores(spark):
+    """NULL scores rank WORST (not first, despite Spark's null-first
+    struct order); an all-NULL group reports keep_score NULL."""
+    from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
+    df = spark.createDataFrame(
+        [(1, "same text", None), (2, "same  text", 0.2),
+         (5, "only nulls", None), (6, "only  nulls", None)],
+        "doc_id bigint, text string, score double")
+    got = {r.keep_id: r for r in
+           exact_dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    assert set(got) == {2, 5}
+    assert got[2].keep_score == 0.2          # scored member beats NULL
+    assert got[5].keep_score is None and got[5].dup_count == 2
