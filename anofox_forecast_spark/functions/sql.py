@@ -3381,6 +3381,117 @@ class StatsHllDistinctUDTF:
             yield (est, used)
 
 
+class PipelineLmScoreUDTF:
+    """``pipeline_lm_score(TABLE(docs), id_col, text_col[, k])`` — SQL
+    form of ``operators/pipeline.py::lm_score`` (CCNet-style add-k
+    bigram-LM quality scoring, self-perplexity mode). Counts are
+    corpus-global, so single partition — audit scale; the DataFrame op
+    (count-only groupBys + hash joins + one per-doc fold) is the scale
+    path. The ln rides libm here vs the JVM there — identical to the
+    last ulp in practice, compared at rtol in the pin test."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument,
+                k: AnalyzeArgument | None = None) -> AnalyzeResult:
+        schema = table.dataType
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(id_col.value, schema[id_col.value].dataType),
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("mean_logprob", T.DoubleType()),
+            T.StructField("perplexity", T.DoubleType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, k=None):
+        kf = 1.0 if k is None else float(k)
+        if kf <= 0:
+            raise ValueError("k (smoothing) must be positive")
+        self._args = (id_col, text_col, kf)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, kf = self._args
+        uni: dict = {}
+        bc: dict = {}
+        docs = []
+        for r in self._rows:
+            ws = _py_words(r[text_col] or "")
+            docs.append((r[id_col], ws))
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+        V = float(len(uni))
+        for did, ws in docs:
+            if len(ws) < 2:
+                yield (did, 0, None, None)
+                continue
+            s, n = 0.0, 0
+            for a, b in zip(ws, ws[1:]):
+                s = s + math.log((bc[(a, b)] + kf) / (uni[a] + kf * V))
+                n += 1
+            mean = s / float(n)
+            yield (did, n, mean, math.exp(-mean))
+
+
+class DedupKeepBestUDTF:
+    """``dedup_keep_best(TABLE(t), id_col, text_col, score_col)`` — SQL
+    form of ``operators/dedup.py::exact_dedup_keep_best``: one row per
+    normalized-text md5 fingerprint keeping the highest-score member
+    (ties -> smallest id; NULL scores rank worst). Fingerprint groups are
+    corpus-global, so single partition — audit scale; the DataFrame op
+    (one count/argmin groupBy) is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument,
+                score_col: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("keep_id", schema[id_col.value].dataType),
+            T.StructField("keep_score", T.DoubleType()),
+            T.StructField("dup_count", T.LongType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, score_col):
+        self._args = (id_col, text_col, score_col)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, score_col = self._args
+        groups: dict = {}
+        for r in self._rows:
+            t = r[text_col] or ""
+            norm = _re.sub(r"\s+", " ", t.lower(),
+                           flags=_re.ASCII).strip(" ")
+            fp = _hashlib.md5(norm.encode("utf-8")).hexdigest()
+            sc = r[score_col]
+            ns = float("inf") if sc is None else -float(sc)
+            # Spark struct order: NaN sorts GREATEST (after +inf), so the
+            # comparable key is (isnan, ns, id) with ns zeroed under NaN
+            isnan = ns != ns
+            cand = ((1, 0.0, r[id_col]) if isnan
+                    else (0, ns, r[id_col]), ns)
+            g = groups.setdefault(fp, [0, None])
+            g[0] += 1
+            if g[1] is None or cand[0] < g[1][0]:
+                g[1] = cand
+        for fp in sorted(groups):
+            c, (key, ns) = groups[fp]
+            yield (fp, key[2], None if ns == float("inf") else -ns, c)
+
+
 class StatsSkewReportUDTF:
     """``stats_skew_report(TABLE(t), key_cols_json[, top_k])`` — SQL form
     of ``operators/stats.py::skew_report`` (pre-flight shuffle-skew
@@ -3503,6 +3614,8 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("pipeline_gopher_stats", PipelineGopherUDTF)
     reg_udtf("pipeline_c4_stats", PipelineC4UDTF)
     reg_udtf("pipeline_dup_spans", PipelineDupSpansUDTF)
+    reg_udtf("pipeline_lm_score", PipelineLmScoreUDTF)
+    reg_udtf("dedup_keep_best", DedupKeepBestUDTF)
     reg_udtf("stats_hll_distinct", StatsHllDistinctUDTF)
     reg_udtf("stats_skew_report", StatsSkewReportUDTF)
     for name, sig, body in _SQL_SCALARS:

@@ -858,3 +858,43 @@ def test_stats_skew_report_udtf_matches_dataframe(spark):
         assert sql_out[c] == df_out[c], c
     for c in ("mean_per_key", "p50_per_key", "p99_per_key", "skew_ratio"):
         assert float(sql_out[c]) == float(df_out[c]), c
+
+
+def test_pipeline_lm_score_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import lm_score
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df_out = lm_score(docs, "doc_id", "text", k=1.0)
+    docs.createOrReplaceTempView("lm_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_lm_score(TABLE(lm_sql_t), "
+        "'doc_id', 'text', 1.0)")
+    cols = ["doc_id", "n_bigrams", "mean_logprob", "perplexity"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["n_bigrams"]) == list(b["n_bigrams"])
+    # libm ln/exp vs the JVM's — last-ulp-per-term; everything else is
+    # order-pinned
+    np.testing.assert_allclose(a["mean_logprob"], b["mean_logprob"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(a["perplexity"], b["perplexity"],
+                               rtol=1e-12)
+
+
+def test_dedup_keep_best_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
+    docs = (load_table(spark, SF_DIR, "documents")
+            .selectExpr("doc_id", "text",
+                        "CASE WHEN doc_id % 7 = 0 THEN NULL "
+                        "ELSE CAST(length(text) AS DOUBLE) END AS score"))
+    df_out = exact_dedup_keep_best(docs, "doc_id", "text", "score")
+    docs.createOrReplaceTempView("kb_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM dedup_keep_best(TABLE(kb_sql_t), "
+        "'doc_id', 'text', 'score')")
+    cols = ["fingerprint", "keep_id", "keep_score", "dup_count"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
