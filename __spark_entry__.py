@@ -1823,6 +1823,28 @@ def _streaming_queries():
         out = ST.stream_sessionize(ev, gap="1 hour", watermark="1 day")
         return _run_to_table(spark, out, "append")
 
+    def q_stream_hll(spark, sf):
+        # streaming HLL: the register sketch as a continuous max
+        # aggregation (state = <= 2^12 rows per event_type, FOREVER; no
+        # watermark needed), one availableNow trigger in update mode,
+        # then the batch read-time merge+estimate. Merge-idempotence
+        # makes the result equal the batch sketch bit-for-bit, so the
+        # oracle IS the batch oracle.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch = spark.read.parquet(f"{sf}/events.parquet")
+        stream = (spark.readStream.schema(batch.schema)
+                  .parquet(_events_stream_dir(sf))
+                  .select("event_type", "user_id"))
+        regs = ST.stream_hll_registers(stream, "user_id", ["event_type"],
+                                       precision_bits=12, seed="h8")
+        res = _run_to_table(spark, regs, "update")
+        from anofox_forecast_spark.operators.stats import (
+            hll_estimate_from_registers, hll_merge_registers)
+        # re-merge guards against a multi-micro-batch update emission
+        # (same key emitted per batch) — a no-op for one trigger
+        return hll_estimate_from_registers(
+            hll_merge_registers(res), ["event_type"], 12)
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
@@ -1830,6 +1852,7 @@ def _streaming_queries():
         "streaming_conformal": q_stream_conformal,
         "streaming_adaptive_conformal": q_stream_adaptive,
         "streaming_sessionize": q_stream_sessionize,
+        "streaming_hll_distinct": q_stream_hll,
     }
 
 
@@ -1870,6 +1893,9 @@ _WINDOW = [
     # quality-aware exact-dedup survivor choice (argmax score, min-id
     # ties) over the 3-trailing-spaces doubled corpus
     "dedup_keep_best",
+    # streaming HLL registers (continuous max aggregation, bounded state
+    # forever, batch==stream by merge-idempotence) — REAL streaming run
+    "streaming_hll_distinct",
     # --- stalest cohort, r1 (the full 14) ---
     "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
     "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
@@ -1883,9 +1909,11 @@ _WINDOW = [
     # bit-audited at sf0.01, so they carry the freshest non-driver
     # evidence of the cohort; two of their slots went to the r9-new
     # lm_score/keep_best contracts) ---
+    # (forecast_exog_naive deferred to r10 with the judge-audited seven:
+    # its family's heavier cogrouped legs were driver-checked r4)
     "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
     "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
-    "forecast_naive_intds", "forecast_exog_naive",
+    "forecast_naive_intds",
     "prep_drop_short", "prep_drop_constant", "prep_drop_leading_zeros",
     "prep_mark_unknown", "prep_fill_unknown_last",
     "prep_validate_timestamps",
@@ -2034,6 +2062,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # over exact powers of two is order-pinned and bit-equal unpinned
     "stats_hll_distinct": (["hll_estimate"], 4),
     "stats_hll_distinct_raw": (["hll_estimate"], 4),
+    "streaming_hll_distinct": (["hll_estimate"], 4),
     # ln per distinct symbol + a possible engine-side FMA in the fold
     "text_entropy": (["char_entropy", "word_entropy"], 6),
     # one ln per bigram, summed in position order on both sides — drift
@@ -8257,6 +8286,10 @@ FROM i
         "CAST(value AS DOUBLE) * 0.9 + 1.0 AS fc "
         "FROM events WHERE value IS NOT NULL",
         act_name="actual", fc_name="forecast")
+    # ``streaming_hll_distinct``: registers are per-bucket maxima, so the
+    # streamed sketch equals the batch sketch over the same rows — the
+    # oracle IS the batch HLL replay
+    o["streaming_hll_distinct"] = _hll_oracle("user_id", 12, "h8")
     # ``streaming_dedup_exact``: dropDuplicatesWithinWatermark keeps exactly
     # one row per content fingerprint (which one is arbitrary, so the query
     # projects fingerprints only); the surviving set = DISTINCT fingerprints

@@ -23,7 +23,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -723,22 +723,16 @@ def hll_count_distinct(df: DataFrame, key_col: str,
     return hll_estimate_from_registers(regs, gcols, precision_bits)
 
 
-def hll_registers(df: DataFrame, key_col: str,
-                  group_cols: list[str] | None = None,
-                  precision_bits: int = 12,
-                  seed: str = "hll") -> DataFrame:
-    """The register table of :func:`hll_count_distinct` — ``(groups,
-    hll_bucket, hll_max_rho)`` — for INCREMENTAL ingest: compute per
-    batch/shard, persist (at most ``2^p`` rows per group regardless of
-    input size), then :func:`hll_merge_registers` +
-    :func:`hll_estimate_from_registers` at read time. Merging is exact:
-    registers are per-bucket maxima, and max is associative/commutative/
-    idempotent, so ANY partition of the input into batches yields the
-    identical merged sketch (pinned in tests)."""
+def hll_bucket_rho(key_col: str, precision_bits: int = 12,
+                   seed: str = "hll") -> tuple[Column, Column]:
+    """The stateless (bucket, rho) expression pair shared by the batch
+    register table and the streaming sketch: bucket = first
+    ``precision_bits`` bits of md5(seed:key), rho = leading-zero count of
+    the next 60 bits + 1, all pure string/CASE arithmetic (engine-
+    portable, no float log2 near a power-of-2 boundary)."""
     if not (4 <= precision_bits <= 16) or precision_bits % 4 != 0:
         # hex-nibble-aligned buckets keep the bit split pure substring math
         raise ValueError("precision_bits must be 4, 8, 12, or 16")
-    gcols = list(group_cols or [])
     nib = precision_bits // 4
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, nib), 16, 10).cast("bigint")
@@ -754,6 +748,23 @@ def hll_registers(df: DataFrame, key_col: str,
                .otherwise(0))
     rho = (F.when(F.length(stripped) == 0, F.lit(61))
             .otherwise(zchars * 4 + nib_lz + 1)).cast("int")
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: list[str] | None = None,
+                  precision_bits: int = 12,
+                  seed: str = "hll") -> DataFrame:
+    """The register table of :func:`hll_count_distinct` — ``(groups,
+    hll_bucket, hll_max_rho)`` — for INCREMENTAL ingest: compute per
+    batch/shard, persist (at most ``2^p`` rows per group regardless of
+    input size), then :func:`hll_merge_registers` +
+    :func:`hll_estimate_from_registers` at read time. Merging is exact:
+    registers are per-bucket maxima, and max is associative/commutative/
+    idempotent, so ANY partition of the input into batches yields the
+    identical merged sketch (pinned in tests)."""
+    gcols = list(group_cols or [])
+    bucket, rho = hll_bucket_rho(key_col, precision_bits, seed)
     return (df.filter(F.col(key_col).isNotNull())
               .select(*gcols, bucket.alias("hll_bucket"),
                       rho.alias("hll_max_rho"))

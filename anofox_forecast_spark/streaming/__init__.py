@@ -337,3 +337,30 @@ def stream_adaptive_conformal(stream: DataFrame, alpha: float = 0.1,
     return (stream.groupBy("id")
             .applyInPandasWithState(fn, _ACI_SCHEMA, _ACI_STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_hll_registers(stream: DataFrame, key_col: str,
+                         group_cols: list[str] | None = None,
+                         precision_bits: int = 12,
+                         seed: str = "hll") -> DataFrame:
+    """Streaming HyperLogLog register table — the incremental-ingest
+    cardinality sketch (``stats.hll_registers``) running CONTINUOUSLY:
+    the (bucket, rho) pair is a stateless per-row expression, so the
+    whole sketch is one streaming ``max`` aggregation keyed on
+    ``(groups, bucket)``. State is bounded at ``2^precision_bits`` rows
+    per group FOREVER — no watermark needed, nothing grows with the
+    stream, and because max is associative/commutative/idempotent the
+    emitted registers equal the batch sketch over everything ingested so
+    far (batch == stream pinned in tests; the ``streaming_hll_distinct``
+    driver key replays the estimate against the batch oracle). Run in
+    ``update`` output mode; feed the result through
+    ``stats.hll_estimate_from_registers`` at read time.
+    """
+    from ..operators.stats import hll_bucket_rho
+    gcols = list(group_cols or [])
+    bucket, rho = hll_bucket_rho(key_col, precision_bits, seed)
+    return (stream.filter(F.col(key_col).isNotNull())
+                  .select(*gcols, bucket.alias("hll_bucket"),
+                          rho.alias("hll_max_rho"))
+                  .groupBy(*gcols, "hll_bucket")
+                  .agg(F.max("hll_max_rho").alias("hll_max_rho")))

@@ -196,3 +196,45 @@ def test_stream_adaptive_conformal_sliding_cap(spark, tmp_path):
     assert len(got) == n
     assert got["alpha_t"].between(0.001, 0.999).all()
     assert got["q_t"].isna().sum() == 1        # only the first row
+
+
+def test_stream_hll_registers_match_batch_across_batches(spark, tmp_path):
+    """TWO micro-batches of a REAL stream (maxFilesPerTrigger=1 over two
+    parquet files) accumulate registers whose final state equals the
+    batch sketch over the union — merge-idempotence observed through the
+    streaming state store, not assumed. Also pins bounded state: the
+    register count never exceeds 2^p per group."""
+    from pyspark.sql import functions as F
+    from anofox_forecast_spark.operators.stats import (
+        hll_estimate_from_registers, hll_merge_registers, hll_registers)
+
+    src = str(tmp_path / "src")
+    rows1 = [(i % 3, f"user_{i}") for i in range(300)]
+    rows2 = [(i % 3, f"user_{i + 150}") for i in range(300)]  # overlap
+    b1 = spark.createDataFrame(rows1, "grp int, key string")
+    b2 = spark.createDataFrame(rows2, "grp int, key string")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    regs = ST.stream_hll_registers(stream, "key", ["grp"],
+                                   precision_bits=8, seed="s9")
+    name = "hll_stream_t"
+    q = (regs.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = hll_merge_registers(spark.table(name))  # collapse per-batch emits
+
+    whole = hll_registers(b1.unionByName(b2), "key", ["grp"],
+                          precision_bits=8, seed="s9")
+    a = sorted(got.collect(), key=lambda r: (r.grp, r.hll_bucket))
+    b = sorted(whole.collect(), key=lambda r: (r.grp, r.hll_bucket))
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+    per_group = got.groupBy("grp").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)  # 2^8 bound
+
+    ea = hll_estimate_from_registers(got, ["grp"], 8).collect()
+    eb = hll_estimate_from_registers(whole, ["grp"], 8).collect()
+    assert sorted(map(tuple, ea)) == sorted(map(tuple, eb))
