@@ -1351,6 +1351,11 @@ def _pipeline_queries():
         return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
                                    k=_SPAN_K, min_count=2)
 
+    def q_temperature_weights(spark, sf):
+        # UniMax temperature mixing weights at the canonical alpha=0.3
+        return PL.temperature_weights(_docs(spark, sf), "source", "text",
+                                      alpha=0.3)
+
     def q_lm_score(spark, sf):
         # CCNet-style LM quality: add-1 bigram model trained on the
         # corpus itself; contract carries (n_bigrams, mean_logprob) —
@@ -1386,6 +1391,7 @@ def _pipeline_queries():
         "pipeline_remove_dup_spans_keep_first": q_remove_dup_spans_keep_first,
         "pipeline_sample_weighted": q_sample_weighted,
         "pipeline_lm_score": q_lm_score,
+        "pipeline_temperature_weights": q_temperature_weights,
     }
 
 
@@ -1896,6 +1902,8 @@ _WINDOW = [
     # streaming HLL registers (continuous max aggregation, bounded state
     # forever, batch==stream by merge-idempotence) — REAL streaming run
     "streaming_hll_distinct",
+    # UniMax temperature mixing weights (source-sorted pow-sum fold)
+    "pipeline_temperature_weights",
     # --- stalest cohort, r1 (the full 14) ---
     "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
     "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
@@ -1911,8 +1919,10 @@ _WINDOW = [
     # lm_score/keep_best contracts) ---
     # (forecast_exog_naive deferred to r10 with the judge-audited seven:
     # its family's heavier cogrouped legs were driver-checked r4)
+    # (forecast_events_naive also deferred: the naive family keeps
+    # seasonal_naive/rwd/naive_intds slots + the r5 clamp-chain evidence)
     "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
-    "forecast_croston", "forecast_croston_sba", "forecast_events_naive",
+    "forecast_croston", "forecast_croston_sba",
     "forecast_naive_intds",
     "prep_drop_short", "prep_drop_constant", "prep_drop_leading_zeros",
     "prep_mark_unknown", "prep_fill_unknown_last",
@@ -2068,6 +2078,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # one ln per bigram, summed in position order on both sides — drift
     # is ~n_bigrams ulps of a magnitude-10 value, far under the quantum
     "pipeline_lm_score": (["mean_logprob"], 6),
+    # pow's last ulp enters the source-sorted psum fold and every weight
+    "pipeline_temperature_weights": (["natural_share", "weight",
+                                      "up_ratio"], 6),
 }
 
 
@@ -8840,6 +8853,36 @@ SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
   CAST(len(w.ws) AS BIGINT) AS n_tokens,
   CAST(len(w.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed_tokens
 FROM w LEFT JOIN agg USING (doc_id)
+"""
+    # pipeline.temperature_weights (UniMax, Xue et al. 2021): w_i =
+    # n_i^0.3 / sum; both folds ride source-sorted lists (ties
+    # impossible — sources are distinct), pow's last ulp rides the pin
+    o["pipeline_temperature_weights"] = f"""
+WITH b AS (SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t
+           FROM documents),
+tot AS (SELECT source, CAST(sum(t) AS DOUBLE) AS n_tokens
+        FROM b GROUP BY source),
+p AS (SELECT source, n_tokens,
+        CASE WHEN n_tokens > 0 THEN pow(n_tokens, 0.3) ELSE 0.0 END AS pw
+      FROM tot),
+s AS (SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list(pw ORDER BY source)),
+                    (a, x) -> a + x) AS psum,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list(n_tokens ORDER BY source)),
+                    (a, x) -> a + x) AS tsum
+      FROM p)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN tsum > 0 THEN n_tokens / tsum ELSE 0.0 END AS natural_share,
+  CASE WHEN psum > 0 THEN pw / psum ELSE 0.0 END AS weight,
+  CASE WHEN tsum > 0 AND n_tokens / tsum > 0
+       THEN (CASE WHEN psum > 0 THEN pw / psum ELSE 0.0 END)
+            / (n_tokens / tsum)
+       ELSE 0.0 END AS up_ratio
+FROM p, s
 """
     # pipeline.lm_score (CCNet-style): add-1 bigram LM self-perplexity;
     # every float op mirrors the Spark side — (c12+1.0)/(c1+1.0*V) one

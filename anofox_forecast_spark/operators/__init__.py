@@ -107,6 +107,7 @@ from .pipeline import (  # noqa: F401
     sample_by_hash,
     sample_stratified,
     sample_weighted,
+    temperature_weights,
     token_budget_filter,
 )
 from .regression import (  # noqa: F401

@@ -804,3 +804,67 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
                     F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
                      .alias("n_bigrams"),
                     "mean_logprob", "perplexity"))
+
+
+def temperature_weights(df: DataFrame, source_col: str, text_col: str,
+                        alpha: float = 0.3) -> DataFrame:
+    """UniMax/multilingual-T5-style TEMPERATURE mixing weights: the
+    sampling share of source i is
+
+        w_i = n_i^alpha / sum_j n_j^alpha
+
+    where ``n_i`` is the source's token count. ``alpha`` = 1 reproduces
+    natural proportions, 0 gives uniform-over-sources, and the usual
+    0.2-0.5 range up-weights low-resource sources without letting a
+    head-heavy crawl drown them (Xue et al. 2021 §3.2's temperature
+    sampling, the standard multilingual pretraining recipe). Output: one
+    row per source — ``(source, n_tokens, natural_share, weight,
+    up_ratio)`` where ``up_ratio`` = weight / natural_share (> 1 means
+    the source is boosted). Feed ``weight`` straight into
+    :func:`mix_sources` targets.
+
+    Scale shape: ONE count/sum aggregate over the corpus (map-side
+    combined, the wire carries one row per source), then a 1-row
+    broadcast of the pow-sum. The pow-sum folds over the SOURCE-SORTED
+    list, so the float accumulation order — and therefore every weight —
+    is deterministic on any partitioning and replayable engine-side.
+    Zero-token sources weigh 0 (0^alpha pinned to 0, not pow's 0^0=1).
+    """
+    a = float(alpha)
+    if a < 0:
+        raise ValueError("alpha must be >= 0")
+    tokens = token_count(F.col(text_col), "whitespace")
+    totals = (df.select(F.col(source_col).alias("source"),
+                        tokens.alias("__t"))
+                .groupBy("source")
+                .agg(F.sum("__t").cast("double").alias("n_tokens")))
+    powed = F.when(F.col("n_tokens") > 0,
+                   F.pow(F.col("n_tokens"), F.lit(a))) \
+             .otherwise(F.lit(0.0))
+    t = totals.withColumn("__p", powed)
+    sums = t.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("source"), F.col("__p")))),
+                lambda s: s["__p"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("__psum"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("source"), F.col("n_tokens")))),
+                lambda s: s["n_tokens"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("__tsum"))
+    out = t.join(F.broadcast(sums))
+    weight = F.when(F.col("__psum") > 0,
+                    F.col("__p") / F.col("__psum")).otherwise(F.lit(0.0))
+    nat = F.when(F.col("__tsum") > 0,
+                 F.col("n_tokens") / F.col("__tsum")).otherwise(F.lit(0.0))
+    return (out.withColumn("weight", weight)
+               .withColumn("natural_share", nat)
+               .withColumn("up_ratio",
+                           F.when(nat > 0, weight / nat)
+                            .otherwise(F.lit(0.0)))
+               .select("source", F.col("n_tokens").cast("bigint")
+                        .alias("n_tokens"),
+                       "natural_share", "weight", "up_ratio"))

@@ -229,3 +229,42 @@ def test_exact_dedup_keep_best_null_scores(spark):
     assert set(got) == {2, 5}
     assert got[2].keep_score == 0.2          # scored member beats NULL
     assert got[5].keep_score is None and got[5].dup_count == 2
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=1 reproduces natural shares; alpha=0 is uniform over
+    non-empty sources; 0<alpha<1 up-weights the tail (up_ratio > 1 for
+    below-average sources); weights sum to 1; empty sources weigh 0."""
+    rows = ([(i, "big", "w " * 100) for i in range(50)]
+            + [(100 + i, "small", "w " * 10) for i in range(5)]
+            + [(200, "empty", "")])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    for alpha in (0.0, 0.3, 1.0):
+        got = {r.source: r for r in
+               PL.temperature_weights(df, "source", "text",
+                                      alpha=alpha).collect()}
+        assert got["empty"].weight == 0.0 and got["empty"].n_tokens == 0
+        total = sum(r.weight for r in got.values())
+        assert abs(total - 1.0) < 1e-12
+        if alpha == 1.0:
+            for s in ("big", "small"):
+                assert abs(got[s].weight - got[s].natural_share) < 1e-12
+        if alpha == 0.0:
+            assert abs(got["big"].weight - got["small"].weight) < 1e-12
+        if alpha == 0.3:
+            assert got["small"].up_ratio > 1.0 > got["big"].up_ratio
+    with pytest.raises(ValueError, match="alpha"):
+        PL.temperature_weights(df, "source", "text", alpha=-0.1)
+
+
+def test_temperature_weights_feed_mix_sources(spark):
+    """The composition the docstring promises: weights flow straight
+    into mix_sources targets and produce a deterministic mixture."""
+    rows = ([(i, "a", "tok " * 40) for i in range(40)]
+            + [(100 + i, "b", "tok " * 10) for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = {r.source: r.weight for r in
+         PL.temperature_weights(df, "source", "text", 0.3).collect()}
+    mixed = PL.mix_sources(df, "doc_id", "source", "text", targets=w)
+    kept = mixed.filter("mix_keep").groupBy("source").count().collect()
+    assert {r.source for r in kept} == {"a", "b"}
