@@ -97,6 +97,9 @@ def main() -> None:
         # islands window) and the portable HLL sketch (register shuffle)
         "pipeline_dup_spans",
         "stats_hll_distinct_raw",
+        # r9: bigram-LM quality scoring (two corpus shuffles + count-table
+        # joins — the heaviest new relational pipeline op)
+        "pipeline_lm_score",
     ]
     qs = entry_mod.queries()
 
