@@ -4,7 +4,7 @@ The reference has no event-stream data model (its "streaming" means DuckDB
 pipelined execution — SURVEY.md §1.3), so this module is beyond-parity
 surface: the same panel operators re-expressed over unbounded input.
 
-Six shapes, each the idiomatic Spark mapping of a batch operator:
+The shapes, each the idiomatic Spark mapping of a batch operator:
 
 - ``stream_panel_stats`` — sliding/tumbling windowed per-series aggregates
   with a watermark for late data. Pure built-in aggs; state is bounded by
@@ -26,6 +26,12 @@ Six shapes, each the idiomatic Spark mapping of a batch operator:
 - ``stream_forecast_foreach_batch`` — micro-batch bridge: run the full batch
   ``ts_forecast_by`` on each micro-batch (exactly the batch semantics, at
   trigger cadence), for when full refits per trigger are acceptable.
+- ``stream_adaptive_conformal`` — the online ACI twin (per-series
+  (alpha_t, residual-tail) state; within ``state_rows`` a one-trigger
+  run equals the batch operator bit-for-bit).
+- ``stream_hll_registers`` — the incremental HyperLogLog sketch as a
+  continuous max aggregation: bounded ``2^p``-rows-per-group state
+  forever, batch == stream by merge-idempotence.
 
 All entry points accept any streaming DataFrame with (id, ds, y) columns;
 ``read_panel_stream`` builds one from a parquet directory (file-source
