@@ -1,8 +1,11 @@
 """End-to-end pretraining-corpus build over the documents table — the
 round-7 pipeline family composed the way a 100 TB crawl run would be:
 
-    documents -> Gopher quality gate -> cross-doc line dedup (boilerplate)
-              -> benchmark decontamination -> source mixing (token targets)
+    documents -> Gopher quality gate -> LM-perplexity gate (CCNet)
+              -> quality-aware exact dedup (keep the best copy)
+              -> cross-doc line dedup (boilerplate)
+              -> benchmark decontamination
+              -> TEMPERATURE source mixing (UniMax n^alpha weights)
               -> per-source token budget -> sequence packing
 
 plus BM25 keyword retrieval as the audit tool ("what's in this corpus
@@ -37,6 +40,38 @@ def run(spark, sf_dir: str):
     quality = gopher_stats(docs, "doc_id", "text")
     survivors = docs.join(
         quality.filter(F.col("gopher_keep")).select("doc_id"), "doc_id")
+    # materialize the gate output AND truncate the lineage: every later
+    # stage re-reads it, and without the cut Catalyst re-optimizes the
+    # whole accumulated plan tree on every downstream action (tens of
+    # seconds of pure driver planning at 11 chained stages). At 100 TB
+    # each gate writes parquet between stages — localCheckpoint is the
+    # in-session equivalent.
+    survivors = survivors.localCheckpoint()
+
+    # 1b. (r9) CCNet-style LM gate: self-trained bigram perplexity, drop
+    #     the worst decile (threshold = the EXACT corpus p10 via
+    #     group_quantiles, so the cut is deterministic on any cluster)
+    from anofox_forecast_spark.operators.pipeline import lm_score
+    from anofox_forecast_spark.operators.stats import group_quantiles
+
+    lm = lm_score(survivors, "doc_id", "text").filter("n_bigrams > 0")
+    thr = group_quantiles(lm.withColumn("__g", F.lit(1)), ["__g"],
+                          "mean_logprob", [0.1])
+    lm_kept = (lm.join(F.broadcast(thr.select(
+                   F.col("q_0_1").alias("__thr"))))
+                 .filter(F.col("mean_logprob") >= F.col("__thr")))
+    survivors = survivors.join(lm_kept.select("doc_id"), "doc_id")
+
+    # 1c. (r9) quality-aware exact dedup: one survivor per normalized
+    #     fingerprint, the LONGEST capture wins (ties -> smallest id)
+    from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
+
+    kb = exact_dedup_keep_best(
+        survivors.withColumn("score", F.length("text").cast("double")),
+        "doc_id", "text", "score")
+    survivors = survivors.join(
+        kb.select(F.col("keep_id").alias("doc_id")),
+        "doc_id").localCheckpoint()
 
     # 2. cross-doc line dedup (boilerplate removal; words stand in for
     #    lines on the single-line synthetic docs)
@@ -52,11 +87,18 @@ def run(spark, sf_dir: str):
     decon = decontaminate_ngrams(cleaned, bench, "doc_id", "text", n=3,
                                  threshold=0.5)
     clean = cleaned.join(
-        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+        decon.filter(~F.col("contaminated")).select("doc_id"),
+        "doc_id").localCheckpoint()
 
-    # 4. fixed-weight source mixing toward token targets
-    mixed = (mix_sources(clean, "doc_id", "source", "text",
-                         {f"src{i}": 0.05 for i in range(20)})
+    # 4. (r9) TEMPERATURE source mixing: targets are the UniMax
+    #    n^alpha weights computed from the corpus itself (alpha=0.3
+    #    up-weights low-resource sources); the weight table is one row
+    #    per source, so the collect is bounded by construction
+    from anofox_forecast_spark.operators.pipeline import temperature_weights
+
+    tw = temperature_weights(clean, "source", "text", alpha=0.3)
+    targets = {r["source"]: r["weight"] for r in tw.collect()}
+    mixed = (mix_sources(clean, "doc_id", "source", "text", targets)
              .filter(F.col("mix_keep")))
 
     # 5. per-source token budget (greedy fill in id order)
@@ -89,7 +131,8 @@ def run(spark, sf_dir: str):
     sem = semdedup(emb, "vec_id", "embedding", threshold=0.95,
                    centroids=stored_centroids, assign_mode="arrow")
 
-    return quality, cleaned, decon, mixed, budgeted, packed, audit, sem
+    return (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted,
+            packed, audit, sem)
 
 
 if __name__ == "__main__":
@@ -98,10 +141,13 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="corpus-build")
     spark.sparkContext.setLogLevel("ERROR")
-    (quality, cleaned, decon, mixed, budgeted, packed, audit,
-     sem) = run(spark, sf)
+    (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted, packed,
+     audit, sem) = run(spark, sf)
     print("gopher keep:", quality.filter("gopher_keep").count(),
           "/", quality.count())
+    print("LM gate keep:", lm_kept.count(), "| keep-best survivors:",
+          kb.count())
+    tw.orderBy("source").show(5)
     print("decontaminated out:", decon.filter("contaminated").count())
     print("mixed in:", mixed.count(), "| budget keep:", budgeted.count(),
           "| packed chunks:", packed.agg({"n_chunks": "sum"}).first()[0])

@@ -67,10 +67,15 @@ def test_events_analytics_example(spark):
 
 def test_corpus_build_example(spark):
     from examples.corpus_build import run
-    (quality, cleaned, decon, mixed, budgeted, packed, audit,
-     sem) = run(spark, SF_DIR)
+    (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted, packed,
+     audit, sem) = run(spark, SF_DIR)
     assert quality.count() > 0
+    assert lm_kept.count() > 0
+    assert kb.count() > 0
     assert cleaned.count() > 0
+    assert tw.count() > 0
+    # temperature weights are a distribution over sources
+    assert abs(sum(r.weight for r in tw.collect()) - 1.0) < 1e-9
     assert mixed.count() >= 0
     assert packed.count() >= 0
     assert audit.count() > 0
