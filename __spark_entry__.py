@@ -1356,6 +1356,16 @@ def _pipeline_queries():
         return PL.temperature_weights(_docs(spark, sf), "source", "text",
                                       alpha=0.3)
 
+    def q_lm_score_cross(spark, sf):
+        # foreign-train branch: counts from a fifth of the corpus, the
+        # full corpus scored against them — unseen bigrams take the
+        # backoff floor through the two LEFT joins (the other physical
+        # path from the self-scoring denominator pre-join)
+        docs = _docs(spark, sf)
+        train = docs.filter(F.col("doc_id") % 5 == 0)
+        return PL.lm_score(docs, "doc_id", "text", k=1.0, train=train) \
+                 .select("doc_id", "n_bigrams", "mean_logprob")
+
     def q_lm_score(spark, sf):
         # CCNet-style LM quality: add-1 bigram model trained on the
         # corpus itself; contract carries (n_bigrams, mean_logprob) —
@@ -1391,6 +1401,7 @@ def _pipeline_queries():
         "pipeline_remove_dup_spans_keep_first": q_remove_dup_spans_keep_first,
         "pipeline_sample_weighted": q_sample_weighted,
         "pipeline_lm_score": q_lm_score,
+        "pipeline_lm_score_cross": q_lm_score_cross,
         "pipeline_temperature_weights": q_temperature_weights,
     }
 
@@ -1904,6 +1915,8 @@ _WINDOW = [
     "streaming_hll_distinct",
     # UniMax temperature mixing weights (source-sorted pow-sum fold)
     "pipeline_temperature_weights",
+    # the LM's foreign-train LEFT-join branch (backoff floor path)
+    "pipeline_lm_score_cross",
     # --- stalest cohort, r1 (the full 14) ---
     "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
     "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
@@ -1924,8 +1937,10 @@ _WINDOW = [
     "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
     "forecast_croston", "forecast_croston_sba",
     "forecast_naive_intds",
+    # (prep_fill_unknown_last deferred: its sibling fill_unknown_null was
+    # r3-checked and mark_unknown keeps the family's slot)
     "prep_drop_short", "prep_drop_constant", "prep_drop_leading_zeros",
-    "prep_mark_unknown", "prep_fill_unknown_last",
+    "prep_mark_unknown",
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
     "cv_folds_sliding", "cv_split_folds", "cv_hydrate",
@@ -2078,6 +2093,7 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # one ln per bigram, summed in position order on both sides — drift
     # is ~n_bigrams ulps of a magnitude-10 value, far under the quantum
     "pipeline_lm_score": (["mean_logprob"], 6),
+    "pipeline_lm_score_cross": (["mean_logprob"], 6),
     # pow's last ulp enters the source-sorted psum fold and every weight
     "pipeline_temperature_weights": (["natural_share", "weight",
                                       "up_ratio"], 6),
@@ -8883,6 +8899,35 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
             / (n_tokens / tsum)
        ELSE 0.0 END AS up_ratio
 FROM p, s
+"""
+    # foreign-train branch: unseen bigrams ride the LEFT joins to the
+    # backoff floor ln((0+k)/(coalesce(c1,0)+kV))
+    o["pipeline_lm_score_cross"] = f"""
+WITH d AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+tr AS (SELECT {_PL_WS} AS ws FROM documents WHERE doc_id % 5 = 0),
+uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+bc AS (SELECT w1, w2, count(*) AS c12
+       FROM (SELECT ws[pos] AS w1, ws[pos + 1] AS w2
+             FROM (SELECT ws, unnest(range(1, len(ws))) AS pos
+                   FROM tr WHERE len(ws) >= 2))
+       GROUP BY w1, w2),
+bg AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS pos
+             FROM d WHERE len(ws) >= 2)),
+j AS (SELECT bg.doc_id, bg.pos,
+        ln((CAST(coalesce(bc.c12, 0) AS DOUBLE) + 1.0)
+           / (CAST(coalesce(uni.c1, 0) AS DOUBLE) + 1.0 * v.V)) AS lp
+      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uni USING (w1), v),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                   list(lp ORDER BY pos)),
+                      (a, x) -> a + x) AS s
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.s / per.n_bigrams AS mean_logprob
+FROM d LEFT JOIN per USING (doc_id)
 """
     # pipeline.lm_score (CCNet-style): add-1 bigram LM self-perplexity;
     # every float op mirrors the Spark side — (c12+1.0)/(c1+1.0*V) one
