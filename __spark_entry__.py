@@ -1043,6 +1043,30 @@ def _llm_queries():
         return TX.language_id(_docs(spark, sf), "text") \
                  .select("doc_id", "lang_pred")
 
+    def q_pii(spark, sf):
+        # the synthetic corpus carries no PII, so the query plants a
+        # deterministic contact line (email + IPv4 + phone derived from
+        # doc_id; every doc_id % 3 == 0 stays clean) with the IDENTICAL
+        # expression on both contract sides — the redaction regexes are
+        # what's under test, cross-engine (Java regex vs RE2)
+        docs = _docs(spark, sf).select("doc_id", "text")
+        aug = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com from 10."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+                    F.lit(" tel 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                )).alias("text"))
+        return TX.pii_redact(aug, "text").select(
+            "doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii",
+            "text_redacted")
+
     def q_dedup_exact(spark, sf):
         docs = _docs(spark, sf).select("doc_id", "text")
         doubled = docs.unionByName(
@@ -1218,6 +1242,7 @@ def _llm_queries():
         "text_quality": q_quality,
         "text_entropy": q_entropy,
         "text_langid": q_langid,
+        "text_pii_redact": q_pii,
         "dedup_exact_groups": q_dedup_exact,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -9040,6 +9065,35 @@ SELECT doc_id,
        {cascade}
        ELSE 'unknown' END AS lang_pred
 FROM t
+"""
+    # text.pii_redact replay: patterns imported from the module (operator
+    # and oracle can't drift); counts on the ORIGINAL text, replacement
+    # sequential email -> ipv4 -> phone, DuckDB 'g' = Spark replace-all.
+    # The planted contact line uses the identical expression on both sides
+    # (see q_pii) — what's under test is the regex engines agreeing.
+    from anofox_forecast_spark.operators.text import PII_PATTERNS as _PII
+    _pii_aug = ("CASE WHEN doc_id % 3 = 0 THEN text ELSE "
+                "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+                "'@mail' || CAST(doc_id % 7 AS VARCHAR) || "
+                "'.com from 10.' || CAST(doc_id % 250 AS VARCHAR) || "
+                "'.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+                "' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), "
+                "4, '0') END")
+    _pii_cnt = {kind: f"len(regexp_extract_all(text, '{pat}'))"
+                for kind, pat, _ in _PII}
+    _pii_red = "text"
+    for _, pat, tok in _PII:
+        _pii_red = f"regexp_replace({_pii_red}, '{pat}', '{tok}', 'g')"
+    o["text_pii_redact"] = f"""
+WITH aug AS (SELECT doc_id, {_pii_aug} AS text FROM documents)
+SELECT doc_id,
+  CAST({_pii_cnt['email']} AS INTEGER) AS n_emails,
+  CAST({_pii_cnt['ipv4']} AS INTEGER) AS n_ipv4,
+  CAST({_pii_cnt['phone']} AS INTEGER) AS n_phones,
+  CAST({_pii_cnt['email']} + {_pii_cnt['ipv4']} + {_pii_cnt['phone']}
+       AS INTEGER) AS n_pii,
+  {_pii_red} AS text_redacted
+FROM aug
 """
     o["dedup_exact_groups"] = f"""
 WITH doubled AS (

@@ -167,6 +167,7 @@ from .stats import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     language_id,
+    pii_redact,
     text_analysis,
     text_fingerprint,
     text_quality,

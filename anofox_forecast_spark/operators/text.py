@@ -152,6 +152,52 @@ def text_analysis(df: DataFrame, text_col: str) -> DataFrame:
                     text_col), text_col)
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Engine-portable PII patterns (valid and equivalent under Java regex and
+#: RE2 — no backreferences, no lookaround), ordered as applied.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str,
+               out_col: str = "text_redacted") -> DataFrame:
+    """Regex PII scrubbing — the standard pre-training redaction pass
+    (emails, IPv4 addresses, NANP-style phone numbers) as pure Catalyst
+    ``regexp_count``/``regexp_replace`` expressions: a narrow map that
+    pipelines with the parquet scan, zero shuffle, linear at 100 TB.
+
+    Output: input + ``n_emails``, ``n_ipv4``, ``n_phones`` (match counts
+    on the ORIGINAL text — kinds count independently, so an email whose
+    domain is an IP literal counts under both), ``n_pii`` (their sum),
+    and ``out_col`` = the text with matches replaced by ``<EMAIL>`` /
+    ``<IP>`` / ``<PHONE>``, applied in that fixed order (replacement is
+    sequential, so a match consumed by an earlier kind is not re-matched
+    by a later one — deterministic and engine-replayable).
+
+    The patterns avoid every Java-vs-RE2 divergence (no backreferences,
+    no lookaround, no possessive quantifiers), so a DuckDB
+    ``regexp_replace(..., 'g')`` replay is bit-identical.
+    """
+    t = F.col(text_col)
+    counts = {f"n_{kind}s" if kind != "ipv4" else "n_ipv4":
+              F.regexp_count(t, F.lit(pat)).cast("int")
+              for kind, pat, _ in PII_PATTERNS}
+    red = t
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumns({**counts, "n_pii": total.cast("int"),
+                           out_col: red})
+
+
 def text_entropy(df: DataFrame, text_col: str) -> DataFrame:
     """Character- and word-level Shannon entropy (nats) per document —
     the classic gibberish/boilerplate signal a quality gate composes

@@ -1,0 +1,104 @@
+"""Round-9 second-wave additions: PII redaction and the engine-portable
+sketch toolkit (Bloom membership, Count-Min frequency, bottom-k sampling).
+
+Value parity vs DuckDB is covered by the driver keys; these tests pin
+semantics on handcrafted inputs where the expected answer is derivable by
+hand or by an independent in-memory replay (Python ``re`` / dict math is a
+third engine alongside Spark's Java regex and DuckDB's RE2)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from anofox_forecast_spark.operators import text as TX
+from conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+def test_pii_redact_handcrafted(spark):
+    df = _docs(spark, [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "server 192.168.1.254 then 10.0.0.1 up"),
+        (3, "call 555-867-5309 or 555.123.4567 now"),
+        (4, "clean text with no identifiers at all"),
+        (5, ""),
+        (6, "mixed a@b.co on 8.8.8.8 tel 800-555-0199"),
+    ])
+    out = {r["doc_id"]: r for r in TX.pii_redact(df, "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> today"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 2, 0)
+    assert out[2]["text_redacted"] == "server <IP> then <IP> up"
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (0, 0, 2)
+    assert out[3]["text_redacted"] == "call <PHONE> or <PHONE> now"
+    assert out[4]["n_pii"] == 0 and out[4]["text_redacted"] == out[4]["text"]
+    assert out[5]["n_pii"] == 0 and out[5]["text_redacted"] == ""
+    assert (out[6]["n_emails"], out[6]["n_ipv4"], out[6]["n_phones"]) == (1, 1, 1)
+    assert out[6]["text_redacted"] == "mixed <EMAIL> on <IP> tel <PHONE>"
+
+
+def test_pii_counts_are_independent_per_kind(spark):
+    # kinds count independently on the original text: an IP-literal
+    # "mailbox" is NOT an email (the TLD must be alphabetic) but its IP
+    # still counts and is redacted; an alphabetic-domain email that
+    # CONTAINS digits-and-dots stays a pure email
+    df = _docs(spark, [(1, "ping root@10.1.2.3 asap"),
+                       (2, "see a1.2b@ex.co ok")])
+    out = {r["doc_id"]: r for r in TX.pii_redact(df, "text").collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"]) == (0, 1)
+    assert out[1]["text_redacted"] == "ping root@<IP> asap"
+    assert (out[2]["n_emails"], out[2]["n_ipv4"]) == (1, 0)
+    assert out[2]["text_redacted"] == "see <EMAIL> ok"
+
+
+def test_pii_redact_python_re_replay(spark):
+    """Third-engine replay: Python `re` over the sf0.001 documents with the
+    same planted contact line as the driver key."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com from 10."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(" tel 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )).alias("text"))
+    got = TX.pii_redact(aug, "text").collect()
+    pats = [(k, re.compile(p), t) for k, p, t in TX.PII_PATTERNS]
+    for r in got:
+        txt = r["text"]
+        exp_counts = {k: len(rx.findall(txt)) for k, rx, _ in pats}
+        red = txt
+        for _, rx, tok in pats:
+            red = rx.sub(tok, red)
+        assert r["n_emails"] == exp_counts["email"]
+        assert r["n_ipv4"] == exp_counts["ipv4"]
+        assert r["n_phones"] == exp_counts["phone"]
+        assert r["n_pii"] == sum(exp_counts.values())
+        assert r["text_redacted"] == red
+
+
+def test_pii_redacted_text_has_no_remaining_matches(spark):
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", F.concat(
+                F.col("text"), F.lit(" x@y.io 1.2.3.4 555-123-4567"))
+                .alias("text")))
+    red = TX.pii_redact(docs, "text")
+    for _, pat, _ in TX.PII_PATTERNS:
+        n = red.agg(F.sum(F.regexp_count("text_redacted", F.lit(pat)))) \
+               .collect()[0][0]
+        assert n == 0
