@@ -1275,6 +1275,8 @@ _BM25_TERMS = ("spark", "join", "window")
 #: r8: ExactSubstr duplicated-span window length (tokens); weighted-sample k
 _SPAN_K = 5
 _SW_K = 10
+#: r9b: Bloom sketch geometry — small on purpose (true FPs at 500 docs)
+_BLOOM_M, _BLOOM_K = 256, 2
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1636,6 +1638,35 @@ def _events_queries():
         return hll_count_distinct(e, "event_id", ["event_type"],
                                   precision_bits=8, seed="h8")
 
+    def q_bloom_contains(spark, sf):
+        # benchmark membership via the portable md5 Bloom sketch: the
+        # bench set (doc_id % 17 == 0) builds a 256-bit / k=2 filter —
+        # deliberately small so the probe sees true positives, true
+        # negatives AND real false positives, all deterministic and
+        # replayed bit-for-bit by the relational DuckDB oracle
+        from anofox_forecast_spark.operators.stats import (
+            bloom_contains, bloom_registers)
+        keys = _docs(spark, sf).select(
+            "doc_id", F.col("doc_id").cast("string").alias("key"))
+        regs = bloom_registers(keys.filter(F.col("doc_id") % 17 == 0),
+                               "key", m_bits=_BLOOM_M, k=_BLOOM_K,
+                               seed="bf")
+        out = bloom_contains(keys, regs, "key", m_bits=_BLOOM_M,
+                             k=_BLOOM_K, seed="bf")
+        return out.select("doc_id", "bloom_maybe",
+                          (F.col("doc_id") % 17 == 0).alias("is_bench"))
+
+    def q_bloom_fill(spark, sf):
+        # the filter's health report: fill ratio, fp estimate, and the
+        # Swamidass-Baldi cardinality estimate (one ln, pinned)
+        from anofox_forecast_spark.operators.stats import (
+            bloom_registers, bloom_stats)
+        keys = (_docs(spark, sf).filter(F.col("doc_id") % 17 == 0)
+                .select(F.col("doc_id").cast("string").alias("key")))
+        regs = bloom_registers(keys, "key", m_bits=_BLOOM_M, k=_BLOOM_K,
+                               seed="bf")
+        return bloom_stats(regs, m_bits=_BLOOM_M, k=_BLOOM_K)
+
     def q_overlap_join(spark, sf):
         # co-active sessions: even-user sessions x odd-user sessions whose
         # intervals intersect — the binned interval x interval join with
@@ -1740,6 +1771,8 @@ def _events_queries():
         "stats_hll_distinct": q_hll_users,
         "stats_hll_distinct_raw": q_hll_raw,
         "stats_skew_report": q_skew_report,
+        "stats_bloom_contains": q_bloom_contains,
+        "stats_bloom_fill": q_bloom_fill,
     }
 
 
@@ -2108,6 +2141,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # interpolation arithmetic is expression-identical; pin like the
     # conformal quantiles
     "stats_group_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
+    # ln/pow are the only libm calls (fill is an exact int ratio)
+    "stats_bloom_fill": (["fill_ratio", "fp_rate_est", "est_n_keys"], 6),
     # ln() in the linear-counting branch is the one libm call; the fold
     # over exact powers of two is order-pinned and bit-equal unpinned
     "stats_hll_distinct": (["hll_estimate"], 4),
@@ -8480,6 +8515,12 @@ def _pl_uniform(key_sql: str, seed: str) -> str:
     return f"(CAST({_pl_hexfold(h, 8)} AS DOUBLE) / 4294967296.0)"
 
 
+def _bloom_h(i: int) -> str:
+    """The i-th Bloom hash of the `key` column (seed 'bf'), matching
+    stats._bloom_word_mask's concat_ws(':', seed, i, key)."""
+    return f"md5(concat('bf', ':', '{i}', ':', key))"
+
+
 def _pipeline_oracles() -> dict[str, str]:
     """Exact replays of operators/pipeline.py: the Gopher/C4 signal maps,
     n-gram decontamination, md5-uniform sampling, and chunk packing."""
@@ -9849,6 +9890,42 @@ SELECT CAST(n AS BIGINT) AS n_keys,
     / (CAST(n_rows AS DOUBLE) / n) AS skew_ratio,
   array_to_string(hot[1:5], ',') AS top_keys
 FROM a
+"""
+
+    # stats.bloom_registers / bloom_contains / bloom_stats replay: same
+    # md5 bit math (first 60 hex-folded bits mod m, 32-bit bigint words),
+    # relational probe join instead of Spark's broadcast literal array —
+    # the membership VALUES are identical either way, false positives
+    # included (the bit pattern is deterministic cross-engine)
+    _bl_prs = " UNION ALL ".join(
+        f"SELECT doc_id, ({_pl_hexfold(_bloom_h(i), 15)} % {_BLOOM_M}) AS p "
+        f"FROM keys" for i in range(1, _BLOOM_K + 1))
+    _bl = f"""
+keys AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS key FROM documents),
+pr AS (SELECT doc_id, p // 32 AS w,
+         (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mk
+       FROM ({_bl_prs})),
+regs AS (SELECT w, bit_or(mk) AS bits FROM pr
+         WHERE doc_id % 17 = 0 GROUP BY w)"""
+    o["stats_bloom_contains"] = f"""
+WITH {_bl},
+hit AS (SELECT pr.doc_id,
+          coalesce((r.bits & pr.mk) <> 0, FALSE) AS h
+        FROM pr LEFT JOIN regs r ON pr.w = r.w)
+SELECT doc_id, bool_and(h) AS bloom_maybe, doc_id % 17 = 0 AS is_bench
+FROM hit GROUP BY doc_id
+"""
+    o["stats_bloom_fill"] = f"""
+WITH {_bl},
+s AS (SELECT sum(bit_count(bits)) AS nb FROM regs)
+SELECT CAST(nb AS BIGINT) AS n_bits_set,
+  CAST(nb AS DOUBLE) / {_BLOOM_M} AS fill_ratio,
+  pow(CAST(nb AS DOUBLE) / {_BLOOM_M}, {float(_BLOOM_K)!r}) AS fp_rate_est,
+  CASE WHEN nb < {_BLOOM_M}
+       THEN {-_BLOOM_M / float(_BLOOM_K)!r}
+            * ln(1.0 - CAST(nb AS DOUBLE) / {_BLOOM_M})
+       ELSE NULL END AS est_n_keys
+FROM s
 """
     return o
 

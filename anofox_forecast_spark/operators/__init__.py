@@ -151,6 +151,10 @@ from .similarity import (  # noqa: F401
     semdedup_pairs,
 )
 from .stats import (  # noqa: F401
+    bloom_contains,
+    bloom_merge_registers,
+    bloom_registers,
+    bloom_stats,
     group_quantiles,
     hll_count_distinct,
     hll_estimate_from_registers,

@@ -821,6 +821,139 @@ def hll_estimate_from_registers(regs: DataFrame,
                          used.cast("bigint").alias("n_buckets_used"))
 
 
+def _bloom_check(m_bits: int, k: int) -> None:
+    if m_bits < 32 or m_bits % 32 != 0:
+        # 32-bit words keep every shift strictly below 2^31, portable to
+        # engines with CHECKED bigint shifts (DuckDB errors on 1<<63)
+        raise ValueError("m_bits must be a positive multiple of 32")
+    if not (1 <= k <= 16):
+        raise ValueError("k must be in [1, 16]")
+
+
+def _bloom_word_mask(key_col: str, i: int, m_bits: int,
+                     seed: str) -> tuple[Column, Column]:
+    """The i-th hash's (word, mask) pair: bit position = the first 60
+    bits of md5(seed:i:key) mod m_bits, packed 32 bits per bigint word —
+    pure string/CASE arithmetic, engine-portable like the HLL sketch."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(i)),
+                          F.col(key_col).cast("string")))
+    p = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % m_bits
+    word = (p / 32).cast("bigint")
+    # call_function: the Python F.shiftleft binding only takes a literal
+    # shift amount; the SQL function itself accepts a column
+    mask = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                           (p % 32).cast("int"))
+    return word, mask
+
+
+def bloom_registers(df: DataFrame, key_col: str,
+                    group_cols: list[str] | None = None,
+                    m_bits: int = 4096, k: int = 4,
+                    seed: str = "bloom") -> DataFrame:
+    """Engine-portable Bloom filter (Bloom 1970) — the membership
+    counterpart of :func:`hll_registers`: the 100 TB answer to "is this
+    key in the benchmark/history set" that a semi-join answers with a
+    corpus-wide shuffle of every key. State is at most ``m_bits / 32``
+    rows per group REGARDLESS of input size (default 4096 bits = 128
+    rows), and sketches merge across partitions/batches/days by
+    construction (bitwise OR is associative/commutative/IDEMPOTENT, so
+    re-ingesting a batch is harmless — same incremental-ingest contract
+    as the HLL registers).
+
+    Each key sets ``k`` bits: bit_i = first 60 bits of md5(seed:i:key)
+    mod ``m_bits``, packed 32 bits per bigint word so the bit math is
+    replayable in any engine with md5 + integer ops (no engine-private
+    hash, no 1<<63 overflow edge). NULL keys are ignored.
+
+    Output: group cols + ``bloom_word`` (bigint) + ``bloom_bits``
+    (bigint, only the low 32 bits used). Guarantee: no false negatives;
+    false-positive rate ~ fill_ratio^k (see :func:`bloom_stats`).
+    """
+    _bloom_check(m_bits, k)
+    gcols = list(group_cols or [])
+    pairs = F.array(*[
+        F.struct(w.alias("w"), m.alias("m"))
+        for w, m in (_bloom_word_mask(key_col, i, m_bits, seed)
+                     for i in range(1, k + 1))])
+    return (df.filter(F.col(key_col).isNotNull())
+              .select(*gcols, F.explode(pairs).alias("__p"))
+              .select(*gcols, F.col("__p.w").alias("bloom_word"),
+                      F.col("__p.m").alias("__mask"))
+              .groupBy(*gcols, "bloom_word")
+              .agg(F.bit_or("__mask").alias("bloom_bits")))
+
+
+def bloom_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
+    """Merge Bloom register tables from independent batches/shards:
+    union + per-(groups, word) bitwise OR. Idempotent — overlapping or
+    re-played batches cannot corrupt the sketch."""
+    if not reg_dfs:
+        raise ValueError("at least one register table required")
+    u = reg_dfs[0]
+    for r in reg_dfs[1:]:
+        u = u.unionByName(r)
+    keys = [c for c in u.columns if c != "bloom_bits"]
+    return (u.groupBy(*keys)
+             .agg(F.bit_or("bloom_bits").alias("bloom_bits"))
+             .select(*u.columns))
+
+
+def bloom_contains(df: DataFrame, regs: DataFrame, key_col: str,
+                   m_bits: int = 4096, k: int = 4, seed: str = "bloom",
+                   result_col: str = "bloom_maybe") -> DataFrame:
+    """Probe an (ungrouped) Bloom register table: input + ``result_col``
+    boolean — True iff all ``k`` of the key's bits are set (no false
+    negatives; false positives at ~fill^k).
+
+    Scale shape: the register table is COLLECTED into a ``m_bits / 32``
+    literal word array (bounded, deterministic — the same documented
+    driver-side exception as the ANN centroid samples) and the probe
+    compiles to a pure per-row expression: zero joins, zero shuffles,
+    pipelining with the scan. This is the physical point of a Bloom
+    filter at 100 TB — the whole benchmark/history SET rides the closure
+    as ~``m_bits`` bits instead of a join side. NULL keys probe NULL.
+    """
+    _bloom_check(m_bits, k)
+    n_words = m_bits // 32
+    rows = regs.select("bloom_word", "bloom_bits").collect()  # <= m_bits/32
+    words = [0] * n_words
+    for r in rows:
+        words[int(r["bloom_word"])] = int(r["bloom_bits"])
+    lit_words = F.array(*[F.lit(w).cast("bigint") for w in words])
+    checks = []
+    for i in range(1, k + 1):
+        w, m = _bloom_word_mask(key_col, i, m_bits, seed)
+        checks.append(
+            F.element_at(lit_words, (w + 1).cast("int")).bitwiseAND(m) != 0)
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return df.withColumn(
+        result_col,
+        F.when(F.col(key_col).isNotNull(), maybe).otherwise(F.lit(None)))
+
+
+def bloom_stats(regs: DataFrame, m_bits: int = 4096, k: int = 4,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Health report of a (merged) Bloom register table: ``n_bits_set``,
+    ``fill_ratio``, ``fp_rate_est`` = fill^k, and ``est_n_keys`` =
+    -(m/k) * ln(1 - fill) (the standard Swamidass-Baldi cardinality
+    estimate; NULL once the filter saturates). One count-only aggregate
+    over at most ``m_bits / 32`` rows per group."""
+    _bloom_check(m_bits, k)
+    gcols = list(group_cols or [])
+    agg = regs.groupBy(*gcols).agg(
+        F.sum(F.bit_count("bloom_bits")).alias("n_bits_set"))
+    fill = F.col("n_bits_set").cast("double") / m_bits
+    return agg.select(
+        *gcols, F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+        fill.alias("fill_ratio"),
+        F.pow(fill, F.lit(float(k))).alias("fp_rate_est"),
+        F.when(F.col("n_bits_set") < m_bits,
+               F.lit(-m_bits / float(k)) * F.log(F.lit(1.0) - fill))
+         .otherwise(F.lit(None)).alias("est_n_keys"))
+
+
 def skew_report(df: DataFrame, key_cols: list[str],
                 top_k: int = 10) -> DataFrame:
     """Pre-flight shuffle-skew diagnostic: per-key row counts summarized

@@ -92,6 +92,76 @@ def test_pii_redact_python_re_replay(spark):
         assert r["text_redacted"] == red
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter sketch
+# ---------------------------------------------------------------------------
+
+def _keys(spark, ids):
+    return spark.createDataFrame([(i, str(i)) for i in ids],
+                                 "id bigint, key string")
+
+
+def test_bloom_no_false_negatives(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    members = _keys(spark, range(0, 200, 3))
+    regs = bloom_registers(members, "key", m_bits=512, k=3, seed="t")
+    probed = bloom_contains(members, regs, "key", m_bits=512, k=3, seed="t")
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_merge_batch_invariant_and_idempotent(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_merge_registers,
+                                                       bloom_registers)
+    all_keys = _keys(spark, range(100))
+    b1 = _keys(spark, range(0, 60))          # overlapping batches on
+    b2 = _keys(spark, range(40, 100))        # purpose: OR is idempotent
+    whole = bloom_registers(all_keys, "key", m_bits=256, k=2, seed="t")
+    merged = bloom_merge_registers(
+        bloom_registers(b1, "key", m_bits=256, k=2, seed="t"),
+        bloom_registers(b2, "key", m_bits=256, k=2, seed="t"))
+    w = {(r["bloom_word"], r["bloom_bits"]) for r in whole.collect()}
+    m = {(r["bloom_word"], r["bloom_bits"]) for r in merged.collect()}
+    assert w == m
+    again = bloom_merge_registers(merged, merged)
+    assert {(r["bloom_word"], r["bloom_bits"]) for r in again.collect()} == w
+
+
+def test_bloom_null_key_probes_null(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id bigint, key string")
+    regs = bloom_registers(df, "key", m_bits=64, k=2, seed="t")
+    out = {r["id"]: r["bloom_maybe"]
+           for r in bloom_contains(df, regs, "key", m_bits=64, k=2,
+                                   seed="t").collect()}
+    assert out[1] is True and out[2] is None
+
+
+def test_bloom_stats_estimates(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_registers,
+                                                       bloom_stats)
+    n = 120
+    regs = bloom_registers(_keys(spark, range(n)), "key",
+                           m_bits=2048, k=4, seed="t")
+    st = bloom_stats(regs, m_bits=2048, k=4).collect()[0]
+    assert 0 < st["fill_ratio"] < 1
+    assert abs(st["est_n_keys"] - n) / n < 0.2
+    assert 0 <= st["fp_rate_est"] < 0.05
+
+
+def test_bloom_validation(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    df = _keys(spark, range(4))
+    with pytest.raises(ValueError):
+        bloom_registers(df, "key", m_bits=100, k=2)   # not a mult. of 32
+    with pytest.raises(ValueError):
+        bloom_registers(df, "key", m_bits=256, k=0)
+    with pytest.raises(ValueError):
+        bloom_contains(df, df, "key", m_bits=256, k=17)
+
+
 def test_pii_redacted_text_has_no_remaining_matches(spark):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", F.concat(
