@@ -1277,6 +1277,8 @@ _SPAN_K = 5
 _SW_K = 10
 #: r9b: Bloom sketch geometry — small on purpose (true FPs at 500 docs)
 _BLOOM_M, _BLOOM_K = 256, 2
+#: r9b: Count-Min geometry — narrow on purpose (real collisions at ~150 users)
+_CM_W, _CM_D = 32, 3
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1667,6 +1669,22 @@ def _events_queries():
                                seed="bf")
         return bloom_stats(regs, m_bits=_BLOOM_M, k=_BLOOM_K)
 
+    def q_cm_frequency(spark, sf):
+        # per-user event counts through a deliberately narrow Count-Min
+        # sketch (width 32 vs ~150 users -> real collisions) next to the
+        # exact counts: cm_est >= n_exact everywhere, bit-deterministic
+        # cross-engine; the probe side is a broadcast join against the
+        # bounded register table
+        from anofox_forecast_spark.operators.stats import (cm_estimate,
+                                                           cm_registers)
+        e = events_table(spark, sf).filter(F.col("user_id").isNotNull())
+        regs = cm_registers(e, "user_id", width=_CM_W, depth=_CM_D,
+                            seed="cm9")
+        exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        return cm_estimate(exact, regs, "user_id", width=_CM_W,
+                           depth=_CM_D, seed="cm9") \
+            .select("user_id", "n_exact", "cm_est")
+
     def q_overlap_join(spark, sf):
         # co-active sessions: even-user sessions x odd-user sessions whose
         # intervals intersect — the binned interval x interval join with
@@ -1773,6 +1791,7 @@ def _events_queries():
         "stats_skew_report": q_skew_report,
         "stats_bloom_contains": q_bloom_contains,
         "stats_bloom_fill": q_bloom_fill,
+        "stats_cm_frequency": q_cm_frequency,
     }
 
 
@@ -8521,6 +8540,12 @@ def _bloom_h(i: int) -> str:
     return f"md5(concat('bf', ':', '{i}', ':', key))"
 
 
+def _cm_h(j: int) -> str:
+    """Row j's Count-Min hash of `user_id` (seed 'cm9'), matching
+    stats._cm_col's concat_ws(':', seed, j, key)."""
+    return f"md5(concat('cm9', ':', '{j}', ':', CAST(user_id AS VARCHAR)))"
+
+
 def _pipeline_oracles() -> dict[str, str]:
     """Exact replays of operators/pipeline.py: the Gopher/C4 signal maps,
     n-gram decontamination, md5-uniform sampling, and chunk packing."""
@@ -9914,6 +9939,25 @@ hit AS (SELECT pr.doc_id,
         FROM pr LEFT JOIN regs r ON pr.w = r.w)
 SELECT doc_id, bool_and(h) AS bloom_maybe, doc_id % 17 = 0 AS is_bench
 FROM hit GROUP BY doc_id
+"""
+    # stats.cm_registers / cm_estimate replay: depth md5-hashed cells per
+    # occurrence, estimate = min over the key's cells; probe via DISTINCT
+    # (key, row, col) — each key hits exactly one col per row
+    _cm_cells = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS r, ({_pl_hexfold(_cm_h(j), 15)} % {_CM_W}) "
+        f"AS c FROM e" for j in range(1, _CM_D + 1))
+    o["stats_cm_frequency"] = f"""
+WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS ({_cm_cells}),
+regs AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c),
+exact AS (SELECT user_id, count(*) AS n_exact FROM e GROUP BY user_id),
+probe AS (SELECT DISTINCT user_id, r, c FROM cells),
+est AS (SELECT p.user_id, min(coalesce(g.cnt, 0)) AS cm_est
+        FROM probe p LEFT JOIN regs g ON p.r = g.r AND p.c = g.c
+        GROUP BY p.user_id)
+SELECT x.user_id, CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(est.cm_est AS BIGINT) AS cm_est
+FROM exact x JOIN est ON x.user_id = est.user_id
 """
     o["stats_bloom_fill"] = f"""
 WITH {_bl},

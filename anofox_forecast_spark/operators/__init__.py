@@ -155,6 +155,9 @@ from .stats import (  # noqa: F401
     bloom_merge_registers,
     bloom_registers,
     bloom_stats,
+    cm_estimate,
+    cm_merge_registers,
+    cm_registers,
     group_quantiles,
     hll_count_distinct,
     hll_estimate_from_registers,

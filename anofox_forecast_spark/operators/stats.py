@@ -954,6 +954,105 @@ def bloom_stats(regs: DataFrame, m_bits: int = 4096, k: int = 4,
          .otherwise(F.lit(None)).alias("est_n_keys"))
 
 
+def _cm_check(width: int, depth: int) -> None:
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    if not (1 <= depth <= 16):
+        raise ValueError("depth must be in [1, 16]")
+
+
+def _cm_col(key_col: str, j: int, width: int, seed: str) -> Column:
+    """Row j's column index: first 60 bits of md5(seed:j:key) mod width —
+    the same engine-portable hash family as the HLL/Bloom sketches."""
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(j)),
+                          F.col(key_col).cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+
+
+def cm_registers(df: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None,
+                 width: int = 512, depth: int = 3, seed: str = "cm",
+                 weight_col: str | None = None) -> DataFrame:
+    """Engine-portable Count-Min sketch (Cormode & Muthukrishnan 2005) —
+    the frequency counterpart of the HLL/Bloom sketches: "how often does
+    this key occur in 100 TB of history" with at most ``depth * width``
+    counter rows per group REGARDLESS of input size, never
+    underestimating. Each occurrence increments ``depth`` cells: row j's
+    column = first 60 bits of md5(seed:j:key) mod ``width``; the estimate
+    is the MIN over the key's cells (:func:`cm_estimate`).
+
+    ``weight_col`` switches from occurrence counting to summing a
+    non-negative weight (e.g. token counts). NULL keys are ignored.
+
+    Output: group cols + ``cm_row`` (int) + ``cm_col`` (bigint) +
+    ``cm_count`` (bigint). Sketches from DISJOINT batches merge by
+    per-cell addition (:func:`cm_merge_registers`) — addition is
+    associative/commutative but NOT idempotent, so unlike the HLL/Bloom
+    registers a batch must be ingested exactly once (the usual counter
+    contract). Error bound: overestimate <= 2N/width with probability
+    ~1 - 2^-depth (N = total count).
+    """
+    _cm_check(width, depth)
+    gcols = list(group_cols or [])
+    w = (F.col(weight_col).cast("bigint") if weight_col
+         else F.lit(1).cast("bigint"))
+    cells = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("r"),
+                 _cm_col(key_col, j, width, seed).alias("c"))
+        for j in range(1, depth + 1)])
+    return (df.filter(F.col(key_col).isNotNull())
+              .select(*gcols, w.alias("__w"), F.explode(cells).alias("__p"))
+              .select(*gcols, F.col("__p.r").alias("cm_row"),
+                      F.col("__p.c").alias("cm_col"), F.col("__w"))
+              .groupBy(*gcols, "cm_row", "cm_col")
+              .agg(F.sum("__w").alias("cm_count")))
+
+
+def cm_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
+    """Merge Count-Min register tables from DISJOINT batches/shards:
+    union + per-(groups, row, col) sum. Addition is not idempotent —
+    re-ingesting a batch double-counts (standard counter semantics)."""
+    if not reg_dfs:
+        raise ValueError("at least one register table required")
+    u = reg_dfs[0]
+    for r in reg_dfs[1:]:
+        u = u.unionByName(r)
+    keys = [c for c in u.columns if c != "cm_count"]
+    return (u.groupBy(*keys)
+             .agg(F.sum("cm_count").alias("cm_count"))
+             .select(*u.columns))
+
+
+def cm_estimate(keys_df: DataFrame, regs: DataFrame, key_col: str,
+                width: int = 512, depth: int = 3, seed: str = "cm",
+                result_col: str = "cm_est") -> DataFrame:
+    """Probe an (ungrouped) Count-Min register table: input +
+    ``result_col`` = min over the key's ``depth`` cells (0 for a key
+    hashing only to untouched cells — never below the true count).
+
+    ``keys_df`` rows must be unique (the probe explodes ``depth`` cells
+    per row and regroups on all input columns). Scale shape: the
+    register table is bounded (``depth * width`` rows), so the join is a
+    broadcast hash join against it — the corpus side never shuffles.
+    """
+    _cm_check(width, depth)
+    from pyspark.sql.functions import broadcast
+    cols = list(keys_df.columns)
+    cells = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("r"),
+                 _cm_col(key_col, j, width, seed).alias("c"))
+        for j in range(1, depth + 1)])
+    probe = (keys_df.select(*cols, F.explode(cells).alias("__p"))
+             .select(*cols, F.col("__p.r").alias("cm_row"),
+                     F.col("__p.c").alias("cm_col")))
+    joined = probe.join(broadcast(regs.select("cm_row", "cm_col",
+                                              "cm_count")),
+                        on=["cm_row", "cm_col"], how="left")
+    return (joined.groupBy(*cols)
+                  .agg(F.min(F.coalesce(F.col("cm_count"), F.lit(0)))
+                        .cast("bigint").alias(result_col)))
+
+
 def skew_report(df: DataFrame, key_cols: list[str],
                 top_k: int = 10) -> DataFrame:
     """Pre-flight shuffle-skew diagnostic: per-key row counts summarized

@@ -162,6 +162,90 @@ def test_bloom_validation(spark):
         bloom_contains(df, df, "key", m_bits=256, k=17)
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cm_never_underestimates_and_exact_replay(spark):
+    from anofox_forecast_spark.operators.stats import (cm_estimate,
+                                                       cm_registers)
+    import hashlib
+    rows = [(i, str(i % 13)) for i in range(400)]  # 13 keys, skewed counts
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    W, D = 8, 3
+    regs = cm_registers(df, "key", width=W, depth=D, seed="t")
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = {r["key"]: (r["cm_est"], r["n_exact"])
+           for r in cm_estimate(exact, regs, "key", width=W, depth=D,
+                                seed="t").collect()}
+
+    # independent dict replay of the sketch
+    def col(j, k):
+        h = hashlib.md5(f"t:{j}:{k}".encode()).hexdigest()
+        return int(h[:15], 16) % W
+    cells: dict = {}
+    for _, k in rows:
+        for j in range(1, D + 1):
+            cells[(j, col(j, k))] = cells.get((j, col(j, k)), 0) + 1
+    for k in {r[1] for r in rows}:
+        want = min(cells.get((j, col(j, k)), 0) for j in range(1, D + 1))
+        assert est[k][0] == want
+        assert est[k][0] >= est[k][1]          # never underestimates
+
+
+def test_cm_unseen_key_estimates_from_cells(spark):
+    from anofox_forecast_spark.operators.stats import (cm_estimate,
+                                                       cm_registers)
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    regs = cm_registers(df, "key", width=64, depth=4, seed="t")
+    probe = spark.createDataFrame([("zzz-unseen",)], "key string")
+    got = cm_estimate(probe, regs, "key", width=64, depth=4,
+                      seed="t").collect()[0]["cm_est"]
+    assert got in (0, 1)                       # 0 unless all 4 cells collide
+
+
+def test_cm_merge_disjoint_batches(spark):
+    from anofox_forecast_spark.operators.stats import (cm_merge_registers,
+                                                       cm_registers)
+    a = spark.createDataFrame([(i, str(i % 5)) for i in range(100)],
+                              "id bigint, key string")
+    b = spark.createDataFrame([(i, str(i % 5)) for i in range(100, 250)],
+                              "id bigint, key string")
+    both = a.unionByName(b)
+    whole = {(r["cm_row"], r["cm_col"]): r["cm_count"]
+             for r in cm_registers(both, "key", width=16, depth=2,
+                                   seed="t").collect()}
+    merged = {(r["cm_row"], r["cm_col"]): r["cm_count"]
+              for r in cm_merge_registers(
+                  cm_registers(a, "key", width=16, depth=2, seed="t"),
+                  cm_registers(b, "key", width=16, depth=2, seed="t"))
+              .collect()}
+    assert whole == merged
+
+
+def test_cm_weighted_counts(spark):
+    from anofox_forecast_spark.operators.stats import (cm_estimate,
+                                                       cm_registers)
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)],
+                               "key string, w int")
+    regs = cm_registers(df, "key", width=256, depth=4, seed="t",
+                        weight_col="w")
+    probe = spark.createDataFrame([("a",), ("b",)], "key string")
+    got = {r["key"]: r["cm_est"]
+           for r in cm_estimate(probe, regs, "key", width=256, depth=4,
+                                seed="t").collect()}
+    assert got["a"] >= 15 and got["b"] >= 2
+
+
+def test_cm_validation(spark):
+    from anofox_forecast_spark.operators.stats import cm_registers
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError):
+        cm_registers(df, "key", width=1, depth=3)
+    with pytest.raises(ValueError):
+        cm_registers(df, "key", width=8, depth=0)
+
+
 def test_pii_redacted_text_has_no_remaining_matches(spark):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", F.concat(
