@@ -1279,6 +1279,8 @@ _SW_K = 10
 _BLOOM_M, _BLOOM_K = 256, 2
 #: r9b: Count-Min geometry — narrow on purpose (real collisions at ~150 users)
 _CM_W, _CM_D = 32, 3
+#: r9b: bottom-k sample size for the sampled-quantiles sketch
+_BK_K = 64
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1685,6 +1687,20 @@ def _events_queries():
                            depth=_CM_D, seed="cm9") \
             .select("user_id", "n_exact", "cm_est")
 
+    def q_sampled_quantiles(spark, sf):
+        # price quantiles per returnflag from the deterministic bottom-k
+        # (KMV) sample — the sketch path group_quantiles' docstring fences
+        # 100 TB single-group inputs to; the md5-uniform selection and the
+        # type-7 interpolation both replay exactly in DuckDB
+        from anofox_forecast_spark.operators.stats import sampled_quantiles
+        from anofox_forecast_spark.sources import load_table
+        li = load_table(spark, sf, "lineitem").select(
+            "l_returnflag", "l_extendedprice",
+            F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string")).alias("__key"))
+        return sampled_quantiles(li, "__key", "l_extendedprice",
+                                 ["l_returnflag"], k=_BK_K, seed="sq")
+
     def q_overlap_join(spark, sf):
         # co-active sessions: even-user sessions x odd-user sessions whose
         # intervals intersect — the binned interval x interval join with
@@ -1792,6 +1808,7 @@ def _events_queries():
         "stats_bloom_contains": q_bloom_contains,
         "stats_bloom_fill": q_bloom_fill,
         "stats_cm_frequency": q_cm_frequency,
+        "stats_sampled_quantiles": q_sampled_quantiles,
     }
 
 
@@ -2162,6 +2179,9 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     "stats_group_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
     # ln/pow are the only libm calls (fill is an exact int ratio)
     "stats_bloom_fill": (["fill_ratio", "fp_rate_est", "est_n_keys"], 6),
+    # interpolation arithmetic is expression-identical; same pin as
+    # stats_group_quantiles
+    "stats_sampled_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
     # ln() in the linear-counting branch is the one libm call; the fold
     # over exact powers of two is order-pinned and bit-equal unpinned
     "stats_hll_distinct": (["hll_estimate"], 4),
@@ -9958,6 +9978,40 @@ est AS (SELECT p.user_id, min(coalesce(g.cnt, 0)) AS cm_est
 SELECT x.user_id, CAST(x.n_exact AS BIGINT) AS n_exact,
        CAST(est.cm_est AS BIGINT) AS cm_est
 FROM exact x JOIN est ON x.user_id = est.user_id
+"""
+    # stats.sampled_quantiles replay: md5-uniform bottom-64 per flag
+    # (row_number over (u, key)) then the group_quantiles type-7
+    # selection on the sample — expression-identical both sides
+    def _bq7(p: float) -> str:
+        ix = f"({p!r} * CAST(n - 1 AS DOUBLE))"
+        lo = f"CAST(floor({p!r} * (n - 1)) AS INT)"
+        return (f"CASE WHEN n = 1 THEN arr[1] ELSE "
+                f"arr[{lo} + 1] * (1.0 - ({ix} - floor({p!r} * (n - 1)))) "
+                f"+ arr[least({lo} + 2, n)] "
+                f"* ({ix} - floor({p!r} * (n - 1))) END")
+
+    _bq_u = _pl_uniform("key", "sq")
+    o["stats_sampled_quantiles"] = f"""
+WITH li AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+       concat(CAST(l_orderkey AS VARCHAR), '-',
+              CAST(l_linenumber AS VARCHAR)) AS key
+     FROM lineitem),
+u AS (SELECT l_returnflag, v, key, {_bq_u} AS u FROM li),
+s AS (SELECT l_returnflag, v FROM (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY u, key) AS rn
+        FROM u)
+      WHERE rn <= {_BK_K}),
+g AS (SELECT l_returnflag, list_sort(list(v)) AS arr,
+             CAST(count(*) AS INT) AS n
+      FROM s GROUP BY 1)
+SELECT l_returnflag, n,
+  {_bq7(0.25)} AS q_0_25,
+  {_bq7(0.5)} AS q_0_5,
+  {_bq7(0.75)} AS q_0_75,
+  {_bq7(0.95)} AS q_0_95
+FROM g
 """
     o["stats_bloom_fill"] = f"""
 WITH {_bl},

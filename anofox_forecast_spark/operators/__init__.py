@@ -152,6 +152,7 @@ from .similarity import (  # noqa: F401
 )
 from .stats import (  # noqa: F401
     bloom_contains,
+    bottomk_sample,
     bloom_merge_registers,
     bloom_registers,
     bloom_stats,
@@ -163,6 +164,7 @@ from .stats import (  # noqa: F401
     hll_estimate_from_registers,
     hll_merge_registers,
     hll_registers,
+    sampled_quantiles,
     skew_report,
     ts_data_quality,
     ts_data_quality_by,

@@ -954,6 +954,59 @@ def bloom_stats(regs: DataFrame, m_bits: int = 4096, k: int = 4,
          .otherwise(F.lit(None)).alias("est_n_keys"))
 
 
+def bottomk_sample(df: DataFrame, key_col: str,
+                   group_cols: list[str] | None = None,
+                   k: int = 64, seed: str = "bk") -> DataFrame:
+    """Deterministic bottom-k (KMV) sample per group: the ``k`` rows
+    whose md5-uniform hash of ``key_col`` is smallest — a fixed-size
+    uniform sample with the MERGE property that makes it a sketch: the
+    bottom-k of a union is the bottom-k of the batches' bottom-k's, so
+    per-shard samples combine into the exact whole-corpus sample without
+    revisiting history (idempotent, batch-split-invariant; pinned in
+    tests). The hash is the portable md5-uniform (``pipeline.md5_uniform``)
+    so any engine replays the selection bit-for-bit.
+
+    Output: input columns + ``sample_u`` + ``sample_rank`` (1-based,
+    ordered by (u, key) — the key tiebreak makes duplicate-u rows
+    deterministic). ``key_col`` should uniquely identify rows. One
+    shuffle on the group key; the per-partition sort spills, so group
+    size is unbounded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+    from .pipeline import md5_uniform
+    gcols = list(group_cols or [])
+    u = md5_uniform(F.col(key_col), seed)
+    w = Window.partitionBy(*[F.col(c) for c in gcols]) \
+              .orderBy(F.col("__u"), F.col(key_col))
+    return (df.withColumn("__u", u)
+              .withColumn("sample_rank", F.row_number().over(w))
+              .filter(F.col("sample_rank") <= k)
+              .withColumnRenamed("__u", "sample_u"))
+
+
+def sampled_quantiles(df: DataFrame, key_col: str, value_col: str,
+                      group_cols: list[str] | None = None, k: int = 64,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                      seed: str = "bk") -> DataFrame:
+    """Approximate per-group quantiles from the deterministic bottom-k
+    sample — the documented 100 TB path where :func:`group_quantiles`'
+    exact sorted-list fold stops being meaningful (corpus-wide groups):
+    state is ``k`` rows per group regardless of input size, the sample
+    is engine-replayable (exact oracle, unlike t-digest/KLL), and
+    per-shard samples merge exactly (see :func:`bottomk_sample`).
+    Standard error ~ sqrt(q(1-q)/k) quantiles of a uniform k-sample.
+
+    Output: group cols + ``n`` (sample size, = min(k, group size)) + one
+    ``q_<percent>`` column per quantile (type-7, same convention as
+    :func:`group_quantiles`).
+    """
+    gcols = list(group_cols or [])
+    sample = bottomk_sample(df, key_col, gcols, k, seed)
+    return group_quantiles(sample, gcols, value_col, qs)
+
+
 def _cm_check(width: int, depth: int) -> None:
     if width < 2:
         raise ValueError("width must be >= 2")

@@ -246,6 +246,70 @@ def test_cm_validation(spark):
         cm_registers(df, "key", width=8, depth=0)
 
 
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sample + sampled quantiles
+# ---------------------------------------------------------------------------
+
+def _vals(spark, n, g="g"):
+    return spark.createDataFrame(
+        [(g, f"{g}:{i}", float(i)) for i in range(n)],
+        "grp string, key string, v double")
+
+
+def test_bottomk_merge_equals_whole(spark):
+    """min-k of a union == min-k over the batches' min-k's (the sketch
+    merge property), and the selection is partitioning-invariant."""
+    from anofox_forecast_spark.operators.stats import bottomk_sample
+    whole = _vals(spark, 500)
+    b1 = whole.filter(F.col("v") < 200)
+    b2 = whole.filter(F.col("v") >= 200)
+    k = 32
+    direct = {r["key"] for r in
+              bottomk_sample(whole, "key", ["grp"], k, "t").collect()}
+    pre = bottomk_sample(b1, "key", ["grp"], k, "t") \
+        .select("grp", "key", "v").unionByName(
+            bottomk_sample(b2, "key", ["grp"], k, "t")
+            .select("grp", "key", "v"))
+    merged = {r["key"] for r in
+              bottomk_sample(pre, "key", ["grp"], k, "t").collect()}
+    assert direct == merged and len(direct) == k
+    reparted = {r["key"] for r in
+                bottomk_sample(whole.repartition(13), "key", ["grp"], k,
+                               "t").collect()}
+    assert reparted == direct
+
+
+def test_sampled_quantiles_tracks_exact(spark):
+    from anofox_forecast_spark.operators.stats import (group_quantiles,
+                                                       sampled_quantiles)
+    df = _vals(spark, 5000)
+    approx = sampled_quantiles(df, "key", "v", ["grp"], k=256,
+                               seed="t").collect()[0]
+    exact = group_quantiles(df, ["grp"], "v").collect()[0]
+    for q in ("q_0_25", "q_0_5", "q_0_75"):
+        # sqrt(q(1-q)/k) ~ 0.03 quantile-space sd; 5 sd on a 0..5000 range
+        assert abs(approx[q] - exact[q]) < 5000 * 0.16, q
+    assert approx["n"] == 256
+
+
+def test_sampled_quantiles_small_group_is_exact(spark):
+    from anofox_forecast_spark.operators.stats import (group_quantiles,
+                                                       sampled_quantiles)
+    df = _vals(spark, 40)
+    approx = sampled_quantiles(df, "key", "v", ["grp"], k=64,
+                               seed="t").collect()[0]
+    exact = group_quantiles(df, ["grp"], "v").collect()[0]
+    assert approx["n"] == 40
+    for q in ("q_0_25", "q_0_5", "q_0_75", "q_0_95"):
+        assert approx[q] == exact[q]
+
+
+def test_bottomk_validation(spark):
+    from anofox_forecast_spark.operators.stats import bottomk_sample
+    with pytest.raises(ValueError):
+        bottomk_sample(_vals(spark, 5), "key", ["grp"], k=0)
+
+
 def test_pii_redacted_text_has_no_remaining_matches(spark):
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .select("doc_id", F.concat(
