@@ -1956,6 +1956,30 @@ def _streaming_queries():
         return hll_estimate_from_registers(
             hll_merge_registers(res), ["event_type"], 12)
 
+    def q_stream_bloom(spark, sf):
+        # streaming Bloom: the membership sketch as a continuous bit_or
+        # aggregation (state <= m/32 rows FOREVER, no watermark), one
+        # availableNow trigger in update mode, then the batch probe over
+        # all doc keys. OR-idempotence makes the register table equal
+        # the batch sketch bit-for-bit, so the oracle IS the batch
+        # oracle (stats_bloom_contains's relational replay).
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        stream = (spark.readStream.schema(docs.schema)
+                  .parquet(_stream_dir(sf, "documents"))
+                  .filter(F.col("doc_id") % 17 == 0)
+                  .select(F.col("doc_id").cast("string").alias("key")))
+        regs = ST.stream_bloom_registers(stream, "key", m_bits=_BLOOM_M,
+                                         k=_BLOOM_K, seed="bf")
+        res = _run_to_table(spark, regs, "update")
+        from anofox_forecast_spark.operators.stats import (
+            bloom_contains, bloom_merge_registers)
+        keys = docs.select("doc_id",
+                           F.col("doc_id").cast("string").alias("key"))
+        out = bloom_contains(keys, bloom_merge_registers(res), "key",
+                             m_bits=_BLOOM_M, k=_BLOOM_K, seed="bf")
+        return out.select("doc_id", "bloom_maybe",
+                          (F.col("doc_id") % 17 == 0).alias("is_bench"))
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
@@ -1964,6 +1988,7 @@ def _streaming_queries():
         "streaming_adaptive_conformal": q_stream_adaptive,
         "streaming_sessionize": q_stream_sessionize,
         "streaming_hll_distinct": q_stream_hll,
+        "streaming_bloom_contains": q_stream_bloom,
     }
 
 
@@ -8418,6 +8443,8 @@ FROM i
     # streamed sketch equals the batch sketch over the same rows — the
     # oracle IS the batch HLL replay
     o["streaming_hll_distinct"] = _hll_oracle("user_id", 12, "h8")
+    # (``streaming_bloom_contains``'s oracle is assigned alongside
+    # ``stats_bloom_contains`` — OR-idempotence makes them identical)
     # ``streaming_dedup_exact``: dropDuplicatesWithinWatermark keeps exactly
     # one row per content fingerprint (which one is arbitrary, so the query
     # projects fingerprints only); the surviving set = DISTINCT fingerprints
@@ -9960,6 +9987,10 @@ hit AS (SELECT pr.doc_id,
 SELECT doc_id, bool_and(h) AS bloom_maybe, doc_id % 17 = 0 AS is_bench
 FROM hit GROUP BY doc_id
 """
+    # the streaming twin: bit_or is idempotent, so the continuously
+    # aggregated register table equals the batch sketch and the probe
+    # replay is the same SQL
+    o["streaming_bloom_contains"] = o["stats_bloom_contains"]
     # stats.cm_registers / cm_estimate replay: depth md5-hashed cells per
     # occurrence, estimate = min over the key's cells; probe via DISTINCT
     # (key, row, col) — each key hits exactly one col per row

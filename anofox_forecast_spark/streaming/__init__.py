@@ -345,6 +345,27 @@ def stream_adaptive_conformal(stream: DataFrame, alpha: float = 0.1,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_bloom_registers(stream: DataFrame, key_col: str,
+                           group_cols: list[str] | None = None,
+                           m_bits: int = 4096, k: int = 4,
+                           seed: str = "bloom") -> DataFrame:
+    """Streaming Bloom filter register table — the membership sketch
+    (``stats.bloom_registers``) running CONTINUOUSLY: each key's k
+    (word, mask) pairs are stateless per-row expressions, so the whole
+    sketch is one streaming ``bit_or`` aggregation keyed on
+    ``(groups, word)``. State is bounded at ``m_bits / 32`` rows per
+    group FOREVER — no watermark needed — and because bitwise OR is
+    associative/commutative/idempotent the emitted registers equal the
+    batch sketch over everything ingested so far (batch == stream pinned
+    in tests; re-played batches are harmless). Run in ``update`` output
+    mode; probe with ``stats.bloom_contains`` at read time — the
+    continuously-maintained "have we ever seen this URL/doc/hash"
+    gate for a 100 TB ingest pipeline.
+    """
+    from ..operators.stats import bloom_registers
+    return bloom_registers(stream, key_col, group_cols, m_bits, k, seed)
+
+
 def stream_hll_registers(stream: DataFrame, key_col: str,
                          group_cols: list[str] | None = None,
                          precision_bits: int = 12,

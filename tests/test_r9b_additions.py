@@ -320,3 +320,44 @@ def test_pii_redacted_text_has_no_remaining_matches(spark):
         n = red.agg(F.sum(F.regexp_count("text_redacted", F.lit(pat)))) \
                .collect()[0][0]
         assert n == 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom registers
+# ---------------------------------------------------------------------------
+
+def test_stream_bloom_registers_match_batch_across_batches(spark, tmp_path):
+    """TWO micro-batches of a REAL stream (maxFilesPerTrigger=1) OR-fold
+    into the batch sketch over the union — idempotence observed through
+    the streaming state store (the batches overlap on purpose). Also
+    pins bounded state: never more than m_bits/32 register rows."""
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.stats import (
+        bloom_contains, bloom_merge_registers, bloom_registers)
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame([(f"k{i}",) for i in range(80)],
+                               "key string")
+    b2 = spark.createDataFrame([(f"k{i}",) for i in range(40, 120)],
+                               "key string")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    regs = ST.stream_bloom_registers(stream, "key", m_bits=512, k=3,
+                                     seed="s9")
+    q = (regs.writeStream.format("memory").queryName("bloom_stream_t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = bloom_merge_registers(spark.table("bloom_stream_t"))
+
+    whole = bloom_registers(b1.unionByName(b2), "key", m_bits=512, k=3,
+                            seed="s9")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b and 0 < len(a) <= 512 // 32
+
+    probed = bloom_contains(b2, got, "key", m_bits=512, k=3, seed="s9")
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
