@@ -2062,13 +2062,29 @@ _WINDOW = [
     "prep_mark_unknown",
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
-    "cv_folds_sliding", "cv_split_folds", "cv_hydrate",
+    "cv_folds_sliding", "cv_split_folds",
     "cv_check_leakage",
     "stats_summary",
     "conformal_interval_width",
-    "conformal_evaluate", "conformal_per_step",
-    "text_tokens", "text_fingerprint",
-    "dedup_exact_groups", "dedup_simhash_md5", "dedup_embedding_cosine",
+    "dedup_exact_groups", "dedup_embedding_cosine",
+    # --- reserved: r9b-new contracts (this session's additions; six r2
+    # keys deferred to r10 to make room — cv_hydrate (family keeps
+    # folds_sliding/split_folds/check_leakage), conformal_evaluate +
+    # conformal_per_step (family keeps interval_width + the two reserved
+    # ACI slots), text_tokens + text_fingerprint (the text family's slot
+    # is this round's pii_redact, and both replay green at HEAD in
+    # pytest), dedup_simhash_md5 (dedup keeps exact_groups +
+    # embedding_cosine + the reserved keep_best)) ---
+    # regex PII scrubbing — Java-vs-RE2 parity on planted contact lines
+    "text_pii_redact",
+    # Bloom membership sketch: probe (with real false positives) + fill
+    # report; the streaming twin is a REAL two-phase streaming run
+    "stats_bloom_contains", "stats_bloom_fill", "streaming_bloom_contains",
+    # Count-Min frequency sketch (width 32 -> real collisions), est >= exact
+    "stats_cm_frequency",
+    # bottom-k (KMV) sample -> type-7 quantiles (the group_quantiles
+    # 100 TB fence now has an in-repo answer)
+    "stats_sampled_quantiles",
 ]
 
 
