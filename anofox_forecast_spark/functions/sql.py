@@ -3492,6 +3492,217 @@ class DedupKeepBestUDTF:
             yield (fp, key[2], None if ns == float("inf") else -ns, c)
 
 
+class TextPiiRedactUDTF:
+    """``text_pii_redact(TABLE(t), text_col)`` — SQL form of
+    ``operators/text.py::pii_redact``. A pure per-row map (no
+    partitioning requirement); Python ``re`` agrees with Spark's Java
+    regex for the module's patterns (pinned by the third-engine replay
+    test and the driver oracle)."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument,
+                text_col: AnalyzeArgument) -> AnalyzeResult:
+        fields = list(table.dataType.fields)
+        fields += [T.StructField("n_emails", T.IntegerType()),
+                   T.StructField("n_ipv4", T.IntegerType()),
+                   T.StructField("n_phones", T.IntegerType()),
+                   T.StructField("n_pii", T.IntegerType()),
+                   T.StructField("text_redacted", T.StringType())]
+        return AnalyzeResult(schema=T.StructType(fields))
+
+    def __init__(self):
+        import re as _re
+        from ..operators.text import PII_PATTERNS
+        self._pats = [(_re.compile(p), tok) for _, p, tok in PII_PATTERNS]
+
+    def eval(self, row, text_col):
+        txt = row[text_col]
+        if txt is None:
+            yield (*row, None, None, None, None, None)
+            return
+        counts = [len(rx.findall(txt)) for rx, _ in self._pats]
+        red = txt
+        for rx, tok in self._pats:
+            red = rx.sub(tok, red)
+        yield (*row, *counts, sum(counts), red)
+
+
+class StatsBloomFillUDTF:
+    """``stats_bloom_fill(TABLE(t), key_col[, m_bits[, k[, seed]]])`` —
+    SQL form of ``operators/stats.py::bloom_registers`` +
+    ``bloom_stats``: build the md5 Bloom sketch over the table's keys in
+    one pass and report (n_bits_set, fill_ratio, fp_rate_est,
+    est_n_keys). Same bit math as the DataFrame op."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                m_bits: AnalyzeArgument | None = None,
+                k: AnalyzeArgument | None = None,
+                seed: AnalyzeArgument | None = None) -> AnalyzeResult:
+        out = T.StructType([
+            T.StructField("n_bits_set", T.LongType()),
+            T.StructField("fill_ratio", T.DoubleType()),
+            T.StructField("fp_rate_est", T.DoubleType()),
+            T.StructField("est_n_keys", T.DoubleType())])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._bits: set = set()
+        self._m = None
+
+    def eval(self, row, key_col, m_bits=None, k=None, seed=None):
+        m = 4096 if m_bits is None else int(m_bits)
+        kk = 4 if k is None else int(k)
+        if m < 32 or m % 32 != 0:
+            raise ValueError("m_bits must be a positive multiple of 32")
+        if not (1 <= kk <= 16):
+            raise ValueError("k must be in [1, 16]")
+        self._m, self._k = m, kk
+        self._seed = "bloom" if seed is None else str(seed)
+        key = row[key_col]
+        if key is None:
+            return
+        for i in range(1, kk + 1):
+            h = _hashlib.md5(
+                f"{self._seed}:{i}:{key}".encode("utf-8")).hexdigest()
+            self._bits.add(int(h[:15], 16) % m)
+
+    def terminate(self):
+        if self._m is None:
+            return
+        nb = len(self._bits)
+        fill = nb / self._m
+        est = (-(self._m / self._k) * math.log(1.0 - fill)
+               if nb < self._m else None)
+        yield (nb, fill, fill ** self._k, est)
+
+
+class StatsCmFrequencyUDTF:
+    """``stats_cm_frequency(TABLE(t), key_col[, width[, depth[,
+    seed]]])`` — SQL form of ``operators/stats.py::cm_registers`` +
+    ``cm_estimate`` over the table's own keys: one row per distinct key
+    with (n_exact, cm_est), cm_est >= n_exact always. Same md5 cell
+    math as the DataFrame ops."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                width: AnalyzeArgument | None = None,
+                depth: AnalyzeArgument | None = None,
+                seed: AnalyzeArgument | None = None) -> AnalyzeResult:
+        out = T.StructType([
+            T.StructField(key_col.value,
+                          table.dataType[key_col.value].dataType),
+            T.StructField("n_exact", T.LongType()),
+            T.StructField("cm_est", T.LongType())])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._cells: dict = {}
+        self._exact: dict = {}
+        self._w = None
+
+    def _col(self, j, key):
+        h = _hashlib.md5(
+            f"{self._seed}:{j}:{key}".encode("utf-8")).hexdigest()
+        return int(h[:15], 16) % self._w
+
+    def eval(self, row, key_col, width=None, depth=None, seed=None):
+        w = 512 if width is None else int(width)
+        d = 3 if depth is None else int(depth)
+        if w < 2:
+            raise ValueError("width must be >= 2")
+        if not (1 <= d <= 16):
+            raise ValueError("depth must be in [1, 16]")
+        self._w, self._d = w, d
+        self._seed = "cm" if seed is None else str(seed)
+        key = row[key_col]
+        if key is None:
+            return
+        self._exact[key] = self._exact.get(key, 0) + 1
+        for j in range(1, d + 1):
+            c = (j, self._col(j, key))
+            self._cells[c] = self._cells.get(c, 0) + 1
+
+    def terminate(self):
+        for key in self._exact:
+            est = min(self._cells.get((j, self._col(j, key)), 0)
+                      for j in range(1, self._d + 1))
+            yield (key, self._exact[key], est)
+
+
+class StatsSampledQuantilesUDTF:
+    """``stats_sampled_quantiles(TABLE(t), key_col, value_col[,
+    group_col[, k[, seed]]])`` — SQL form of
+    ``operators/stats.py::sampled_quantiles`` (bottom-k md5-uniform
+    sample -> type-7 quantiles at 0.25/0.5/0.75/0.95). With a group
+    column ``analyze`` partitions by it (same single exchange as the
+    DataFrame op)."""
+
+    QS = (0.25, 0.5, 0.75, 0.95)
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, key_col: AnalyzeArgument,
+                value_col: AnalyzeArgument,
+                group_col: AnalyzeArgument | None = None,
+                k: AnalyzeArgument | None = None,
+                seed: AnalyzeArgument | None = None) -> AnalyzeResult:
+        fields = []
+        if group_col is not None:
+            fields.append(T.StructField(
+                group_col.value, table.dataType[group_col.value].dataType))
+        fields.append(T.StructField("n", T.IntegerType()))
+        fields += [T.StructField(
+            f"q_{str(q).replace('.', '_')}", T.DoubleType())
+            for q in StatsSampledQuantilesUDTF.QS]
+        out = T.StructType(fields)
+        if group_col is not None:
+            return AnalyzeResult(
+                schema=out,
+                partitionBy=[PartitioningColumn(group_col.value)])
+        return AnalyzeResult(schema=out, withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+        self._group = None
+        self._has_group = False
+
+    def eval(self, row, key_col, value_col, group_col=None, k=None,
+             seed=None):
+        self._k = 64 if k is None else int(k)
+        if self._k < 1:
+            raise ValueError("k must be >= 1")
+        self._seed = "bk" if seed is None else str(seed)
+        if group_col is not None:
+            self._group, self._has_group = row[group_col], True
+        key = row[key_col]
+        h = _hashlib.md5(
+            f"{self._seed}:{key}".encode("utf-8")).hexdigest()
+        u = int(h[:8], 16) / 4294967296.0
+        self._rows.append((u, str(key), row[value_col]))
+
+    def terminate(self):
+        if not self._rows:
+            return
+        self._rows.sort(key=lambda t: (t[0], t[1]))
+        vals = sorted(float(v) for _, _, v in self._rows[:self._k]
+                      if v is not None)
+        n = len(vals)
+        out = [n]
+        for q in self.QS:
+            if n == 1:
+                out.append(vals[0])
+                continue
+            ix = q * (n - 1)
+            lo = int(math.floor(ix))
+            frac = ix - lo
+            out.append(vals[lo] * (1.0 - frac)
+                       + vals[min(lo + 1, n - 1)] * frac)
+        if self._has_group:
+            yield (self._group, *out)
+        else:
+            yield tuple(out)
+
+
 class StatsSkewReportUDTF:
     """``stats_skew_report(TABLE(t), key_cols_json[, top_k])`` — SQL form
     of ``operators/stats.py::skew_report`` (pre-flight shuffle-skew
@@ -3618,6 +3829,11 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("dedup_keep_best", DedupKeepBestUDTF)
     reg_udtf("stats_hll_distinct", StatsHllDistinctUDTF)
     reg_udtf("stats_skew_report", StatsSkewReportUDTF)
+    # r9b: PII scrubbing + the Bloom/Count-Min/bottom-k sketch toolkit
+    reg_udtf("text_pii_redact", TextPiiRedactUDTF)
+    reg_udtf("stats_bloom_fill", StatsBloomFillUDTF)
+    reg_udtf("stats_cm_frequency", StatsCmFrequencyUDTF)
+    reg_udtf("stats_sampled_quantiles", StatsSampledQuantilesUDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

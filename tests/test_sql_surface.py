@@ -898,3 +898,87 @@ def test_dedup_keep_best_udtf_matches_dataframe(spark):
     a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
     assert len(a) == len(b) > 0
     assert a.astype(str).equals(b.astype(str))
+
+
+# --- r9b registrations: pii_redact / bloom_fill / cm_frequency /
+# sampled_quantiles (SQL==DataFrame pins) ---
+
+def test_text_pii_redact_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.text import pii_redact
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.concat(F.col("text"),
+                           F.lit(" a@b.io 1.2.3.4 555-123-4567"))
+        .alias("text"))
+    df_out = pii_redact(docs, "text")
+    docs.createOrReplaceTempView("pii_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM text_pii_redact(TABLE(pii_sql_t), 'text')")
+    cols = ["doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii",
+            "text_redacted"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_stats_bloom_fill_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.stats import (bloom_registers,
+                                                       bloom_stats)
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("key"))
+    df_out = bloom_stats(
+        bloom_registers(docs, "key", m_bits=512, k=3, seed="sq9"),
+        m_bits=512, k=3).first()
+    docs.createOrReplaceTempView("bloomf_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM stats_bloom_fill(TABLE(bloomf_sql_t), 'key', "
+        "512, 3, 'sq9')").first()
+    assert sql_out["n_bits_set"] == df_out["n_bits_set"]
+    assert float(sql_out["fill_ratio"]) == float(df_out["fill_ratio"])
+    np.testing.assert_allclose(
+        [sql_out["fp_rate_est"], sql_out["est_n_keys"]],
+        [df_out["fp_rate_est"], df_out["est_n_keys"]], rtol=1e-12)
+
+
+def test_stats_cm_frequency_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.stats import (cm_estimate,
+                                                       cm_registers)
+    from anofox_forecast_spark.sources import events_table
+    ev = events_table(spark, SF_DIR).select(
+        F.col("user_id").cast("string").alias("key"))
+    regs = cm_registers(ev, "key", width=16, depth=3, seed="c9")
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    df_out = cm_estimate(exact, regs, "key", width=16, depth=3,
+                         seed="c9").select("key", "n_exact", "cm_est")
+    ev.createOrReplaceTempView("cmf_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM stats_cm_frequency(TABLE(cmf_sql_t), 'key', "
+        "16, 3, 'c9')")
+    cols = ["key", "n_exact", "cm_est"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_stats_sampled_quantiles_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.stats import sampled_quantiles
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")).alias("k"))
+    df_out = sampled_quantiles(li, "k", "l_extendedprice",
+                               ["l_returnflag"], k=32, seed="q9")
+    li.createOrReplaceTempView("sq_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM stats_sampled_quantiles(TABLE(sq_sql_t), 'k', "
+        "'l_extendedprice', 'l_returnflag', 32, 'q9')")
+    cols = ["l_returnflag", "n", "q_0_25", "q_0_5", "q_0_75", "q_0_95"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert list(a["l_returnflag"]) == list(b["l_returnflag"])
+    assert list(a["n"]) == list(b["n"])
+    for c in cols[2:]:
+        np.testing.assert_allclose(a[c], b[c], rtol=1e-12)
