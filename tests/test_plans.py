@@ -320,3 +320,51 @@ def test_r9_operator_shuffle_budgets(spark):
     rep = P.plan_report(df)
     assert rep["cartesian_products"] == 0
     assert rep["python_udf_nodes"] == 0
+
+
+def test_r9b_operator_shuffle_budgets(spark):
+    """r9b family plan guards: bloom_contains is a ZERO-exchange pure map
+    (the filter rides the closure as a literal word array — no join, no
+    shuffle, the physical point of a Bloom filter at 100 TB);
+    bloom/cm registers are one count-style aggregate each; cm_estimate's
+    only join is a broadcast against the bounded register table;
+    bottomk_sample is one window exchange; pii_redact is a zero-exchange,
+    zero-Python narrow map."""
+    from anofox_forecast_spark.operators.stats import (
+        bloom_contains, bloom_registers, bottomk_sample, cm_estimate,
+        cm_registers, sampled_quantiles)
+    from anofox_forecast_spark.operators.text import pii_redact
+    docs = spark.createDataFrame(
+        [(1, "a b c", "g1"), (2, "d e f", "g2")],
+        "doc_id bigint, text string, grp string")
+    keys = docs.selectExpr("doc_id", "CAST(doc_id AS STRING) AS key",
+                           "grp")
+
+    regs = bloom_registers(keys, "key", m_bits=64, k=2)
+    P.assert_max_exchanges(regs, 1)
+    probe = bloom_contains(keys, regs, "key", m_bits=64, k=2)
+    P.assert_max_exchanges(probe, 0)           # pure map — no join at all
+    rep = P.plan_report(probe)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+    assert "Join" not in P.physical_plan(probe)
+
+    cregs = cm_registers(keys, "key", width=8, depth=2)
+    P.assert_max_exchanges(cregs, 1)
+    est = cm_estimate(keys, cregs, "key", width=8, depth=2)
+    plan = P.physical_plan(est)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    rep = P.plan_report(est)
+    assert rep["cartesian_products"] == 0
+    assert rep["python_udf_nodes"] == 0
+
+    samp = bottomk_sample(keys, "key", ["grp"], k=1)
+    P.assert_max_exchanges(samp, 1)            # the window exchange
+    sq = sampled_quantiles(keys.withColumn("v", F.rand()), "key", "v",
+                           ["grp"], k=1)
+    P.assert_max_exchanges(sq, 2)              # window + aggregate
+
+    red = pii_redact(docs, "text")
+    P.assert_max_exchanges(red, 0)
+    rep = P.plan_report(red)
+    assert rep["python_udf_nodes"] == 0
