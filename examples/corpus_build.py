@@ -1,10 +1,14 @@
 """End-to-end pretraining-corpus build over the documents table — the
 round-7 pipeline family composed the way a 100 TB crawl run would be:
 
-    documents -> Gopher quality gate -> LM-perplexity gate (CCNet)
+    documents -> PII redaction (zero-shuffle regex map)
+              -> Gopher quality gate -> LM-perplexity gate (CCNet;
+                 threshold = the bottom-k SAMPLED corpus quantile)
               -> quality-aware exact dedup (keep the best copy)
+              -> verbatim-decontamination BLOOM gate (zero-shuffle probe,
+                 exact fingerprint confirm on the suspect set only)
               -> cross-doc line dedup (boilerplate)
-              -> benchmark decontamination
+              -> benchmark n-gram decontamination
               -> TEMPERATURE source mixing (UniMax n^alpha weights)
               -> per-source token budget -> sequence packing
 
@@ -36,6 +40,15 @@ def run(spark, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
 
+    # 0. (r9b) PII scrub FIRST — redaction must precede anything that
+    #    hashes, fingerprints, or packs text. A zero-shuffle narrow map
+    #    (pure Catalyst regex), so it pipelines with the scan.
+    from anofox_forecast_spark.operators.text import pii_redact
+
+    pii = pii_redact(docs, "text")
+    docs = pii.select("doc_id", "lang", "source", "n_chars",
+                      F.col("text_redacted").alias("text"))
+
     # 1. Gopher repetition/quality gate (Rae et al. 2021 Table A1)
     quality = gopher_stats(docs, "doc_id", "text")
     survivors = docs.join(
@@ -49,14 +62,20 @@ def run(spark, sf_dir: str):
     survivors = survivors.localCheckpoint()
 
     # 1b. (r9) CCNet-style LM gate: self-trained bigram perplexity, drop
-    #     the worst decile (threshold = the EXACT corpus p10 via
-    #     group_quantiles, so the cut is deterministic on any cluster)
+    #     the worst decile (threshold = the corpus p10 from the bottom-k
+    #     sampled-quantile sketch, deterministic on any cluster)
     from anofox_forecast_spark.operators.pipeline import lm_score
-    from anofox_forecast_spark.operators.stats import group_quantiles
 
     lm = lm_score(survivors, "doc_id", "text").filter("n_bigrams > 0")
-    thr = group_quantiles(lm.withColumn("__g", F.lit(1)), ["__g"],
-                          "mean_logprob", [0.1])
+    # the threshold is a CORPUS-WIDE single-group quantile — exactly the
+    # regime group_quantiles' docstring fences to a sketch at 100 TB; the
+    # bottom-k sampled quantile is that sketch (k rows of state, the same
+    # deterministic answer on any cluster)
+    from anofox_forecast_spark.operators.stats import sampled_quantiles
+
+    thr = sampled_quantiles(lm.withColumn("__g", F.lit(1)), "doc_id",
+                            "mean_logprob", ["__g"], k=256, qs=(0.1,),
+                            seed="lmthr")
     lm_kept = (lm.join(F.broadcast(thr.select(
                    F.col("q_0_1").alias("__thr"))))
                  .filter(F.col("mean_logprob") >= F.col("__thr")))
@@ -73,19 +92,42 @@ def run(spark, sf_dir: str):
         kb.select(F.col("keep_id").alias("doc_id")),
         "doc_id").localCheckpoint()
 
-    # 2. cross-doc line dedup (boilerplate removal; words stand in for
+    # 2. (r9b) VERBATIM-contamination Bloom gate (BEFORE any text
+    #    rewriting, while fingerprints still equal the benchmark's): the
+    #    benchmark's doc fingerprints compress to a 4096-bit filter that
+    #    rides the closure — the corpus probe is a ZERO-shuffle map (no
+    #    join against the benchmark at all). Bloom has false positives,
+    #    so suspects are CONFIRMED by an exact fingerprint semi-join that
+    #    only the tiny suspect set pays for — the canonical
+    #    cheap-gate-then-exact-check shape for 100 TB decontamination.
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    from anofox_forecast_spark.operators.text import normalize_text
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    fp = F.md5(normalize_text(F.col("text")))
+    bench_fp = bench.select(fp.alias("fp"))
+    b_regs = bloom_registers(bench_fp, "fp", m_bits=4096, k=4, seed="cb")
+    gated = bloom_contains(survivors.withColumn("fp", fp), b_regs, "fp",
+                           m_bits=4096, k=4, seed="cb")
+    suspects = gated.filter(F.col("bloom_maybe"))
+    confirmed = suspects.join(bench_fp.distinct(), "fp", "left_semi")
+    verbatim_free = gated.join(confirmed.select("doc_id"), "doc_id",
+                               "left_anti").drop("bloom_maybe", "fp")
+
+    # 3. cross-doc line dedup (boilerplate removal; words stand in for
     #    lines on the single-line synthetic docs)
-    lined = survivors.select(
+    lined = verbatim_free.select(
         "doc_id", "source", F.translate("text", " ", "\n").alias("text"))
     cleaned = (dedup_lines(lined, "doc_id", "text", min_docs=200)
                .join(lined.select("doc_id", "source"), "doc_id")
                .select("doc_id", "source",
                        F.translate("clean_text", "\n", " ").alias("text")))
 
-    # 3. benchmark decontamination (broadcast n-gram set)
-    bench = docs.filter(F.col("doc_id") % 17 == 0)
-    decon = decontaminate_ngrams(cleaned, bench, "doc_id", "text", n=3,
-                                 threshold=0.5)
+    # 3b. near-duplicate decontamination (broadcast n-gram set) on what
+    #     survives the verbatim gate and boilerplate removal
+    decon = decontaminate_ngrams(cleaned, bench, "doc_id", "text",
+                                 n=3, threshold=0.5)
     clean = cleaned.join(
         decon.filter(~F.col("contaminated")).select("doc_id"),
         "doc_id").localCheckpoint()
@@ -131,8 +173,8 @@ def run(spark, sf_dir: str):
     sem = semdedup(emb, "vec_id", "embedding", threshold=0.95,
                    centroids=stored_centroids, assign_mode="arrow")
 
-    return (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted,
-            packed, audit, sem)
+    return (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon,
+            tw, mixed, budgeted, packed, audit, sem)
 
 
 if __name__ == "__main__":
@@ -141,14 +183,17 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="corpus-build")
     spark.sparkContext.setLogLevel("ERROR")
-    (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted, packed,
-     audit, sem) = run(spark, sf)
+    (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon, tw,
+     mixed, budgeted, packed, audit, sem) = run(spark, sf)
+    print("pii redactions:", pii.agg({"n_pii": "sum"}).first()[0])
     print("gopher keep:", quality.filter("gopher_keep").count(),
           "/", quality.count())
     print("LM gate keep:", lm_kept.count(), "| keep-best survivors:",
           kb.count())
     tw.orderBy("source").show(5)
-    print("decontaminated out:", decon.filter("contaminated").count())
+    print("verbatim-contaminated out:", confirmed.count(),
+          "| near-dup contaminated out:",
+          decon.filter("contaminated").count())
     print("mixed in:", mixed.count(), "| budget keep:", budgeted.count(),
           "| packed chunks:", packed.agg({"n_chunks": "sum"}).first()[0])
     print("semdedup keep:", sem.filter("semdedup_keep").count(),

@@ -67,12 +67,23 @@ def test_events_analytics_example(spark):
 
 def test_corpus_build_example(spark):
     from examples.corpus_build import run
-    (quality, lm_kept, kb, cleaned, decon, tw, mixed, budgeted, packed,
-     audit, sem) = run(spark, SF_DIR)
+    (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon, tw,
+     mixed, budgeted, packed, audit, sem) = run(spark, SF_DIR)
+    assert pii.count() > 0
     assert quality.count() > 0
     assert lm_kept.count() > 0
     assert kb.count() > 0
     assert cleaned.count() > 0
+    # every bench doc that reached the gate is verbatim-contaminated by
+    # construction (bench is a subset of the corpus) and the exact
+    # confirm clears every Bloom false positive
+    got = {r["doc_id"] for r in confirmed.collect()}
+    reached = {r["doc_id"] for r in gated.collect()}
+    from pyspark.sql import functions as F
+    bench_ids = {r["doc_id"] for r in
+                 spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                 .filter(F.col("doc_id") % 17 == 0).collect()}
+    assert got == (bench_ids & reached) and len(got) > 0
     assert tw.count() > 0
     # temperature weights are a distribution over sources
     assert abs(sum(r.weight for r in tw.collect()) - 1.0) < 1e-9
