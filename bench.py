@@ -100,6 +100,10 @@ def main() -> None:
         # r9: bigram-LM quality scoring (two corpus shuffles + count-table
         # joins — the heaviest new relational pipeline op)
         "pipeline_lm_score",
+        # r9b: the zero-shuffle Bloom membership probe (build + literal-
+        # array map) and the pure-Catalyst regex PII scrub
+        "stats_bloom_contains",
+        "text_pii_redact",
     ]
     qs = entry_mod.queries()
 
