@@ -1281,6 +1281,8 @@ _BLOOM_M, _BLOOM_K = 256, 2
 _CM_W, _CM_D = 32, 3
 #: r9b: bottom-k sample size for the sampled-quantiles sketch
 _BK_K = 64
+#: r9b: Bloom decontamination geometry (tight: real FPs vs ~700 bench grams)
+_DCB_M, _DCB_K = 4096, 3
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1309,6 +1311,17 @@ def _pipeline_queries():
         bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
         return PL.decontaminate_ngrams(docs, bench, "doc_id", "text",
                                        n=_DECON_N, threshold=_DECON_T)
+
+    def q_decontaminate_bloom(spark, sf):
+        # the Bloom-gated variant at a deliberately tight geometry
+        # (m=4096 vs ~700 distinct bench grams) so real false positives
+        # inflate n_matched vs the exact key — the upper-bound property
+        # is visible in the data AND bit-deterministic cross-engine
+        docs = _docs(spark, sf)
+        bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+        return PL.decontaminate_ngrams_bloom(
+            docs, bench, "doc_id", "text", n=_DECON_N,
+            threshold=_DECON_T, m_bits=_DCB_M, k=_DCB_K, seed="dcb")
 
     def q_sample_hash(spark, sf):
         return PL.sample_by_hash(_docs(spark, sf), "doc_id", 0.25, "r7") \
@@ -1417,6 +1430,7 @@ def _pipeline_queries():
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
         "pipeline_decontaminate": q_decontaminate,
+        "pipeline_decontaminate_bloom": q_decontaminate_bloom,
         "pipeline_sample_hash": q_sample_hash,
         "pipeline_sample_stratified": q_sample_stratified,
         "pipeline_pack_chunked": q_pack,
@@ -2058,7 +2072,7 @@ _WINDOW = [
     "forecast_naive_intds",
     # (prep_fill_unknown_last deferred: its sibling fill_unknown_null was
     # r3-checked and mark_unknown keeps the family's slot)
-    "prep_drop_short", "prep_drop_constant", "prep_drop_leading_zeros",
+    "prep_drop_short", "prep_drop_constant",
     "prep_mark_unknown",
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
@@ -2085,6 +2099,10 @@ _WINDOW = [
     # bottom-k (KMV) sample -> type-7 quantiles (the group_quantiles
     # 100 TB fence now has an in-repo answer)
     "stats_sampled_quantiles",
+    # gram-level Bloom decontamination (upper-bound n_matched, FPs real;
+    # prep_drop_leading_zeros deferred to r10 — prep keeps 3 family
+    # slots and it replays green at HEAD in pytest)
+    "pipeline_decontaminate_bloom",
 ]
 
 
@@ -8721,6 +8739,44 @@ m AS (
   FROM (SELECT doc_id, unnest(grams) AS gram FROM d) dg
   JOIN bset USING (gram) GROUP BY doc_id)
 SELECT t.doc_id, t.n_ngrams, coalesce(m.n_matched, 0) AS n_matched,
+  CASE WHEN t.n_ngrams > 0
+       THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
+       ELSE 0.0 END AS contamination_frac,
+  (CASE WHEN t.n_ngrams > 0
+        THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
+        ELSE 0.0 END) >= {_DECON_T} AS contaminated
+FROM tot t LEFT JOIN m USING (doc_id)
+"""
+
+    # pipeline.decontaminate_ngrams_bloom replay: same gram extraction,
+    # but membership through the md5 Bloom bit math (build over the
+    # bench docs' gram positions, probe = per-(doc, gram) bool_and over
+    # the k bits) — false positives included, bit-deterministic
+    def _dcb_h(i: int) -> str:
+        return f"md5(concat('dcb', ':', '{i}', ':', gram))"
+
+    _dcb_pr = " UNION ALL ".join(
+        f"SELECT doc_id, gram, ({_pl_hexfold(_dcb_h(i), 15)} % {_DCB_M}) "
+        f"AS p FROM dg" for i in range(1, _DCB_K + 1))
+    o["pipeline_decontaminate_bloom"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({grams}) AS grams FROM documents),
+dg AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+pr AS (SELECT doc_id, gram, p // 32 AS w,
+         (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mk
+       FROM ({_dcb_pr})),
+regs AS (SELECT w, bit_or(mk) AS bits FROM pr
+         WHERE doc_id % {_DECON_MOD} = 0 GROUP BY w),
+hit AS (SELECT pr.doc_id, pr.gram,
+          coalesce((r.bits & pr.mk) <> 0, FALSE) AS h
+        FROM pr LEFT JOIN regs r ON pr.w = r.w),
+mg AS (SELECT doc_id, bool_and(h) AS maybe
+       FROM hit GROUP BY doc_id, gram),
+m AS (SELECT doc_id, sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_matched
+      FROM mg GROUP BY doc_id),
+tot AS (SELECT doc_id, len(grams) AS n_ngrams FROM d)
+SELECT t.doc_id, t.n_ngrams,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
   CASE WHEN t.n_ngrams > 0
        THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
        ELSE 0.0 END AS contamination_frac,

@@ -96,6 +96,7 @@ from .events import (  # noqa: F401
 from .pipeline import (  # noqa: F401
     c4_stats,
     decontaminate_ngrams,
+    decontaminate_ngrams_bloom,
     dedup_lines,
     dup_span_stats,
     dup_spans,

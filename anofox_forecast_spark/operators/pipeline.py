@@ -288,6 +288,57 @@ def decontaminate_ngrams(docs: DataFrame, bench: DataFrame, id_col: str,
                .withColumn("contaminated", frac >= F.lit(threshold)))
 
 
+def decontaminate_ngrams_bloom(docs: DataFrame, bench: DataFrame,
+                               id_col: str, text_col: str,
+                               bench_text_col: str | None = None,
+                               n: int = 8, threshold: float = 0.5,
+                               m_bits: int = 65536, k: int = 4,
+                               seed: str = "dcb") -> DataFrame:
+    """:func:`decontaminate_ngrams` through a Bloom filter — the shape
+    the public pretraining stacks (Dolma, RefinedWeb) actually run at
+    crawl scale: the benchmark's distinct n-grams compress into an
+    ``m_bits`` filter built by ONE bounded aggregate, and the corpus
+    probe is a ZERO-join, zero-extra-shuffle map (the only wide ops are
+    the per-doc gram explode + count-only regroup that the exact
+    operator pays too). Where the exact operator broadcasts the full
+    benchmark gram SET (can be GBs for a large benchmark suite), the
+    filter is ~``m_bits`` bits regardless of benchmark size.
+
+    Same output schema as :func:`decontaminate_ngrams`; ``n_matched`` /
+    ``contamination_frac`` are UPPER BOUNDS (Bloom false positives only
+    inflate, never miss — no false negatives), so the flag is a superset
+    of the exact flag at the same threshold: safe for the
+    drop-if-contaminated direction. Size ``m_bits`` ~ 16x the benchmark
+    gram count for ~0.2% FP inflation, or confirm flagged docs with the
+    exact operator on the (tiny) suspect set.
+    """
+    from .stats import bloom_contains, bloom_registers
+    bench_text_col = bench_text_col or text_col
+    bgrams = (bench.select(F.explode(F.array_distinct(
+                  _word_ngrams(_words(F.col(bench_text_col)), n)))
+                  .alias("gram")))
+    regs = bloom_registers(bgrams, "gram", m_bits=m_bits, k=k, seed=seed)
+    dgrams = docs.select(
+        F.col(id_col),
+        F.array_distinct(_word_ngrams(_words(F.col(text_col)), n))
+         .alias("__grams"))
+    totals = dgrams.select(id_col, F.size("__grams").alias("n_ngrams"))
+    probed = bloom_contains(
+        dgrams.select(id_col, F.explode("__grams").alias("gram")),
+        regs, "gram", m_bits=m_bits, k=k, seed=seed)
+    matched = (probed.groupBy(id_col)
+               .agg(F.sum(F.when(F.col("bloom_maybe"), 1).otherwise(0))
+                     .cast("bigint").alias("n_matched")))
+    out = (totals.join(matched, on=id_col, how="left")
+           .withColumn("n_matched",
+                       F.coalesce(F.col("n_matched"), F.lit(0))))
+    frac = F.when(F.col("n_ngrams") > 0,
+                  F.col("n_matched").cast("double") / F.col("n_ngrams")) \
+            .otherwise(F.lit(0.0))
+    return (out.withColumn("contamination_frac", frac)
+               .withColumn("contaminated", frac >= F.lit(threshold)))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-wide line/paragraph dedup (CCNet-style boilerplate removal)
 # ---------------------------------------------------------------------------

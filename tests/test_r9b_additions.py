@@ -361,3 +361,65 @@ def test_stream_bloom_registers_match_batch_across_batches(spark, tmp_path):
 
     probed = bloom_contains(b2, got, "key", m_bits=512, k=3, seed="s9")
     assert probed.filter(~F.col("bloom_maybe")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated n-gram decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_bloom_upper_bounds_exact(spark):
+    """Bloom membership has no false negatives, so n_matched and the
+    contaminated flag are SUPERSETS of the exact operator's — pinned on
+    the real sf0.001 corpus at a deliberately tight geometry."""
+    from anofox_forecast_spark.operators.pipeline import (
+        decontaminate_ngrams, decontaminate_ngrams_bloom)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = {r["doc_id"]: r for r in decontaminate_ngrams(
+        docs, bench, "doc_id", "text", n=3, threshold=0.08).collect()}
+    bloom = {r["doc_id"]: r for r in decontaminate_ngrams_bloom(
+        docs, bench, "doc_id", "text", n=3, threshold=0.08,
+        m_bits=4096, k=3).collect()}
+    assert set(exact) == set(bloom)
+    inflated = 0
+    for i in exact:
+        assert bloom[i]["n_ngrams"] == exact[i]["n_ngrams"]
+        assert bloom[i]["n_matched"] >= exact[i]["n_matched"], i
+        inflated += bloom[i]["n_matched"] > exact[i]["n_matched"]
+        if exact[i]["contaminated"]:
+            assert bloom[i]["contaminated"], i
+    assert inflated > 0          # the tight geometry really produces FPs
+
+
+def test_decontaminate_bloom_wide_filter_matches_exact(spark):
+    """At a generous geometry (m >> bench grams) the FP rate collapses
+    and the Bloom variant returns the exact answer on this corpus."""
+    from anofox_forecast_spark.operators.pipeline import (
+        decontaminate_ngrams, decontaminate_ngrams_bloom)
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 120))
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    cols = ["doc_id", "n_ngrams", "n_matched", "contamination_frac",
+            "contaminated"]
+    exact = sorted(map(tuple, decontaminate_ngrams(
+        docs, bench, "doc_id", "text", n=3,
+        threshold=0.08).select(cols).collect()))
+    bloom = sorted(map(tuple, decontaminate_ngrams_bloom(
+        docs, bench, "doc_id", "text", n=3, threshold=0.08,
+        m_bits=262144, k=6).select(cols).collect()))
+    assert exact == bloom
+
+
+def test_decontaminate_bloom_empty_docs(spark):
+    from anofox_forecast_spark.operators.pipeline import (
+        decontaminate_ngrams_bloom)
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string")
+    bench = docs.filter("doc_id = 2")
+    out = {r["doc_id"]: r for r in decontaminate_ngrams_bloom(
+        docs, bench, "doc_id", "text", n=3, m_bits=1024,
+        k=2).collect()}
+    assert out[1]["n_ngrams"] == 0 and out[1]["n_matched"] == 0
+    assert not out[1]["contaminated"]
+    assert out[2]["n_matched"] == out[2]["n_ngrams"] > 0
