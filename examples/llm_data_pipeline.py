@@ -113,6 +113,43 @@ def run_incremental_hll(spark, sf_dir: str, registers_dir: str):
     return merged, whole
 
 
+def run_incremental_bloom(spark, sf_dir: str, registers_dir: str):
+    """(r9b) The membership sibling of :func:`run_incremental_hll`: each
+    crawl batch persists its CONSTANT-SIZE Bloom register table; at
+    ingest time the next batch reloads + merges the sketches and asks
+    "have we EVER seen this fingerprint" with a zero-join probe — no
+    re-scan of history. Bitwise OR is idempotent, so re-persisting an
+    already-ingested batch cannot corrupt the sketch. Returns
+    (merged_regs_probe_df, whole_corpus_probe_df); identical by
+    construction, asserted in test_examples.py."""
+    from pyspark.sql import functions as F
+
+    from anofox_forecast_spark.operators.stats import (
+        bloom_contains,
+        bloom_merge_registers,
+        bloom_registers,
+    )
+    from anofox_forecast_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("fp"))
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    for i, b in ((1, batch1), (2, batch2)):
+        bloom_registers(b, "fp", m_bits=8192, k=4) \
+            .write.mode("overwrite").parquet(f"{registers_dir}/bloom{i}")
+
+    regs = [spark.read.parquet(f"{registers_dir}/bloom{i}")
+            for i in (1, 2)]
+    merged = bloom_contains(docs, bloom_merge_registers(*regs), "fp",
+                            m_bits=8192, k=4)
+    whole = bloom_contains(docs, bloom_registers(docs, "fp", m_bits=8192,
+                                                 k=4), "fp",
+                           m_bits=8192, k=4)
+    return merged, whole
+
+
 if __name__ == "__main__":
     from anofox_forecast_spark.session import get_spark
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"

@@ -53,6 +53,19 @@ def test_llm_pipeline_incremental_hll(tmp_path, spark):
         assert ra["hll_estimate"] == rb["hll_estimate"]
 
 
+def test_llm_pipeline_incremental_bloom(tmp_path, spark):
+    """The membership sibling: per-batch Bloom registers persisted to
+    parquet, merged at read time — the probe verdicts equal the
+    whole-corpus sketch exactly (OR is idempotent), and every corpus
+    fingerprint probes True (no false negatives by construction)."""
+    from examples.llm_data_pipeline import run_incremental_bloom
+    merged, whole = run_incremental_bloom(spark, SF_DIR, str(tmp_path))
+    a = {r["doc_id"]: r["bloom_maybe"] for r in merged.collect()}
+    b = {r["doc_id"]: r["bloom_maybe"] for r in whole.collect()}
+    assert a == b and len(a) > 0
+    assert all(a.values())
+
+
 def test_events_analytics_example(spark):
     from examples.events_analytics import run
     sessions, stats, enriched, concurrency, fun, ret, rollup = run(spark, SF_DIR)
