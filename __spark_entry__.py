@@ -1994,6 +1994,36 @@ def _streaming_queries():
         return out.select("doc_id", "bloom_maybe",
                           (F.col("doc_id") % 17 == 0).alias("is_bench"))
 
+    def q_stream_bottomk(spark, sf):
+        # streaming bottom-k sample: k rows of state per returnflag
+        # FOREVER; min-k prefix-monotonicity means bottom-k over all
+        # EMITTED rows == bottom-k over all INGESTED rows, so the batch
+        # re-rank of the (distinct-ed, multi-emission) sink recovers the
+        # exact whole-stream sample and the oracle IS the batch
+        # stats_sampled_quantiles replay, verbatim
+        batch = spark.read.parquet(f"{sf}/lineitem.parquet")
+        stream = (spark.readStream.schema(batch.schema)
+                  .parquet(_stream_dir(sf, "lineitem"))
+                  .select("l_returnflag",
+                          F.concat_ws(
+                              "-", F.col("l_orderkey").cast("string"),
+                              F.col("l_linenumber").cast("string"))
+                          .alias("__key"),
+                          F.col("l_extendedprice").cast("double")
+                          .alias("l_extendedprice")))
+        samp = ST.stream_bottomk_sample(stream, "__key",
+                                        "l_extendedprice",
+                                        "l_returnflag", k=_BK_K,
+                                        seed="sq")
+        res = _run_to_table(spark, samp, "update").distinct()
+        from anofox_forecast_spark.operators.stats import (bottomk_sample,
+                                                           group_quantiles)
+        final = bottomk_sample(
+            res.select("l_returnflag", "__key", "l_extendedprice"),
+            "__key", ["l_returnflag"], _BK_K, "sq")
+        return group_quantiles(final, ["l_returnflag"],
+                               "l_extendedprice")
+
     return {
         "streaming_windowed_stats": q_stream_stats,
         "streaming_stateful_forecast": q_stream_forecast,
@@ -2003,6 +2033,7 @@ def _streaming_queries():
         "streaming_sessionize": q_stream_sessionize,
         "streaming_hll_distinct": q_stream_hll,
         "streaming_bloom_contains": q_stream_bloom,
+        "streaming_sampled_quantiles": q_stream_bottomk,
     }
 
 
@@ -2068,7 +2099,7 @@ _WINDOW = [
     # (forecast_events_naive also deferred: the naive family keeps
     # seasonal_naive/rwd/naive_intds slots + the r5 clamp-chain evidence)
     "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
-    "forecast_croston", "forecast_croston_sba",
+    "forecast_croston",
     "forecast_naive_intds",
     # (prep_fill_unknown_last deferred: its sibling fill_unknown_null was
     # r3-checked and mark_unknown keeps the family's slot)
@@ -2103,6 +2134,10 @@ _WINDOW = [
     # prep_drop_leading_zeros deferred to r10 — prep keeps 3 family
     # slots and it replays green at HEAD in pytest)
     "pipeline_decontaminate_bloom",
+    # streaming bottom-k sample -> quantiles, REAL streaming run (batch
+    # oracle shared by min-k prefix-monotonicity; forecast_croston_sba
+    # deferred to r10 — forecast_croston keeps the family slot)
+    "streaming_sampled_quantiles",
 ]
 
 
@@ -2241,6 +2276,8 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # interpolation arithmetic is expression-identical; same pin as
     # stats_group_quantiles
     "stats_sampled_quantiles": (["q_0_25", "q_0_5", "q_0_75", "q_0_95"], 6),
+    "streaming_sampled_quantiles": (["q_0_25", "q_0_5", "q_0_75",
+                                     "q_0_95"], 6),
     # ln() in the linear-counting branch is the one libm call; the fold
     # over exact powers of two is order-pinned and bit-equal unpinned
     "stats_hll_distinct": (["hll_estimate"], 4),
@@ -10063,6 +10100,7 @@ FROM hit GROUP BY doc_id
     # aggregated register table equals the batch sketch and the probe
     # replay is the same SQL
     o["streaming_bloom_contains"] = o["stats_bloom_contains"]
+
     # stats.cm_registers / cm_estimate replay: depth md5-hashed cells per
     # occurrence, estimate = min over the key's cells; probe via DISTINCT
     # (key, row, col) — each key hits exactly one col per row
@@ -10116,6 +10154,9 @@ SELECT l_returnflag, n,
   {_bq7(0.95)} AS q_0_95
 FROM g
 """
+    # min-k prefix-monotonicity: the re-ranked streaming emissions equal
+    # the batch bottom-k sample, so the quantile oracle is shared verbatim
+    o["streaming_sampled_quantiles"] = o["stats_sampled_quantiles"]
     o["stats_bloom_fill"] = f"""
 WITH {_bl},
 s AS (SELECT sum(bit_count(bits)) AS nb FROM regs)

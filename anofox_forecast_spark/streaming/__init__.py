@@ -345,6 +345,71 @@ def stream_adaptive_conformal(stream: DataFrame, alpha: float = 0.1,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_bottomk_sample(stream: DataFrame, key_col: str,
+                          value_col: str, group_col: str,
+                          k: int = 64, seed: str = "bk") -> DataFrame:
+    """Streaming bottom-k (KMV) sample — the sampling sketch
+    (``stats.bottomk_sample``) running CONTINUOUSLY: per-group state is
+    the k rows with the smallest md5-uniform key hashes seen SO FAR
+    (ties on the string key), exactly k rows FOREVER — no watermark.
+    min-k is idempotent and prefix-monotone: a row with a surviving
+    hash enters the running sample the trigger it arrives, so the
+    bottom-k over everything EMITTED equals the bottom-k over
+    everything INGESTED — re-rank the sink with the batch
+    ``bottomk_sample`` (same seed) to recover the exact whole-stream
+    sample, then e.g. ``group_quantiles`` for always-current
+    distribution estimates (the ``streaming_sampled_quantiles`` driver
+    key replays the batch oracle verbatim).
+
+    Input: any frame with ``group_col``, ``key_col``, ``value_col``.
+    Output per trigger (update mode): the group's CURRENT sample as
+    (group, key string, value double, sample_u) rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import hashlib
+
+    gtype = stream.schema[group_col].dataType
+    out_schema = T.StructType([
+        T.StructField(group_col, gtype),
+        T.StructField(key_col, T.StringType()),
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("sample_u", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("us", T.ArrayType(T.DoubleType())),
+        T.StructField("ks", T.ArrayType(T.StringType())),
+        T.StructField("vs", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _u(key: str) -> float:
+        h = hashlib.md5(f"{seed}:{key}".encode("utf-8")).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            us, ks, vs = (list(state.get[0]), list(state.get[1]),
+                          list(state.get[2]))
+            rows = list(zip(us, ks, vs))
+        else:
+            rows = []
+        for pdf in pdfs:
+            for kk, vv in zip(pdf[key_col].astype(str), pdf[value_col]):
+                rows.append((_u(kk), kk,
+                             None if pd.isna(vv) else float(vv)))
+        rows.sort(key=lambda t: (t[0], t[1]))
+        rows = rows[:k]
+        state.update(([r[0] for r in rows], [r[1] for r in rows],
+                      [r[2] for r in rows]))
+        yield pd.DataFrame(
+            [(key[0], kk, vv, uu) for uu, kk, vv in rows],
+            columns=[f.name for f in out_schema])
+
+    return (stream.groupBy(group_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_bloom_registers(stream: DataFrame, key_col: str,
                            group_cols: list[str] | None = None,
                            m_bits: int = 4096, k: int = 4,

