@@ -32,6 +32,12 @@ The shapes, each the idiomatic Spark mapping of a batch operator:
 - ``stream_hll_registers`` — the incremental HyperLogLog sketch as a
   continuous max aggregation: bounded ``2^p``-rows-per-group state
   forever, batch == stream by merge-idempotence.
+- ``stream_bloom_registers`` — the membership sketch as a continuous
+  bitwise-OR aggregation: bounded ``m_bits/32``-rows-per-group state
+  forever, batch == stream by OR-idempotence.
+- ``stream_bottomk_sample`` — the KMV sampling sketch as per-group
+  min-k state (k rows forever); the re-ranked emissions equal the
+  batch sample by min-k prefix-monotonicity.
 
 All entry points accept any streaming DataFrame with (id, ds, y) columns;
 ``read_panel_stream`` builds one from a parquet directory (file-source
