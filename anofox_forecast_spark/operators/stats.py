@@ -900,20 +900,53 @@ def bloom_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
 
 def bloom_contains(df: DataFrame, regs: DataFrame, key_col: str,
                    m_bits: int = 4096, k: int = 4, seed: str = "bloom",
-                   result_col: str = "bloom_maybe") -> DataFrame:
-    """Probe an (ungrouped) Bloom register table: input + ``result_col``
-    boolean — True iff all ``k`` of the key's bits are set (no false
-    negatives; false positives at ~fill^k).
+                   result_col: str = "bloom_maybe",
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Probe a Bloom register table: input + ``result_col`` boolean —
+    True iff all ``k`` of the key's bits are set (no false negatives;
+    false positives at ~fill^k).
 
-    Scale shape: the register table is COLLECTED into a ``m_bits / 32``
-    literal word array (bounded, deterministic — the same documented
-    driver-side exception as the ANN centroid samples) and the probe
-    compiles to a pure per-row expression: zero joins, zero shuffles,
-    pipelining with the scan. This is the physical point of a Bloom
-    filter at 100 TB — the whole benchmark/history SET rides the closure
-    as ~``m_bits`` bits instead of a join side. NULL keys probe NULL.
+    Ungrouped scale shape: the register table is COLLECTED into a
+    ``m_bits / 32`` literal word array (bounded, deterministic — the
+    same documented driver-side exception as the ANN centroid samples)
+    and the probe compiles to a pure per-row expression: zero joins,
+    zero shuffles, pipelining with the scan. This is the physical point
+    of a Bloom filter at 100 TB — the whole benchmark/history SET rides
+    the closure as ~``m_bits`` bits instead of a join side. NULL keys
+    probe NULL.
+
+    With ``group_cols`` each row probes ITS group's filter (one sketch
+    per benchmark suite / source / day): the probe explodes the k
+    (word, mask) pairs and broadcast-joins the bounded register table on
+    (groups, word) — the corpus side never shuffles on data; rows must
+    be unique per (groups, key) (the regroup runs on all input columns,
+    like :func:`cm_estimate`). Rows whose group has NO registers probe
+    False (an empty filter contains nothing). NULL keys probe NULL.
     """
     _bloom_check(m_bits, k)
+    gcols = list(group_cols or [])
+    if gcols:
+        from pyspark.sql.functions import broadcast
+        cols = list(df.columns)
+        pairs = F.array(*[
+            F.struct(w.alias("w"), m.alias("m"))
+            for w, m in (_bloom_word_mask(key_col, i, m_bits, seed)
+                         for i in range(1, k + 1))])
+        probe = (df.select(*cols, F.explode(pairs).alias("__p"))
+                 .select(*cols, F.col("__p.w").alias("bloom_word"),
+                         F.col("__p.m").alias("__mask")))
+        joined = probe.join(
+            broadcast(regs.select(*gcols, "bloom_word", "bloom_bits")),
+            on=[*gcols, "bloom_word"], how="left")
+        hit = F.coalesce(
+            F.col("bloom_bits").bitwiseAND(F.col("__mask")) != 0,
+            F.lit(False))
+        out = (joined.groupBy(*cols)
+               .agg(F.bool_and(hit).alias(result_col)))
+        return out.withColumn(
+            result_col,
+            F.when(F.col(key_col).isNotNull(),
+                   F.col(result_col)).otherwise(F.lit(None)))
     n_words = m_bits // 32
     rows = regs.select("bloom_word", "bloom_bits").collect()  # <= m_bits/32
     words = [0] * n_words

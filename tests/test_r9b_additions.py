@@ -466,3 +466,54 @@ def test_stream_bottomk_matches_batch_across_batches(spark, tmp_path):
     # the LAST emission (any emission) is never larger than k per group
     per_emission = emitted.groupBy("grp").count().collect()
     assert all(r["count"] <= 2 * k for r in per_emission)  # 2 triggers
+
+
+def test_bloom_contains_grouped_isolation(spark):
+    """Per-group filters: membership in group A's sketch must not leak
+    into group B's verdicts; rows of groups with NO registers probe
+    False; NULL keys probe NULL."""
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    members = spark.createDataFrame(
+        [("A", f"a{i}") for i in range(30)]
+        + [("B", f"b{i}") for i in range(30)], "grp string, key string")
+    regs = bloom_registers(members, "key", ["grp"], m_bits=1024, k=3,
+                           seed="t")
+    probes = spark.createDataFrame(
+        [("A", "a5"), ("B", "b5"), ("B", "a5"), ("C", "a5"),
+         ("A", None)], "grp string, key string")
+    got = {(r["grp"], r["key"]): r["bloom_maybe"]
+           for r in bloom_contains(probes, regs, "key", m_bits=1024,
+                                   k=3, seed="t",
+                                   group_cols=["grp"]).collect()}
+    assert got[("A", "a5")] is True and got[("B", "b5")] is True
+    assert got[("C", "a5")] is False          # no registers for C
+    assert got[("A", None)] is None
+    # cross-group: not a member of B's sketch (tiny FP chance at this
+    # geometry is deterministic — pin the actual verdict via replay)
+    import hashlib
+    bits_b = set()
+    for i in range(1, 4):
+        for j in range(30):
+            h = hashlib.md5(f"t:{i}:b{j}".encode()).hexdigest()
+            bits_b.add(int(h[:15], 16) % 1024)
+    want = all(int(hashlib.md5(f"t:{i}:a5".encode()).hexdigest()[:15], 16)
+               % 1024 in bits_b for i in range(1, 4))
+    assert got[("B", "a5")] == want
+
+
+def test_bloom_contains_grouped_matches_ungrouped_single_group(spark):
+    from anofox_forecast_spark.operators.stats import (bloom_contains,
+                                                       bloom_registers)
+    df = spark.createDataFrame([("g", str(i)) for i in range(50)],
+                               "grp string, key string")
+    probes = spark.createDataFrame(
+        [("g", str(i)) for i in range(0, 100, 7)], "grp string, key string")
+    rg = bloom_registers(df, "key", ["grp"], m_bits=256, k=2, seed="t")
+    ru = bloom_registers(df, "key", m_bits=256, k=2, seed="t")
+    a = {r["key"]: r["bloom_maybe"] for r in bloom_contains(
+        probes, rg, "key", m_bits=256, k=2, seed="t",
+        group_cols=["grp"]).collect()}
+    b = {r["key"]: r["bloom_maybe"] for r in bloom_contains(
+        probes, ru, "key", m_bits=256, k=2, seed="t").collect()}
+    assert a == b
