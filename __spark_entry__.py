@@ -1994,6 +1994,31 @@ def _streaming_queries():
         return out.select("doc_id", "bloom_maybe",
                           (F.col("doc_id") % 17 == 0).alias("is_bench"))
 
+    def q_stream_cm(spark, sf):
+        # streaming Count-Min: the counter sketch as a continuous sum
+        # aggregation (state <= depth*width rows FOREVER); cells are
+        # monotone, so per-cell MAX over the update-mode emissions
+        # recovers the final sketch == the batch sketch, and the oracle
+        # IS the batch stats_cm_frequency replay verbatim
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        batch = spark.read.parquet(f"{sf}/events.parquet")
+        stream = (spark.readStream.schema(batch.schema)
+                  .parquet(_events_stream_dir(sf))
+                  .filter(F.col("user_id").isNotNull())
+                  .select("user_id"))
+        regs = ST.stream_cm_registers(stream, "user_id", width=_CM_W,
+                                      depth=_CM_D, seed="cm9")
+        res = _run_to_table(spark, regs, "update")
+        from anofox_forecast_spark.operators.stats import (
+            cm_collapse_emissions, cm_estimate)
+        from anofox_forecast_spark.sources import events_table
+        e = events_table(spark, sf).filter(F.col("user_id").isNotNull())
+        exact = e.groupBy("user_id").agg(F.count(F.lit(1))
+                                         .alias("n_exact"))
+        return cm_estimate(exact, cm_collapse_emissions(res), "user_id",
+                           width=_CM_W, depth=_CM_D, seed="cm9") \
+            .select("user_id", "n_exact", "cm_est")
+
     def q_stream_bottomk(spark, sf):
         # streaming bottom-k sample: k rows of state per returnflag
         # FOREVER; min-k prefix-monotonicity means bottom-k over all
@@ -2034,6 +2059,7 @@ def _streaming_queries():
         "streaming_hll_distinct": q_stream_hll,
         "streaming_bloom_contains": q_stream_bloom,
         "streaming_sampled_quantiles": q_stream_bottomk,
+        "streaming_cm_frequency": q_stream_cm,
     }
 
 
@@ -2108,7 +2134,6 @@ _WINDOW = [
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
     "cv_folds_sliding", "cv_split_folds",
-    "cv_check_leakage",
     "stats_summary",
     "conformal_interval_width",
     "dedup_exact_groups", "dedup_embedding_cosine",
@@ -2138,6 +2163,10 @@ _WINDOW = [
     # oracle shared by min-k prefix-monotonicity; forecast_croston_sba
     # deferred to r10 — forecast_croston keeps the family slot)
     "streaming_sampled_quantiles",
+    # streaming Count-Min (continuous sum, monotone-collapse read; batch
+    # oracle shared; cv_check_leakage deferred to r10 — cv keeps
+    # folds_sliding + split_folds and it replays green at HEAD)
+    "streaming_cm_frequency",
 ]
 
 
@@ -10157,6 +10186,9 @@ FROM g
     # min-k prefix-monotonicity: the re-ranked streaming emissions equal
     # the batch bottom-k sample, so the quantile oracle is shared verbatim
     o["streaming_sampled_quantiles"] = o["stats_sampled_quantiles"]
+    # counter monotonicity: per-cell MAX over update-mode emissions
+    # recovers the final sketch == the batch sketch, same oracle
+    o["streaming_cm_frequency"] = o["stats_cm_frequency"]
     o["stats_bloom_fill"] = f"""
 WITH {_bl},
 s AS (SELECT sum(bit_count(bits)) AS nb FROM regs)

@@ -157,6 +157,7 @@ from .stats import (  # noqa: F401
     bloom_merge_registers,
     bloom_registers,
     bloom_stats,
+    cm_collapse_emissions,
     cm_estimate,
     cm_merge_registers,
     cm_registers,

@@ -1109,6 +1109,19 @@ def cm_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
              .select(*u.columns))
 
 
+def cm_collapse_emissions(emitted: DataFrame) -> DataFrame:
+    """Recover the FINAL Count-Min register table from a streaming
+    update-mode sink: each trigger re-emits an updated cell with its
+    RUNNING total, and counter cells are monotone non-decreasing, so the
+    final state is the per-cell MAX over all emissions. (Contrast with
+    :func:`cm_merge_registers`, which ADDS registers from disjoint
+    batches — collapsing emissions with sum would double-count.)"""
+    keys = [c for c in emitted.columns if c != "cm_count"]
+    return (emitted.groupBy(*keys)
+            .agg(F.max("cm_count").alias("cm_count"))
+            .select(*emitted.columns))
+
+
 def cm_estimate(keys_df: DataFrame, regs: DataFrame, key_col: str,
                 width: int = 512, depth: int = 3, seed: str = "cm",
                 result_col: str = "cm_est") -> DataFrame:

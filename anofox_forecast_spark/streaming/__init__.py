@@ -38,6 +38,10 @@ The shapes, each the idiomatic Spark mapping of a batch operator:
 - ``stream_bottomk_sample`` — the KMV sampling sketch as per-group
   min-k state (k rows forever); the re-ranked emissions equal the
   batch sample by min-k prefix-monotonicity.
+- ``stream_cm_registers`` — the Count-Min frequency sketch as a
+  continuous sum aggregation (``depth x width`` rows forever); cells
+  are monotone, so per-cell MAX over the emissions recovers the batch
+  sketch (``stats.cm_collapse_emissions``).
 
 All entry points accept any streaming DataFrame with (id, ds, y) columns;
 ``read_panel_stream`` builds one from a parquet directory (file-source
@@ -414,6 +418,29 @@ def stream_bottomk_sample(stream: DataFrame, key_col: str,
     return (stream.groupBy(group_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_cm_registers(stream: DataFrame, key_col: str,
+                        group_cols: list[str] | None = None,
+                        width: int = 512, depth: int = 3,
+                        seed: str = "cm",
+                        weight_col: str | None = None) -> DataFrame:
+    """Streaming Count-Min register table — the frequency sketch
+    (``stats.cm_registers``) running CONTINUOUSLY: each occurrence's
+    ``depth`` cells are stateless per-row expressions, so the whole
+    sketch is one streaming ``sum`` aggregation keyed on (groups, row,
+    col). State is bounded at ``depth * width`` counter rows per group
+    FOREVER — no watermark. Cells are MONOTONE non-decreasing, so the
+    final sketch is recovered from an update-mode sink by per-cell MAX
+    (``stats.cm_collapse_emissions``), after which it equals the batch
+    sketch over everything ingested (batch == stream pinned in tests;
+    the ``streaming_cm_frequency`` driver key replays the batch
+    oracle). Run in ``update`` output mode; probe with
+    ``stats.cm_estimate`` at read time.
+    """
+    from ..operators.stats import cm_registers
+    return cm_registers(stream, key_col, group_cols, width, depth, seed,
+                        weight_col)
 
 
 def stream_bloom_registers(stream: DataFrame, key_col: str,

@@ -517,3 +517,44 @@ def test_bloom_contains_grouped_matches_ungrouped_single_group(spark):
     b = {r["key"]: r["bloom_maybe"] for r in bloom_contains(
         probes, ru, "key", m_bits=256, k=2, seed="t").collect()}
     assert a == b
+
+
+def test_stream_cm_registers_match_batch_across_batches(spark, tmp_path):
+    """TWO micro-batches of a REAL stream: per-cell MAX over the
+    update-mode emissions (cells are monotone running totals) equals
+    the batch Count-Min sketch over the union, and estimates agree."""
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.stats import (
+        cm_collapse_emissions, cm_estimate, cm_registers)
+
+    src = str(tmp_path / "src")
+    rows1 = [(f"k{i % 7}",) for i in range(200)]
+    rows2 = [(f"k{i % 5}",) for i in range(150)]
+    b1 = spark.createDataFrame(rows1, "key string")
+    b2 = spark.createDataFrame(rows2, "key string")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    regs = ST.stream_cm_registers(stream, "key", width=8, depth=2,
+                                  seed="s9")
+    q = (regs.writeStream.format("memory").queryName("cm_stream_t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = cm_collapse_emissions(spark.table("cm_stream_t"))
+
+    whole = cm_registers(b1.unionByName(b2), "key", width=8, depth=2,
+                         seed="s9")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b and 0 < len(a) <= 16      # depth * width bound
+
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(7)],
+                                  "key string")
+    ea = sorted(map(tuple, cm_estimate(probe, got, "key", width=8,
+                                       depth=2, seed="s9").collect()))
+    eb = sorted(map(tuple, cm_estimate(probe, whole, "key", width=8,
+                                       depth=2, seed="s9").collect()))
+    assert ea == eb
