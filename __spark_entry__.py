@@ -1701,6 +1701,20 @@ def _events_queries():
                            depth=_CM_D, seed="cm9") \
             .select("user_id", "n_exact", "cm_est")
 
+    def q_salted_join(spark, sf):
+        # skew-resilient equi-join: per-row md5 salt on the big side,
+        # right side replicated per salt — RESULTS identical to the
+        # plain join, which the oracle states directly (the salting is
+        # physical strategy only, and that's exactly the claim to pin)
+        from anofox_forecast_spark.operators.stats import salted_join
+        e = events_table(spark, sf).filter(F.col("user_id").isNotNull())
+        dim = e.groupBy("user_id").agg(F.count(F.lit(1))
+                                       .alias("n_user_events"))
+        out = salted_join(e.select("event_id", "user_id", "event_type"),
+                          dim, ["user_id"], "inner", salt_buckets=4)
+        return out.select("event_id", "user_id", "event_type",
+                          "n_user_events")
+
     def q_sampled_quantiles(spark, sf):
         # price quantiles per returnflag from the deterministic bottom-k
         # (KMV) sample — the sketch path group_quantiles' docstring fences
@@ -1823,6 +1837,7 @@ def _events_queries():
         "stats_bloom_fill": q_bloom_fill,
         "stats_cm_frequency": q_cm_frequency,
         "stats_sampled_quantiles": q_sampled_quantiles,
+        "stats_salted_join": q_salted_join,
     }
 
 
@@ -2134,7 +2149,6 @@ _WINDOW = [
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
     "cv_folds_sliding", "cv_split_folds",
-    "stats_summary",
     "conformal_interval_width",
     "dedup_exact_groups", "dedup_embedding_cosine",
     # --- reserved: r9b-new contracts (this session's additions; six r2
@@ -2167,6 +2181,10 @@ _WINDOW = [
     # oracle shared; cv_check_leakage deferred to r10 — cv keeps
     # folds_sliding + split_folds and it replays green at HEAD)
     "streaming_cm_frequency",
+    # skew-resilient salted join == plain join, pinned cross-engine
+    # (stats_summary deferred to r10 — the stats family holds seven
+    # r9-fresh slots and it replays green at HEAD)
+    "stats_salted_join",
 ]
 
 
@@ -10130,6 +10148,16 @@ FROM hit GROUP BY doc_id
     # replay is the same SQL
     o["streaming_bloom_contains"] = o["stats_bloom_contains"]
 
+    # stats.salted_join replay: salting is physical-only, so the oracle
+    # IS the plain join — exactly the result-identity claim to pin
+    o["stats_salted_join"] = """
+WITH e AS (SELECT event_id, user_id, event_type FROM events
+           WHERE user_id IS NOT NULL),
+d AS (SELECT user_id, count(*) AS n_user_events FROM e GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(d.n_user_events AS BIGINT) AS n_user_events
+FROM e JOIN d USING (user_id)
+"""
     # stats.cm_registers / cm_estimate replay: depth md5-hashed cells per
     # occurrence, estimate = min over the key's cells; probe via DISTINCT
     # (key, row, col) — each key hits exactly one col per row

@@ -166,6 +166,7 @@ from .stats import (  # noqa: F401
     hll_estimate_from_registers,
     hll_merge_registers,
     hll_registers,
+    salted_join,
     sampled_quantiles,
     skew_report,
     ts_data_quality,

@@ -1152,6 +1152,46 @@ def cm_estimate(keys_df: DataFrame, regs: DataFrame, key_col: str,
                         .cast("bigint").alias(result_col)))
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: list[str],
+                how: str = "inner", salt_buckets: int = 8) -> DataFrame:
+    """Skew-resilient equi-join — the action :func:`skew_report`
+    recommends when a key's ``skew_ratio`` blows past AQE's trigger:
+    the LEFT (big, skewed) side gets a deterministic per-row salt
+    (md5 of the whole row, mod ``salt_buckets``), the RIGHT side is
+    replicated once per salt value, and the join runs on
+    ``on + [salt]`` — a hot key's rows now spread over
+    ``salt_buckets`` reducers instead of one straggler. Results are
+    IDENTICAL to the plain join (each left row joins exactly its salt's
+    right copy), which the driver key pins cross-engine against the
+    un-salted SQL join.
+
+    ``how`` must be ``inner`` or ``left``: replicating the right side
+    keeps those complete (every left row sees a full right copy at its
+    salt); right/full-outer would emit unmatched RIGHT rows once per
+    salt and are rejected. Cost: the right side scans/shuffles
+    ``salt_buckets`` times — use for big-big skewed joins where the
+    right side is modest but too big to broadcast. NULL join keys
+    behave exactly as in the plain join (never match).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if salt_buckets < 2:
+        raise ValueError("salt_buckets must be >= 2")
+    if not on:
+        raise ValueError("on must be non-empty")
+    row_fp = F.md5(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in left.columns]))
+    salt = (F.conv(F.substring(row_fp, 1, 8), 16, 10).cast("bigint")
+            % salt_buckets).cast("int")
+    l = left.withColumn("__salt", salt)
+    # generators can't nest inside expressions (no .cast on the explode)
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))) \
+        .withColumn("__salt", F.col("__salt").cast("int"))
+    return l.join(r, on=[*on, "__salt"], how=how).drop("__salt")
+
+
 def skew_report(df: DataFrame, key_cols: list[str],
                 top_k: int = 10) -> DataFrame:
     """Pre-flight shuffle-skew diagnostic: per-key row counts summarized

@@ -567,3 +567,61 @@ def test_driver_window_is_first_fifty():
     q = e.queries()
     assert len(e._WINDOW) == 50 == len(set(e._WINDOW))
     assert list(q)[:50] == e._WINDOW
+
+
+# ---------------------------------------------------------------------------
+# Salted join
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from anofox_forecast_spark.operators.stats import salted_join
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(300)],
+        "id bigint, key string")
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k3", 2.0), ("k9", 3.0), ("unmatched", 9.0)],
+        "key string, v double")
+    for how in ("inner", "left"):
+        a = sorted(map(tuple, salted_join(left, right, ["key"], how,
+                                          salt_buckets=5)
+                       .select("id", "key", "v").collect()))
+        b = sorted(map(tuple, left.join(right, on=["key"], how=how)
+                       .select("id", "key", "v").collect()),
+                   key=lambda t: (t[0], t[1], t[2] is None, t[2]))
+        a = sorted(a, key=lambda t: (t[0], t[1], t[2] is None, t[2]))
+        assert a == b, how
+
+
+def test_salted_join_null_keys_never_match(spark):
+    from anofox_forecast_spark.operators.stats import salted_join
+    left = spark.createDataFrame([(1, None), (2, "a")],
+                                 "id bigint, key string")
+    right = spark.createDataFrame([("a", 1.0)], "key string, v double")
+    out = {r["id"]: r["v"] for r in salted_join(
+        left, right, ["key"], "left", 3).collect()}
+    assert out == {1: None, 2: 1.0}
+
+
+def test_salted_join_validation(spark):
+    from anofox_forecast_spark.operators.stats import salted_join
+    df = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["key"], "right", 4)
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["key"], "inner", 1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, [], "inner", 4)
+
+
+def test_salted_join_plan_salts_the_exchange(spark):
+    """The physical claim: the join's shuffle keys include the salt, so
+    a hot key spreads over salt_buckets reducers."""
+    from anofox_forecast_spark import plans as P
+    from anofox_forecast_spark.operators.stats import salted_join
+    left = spark.createDataFrame([(1, "a")], "id bigint, key string")
+    right = spark.createDataFrame([("a", 1.0)], "key string, v double")
+    plan = P.physical_plan(
+        salted_join(left, right, ["key"], "inner", 4))
+    import re
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in e and "key" in e for e in ex), plan
