@@ -71,8 +71,17 @@ def run(spark, sf_dir: str):
     skew = skew_report(docs, ["source"], top_k=5)
     card = hll_count_distinct(docs, "text", ["lang"])
 
+    # (r9b) the report's ACTION: when a join key's skew_ratio blows past
+    # AQE's trigger, salt the big side — results pinned identical to the
+    # plain join, the hot key spreads over salt_buckets reducers
+    from anofox_forecast_spark.operators.stats import salted_join
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source_docs"))
+    enriched = salted_join(docs.select("doc_id", "source"), per_source,
+                           ["source"], "inner", salt_buckets=8)
+
     return (kept, dup_groups, near, shortlist, span_stats, rewritten,
-            weighted, skew, card)
+            weighted, skew, card, enriched)
 
 
 def run_incremental_hll(spark, sf_dir: str, registers_dir: str):
@@ -157,7 +166,7 @@ if __name__ == "__main__":
                       master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     (kept, dup_groups, near, shortlist, span_stats, rewritten, weighted,
-     skew, card) = run(spark, sf)
+     skew, card, enriched) = run(spark, sf)
     print("quality-kept docs:", kept.count())
     print("exact-dup groups:", dup_groups.count())
     print("near-dup candidate pairs:", near.count())

@@ -25,7 +25,7 @@ def test_forecast_conformal_example(spark):
 def test_llm_pipeline_example(spark):
     from examples.llm_data_pipeline import run
     (kept, dup_groups, near, shortlist, span_stats, rewritten, weighted,
-     skew, card) = run(spark, SF_DIR)
+     skew, card, enriched) = run(spark, SF_DIR)
     assert kept.count() > 0
     assert dup_groups.count() >= 0
     assert near.count() >= 0
@@ -35,6 +35,8 @@ def test_llm_pipeline_example(spark):
     assert weighted.count() > 0
     assert skew.count() == 1
     assert card.count() > 0
+    # salted enrichment == plain join row-for-row (the salt is physical)
+    assert enriched.count() == 500
 
 
 def test_llm_pipeline_incremental_hll(tmp_path, spark):
