@@ -1011,11 +1011,28 @@ def bottomk_sample(df: DataFrame, key_col: str,
     from .pipeline import md5_uniform
     gcols = list(group_cols or [])
     u = md5_uniform(F.col(key_col), seed)
-    w = Window.partitionBy(*[F.col(c) for c in gcols]) \
-              .orderBy(F.col("__u"), F.col(key_col))
+    # TWO-PHASE selection so a single giant group (or the ungrouped
+    # whole-corpus case) never funnels through one window reducer:
+    # phase 1 takes each (group, salt)'s bottom-k in parallel (64-way
+    # salt from the key hash), phase 2 re-ranks the <= 64k survivors
+    # per group. min-k of the salts' min-k's == min-k of everything
+    # (the same merge property the batch/stream split relies on), so
+    # the result is identical to the single-window form.
+    salt = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed + "#s"),
+                          F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint") % 64)
+    w1 = Window.partitionBy(*[F.col(c) for c in gcols], F.col("__salt")) \
+               .orderBy(F.col("__u"), F.col(key_col))
+    w2 = Window.partitionBy(*[F.col(c) for c in gcols]) \
+               .orderBy(F.col("__u"), F.col(key_col))
     return (df.withColumn("__u", u)
-              .withColumn("sample_rank", F.row_number().over(w))
+              .withColumn("__salt", salt)
+              .withColumn("__r1", F.row_number().over(w1))
+              .filter(F.col("__r1") <= k)
+              .withColumn("sample_rank", F.row_number().over(w2))
               .filter(F.col("sample_rank") <= k)
+              .drop("__salt", "__r1")
               .withColumnRenamed("__u", "sample_u"))
 
 

@@ -359,10 +359,12 @@ def test_r9b_operator_shuffle_budgets(spark):
     assert rep["python_udf_nodes"] == 0
 
     samp = bottomk_sample(keys, "key", ["grp"], k=1)
-    P.assert_max_exchanges(samp, 1)            # the window exchange
+    # two-phase min-k: the per-salt window + the per-group re-rank (so a
+    # single giant group never funnels through one reducer)
+    P.assert_max_exchanges(samp, 2)
     sq = sampled_quantiles(keys.withColumn("v", F.rand()), "key", "v",
                            ["grp"], k=1)
-    P.assert_max_exchanges(sq, 2)              # window + aggregate
+    P.assert_max_exchanges(sq, 3)              # 2 windows + aggregate
 
     red = pii_redact(docs, "text")
     P.assert_max_exchanges(red, 0)
