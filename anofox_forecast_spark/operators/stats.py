@@ -947,11 +947,23 @@ def bloom_contains(df: DataFrame, regs: DataFrame, key_col: str,
             result_col,
             F.when(F.col(key_col).isNotNull(),
                    F.col(result_col)).otherwise(F.lit(None)))
+    extra = set(regs.columns) - {"bloom_word", "bloom_bits"}
+    if extra:
+        # a GROUPED register table has one sketch per group — collapsing
+        # it into one literal array would silently mix the groups
+        raise ValueError(
+            f"regs carries group columns {sorted(extra)}; pass "
+            f"group_cols= to probe per-group filters")
     n_words = m_bits // 32
     rows = regs.select("bloom_word", "bloom_bits").collect()  # <= m_bits/32
     words = [0] * n_words
     for r in rows:
-        words[int(r["bloom_word"])] = int(r["bloom_bits"])
+        w = int(r["bloom_word"])
+        if not (0 <= w < n_words):
+            raise ValueError(
+                f"register word {w} out of range for m_bits={m_bits} — "
+                f"the table was built with a different geometry")
+        words[w] = int(r["bloom_bits"])
     lit_words = F.array(*[F.lit(w).cast("bigint") for w in words])
     checks = []
     for i in range(1, k + 1):
@@ -1152,6 +1164,13 @@ def cm_estimate(keys_df: DataFrame, regs: DataFrame, key_col: str,
     broadcast hash join against it — the corpus side never shuffles.
     """
     _cm_check(width, depth)
+    extra = set(regs.columns) - {"cm_row", "cm_col", "cm_count"}
+    if extra:
+        # a GROUPED register table has one sketch per group — joining on
+        # (row, col) alone would silently sum across the groups
+        raise ValueError(
+            f"regs carries group columns {sorted(extra)}; filter to one "
+            f"group (or drop the group columns deliberately) first")
     from pyspark.sql.functions import broadcast
     cols = list(keys_df.columns)
     cells = F.array(*[

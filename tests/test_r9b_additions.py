@@ -625,3 +625,22 @@ def test_salted_join_plan_salts_the_exchange(spark):
     import re
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt" in e and "key" in e for e in ex), plan
+
+
+def test_probes_reject_grouped_or_mismatched_registers(spark):
+    """Silent-corruption guards: an ungrouped probe must refuse a
+    GROUPED register table (it would mix the groups), and a literal
+    probe must refuse registers built at a different geometry."""
+    from anofox_forecast_spark.operators.stats import (
+        bloom_contains, bloom_registers, cm_estimate, cm_registers)
+    df = spark.createDataFrame([("g", "a")], "grp string, key string")
+    bregs = bloom_registers(df, "key", ["grp"], m_bits=64, k=2, seed="t")
+    with pytest.raises(ValueError, match="group columns"):
+        bloom_contains(df, bregs, "key", m_bits=64, k=2, seed="t")
+    big = bloom_registers(df, "key", m_bits=1024, k=2, seed="t")
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_contains(df, big, "key", m_bits=32, k=2, seed="t")
+    cregs = cm_registers(df, "key", ["grp"], width=8, depth=2, seed="t")
+    with pytest.raises(ValueError, match="group columns"):
+        cm_estimate(df.select("key"), cregs, "key", width=8, depth=2,
+                    seed="t")
