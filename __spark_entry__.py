@@ -1283,6 +1283,8 @@ _CM_W, _CM_D = 32, 3
 _BK_K = 64
 #: r9b: Bloom decontamination geometry (tight: real FPs vs ~700 bench grams)
 _DCB_M, _DCB_K = 4096, 3
+#: r9b: chunking window/overlap (tokens)
+_CHK_W, _CHK_O = 16, 4
 _MIX_TGT = {"src0": 0.3, "src1": 0.3, "src2": 0.4}
 _TB_BUDGET = 2000
 #: DuckDB replay of text.token_count(text, 'whitespace')
@@ -1311,6 +1313,14 @@ def _pipeline_queries():
         bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
         return PL.decontaminate_ngrams(docs, bench, "doc_id", "text",
                                        n=_DECON_N, threshold=_DECON_T)
+
+    def q_chunk_overlap(spark, sf):
+        # overlapping fixed-width chunking (window 16, overlap 4): docs
+        # span the one-chunk and many-chunk branches, the short last
+        # chunk, and the empty-doc zero-row edge
+        return PL.chunk_text(_docs(spark, sf), "doc_id", "text",
+                             window_tokens=_CHK_W,
+                             overlap_tokens=_CHK_O)
 
     def q_decontaminate_bloom(spark, sf):
         # the Bloom-gated variant at a deliberately tight geometry
@@ -1431,6 +1441,7 @@ def _pipeline_queries():
         "pipeline_c4": q_c4,
         "pipeline_decontaminate": q_decontaminate,
         "pipeline_decontaminate_bloom": q_decontaminate_bloom,
+        "pipeline_chunk_overlap": q_chunk_overlap,
         "pipeline_sample_hash": q_sample_hash,
         "pipeline_sample_stratified": q_sample_stratified,
         "pipeline_pack_chunked": q_pack,
@@ -2149,7 +2160,6 @@ _WINDOW = [
     "prep_validate_timestamps",
     "hier_split_keys", "hier_validate_separator",
     "cv_folds_sliding", "cv_split_folds",
-    "conformal_interval_width",
     "dedup_exact_groups", "dedup_embedding_cosine",
     # --- reserved: r9b-new contracts (this session's additions; six r2
     # keys deferred to r10 to make room — cv_hydrate (family keeps
@@ -2185,6 +2195,10 @@ _WINDOW = [
     # (stats_summary deferred to r10 — the stats family holds seven
     # r9-fresh slots and it replays green at HEAD)
     "stats_salted_join",
+    # overlapping RAG chunking (conformal_interval_width deferred to
+    # r10 — the conformal family keeps the two reserved ACI slots and
+    # it replays green at HEAD)
+    "pipeline_chunk_overlap",
 ]
 
 
@@ -8868,6 +8882,26 @@ SELECT t.doc_id, t.n_ngrams,
         THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / t.n_ngrams
         ELSE 0.0 END) >= {_DECON_T} AS contaminated
 FROM tot t LEFT JOIN m USING (doc_id)
+"""
+
+    # pipeline.chunk_text replay: same start arithmetic, DuckDB's
+    # inclusive 1-based list slice == Spark's slice(start, length)
+    o["pipeline_chunk_overlap"] = f"""
+WITH d AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+t AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+c AS (SELECT doc_id, ws,
+        CASE WHEN n <= 0 THEN 0 WHEN n <= {_CHK_W} THEN 1
+             ELSE CAST(ceil(CAST(n - {_CHK_W} AS DOUBLE)
+                            / 12) AS INTEGER) + 1 END AS nc
+      FROM t),
+x AS (SELECT doc_id, ws,
+        CAST(unnest(range(0, nc)) AS INTEGER) AS chunk_index
+      FROM c WHERE nc > 0)
+SELECT doc_id, chunk_index,
+  CAST(chunk_index * 12 + 1 AS INTEGER) AS chunk_start,
+  CAST(len(ws[(chunk_index * 12 + 1):(chunk_index * 12 + 16)]) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(ws[(chunk_index * 12 + 1):(chunk_index * 12 + 16)], ' ') AS chunk_text
+FROM x
 """
 
     u = _pl_uniform("doc_id", "r7")

@@ -95,6 +95,7 @@ from .events import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     c4_stats,
+    chunk_text,
     decontaminate_ngrams,
     decontaminate_ngrams_bloom,
     dedup_lines,

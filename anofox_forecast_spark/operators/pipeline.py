@@ -339,6 +339,46 @@ def decontaminate_ngrams_bloom(docs: DataFrame, bench: DataFrame,
                .withColumn("contaminated", frac >= F.lit(threshold)))
 
 
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               window_tokens: int = 256, overlap_tokens: int = 0) -> DataFrame:
+    """Split documents into overlapping fixed-width token chunks — the
+    RAG/embedding prep step (contrast :func:`pack_chunked`, which packs
+    whole docs INTO windows; this cuts one doc into many windows).
+    Chunk i starts at token ``1 + i * (window - overlap)``; starts are
+    generated while they open at least one unseen token, so every token
+    is covered, the last chunk may be short, and a doc with at most
+    ``window_tokens`` tokens yields exactly one chunk. Empty docs yield
+    none.
+
+    Output: ``(id, chunk_index, chunk_start, n_chunk_tokens,
+    chunk_text)``. Pure Catalyst (split + sequence + slice + explode):
+    a narrow map whose output size is input size x (1 + overlap
+    fraction) — no shuffle, no Python, linear at 100 TB.
+    """
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    if not (0 <= overlap_tokens < window_tokens):
+        raise ValueError("overlap_tokens must be in [0, window_tokens)")
+    stride = window_tokens - overlap_tokens
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= window_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window_tokens)).cast("double") / stride)
+        .cast("int") + 1)
+    starts = F.when(n_chunks > 0,
+                    F.sequence(F.lit(0), n_chunks - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), ws.alias("__ws"),
+                     F.explode(starts).alias("chunk_index"))
+    start = (F.col("chunk_index") * stride + 1).cast("int")
+    piece = F.slice(F.col("__ws"), start, window_tokens)
+    return base.select(
+        id_col, "chunk_index", start.alias("chunk_start"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus-wide line/paragraph dedup (CCNet-style boilerplate removal)
 # ---------------------------------------------------------------------------

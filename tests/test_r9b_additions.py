@@ -644,3 +644,58 @@ def test_probes_reject_grouped_or_mismatched_registers(spark):
     with pytest.raises(ValueError, match="group columns"):
         cm_estimate(df.select("key"), cregs, "key", width=8, depth=2,
                     seed="t")
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking
+# ---------------------------------------------------------------------------
+
+def test_chunk_text_handcrafted(spark):
+    from anofox_forecast_spark.operators.pipeline import chunk_text
+    df = _docs(spark, [
+        (1, "a b c d e f g h i j"),   # 10 tokens
+        (2, "x y"),                   # one short chunk
+        (3, ""),                      # no chunks
+    ])
+    out = chunk_text(df, "doc_id", "text", window_tokens=4,
+                     overlap_tokens=1)
+    got = sorted((r["doc_id"], r["chunk_index"], r["chunk_start"],
+                  r["n_chunk_tokens"], r["chunk_text"])
+                 for r in out.collect())
+    assert got == [
+        (1, 0, 1, 4, "a b c d"),
+        (1, 1, 4, 4, "d e f g"),
+        (1, 2, 7, 4, "g h i j"),
+        (2, 0, 1, 2, "x y"),
+    ]
+
+
+def test_chunk_text_covers_every_token_once_per_overlap(spark):
+    """Reassembling chunks (dropping each chunk's first `overlap` tokens
+    after the first chunk) reconstructs the document exactly."""
+    from anofox_forecast_spark.operators.pipeline import chunk_text
+    import re as _re
+    texts = ["one two three four five six seven eight nine ten eleven",
+             "alpha beta", "solo", ""]
+    df = _docs(spark, list(enumerate(texts)))
+    w, o = 5, 2
+    out = chunk_text(df, "doc_id", "text", w, o)
+    by_doc: dict = {}
+    for r in sorted(out.collect(),
+                    key=lambda r: (r["doc_id"], r["chunk_index"])):
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        cur = by_doc.setdefault(r["doc_id"], [])
+        cur.extend(toks if r["chunk_index"] == 0 else toks[o:])
+    for i, t in enumerate(texts):
+        want = _re.split(r"\s+", t.lower().strip()) if t.strip() else []
+        assert by_doc.get(i, []) == want, i
+
+
+def test_chunk_text_validation(spark):
+    from anofox_forecast_spark.operators.pipeline import chunk_text
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", window_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", window_tokens=4,
+                   overlap_tokens=4)
