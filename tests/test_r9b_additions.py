@@ -699,3 +699,33 @@ def test_chunk_text_validation(spark):
     with pytest.raises(ValueError):
         chunk_text(df, "doc_id", "text", window_tokens=4,
                    overlap_tokens=4)
+
+
+def test_r9b_ops_invariant_under_repartitioning(spark):
+    """The determinism claim every contract key rests on: identical
+    results for any input partitioning (1, 7, and 32 partitions)."""
+    from anofox_forecast_spark.operators.pipeline import chunk_text
+    from anofox_forecast_spark.operators.stats import (
+        bloom_registers, cm_registers, salted_join, sampled_quantiles)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "lang",
+                F.col("doc_id").cast("string").alias("key"))
+
+    def snap(fn):
+        outs = []
+        for parts in (1, 7, 32):
+            d = docs.repartition(parts)
+            outs.append(sorted(map(tuple, fn(d).collect())))
+        assert outs[0] == outs[1] == outs[2]
+        assert len(outs[0]) > 0
+
+    snap(lambda d: bloom_registers(d, "key", ["lang"], m_bits=256, k=2,
+                                   seed="t"))
+    snap(lambda d: cm_registers(d, "key", width=16, depth=2, seed="t"))
+    snap(lambda d: sampled_quantiles(d.withColumn(
+        "v", F.length("text").cast("double")), "key", "v", ["lang"],
+        k=16, seed="t"))
+    snap(lambda d: chunk_text(d, "doc_id", "text", 16, 4))
+    dim = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    snap(lambda d: salted_join(d.select("doc_id", "lang"), dim,
+                               ["lang"], "inner", 4))
