@@ -369,14 +369,24 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
     starts = F.when(n_chunks > 0,
                     F.sequence(F.lit(0), n_chunks - 1)) \
               .otherwise(F.array().cast("array<int>"))
-    base = df.select(F.col(id_col), ws.alias("__ws"),
-                     F.explode(starts).alias("chunk_index"))
-    start = (F.col("chunk_index") * stride + 1).cast("int")
-    piece = F.slice(F.col("__ws"), start, window_tokens)
+    # slice INSIDE the transform, BEFORE exploding: an explode-then-slice
+    # would duplicate the full token array once per chunk (n_chunks x doc
+    # size of transient row width on a long document); this way each
+    # generated row carries only its own piece, and total work is
+    # n x (1 + overlap fraction) tokens
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_index"),
+            (i * stride + 1).cast("int").alias("chunk_start"),
+            F.slice(ws, i * stride + 1, F.lit(window_tokens))
+             .alias("piece")))
+    base = df.select(F.col(id_col), F.explode(chunks).alias("__c"))
     return base.select(
-        id_col, "chunk_index", start.alias("chunk_start"),
-        F.size(piece).alias("n_chunk_tokens"),
-        F.concat_ws(" ", piece).alias("chunk_text"))
+        id_col, F.col("__c.chunk_index").alias("chunk_index"),
+        F.col("__c.chunk_start").alias("chunk_start"),
+        F.size("__c.piece").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__c.piece")).alias("chunk_text"))
 
 
 # ---------------------------------------------------------------------------
