@@ -1215,6 +1215,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str],
         raise ValueError("salt_buckets must be >= 2")
     if not on:
         raise ValueError("on must be non-empty")
+    if "__salt" in (*left.columns, *right.columns):
+        raise ValueError("'__salt' is reserved by salted_join")
     row_fp = F.md5(F.concat_ws(
         "\x1f", *[F.col(c).cast("string") for c in left.columns]))
     salt = (F.conv(F.substring(row_fp, 1, 8), 16, 10).cast("bigint")

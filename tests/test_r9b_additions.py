@@ -611,6 +611,9 @@ def test_salted_join_validation(spark):
         salted_join(df, df, ["key"], "inner", 1)
     with pytest.raises(ValueError):
         salted_join(df, df, [], "inner", 4)
+    bad = df.withColumnRenamed("id", "__salt")
+    with pytest.raises(ValueError):
+        salted_join(bad, df, ["key"], "inner", 4)
 
 
 def test_salted_join_plan_salts_the_exchange(spark):
