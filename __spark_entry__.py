@@ -1696,6 +1696,27 @@ def _events_queries():
                                seed="bf")
         return bloom_stats(regs, m_bits=_BLOOM_M, k=_BLOOM_K)
 
+    def q_bloom_grouped(spark, sf):
+        # the grouped probe branch (broadcast register join, one sketch
+        # per lang) — probes each doc against ITS lang's filter plus a
+        # registerless 'xx' group (must probe False: an empty filter
+        # contains nothing); cross-engine FPs included as usual
+        from anofox_forecast_spark.operators.stats import (
+            bloom_contains, bloom_registers)
+        keys = _docs(spark, sf).select(
+            "lang", "doc_id", F.col("doc_id").cast("string").alias("key"))
+        regs = bloom_registers(keys.filter(F.col("doc_id") % 17 == 0),
+                               "key", ["lang"], m_bits=_BLOOM_M,
+                               k=_BLOOM_K, seed="bf")
+        probes = keys.unionByName(
+            keys.withColumn("lang", F.lit("xx")))
+        out = bloom_contains(probes, regs, "key", m_bits=_BLOOM_M,
+                             k=_BLOOM_K, seed="bf", group_cols=["lang"])
+        return out.select(
+            "doc_id", "lang", "bloom_maybe",
+            ((F.col("doc_id") % 17 == 0) & (F.col("lang") != "xx"))
+            .alias("is_bench"))
+
     def q_cm_frequency(spark, sf):
         # per-user event counts through a deliberately narrow Count-Min
         # sketch (width 32 vs ~150 users -> real collisions) next to the
@@ -1845,6 +1866,7 @@ def _events_queries():
         "stats_hll_distinct_raw": q_hll_raw,
         "stats_skew_report": q_skew_report,
         "stats_bloom_contains": q_bloom_contains,
+        "stats_bloom_contains_grouped": q_bloom_grouped,
         "stats_bloom_fill": q_bloom_fill,
         "stats_cm_frequency": q_cm_frequency,
         "stats_sampled_quantiles": q_sampled_quantiles,
@@ -2150,7 +2172,7 @@ _WINDOW = [
     # its family's heavier cogrouped legs were driver-checked r4)
     # (forecast_events_naive also deferred: the naive family keeps
     # seasonal_naive/rwd/naive_intds slots + the r5 clamp-chain evidence)
-    "forecast_seasonal_naive", "forecast_rwd", "forecast_seasonal_es",
+    "forecast_seasonal_naive", "forecast_rwd",
     "forecast_croston",
     "forecast_naive_intds",
     # (prep_fill_unknown_last deferred: its sibling fill_unknown_null was
@@ -2199,6 +2221,10 @@ _WINDOW = [
     # r10 — the conformal family keeps the two reserved ACI slots and
     # it replays green at HEAD)
     "pipeline_chunk_overlap",
+    # the grouped bloom-probe branch (broadcast register join;
+    # forecast_seasonal_es deferred to r10 — its optimized sibling was
+    # r4-checked and the cheap-forecast family keeps 3 slots)
+    "stats_bloom_contains_grouped",
 ]
 
 
@@ -10181,6 +10207,28 @@ FROM hit GROUP BY doc_id
     # aggregated register table equals the batch sketch and the probe
     # replay is the same SQL
     o["streaming_bloom_contains"] = o["stats_bloom_contains"]
+    # the grouped probe branch: one sketch per lang, probes carry their
+    # group; the 'xx' rows hit no registers and must probe False
+    _blg_prs = " UNION ALL ".join(
+        f"SELECT lang, doc_id, ({_pl_hexfold(_bloom_h(i), 15)} "
+        f"% {_BLOOM_M}) AS p FROM keys" for i in range(1, _BLOOM_K + 1))
+    o["stats_bloom_contains_grouped"] = f"""
+WITH k0 AS (SELECT lang, doc_id, CAST(doc_id AS VARCHAR) AS key
+            FROM documents),
+keys AS (SELECT * FROM k0
+         UNION ALL SELECT 'xx', doc_id, key FROM k0),
+pr AS (SELECT lang, doc_id, p // 32 AS w,
+         (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mk
+       FROM ({_blg_prs})),
+regs AS (SELECT lang, w, bit_or(mk) AS bits FROM pr
+         WHERE doc_id % 17 = 0 AND lang <> 'xx' GROUP BY lang, w),
+hit AS (SELECT pr.lang, pr.doc_id,
+          coalesce((r.bits & pr.mk) <> 0, FALSE) AS h
+        FROM pr LEFT JOIN regs r ON pr.lang = r.lang AND pr.w = r.w)
+SELECT doc_id, lang, bool_and(h) AS bloom_maybe,
+       (doc_id % 17 = 0 AND lang <> 'xx') AS is_bench
+FROM hit GROUP BY doc_id, lang
+"""
 
     # stats.salted_join replay: salting is physical-only, so the oracle
     # IS the plain join — exactly the result-identity claim to pin
