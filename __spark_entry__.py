@@ -217,6 +217,23 @@ def _prep_queries():
             lineitem_panel(spark, sf), "id", "ds",
             ["1998-01-01", "1998-01-02", "1998-01-03"]).drop("missing_timestamps")
 
+    def q_scale_zscore(spark, sf):
+        return prep.ts_scale_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                                "zscore")
+
+    def q_scale_minmax(spark, sf):
+        return prep.ts_scale_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                                "minmax")
+
+    def q_scale_robust(spark, sf):
+        return prep.ts_scale_by(lineitem_panel(spark, sf), "id", "ds", "y",
+                                "robust")
+
+    def q_winsorize(spark, sf):
+        # 5/95 so the sf corpus shows real clipping on both tails
+        return prep.ts_winsorize_by(lineitem_panel(spark, sf), "id", "ds",
+                                    "y", 0.05, 0.95)
+
     return {
         "prep_fill_gaps": q_fill_gaps,
         "prep_fill_forward": q_fill_forward,
@@ -238,6 +255,10 @@ def _prep_queries():
         "prep_fill_unknown_last": q_fill_unknown_last,
         "prep_fill_unknown_null": q_fill_unknown_null,
         "prep_validate_timestamps": q_validate_timestamps,
+        "prep_scale_zscore": q_scale_zscore,
+        "prep_scale_minmax": q_scale_minmax,
+        "prep_scale_robust": q_scale_robust,
+        "prep_winsorize": q_winsorize,
     }
 
 
@@ -1436,6 +1457,16 @@ def _pipeline_queries():
         return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
                                    k=_SPAN_K, min_count=2, keep_first=True)
 
+    def q_dsir_weights(spark, sf):
+        # DSIR (Xie et al. 2023): target LM = the doc_id % 5 == 0 slice
+        # (the lm_score_cross train split), raw LM = the corpus itself;
+        # log_weight = n_bigrams * (mean_t - mean_r). Both LM branches'
+        # physical paths (backoff LEFT joins vs denominator pre-join)
+        # run in ONE query here.
+        docs = _docs(spark, sf)
+        target = docs.filter(F.col("doc_id") % 5 == 0)
+        return PL.dsir_weights(docs, "doc_id", "text", target)
+
     return {
         "pipeline_gopher": q_gopher,
         "pipeline_c4": q_c4,
@@ -1459,6 +1490,7 @@ def _pipeline_queries():
         "pipeline_lm_score": q_lm_score,
         "pipeline_lm_score_cross": q_lm_score_cross,
         "pipeline_temperature_weights": q_temperature_weights,
+        "pipeline_dsir_weights": q_dsir_weights,
     }
 
 
@@ -2155,12 +2187,26 @@ _WINDOW = [
     "pipeline_temperature_weights",
     # the LM's foreign-train LEFT-join branch (backoff floor path)
     "pipeline_lm_score_cross",
-    # --- stalest cohort, r1 (the full 14) ---
-    "metric_mse", "metric_rmse", "metric_mape", "metric_smape",
-    "metric_r2", "metric_bias", "metric_mase", "metric_rmae",
-    "metric_coverage", "metric_quantile_loss",
+    # --- stalest cohort, r1 (9 of 14; metric_mse/rmse/r2/bias/coverage
+    # deferred to r10 to seat the five r9c-new contracts below — all 12
+    # metric keys share ts_<metric>_by's one higher-order-function
+    # machinery (functions/metrics.py), the five deferred replay green
+    # at HEAD in pytest, and five siblings keep the family's driver
+    # slots this round) ---
+    "metric_mape", "metric_smape", "metric_mase", "metric_rmae",
+    "metric_quantile_loss",
     "prep_fill_forward", "prep_fill_nulls_forward",
     "prep_fill_nulls_backward", "prep_fill_nulls_const",
+    # --- reserved: r9c-new contracts (this session) ---
+    # per-series scaling: three methods = three stats shapes (fold
+    # mean/var, order stats, type-7 median/IQR) over one sorted-array
+    # physical plan; broadcast stats join back
+    "prep_scale_zscore", "prep_scale_minmax", "prep_scale_robust",
+    # per-series quantile clipping (same plan; boolean verdict column)
+    "prep_winsorize",
+    # DSIR importance weights (Xie et al. 2023): both lm_score physical
+    # branches composed in one query, log_weight = n * mean-gap
+    "pipeline_dsir_weights",
     # --- stalest cohort, r2 (29 of 36; the 7 deferred to r10 —
     # dedup_ngram_jaccard, cv_split, hier_combine_keys,
     # prep_fill_gaps_monthly, stats_quality_report, conformal_calibrate,
@@ -2379,6 +2425,18 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # pow's last ulp enters the source-sorted psum fold and every weight
     "pipeline_temperature_weights": (["natural_share", "weight",
                                       "up_ratio"], 6),
+    # per-series scaling: fold sums + sqrt/interpolation — same pin
+    # rationale as stats_group_quantiles (minmax is order-stats-exact;
+    # pinned uniformly for one contract shape across the three methods)
+    "prep_scale_zscore": (["scale_loc", "scale_scale", "y_scaled"], 6),
+    "prep_scale_minmax": (["scale_loc", "scale_scale", "y_scaled"], 6),
+    "prep_scale_robust": (["scale_loc", "scale_scale", "y_scaled"], 6),
+    "prep_winsorize": (["clip_lo", "clip_hi", "y_winsorized"], 6),
+    # two ln-per-bigram folds and their difference; log_weight multiplies
+    # the mean gap back up by n_bigrams (≤ a few hundred) — still far
+    # inside the 6dp quantum
+    "pipeline_dsir_weights": (["logprob_target", "logprob_raw",
+                               "log_weight"], 6),
 }
 
 
@@ -5865,6 +5923,76 @@ SELECT id, bool_and(found) AS is_valid, count(*) AS n_expected,
        CAST(sum(CASE WHEN NOT found THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM v GROUP BY id
 """
+
+    # ts_scale_by / ts_winsorize_by: per-group stats over the VALUE-sorted
+    # list (list_reduce == the Spark array_sort fold, bit-for-bit); the
+    # type-7 interpolation is expression-identical to stats_group_quantiles
+    def _q7sql(q: float) -> str:
+        fr = f"({q} * CAST(n - 1 AS DOUBLE) - floor({q} * (n - 1)))"
+        lo = f"arr[CAST(floor({q} * (n - 1)) AS INT) + 1]"
+        hi = f"arr[least(CAST(floor({q} * (n - 1)) AS INT) + 2, n)]"
+        return (f"CASE WHEN n = 1 THEN arr[1] "
+                f"ELSE {lo} * (1.0 - {fr}) + {hi} * {fr} END")
+
+    _SCALE_G = f"""
+WITH panel AS ({_PANEL}),
+g AS (SELECT id, list_sort(list(CAST(y AS DOUBLE))
+                           FILTER (WHERE y IS NOT NULL)) AS arr,
+             CAST(count(y) AS INT) AS n
+      FROM panel GROUP BY id)"""
+
+    o["prep_scale_zscore"] = f"""
+{_SCALE_G},
+s AS (SELECT id, n,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr), (a, x) -> a + x)
+          / CAST(n AS DOUBLE) AS loc
+      FROM g),
+s2 AS (SELECT g.id, s.loc,
+         CASE WHEN g.n >= 2 THEN sqrt(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(g.arr, x -> (x - s.loc) * (x - s.loc))),
+             (a, x) -> a + x) / CAST(g.n - 1 AS DOUBLE)) END AS scl
+       FROM g JOIN s USING (id))
+SELECT p.id, p.ds, p.y, s2.loc AS scale_loc, s2.scl AS scale_scale,
+  CASE WHEN s2.scl > 0 THEN (CAST(p.y AS DOUBLE) - s2.loc) / s2.scl END
+    AS y_scaled
+FROM panel p JOIN s2 USING (id)
+"""
+
+    o["prep_scale_minmax"] = f"""
+{_SCALE_G},
+s AS (SELECT id, arr[1] AS loc,
+             CASE WHEN n >= 1 THEN arr[n] - arr[1] END AS scl
+      FROM g)
+SELECT p.id, p.ds, p.y, s.loc AS scale_loc, s.scl AS scale_scale,
+  CASE WHEN s.scl > 0 THEN (CAST(p.y AS DOUBLE) - s.loc) / s.scl END
+    AS y_scaled
+FROM panel p JOIN s USING (id)
+"""
+
+    o["prep_scale_robust"] = f"""
+{_SCALE_G},
+s AS (SELECT id, {_q7sql(0.5)} AS loc,
+             CASE WHEN n >= 1
+                  THEN ({_q7sql(0.75)}) - ({_q7sql(0.25)}) END AS scl
+      FROM g)
+SELECT p.id, p.ds, p.y, s.loc AS scale_loc, s.scl AS scale_scale,
+  CASE WHEN s.scl > 0 THEN (CAST(p.y AS DOUBLE) - s.loc) / s.scl END
+    AS y_scaled
+FROM panel p JOIN s USING (id)
+"""
+
+    o["prep_winsorize"] = f"""
+{_SCALE_G},
+s AS (SELECT id, {_q7sql(0.05)} AS lo, {_q7sql(0.95)} AS hi FROM g)
+SELECT p.id, p.ds, p.y, s.lo AS clip_lo, s.hi AS clip_hi,
+  CASE WHEN CAST(p.y AS DOUBLE) < s.lo THEN s.lo
+       WHEN CAST(p.y AS DOUBLE) > s.hi THEN s.hi
+       ELSE CAST(p.y AS DOUBLE) END AS y_winsorized,
+  coalesce(CAST(p.y AS DOUBLE) < s.lo OR CAST(p.y AS DOUBLE) > s.hi,
+           false) AS was_clipped
+FROM panel p JOIN s USING (id)
+"""
     return o
 
 
@@ -9309,6 +9437,54 @@ per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
        per.s / per.n_bigrams AS mean_logprob
 FROM d LEFT JOIN per USING (doc_id)
+"""
+    # pipeline.dsir_weights: BOTH lm_score branches in one query — raw =
+    # the self-scoring inner-join path, target = the doc_id % 5 = 0
+    # foreign-train backoff path; log_weight = n * (mean_t - mean_r)
+    # computed mean-first exactly like the Spark column arithmetic
+    o["pipeline_dsir_weights"] = f"""
+WITH d AS (SELECT doc_id, {_PL_WS} AS ws FROM documents),
+bg AS (SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS pos
+             FROM d WHERE len(ws) >= 2)),
+runi AS (SELECT w1, count(*) AS c1
+         FROM (SELECT unnest(ws) AS w1 FROM d) GROUP BY w1),
+rv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM runi),
+rbc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+rj AS (SELECT bg.doc_id, bg.pos,
+         ln((CAST(rbc.c12 AS DOUBLE) + 1.0)
+            / (CAST(runi.c1 AS DOUBLE) + 1.0 * rv.V)) AS lp
+       FROM bg JOIN rbc USING (w1, w2) JOIN runi USING (w1), rv),
+pr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(lp ORDER BY pos)),
+                     (a, x) -> a + x) AS s
+       FROM rj GROUP BY doc_id),
+tr AS (SELECT ws FROM d WHERE doc_id % 5 = 0),
+tuni AS (SELECT w1, count(*) AS c1
+         FROM (SELECT unnest(ws) AS w1 FROM tr) GROUP BY w1),
+tv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM tuni),
+tbc AS (SELECT w1, w2, count(*) AS c12
+        FROM (SELECT ws[pos] AS w1, ws[pos + 1] AS w2
+              FROM (SELECT ws, unnest(range(1, len(ws))) AS pos
+                    FROM tr WHERE len(ws) >= 2))
+        GROUP BY w1, w2),
+tj AS (SELECT bg.doc_id, bg.pos,
+         ln((CAST(coalesce(tbc.c12, 0) AS DOUBLE) + 1.0)
+            / (CAST(coalesce(tuni.c1, 0) AS DOUBLE) + 1.0 * tv.V)) AS lp
+       FROM bg LEFT JOIN tbc USING (w1, w2) LEFT JOIN tuni USING (w1), tv),
+pt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(lp ORDER BY pos)),
+                     (a, x) -> a + x) AS s
+       FROM tj GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pt.n, 0) AS n_bigrams,
+  pt.s / pt.n AS logprob_target,
+  pr.s / pr.n AS logprob_raw,
+  CASE WHEN coalesce(pt.n, 0) > 0
+       THEN CAST(pt.n AS DOUBLE) * (pt.s / pt.n - pr.s / pr.n) END
+    AS log_weight
+FROM d LEFT JOIN pt USING (doc_id) LEFT JOIN pr USING (doc_id)
 """
     return o
 

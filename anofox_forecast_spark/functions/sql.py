@@ -3764,6 +3764,200 @@ class StatsSkewReportUDTF:
                mx / mean, top)
 
 
+def _scale_stats(vals: list, method: str):
+    """(loc, scale) over a group's non-null values — the Python replay of
+    ``prep.ts_scale_by``'s sorted-array arithmetic (same fold order)."""
+    v = sorted(vals)
+    n = len(v)
+    if n == 0:
+        return None, None
+    if method == "zscore":
+        s = 0.0
+        for x in v:
+            s = s + x
+        loc = s / float(n)
+        if n < 2:
+            return loc, None
+        s2 = 0.0
+        for x in v:
+            d = x - loc
+            s2 = s2 + d * d
+        return loc, math.sqrt(s2 / float(n - 1))
+    if method == "minmax":
+        return v[0], v[-1] - v[0]
+    # robust: type-7 median / IQR
+    return _q7_list(v, 0.5), _q7_list(v, 0.75) - _q7_list(v, 0.25)
+
+
+def _q7_list(v: list, p: float) -> float:
+    n = len(v)
+    if n == 1:
+        return float(v[0])
+    ix = float(p) * float(n - 1)
+    lo = math.floor(ix)
+    frac = ix - float(lo)
+    hi = min(lo + 1, n - 1)
+    return float(v[int(lo)]) * (1.0 - frac) + float(v[int(hi)]) * frac
+
+
+class TsScaleUDTF:
+    """``ts_scale_by(TABLE(t), group_col, ds_col, y_col, method)`` — SQL
+    form of ``operators/prep.py::ts_scale_by`` (zscore | minmax | robust),
+    value-identical to the DataFrame op (same sorted-fold arithmetic).
+    Grouped partitioning; the DataFrame op's broadcast-stats-join plan is
+    the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
+                method: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        if method.value not in ("zscore", "minmax", "robust"):
+            raise ValueError(f"unknown scaling method: {method.value!r}")
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(g, schema[g].dataType),
+            T.StructField(d, schema[d].dataType),
+            T.StructField(y, schema[y].dataType),
+            T.StructField("scale_loc", T.DoubleType()),
+            T.StructField("scale_scale", T.DoubleType()),
+            T.StructField("y_scaled", T.DoubleType())]),
+            partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, method):
+        self._args = (group_col, ds_col, y_col, method)
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, y_col, method = self._args
+        loc, scale = _scale_stats(
+            [float(r[y_col]) for r in self._rows if r[y_col] is not None],
+            method)
+        for r in self._rows:
+            y = r[y_col]
+            scaled = ((float(y) - loc) / scale
+                      if y is not None and scale is not None and scale > 0
+                      else None)
+            yield (r[group_col], r[ds_col], y, loc, scale, scaled)
+
+
+class TsWinsorizeUDTF:
+    """``ts_winsorize_by(TABLE(t), group_col, ds_col, y_col, lower,
+    upper)`` — SQL form of ``operators/prep.py::ts_winsorize_by``
+    (per-group type-7 quantile clipping), value-identical to the
+    DataFrame op."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
+                lower: AnalyzeArgument, upper: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        if not (0.0 <= float(lower.value) < float(upper.value) <= 1.0):
+            raise ValueError("need 0 <= lower < upper <= 1")
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(g, schema[g].dataType),
+            T.StructField(d, schema[d].dataType),
+            T.StructField(y, schema[y].dataType),
+            T.StructField("clip_lo", T.DoubleType()),
+            T.StructField("clip_hi", T.DoubleType()),
+            T.StructField("y_winsorized", T.DoubleType()),
+            T.StructField("was_clipped", T.BooleanType())]),
+            partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, lower, upper):
+        self._args = (group_col, ds_col, y_col, float(lower), float(upper))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, y_col, lower, upper = self._args
+        v = sorted(float(r[y_col]) for r in self._rows
+                   if r[y_col] is not None)
+        lo = _q7_list(v, lower) if v else None
+        hi = _q7_list(v, upper) if v else None
+        for r in self._rows:
+            y = r[y_col]
+            if y is None or lo is None:
+                yield (r[group_col], r[ds_col], y, lo, hi, None, False)
+            else:
+                fy = float(y)
+                wz = lo if fy < lo else (hi if fy > hi else fy)
+                yield (r[group_col], r[ds_col], y, lo, hi, wz,
+                       fy < lo or fy > hi)
+
+
+class PipelineDsirWeightsUDTF:
+    """``pipeline_dsir_weights(TABLE(t), id_col, text_col, is_target_col)``
+    — SQL form of ``operators/pipeline.py::dsir_weights`` with the target
+    corpus marked by a boolean column (one-table UDTF calling convention):
+    target LM trains on marked rows, raw LM on every row, both scoring the
+    full table. Corpus-global counts, so single partition — audit scale;
+    the DataFrame op is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument,
+                is_target_col: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(id_col.value, schema[id_col.value].dataType),
+            T.StructField("n_bigrams", T.LongType()),
+            T.StructField("logprob_target", T.DoubleType()),
+            T.StructField("logprob_raw", T.DoubleType()),
+            T.StructField("log_weight", T.DoubleType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, is_target_col):
+        self._args = (id_col, text_col, is_target_col)
+        self._rows.append(row)
+
+    @staticmethod
+    def _lm(train_docs):
+        uni: dict = {}
+        bc: dict = {}
+        for ws in train_docs:
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+        return uni, bc, float(len(uni))
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, is_target_col = self._args
+        docs = [(r[id_col], _py_words(r[text_col] or ""),
+                 bool(r[is_target_col])) for r in self._rows]
+        runi, rbc, rV = self._lm([ws for _, ws, _ in docs])
+        tuni, tbc, tV = self._lm([ws for _, ws, t in docs if t])
+        for did, ws, _ in docs:
+            if len(ws) < 2:
+                yield (did, 0, None, None, None)
+                continue
+            st = sr = 0.0
+            n = 0
+            for a, b in zip(ws, ws[1:]):
+                st = st + math.log((tbc.get((a, b), 0) + 1.0)
+                                   / (tuni.get(a, 0) + 1.0 * tV))
+                sr = sr + math.log((rbc[(a, b)] + 1.0) / (runi[a] + 1.0 * rV))
+                n += 1
+            mt, mr = st / float(n), sr / float(n)
+            yield (did, n, mt, mr, float(n) * (mt - mr))
+
+
 #: every registered SQL name (populated by register_all's first run);
 #: each also gets the reference's ``anofox_fcst_`` alias
 #: (``ts_macros.cpp:2185-2197`` registers both spellings for every macro).
@@ -3834,6 +4028,10 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("stats_bloom_fill", StatsBloomFillUDTF)
     reg_udtf("stats_cm_frequency", StatsCmFrequencyUDTF)
     reg_udtf("stats_sampled_quantiles", StatsSampledQuantilesUDTF)
+    # r9c: per-series scaling/winsorization + DSIR importance weights
+    reg_udtf("ts_scale", TsScaleUDTF)
+    reg_udtf("ts_winsorize", TsWinsorizeUDTF)
+    reg_udtf("pipeline_dsir_weights", PipelineDsirWeightsUDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

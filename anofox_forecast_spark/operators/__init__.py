@@ -99,6 +99,7 @@ from .pipeline import (  # noqa: F401
     decontaminate_ngrams,
     decontaminate_ngrams_bloom,
     dedup_lines,
+    dsir_weights,
     dup_span_stats,
     dup_spans,
     gopher_stats,
@@ -140,8 +141,10 @@ from .prep import (  # noqa: F401
     ts_fill_unknown_by,
     ts_interpolate_by,
     ts_mark_unknown_by,
+    ts_scale_by,
     ts_validate_timestamps_by,
     ts_validate_timestamps_summary_by,
+    ts_winsorize_by,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

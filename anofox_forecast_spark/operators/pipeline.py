@@ -969,3 +969,45 @@ def temperature_weights(df: DataFrame, source_col: str, text_col: str,
                .select("source", F.col("n_tokens").cast("bigint")
                         .alias("n_tokens"),
                        "natural_share", "weight", "up_ratio"))
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target: DataFrame, k: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw document
+    by how much more likely a TARGET-domain language model finds it than
+    the raw-corpus model —
+
+        log w(x) = log p_target(x) - log p_raw(x)
+
+    with both LMs the add-k bigram model of ``lm_score`` (target trained
+    on ``target``, raw self-trained on the scored corpus). DSIR then
+    samples without replacement with probability ∝ w(x) — exactly
+    ``sample_weighted`` over ``exp(log_weight)`` (Gumbel top-k ==
+    Efraimidis-Spirakis), so selection is a one-line composition.
+
+    Output: one row per document — ``(<id>, n_bigrams, logprob_target,
+    logprob_raw, log_weight)``. ``logprob_*`` are per-bigram means;
+    ``log_weight`` is the summed difference ``n_bigrams * (mean_t -
+    mean_r)`` (NULL when the document has < 2 words). Positive ⇒ more
+    target-like than the raw corpus average.
+
+    Scale shape: two ``lm_score`` passes over the corpus (each: count-
+    only shuffles for the LM tables + one scoring join + one per-doc
+    position-ordered fold) joined on the id — no new shuffle shapes, and
+    the target corpus only ever contributes count tables (never a
+    corpus-sized join side). For repeated selection rounds, persist the
+    two LM count tables rather than re-deriving them.
+    """
+    t = lm_score(df, id_col, text_col, k=k, train=target) \
+        .select(id_col, "n_bigrams",
+                F.col("mean_logprob").alias("logprob_target"))
+    r = lm_score(df, id_col, text_col, k=k) \
+        .select(id_col, F.col("mean_logprob").alias("logprob_raw"))
+    out = t.join(r, id_col)
+    lw = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("n_bigrams").cast("double")
+        * (F.col("logprob_target") - F.col("logprob_raw")))
+    return out.select(id_col, "n_bigrams", "logprob_target",
+                      "logprob_raw", lw.alias("log_weight"))

@@ -382,3 +382,117 @@ def ts_check_leakage(df: DataFrame, is_test_col: str,
         F.lit("Use ts_cv_hydrate_by + explicit column selection for fail-safe joins")
          .alias("recommendation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series scaling / winsorization (beyond-parity prep; no reference
+# equivalent — standard forecasting preprocessing, e.g. scaling before
+# global models and quantile clipping before robust fits)
+# ---------------------------------------------------------------------------
+
+def _q7(arr: Column, n: Column, q: float) -> Column:
+    """Type-7 linear-interpolated quantile of a sorted double array —
+    the exact arithmetic of ``stats.group_quantiles`` (kept expression-
+    identical so the DuckDB oracles replay both bit-for-bit)."""
+    ix = F.lit(float(q)) * (n - 1).cast("double")
+    lo = F.floor(ix).cast("int")
+    frac = ix - lo.cast("double")
+    return F.when(n == 1, F.get(arr, 0)).otherwise(
+        F.get(arr, lo) * (F.lit(1.0) - frac)
+        + F.get(arr, F.least(lo + 1, n - 1)) * frac)
+
+
+def _sorted_vals(df: DataFrame, group_col: str, y_col: str) -> DataFrame:
+    """Per-group value-sorted non-null double array — the deterministic
+    basis for scaling stats: every fold over it is a fixed-order
+    sequential sum, bit-equal on any input partitioning and replayable
+    engine-side via DuckDB ``list_sort(list(y))`` + ``list_reduce``."""
+    arr = F.array_sort(F.collect_list(
+        F.when(F.col(y_col).isNotNull(), F.col(y_col).cast("double"))))
+    return df.groupBy(group_col).agg(arr.alias("__v"))
+
+
+def ts_scale_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                method: str = "zscore") -> DataFrame:
+    """Per-series scaling: ``zscore`` ((y-mean)/std), ``minmax``
+    ((y-min)/(max-min)), ``robust`` ((y-median)/IQR).
+
+    Output: input columns + ``scale_loc``, ``scale_scale``, ``y_scaled``.
+    ``y_scaled`` is NULL when y is NULL or the scale is not positive
+    (constant series; zscore additionally needs n >= 2).
+
+    Scale shape: ONE group-key shuffle to build the per-group sorted
+    value array, then a broadcast join of the (n_groups)-row stats frame
+    back onto the source — no second shuffle of the data. Per-group
+    state is the series' value list (panel series, not 100 TB single
+    groups). Determinism: mean and variance are sequential folds over
+    the VALUE-SORTED array (not Spark partial aggregates), so results
+    are bit-stable under repartitioning and exactly replayable by the
+    DuckDB oracle's ``list_reduce`` over ``list_sort``.
+    """
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(f"unknown scaling method: {method!r}")
+    base = _sorted_vals(df, group_col, y_col)
+    n = F.size("__v")
+    nd = n.cast("double")
+    if method == "zscore":
+        mean = F.aggregate("__v", F.lit(0.0),
+                           lambda a, x: a + x) / nd
+        base = base.withColumn("__loc", mean)
+        # squared deviations via transform-then-fold: the multiply lives
+        # in its own kernel on both engines (no FMA-fusion ambiguity in
+        # a single a + x*x lambda)
+        var = F.aggregate(
+            F.transform("__v", lambda x: (x - F.col("__loc"))
+                        * (x - F.col("__loc"))),
+            F.lit(0.0), lambda a, x: a + x) / (nd - F.lit(1.0))
+        scale = F.when(n >= 2, F.sqrt(var))
+    elif method == "minmax":
+        base = base.withColumn("__loc", F.get("__v", 0))
+        scale = F.when(n >= 1, F.get("__v", n - 1) - F.col("__loc"))
+    else:  # robust
+        base = base.withColumn("__loc", _q7(F.col("__v"), n, 0.5))
+        scale = F.when(n >= 1, _q7(F.col("__v"), n, 0.75)
+                       - _q7(F.col("__v"), n, 0.25))
+    stats = base.select(
+        group_col,
+        F.col("__loc").alias("scale_loc"),
+        scale.alias("scale_scale"))
+    out = df.join(F.broadcast(stats), group_col)
+    y = F.col(y_col).cast("double")
+    scaled = F.when(F.col("scale_scale") > 0,
+                    (y - F.col("scale_loc")) / F.col("scale_scale"))
+    return out.withColumn("y_scaled", scaled)
+
+
+def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
+                    lower: float = 0.01, upper: float = 0.99) -> DataFrame:
+    """Per-series quantile clipping (winsorization): values below the
+    per-group type-7 ``lower`` quantile are raised to it, values above
+    the ``upper`` quantile lowered to it.
+
+    Output: input columns + ``clip_lo``, ``clip_hi``, ``y_winsorized``,
+    ``was_clipped``. NULL y passes through NULL / false.
+
+    Same physical shape as ``ts_scale_by``: one group shuffle for the
+    sorted array, broadcast stats join back, quantile arithmetic
+    expression-identical to ``stats.group_quantiles`` (oracle-replayable).
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    base = _sorted_vals(df, group_col, y_col)
+    n = F.size("__v")
+    stats = base.select(
+        group_col,
+        _q7(F.col("__v"), n, lower).alias("clip_lo"),
+        _q7(F.col("__v"), n, upper).alias("clip_hi"))
+    out = df.join(F.broadcast(stats), group_col)
+    y = F.col(y_col).cast("double")
+    wz = F.when(y < F.col("clip_lo"), F.col("clip_lo")) \
+          .when(y > F.col("clip_hi"), F.col("clip_hi")) \
+          .otherwise(y)
+    return (out.withColumn("y_winsorized", wz)
+               .withColumn("was_clipped",
+                           F.coalesce((y < F.col("clip_lo"))
+                                      | (y > F.col("clip_hi")),
+                                      F.lit(False))))

@@ -982,3 +982,67 @@ def test_stats_sampled_quantiles_udtf_matches_dataframe(spark):
     assert list(a["n"]) == list(b["n"])
     for c in cols[2:]:
         np.testing.assert_allclose(a[c], b[c], rtol=1e-12)
+
+
+# --- r9c registrations: ts_scale / ts_winsorize / dsir_weights ---
+
+def test_ts_scale_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.prep import ts_scale_by
+    pan = lineitem_panel(spark, SF_DIR)
+    pan.createOrReplaceTempView("scale_sql_t")
+    for method in ("zscore", "minmax", "robust"):
+        df_out = ts_scale_by(pan, "id", "ds", "y", method)
+        sql_out = spark.sql(
+            "SELECT * FROM ts_scale(TABLE(scale_sql_t), "
+            f"'id', 'ds', 'y', '{method}')")
+        cols = ["id", "ds", "y", "scale_loc", "scale_scale", "y_scaled"]
+        a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+        assert len(a) == len(b) > 0
+        for c in ("id", "ds", "y"):
+            assert list(a[c]) == list(b[c])
+        for c in ("scale_loc", "scale_scale", "y_scaled"):
+            np.testing.assert_allclose(a[c].astype(float),
+                                       b[c].astype(float), rtol=1e-12)
+
+
+def test_ts_winsorize_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.prep import ts_winsorize_by
+    pan = lineitem_panel(spark, SF_DIR)
+    df_out = ts_winsorize_by(pan, "id", "ds", "y", 0.05, 0.95)
+    pan.createOrReplaceTempView("wz_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM ts_winsorize(TABLE(wz_sql_t), "
+        "'id', 'ds', 'y', 0.05, 0.95)")
+    cols = ["id", "ds", "y", "clip_lo", "clip_hi", "y_winsorized",
+            "was_clipped"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    for c in ("id", "ds", "y", "was_clipped"):
+        assert list(a[c]) == list(b[c])
+    for c in ("clip_lo", "clip_hi", "y_winsorized"):
+        np.testing.assert_allclose(a[c].astype(float),
+                                   b[c].astype(float), rtol=1e-12)
+
+
+def test_pipeline_dsir_weights_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import dsir_weights
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 5 == 0).alias("is_t"))
+    df_out = dsir_weights(docs.select("doc_id", "text"), "doc_id", "text",
+                          docs.filter("is_t").select("doc_id", "text"))
+    docs.createOrReplaceTempView("dsir_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_dsir_weights(TABLE(dsir_sql_t), "
+        "'doc_id', 'text', 'is_t')")
+    cols = ["doc_id", "n_bigrams", "logprob_target", "logprob_raw",
+            "log_weight"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["n_bigrams"]) == list(b["n_bigrams"])
+    for c in ("logprob_target", "logprob_raw", "log_weight"):
+        np.testing.assert_allclose(a[c].astype(float),
+                                   b[c].astype(float), rtol=1e-12)
