@@ -104,6 +104,11 @@ def main() -> None:
         # array map) and the pure-Catalyst regex PII scrub
         "stats_bloom_contains",
         "text_pii_redact",
+        # r9c: the sorted-array scaling plan (group shuffle + broadcast
+        # stats join) and the double-LM DSIR scoring pipeline (the widest
+        # relational composition in the pipeline family)
+        "prep_scale_robust",
+        "pipeline_dsir_weights",
     ]
     qs = entry_mod.queries()
 

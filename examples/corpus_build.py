@@ -81,6 +81,23 @@ def run(spark, sf_dir: str):
                  .filter(F.col("mean_logprob") >= F.col("__thr")))
     survivors = survivors.join(lm_kept.select("doc_id"), "doc_id")
 
+    # 1b2. (r9c) DSIR targeted selection (Xie et al. 2023): the gate
+    #     above asks "is this document coherent?"; DSIR asks "does it
+    #     look like the domain we're training FOR?". Target = the 'src1'
+    #     source (stand-in for a curated high-quality corpus); each raw
+    #     doc gets log w = log p_target - log p_raw under two bigram LMs,
+    #     and selection is Gumbel top-k == weighted sampling over
+    #     exp(log_weight / T). The target corpus only contributes LM
+    #     count tables — never a corpus-sized join side — so a small
+    #     curated target stays cheap against a 100 TB crawl. Here the
+    #     weights are computed and logged as an audit column; the sampled
+    #     cut is shown in __main__ (a real run would pick ONE of the
+    #     quality gate or the DSIR cut per recipe).
+    from anofox_forecast_spark.operators.pipeline import dsir_weights
+
+    dsir_target = survivors.filter(F.col("source") == "src1")
+    dsir = dsir_weights(survivors, "doc_id", "text", dsir_target)
+
     # 1c. (r9) quality-aware exact dedup: one survivor per normalized
     #     fingerprint, the LONGEST capture wins (ties -> smallest id)
     from anofox_forecast_spark.operators.dedup import exact_dedup_keep_best
@@ -173,23 +190,37 @@ def run(spark, sf_dir: str):
     sem = semdedup(emb, "vec_id", "embedding", threshold=0.95,
                    centroids=stored_centroids, assign_mode="arrow")
 
-    return (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon,
-            tw, mixed, budgeted, packed, audit, sem)
+    return (pii, quality, lm_kept, dsir, kb, gated, confirmed, cleaned,
+            decon, tw, mixed, budgeted, packed, audit, sem)
 
 
 if __name__ == "__main__":
+    # running as a script puts examples/ (not the repo root) on
+    # sys.path — add the root so the package resolves
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from anofox_forecast_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="corpus-build")
     spark.sparkContext.setLogLevel("ERROR")
-    (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon, tw,
-     mixed, budgeted, packed, audit, sem) = run(spark, sf)
+    (pii, quality, lm_kept, dsir, kb, gated, confirmed, cleaned, decon,
+     tw, mixed, budgeted, packed, audit, sem) = run(spark, sf)
     print("pii redactions:", pii.agg({"n_pii": "sum"}).first()[0])
     print("gopher keep:", quality.filter("gopher_keep").count(),
           "/", quality.count())
     print("LM gate keep:", lm_kept.count(), "| keep-best survivors:",
           kb.count())
+    # DSIR selection cut: keep the 100 most target-like survivors
+    from pyspark.sql import functions as F
+    from anofox_forecast_spark.operators.pipeline import sample_weighted
+    dsel = sample_weighted(
+        dsir.withColumn("w", F.exp("log_weight")).filter("w IS NOT NULL"),
+        "doc_id", "w", k=100, seed="dsir")
+    print("DSIR selected:", dsel.count(), "of", dsir.count(),
+          "| mean log_weight:",
+          round(dsir.agg(F.avg("log_weight")).first()[0], 4))
     tw.orderBy("source").show(5)
     print("verbatim-contaminated out:", confirmed.count(),
           "| near-dup contaminated out:",

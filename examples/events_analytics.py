@@ -72,6 +72,11 @@ def run(spark, sf_dir: str):
 
 
 if __name__ == "__main__":
+    # running as a script puts examples/ (not the repo root) on
+    # sys.path — add the root so the package resolves
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from anofox_forecast_spark.session import get_spark
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"

@@ -82,11 +82,16 @@ def test_events_analytics_example(spark):
 
 def test_corpus_build_example(spark):
     from examples.corpus_build import run
-    (pii, quality, lm_kept, kb, gated, confirmed, cleaned, decon, tw,
-     mixed, budgeted, packed, audit, sem) = run(spark, SF_DIR)
+    (pii, quality, lm_kept, dsir, kb, gated, confirmed, cleaned, decon,
+     tw, mixed, budgeted, packed, audit, sem) = run(spark, SF_DIR)
     assert pii.count() > 0
     assert quality.count() > 0
     assert lm_kept.count() > 0
+    # DSIR audit: one weight row per LM-gate survivor; target members
+    # exist, and scored docs carry a finite log_weight
+    drows = dsir.collect()
+    assert len(drows) == lm_kept.count()
+    assert any(r["log_weight"] is not None for r in drows)
     assert kb.count() > 0
     assert cleaned.count() > 0
     # every bench doc that reached the gate is verbatim-contaminated by
