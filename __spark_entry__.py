@@ -860,6 +860,15 @@ def _analytics_queries():
         return out.withColumn("is_anomaly",
                               F.coalesce("is_anomaly", F.lit(False)))
 
+    def q_detect_anomalies_online(spark, sf):
+        # online Welford z-score (O(1)-state sibling of the rolling-MAD
+        # detector): prior-prefix mean/std scoring, threshold 2.5 so the
+        # sf corpus shows real anomalies on both tails; is_anomaly is
+        # already non-null (the op coalesces NULL z to false)
+        return D.ts_detect_anomalies_online_by(
+            lineitem_panel(spark, sf), "id", "ds", "y",
+            z_threshold=2.5, min_obs=30)
+
     return {
         "features_full": q_features_full,
         "features_sql": q_features_sql,
@@ -896,6 +905,7 @@ def _analytics_queries():
         "estimate_period_acf": q_estimate_period_acf,
         "estimate_period_fft": q_estimate_period_fft,
         "detect_anomalies": q_detect_anomalies,
+        "detect_anomalies_online": q_detect_anomalies_online,
     }
 
 
@@ -2019,6 +2029,16 @@ def _streaming_queries():
         return res.withColumn("covered",
                               F.coalesce("covered", F.lit(False)))
 
+    def q_stream_zscore(spark, sf):
+        # streaming online z-score: exactly three doubles of state per
+        # key forever (Welford count/mean/M2 — no row buffer, no cap);
+        # one availableNow trigger walks each key in (ds, y) order, so
+        # the emission equals the batch fold bit-for-bit at any
+        # micro-batch split (the state IS the whole memory)
+        out = ST.stream_zscore_anomaly(_event_stream(spark, sf),
+                                       z_threshold=2.5, min_obs=30)
+        return _run_to_table(spark, out, "update")
+
     def q_stream_sessionize(spark, sf):
         # native session_window sessions over the event stream: new session
         # at delta > gap (exactly-gap merges — measured and pinned in
@@ -2140,6 +2160,7 @@ def _streaming_queries():
         "streaming_bloom_contains": q_stream_bloom,
         "streaming_sampled_quantiles": q_stream_bottomk,
         "streaming_cm_frequency": q_stream_cm,
+        "streaming_zscore_anomaly": q_stream_zscore,
     }
 
 
@@ -2226,9 +2247,18 @@ _WINDOW = [
     "prep_drop_short", "prep_drop_constant",
     "prep_mark_unknown",
     "prep_validate_timestamps",
-    "hier_split_keys", "hier_validate_separator",
-    "cv_folds_sliding", "cv_split_folds",
+    # (hier_validate_separator and cv_folds_sliding deferred to r10 to
+    # seat the two r9c anomaly contracts below — hier keeps split_keys,
+    # cv keeps split_folds, and both deferred keys replay green at HEAD
+    # in pytest)
+    "hier_split_keys",
+    "cv_split_folds",
     "dedup_exact_groups", "dedup_embedding_cosine",
+    # --- reserved: r9c anomaly contracts (this session) ---
+    # online Welford z-score (O(1)-state anomaly sibling) + its
+    # streaming twin (three doubles of state per key forever; batch ==
+    # stream by state-is-the-whole-memory)
+    "detect_anomalies_online", "streaming_zscore_anomaly",
     # --- reserved: r9b-new contracts (this session's additions; six r2
     # keys deferred to r10 to make room — cv_hydrate (family keeps
     # folds_sliding/split_folds/check_leakage), conformal_evaluate +
@@ -2437,6 +2467,11 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
     # inside the 6dp quantum
     "pipeline_dsir_weights": (["logprob_target", "logprob_raw",
                                "log_weight"], 6),
+    # the Welford recurrence is division-per-step serial float; sqrt and
+    # the z division ride the pin (is_anomaly compares |z| to 2.5 — a
+    # threshold nowhere near the sub-ulp drift of a pinned z)
+    "detect_anomalies_online": (["exp_mean", "exp_std", "online_z"], 6),
+    "streaming_zscore_anomaly": (["exp_mean", "exp_std", "online_z"], 6),
 }
 
 
@@ -6981,6 +7016,46 @@ FROM (SELECT st.id,
 """
 
 
+def _zscore_oracle_sql(src_sql: str, thr: float, mo: int) -> str:
+    """Recursive-CTE replay of the online Welford z-score walk
+    (ts_detect_anomalies_online_by and its streaming twin): the state is
+    three scalars (count, mean, M2) carried step to step; every float op
+    mirrors the Spark fold's order (d = x - mean; mean' = mean + d/n';
+    M2' = M2 + d*(x - mean') — the multiply and the add are separate
+    vector kernels on both engines, and the continuous outputs ride the
+    6dp pin). ``src_sql`` must yield (id, ds, y) rows, y non-null."""
+    return f"""
+WITH RECURSIVE p AS ({src_sql}),
+arr AS (SELECT id, list(struct_pack(ds := ds, y := y) ORDER BY ds, y) AS e,
+               count(*) AS n
+        FROM p GROUP BY id),
+st AS (
+  SELECT id, 1 AS t, CAST(0.0 AS DOUBLE) AS cnt,
+         CAST(0.0 AS DOUBLE) AS mean, CAST(0.0 AS DOUBLE) AS m2
+  FROM arr
+  UNION ALL
+  SELECT s.id, s.t + 1, s.cnt + 1.0, s.mean1,
+         s.m2 + s.d * (s.x - s.mean1)
+  FROM (SELECT st.id, st.t, st.cnt, st.mean, st.m2, arr.n,
+          struct_extract(arr.e[st.t], 'y') AS x,
+          x - st.mean AS d,
+          st.mean + d / (st.cnt + 1.0) AS mean1
+        FROM st JOIN arr USING (id)) s
+  WHERE s.t < s.n)
+SELECT id, ds, y, exp_mean, exp_std, online_z,
+  coalesce(abs(online_z) > {float(thr)!r}, FALSE) AS is_anomaly
+FROM (SELECT st.id,
+        struct_extract(arr.e[st.t], 'ds') AS ds,
+        struct_extract(arr.e[st.t], 'y') AS y,
+        CASE WHEN st.cnt >= 1.0 THEN st.mean END AS exp_mean,
+        CASE WHEN st.cnt >= 2.0
+             THEN sqrt(st.m2 / (st.cnt - 1.0)) END AS exp_std,
+        CASE WHEN st.cnt >= {float(mo)!r} AND exp_std > 0
+             THEN (y - st.mean) / exp_std END AS online_z
+      FROM st JOIN arr USING (id))
+"""
+
+
 def _detect_oracles() -> dict[str, str]:
     """Deterministic detection/decomposition ops re-derived in DuckDB SQL.
     All mirror the numpy implementations in ``operators/detect.py`` (which
@@ -8507,6 +8582,11 @@ SELECT id, ds, y, rolling_median, rolling_mad,
        ELSE CAST(y AS DOUBLE) != rolling_median END, FALSE) AS is_anomaly
 FROM mad
 """
+    # ts_detect_anomalies_online_by: the shared recursive-CTE Welford
+    # replay over the lineitem panel (threshold/min_obs mirror the query)
+    o["detect_anomalies_online"] = _zscore_oracle_sql(
+        f"SELECT id, ds, CAST(y AS DOUBLE) AS y FROM ({_PANEL}) "
+        f"WHERE y IS NOT NULL", thr=2.5, mo=30)
     return o
 
 
@@ -8725,6 +8805,13 @@ FROM i
         "CAST(value AS DOUBLE) * 0.9 + 1.0 AS fc "
         "FROM events WHERE value IS NOT NULL",
         act_name="actual", fc_name="forecast")
+    # ``streaming_zscore_anomaly``: the Welford state is the operator's
+    # entire memory, so one availableNow trigger (rows walked in per-key
+    # (ds, y) order) equals the batch fold — the shared recursive-CTE
+    # builder over the events feed
+    o["streaming_zscore_anomaly"] = _zscore_oracle_sql(
+        "SELECT user_id AS id, ts AS ds, CAST(value AS DOUBLE) AS y "
+        "FROM events WHERE value IS NOT NULL", thr=2.5, mo=30)
     # ``streaming_hll_distinct``: registers are per-bucket maxima, so the
     # streamed sketch equals the batch sketch over the same rows — the
     # oracle IS the batch HLL replay

@@ -3896,6 +3896,65 @@ class TsWinsorizeUDTF:
                        fy < lo or fy > hi)
 
 
+class TsDetectAnomaliesOnlineUDTF:
+    """``ts_detect_anomalies_online(TABLE(t), group_col, ds_col, y_col,
+    z_threshold, min_obs)`` — SQL form of
+    ``operators/detect.py::ts_detect_anomalies_online_by`` (expanding
+    Welford z-score, prior-prefix scoring), value-identical to the
+    DataFrame op's fold."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, group_col: AnalyzeArgument,
+                ds_col: AnalyzeArgument, y_col: AnalyzeArgument,
+                z_threshold: AnalyzeArgument,
+                min_obs: AnalyzeArgument) -> AnalyzeResult:
+        schema = table.dataType
+        g, d, y = group_col.value, ds_col.value, y_col.value
+        if float(z_threshold.value) <= 0:
+            raise ValueError("z_threshold must be positive")
+        if int(min_obs.value) < 1:
+            raise ValueError("min_obs must be >= 1")
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField(g, schema[g].dataType),
+            T.StructField(d, schema[d].dataType),
+            T.StructField(y, T.DoubleType()),
+            T.StructField("exp_mean", T.DoubleType()),
+            T.StructField("exp_std", T.DoubleType()),
+            T.StructField("online_z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType())]),
+            partitionBy=[PartitioningColumn(g)])
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, group_col, ds_col, y_col, z_threshold, min_obs):
+        self._args = (group_col, ds_col, y_col, float(z_threshold),
+                      int(min_obs))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        group_col, ds_col, y_col, thr, mo = self._args
+        g = self._rows[0][group_col]
+        walk = sorted((r[ds_col], float(r[y_col])) for r in self._rows
+                      if r[y_col] is not None)
+        n, mean, m2 = 0.0, 0.0, 0.0
+        for ds, x in walk:
+            std = math.sqrt(m2 / (n - 1.0)) if n >= 2.0 else None
+            pm = mean if n >= 1.0 else None
+            z = ((x - mean) / std
+                 if n >= float(mo) and std is not None and std > 0
+                 else None)
+            yield (g, ds, x, pm, std, z,
+                   bool(z is not None and abs(z) > thr))
+            n1 = n + 1.0
+            d = x - mean
+            mean = mean + d / n1
+            m2 = m2 + d * (x - mean)
+            n = n1
+
+
 class PipelineDsirWeightsUDTF:
     """``pipeline_dsir_weights(TABLE(t), id_col, text_col, is_target_col)``
     — SQL form of ``operators/pipeline.py::dsir_weights`` with the target
@@ -4028,10 +4087,12 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("stats_bloom_fill", StatsBloomFillUDTF)
     reg_udtf("stats_cm_frequency", StatsCmFrequencyUDTF)
     reg_udtf("stats_sampled_quantiles", StatsSampledQuantilesUDTF)
-    # r9c: per-series scaling/winsorization + DSIR importance weights
+    # r9c: per-series scaling/winsorization + DSIR importance weights +
+    # the online Welford anomaly detector
     reg_udtf("ts_scale", TsScaleUDTF)
     reg_udtf("ts_winsorize", TsWinsorizeUDTF)
     reg_udtf("pipeline_dsir_weights", PipelineDsirWeightsUDTF)
+    reg_udtf("ts_detect_anomalies_online", TsDetectAnomaliesOnlineUDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

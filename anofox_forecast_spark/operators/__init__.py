@@ -46,6 +46,7 @@ from .dedup import (  # noqa: F401
 from .detect import (  # noqa: F401
     ts_analyze_peak_timing_by,
     ts_detect_anomalies_by,
+    ts_detect_anomalies_online_by,
     ts_analyze_seasonality_by,
     ts_classify_seasonality_by,
     ts_decompose_seasonal_by,

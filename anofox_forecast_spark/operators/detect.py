@@ -1466,3 +1466,87 @@ def ts_detect_anomalies_by(df: DataFrame, group_col: str, ds_col: str,
                .withColumn("is_anomaly", anom)
                .select(group_col, ds_col, y_col, "rolling_median",
                        "rolling_mad", "robust_z", "is_anomaly"))
+
+
+def ts_detect_anomalies_online_by(df: DataFrame, group_col: str,
+                                  ds_col: str, y_col: str,
+                                  z_threshold: float = 3.0,
+                                  min_obs: int = 30) -> DataFrame:
+    """ONLINE z-score anomaly detection per series (beyond-parity; the
+    O(1)-state sibling of the rolling-MAD detector): each point is scored
+    against the EXPANDING mean/std of everything strictly before it
+    (Welford's recurrence — the point can't mask itself), then joins the
+    running state. Constant per-step state (count, mean, M2) is what lets
+    the streaming twin ``stream_zscore_anomaly`` keep exactly three
+    numbers per key forever — unlike the rolling window's row buffer.
+
+    Output: ``(group, ds, y, exp_mean, exp_std, online_z, is_anomaly)``.
+    ``exp_mean``/``exp_std`` are the PRIOR-prefix statistics the point
+    was scored against (NULL while the prefix has < 1 / < 2 points);
+    ``online_z`` is NULL while the prefix has < min_obs points or the
+    prior std is not positive; ``is_anomaly`` = |z| > z_threshold (false
+    when z is NULL). Rows with NULL y are excluded (they can neither be
+    scored nor update the state). Anomalies are NOT excluded from the
+    running statistics (the level-shift-following variant; exclude-on-
+    detect diverges under drift). Ties on duplicate ``ds`` walk in
+    (ds, y) lexicographic order, same convention as the ACI walk.
+
+    Implementation is ONE sequential JVM ``aggregate`` fold per series
+    over the (ds, y)-sorted row list — deterministic on any partitioning,
+    one series-key shuffle, replayable engine-side as a recursive CTE
+    carrying the same three scalars.
+    """
+    thr, mo = float(z_threshold), int(min_obs)
+    if thr <= 0:
+        raise ValueError("z_threshold must be positive")
+    if mo < 1:
+        raise ValueError("min_obs must be >= 1")
+    base = df.filter(F.col(y_col).isNotNull())
+    ev = F.array_sort(F.collect_list(F.struct(
+        F.col(ds_col).alias("ds"),
+        F.col(y_col).cast("double").alias("y"))))
+    grouped = base.groupBy(group_col).agg(ev.alias("__e"))
+
+    def step(acc, t):
+        x = F.element_at(F.col("__e"), t)["y"]
+        n, mean, m2 = acc["n"], acc["mean"], acc["m2"]
+        # prior-prefix statistics (the scoring basis)
+        std = F.when(n >= 2.0, F.sqrt(m2 / (n - F.lit(1.0))))
+        pm = F.when(n >= 1.0, mean)
+        z = F.when((n >= float(mo)) & (std > 0), (x - mean) / std)
+        # Welford update: mean' = mean + d/n', M2' = M2 + d*(x - mean')
+        n1 = n + F.lit(1.0)
+        d = x - mean
+        mean1 = mean + d / n1
+        m21 = m2 + d * (x - mean1)
+        return F.struct(
+            n1.alias("n"), mean1.alias("mean"), m21.alias("m2"),
+            F.concat(acc["pm"], F.array(pm)).alias("pm"),
+            F.concat(acc["ps"], F.array(std)).alias("ps"),
+            F.concat(acc["pz"], F.array(z)).alias("pz"))
+
+    # output arrays hold NULLs at the warm-up steps — init them as
+    # nullable-element arrays or codegen reads the NULLs back as 0.0
+    empty = F.expr("CAST(array() AS array<double>)")
+    init = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("mean"),
+        F.lit(0.0).alias("m2"),
+        empty.alias("pm"), empty.alias("ps"), empty.alias("pz"))
+    state = F.aggregate(F.sequence(F.lit(1), F.size("__e")), init, step)
+    out = (grouped.withColumn("__st", state)
+           .select(group_col,
+                   F.explode(F.arrays_zip(
+                       F.col("__e"),
+                       F.col("__st")["pm"].alias("pm"),
+                       F.col("__st")["ps"].alias("ps"),
+                       F.col("__st")["pz"].alias("pz"))).alias("__z")))
+    z = F.col("__z")
+    zz = z["pz"]
+    return out.select(
+        F.col(group_col),
+        z["__e"]["ds"].alias(ds_col),
+        z["__e"]["y"].alias(y_col),
+        z["pm"].alias("exp_mean"),
+        z["ps"].alias("exp_std"),
+        zz.alias("online_z"),
+        F.coalesce(F.abs(zz) > thr, F.lit(False)).alias("is_anomaly"))

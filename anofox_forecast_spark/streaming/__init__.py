@@ -51,6 +51,7 @@ streaming works on the driver testdata for tests via
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -489,3 +490,79 @@ def stream_hll_registers(stream: DataFrame, key_col: str,
                           rho.alias("hll_max_rho"))
                   .groupBy(*gcols, "hll_bucket")
                   .agg(F.max("hll_max_rho").alias("hll_max_rho")))
+
+
+_ZS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("ds", T.TimestampType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("exp_mean", T.DoubleType()),
+    T.StructField("exp_std", T.DoubleType()),
+    T.StructField("online_z", T.DoubleType()),
+    T.StructField("is_anomaly", T.BooleanType()),
+])
+
+_ZS_STATE_SCHEMA = T.StructType([
+    T.StructField("n", T.DoubleType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+
+def stream_zscore_anomaly(stream: DataFrame, z_threshold: float = 3.0,
+                          min_obs: int = 30) -> DataFrame:
+    """Streaming online z-score anomaly detection — the continuous twin
+    of ``ts_detect_anomalies_online_by``, and the first per-key stream
+    stat here with TRULY constant state: exactly three doubles per key
+    (Welford's count/mean/M2) forever, no row buffer, no ``state_rows``
+    cap, no watermark needed. Each arriving row is scored against the
+    state BEFORE it (prior-prefix mean/std), then folded in — the same
+    arithmetic, in the same order, as the batch fold, so a stream fed in
+    per-key ds order equals the batch operator bit-for-bit at ANY
+    micro-batch split (the state is the whole memory; there is no
+    window to misalign).
+
+    Input columns: (id, ds, y). Output per row:
+    (id, ds, y, exp_mean, exp_std, online_z, is_anomaly) — same contract
+    as the batch op. Rows must arrive in per-key event order across
+    triggers (the usual ordered-feed caveat shared by stream_forecast);
+    within a micro-batch they are sorted by (ds, y).
+    """
+    thr, mo = float(z_threshold), int(min_obs)
+    if thr <= 0:
+        raise ValueError("z_threshold must be positive")
+    if mo < 1:
+        raise ValueError("min_obs must be >= 1")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n, mean, m2 = (float(state.get[0]), float(state.get[1]),
+                           float(state.get[2]))
+        else:
+            n, mean, m2 = 0.0, 0.0, 0.0
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[pdf["y"].notna()]
+            rows.extend(zip(sub["ds"], sub["y"].astype(float)))
+        rows.sort(key=lambda t: (t[0], t[1]))
+        out = []
+        for ds, x in rows:
+            std = math.sqrt(m2 / (n - 1.0)) if n >= 2.0 else None
+            pm = mean if n >= 1.0 else None
+            z = ((x - mean) / std
+                 if n >= float(mo) and std is not None and std > 0
+                 else None)
+            out.append((key[0], ds, x, pm, std, z,
+                        bool(z is not None and abs(z) > thr)))
+            n1 = n + 1.0
+            d = x - mean
+            mean = mean + d / n1
+            m2 = m2 + d * (x - mean)
+            n = n1
+        state.update((n, mean, m2))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in _ZS_SCHEMA])
+
+    return (stream.groupBy("id")
+            .applyInPandasWithState(fn, _ZS_SCHEMA, _ZS_STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -173,3 +173,134 @@ def test_dsir_selection_composes_with_weighted_sampling(spark):
     # exp(log_weight) gaps here are astronomically in the target docs'
     # favor; all 10 picks must come from the target-like half
     assert all(r["doc_id"] < 100 for r in picked)
+
+
+# --- online Welford z-score anomaly detection (batch + streaming twin) ---
+
+def _welford_ref(rows, thr, mo):
+    """Pure-Python replay of the online z-score walk (same op order)."""
+    import math
+    out = []
+    n, mean, m2 = 0.0, 0.0, 0.0
+    for ds, x in sorted(rows):
+        std = math.sqrt(m2 / (n - 1.0)) if n >= 2.0 else None
+        pm = mean if n >= 1.0 else None
+        z = ((x - mean) / std
+             if n >= mo and std is not None and std > 0 else None)
+        out.append((ds, x, pm, std, z,
+                    bool(z is not None and abs(z) > thr)))
+        n1 = n + 1.0
+        d = x - mean
+        mean = mean + d / n1
+        m2 = m2 + d * (x - mean)
+        n = n1
+    return out
+
+
+def test_online_anomalies_match_python_replay(spark):
+    from anofox_forecast_spark.operators.detect import (
+        ts_detect_anomalies_online_by,
+    )
+    rng = np.random.default_rng(11)
+    rows = []
+    for gid in (1, 2):
+        ys = rng.normal(50.0, 5.0, 60)
+        ys[40] += 40.0                      # a planted spike
+        rows += [(gid, int(t), float(y)) for t, y in enumerate(ys)]
+    rows.append((1, 100, None))             # NULL y: excluded
+    df = spark.createDataFrame(rows, "id long, ds int, y double")
+    got = (ts_detect_anomalies_online_by(df, "id", "ds", "y", 3.0, 10)
+           .orderBy("id", "ds").collect())
+    by_id = {}
+    for gid in (1, 2):
+        by_id[gid] = _welford_ref(
+            [(t, y) for g, t, y in rows if g == gid and y is not None],
+            3.0, 10)
+    assert len(got) == 120                  # NULL row dropped
+    found_anomaly = False
+    for gid in (1, 2):
+        sub = [r for r in got if r["id"] == gid]
+        for r, (ds, x, pm, std, z, an) in zip(sub, by_id[gid]):
+            assert (r["ds"], r["y"]) == (ds, x)
+            assert r["exp_mean"] == pm      # bit-equal (same op order)
+            assert r["exp_std"] == std
+            assert r["online_z"] == z
+            assert r["is_anomaly"] == an
+            found_anomaly |= an
+    assert found_anomaly                    # the planted spike fires
+
+
+def test_online_anomalies_probes_and_plan(spark):
+    from anofox_forecast_spark.operators.detect import (
+        ts_detect_anomalies_online_by,
+    )
+    pan = lineitem_panel(spark, SF_DIR)
+    with pytest.raises(ValueError, match="z_threshold"):
+        ts_detect_anomalies_online_by(pan, "id", "ds", "y", 0.0)
+    with pytest.raises(ValueError, match="min_obs"):
+        ts_detect_anomalies_online_by(pan, "id", "ds", "y", 3.0, 0)
+    # one series-key shuffle on top of the panel's own aggregation
+    P.assert_max_exchanges(
+        ts_detect_anomalies_online_by(pan, "id", "ds", "y"), 2)
+
+
+def test_stream_zscore_two_triggers_equal_batch(spark, tmp_path):
+    """TWO real micro-batches (maxFilesPerTrigger=1 over two parquet
+    files — FileStreamSource walks them in modification-time order, the
+    early-ds file written first) carry the Welford state across the
+    split and reproduce the batch fold bit-for-bit — the state really is
+    the operator's whole memory."""
+    import pandas as pd
+
+    from anofox_forecast_spark import streaming as ST
+    from anofox_forecast_spark.operators.detect import (
+        ts_detect_anomalies_online_by,
+    )
+    rng = np.random.default_rng(23)
+    n = 40
+    mk = lambda lo, hi: pd.concat([pd.DataFrame({  # noqa: E731
+        "id": [i] * (hi - lo),
+        "ds": pd.date_range("2024-01-01", periods=n, freq="D")[lo:hi],
+        "y": rng.normal(10.0, 2.0, hi - lo),
+    }) for i in (1, 2)])
+    part1, part2 = mk(0, 25), mk(25, n)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(part1).coalesce(1).write.parquet(src)
+    import time as _time
+    _time.sleep(1.1)  # distinct mod-times -> deterministic file order
+    spark.createDataFrame(part2).coalesce(1).write.mode("append") \
+        .parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = ST.stream_zscore_anomaly(stream, z_threshold=2.0, min_obs=5)
+    q = (out.writeStream.format("memory").queryName("zs_2t")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.table("zs_2t").toPandas().sort_values(["id", "ds"])
+           .reset_index(drop=True))
+
+    batch_src = spark.createDataFrame(pd.concat([part1, part2]))
+    want = (ts_detect_anomalies_online_by(batch_src, "id", "ds", "y",
+                                          2.0, 5)
+            .toPandas().sort_values(["id", "ds"]).reset_index(drop=True))
+    assert len(got) == len(want) == 2 * n
+    for c in ("exp_mean", "exp_std", "online_z"):
+        a = got[c].to_numpy(dtype=float)
+        b = want[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    assert got["is_anomaly"].astype(bool).equals(
+        want["is_anomaly"].astype(bool))
+
+
+def test_stream_zscore_probes(spark):
+    from anofox_forecast_spark import streaming as ST
+    df = spark.readStream.format("rate").load() \
+        .selectExpr("value AS id", "timestamp AS ds",
+                    "CAST(value AS DOUBLE) AS y")
+    with pytest.raises(ValueError, match="z_threshold"):
+        ST.stream_zscore_anomaly(df, z_threshold=-1.0)
+    with pytest.raises(ValueError, match="min_obs"):
+        ST.stream_zscore_anomaly(df, min_obs=0)

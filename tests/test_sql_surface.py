@@ -1046,3 +1046,26 @@ def test_pipeline_dsir_weights_udtf_matches_dataframe(spark):
     for c in ("logprob_target", "logprob_raw", "log_weight"):
         np.testing.assert_allclose(a[c].astype(float),
                                    b[c].astype(float), rtol=1e-12)
+
+
+def test_ts_detect_anomalies_online_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.detect import (
+        ts_detect_anomalies_online_by,
+    )
+    pan = lineitem_panel(spark, SF_DIR)
+    df_out = ts_detect_anomalies_online_by(pan, "id", "ds", "y", 2.5, 30)
+    pan.createOrReplaceTempView("zso_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM ts_detect_anomalies_online(TABLE(zso_sql_t), "
+        "'id', 'ds', 'y', 2.5, 30)")
+    cols = ["id", "ds", "y", "exp_mean", "exp_std", "online_z",
+            "is_anomaly"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    for c in ("id", "ds", "y", "is_anomaly"):
+        assert list(a[c]) == list(b[c])
+    for c in ("exp_mean", "exp_std", "online_z"):
+        x = a[c].to_numpy(dtype=float)
+        y = b[c].to_numpy(dtype=float)
+        assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
