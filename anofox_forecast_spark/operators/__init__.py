@@ -143,6 +143,7 @@ from .prep import (  # noqa: F401
     ts_interpolate_by,
     ts_mark_unknown_by,
     ts_scale_by,
+    ts_unscale_by,
     ts_validate_timestamps_by,
     ts_validate_timestamps_summary_by,
     ts_winsorize_by,

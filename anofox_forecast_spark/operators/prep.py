@@ -496,3 +496,27 @@ def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                            F.coalesce((y < F.col("clip_lo"))
                                       | (y > F.col("clip_hi")),
                                       F.lit(False))))
+
+
+def ts_unscale_by(df: DataFrame, group_col: str, value_cols: list[str],
+                  loc_col: str = "scale_loc",
+                  scale_col: str = "scale_scale") -> DataFrame:
+    """Inverse of :func:`ts_scale_by`: map scaled values back to original
+    units via ``x * scale + loc`` — the step after forecasting a scaled
+    panel (scale → fit/forecast in scaled space → unscale yhat and the
+    interval bounds together). ``value_cols`` are rewritten IN PLACE;
+    rows where loc/scale are NULL (or the value is NULL) yield NULL.
+
+    ``df`` must already carry ``loc_col``/``scale_col`` — either because
+    it descends from ``ts_scale_by`` output, or by joining the stats
+    frame back onto forecasts (broadcast; it's one row per series). A
+    pure per-row map: no shuffle, pipelines with whatever produced it.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.col(c).cast("double") * F.col(scale_col)
+            + F.col(loc_col))
+    return out

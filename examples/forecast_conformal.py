@@ -56,7 +56,26 @@ def run(spark, sf_dir: str):
     anomalies = ts_detect_anomalies_by(panel, "id", "ds", "y",
                                        window=28, threshold=3.5)
 
-    return periods, fc, conf, aci, anomalies
+    # 6. (r9c) forecasting in SCALED space — the global-model workflow:
+    #    robust-scale each series (median/IQR survives the spikes the
+    #    screen above flags), forecast the scaled panel, then map yhat
+    #    back to original units with the SAME per-series stats. The
+    #    stats frame is one row per series, so the join back onto the
+    #    7-rows-per-series forecast is a broadcast.
+    from anofox_forecast_spark.operators.prep import (ts_scale_by,
+                                                      ts_unscale_by)
+    scaled = ts_scale_by(panel, "id", "ds", "y", "robust")
+    stats = scaled.select("id", "scale_loc", "scale_scale").distinct()
+    fc_scaled = ts_forecast_by(
+        scaled.filter(F.col("y_scaled").isNotNull())
+              .select("id", "ds", F.col("y_scaled").alias("y")),
+        "id", "ds", "y", "SES", 7, "1d", {"alpha": 0.3})
+    fc_unscaled = ts_unscale_by(
+        fc_scaled.join(F.broadcast(stats), "id"),
+        "id", ["yhat", "yhat_lower", "yhat_upper"]) \
+        .drop("scale_loc", "scale_scale")
+
+    return periods, fc, conf, aci, anomalies, fc_unscaled
 
 
 if __name__ == "__main__":
@@ -70,7 +89,7 @@ if __name__ == "__main__":
     spark = get_spark(app_name="example-forecast-conformal",
                       master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
-    periods, fc, conf, aci, anomalies = run(spark, sf)
+    periods, fc, conf, aci, anomalies, fc_unscaled = run(spark, sf)
     periods.select("id", "primary_period", "method").show(5)
     fc.show(5)
     conf.select("id", "conformity_score", "coverage").show(5)
@@ -79,4 +98,5 @@ if __name__ == "__main__":
                           .alias("empirical_coverage")).show(5)
     print("anomalous points:",
           anomalies.filter("is_anomaly").count())
+    fc_unscaled.show(5)
     spark.stop()

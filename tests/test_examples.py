@@ -14,12 +14,17 @@ def test_regression_backtest_example(spark):
 
 def test_forecast_conformal_example(spark):
     from examples.forecast_conformal import run
-    periods, fc, conf, aci, anomalies = run(spark, SF_DIR)
+    periods, fc, conf, aci, anomalies, fc_unscaled = run(spark, SF_DIR)
     assert aci.count() > 0
     assert anomalies.count() > 0
     assert periods.count() > 0
     assert fc.count() > 0
     assert conf.count() > 0
+    # scaled-space forecasts come back in original units with no NULL
+    # yhat (every panel series has IQR > 0)
+    rows = fc_unscaled.collect()
+    assert len(rows) > 0
+    assert all(r["yhat"] is not None for r in rows)
 
 
 def test_llm_pipeline_example(spark):

@@ -304,3 +304,22 @@ def test_stream_zscore_probes(spark):
         ST.stream_zscore_anomaly(df, z_threshold=-1.0)
     with pytest.raises(ValueError, match="min_obs"):
         ST.stream_zscore_anomaly(df, min_obs=0)
+
+
+def test_unscale_roundtrips_scale(spark):
+    """unscale(scale(panel)) recovers y to float round-trip accuracy
+    for every method, and NULL loc/scale rows yield NULL."""
+    from anofox_forecast_spark.operators.prep import ts_unscale_by
+    for method in ("zscore", "minmax", "robust"):
+        scaled = ts_scale_by(_toy(spark), "id", "ds", "y", method)
+        back = ts_unscale_by(
+            scaled.withColumn("y_roundtrip", F.col("y_scaled")),
+            "id", ["y_roundtrip"]).collect()
+        for r in back:
+            if r["y_scaled"] is None:     # NULL y / constant / 1-row
+                assert r["y_roundtrip"] is None
+            else:
+                assert r["y_roundtrip"] == pytest.approx(r["y"],
+                                                         rel=1e-12)
+    with pytest.raises(ValueError, match="value_cols"):
+        ts_unscale_by(_toy(spark), "id", [])
