@@ -992,22 +992,90 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     mean_r)`` (NULL when the document has < 2 words). Positive ⇒ more
     target-like than the raw corpus average.
 
-    Scale shape: two ``lm_score`` passes over the corpus (each: count-
-    only shuffles for the LM tables + one scoring join + one per-doc
-    position-ordered fold) joined on the id — no new shuffle shapes, and
-    the target corpus only ever contributes count tables (never a
-    corpus-sized join side). For repeated selection rounds, persist the
-    two LM count tables rather than re-deriving them.
+    Scale shape: value-identical to composing ``lm_score`` twice (the
+    equality is pinned bit-for-bit in tests), but the corpus is exploded
+    to bigrams ONCE and both LMs score that single frame — one raw-count
+    pre-join (inner: self-bigrams are always seen), two LEFT joins for
+    the target backoff, and ONE per-doc position-ordered fold producing
+    both logprob sums. Versus the naive composition that's one corpus
+    explode, one scoring pipeline, and one fold instead of two of each,
+    plus no final leg-join — at 100 TB the corpus-sized stages halve.
+    The target corpus still only contributes count tables. For repeated
+    selection rounds, persist the four count tables.
     """
-    t = lm_score(df, id_col, text_col, k=k, train=target) \
-        .select(id_col, "n_bigrams",
-                F.col("mean_logprob").alias("logprob_target"))
-    r = lm_score(df, id_col, text_col, k=k) \
-        .select(id_col, F.col("mean_logprob").alias("logprob_raw"))
-    out = t.join(r, id_col)
+    if float(k) <= 0:
+        raise ValueError("k (smoothing) must be positive")
+    kf = float(k)
+
+    def _lm_tables(corpus):
+        ws = corpus.select(_words(F.col(text_col)).alias("__ws"))
+        uni = (ws.select(F.explode("__ws").alias("w1"))
+                 .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+        vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("V"))
+        bc = (ws.select(F.explode(_word_bigrams_pos(F.col("__ws")))
+                         .alias("__b"))
+                .select(F.col("__b.w1").alias("w1"),
+                        F.col("__b.w2").alias("w2"))
+                .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+        return uni, bc, vocab
+
+    runi, rbc, rvocab = _lm_tables(df)
+    tuni, tbc, tvocab = _lm_tables(target)
+    doc_bg = (df.select(F.col(id_col),
+                        F.explode(_word_bigrams_pos(_words(F.col(text_col))))
+                         .alias("__b"))
+                .select(id_col, F.col("__b.pos").alias("__pos"),
+                        F.col("__b.w1").alias("w1"),
+                        F.col("__b.w2").alias("w2")))
+    # raw LM: self-scoring, so every bigram is in the counts — pre-join
+    # the unigram denominator onto the count table (inner), exactly
+    # lm_score's self path; target LM: the foreign-train backoff LEFTs
+    rdenom = (rbc.join(runi, "w1")
+                 .select("w1", "w2", F.col("c12").alias("__rc12"),
+                         F.col("c1").alias("__rc1")))
+    j = (doc_bg.join(rdenom, ["w1", "w2"])
+               .join(tbc.withColumnRenamed("c12", "__tc12"),
+                     ["w1", "w2"], "left")
+               .join(tuni.withColumnRenamed("c1", "__tc1"), "w1", "left")
+               .crossJoin(F.broadcast(rvocab.select(
+                   F.col("V").alias("__rV"))))
+               .crossJoin(F.broadcast(tvocab.select(
+                   F.col("V").alias("__tV")))))
+    lp_r = F.log(
+        (F.coalesce(F.col("__rc12"), F.lit(0)).cast("double") + F.lit(kf))
+        / (F.coalesce(F.col("__rc1"), F.lit(0)).cast("double")
+           + F.lit(kf) * F.col("__rV")))
+    lp_t = F.log(
+        (F.coalesce(F.col("__tc12"), F.lit(0)).cast("double") + F.lit(kf))
+        / (F.coalesce(F.col("__tc1"), F.lit(0)).cast("double")
+           + F.lit(kf) * F.col("__tV")))
+    per = (j.select(id_col, "__pos", lp_t.alias("__lpt"),
+                    lp_r.alias("__lpr"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("__pos"), F.col("__lpt"), F.col("__lpr"))))
+                  .alias("__a")))
+    # one collected array, two position-ordered folds — each bit-equal
+    # to the corresponding lm_score fold (__pos is unique per doc, so
+    # the struct sort == the single-leg (pos, lp) sort)
+    s_t = F.aggregate(F.transform("__a", lambda s: s["__lpt"]),
+                      F.lit(0.0), lambda a, x: a + x)
+    s_r = F.aggregate(F.transform("__a", lambda s: s["__lpr"]),
+                      F.lit(0.0), lambda a, x: a + x)
+    nd = F.col("__n").cast("double")
+    per = per.select(id_col,
+                     F.col("__n").cast("bigint").alias("n_bigrams"),
+                     (s_t / nd).alias("logprob_target"),
+                     (s_r / nd).alias("logprob_raw"))
+    base = df.select(F.col(id_col))
+    out = base.join(per, on=id_col, how="left")
     lw = F.when(
         F.col("n_bigrams") > 0,
         F.col("n_bigrams").cast("double")
         * (F.col("logprob_target") - F.col("logprob_raw")))
-    return out.select(id_col, "n_bigrams", "logprob_target",
-                      "logprob_raw", lw.alias("log_weight"))
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+         .alias("n_bigrams"),
+        "logprob_target", "logprob_raw", lw.alias("log_weight"))
