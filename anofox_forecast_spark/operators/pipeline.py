@@ -1005,6 +1005,9 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     """
     if float(k) <= 0:
         raise ValueError("k (smoothing) must be positive")
+    if id_col in ("w1", "w2"):
+        # the scoring frame carries the bigram words under these names
+        raise ValueError("id_col may not be named 'w1' or 'w2'")
     kf = float(k)
 
     def _lm_tables(corpus):

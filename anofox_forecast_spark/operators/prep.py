@@ -432,6 +432,10 @@ def ts_scale_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     """
     if method not in ("zscore", "minmax", "robust"):
         raise ValueError(f"unknown scaling method: {method!r}")
+    taken = {"scale_loc", "scale_scale", "y_scaled"} & set(df.columns)
+    if taken:
+        raise ValueError(f"input already has output column(s) {sorted(taken)}; "
+                         f"rename or drop them first")
     base = _sorted_vals(df, group_col, y_col)
     n = F.size("__v")
     nd = n.cast("double")
@@ -480,6 +484,11 @@ def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     """
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("need 0 <= lower < upper <= 1")
+    taken = {"clip_lo", "clip_hi", "y_winsorized",
+             "was_clipped"} & set(df.columns)
+    if taken:
+        raise ValueError(f"input already has output column(s) {sorted(taken)}; "
+                         f"rename or drop them first")
     base = _sorted_vals(df, group_col, y_col)
     n = F.size("__v")
     stats = base.select(

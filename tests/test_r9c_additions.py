@@ -323,3 +323,19 @@ def test_unscale_roundtrips_scale(spark):
                                                          rel=1e-12)
     with pytest.raises(ValueError, match="value_cols"):
         ts_unscale_by(_toy(spark), "id", [])
+
+
+def test_output_column_collisions_rejected(spark):
+    """Inputs that already carry an op's output columns fail fast with a
+    clear error instead of silently producing ambiguous references
+    (same posture as salted_join's reserved-name guard)."""
+    from anofox_forecast_spark.operators.prep import ts_winsorize_by
+    df = _toy(spark).withColumn("y_scaled", F.lit(0.0))
+    with pytest.raises(ValueError, match="output column"):
+        ts_scale_by(df, "id", "ds", "y", "zscore")
+    dfw = _toy(spark).withColumn("was_clipped", F.lit(True))
+    with pytest.raises(ValueError, match="output column"):
+        ts_winsorize_by(dfw, "id", "ds", "y")
+    docs = spark.createDataFrame([(0, "a b")], "w1 long, text string")
+    with pytest.raises(ValueError, match="id_col"):
+        dsir_weights(docs, "w1", "text", docs)
