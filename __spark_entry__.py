@@ -1467,6 +1467,12 @@ def _pipeline_queries():
         return PL.remove_dup_spans(_docs(spark, sf), "doc_id", "text",
                                    k=_SPAN_K, min_count=2, keep_first=True)
 
+    def q_vocab(spark, sf):
+        # full vocabulary with coverage curve: exact int counts, dense
+        # deterministic (count DESC, word) rank, coverage = exact-int
+        # division — bit-equal cross-engine, no pin needed
+        return PL.build_vocab(_docs(spark, sf), "doc_id", "text")
+
     def q_dsir_weights(spark, sf):
         # DSIR (Xie et al. 2023): target LM = the doc_id % 5 == 0 slice
         # (the lm_score_cross train split), raw LM = the corpus itself;
@@ -1501,6 +1507,7 @@ def _pipeline_queries():
         "pipeline_lm_score_cross": q_lm_score_cross,
         "pipeline_temperature_weights": q_temperature_weights,
         "pipeline_dsir_weights": q_dsir_weights,
+        "pipeline_vocab_coverage": q_vocab,
     }
 
 
@@ -2214,7 +2221,9 @@ _WINDOW = [
     # machinery (functions/metrics.py), the five deferred replay green
     # at HEAD in pytest, and five siblings keep the family's driver
     # slots this round) ---
-    "metric_mape", "metric_smape", "metric_mase", "metric_rmae",
+    # (metric_smape further deferred to r10 for the r9c vocab contract —
+    # four metric siblings keep the family's slots)
+    "metric_mape", "metric_mase", "metric_rmae",
     "metric_quantile_loss",
     "prep_fill_forward", "prep_fill_nulls_forward",
     "prep_fill_nulls_backward", "prep_fill_nulls_const",
@@ -2228,6 +2237,8 @@ _WINDOW = [
     # DSIR importance weights (Xie et al. 2023): both lm_score physical
     # branches composed in one query, log_weight = n * mean-gap
     "pipeline_dsir_weights",
+    # vocabulary + coverage curve (tokenizer prep; exact-int contract)
+    "pipeline_vocab_coverage",
     # --- stalest cohort, r2 (29 of 36; the 7 deferred to r10 —
     # dedup_ngram_jaccard, cv_split, hier_combine_keys,
     # prep_fill_gaps_monthly, stats_quality_report, conformal_calibrate,
@@ -9572,6 +9583,27 @@ SELECT d.doc_id, coalesce(pt.n, 0) AS n_bigrams,
        THEN CAST(pt.n AS DOUBLE) * (pt.s / pt.n - pr.s / pr.n) END
     AS log_weight
 FROM d LEFT JOIN pt USING (doc_id) LEFT JOIN pr USING (doc_id)
+"""
+    # pipeline.build_vocab: exact int counts; rank/cumulative over the
+    # SAME deterministic (count DESC, word) total order; coverage is an
+    # exact-int division (CASTs dodge the HUGEINT window-SUM artifact)
+    o["pipeline_vocab_coverage"] = f"""
+WITH w AS (SELECT doc_id, unnest({_PL_WS}) AS word FROM documents),
+c AS (SELECT word, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY word),
+r AS (SELECT word, n_occurrences, n_docs,
+        CAST(row_number() OVER
+          (ORDER BY n_occurrences DESC, word) AS INTEGER) AS rank,
+        CAST(sum(n_occurrences) OVER
+          (ORDER BY n_occurrences DESC, word
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum,
+        CAST(sum(n_occurrences) OVER () AS BIGINT) AS tot
+      FROM c)
+SELECT word, n_occurrences, n_docs, rank,
+       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
+FROM r
 """
     return o
 

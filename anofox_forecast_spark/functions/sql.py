@@ -3955,6 +3955,55 @@ class TsDetectAnomaliesOnlineUDTF:
             n = n1
 
 
+class PipelineBuildVocabUDTF:
+    """``pipeline_build_vocab(TABLE(t), id_col, text_col[, max_terms])``
+    — SQL form of ``operators/pipeline.py::build_vocab`` (vocabulary +
+    coverage curve). Corpus-global counts, so single partition — audit
+    scale; the DataFrame op (count-only shuffle + vocab-sized window)
+    is the scale path."""
+
+    @staticmethod
+    def analyze(table: AnalyzeArgument, id_col: AnalyzeArgument,
+                text_col: AnalyzeArgument,
+                max_terms: AnalyzeArgument | None = None) -> AnalyzeResult:
+        if max_terms is not None and int(max_terms.value) < 1:
+            raise ValueError("max_terms must be >= 1")
+        return AnalyzeResult(schema=T.StructType([
+            T.StructField("word", T.StringType()),
+            T.StructField("n_occurrences", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("coverage", T.DoubleType())]),
+            withSinglePartition=True)
+
+    def __init__(self):
+        self._rows: list = []
+
+    def eval(self, row, id_col, text_col, max_terms=None):
+        self._args = (id_col, text_col,
+                      None if max_terms is None else int(max_terms))
+        self._rows.append(row)
+
+    def terminate(self):
+        if not self._rows:
+            return
+        id_col, text_col, max_terms = self._args
+        occ: dict = {}
+        dof: dict = {}
+        for r in self._rows:
+            for w in _py_words(r[text_col] or ""):
+                occ[w] = occ.get(w, 0) + 1
+                dof.setdefault(w, set()).add(r[id_col])
+        total = sum(occ.values())
+        cum = 0
+        for rk, w in enumerate(
+                sorted(occ, key=lambda x: (-occ[x], x)), 1):
+            if max_terms is not None and rk > max_terms:
+                break
+            cum += occ[w]
+            yield (w, occ[w], len(dof[w]), rk, cum / total)
+
+
 class PipelineDsirWeightsUDTF:
     """``pipeline_dsir_weights(TABLE(t), id_col, text_col, is_target_col)``
     — SQL form of ``operators/pipeline.py::dsir_weights`` with the target
@@ -4093,6 +4142,7 @@ def register_all(spark: SparkSession) -> None:
     reg_udtf("ts_winsorize", TsWinsorizeUDTF)
     reg_udtf("pipeline_dsir_weights", PipelineDsirWeightsUDTF)
     reg_udtf("ts_detect_anomalies_online", TsDetectAnomaliesOnlineUDTF)
+    reg_udtf("pipeline_build_vocab", PipelineBuildVocabUDTF)
     for name, sig, body in _SQL_SCALARS:
         for nm in (name, f"anofox_fcst_{name}"):
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {nm}{sig} "

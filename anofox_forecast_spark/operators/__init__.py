@@ -95,6 +95,7 @@ from .events import (  # noqa: F401
     time_rollup,
 )
 from .pipeline import (  # noqa: F401
+    build_vocab,
     c4_stats,
     chunk_text,
     decontaminate_ngrams,

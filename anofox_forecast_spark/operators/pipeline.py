@@ -1082,3 +1082,50 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
          .alias("n_bigrams"),
         "logprob_target", "logprob_raw", lw.alias("log_weight"))
+
+
+def build_vocab(df: DataFrame, id_col: str, text_col: str,
+                max_terms: int | None = None) -> DataFrame:
+    """Corpus vocabulary with coverage curve — the tokenizer-prep staple:
+    every distinct word with its count, document frequency, frequency
+    rank, and the CUMULATIVE token-coverage fraction at that rank ("the
+    top 32k words cover 97.1% of running tokens" is `WHERE rank <= 32000
+    ORDER BY rank DESC LIMIT 1`). Use it to size a vocab, estimate UNK
+    rates for candidate cutoffs, or diff two corpora's lexicons.
+
+    Output: ``(word, n_occurrences, n_docs, rank, coverage)`` — rank is
+    dense in (count DESC, word ASC) order (fully deterministic, no
+    arbitrary ties), coverage = cumulative occurrences / total
+    occurrences. ``max_terms`` truncates to the top terms AFTER ranking
+    (coverage still measured against the whole corpus).
+
+    Scale shape: one count-only groupBy with map-side combine (the wire
+    carries one row per DISTINCT word — vocabulary-sized, not
+    corpus-sized), then the rank/cumulative window over that bounded
+    vocab table. The window is a single total order, but over ~millions
+    of distinct words at most — the same single-reducer bound every
+    ranking of a count table has; the corpus itself never crosses it.
+    """
+    if max_terms is not None and int(max_terms) < 1:
+        raise ValueError("max_terms must be >= 1")
+    from pyspark.sql import Window
+    words = (df.select(F.col(id_col),
+                       F.explode(_words(F.col(text_col))).alias("word")))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    total = counts.agg(F.sum("n_occurrences").alias("__tot"))
+    out = (counts
+           .withColumn("rank", F.row_number().over(w))
+           .withColumn("__cum", F.sum("n_occurrences").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow)))
+           .crossJoin(F.broadcast(total))
+           .withColumn("coverage",
+                       F.col("__cum").cast("double")
+                       / F.col("__tot").cast("double"))
+           .select("word", "n_occurrences", "n_docs", "rank", "coverage"))
+    if max_terms is not None:
+        out = out.filter(F.col("rank") <= int(max_terms))
+    return out

@@ -339,3 +339,36 @@ def test_output_column_collisions_rejected(spark):
     docs = spark.createDataFrame([(0, "a b")], "w1 long, text string")
     with pytest.raises(ValueError, match="id_col"):
         dsir_weights(docs, "w1", "text", docs)
+
+
+def test_build_vocab_matches_python_replay(spark):
+    from anofox_forecast_spark.operators.pipeline import build_vocab
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat on the mat"),
+         (2, ""), (3, "THE Cat")],           # lowercased; empty doc
+        "doc_id long, text string")
+    got = {r["word"]: r for r in
+           build_vocab(docs, "doc_id", "text").collect()}
+    # python replay
+    from collections import Counter, defaultdict
+    occ, dof = Counter(), defaultdict(set)
+    for i, t in [(0, "the cat sat"), (1, "the dog sat on the mat"),
+                 (3, "the cat")]:
+        for w_ in t.split():
+            occ[w_] += 1
+            dof[w_].add(i)
+    order = sorted(occ, key=lambda w_: (-occ[w_], w_))
+    tot = sum(occ.values())
+    cum = 0
+    for rk, w_ in enumerate(order, 1):
+        cum += occ[w_]
+        r = got[w_]
+        assert (r["n_occurrences"], r["n_docs"], r["rank"]) == \
+            (occ[w_], len(dof[w_]), rk)
+        assert r["coverage"] == cum / tot          # exact-int division
+    assert len(got) == len(order)
+    # max_terms truncates after ranking; coverage keeps the full corpus
+    top2 = build_vocab(docs, "doc_id", "text", max_terms=2).collect()
+    assert sorted(r["rank"] for r in top2) == [1, 2]
+    with pytest.raises(ValueError, match="max_terms"):
+        build_vocab(docs, "doc_id", "text", max_terms=0)

@@ -1069,3 +1069,20 @@ def test_ts_detect_anomalies_online_udtf_matches_dataframe(spark):
         x = a[c].to_numpy(dtype=float)
         y = b[c].to_numpy(dtype=float)
         assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
+
+
+def test_pipeline_build_vocab_udtf_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.pipeline import build_vocab
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    df_out = build_vocab(docs, "doc_id", "text")
+    docs.createOrReplaceTempView("vocab_sql_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_build_vocab(TABLE(vocab_sql_t), "
+        "'doc_id', 'text')")
+    cols = ["word", "n_occurrences", "n_docs", "rank", "coverage"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    for c in ("word", "n_occurrences", "n_docs", "rank"):
+        assert list(a[c]) == list(b[c])
+    np.testing.assert_allclose(a["coverage"], b["coverage"], rtol=1e-15)
