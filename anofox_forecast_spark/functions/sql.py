@@ -3941,7 +3941,12 @@ class TsDetectAnomaliesOnlineUDTF:
                       if r[y_col] is not None)
         n, mean, m2 = 0.0, 0.0, 0.0
         for ds, x in walk:
-            std = math.sqrt(m2 / (n - 1.0)) if n >= 2.0 else None
+            # m2 can round a hair negative on near-constant series;
+            # Spark's F.sqrt yields NaN there (z then falls to the
+            # NULL branch) — mirror that instead of a domain error
+            s2 = m2 / (n - 1.0) if n >= 2.0 else None
+            std = (math.sqrt(s2) if s2 >= 0.0 else float("nan")) \
+                if s2 is not None else None
             pm = mean if n >= 1.0 else None
             z = ((x - mean) / std
                  if n >= float(mo) and std is not None and std > 0
@@ -4058,12 +4063,18 @@ class PipelineDsirWeightsUDTF:
             st = sr = 0.0
             n = 0
             for a, b in zip(ws, ws[1:]):
-                st = st + math.log((tbc.get((a, b), 0) + 1.0)
-                                   / (tuni.get(a, 0) + 1.0 * tV))
+                if tV > 0:
+                    st = st + math.log((tbc.get((a, b), 0) + 1.0)
+                                       / (tuni.get(a, 0) + 1.0 * tV))
                 sr = sr + math.log((rbc[(a, b)] + 1.0) / (runi[a] + 1.0 * rV))
                 n += 1
-            mt, mr = st / float(n), sr / float(n)
-            yield (did, n, mt, mr, float(n) * (mt - mr))
+            # empty target: the DataFrame op's per-bigram division by a
+            # zero denominator is NULL in Spark, so the target-leg mean
+            # and the weight are NULL — mirror that, don't crash
+            mt = st / float(n) if tV > 0 else None
+            mr = sr / float(n)
+            lw = float(n) * (mt - mr) if mt is not None else None
+            yield (did, n, mt, mr, lw)
 
 
 #: every registered SQL name (populated by register_all's first run);

@@ -990,7 +990,11 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     logprob_raw, log_weight)``. ``logprob_*`` are per-bigram means;
     ``log_weight`` is the summed difference ``n_bigrams * (mean_t -
     mean_r)`` (NULL when the document has < 2 words). Positive ⇒ more
-    target-like than the raw corpus average.
+    target-like than the raw corpus average. An EMPTY target corpus is
+    the degenerate V = 0 model: the per-bigram division hits a zero
+    denominator (``try_divide`` → NULL even under ANSI mode), so
+    ``logprob_target`` and ``log_weight`` come back NULL for every
+    document (the SQL UDTF mirrors this) — feed a non-empty target.
 
     Scale shape: value-identical to composing ``lm_score`` twice (the
     equality is pinned bit-for-bit in tests), but the corpus is exploded
@@ -1044,14 +1048,18 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                    F.col("V").alias("__rV"))))
                .crossJoin(F.broadcast(tvocab.select(
                    F.col("V").alias("__tV")))))
-    lp_r = F.log(
-        (F.coalesce(F.col("__rc12"), F.lit(0)).cast("double") + F.lit(kf))
-        / (F.coalesce(F.col("__rc1"), F.lit(0)).cast("double")
-           + F.lit(kf) * F.col("__rV")))
-    lp_t = F.log(
-        (F.coalesce(F.col("__tc12"), F.lit(0)).cast("double") + F.lit(kf))
-        / (F.coalesce(F.col("__tc1"), F.lit(0)).cast("double")
-           + F.lit(kf) * F.col("__tV")))
+    # try_divide: an empty corpus gives V = 0 and a zero denominator —
+    # NULL (not an ANSI DIVIDE_BY_ZERO crash), cascading to the NULL
+    # logprob/log_weight the docstring promises; on the normal path the
+    # division is the same correctly-rounded double op
+    lp_r = F.log(F.try_divide(
+        F.coalesce(F.col("__rc12"), F.lit(0)).cast("double") + F.lit(kf),
+        F.coalesce(F.col("__rc1"), F.lit(0)).cast("double")
+        + F.lit(kf) * F.col("__rV")))
+    lp_t = F.log(F.try_divide(
+        F.coalesce(F.col("__tc12"), F.lit(0)).cast("double") + F.lit(kf),
+        F.coalesce(F.col("__tc1"), F.lit(0)).cast("double")
+        + F.lit(kf) * F.col("__tV")))
     per = (j.select(id_col, "__pos", lp_t.alias("__lpt"),
                     lp_r.alias("__lpr"))
             .groupBy(id_col)

@@ -462,11 +462,25 @@ def ts_scale_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         group_col,
         F.col("__loc").alias("scale_loc"),
         scale.alias("scale_scale"))
-    out = df.join(F.broadcast(stats), group_col)
+    out = _join_stats_back(df, stats, group_col)
     y = F.col(y_col).cast("double")
     scaled = F.when(F.col("scale_scale") > 0,
                     (y - F.col("scale_loc")) / F.col("scale_scale"))
     return out.withColumn("y_scaled", scaled)
+
+
+def _join_stats_back(df: DataFrame, stats: DataFrame,
+                     group_col: str) -> DataFrame:
+    """Broadcast the per-group stats frame back onto the source with a
+    NULL-SAFE equality (``<=>``): a NULL group key is a group like any
+    other (groupBy keeps it), so a plain equi-join would silently drop
+    those rows — diverging from the ops' SQL UDTF forms, which keep
+    NULL partitions. ``<=>`` is still an equi-join key, so the plan
+    stays a BroadcastHashJoin."""
+    sp = stats.withColumnRenamed(group_col, "__g")
+    out = df.join(F.broadcast(sp),
+                  F.col(group_col).eqNullSafe(F.col("__g")))
+    return out.drop("__g")
 
 
 def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
@@ -495,7 +509,7 @@ def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         group_col,
         _q7(F.col("__v"), n, lower).alias("clip_lo"),
         _q7(F.col("__v"), n, upper).alias("clip_hi"))
-    out = df.join(F.broadcast(stats), group_col)
+    out = _join_stats_back(df, stats, group_col)
     y = F.col(y_col).cast("double")
     wz = F.when(y < F.col("clip_lo"), F.col("clip_lo")) \
           .when(y > F.col("clip_hi"), F.col("clip_hi")) \
@@ -507,7 +521,7 @@ def ts_winsorize_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                                       F.lit(False))))
 
 
-def ts_unscale_by(df: DataFrame, group_col: str, value_cols: list[str],
+def ts_unscale_by(df: DataFrame, value_cols: list[str],
                   loc_col: str = "scale_loc",
                   scale_col: str = "scale_scale") -> DataFrame:
     """Inverse of :func:`ts_scale_by`: map scaled values back to original

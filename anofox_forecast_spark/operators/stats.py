@@ -676,18 +676,17 @@ def group_quantiles(df: DataFrame, key_cols: list[str], value_col: str,
     arr = F.array_sort(F.collect_list(
         F.when(F.col(value_col).isNotNull(),
                F.col(value_col).cast("double"))))
+    # the type-7 interpolation is the ONE shared Column helper
+    # (prep._q7) — scaling/winsorization and every quantile oracle rely
+    # on these expressions staying bit-identical, so the identity is
+    # structural, not comment-enforced
+    from .prep import _q7
     base = df.groupBy(*key_cols).agg(arr.alias("__a"))
     n = F.size("__a")
     cols = [n.alias("n")]
     for q in qs:
-        ix = F.lit(float(q)) * (n - 1).cast("double")
-        lo = F.floor(ix).cast("int")
-        frac = ix - lo.cast("double")
-        val = F.when(n == 1, F.get("__a", 0)).otherwise(
-            F.get("__a", lo) * (F.lit(1.0) - frac)
-            + F.get("__a", F.least(lo + 1, n - 1)) * frac)
         label = f"q_{str(q).replace('.', '_')}"
-        cols.append(val.alias(label))
+        cols.append(_q7(F.col("__a"), n, float(q)).alias(label))
     return base.select(*key_cols, *cols)
 
 

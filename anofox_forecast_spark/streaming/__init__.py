@@ -547,7 +547,10 @@ def stream_zscore_anomaly(stream: DataFrame, z_threshold: float = 3.0,
         rows.sort(key=lambda t: (t[0], t[1]))
         out = []
         for ds, x in rows:
-            std = math.sqrt(m2 / (n - 1.0)) if n >= 2.0 else None
+            # negative-rounded m2 -> NaN like Spark's F.sqrt, not a crash
+            s2 = m2 / (n - 1.0) if n >= 2.0 else None
+            std = (math.sqrt(s2) if s2 >= 0.0 else float("nan")) \
+                if s2 is not None else None
             pm = mean if n >= 1.0 else None
             z = ((x - mean) / std
                  if n >= float(mo) and std is not None and std > 0

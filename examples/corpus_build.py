@@ -218,9 +218,10 @@ if __name__ == "__main__":
     dsel = sample_weighted(
         dsir.withColumn("w", F.exp("log_weight")).filter("w IS NOT NULL"),
         "doc_id", "w", k=100, seed="dsir")
+    mean_lw = dsir.agg(F.avg("log_weight")).first()[0]
     print("DSIR selected:", dsel.count(), "of", dsir.count(),
           "| mean log_weight:",
-          round(dsir.agg(F.avg("log_weight")).first()[0], 4))
+          round(mean_lw, 4) if mean_lw is not None else None)
     tw.orderBy("source").show(5)
     print("verbatim-contaminated out:", confirmed.count(),
           "| near-dup contaminated out:",

@@ -65,14 +65,19 @@ def run(spark, sf_dir: str):
     from anofox_forecast_spark.operators.prep import (ts_scale_by,
                                                       ts_unscale_by)
     scaled = ts_scale_by(panel, "id", "ds", "y", "robust")
-    stats = scaled.select("id", "scale_loc", "scale_scale").distinct()
+    # one row per series, straight off the scaled frame — NOT a full-
+    # shuffle distinct over every (id, ds) point (the stats are constant
+    # within a series, so any first() per id is THE value)
+    stats = scaled.groupBy("id").agg(
+        F.first("scale_loc").alias("scale_loc"),
+        F.first("scale_scale").alias("scale_scale"))
     fc_scaled = ts_forecast_by(
         scaled.filter(F.col("y_scaled").isNotNull())
               .select("id", "ds", F.col("y_scaled").alias("y")),
         "id", "ds", "y", "SES", 7, "1d", {"alpha": 0.3})
     fc_unscaled = ts_unscale_by(
         fc_scaled.join(F.broadcast(stats), "id"),
-        "id", ["yhat", "yhat_lower", "yhat_upper"]) \
+        ["yhat", "yhat_lower", "yhat_upper"]) \
         .drop("scale_loc", "scale_scale")
 
     return periods, fc, conf, aci, anomalies, fc_unscaled

@@ -314,7 +314,7 @@ def test_unscale_roundtrips_scale(spark):
         scaled = ts_scale_by(_toy(spark), "id", "ds", "y", method)
         back = ts_unscale_by(
             scaled.withColumn("y_roundtrip", F.col("y_scaled")),
-            "id", ["y_roundtrip"]).collect()
+            ["y_roundtrip"]).collect()
         for r in back:
             if r["y_scaled"] is None:     # NULL y / constant / 1-row
                 assert r["y_roundtrip"] is None
@@ -322,7 +322,7 @@ def test_unscale_roundtrips_scale(spark):
                 assert r["y_roundtrip"] == pytest.approx(r["y"],
                                                          rel=1e-12)
     with pytest.raises(ValueError, match="value_cols"):
-        ts_unscale_by(_toy(spark), "id", [])
+        ts_unscale_by(_toy(spark), [])
 
 
 def test_output_column_collisions_rejected(spark):
@@ -372,3 +372,43 @@ def test_build_vocab_matches_python_replay(spark):
     assert sorted(r["rank"] for r in top2) == [1, 2]
     with pytest.raises(ValueError, match="max_terms"):
         build_vocab(docs, "doc_id", "text", max_terms=0)
+
+
+def test_scale_keeps_null_group_rows(spark):
+    """A NULL group key is a group like any other: the null-safe stats
+    join keeps those rows (parity with the UDTF's NULL partition)."""
+    from anofox_forecast_spark.operators.prep import ts_winsorize_by
+    rows = _ROWS + [(None, 1, 2.0), (None, 2, 4.0)]
+    df = spark.createDataFrame(rows, "id string, ds int, y double")
+    out = ts_scale_by(df, "id", "ds", "y", "minmax").collect()
+    assert len(out) == len(rows)
+    nulls = [r for r in out if r["id"] is None]
+    assert len(nulls) == 2
+    assert {r["scale_loc"] for r in nulls} == {2.0}     # min of the group
+    wz = ts_winsorize_by(df, "id", "ds", "y", 0.0, 1.0).collect()
+    assert len(wz) == len(rows)
+    assert sum(1 for r in wz if r["id"] is None) == 2
+
+
+def test_dsir_empty_target_yields_null_weights(spark):
+    """An empty target corpus is the degenerate V=0 model: NULL
+    logprob_target/log_weight everywhere, no crash — and the SQL UDTF
+    mirrors it instead of dividing by zero."""
+    from anofox_forecast_spark.functions.sql import register_all
+    docs = spark.createDataFrame(
+        [(0, "a b c", False), (1, "b c d", False)],
+        "doc_id long, text string, is_t boolean")
+    out = dsir_weights(docs.select("doc_id", "text"), "doc_id", "text",
+                       docs.filter("is_t").select("doc_id", "text")) \
+        .collect()
+    assert len(out) == 2
+    assert all(r["logprob_target"] is None and r["log_weight"] is None
+               and r["logprob_raw"] is not None for r in out)
+    register_all(spark)
+    docs.createOrReplaceTempView("dsir_empty_t")
+    sql_out = spark.sql(
+        "SELECT * FROM pipeline_dsir_weights(TABLE(dsir_empty_t), "
+        "'doc_id', 'text', 'is_t')").collect()
+    assert len(sql_out) == 2
+    assert all(r["logprob_target"] is None and r["log_weight"] is None
+               for r in sql_out)
