@@ -282,6 +282,9 @@ _NAN_SQL = "CAST('NaN' AS DOUBLE)"
 _SQL_SCALARS: list[tuple[str, str, str]] = [
     ("ts_arr_mean", "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
      "aggregate(a, 0.0D, (acc, x) -> acc + x) / size(a)"),
+    # inverse of ts_scale_by's transform (r9c): x*scale + loc, NULL-safe
+    ("ts_unscale", "(x DOUBLE, loc DOUBLE, scale DOUBLE) RETURNS DOUBLE",
+     "x * scale + loc"),
     ("ts_mae", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",
      "ts_arr_mean(zip_with(a, f, (x, y) -> abs(x - y)))"),
     ("ts_mse", "(a ARRAY<DOUBLE>, f ARRAY<DOUBLE>) RETURNS DOUBLE",

@@ -1086,3 +1086,23 @@ def test_pipeline_build_vocab_udtf_matches_dataframe(spark):
     for c in ("word", "n_occurrences", "n_docs", "rank"):
         assert list(a[c]) == list(b[c])
     np.testing.assert_allclose(a["coverage"], b["coverage"], rtol=1e-15)
+
+
+def test_ts_unscale_scalar_matches_dataframe(spark):
+    register_all(spark)
+    from anofox_forecast_spark.operators.prep import (ts_scale_by,
+                                                      ts_unscale_by)
+    scaled = ts_scale_by(lineitem_panel(spark, SF_DIR), "id", "ds", "y",
+                         "zscore").withColumn("v", F.col("y_scaled"))
+    df_out = ts_unscale_by(scaled, ["v"]) \
+        .select("id", "ds", F.col("v").alias("back"))
+    scaled.createOrReplaceTempView("unscale_sql_t")
+    sql_out = spark.sql(
+        "SELECT id, ds, ts_unscale(v, scale_loc, scale_scale) AS back "
+        "FROM unscale_sql_t")
+    cols = ["id", "ds", "back"]
+    a, b = _pd_sorted(sql_out, cols), _pd_sorted(df_out, cols)
+    assert len(a) == len(b) > 0
+    x = a["back"].to_numpy(dtype=float)
+    y = b["back"].to_numpy(dtype=float)
+    assert ((x == y) | (np.isnan(x) & np.isnan(y))).all()   # bit-equal
