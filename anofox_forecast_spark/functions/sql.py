@@ -3940,8 +3940,13 @@ class TsDetectAnomaliesOnlineUDTF:
             return
         group_col, ds_col, y_col, thr, mo = self._args
         g = self._rows[0][group_col]
-        walk = sorted((r[ds_col], float(r[y_col])) for r in self._rows
-                      if r[y_col] is not None)
+        # NULL ds sorts FIRST, then (ds, y) — mirrors the DataFrame op's
+        # array_sort over (ds, y) structs (NULL field smallest), and a
+        # plain tuple sort would raise TypeError on None-vs-timestamp
+        walk = sorted(((r[ds_col], float(r[y_col])) for r in self._rows
+                       if r[y_col] is not None),
+                      key=lambda t: ((0, 0, t[1]) if t[0] is None
+                                     else (1, t[0], t[1])))
         n, mean, m2 = 0.0, 0.0, 0.0
         for ds, x in walk:
             # m2 can round a hair negative on near-constant series;
@@ -4168,6 +4173,39 @@ def register_all(spark: SparkSession) -> None:
     for nm, kind in (("ts_estimate_period_acf", "acf"),
                      ("ts_estimate_period_fft", "fft")):
         fn = estimate_period_udf(kind)
+        spark.udf.register(nm, fn)
+        spark.udf.register(f"anofox_fcst_{nm}", fn)
+        names.append(nm)
+    # feature-config loaders as struct-returning scalar SQL functions —
+    # the reference registers these on its SQL surface
+    # (anofox_forecast_extension.cpp:108-110); ours were driver-side dict
+    # parsers only until r10. Config strings are tiny driver-side
+    # literals, so a plain Python UDF is fine (never a hot path); a PATH
+    # argument resolves on the evaluating worker — on a real cluster pass
+    # the config TEXT, not a driver-local path.
+    from ..operators.features import (ts_features_config_from_csv,
+                                      ts_features_config_from_json)
+    cfg_type = T.StructType([
+        T.StructField("feature_names", T.ArrayType(T.StringType())),
+        T.StructField("overrides", T.ArrayType(T.StructType([
+            T.StructField("feature", T.StringType()),
+            T.StructField("params_json", T.StringType())])))])
+
+    def _cfg_udf(parse):
+        def fn(s):
+            if s is None:
+                return None
+            cfg = parse(s)
+            return (cfg["feature_names"],
+                    [(o["feature"], o["params_json"])
+                     for o in cfg["overrides"]])
+        return fn
+
+    for nm, parse in (("ts_features_config_from_json",
+                       ts_features_config_from_json),
+                      ("ts_features_config_from_csv",
+                       ts_features_config_from_csv)):
+        fn = F.udf(_cfg_udf(parse), cfg_type)
         spark.udf.register(nm, fn)
         spark.udf.register(f"anofox_fcst_{nm}", fn)
         names.append(nm)

@@ -1495,6 +1495,15 @@ def ts_detect_anomalies_online_by(df: DataFrame, group_col: str,
     over the (ds, y)-sorted row list — deterministic on any partitioning,
     one series-key shuffle, replayable engine-side as a recursive CTE
     carrying the same three scalars.
+
+    Series-length bound: the *running state* is three scalars, but the
+    fold's emitted per-step array is rebuilt by ``concat`` each step
+    (Catalyst has no linear scan primitive), so materializing the
+    output costs O(n^2) element copies per series — fine for panel
+    series (~1e3–1e4 points; 10k points ≈ 5e7 struct copies), wrong
+    for million-point single series. Beyond that, use the streaming
+    twin ``stream_zscore_anomaly`` (genuinely O(1) state per key) or
+    split the series and carry the three scalars across chunks.
     """
     thr, mo = float(z_threshold), int(min_obs)
     if thr <= 0:
@@ -1519,34 +1528,34 @@ def ts_detect_anomalies_online_by(df: DataFrame, group_col: str,
         d = x - mean
         mean1 = mean + d / n1
         m21 = m2 + d * (x - mean1)
+        # ONE array append per step (not three): the running state stays
+        # three scalars; only the emitted per-step structs accumulate
         return F.struct(
             n1.alias("n"), mean1.alias("mean"), m21.alias("m2"),
-            F.concat(acc["pm"], F.array(pm)).alias("pm"),
-            F.concat(acc["ps"], F.array(std)).alias("ps"),
-            F.concat(acc["pz"], F.array(z)).alias("pz"))
+            F.concat(acc["out"], F.array(F.struct(
+                pm.alias("pm"), std.alias("ps"), z.alias("pz"))))
+            .alias("out"))
 
-    # output arrays hold NULLs at the warm-up steps — init them as
-    # nullable-element arrays or codegen reads the NULLs back as 0.0
-    empty = F.expr("CAST(array() AS array<double>)")
+    # the emitted structs hold NULLs at the warm-up steps — init as a
+    # nullable-field array or codegen reads the NULLs back as 0.0
+    empty = F.expr(
+        "CAST(array() AS array<struct<pm double, ps double, pz double>>)")
     init = F.struct(
         F.lit(0.0).alias("n"), F.lit(0.0).alias("mean"),
-        F.lit(0.0).alias("m2"),
-        empty.alias("pm"), empty.alias("ps"), empty.alias("pz"))
+        F.lit(0.0).alias("m2"), empty.alias("out"))
     state = F.aggregate(F.sequence(F.lit(1), F.size("__e")), init, step)
     out = (grouped.withColumn("__st", state)
            .select(group_col,
                    F.explode(F.arrays_zip(
-                       F.col("__e"),
-                       F.col("__st")["pm"].alias("pm"),
-                       F.col("__st")["ps"].alias("ps"),
-                       F.col("__st")["pz"].alias("pz"))).alias("__z")))
+                       F.col("__e"), F.col("__st")["out"].alias("s")))
+                   .alias("__z")))
     z = F.col("__z")
-    zz = z["pz"]
+    zz = z["s"]["pz"]
     return out.select(
         F.col(group_col),
         z["__e"]["ds"].alias(ds_col),
         z["__e"]["y"].alias(y_col),
-        z["pm"].alias("exp_mean"),
-        z["ps"].alias("exp_std"),
+        z["s"]["pm"].alias("exp_mean"),
+        z["s"]["ps"].alias("exp_std"),
         zz.alias("online_z"),
         F.coalesce(F.abs(zz) > thr, F.lit(False)).alias("is_anomaly"))

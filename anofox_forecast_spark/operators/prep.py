@@ -440,8 +440,13 @@ def ts_scale_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     n = F.size("__v")
     nd = n.cast("double")
     if method == "zscore":
-        mean = F.aggregate("__v", F.lit(0.0),
-                           lambda a, x: a + x) / nd
+        # n >= 1 guard: an all-NULL-y group folds an empty array, and
+        # under ANSI mode the 0.0/0 mean would raise DIVIDE_BY_ZERO and
+        # kill the job; CaseWhen evaluates lazily, so the division never
+        # runs for that group and loc/scale come out NULL — matching the
+        # TsScaleUDTF twin's NULL stats for an all-NULL partition
+        mean = F.when(n >= 1, F.aggregate("__v", F.lit(0.0),
+                                          lambda a, x: a + x) / nd)
         base = base.withColumn("__loc", mean)
         # squared deviations via transform-then-fold: the multiply lives
         # in its own kernel on both engines (no FMA-fusion ambiguity in

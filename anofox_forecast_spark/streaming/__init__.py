@@ -544,7 +544,10 @@ def stream_zscore_anomaly(stream: DataFrame, z_threshold: float = 3.0,
         for pdf in pdfs:
             sub = pdf[pdf["y"].notna()]
             rows.extend(zip(sub["ds"], sub["y"].astype(float)))
-        rows.sort(key=lambda t: (t[0], t[1]))
+        # NULL/NaT ds first, then (ds, y) — the batch op's array_sort
+        # ordering; a raw tuple sort would TypeError on None-vs-timestamp
+        rows.sort(key=lambda t: ((0, 0, t[1]) if pd.isna(t[0])
+                                 else (1, t[0], t[1])))
         out = []
         for ds, x in rows:
             # negative-rounded m2 -> NaN like Spark's F.sqrt, not a crash

@@ -412,3 +412,68 @@ def test_dsir_empty_target_yields_null_weights(spark):
     assert len(sql_out) == 2
     assert all(r["logprob_target"] is None and r["log_weight"] is None
                for r in sql_out)
+
+
+@pytest.mark.parametrize("method", ["zscore", "minmax", "robust"])
+def test_scale_all_null_y_group_yields_null_stats(spark, method):
+    """An all-NULL-y series folds an EMPTY sorted array: under ANSI mode
+    the unguarded zscore mean (sum/0) would raise DIVIDE_BY_ZERO and
+    kill the job (r9 ADVICE medium). Contract: loc/scale/y_scaled all
+    NULL for that group, other groups unaffected — parity with the
+    TsScaleUDTF twin, which returns NULL stats for the same partition."""
+    rows = _ROWS + [("e", 1, None), ("e", 2, None)]
+    df = spark.createDataFrame(rows, "id string, ds int, y double")
+    out = ts_scale_by(df, "id", "ds", "y", method).collect()
+    assert len(out) == len(rows)
+    e = [r for r in out if r["id"] == "e"]
+    assert len(e) == 2
+    assert all(r["scale_loc"] is None and r["scale_scale"] is None
+               and r["y_scaled"] is None for r in e)
+    # the sibling winsorize path shares the empty-array stats shape
+    wz = [r for r in ts_winsorize_by(df, "id", "ds", "y").collect()
+          if r["id"] == "e"]
+    assert all(r["clip_lo"] is None and r["y_winsorized"] is None
+               and r["was_clipped"] is False for r in wz)
+    # SQL twin agrees on the same degenerate partition
+    from anofox_forecast_spark.functions.sql import register_all
+    register_all(spark)
+    df.createOrReplaceTempView("scale_all_null_t")
+    sql_e = [r for r in spark.sql(
+        "SELECT * FROM ts_scale(TABLE(scale_all_null_t), "
+        f"'id', 'ds', 'y', '{method}')").collect() if r["id"] == "e"]
+    assert len(sql_e) == 2
+    assert all(r["scale_loc"] is None and r["y_scaled"] is None
+               for r in sql_e)
+
+
+def test_online_anomalies_null_ds_twins_agree(spark):
+    """Degenerate input — NULL ds with non-null y (r9 ADVICE low): the
+    batch op's array_sort puts NULL-ds structs FIRST (NULL field
+    smallest) then walks (ds, y); the UDTF twin used a raw tuple sort
+    that raised TypeError on None-vs-timestamp. Both twins must now
+    produce the batch op's walk on the same degenerate frame."""
+    from anofox_forecast_spark.functions.sql import register_all
+    from anofox_forecast_spark.operators.detect import (
+        ts_detect_anomalies_online_by,
+    )
+    rows = [("a", None, 5.0), ("a", "2024-01-02", 1.0),
+            ("a", "2024-01-01", 3.0), ("a", None, 2.0),
+            ("b", "2024-01-01", 7.0), ("b", None, None)]
+    df = spark.createDataFrame(rows, "id string, ds string, y double") \
+        .select("id", F.col("ds").cast("timestamp").alias("ds"), "y")
+    batch = ts_detect_anomalies_online_by(df, "id", "ds", "y", 3.0, 1)
+    got = [tuple(r) for r in batch.collect()]
+    register_all(spark)
+    df.createOrReplaceTempView("zs_null_ds_t")
+    sql_got = [tuple(r) for r in spark.sql(
+        "SELECT * FROM ts_detect_anomalies_online(TABLE(zs_null_ds_t), "
+        "'id', 'ds', 'y', 3.0D, 1)").collect()]
+    assert sorted(got, key=str) == sorted(sql_got, key=str)
+    # NULL-ds rows were scored (not dropped), and scored FIRST:
+    a = [r for r in sorted(got, key=str) if r[0] == "a"]
+    assert len(a) == 4
+    null_first = [r for r in a if r[1] is None]
+    assert len(null_first) == 2
+    # the (None, 2.0) row leads the walk -> no prior prefix
+    lead = min(null_first, key=lambda r: r[2])
+    assert lead[3] is None and lead[5] is None
