@@ -7,10 +7,12 @@ memory per task regardless of partition size).
 
 Decode strategy: pillow is auto-detected per worker and used when present;
 PNG payloads additionally decode through a dependency-free stdlib-zlib
-decoder (``_png_gray_thumb``), so the real-decode branch runs and is tested
-even in this container. Non-PNG formats without pillow raise the documented
+decoder (``_png_gray_thumb``) and Y4M video through the uncompressed-
+container parser (``_y4m_frames``), so the real-decode branches of both
+``image_features`` and ``frame_sample`` run and are tested even in this
+container. Codec formats without pillow/ffmpeg raise the documented
 ``NotImplementedError`` stub. The Spark-side contract — schemas, batch
-iteration, partitioning, header sniffing (PNG/JPEG/GIF/WAV magic +
+iteration, partitioning, header sniffing (PNG/JPEG/GIF/WAV/Y4M magic +
 dimensions) — is real in every mode.
 """
 
@@ -62,6 +64,13 @@ def sniff_media(payload: bytes | None) -> dict:
         out.update(format="gif", width=int(w), height=int(h), is_valid=True)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         out.update(format="wav", is_valid=True)
+    elif payload[:9] == b"YUV4MPEG2" and b"\x0a" in payload:
+        out.update(format="y4m", is_valid=True)
+        for tag in payload[9:payload.index(b"\x0a")].split(b" "):
+            if tag.startswith(b"W") and tag[1:].isdigit():
+                out.update(width=int(tag[1:]))
+            elif tag.startswith(b"H") and tag[1:].isdigit():
+                out.update(height=int(tag[1:]))
     return out
 
 
@@ -240,11 +249,68 @@ def image_features(df: DataFrame, binary_col: str, id_col: str,
     return df.mapInPandas(fn, schema)
 
 
+def _y4m_frames(payload: bytes) -> list[bytes] | None:
+    """Dependency-free frame parse for YUV4MPEG2 (.y4m) — the standard
+    UNCOMPRESSED video container (plain-text ``YUV4MPEG2 W.. H.. ...``
+    stream header, then ``FRAME``-delimited raw planes; no codec
+    involved). Returns the list of raw frame payloads (YUV planes,
+    frame-header params stripped), or None if the payload is not Y4M /
+    is malformed — the caller falls back to pillow/stub. 4:2:0 (default
+    when no ``C`` tag), 4:2:2, 4:4:4 and mono chroma tags supported."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\x0a")
+        w = h = None
+        chroma = b"420"
+        for tag in payload[9:nl].split(b" "):
+            if tag.startswith(b"W"):
+                w = int(tag[1:])
+            elif tag.startswith(b"H"):
+                h = int(tag[1:])
+            elif tag.startswith(b"C"):
+                chroma = tag[1:]
+        if not w or not h:
+            return None
+        if chroma.startswith(b"420"):
+            fsize = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+        elif chroma.startswith(b"422"):
+            fsize = w * h + 2 * ((w + 1) // 2) * h
+        elif chroma.startswith(b"444"):
+            fsize = 3 * w * h
+        elif chroma.startswith(b"mono"):
+            fsize = w * h
+        else:
+            return None
+        frames, pos = [], nl + 1
+        while pos < len(payload):
+            if payload[pos:pos + 5] != b"FRAME":
+                return None
+            fnl = payload.index(b"\x0a", pos)
+            data = payload[fnl + 1:fnl + 1 + fsize]
+            if len(data) < fsize:
+                return None
+            frames.append(data)
+            pos = fnl + 1 + fsize
+        return frames
+    except (ValueError, IndexError):
+        return None
+
+
 def frame_sample(df: DataFrame, binary_col: str, id_col: str,
                  every_n: int = 10, fake: bool = False) -> DataFrame:
     """Video frame-sampling contract: one output row per sampled frame
-    (id, frame_index, frame binary). Fake mode emits deterministic byte
-    slices so the explode-shaped output path is tested."""
+    (id, frame_index, frame binary).
+
+    Decode strategy, checked per payload on the worker:
+    1. ``fake=True`` → deterministic byte slices exercising the
+       explode-shaped distributed path (the oracle-checked mode).
+    2. Y4M payload → REAL frame sampling via the dependency-free
+       ``_y4m_frames`` parser (uncompressed container, no codec):
+       every ``every_n``-th raw frame, ``frame_index`` = its position
+       in the stream.
+    3. otherwise → NotImplementedError (codec formats need ffmpeg on
+       the workers; documented stub)."""
     schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("frame_index", T.IntegerType()),
@@ -256,7 +322,14 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
                 if not fake:
-                    _decode_stub(payload, "frame_sample")
+                    decoded = _y4m_frames(payload or b"")
+                    if decoded is None:
+                        _decode_stub(payload, "frame_sample")
+                    for fi in range(0, len(decoded), every_n):
+                        ids.append(rid)
+                        idxs.append(fi)
+                        frames.append(decoded[fi])
+                    continue
                 b = payload or b""
                 n_frames = max(len(b) // 256, 1)
                 for fi in range(0, n_frames, every_n):
@@ -264,5 +337,115 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
                     idxs.append(fi)
                     frames.append(b[fi * 256:(fi + 1) * 256])
             yield pd.DataFrame({id_col: ids, "frame_index": idxs, "frame": frames})
+
+    return df.mapInPandas(fn, schema)
+
+
+def _wav_pcm_samples(payload: bytes):
+    """Dependency-free PCM WAV decode (stdlib struct + numpy): RIFF/WAVE
+    with an integer-PCM ``fmt `` chunk (8/16/32-bit, any channel count).
+    Returns ``(mono float64 array in [-1, 1], sample_rate)`` — channels
+    averaged — or None for anything else (compressed codecs, float WAV,
+    malformed), letting the caller fall back to the documented stub."""
+    import numpy as np
+    if (not payload or len(payload) < 44 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        return None
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or n_ch < 1 or rate < 1:   # integer PCM only
+            return None
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:                               # 8-bit WAV is unsigned
+            x = (np.frombuffer(data, dtype="u1").astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) \
+                / 2147483648.0
+        else:
+            return None
+        n = (len(x) // n_ch) * n_ch
+        if n == 0:
+            return None
+        return x[:n].reshape(-1, n_ch).mean(axis=1), int(rate)
+    except Exception:  # noqa: BLE001 — malformed payload -> not decodable
+        return None
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossing_rate", T.DoubleType()),
+    T.StructField("spectral_centroid_hz", T.DoubleType()),
+])
+
+
+def audio_features(df: DataFrame, binary_col: str, id_col: str,
+                   fake: bool = False) -> DataFrame:
+    """Audio feature-extraction contract: (id, audio struct) with
+    ``n_samples / sample_rate / duration_s / rms / zero_crossing_rate /
+    spectral_centroid_hz`` — the audio sibling of ``image_features``
+    (beyond-parity; the reference has no media operators).
+
+    Decode strategy, per payload on the worker:
+    1. ``fake=True`` → deterministic features from the raw byte stream
+       (exercises the distributed path without a decoder).
+    2. integer-PCM WAV → REAL decode via the dependency-free
+       ``_wav_pcm_samples`` parser; spectral centroid from one numpy
+       rFFT over the (channel-averaged) signal.
+    3. otherwise → NotImplementedError (compressed codecs need
+       soundfile/ffmpeg on the workers; documented stub)."""
+    import numpy as np
+    schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("audio", AUDIO_FEATURES_SCHEMA),
+    ])
+
+    def feats(x, rate):
+        n = len(x)
+        rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+        zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+               if n > 1 else 0.0)
+        # power-spectrum weighting (|X|^2): a magnitude-weighted centroid
+        # gives the broadband quantization-noise floor enough mass to pull
+        # a pure tone's centroid ~20% high
+        pw = np.abs(np.fft.rfft(x)) ** 2 if n else np.array([])
+        fhz = np.fft.rfftfreq(n, d=1.0 / rate) if n else np.array([])
+        tot = float(pw.sum())
+        cen = float((fhz * pw).sum() / tot) if tot > 0 else 0.0
+        return {"n_samples": n, "sample_rate": int(rate),
+                "duration_s": n / float(rate), "rms": rms,
+                "zero_crossing_rate": zcr, "spectral_centroid_hz": cen}
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                b = payload or b""
+                if fake:
+                    x = (np.frombuffer(b[:4096], dtype="u1")
+                         .astype(np.float64) - 128.0) / 128.0
+                    out.append(feats(x, 8000))
+                    continue
+                dec = _wav_pcm_samples(b)
+                if dec is None:
+                    _decode_stub(payload, "audio_features")
+                out.append(feats(*dec))
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": out})
 
     return df.mapInPandas(fn, schema)
