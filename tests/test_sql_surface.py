@@ -1106,3 +1106,43 @@ def test_ts_unscale_scalar_matches_dataframe(spark):
     x = a["back"].to_numpy(dtype=float)
     y = b["back"].to_numpy(dtype=float)
     assert ((x == y) | (np.isnan(x) & np.isnan(y))).all()   # bit-equal
+
+
+def test_features_config_loaders_on_sql_surface(spark):
+    """r10: ts_features_config_from_json/_from_csv registered as
+    struct-returning scalar SQL functions (the reference registers them:
+    anofox_forecast_extension.cpp:108-110) — SQL result == the
+    driver-side parser dict, including override pass-through and the
+    drop-unknown-names semantics."""
+    import warnings
+
+    from anofox_forecast_spark.operators.features import (
+        ts_features_config_from_csv, ts_features_config_from_json)
+    register_all(spark)
+    js = ('{"features": ["mean", "variance", "nope_not_a_feature"], '
+          '"overrides": {"mean": {"w": 2}}}')
+    csv = "feature,params_json\nmean,\nvariance,{\"w\": 3}\n"
+    row = spark.sql(
+        "SELECT ts_features_config_from_json(:j) AS a, "
+        "anofox_fcst_ts_features_config_from_csv(:c) AS b, "
+        "ts_features_config_from_json(NULL) AS n",
+        args={"j": js, "c": csv}).collect()[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dj = ts_features_config_from_json(js)
+        dc = ts_features_config_from_csv(csv)
+    assert list(row["a"]["feature_names"]) == dj["feature_names"]
+    assert "nope_not_a_feature" not in row["a"]["feature_names"]
+    assert [(o["feature"], o["params_json"]) for o in row["a"]["overrides"]] \
+        == [(o["feature"], o["params_json"]) for o in dj["overrides"]]
+    assert list(row["b"]["feature_names"]) == dc["feature_names"] \
+        == ["mean", "variance"]
+    assert [(o["feature"], o["params_json"]) for o in row["b"]["overrides"]] \
+        == [("variance", '{"w": 3}')]
+    assert row["n"] is None
+    # the parsed name list drives ts_features_by exactly like the kwarg
+    from anofox_forecast_spark.operators.features import ts_features_by
+    pan = lineitem_panel(spark, SF_DIR)
+    sub = ts_features_by(pan, "id", "ds", "y",
+                         features=list(row["b"]["feature_names"]))
+    assert {"mean", "variance"} <= set(sub.columns)
