@@ -66,5 +66,19 @@ def batched_grouped_map(
             if r is not None and len(r):
                 yield r
 
-    parts = df.repartition(*keys).sortWithinPartitions(*keys, order_col)
+    # CPU-bound Python stage: floor the partition count at the cluster's
+    # core count. A bare repartition(*keys) inherits
+    # spark.sql.shuffle.partitions, which users (and the bench) tune DOWN
+    # for small relational shuffles — that starved the per-series
+    # optimizer stage to 8 of 32 cores (r9 forecast_auto_ets: 30 s wall
+    # for ~240 s of numpy ÷ 8). Results are partitioning-invariant
+    # (pinned by tests); this only widens the Arrow-batch fan-out.
+    sc = df.sparkSession.sparkContext
+    try:
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        shuffle = 0
+    n_parts = max(shuffle, sc.defaultParallelism)
+    parts = df.repartition(n_parts, *keys) \
+              .sortWithinPartitions(*keys, order_col)
     return parts.mapInPandas(fn, schema)

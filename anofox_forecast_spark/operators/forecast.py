@@ -134,120 +134,152 @@ def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str)
 def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                   model: str, horizon: int, freq: Frequency, level: float,
                   params: dict) -> DataFrame:
+    """SQL fast path for the cheap per-series models.
+
+    Built from SQL-TEXT expressions (``selectExpr`` / ``F.expr``) rather
+    than stacked Column-DSL calls: the expressions resolve to the exact
+    same Catalyst operators (results are bit-identical — every oracle key
+    replays), but the classic-mode Column DSL costs a py4j round trip per
+    call, which at ~1,300 round trips was ~0.2-0.4 s of DRIVER latency
+    per query build — comparable to the whole sf0.1 execution and pure
+    dead weight for an interactive user issuing thousands of cheap
+    forecasts. Float literals are D-suffixed (Spark parses bare ``0.0``
+    as DECIMAL) and the z-quantile embeds as ``CAST('<repr>' AS DOUBLE)``
+    (strtod is correctly rounded, so the bits match ``F.lit(z)``).
+    """
     z = _z(level)
+    zl = f"CAST('{z!r}' AS DOUBLE)"
     m = int(params.get("seasonal_period", 0) or 0)
     window = int(params.get("window", 5 if model == "SMA" else 2))
     ds_type = df.schema[ds_col].dataType
 
-    base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
-             .filter(F.col(ds_col).isNotNull())
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    qg, qds, qy = q(group_col), q(ds_col), q(y_col)
+    base = df.selectExpr(qg, qds, f"CAST({qy} AS DOUBLE) AS {qy}") \
+             .where(f"{qds} IS NOT NULL")
     base = interpolate_nulls_df(base, group_col, ds_col, y_col)
 
-    w_asc = Window.partitionBy(group_col).orderBy(ds_col)
-    y = F.col(y_col)
+    over = f"OVER (PARTITION BY {qg} ORDER BY {qds})"
     # ONE ascending Window pass computes every per-row helper. Seasonal/SMA
     # templates are NOT a second pipeline pass + join: the newest-first tail
     # of each series is collected inside the same group aggregate (bounded:
     # m, window, or m*window elements) and indexed with element_at.
-    asc_cols = {"__dy": y - F.lag(y, 1).over(w_asc)}
+    asc = [f"{qy} - lag({qy}, 1) {over} AS __dy"]
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
         if m < 1:
             raise ValueError(f"{model} requires seasonal_period >= 1")
-        asc_cols["__dym"] = y - F.lag(y, m).over(w_asc)
+        asc.append(f"{qy} - lag({qy}, {m}) {over} AS __dym")
     if model == "SMA":
         # rolling-mean one-step fit (defined from row window+1 on), pre-agg
-        asc_cols["__sma_fit"] = F.when(
-            F.row_number().over(w_asc) > window,
-            F.avg(y).over(w_asc.rowsBetween(-window, -1)))
+        asc.append(
+            f"CASE WHEN row_number() {over} > {window} THEN "
+            f"avg({qy}) OVER (PARTITION BY {qg} ORDER BY {qds} "
+            f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING) END "
+            f"AS __sma_fit")
     tail_len = {"SMA": window, "SeasonalNaive": m,
                 "SeasonalWindowAverage": m * window}.get(model, 0)
     if tail_len:
         # position helpers so ONLY the newest tail_len rows enter the
         # collect (collect_list skips the NULL non-tail rows): the agg
         # state per group becomes a bounded <= m*window element array
-        # instead of the full series — at toy scale a wash (~15% on the
-        # isolated collect shape, noise-level in the full query), at scale
-        # it removes an O(series-length) buffer from every seasonal/SMA
+        # instead of the full series — at toy scale a wash, at scale it
+        # removes an O(series-length) buffer from every seasonal/SMA
         # group aggregate
-        asc_cols["__rn"] = F.row_number().over(w_asc)
-        asc_cols["__n0"] = F.count(F.lit(1)).over(Window.partitionBy(group_col))
-    base = base.withColumns(asc_cols)
+        asc.append(f"row_number() {over} AS __rn")
+        asc.append(f"count(1) OVER (PARTITION BY {qg}) AS __n0")
+    base = base.selectExpr("*", *asc)
 
     aggs = [
-        F.max(ds_col).alias("__max_ds"),
-        F.count(F.lit(1)).alias("__n"),
-        F.max_by(y, F.col(ds_col)).alias("__last_y"),
-        F.min_by(y, F.col(ds_col)).alias("__first_y"),
-        F.coalesce(F.stddev_samp(F.col("__dy")), F.lit(0.0)).alias("__sig"),
+        f"max({qds}) AS __max_ds",
+        "count(1) AS __n",
+        f"max_by({qy}, {qds}) AS __last_y",
+        f"min_by({qy}, {qds}) AS __first_y",
+        "coalesce(stddev_samp(__dy), 0.0D) AS __sig",
     ]
     if tail_len:
         # newest-first (ds, y) tail, bounded at collect time
-        aggs.append(F.reverse(F.array_sort(F.collect_list(
-            F.when(F.col("__rn") > F.col("__n0") - tail_len,
-                   F.struct(F.col(ds_col).alias("ds"), y.alias("y"))))))
-            .alias("__tail"))
+        aggs.append(
+            f"reverse(array_sort(collect_list(CASE WHEN __rn > __n0 - "
+            f"{tail_len} THEN named_struct('ds', {qds}, 'y', {qy}) END))) "
+            f"AS __tail")
     if model == "SMA":
-        aggs.append(F.coalesce(F.stddev_samp(y - F.col("__sma_fit")), F.lit(0.0))
-                     .alias("__sig_sma"))
+        aggs.append(f"coalesce(stddev_samp({qy} - __sma_fit), 0.0D) "
+                    f"AS __sig_sma")
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
-        aggs.append(F.coalesce(F.stddev_samp(F.col("__dym")), F.lit(0.0)).alias("__sigm"))
-    agg = base.groupBy(group_col).agg(*aggs).filter(F.col("__n") >= 3)
+        aggs.append("coalesce(stddev_samp(__dym), 0.0D) AS __sigm")
+    agg = base.groupBy(group_col).agg(*[F.expr(e) for e in aggs]) \
+              .where("__n >= 3")
 
-    step = F.col("forecast_step")
-    stepd = step.cast("double")
-    steps = agg.select(
-        "*", F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("forecast_step"))
-    out_ds = _future_ds(F.col("__max_ds"), step, freq, ds_type).alias(ds_col)
+    # Step-independent per-group quantities are computed BEFORE the
+    # horizon explode: the SMA mean and the SWA per-phase means would
+    # otherwise be re-evaluated per OUTPUT row (horizon-fold redundant
+    # work and a horizon-times-bigger expression tree for codegen). The
+    # fold arithmetic is unchanged — same filter, same sequential
+    # aggregate — so results are bit-identical to the per-step form.
+    hoist = []
+    if model == "SMA":
+        hoist.append(
+            "aggregate(transform(__tail, t -> t.y), 0.0D, (a, v) -> a + v)"
+            " / size(transform(__tail, t -> t.y)) AS __sma_mean")
+    elif model == "SeasonalWindowAverage":
+        # per-phase mean over the last `window` cycles: tail positions p
+        # with (p-1) % m == phase, phase counted newest-first; an empty
+        # phase (series shorter than its phase offset) keeps the model
+        # path's NaN phase mean instead of dropping rows
+        pv = ("filter(zip_with(__tail, sequence(1, size(__tail)), "
+              "(t, i) -> named_struct('y', t.y, 'i', i)), "
+              f"s -> (s.i - 1) % {m} = ph)")
+        hoist.append(
+            f"transform(sequence(0, {m - 1}), ph -> CASE WHEN "
+            f"size({pv}) > 0 THEN aggregate({pv}, 0.0D, "
+            f"(a, s) -> a + s.y) / size({pv}) "
+            f"ELSE CAST('NaN' AS DOUBLE) END) AS __phase_means")
+    if hoist:
+        agg = agg.selectExpr("*", *hoist)
+
+    steps = agg.selectExpr(
+        "*", f"explode(sequence(1, {int(horizon)})) AS forecast_step")
+    stepd = "CAST(forecast_step AS DOUBLE)"
+    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
+                        ds_type).alias(ds_col)
 
     if model == "Naive":
-        yhat = F.col("__last_y")
-        width = F.lit(z) * F.col("__sig") * F.sqrt(stepd)
+        yhat = "__last_y"
+        width = f"{zl} * __sig * sqrt({stepd})"
     elif model == "RandomWalkDrift":
-        drift = (F.col("__last_y") - F.col("__first_y")) / (F.col("__n") - 1)
-        yhat = F.col("__last_y") + drift * stepd
-        width = F.lit(z) * F.col("__sig") * F.sqrt(stepd)
+        yhat = f"__last_y + (__last_y - __first_y) / (__n - 1) * {stepd}"
+        width = f"{zl} * __sig * sqrt({stepd})"
     elif model == "SMA":
-        tail_y = F.transform(F.col("__tail"), lambda t: t["y"])
-        yhat = (F.aggregate(tail_y, F.lit(0.0), lambda a, v: a + v)
-                / F.size(tail_y))
-        width = F.lit(z) * F.col("__sig_sma")
+        yhat = "__sma_mean"
+        width = f"{zl} * __sig_sma"
     elif model == "SeasonalNaive":
-        # tail[i] is the i-th newest row; step s uses reverse-rank m-((s-1)%m)
-        # The effective period clamps to the series length so short series
-        # still emit all `horizon` rows (model-path parity, models.py:344-348).
-        m_eff = F.least(F.lit(m), F.col("__n")).cast("int")
-        yhat = F.element_at(F.col("__tail"),
-                            (m_eff - (step - 1) % m_eff).cast("int"))["y"]
-        kcyc = F.floor((stepd - 1) / m_eff.cast("double")) + 1
-        width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
+        # tail[i] is the i-th newest row; step s uses reverse-rank
+        # m - ((s-1) % m). The effective period clamps to the series
+        # length so short series still emit all `horizon` rows
+        # (model-path parity, models.py:344-348).
+        me = f"CAST(least({m}, __n) AS INT)"
+        yhat = (f"element_at(__tail, CAST({me} - "
+                f"(forecast_step - 1) % {me} AS INT)).y")
+        kcyc = f"floor(({stepd} - 1) / CAST({me} AS DOUBLE)) + 1"
+        width = f"{zl} * __sigm * sqrt(CAST({kcyc} AS DOUBLE))"
     elif model == "SeasonalWindowAverage":
-        # per-phase mean over the last `window` cycles: tail positions p with
-        # (p-1) % m == phase, phase counted newest-first
-        ph = (F.lit(m) - 1 - (step - 1) % F.lit(m)) % F.lit(m)
-        phase_vals = F.filter(
-            F.zip_with(F.col("__tail"),
-                       F.sequence(F.lit(1), F.size(F.col("__tail"))),
-                       lambda t, i: F.struct(t["y"].alias("y"), i.alias("i"))),
-            lambda s: (s["i"] - 1) % F.lit(m) == ph)
-        # empty phase (series shorter than its phase offset) → NaN yhat,
-        # matching the model path's NaN phase mean instead of dropping rows
-        yhat = F.when(
-            F.size(phase_vals) > 0,
-            F.aggregate(phase_vals, F.lit(0.0), lambda a, s: a + s["y"])
-            / F.size(phase_vals)).otherwise(F.lit(float("nan")))
-        kcyc = F.floor((stepd - 1) / m) + 1
-        width = F.lit(z) * F.col("__sigm") * F.sqrt(kcyc.cast("double"))
+        ph = f"(({m} - 1 - (forecast_step - 1) % {m}) % {m})"
+        yhat = f"element_at(__phase_means, CAST({ph} + 1 AS INT))"
+        kcyc = f"floor(({stepd} - 1) / {m}) + 1"
+        width = f"{zl} * __sigm * sqrt(CAST({kcyc} AS DOUBLE))"
     else:
         raise ValueError(f"not a SQL-path model: {model}")
 
     return steps.select(
         F.col(group_col),
-        step.cast("int").alias("forecast_step"),
+        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
         out_ds,
-        yhat.cast("double").alias("yhat"),
-        (yhat - width).cast("double").alias("yhat_lower"),
-        (yhat + width).cast("double").alias("yhat_upper"),
-        F.lit(model).alias("model_name"),
+        F.expr(f"CAST({yhat} AS DOUBLE) AS yhat"),
+        F.expr(f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower"),
+        F.expr(f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper"),
+        F.expr(f"'{model}' AS model_name"),
     )  # no output sort: a global orderBy would add a range Exchange per call
 
 

@@ -110,6 +110,14 @@ def main() -> None:
         "prep_scale_robust",
         "pipeline_dsir_weights",
     ]
+    # Subset filter for root-causing (r9 judge item #1): run only the named
+    # queries, e.g. SPARK_GRAFT_ONLY=forecast_naive,forecast_sma — lets a
+    # fresh process time one family with zero cross-family process state.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {x.strip() for x in only.split(",") if x.strip()}
+        bench_queries = [q for q in bench_queries if q in keep]
+
     qs = entry_mod.queries()
 
     # Steady-state warm-up: run every bench query once at the smallest SF.
