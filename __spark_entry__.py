@@ -2211,11 +2211,16 @@ _WINDOW = [
     "forecast_croston_sba", "cv_check_leakage", "stats_summary",
     "conformal_interval_width", "forecast_seasonal_es",
     "hier_validate_separator", "cv_folds_sliding",
-    # --- r10 code-change re-seats (3): operators touched by the r9
-    # ADVICE fixes; outputs pinned unchanged by pytest, driver re-proves
+    # --- r10 code-change re-seats (4): operators touched by the r9
+    # ADVICE fixes plus forecast_ses, whose physical path moved to the
+    # new pure-Catalyst fixed-alpha fold this session (the other two
+    # rewritten fold models, Croston classic/SBA and TSB, already have
+    # in-window new-path evidence via forecast_orders_croston,
+    # forecast_croston_sba and forecast_tsb); outputs pinned unchanged
+    # by pytest, driver re-proves
     "detect_anomalies_online", "streaming_zscore_anomaly",
-    "prep_scale_zscore",
-    # --- stalest cohort, r3 (17 of 30; the 13 deferred to r11 each
+    "prep_scale_zscore", "forecast_ses",
+    # --- stalest cohort, r3 (16 of 30; the 14 deferred to r11 each
     # have an in-window family sibling this round: metric_mqloss (6
     # metric siblings seated), prep_drop_edge_zeros +
     # prep_drop_trailing_zeros (drop_leading_zeros seated),
@@ -2227,12 +2232,15 @@ _WINDOW = [
     # seasonal_strength_windowed (seasonal_strength seated),
     # detrend_diff (detrend seated), amplitude_modulation
     # (classify_seasonality + seasonality_changes + decompose_seasonal
-    # seated); every deferred key replays green at HEAD in pytest ---
+    # seated), and seasonality_changes additionally defers for the
+    # forecast_ses code-change re-seat above (classify_seasonality +
+    # decompose_seasonal keep the seasonality family's slots); every
+    # deferred key replays green at HEAD in pytest ---
     "classify_seasonality", "cv_forecast_naive", "data_quality",
     "decompose_seasonal", "detect_changepoints", "detect_peaks",
     "detrend", "forecast_holt_fixed", "forecast_orders_croston",
     "forecast_tsb", "multimodal_frame_sample", "multimodal_metadata",
-    "prep_interpolate", "seasonal_strength", "seasonality_changes",
+    "prep_interpolate", "seasonal_strength",
     "similarity_knn_join", "streaming_stateful_forecast",
 ]
 

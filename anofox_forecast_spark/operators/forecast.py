@@ -161,6 +161,17 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
              .where(f"{qds} IS NOT NULL")
     base = interpolate_nulls_df(base, group_col, ds_col, y_col)
 
+    if model == "SES":
+        return _ses_sql(base, group_col, ds_col, y_col, int(horizon), freq,
+                        zl, float(params.get("alpha", 0.3)), ds_type)
+    if model in ("CrostonClassic", "CrostonSBA"):
+        return _croston_sql(base, group_col, ds_col, y_col, int(horizon),
+                            freq, zl, model, ds_type)
+    if model == "TSB":
+        return _tsb_sql(base, group_col, ds_col, y_col, int(horizon), freq,
+                        zl, float(params.get("alpha_d", 0.2)),
+                        float(params.get("alpha_p", 0.2)), ds_type)
+
     over = f"OVER (PARTITION BY {qg} ORDER BY {qds})"
     # ONE ascending Window pass computes every per-row helper. Seasonal/SMA
     # templates are NOT a second pipeline pass + join: the newest-first tail
@@ -281,6 +292,224 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         F.expr(f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper"),
         F.expr(f"'{model}' AS model_name"),
     )  # no output sort: a global orderBy would add a range Exchange per call
+
+
+def _ses_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
+             h: int, freq: Frequency, zl: str, alpha: float,
+             ds_type: T.DataType) -> DataFrame:
+    """Pure-Catalyst fixed-alpha SES (r10): ONE linear fold per series.
+
+    ``models._ses`` is a sequential recursion with a CLOSED alpha, so it
+    needs no optimizer and no Python at all: the level recursion
+    ``l' = a*y[t-1] + (1-a)*l`` and the residual stddev (Welford) ride a
+    single JVM ``aggregate`` over (current, previous) value pairs of the
+    ds-sorted series — no window pass, one group shuffle, whole-stage
+    codegen end to end. Replaces the mapInPandas crossing (~0.5 s fixed
+    overhead at bench scale; at 100 TB it removes the Python worker
+    fleet from the cheapest ES model entirely). The level arithmetic is
+    expression-identical to ``_ses_filter`` and to the DuckDB oracle's
+    ``list_reduce``; the residual sigma is Welford where numpy uses
+    two-pass pairwise ``np.std`` — equal to ~1e-12 relative, far inside
+    the contract's shared 4-decimal pin (same tolerance class the
+    numpy-vs-DuckDB pairing already rode).
+    """
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    qg, qds, qy = q(group_col), q(ds_col), q(y_col)
+    a = float(alpha)
+    A = f"CAST('{a!r}' AS DOUBLE)"
+    B = f"CAST('{(1.0 - a)!r}' AS DOUBLE)"
+    A2 = f"CAST('{(a * a)!r}' AS DOUBLE)"
+
+    agg = base.groupBy(group_col).agg(
+        F.expr(f"max({qds}) AS __max_ds"),
+        F.expr("count(1) AS __n"),
+        F.expr(f"transform(array_sort(collect_list(named_struct("
+               f"'ds', {qds}, 'y', {qy}))), t -> t.y) AS __ys"),
+    ).where("__n >= 3")
+
+    # one fold over (current, previous) pairs carrying
+    # (f = fitted level, k/mean/m2 = Welford over residuals incl. the
+    # exact res[0] = 0 seeded in the init state)
+    fp = f"({A} * s.p + {B} * acc.f)"
+    r = f"(s.c - {fp})"
+    k1 = "(acc.k + 1.0D)"
+    d = f"({r} - acc.mean)"
+    mean1 = f"(acc.mean + {d} / {k1})"
+    m21 = f"(acc.m2 + {d} * ({r} - {mean1}))"
+    fold = (
+        "aggregate("
+        "zip_with(slice(__ys, 2, CAST(__n AS INT) - 1), "
+        "slice(__ys, 1, CAST(__n AS INT) - 1), "
+        "(c, p) -> named_struct('c', c, 'p', p)), "
+        "named_struct('f', element_at(__ys, 1), 'k', 1.0D, "
+        "'mean', 0.0D, 'm2', 0.0D), "
+        f"(acc, s) -> named_struct('f', {fp}, 'k', {k1}, "
+        f"'mean', {mean1}, 'm2', {m21}))")
+    agg = agg.selectExpr("*", f"{fold} AS __st").selectExpr(
+        "*",
+        # the final level applies the recursion once more with y[n]
+        # (models._ses_filter's `final` line)
+        f"{A} * element_at(__ys, CAST(__n AS INT)) + {B} * __st.f "
+        f"AS __level",
+        "CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
+        "ELSE 0.0D END AS __sig_ses")
+
+    steps = agg.selectExpr("*", f"explode(sequence(1, {h})) AS forecast_step")
+    stepd = "CAST(forecast_step AS DOUBLE)"
+    width = f"{zl} * __sig_ses * sqrt(1.0D + ({stepd} - 1) * {A2})"
+    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
+                        ds_type).alias(ds_col)
+    return steps.select(
+        F.col(group_col),
+        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
+        out_ds,
+        F.expr("CAST(__level AS DOUBLE) AS yhat"),
+        F.expr(f"CAST(__level - ({width}) AS DOUBLE) AS yhat_lower"),
+        F.expr(f"CAST(__level + ({width}) AS DOUBLE) AS yhat_upper"),
+        F.expr("'SES' AS model_name"),
+    )
+
+
+def _dbl(x: float) -> str:
+    """Full-precision double literal (strtod is correctly rounded, so the
+    bits match ``F.lit(x)``; bare ``0.3`` would parse as DECIMAL)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sorted_ys_agg(base: DataFrame, group_col: str, ds_col: str,
+                   y_col: str):
+    """Per-series ds-ordered value array + max_ds + n, min-3 filtered —
+    the shared input shape of the fold-based SQL-path models."""
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+    qds, qy = q(ds_col), q(y_col)
+    return base.groupBy(group_col).agg(
+        F.expr(f"max({qds}) AS __max_ds"),
+        F.expr("count(1) AS __n"),
+        F.expr(f"transform(array_sort(collect_list(named_struct("
+               f"'ds', {qds}, 'y', {qy}))), t -> t.y) AS __ys"),
+    ).where("__n >= 3")
+
+
+def _fold_forecast_out(agg: DataFrame, group_col: str, ds_col: str, h: int,
+                       freq: Frequency, ds_type: T.DataType, yhat: str,
+                       width: str, model_name: str) -> DataFrame:
+    """Common tail of the fold-based SQL-path models: horizon explode +
+    the reference's 7-column forecast projection. ``yhat``/``width`` are
+    SQL-text expressions over the agg frame's columns (may reference
+    ``forecast_step``)."""
+    steps = agg.selectExpr("*", f"explode(sequence(1, {h})) AS forecast_step")
+    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
+                        ds_type).alias(ds_col)
+    return steps.select(
+        F.col(group_col),
+        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
+        out_ds,
+        F.expr(f"CAST({yhat} AS DOUBLE) AS yhat"),
+        F.expr(f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower"),
+        F.expr(f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper"),
+        F.expr(f"'{model_name}' AS model_name"),
+    )
+
+
+def _welford_sql(arr: str, r_of_x: str) -> str:
+    """Welford (k, mean, m2) fold over ``r_of_x`` applied to each element
+    ``x`` of the SQL array ``arr`` — the sample stddev of a derived
+    residual without a second shuffle. Equal to numpy's two-pass pairwise
+    ``np.std(ddof=1)`` to ~1e-12 relative (inside the contract's shared
+    4-decimal pin, the tolerance class the numpy-vs-DuckDB pairing
+    already rode)."""
+    r = f"({r_of_x})"
+    k1 = "(acc.k + 1.0D)"
+    d = f"({r} - acc.mean)"
+    mean1 = f"(acc.mean + {d} / {k1})"
+    m21 = f"(acc.m2 + {d} * ({r} - {mean1}))"
+    return (f"aggregate({arr}, "
+            "named_struct('k', 0.0D, 'mean', 0.0D, 'm2', 0.0D), "
+            f"(acc, x) -> named_struct('k', {k1}, 'mean', {mean1}, "
+            f"'m2', {m21}))")
+
+
+def _croston_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
+                 h: int, freq: Frequency, zl: str, model: str,
+                 ds_type: T.DataType) -> DataFrame:
+    """Pure-Catalyst Croston classic/SBA (r10): fixed alpha = 0.1, so the
+    whole model is two SES level folds — over the non-zero demand SIZES
+    and over the inter-arrival INTERVALS — plus a Welford pass for the
+    flat-rate residual sigma. One group shuffle, zero Python
+    (``models._croston`` semantics: rate = z/p, SBA damps by
+    ``1 - alpha/2``; an all-zero series forecasts 0 with zero-width
+    intervals, exactly the model path's degenerate branch)."""
+    alpha = 0.1
+    A, B = _dbl(alpha), _dbl(1.0 - alpha)
+    agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
+    # 1-indexed positions of the non-zero demands; sizes at those
+    # positions; intervals = first position, then successive diffs
+    # (models._croston_parts: diff over [-1] ++ nz, 0-indexed == this)
+    agg = agg.selectExpr(
+        "*",
+        "filter(sequence(1, CAST(__n AS INT)), "
+        "i -> element_at(__ys, i) != 0.0D) AS __nz")
+    ses = (f"aggregate({{arr}}, CAST(element_at({{arr}}, 1) AS DOUBLE), "
+           f"(acc, x) -> {A} * x + {B} * acc)")
+    agg = agg.selectExpr(
+        "*", "size(__nz) AS __k",
+        ses.format(arr="transform(__nz, i -> element_at(__ys, i))")
+        + " AS __z",
+        ses.format(
+            arr="zip_with(__nz, concat(array(0), slice(__nz, 1, "
+                "size(__nz) - 1)), (c, p) -> CAST(c - p AS DOUBLE))")
+        + " AS __p")
+    rate = "CASE WHEN __p != 0.0D THEN __z / __p ELSE 0.0D END"
+    if model == "CrostonSBA":
+        rate = f"({rate}) * {_dbl(1.0 - alpha / 2.0)}"
+    agg = agg.selectExpr(
+        "*", f"CASE WHEN __k = 0 THEN 0.0D ELSE {rate} END AS __rate")
+    agg = agg.selectExpr(
+        "*", _welford_sql("__ys", "x - __rate") + " AS __w")
+    sig = ("CASE WHEN __w.k >= 2.0D THEN sqrt(__w.m2 / (__w.k - 1.0D)) "
+           "ELSE 0.0D END")
+    width = f"CASE WHEN __k = 0 THEN 0.0D ELSE {zl} * {sig} END"
+    return _fold_forecast_out(agg, group_col, ds_col, h, freq, ds_type,
+                              "__rate", width, model)
+
+
+def _tsb_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
+             h: int, freq: Frequency, zl: str, alpha_d: float,
+             alpha_p: float, ds_type: T.DataType) -> DataFrame:
+    """Pure-Catalyst TSB (r10): both smoothing constants are fixed, so
+    the Teunter-Syntetos-Babai recursion — demand probability and size
+    smoothed every period, size only on occurrence — is one fold
+    carrying (p, z) plus the Welford residual stats over the pre-update
+    fitted ``p*z`` (``models._tsb`` semantics, including the
+    mean-of-nonzero size seed when the series opens with a zero)."""
+    Ad, Bd = _dbl(alpha_d), _dbl(1.0 - alpha_d)
+    Ap, Bp = _dbl(alpha_p), _dbl(1.0 - alpha_p)
+    agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
+    nz = "filter(__ys, v -> v != 0.0D)"
+    z0 = (f"CASE WHEN element_at(__ys, 1) != 0.0D THEN element_at(__ys, 1) "
+          f"WHEN size({nz}) > 0 THEN aggregate({nz}, 0.0D, "
+          f"(a, v) -> a + v) / size({nz}) ELSE 0.0D END")
+    p0 = "CASE WHEN element_at(__ys, 1) != 0.0D THEN 1.0D ELSE 0.0D END"
+    r = "(x - acc.p * acc.z)"
+    occ = "(CASE WHEN x != 0.0D THEN 1.0D ELSE 0.0D END)"
+    p1 = f"({Ap} * {occ} + {Bp} * acc.p)"
+    z1 = f"(CASE WHEN x != 0.0D THEN {Ad} * x + {Bd} * acc.z ELSE acc.z END)"
+    k1 = "(acc.k + 1.0D)"
+    d = f"({r} - acc.mean)"
+    mean1 = f"(acc.mean + {d} / {k1})"
+    m21 = f"(acc.m2 + {d} * ({r} - {mean1}))"
+    fold = (f"aggregate(__ys, named_struct('p', {p0}, 'z', {z0}, "
+            "'k', 0.0D, 'mean', 0.0D, 'm2', 0.0D), "
+            f"(acc, x) -> named_struct('p', {p1}, 'z', {z1}, 'k', {k1}, "
+            f"'mean', {mean1}, 'm2', {m21}))")
+    agg = agg.selectExpr("*", f"{fold} AS __st")
+    sig = ("CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
+           "ELSE 0.0D END")
+    return _fold_forecast_out(agg, group_col, ds_col, h, freq, ds_type,
+                              "__st.p * __st.z", f"{zl} * {sig}", "TSB")
 
 
 # ---------------------------------------------------------------------------
