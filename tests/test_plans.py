@@ -32,10 +32,25 @@ def test_forecast_sql_path_shuffle_budget(spark):
 
 
 def test_forecast_udf_path_single_series_shuffle(spark):
+    # SESOptimized: golden-section alpha search -> genuinely needs the
+    # Python model library (plain SES moved to the pure-Catalyst fold
+    # path in r10 — covered by the SQL-path guard below)
     df = ts_forecast_by(lineitem_panel(spark, SF_DIR), "id", "ds", "y",
-                        "SES", 7, "1d", {"alpha": 0.3})
+                        "SESOptimized", 7, "1d", {})
     P.assert_max_exchanges(df, 2)
     assert P.plan_report(df)["python_udf_nodes"] == 1
+
+
+def test_forecast_fold_models_stay_jvm_side(spark):
+    """r10: the fixed-alpha fold models (SES, Croston classic/SBA, TSB)
+    are pure Catalyst — one group shuffle, zero Python nodes."""
+    pan = lineitem_panel(spark, SF_DIR)
+    for model, params in [("SES", {"alpha": 0.3}), ("CrostonClassic", {}),
+                          ("CrostonSBA", {}), ("TSB", {})]:
+        df = ts_forecast_by(pan, "id", "ds", "y", model, 7, "1d", params)
+        P.assert_max_exchanges(df, 2)
+        assert P.plan_report(df)["python_udf_nodes"] == 0, \
+            f"{model} fold path must not touch Python"
 
 
 def test_fill_gaps_no_extra_shuffle(spark):
