@@ -233,7 +233,8 @@ def canonical_model(name: str) -> str:
 # SES is excluded: its level recurrence isn't expressible as a stable
 # closed-form SQL aggregate; it runs on the (still fast) pandas-UDF path.
 SQL_PATH_MODELS = {"Naive", "SeasonalNaive", "SMA", "SeasonalWindowAverage",
-                   "RandomWalkDrift", "SES", "CrostonClassic", "CrostonSBA", "TSB"}
+                   "RandomWalkDrift", "SES", "CrostonClassic", "CrostonSBA", "TSB",
+                   "SeasonalES"}
 
 SEASONAL_MODELS = {"SeasonalNaive", "SeasonalWindowAverage", "HoltWinters",
                    "SeasonalES", "SeasonalESOptimized", "MSTL", "AutoMSTL",

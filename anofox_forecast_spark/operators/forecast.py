@@ -171,6 +171,18 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
         return _tsb_sql(base, group_col, ds_col, y_col, int(horizon), freq,
                         zl, float(params.get("alpha_d", 0.2)),
                         float(params.get("alpha_p", 0.2)), ds_type)
+    if model == "Holt":
+        # reaches here only with BOTH constants fixed (dispatch gate);
+        # the optimizing form stays on the Python path
+        return _holt_sql(base, group_col, ds_col, y_col, int(horizon),
+                         freq, zl, float(params["alpha"]),
+                         float(params["beta"]),
+                         bool(params.get("damped", False)),
+                         float(params.get("phi", 0.98)), ds_type)
+    if model == "SeasonalES":
+        return _seasonal_es_sql(base, group_col, ds_col, y_col,
+                                int(horizon), freq, zl,
+                                float(params.get("alpha", 0.3)), m, ds_type)
 
     over = f"OVER (PARTITION BY {qg} ORDER BY {qds})"
     # ONE ascending Window pass computes every per-row helper. Seasonal/SMA
@@ -512,6 +524,108 @@ def _tsb_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
                               "__st.p * __st.z", f"{zl} * {sig}", "TSB")
 
 
+def _holt_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
+              h: int, freq: Frequency, zl: str, alpha: float, beta: float,
+              damped: bool, phi: float, ds_type: T.DataType) -> DataFrame:
+    """Pure-Catalyst fixed-parameter Holt (r10): with alpha AND beta
+    closed (``models._holt`` skips its Nelder-Mead entirely), the
+    level/trend recursion + Welford residual sigma is one fold carrying
+    (level, trend, k, mean, m2). The update arithmetic mirrors
+    ``_holt.filt`` operation-for-operation (including the left-assoc
+    ``b*(newl-level)*ph`` grouping and the Python-precomputed
+    ``(1-b)*ph`` constant), so agreement with the numpy path is 1-ulp
+    class — far inside the 4-decimal contract pin."""
+    a, b = float(alpha), float(beta)
+    ph = float(phi) if damped else 1.0
+    A, Bc = _dbl(a), _dbl(1.0 - a)
+    Bb, PH = _dbl(b), _dbl(ph)
+    C = _dbl((1.0 - b) * ph)
+    agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
+    # fold over y[2..n]: f = level + ph*trend (the one-step fit), then
+    # newl = a*x + (1-a)*f; trend' = b*(newl-level)*ph + ((1-b)*ph)*trend
+    f = f"(acc.l + {PH} * acc.t)"
+    r = f"(x - {f})"
+    newl = f"({A} * x + {Bc} * {f})"
+    newt = f"({Bb} * ({newl} - acc.l) * {PH} + {C} * acc.t)"
+    k1 = "(acc.k + 1.0D)"
+    d = f"({r} - acc.mean)"
+    mean1 = f"(acc.mean + {d} / {k1})"
+    m21 = f"(acc.m2 + {d} * ({r} - {mean1}))"
+    fold = (
+        "aggregate(slice(__ys, 2, CAST(__n AS INT) - 1), "
+        "named_struct('l', element_at(__ys, 1), "
+        "'t', element_at(__ys, 2) - element_at(__ys, 1), "
+        "'k', 1.0D, 'mean', 0.0D, 'm2', 0.0D), "
+        f"(acc, x) -> named_struct('l', {newl}, 't', {newt}, 'k', {k1}, "
+        f"'mean', {mean1}, 'm2', {m21}))")
+    agg = agg.selectExpr("*", f"{fold} AS __st")
+    sig = ("CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
+           "ELSE 0.0D END")
+    stepd = "CAST(forecast_step AS DOUBLE)"
+    if damped:
+        damp = (f"aggregate(transform(sequence(1, forecast_step), "
+                f"i -> power({PH}, i)), 0.0D, (acc, v) -> acc + v)")
+        yhat = f"__st.l + {damp} * __st.t"
+    else:
+        yhat = f"__st.l + {stepd} * __st.t"
+    width = f"{zl} * ({sig}) * sqrt({stepd})"
+    return _fold_forecast_out(agg, group_col, ds_col, h, freq, ds_type,
+                              yhat, width, "Holt")
+
+
+def _seasonal_es_sql(base: DataFrame, group_col: str, ds_col: str,
+                     y_col: str, h: int, freq: Frequency, zl: str,
+                     alpha: float, m: int, ds_type: T.DataType) -> DataFrame:
+    """Pure-Catalyst fixed-alpha SeasonalES (r10): per-phase SES with no
+    trend (``models._seasonal_es``). The fold walks the series in TIME
+    order carrying an m-slot level array (NULL = phase unseen, mirroring
+    the numpy NaN warm-up: the first hit of a phase seeds its level and
+    contributes no residual) plus the shared Welford state — so the
+    residual accumulation order matches the numpy loop exactly. The
+    per-step array rebuild costs O(n*m) element copies per series
+    (533x7 ≈ 4k doubles — noise); point for a never-seen phase falls
+    back to the series mean like numpy's nanmean."""
+    if m < 1:
+        raise ValueError("SeasonalES requires seasonal_period >= 1")
+    A, B = _dbl(alpha), _dbl(1.0 - alpha)
+    A2 = _dbl(alpha * alpha)
+    agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
+    # phase of 1-indexed position i is (i-1) % m + 1 into the slot array
+    phx = f"(CAST((s.i - 1) % {m} AS INT) + 1)"
+    lv = f"element_at(acc.lv, {phx})"
+    r = f"(s.x - {lv})"
+    upd = f"({A} * s.x + {B} * {lv})"
+    k1 = f"(CASE WHEN {lv} IS NULL THEN acc.k ELSE acc.k + 1.0D END)"
+    d = f"({r} - acc.mean)"
+    mean1 = (f"(CASE WHEN {lv} IS NULL THEN acc.mean "
+             f"ELSE acc.mean + {d} / (acc.k + 1.0D) END)")
+    m21 = (f"(CASE WHEN {lv} IS NULL THEN acc.m2 "
+           f"ELSE acc.m2 + {d} * ({r} - (acc.mean + {d} / (acc.k + 1.0D)))"
+           f" END)")
+    newlv = (f"transform(sequence(1, {m}), q -> CASE WHEN q = {phx} THEN "
+             f"(CASE WHEN {lv} IS NULL THEN s.x ELSE {upd} END) "
+             f"ELSE element_at(acc.lv, q) END)")
+    fold = (
+        "aggregate(zip_with(__ys, sequence(1, CAST(__n AS INT)), "
+        "(x, i) -> named_struct('x', x, 'i', i)), "
+        f"named_struct('lv', transform(sequence(1, {m}), "
+        "q -> CAST(NULL AS DOUBLE)), "
+        "'k', 0.0D, 'mean', 0.0D, 'm2', 0.0D), "
+        f"(acc, s) -> named_struct('lv', {newlv}, 'k', {k1}, "
+        f"'mean', {mean1}, 'm2', {m21}))")
+    agg = agg.selectExpr("*", f"{fold} AS __st").selectExpr(
+        "*",
+        "CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
+        "ELSE 0.0D END AS __sig_ses",
+        "aggregate(__ys, 0.0D, (a, v) -> a + v) / size(__ys) AS __ymean")
+    stepd = "CAST(forecast_step AS DOUBLE)"
+    phs = f"(CAST((__n + forecast_step - 1) % {m} AS INT) + 1)"
+    yhat = f"coalesce(element_at(__st.lv, {phs}), __ymean)"
+    width = f"{zl} * __sig_ses * sqrt(1.0D + ({stepd} - 1) * {A2})"
+    return _fold_forecast_out(agg, group_col, ds_col, h, freq, ds_type,
+                              yhat, width, "SeasonalES")
+
+
 # ---------------------------------------------------------------------------
 # pandas-UDF path
 # ---------------------------------------------------------------------------
@@ -619,6 +733,12 @@ def ts_forecast_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
             seasonal_required and int(params.get("seasonal_period", 0) or 0) == 0):
         return _forecast_sql(df, group_col, ds_col, y_col, model, horizon, freq,
                              level, params)
+    if (model == "Holt" and params.get("alpha") is not None
+            and params.get("beta") is not None):
+        # both smoothing constants closed -> no optimizer -> the pure-
+        # Catalyst fold path; the optimizing form stays on Python
+        return _forecast_sql(df, group_col, ds_col, y_col, model, horizon,
+                             freq, level, params)
     return _forecast_udf(df, group_col, ds_col, y_col, model, horizon, freq,
                          level, params)
 

@@ -46,7 +46,10 @@ def test_forecast_fold_models_stay_jvm_side(spark):
     are pure Catalyst — one group shuffle, zero Python nodes."""
     pan = lineitem_panel(spark, SF_DIR)
     for model, params in [("SES", {"alpha": 0.3}), ("CrostonClassic", {}),
-                          ("CrostonSBA", {}), ("TSB", {})]:
+                          ("CrostonSBA", {}), ("TSB", {}),
+                          ("Holt", {"alpha": 0.3, "beta": 0.1}),
+                          ("SeasonalES", {"seasonal_period": 7,
+                                          "alpha": 0.3})]:
         df = ts_forecast_by(pan, "id", "ds", "y", model, 7, "1d", params)
         P.assert_max_exchanges(df, 2)
         assert P.plan_report(df)["python_udf_nodes"] == 0, \
