@@ -211,3 +211,72 @@ def test_wav_parser_edges():
     assert _wav_pcm_samples(b"RIFFxxxxWAVE") is None      # no chunks
     assert _wav_pcm_samples(b"") is None
     assert _wav_pcm_samples(w[:40]) is None               # truncated
+
+
+@pytest.mark.parametrize("model,params", [
+    ("SES", {"alpha": 0.3}),
+    ("CrostonClassic", {}),
+    ("CrostonSBA", {}),
+    ("TSB", {}),
+    ("Holt", {"alpha": 0.3, "beta": 0.1}),
+    ("SeasonalES", {"seasonal_period": 7, "alpha": 0.3}),
+])
+def test_fold_models_invariant_under_repartition(spark, model, params):
+    """The r10 fold models build their per-series state from the
+    (ds, y)-sorted array, so results must be BIT-stable under any input
+    partitioning — the determinism claim their contract pins ride on."""
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    from anofox_forecast_spark.sources import lineitem_panel
+    from tests.conftest import SF_DIR
+    pan = lineitem_panel(spark, SF_DIR)
+    a = ts_forecast_by(pan, "id", "ds", "y", model, 7, "1d", params) \
+        .orderBy("id", "forecast_step").collect()
+    b = ts_forecast_by(pan.repartition(7, "ds"), "id", "ds", "y", model,
+                       7, "1d", params) \
+        .orderBy("id", "forecast_step").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert (ra["id"], ra["forecast_step"]) == (rb["id"], rb["forecast_step"])
+        for c in ("yhat", "yhat_lower", "yhat_upper"):
+            x, y = ra[c], rb[c]
+            assert x == y or (x != x and y != y)   # bit-equal or both NaN
+
+
+def test_fold_models_match_python_library(spark):
+    """Cross-implementation pin: each fold model's Spark output equals
+    the numpy model library run driver-side on the same series (4dp —
+    the contract quantum; the level arithmetic is expression-identical,
+    the residual sigma is Welford vs numpy's pairwise std)."""
+    import numpy as np
+
+    from anofox_forecast_spark.functions import models as M
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    rng = np.random.default_rng(11)
+    rows = []
+    for gid in range(4):
+        n = 40 + 7 * gid
+        y = np.abs(rng.normal(20, 5, n)).round(2)
+        if gid == 2:                       # intermittent shape for croston
+            y[rng.random(n) < 0.6] = 0.0
+        rows += [(gid, i + 1, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "id int, ds int, y double")
+    series = {gid: np.array([v for g, _, v in rows if g == gid])
+              for gid in range(4)}
+    for model, params in [("SES", {"alpha": 0.3}), ("CrostonClassic", {}),
+                          ("CrostonSBA", {}), ("TSB", {}),
+                          ("Holt", {"alpha": 0.3, "beta": 0.1}),
+                          ("SeasonalES", {"seasonal_period": 7,
+                                          "alpha": 0.3})]:
+        got = ts_forecast_by(df, "id", "ds", "y", model, 5, "1", params) \
+            .collect()
+        assert len(got) == 20, model
+        for r in got:
+            ref = M.forecast(series[r["id"]], 5, model, level=0.90,
+                             season_length=int(params.get(
+                                 "seasonal_period", 0)),
+                             params=params)
+            s = r["forecast_step"] - 1
+            assert r["yhat"] == pytest.approx(ref.point[s], abs=5e-4), \
+                (model, r["id"], s)
+            assert r["yhat_lower"] == pytest.approx(ref.lower[s], abs=5e-4)
+            assert r["yhat_upper"] == pytest.approx(ref.upper[s], abs=5e-4)
