@@ -2189,12 +2189,13 @@ _WINDOW = [
     # freshness. Composition: the full 30-key r10 deferral ledger from
     # COVERAGE.md (6 r1-stale metric keys + 24 r2-stale keys — the
     # judge re-proved all 30 bit-exact at sf0.01 in the r9 session),
-    # then 3 re-seats whose OPERATOR CODE changed this round (ADVICE
-    # fixes: zscore all-NULL-group guard, online-anomaly single-array
-    # fold, NULL-ds sort-key parity — value-identical on this corpus by
+    # then 4 re-seats whose OPERATOR CODE changed this round (the three
+    # ADVICE fixes: zscore all-NULL-group guard, online-anomaly
+    # single-array fold, NULL-ds sort-key parity — plus forecast_ses on
+    # its new fold path; value-identical on this corpus by
     # construction, but the driver should re-prove, not trust), then
-    # the 17 stalest r3 keys. After this round no key's driver evidence
-    # is older than r3 (13 r3 keys remain — the r11 ledger below). All
+    # the 16 stalest r3 keys. After this round no key's driver evidence
+    # is older than r3 (14 r3 keys remain — the r11 ledger below). All
     # 240 keys replay vs their exact oracles at HEAD in
     # test_entry_oracle.py regardless of window membership.
     # --- deferral ledger, r1 cohort (6): the metric family, one

@@ -230,11 +230,16 @@ def canonical_model(name: str) -> str:
 
 
 # Models whose point forecast + intervals are pure Spark SQL (no Python).
-# SES is excluded: its level recurrence isn't expressible as a stable
-# closed-form SQL aggregate; it runs on the (still fast) pandas-UDF path.
+# Membership rule (r10): every smoothing/shape constant is CLOSED (no
+# optimizer), so the recursion runs as a Catalyst aggregate() fold over
+# the ds-sorted series — window-template models (Naive family) and the
+# fold models (SES/Croston/TSB/SeasonalES) qualify; anything with a
+# golden-section or Nelder-Mead search stays on the pandas-UDF path.
+# Fixed-parameter Holt also rides the fold path, gated in ts_forecast_by
+# on both constants being provided rather than by this set.
 SQL_PATH_MODELS = {"Naive", "SeasonalNaive", "SMA", "SeasonalWindowAverage",
-                   "RandomWalkDrift", "SES", "CrostonClassic", "CrostonSBA", "TSB",
-                   "SeasonalES"}
+                   "RandomWalkDrift", "SES", "CrostonClassic", "CrostonSBA",
+                   "TSB", "SeasonalES"}
 
 SEASONAL_MODELS = {"SeasonalNaive", "SeasonalWindowAverage", "HoltWinters",
                    "SeasonalES", "SeasonalESOptimized", "MSTL", "AutoMSTL",

@@ -325,21 +325,10 @@ def _ses_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
     the contract's shared 4-decimal pin (same tolerance class the
     numpy-vs-DuckDB pairing already rode).
     """
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-
-    qg, qds, qy = q(group_col), q(ds_col), q(y_col)
     a = float(alpha)
-    A = f"CAST('{a!r}' AS DOUBLE)"
-    B = f"CAST('{(1.0 - a)!r}' AS DOUBLE)"
-    A2 = f"CAST('{(a * a)!r}' AS DOUBLE)"
-
-    agg = base.groupBy(group_col).agg(
-        F.expr(f"max({qds}) AS __max_ds"),
-        F.expr("count(1) AS __n"),
-        F.expr(f"transform(array_sort(collect_list(named_struct("
-               f"'ds', {qds}, 'y', {qy}))), t -> t.y) AS __ys"),
-    ).where("__n >= 3")
+    A, B = _dbl(a), _dbl(1.0 - a)
+    A2 = _dbl(a * a)
+    agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
 
     # one fold over (current, previous) pairs carrying
     # (f = fitted level, k/mean/m2 = Welford over residuals incl. the
@@ -464,8 +453,14 @@ def _croston_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
         "*",
         "filter(sequence(1, CAST(__n AS INT)), "
         "i -> element_at(__ys, i) != 0.0D) AS __nz")
-    ses = (f"aggregate({{arr}}, CAST(element_at({{arr}}, 1) AS DOUBLE), "
-           f"(acc, x) -> {A} * x + {B} * acc)")
+    # the empty-__nz (all-zero series) case MUST be guarded lazily: under
+    # ANSI mode element_at(<empty>, 1) throws INVALID_ARRAY_INDEX and
+    # slice(.., size-1) throws for length -1, so the folds sit inside a
+    # CASE (CaseWhen branches evaluate lazily) rather than relying on the
+    # downstream __k = 0 rate guard (review finding, reproduced live)
+    ses = (f"CASE WHEN size(__nz) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+           f"aggregate({{arr}}, CAST(element_at({{arr}}, 1) AS DOUBLE), "
+           f"(acc, x) -> {A} * x + {B} * acc) END")
     agg = agg.selectExpr(
         "*", "size(__nz) AS __k",
         ses.format(arr="transform(__nz, i -> element_at(__ys, i))")

@@ -249,13 +249,12 @@ def image_features(df: DataFrame, binary_col: str, id_col: str,
     return df.mapInPandas(fn, schema)
 
 
-def _y4m_frames(payload: bytes) -> list[bytes] | None:
-    """Dependency-free frame parse for YUV4MPEG2 (.y4m) — the standard
+def _y4m_frame_offsets(payload: bytes):
+    """Header-only parse of a YUV4MPEG2 (.y4m) payload — the standard
     UNCOMPRESSED video container (plain-text ``YUV4MPEG2 W.. H.. ...``
-    stream header, then ``FRAME``-delimited raw planes; no codec
-    involved). Returns the list of raw frame payloads (YUV planes,
-    frame-header params stripped), or None if the payload is not Y4M /
-    is malformed — the caller falls back to pillow/stub. 4:2:0 (default
+    stream header, then ``FRAME``-delimited raw planes; no codec).
+    Returns ``(frame_size, [data_start_offset, ...])`` without copying
+    any frame bytes, or None if not Y4M / malformed. 4:2:0 (default
     when no ``C`` tag), 4:2:2, 4:4:4 and mono chroma tags supported."""
     if not payload or not payload.startswith(b"YUV4MPEG2"):
         return None
@@ -282,19 +281,30 @@ def _y4m_frames(payload: bytes) -> list[bytes] | None:
             fsize = w * h
         else:
             return None
-        frames, pos = [], nl + 1
+        offsets, pos = [], nl + 1
         while pos < len(payload):
             if payload[pos:pos + 5] != b"FRAME":
                 return None
             fnl = payload.index(b"\x0a", pos)
-            data = payload[fnl + 1:fnl + 1 + fsize]
-            if len(data) < fsize:
+            if fnl + 1 + fsize > len(payload):
                 return None
-            frames.append(data)
+            offsets.append(fnl + 1)
             pos = fnl + 1 + fsize
-        return frames
+        return fsize, offsets
     except (ValueError, IndexError):
         return None
+
+
+def _y4m_frames(payload: bytes) -> list[bytes] | None:
+    """All raw frame payloads of a Y4M stream (frame-header params
+    stripped), or None — materializing convenience over
+    ``_y4m_frame_offsets``; callers sampling a subset should slice from
+    the offsets instead of copying every frame."""
+    parsed = _y4m_frame_offsets(payload)
+    if parsed is None:
+        return None
+    fsize, offsets = parsed
+    return [payload[o:o + fsize] for o in offsets]
 
 
 def frame_sample(df: DataFrame, binary_col: str, id_col: str,
@@ -322,13 +332,18 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
                 if not fake:
-                    decoded = _y4m_frames(payload or b"")
-                    if decoded is None:
+                    # offsets-only parse: only the SAMPLED frames are
+                    # sliced out of the payload (~1/every_n of the bytes
+                    # copied, review finding on worker memory)
+                    parsed = _y4m_frame_offsets(payload or b"")
+                    if parsed is None:
                         _decode_stub(payload, "frame_sample")
-                    for fi in range(0, len(decoded), every_n):
+                    fsize, offsets = parsed
+                    for fi in range(0, len(offsets), every_n):
                         ids.append(rid)
                         idxs.append(fi)
-                        frames.append(decoded[fi])
+                        frames.append(payload[offsets[fi]:offsets[fi]
+                                              + fsize])
                     continue
                 b = payload or b""
                 n_frames = max(len(b) // 256, 1)

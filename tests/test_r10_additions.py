@@ -280,3 +280,27 @@ def test_fold_models_match_python_library(spark):
                 (model, r["id"], s)
             assert r["yhat_lower"] == pytest.approx(ref.lower[s], abs=5e-4)
             assert r["yhat_upper"] == pytest.approx(ref.upper[s], abs=5e-4)
+
+
+def test_croston_all_zero_series_forecasts_zero(spark):
+    """Review finding (reproduced): under ANSI mode the SES seed
+    element_at(<empty non-zero positions>, 1) threw
+    INVALID_ARRAY_INDEX for an all-zero series — the degenerate branch
+    the docstring promises. Contract: rate 0, zero-width intervals,
+    matching models._croston's empty-sizes branch; other series in the
+    same frame unaffected."""
+    from anofox_forecast_spark.operators.forecast import ts_forecast_by
+    rows = [(1, i, 0.0) for i in range(1, 11)] \
+        + [(2, i, float(i % 3 == 0) * 5.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id int, ds int, y double")
+    for model in ("CrostonClassic", "CrostonSBA", "TSB"):
+        got = {(r["id"], r["forecast_step"]): r
+               for r in ts_forecast_by(df, "id", "ds", "y", model, 3,
+                                       "1", {}).collect()}
+        assert len(got) == 6, model
+        for s in (1, 2, 3):
+            r = got[(1, s)]
+            assert r["yhat"] == 0.0, model
+            if model != "TSB":   # TSB keeps its sigma-width on zeros
+                assert r["yhat_lower"] == r["yhat_upper"] == 0.0, model
+        assert got[(2, 1)]["yhat"] > 0.0 or model == "TSB"
