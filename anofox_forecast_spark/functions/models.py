@@ -1632,7 +1632,13 @@ _DISPATCH = {
 
 _PARAM_KEYS = {"window", "alpha", "beta", "gamma", "model", "model_pool", "theta",
                "alpha_d", "alpha_p", "p", "d", "q", "iterations", "use_box_cox",
-               "laplace_variant", "laplace_seasonal_batch_init", "stl_method"}
+               "laplace_variant", "laplace_seasonal_batch_init", "stl_method",
+               # damped/phi: honored by _holt, and by the pure-Catalyst
+               # _holt_sql fold — stripping them here made ts_forecast_by
+               # (SQL fold) and ts_forecast (this path) disagree for
+               # identical inputs (r10 ADVICE finding); every model fn
+               # takes **kw, so unknown-to-a-model keys are inert
+               "damped", "phi"}
 
 
 def forecast(y, h: int, method: str, season_length: int = 0, level: float = 0.90,

@@ -50,25 +50,31 @@ def _z(level: float) -> float:
     return M.norm_ppf(0.5 + level / 2.0)
 
 
-def _future_ds(max_ds_col, step_col, freq: Frequency, ds_type: T.DataType):
-    """Column expr for the forecast timestamp at `step` after `max_ds`."""
+def _future_ds_sql(max_ds: str, step: str, freq: Frequency,
+                   ds_type: T.DataType) -> str:
+    """SQL-text expression for the forecast timestamp at ``step`` after
+    ``max_ds``. Fixed frequencies add ``step * seconds``; calendar
+    frequencies use ``add_months`` with the sub-day component re-added so
+    timestamp ds columns keep their time-of-day (parity with
+    ``_add_months_clamped``); integer date columns are ordinals
+    (``ts_forecast_native.cpp:683-726``). Text, not Column DSL (r11): the
+    Column form cost ~15-55 py4j round trips of driver latency per query
+    build; one string resolves to the identical Catalyst operators
+    (bit-audited against the previous Column path)."""
+    dt = ds_type.simpleString()
     if freq.kind == "int" or isinstance(ds_type, (T.IntegerType, T.LongType)):
         n = freq.n if freq.kind == "int" else 1
-        return (max_ds_col + step_col * F.lit(n)).cast(ds_type)
+        return f"CAST({max_ds} + {step} * {n} AS {dt})"
     if freq.kind == "month":
-        # add_months returns DATE; re-add the sub-day component so timestamp
-        # ds columns keep their time-of-day (parity with _add_months_clamped)
-        moved = F.add_months(max_ds_col, step_col * F.lit(freq.n))
+        moved = f"add_months({max_ds}, {step} * {freq.n})"
         if isinstance(ds_type, T.DateType):
-            return moved.cast(ds_type)
-        day_offset = (max_ds_col.cast("timestamp").cast("long")
-                      - F.to_date(max_ds_col).cast("timestamp").cast("long"))
-        return F.timestamp_add("SECOND", day_offset,
-                               moved.cast("timestamp")).cast(ds_type)
-    # fixed seconds
-    out = F.timestamp_add("SECOND", (step_col * F.lit(freq.n)).cast("long"),
-                          max_ds_col.cast("timestamp"))
-    return out.cast(ds_type)
+            return f"CAST({moved} AS {dt})"
+        day_offset = (f"(CAST(CAST({max_ds} AS TIMESTAMP) AS BIGINT) - "
+                      f"CAST(CAST(TO_DATE({max_ds}) AS TIMESTAMP) AS BIGINT))")
+        return (f"CAST(timestampadd(SECOND, {day_offset}, "
+                f"CAST({moved} AS TIMESTAMP)) AS {dt})")
+    return (f"CAST(timestampadd(SECOND, CAST({step} * {freq.n} AS BIGINT), "
+            f"CAST({max_ds} AS TIMESTAMP)) AS {dt})")
 
 
 def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str) -> DataFrame:
@@ -217,6 +223,10 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     aggs = [
         f"max({qds}) AS __max_ds",
         "count(1) AS __n",
+        # validate_series parity (forecast.rs:520-523): >= 3 VALID points
+        # post-interpolation, so zero-observation series emit no rows
+        # instead of NULL forecasts (r10 ADVICE finding)
+        f"count_if({qy} IS NOT NULL AND NOT isnan({qy})) AS __nv",
         f"max_by({qy}, {qds}) AS __last_y",
         f"min_by({qy}, {qds}) AS __first_y",
         "coalesce(stddev_samp(__dy), 0.0D) AS __sig",
@@ -233,7 +243,7 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
         aggs.append("coalesce(stddev_samp(__dym), 0.0D) AS __sigm")
     agg = base.groupBy(group_col).agg(*[F.expr(e) for e in aggs]) \
-              .where("__n >= 3")
+              .where("__n >= 3 AND __nv >= 3")
 
     # Step-independent per-group quantities are computed BEFORE the
     # horizon explode: the SMA mean and the SWA per-phase means would
@@ -265,8 +275,6 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     steps = agg.selectExpr(
         "*", f"explode(sequence(1, {int(horizon)})) AS forecast_step")
     stepd = "CAST(forecast_step AS DOUBLE)"
-    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
-                        ds_type).alias(ds_col)
 
     if model == "Naive":
         yhat = "__last_y"
@@ -295,14 +303,15 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     else:
         raise ValueError(f"not a SQL-path model: {model}")
 
-    return steps.select(
-        F.col(group_col),
-        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
-        out_ds,
-        F.expr(f"CAST({yhat} AS DOUBLE) AS yhat"),
-        F.expr(f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower"),
-        F.expr(f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper"),
-        F.expr(f"'{model}' AS model_name"),
+    out_ds = _future_ds_sql("__max_ds", "forecast_step", freq, ds_type)
+    return steps.selectExpr(
+        qg,
+        "CAST(forecast_step AS INT) AS forecast_step",
+        f"{out_ds} AS {qds}",
+        f"CAST({yhat} AS DOUBLE) AS yhat",
+        f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower",
+        f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper",
+        f"'{model}' AS model_name",
     )  # no output sort: a global orderBy would add a range Exchange per call
 
 
@@ -330,47 +339,45 @@ def _ses_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
     A2 = _dbl(a * a)
     agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
 
-    # one fold over (current, previous) pairs carrying
-    # (f = fitted level, k/mean/m2 = Welford over residuals incl. the
-    # exact res[0] = 0 seeded in the init state)
-    fp = f"({A} * s.p + {B} * acc.f)"
-    r = f"(s.c - {fp})"
+    # ONE fold directly over __ys carrying (prev = y[t], f = fitted
+    # level, k/mean/m2 = Welford over residuals incl. the exact
+    # res[0] = 0 seeded by the first-element branch). r11: the previous
+    # shape folded over zip_with(slice, slice) pairs — three array
+    # materializations per series (two slices + the zipped structs);
+    # carrying the previous value in the accumulator instead folds the
+    # raw array with zero copies. Arithmetic is operation-identical
+    # (fp uses acc.prev exactly where the pair fold used s.p), so the
+    # outputs are bit-equal — re-pinned by bit_audit.
+    fp = f"({A} * acc.prev + {B} * acc.f)"
+    r = f"(x - {fp})"
     k1 = "(acc.k + 1.0D)"
     d = f"({r} - acc.mean)"
     mean1 = f"(acc.mean + {d} / {k1})"
     m21 = f"(acc.m2 + {d} * ({r} - {mean1}))"
     fold = (
-        "aggregate("
-        "zip_with(slice(__ys, 2, CAST(__n AS INT) - 1), "
-        "slice(__ys, 1, CAST(__n AS INT) - 1), "
-        "(c, p) -> named_struct('c', c, 'p', p)), "
-        "named_struct('f', element_at(__ys, 1), 'k', 1.0D, "
-        "'mean', 0.0D, 'm2', 0.0D), "
-        f"(acc, s) -> named_struct('f', {fp}, 'k', {k1}, "
-        f"'mean', {mean1}, 'm2', {m21}))")
-    agg = agg.selectExpr("*", f"{fold} AS __st").selectExpr(
-        "*",
-        # the final level applies the recursion once more with y[n]
-        # (models._ses_filter's `final` line)
-        f"{A} * element_at(__ys, CAST(__n AS INT)) + {B} * __st.f "
-        f"AS __level",
+        "aggregate(__ys, "
+        "named_struct('prev', CAST(NULL AS DOUBLE), "
+        "'f', CAST(NULL AS DOUBLE), 'k', 0.0D, 'mean', 0.0D, 'm2', 0.0D), "
+        "(acc, x) -> CASE WHEN acc.k = 0.0D THEN "
+        "named_struct('prev', x, 'f', x, 'k', 1.0D, "
+        "'mean', 0.0D, 'm2', 0.0D) "
+        f"ELSE named_struct('prev', x, 'f', {fp}, 'k', {k1}, "
+        f"'mean', {mean1}, 'm2', {m21}) END)")
+    # the final level applies the recursion once more with y[n] = st.prev
+    # (models._ses_filter's `final` line). ONE selectExpr via lateral
+    # column aliases (r11): each chained selectExpr re-analyzes the whole
+    # upstream plan including the fold lambda — merging the dependent
+    # expressions into a single projection halved the measured driver-side
+    # build time (LCA resolves __st/__level without duplicating the fold).
+    agg = agg.selectExpr(
+        "*", f"{fold} AS __st",
+        f"{A} * __st.prev + {B} * __st.f AS __level",
         "CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
         "ELSE 0.0D END AS __sig_ses")
-
-    steps = agg.selectExpr("*", f"explode(sequence(1, {h})) AS forecast_step")
     stepd = "CAST(forecast_step AS DOUBLE)"
     width = f"{zl} * __sig_ses * sqrt(1.0D + ({stepd} - 1) * {A2})"
-    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
-                        ds_type).alias(ds_col)
-    return steps.select(
-        F.col(group_col),
-        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
-        out_ds,
-        F.expr("CAST(__level AS DOUBLE) AS yhat"),
-        F.expr(f"CAST(__level - ({width}) AS DOUBLE) AS yhat_lower"),
-        F.expr(f"CAST(__level + ({width}) AS DOUBLE) AS yhat_upper"),
-        F.expr("'SES' AS model_name"),
-    )
+    return _fold_forecast_out(agg, group_col, ds_col, h, freq, ds_type,
+                              "__level", width, "SES")
 
 
 def _dbl(x: float) -> str:
@@ -381,17 +388,46 @@ def _dbl(x: float) -> str:
 
 def _sorted_ys_agg(base: DataFrame, group_col: str, ds_col: str,
                    y_col: str):
-    """Per-series ds-ordered value array + max_ds + n, min-3 filtered —
-    the shared input shape of the fold-based SQL-path models."""
+    """Per-series ds-ordered value array + max_ds + n, validity-filtered —
+    the shared input shape of the fold-based SQL-path models.
+
+    The filter mirrors ``models.validate_series`` (ref
+    ``forecast.rs:520-523``): at least 3 VALID (non-NULL, non-NaN) points
+    post-interpolation, not merely 3 rows. ``base`` arrives already
+    interpolated, so the only series with remaining NULL/NaN ``y`` are
+    those with zero observations — counting rows alone would let the
+    folds fabricate forecasts (Croston/TSB yhat=0.0, SES NULL rows) for
+    series the model-library path skips via per-series error isolation
+    (r10 ADVICE finding, reproduced)."""
     def q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
     qds, qy = q(ds_col), q(y_col)
+    # CPU-bound JVM fold stage: floor the partition count at the core
+    # count, same rationale as batched.py:69-82 — a bare groupBy inherits
+    # spark.sql.shuffle.partitions, which users tune DOWN for small
+    # relational shuffles, starving the per-series array-sort + fold
+    # (measured: forecast_ses -9% at bench's shuffle=8 on 32 cores even
+    # paying one extra exchange). Gated on the starved case ONLY: when
+    # shuffle >= cores (every real cluster config) the plan is untouched,
+    # so a panel already hash-partitioned on the key keeps its
+    # zero-exchange aggregate; collect_list partials carry every value
+    # anyway, so no map-side combine is lost. Results are
+    # partitioning-invariant (bit-audited).
+    sc = base.sparkSession.sparkContext
+    try:
+        shuffle = int(base.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        shuffle = 0
+    if 0 < shuffle < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism, group_col)
     return base.groupBy(group_col).agg(
         F.expr(f"max({qds}) AS __max_ds"),
         F.expr("count(1) AS __n"),
+        F.expr(f"count_if({qy} IS NOT NULL AND NOT isnan({qy})) AS __nv"),
         F.expr(f"transform(array_sort(collect_list(named_struct("
                f"'ds', {qds}, 'y', {qy}))), t -> t.y) AS __ys"),
-    ).where("__n >= 3")
+    ).where("__n >= 3 AND __nv >= 3").drop("__nv")
 
 
 def _fold_forecast_out(agg: DataFrame, group_col: str, ds_col: str, h: int,
@@ -400,18 +436,20 @@ def _fold_forecast_out(agg: DataFrame, group_col: str, ds_col: str, h: int,
     """Common tail of the fold-based SQL-path models: horizon explode +
     the reference's 7-column forecast projection. ``yhat``/``width`` are
     SQL-text expressions over the agg frame's columns (may reference
-    ``forecast_step``)."""
+    ``forecast_step``). All-text ``selectExpr`` (r11): one driver round
+    trip for the whole projection instead of one per Column."""
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
     steps = agg.selectExpr("*", f"explode(sequence(1, {h})) AS forecast_step")
-    out_ds = _future_ds(F.col("__max_ds"), F.col("forecast_step"), freq,
-                        ds_type).alias(ds_col)
-    return steps.select(
-        F.col(group_col),
-        F.expr("CAST(forecast_step AS INT) AS forecast_step"),
-        out_ds,
-        F.expr(f"CAST({yhat} AS DOUBLE) AS yhat"),
-        F.expr(f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower"),
-        F.expr(f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper"),
-        F.expr(f"'{model_name}' AS model_name"),
+    out_ds = _future_ds_sql("__max_ds", "forecast_step", freq, ds_type)
+    return steps.selectExpr(
+        q(group_col),
+        "CAST(forecast_step AS INT) AS forecast_step",
+        f"{out_ds} AS {q(ds_col)}",
+        f"CAST({yhat} AS DOUBLE) AS yhat",
+        f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower",
+        f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper",
+        f"'{model_name}' AS model_name",
     )
 
 
@@ -448,34 +486,33 @@ def _croston_sql(base: DataFrame, group_col: str, ds_col: str, y_col: str,
     agg = _sorted_ys_agg(base, group_col, ds_col, y_col)
     # 1-indexed positions of the non-zero demands; sizes at those
     # positions; intervals = first position, then successive diffs
-    # (models._croston_parts: diff over [-1] ++ nz, 0-indexed == this)
-    agg = agg.selectExpr(
-        "*",
-        "filter(sequence(1, CAST(__n AS INT)), "
-        "i -> element_at(__ys, i) != 0.0D) AS __nz")
-    # the empty-__nz (all-zero series) case MUST be guarded lazily: under
+    # (models._croston_parts: diff over [-1] ++ nz, 0-indexed == this).
+    # The empty-__nz (all-zero series) case MUST be guarded lazily: under
     # ANSI mode element_at(<empty>, 1) throws INVALID_ARRAY_INDEX and
     # slice(.., size-1) throws for length -1, so the folds sit inside a
     # CASE (CaseWhen branches evaluate lazily) rather than relying on the
-    # downstream __k = 0 rate guard (review finding, reproduced live)
+    # downstream __k = 0 rate guard (review finding, reproduced live).
+    # ONE selectExpr via lateral column aliases (r11): the previous four
+    # chained selectExpr each re-analyzed the whole upstream plan.
     ses = (f"CASE WHEN size(__nz) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
            f"aggregate({{arr}}, CAST(element_at({{arr}}, 1) AS DOUBLE), "
            f"(acc, x) -> {A} * x + {B} * acc) END")
+    rate = "CASE WHEN __p != 0.0D THEN __z / __p ELSE 0.0D END"
+    if model == "CrostonSBA":
+        rate = f"({rate}) * {_dbl(1.0 - alpha / 2.0)}"
     agg = agg.selectExpr(
-        "*", "size(__nz) AS __k",
+        "*",
+        "filter(sequence(1, CAST(__n AS INT)), "
+        "i -> element_at(__ys, i) != 0.0D) AS __nz",
+        "size(__nz) AS __k",
         ses.format(arr="transform(__nz, i -> element_at(__ys, i))")
         + " AS __z",
         ses.format(
             arr="zip_with(__nz, concat(array(0), slice(__nz, 1, "
                 "size(__nz) - 1)), (c, p) -> CAST(c - p AS DOUBLE))")
-        + " AS __p")
-    rate = "CASE WHEN __p != 0.0D THEN __z / __p ELSE 0.0D END"
-    if model == "CrostonSBA":
-        rate = f"({rate}) * {_dbl(1.0 - alpha / 2.0)}"
-    agg = agg.selectExpr(
-        "*", f"CASE WHEN __k = 0 THEN 0.0D ELSE {rate} END AS __rate")
-    agg = agg.selectExpr(
-        "*", _welford_sql("__ys", "x - __rate") + " AS __w")
+        + " AS __p",
+        f"CASE WHEN __k = 0 THEN 0.0D ELSE {rate} END AS __rate",
+        _welford_sql("__ys", "x - __rate") + " AS __w")
     sig = ("CASE WHEN __w.k >= 2.0D THEN sqrt(__w.m2 / (__w.k - 1.0D)) "
            "ELSE 0.0D END")
     width = f"CASE WHEN __k = 0 THEN 0.0D ELSE {zl} * {sig} END"
@@ -608,8 +645,8 @@ def _seasonal_es_sql(base: DataFrame, group_col: str, ds_col: str,
         "'k', 0.0D, 'mean', 0.0D, 'm2', 0.0D), "
         f"(acc, s) -> named_struct('lv', {newlv}, 'k', {k1}, "
         f"'mean', {mean1}, 'm2', {m21}))")
-    agg = agg.selectExpr("*", f"{fold} AS __st").selectExpr(
-        "*",
+    agg = agg.selectExpr(
+        "*", f"{fold} AS __st",
         "CASE WHEN __st.k >= 2.0D THEN sqrt(__st.m2 / (__st.k - 1.0D)) "
         "ELSE 0.0D END AS __sig_ses",
         "aggregate(__ys, 0.0D, (a, v) -> a + v) / size(__ys) AS __ymean")

@@ -239,6 +239,8 @@ def image_features(df: DataFrame, binary_col: str, id_col: str,
                         feats.append(thumb)
                         continue
                     _decode_stub(payload, "image_features")
+                    raise AssertionError(
+                        "unreachable: _decode_stub must raise")
                 hist = [0.0] * 16
                 for byte in b[:4096]:
                     hist[byte >> 4] += 1.0
@@ -337,7 +339,13 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
                     # copied, review finding on worker memory)
                     parsed = _y4m_frame_offsets(payload or b"")
                     if parsed is None:
+                        # correctness must not silently depend on the stub
+                        # raising (r10 ADVICE): make the no-fallthrough
+                        # explicit so a future returning decode branch
+                        # can't unpack None below
                         _decode_stub(payload, "frame_sample")
+                        raise AssertionError(
+                            "unreachable: _decode_stub must raise")
                     fsize, offsets = parsed
                     for fi in range(0, len(offsets), every_n):
                         ids.append(rid)
@@ -460,6 +468,8 @@ def audio_features(df: DataFrame, binary_col: str, id_col: str,
                 dec = _wav_pcm_samples(b)
                 if dec is None:
                     _decode_stub(payload, "audio_features")
+                    raise AssertionError(
+                        "unreachable: _decode_stub must raise")
                 out.append(feats(*dec))
             yield pd.DataFrame({id_col: pdf[id_col], "audio": out})
 
