@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def partition_floor(df: DataFrame) -> int:
+    """Partition count for a CPU-bound per-series stage: the shuffle conf
+    floored at the cluster's core count. Users (and the bench) tune
+    ``spark.sql.shuffle.partitions`` DOWN for small relational shuffles,
+    which starves per-series Python/fold stages (r9: forecast_auto_ets
+    ran ~240 s of numpy on 8 of 32 cores). Returns 0 when neither source
+    is readable (e.g. ``"auto"`` shuffle conf on a Spark Connect session,
+    where ``sparkContext`` is unavailable) — callers treat 0 as "leave
+    the plan alone"."""
+    try:
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle = 0
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Spark Connect has no sparkContext
+        cores = 0
+    return max(shuffle, cores)
+
+
 def batched_grouped_map(
     df: DataFrame,
     key_cols: list[str],
@@ -67,18 +87,11 @@ def batched_grouped_map(
                 yield r
 
     # CPU-bound Python stage: floor the partition count at the cluster's
-    # core count. A bare repartition(*keys) inherits
-    # spark.sql.shuffle.partitions, which users (and the bench) tune DOWN
-    # for small relational shuffles — that starved the per-series
-    # optimizer stage to 8 of 32 cores (r9 forecast_auto_ets: 30 s wall
-    # for ~240 s of numpy ÷ 8). Results are partitioning-invariant
-    # (pinned by tests); this only widens the Arrow-batch fan-out.
-    sc = df.sparkSession.sparkContext
-    try:
-        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
-        shuffle = 0
-    n_parts = max(shuffle, sc.defaultParallelism)
-    parts = df.repartition(n_parts, *keys) \
-              .sortWithinPartitions(*keys, order_col)
+    # core count (see partition_floor). Results are partitioning-
+    # invariant (pinned by tests); this only widens the Arrow-batch
+    # fan-out.
+    n_parts = partition_floor(df)
+    parts = (df.repartition(n_parts, *keys) if n_parts
+             else df.repartition(*keys)) \
+        .sortWithinPartitions(*keys, order_col)
     return parts.mapInPandas(fn, schema)

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ..frequency import Frequency, parse_frequency
 from ..functions import models as M
-from ..functions.batched import batched_grouped_map
+from ..functions.batched import batched_grouped_map, partition_floor
 
 FORECAST_FIELDS = [
     ("forecast_step", T.IntegerType()),
@@ -48,6 +48,11 @@ FORECAST_FIELDS = [
 
 def _z(level: float) -> float:
     return M.norm_ppf(0.5 + level / 2.0)
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text expressions."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _future_ds_sql(max_ds: str, step: str, freq: Frequency,
@@ -77,10 +82,21 @@ def _future_ds_sql(max_ds: str, step: str, freq: Frequency,
             f"CAST({max_ds} AS TIMESTAMP)) AS {dt})")
 
 
-def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str) -> DataFrame:
+def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str,
+                         y_col: str, nan_is_missing: bool = False) -> DataFrame:
     """Linear position-based NULL interpolation within each series, edges
     filled with nearest valid value — SQL mirror of
     ``models.interpolate_nulls`` (ref ``imputation.rs:62``).
+
+    ``nan_is_missing`` selects between the reference's TWO layers of
+    missing-value semantics: the SQL macro surface (``ts_interpolate_by``
+    and the prep fill family) treats NaN as a VALUE — only NULL is
+    missing (pinned in ``test_r4_additions.py``'s NaN-vs-NULL suite) —
+    while the forecast library's preprocessing
+    (``models.interpolate_nulls`` / ``validate_series``,
+    ``forecast.rs:520-523``) masks ``np.isnan`` too. The forecast SQL
+    fast path passes True so literal-NaN series agree with the numpy
+    path (r11 review finding); prep keeps the default False.
 
     Every frame is a RUNNING frame (unboundedPreceding → currentRow), which
     Spark evaluates incrementally in O(n) per series. The naive formulation
@@ -99,33 +115,46 @@ def interpolate_nulls_df(df: DataFrame, group_col: str, ds_col: str, y_col: str)
     sorts and seven window columns from every forecast over clean panels.
     """
     if not df.schema[y_col].nullable:
+        # Known corner kept for the measured clean-panel win: a
+        # NON-nullable float column can still hold computed NaN, which
+        # this short-circuit leaves uninterpolated (the library path
+        # masks NaN too, ``models.interpolate_nulls``). Pipelines that
+        # synthesize NaN should carry a nullable column; the SQL-path
+        # validity filters still skip (not fabricate) low-valid series.
         return df
     w = Window.partitionBy(group_col).orderBy(ds_col)
     w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_desc = Window.partitionBy(group_col).orderBy(F.col(ds_col).desc())
     w_next = w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     y = F.col(y_col)
+    # dtype guard: isnan only exists for float/double, and integer
+    # columns cannot hold NaN
+    if nan_is_missing and isinstance(df.schema[y_col].dataType,
+                                     (T.DoubleType, T.FloatType)):
+        valid = y.isNotNull() & ~F.isnan(y)
+    else:
+        valid = y.isNotNull()
     # Descending pass FIRST (next-valid neighbour as a running last over the
     # reversed sort), ascending pass second — so every later window expression
     # (including the caller's lag/rolling columns on the filled series) chains
     # onto the ascending sort and the partition is sorted exactly twice.
     df2 = df.withColumn("__rnd", F.row_number().over(w_desc))
     df2 = df2.withColumns({
-        "__nv": F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(w_next),
-        "__npd": F.last(F.when(y.isNotNull(), F.col("__rnd")),
+        "__nv": F.last(F.when(valid, y), ignorenulls=True).over(w_next),
+        "__npd": F.last(F.when(valid, F.col("__rnd")),
                         ignorenulls=True).over(w_next),
     })
     df2 = df2.withColumn("__pos", F.row_number().over(w) - 1)
     df2 = df2.withColumns({
-        "__pv": F.last(F.when(y.isNotNull(), y), ignorenulls=True).over(w_prev),
-        "__pp": F.last(F.when(y.isNotNull(), F.col("__pos")), ignorenulls=True).over(w_prev),
+        "__pv": F.last(F.when(valid, y), ignorenulls=True).over(w_prev),
+        "__pp": F.last(F.when(valid, F.col("__pos")), ignorenulls=True).over(w_prev),
     })
     # next-valid ascending position from its descending rank:
     # n = __pos + __rnd, so __np = n - __npd
     df2 = df2.withColumn("__np", F.col("__pos") + F.col("__rnd") - F.col("__npd"))
     interp = (F.col("__pv") + (F.col("__nv") - F.col("__pv"))
               * (F.col("__pos") - F.col("__pp")) / (F.col("__np") - F.col("__pp")))
-    filled = (F.when(y.isNotNull(), y)
+    filled = (F.when(valid, y)
                .when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), interp)
                .when(F.col("__pv").isNotNull(), F.col("__pv"))
                .otherwise(F.col("__nv")))
@@ -159,13 +188,11 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     window = int(params.get("window", 5 if model == "SMA" else 2))
     ds_type = df.schema[ds_col].dataType
 
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-
-    qg, qds, qy = q(group_col), q(ds_col), q(y_col)
+    qg, qds, qy = _q(group_col), _q(ds_col), _q(y_col)
     base = df.selectExpr(qg, qds, f"CAST({qy} AS DOUBLE) AS {qy}") \
              .where(f"{qds} IS NOT NULL")
-    base = interpolate_nulls_df(base, group_col, ds_col, y_col)
+    base = interpolate_nulls_df(base, group_col, ds_col, y_col,
+                                nan_is_missing=True)
 
     if model == "SES":
         return _ses_sql(base, group_col, ds_col, y_col, int(horizon), freq,
@@ -242,8 +269,10 @@ def _forecast_sql(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                     f"AS __sig_sma")
     if model in ("SeasonalNaive", "SeasonalWindowAverage"):
         aggs.append("coalesce(stddev_samp(__dym), 0.0D) AS __sigm")
+    # validate_series parity: >= 3 valid points post-interpolation
+    # (implies row count >= 3; __n itself still feeds RWD/SeasonalNaive)
     agg = base.groupBy(group_col).agg(*[F.expr(e) for e in aggs]) \
-              .where("__n >= 3 AND __nv >= 3")
+              .where("__nv >= 3")
 
     # Step-independent per-group quantities are computed BEFORE the
     # horizon explode: the SMA mean and the SWA per-phase means would
@@ -399,35 +428,35 @@ def _sorted_ys_agg(base: DataFrame, group_col: str, ds_col: str,
     folds fabricate forecasts (Croston/TSB yhat=0.0, SES NULL rows) for
     series the model-library path skips via per-series error isolation
     (r10 ADVICE finding, reproduced)."""
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
-    qds, qy = q(ds_col), q(y_col)
+    qds, qy = _q(ds_col), _q(y_col)
     # CPU-bound JVM fold stage: floor the partition count at the core
-    # count, same rationale as batched.py:69-82 — a bare groupBy inherits
-    # spark.sql.shuffle.partitions, which users tune DOWN for small
-    # relational shuffles, starving the per-series array-sort + fold
-    # (measured: forecast_ses -9% at bench's shuffle=8 on 32 cores even
-    # paying one extra exchange). Gated on the starved case ONLY: when
-    # shuffle >= cores (every real cluster config) the plan is untouched,
-    # so a panel already hash-partitioned on the key keeps its
-    # zero-exchange aggregate; collect_list partials carry every value
-    # anyway, so no map-side combine is lost. Results are
-    # partitioning-invariant (bit-audited).
-    sc = base.sparkSession.sparkContext
+    # count (batched.partition_floor — the same starvation the Python
+    # stages had: a bare groupBy inherits spark.sql.shuffle.partitions,
+    # which users tune DOWN for small relational shuffles; measured
+    # forecast_ses -9% at bench's shuffle=8 on 32 cores even paying one
+    # extra exchange). Gated on the starved case ONLY: when shuffle >=
+    # cores (every real cluster config) the plan is untouched, so a
+    # panel already hash-partitioned on the key keeps its zero-exchange
+    # aggregate; collect_list partials carry every value anyway, so no
+    # map-side combine is lost. Results are partitioning-invariant
+    # (bit-audited).
     try:
         shuffle = int(base.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
         shuffle = 0
-    if 0 < shuffle < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism, group_col)
+    floor = partition_floor(base)
+    if 0 < shuffle < floor:
+        base = base.repartition(floor, group_col)
+    # validity filter == validate_series (>= 3 valid points
+    # post-interpolation; __nv >= 3 implies row count >= 3)
     return base.groupBy(group_col).agg(
         F.expr(f"max({qds}) AS __max_ds"),
         F.expr("count(1) AS __n"),
         F.expr(f"count_if({qy} IS NOT NULL AND NOT isnan({qy})) AS __nv"),
         F.expr(f"transform(array_sort(collect_list(named_struct("
                f"'ds', {qds}, 'y', {qy}))), t -> t.y) AS __ys"),
-    ).where("__n >= 3 AND __nv >= 3").drop("__nv")
+    ).where("__nv >= 3").drop("__nv")
 
 
 def _fold_forecast_out(agg: DataFrame, group_col: str, ds_col: str, h: int,
@@ -438,14 +467,12 @@ def _fold_forecast_out(agg: DataFrame, group_col: str, ds_col: str, h: int,
     SQL-text expressions over the agg frame's columns (may reference
     ``forecast_step``). All-text ``selectExpr`` (r11): one driver round
     trip for the whole projection instead of one per Column."""
-    def q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
     steps = agg.selectExpr("*", f"explode(sequence(1, {h})) AS forecast_step")
     out_ds = _future_ds_sql("__max_ds", "forecast_step", freq, ds_type)
     return steps.selectExpr(
-        q(group_col),
+        _q(group_col),
         "CAST(forecast_step AS INT) AS forecast_step",
-        f"{out_ds} AS {q(ds_col)}",
+        f"{out_ds} AS {_q(ds_col)}",
         f"CAST({yhat} AS DOUBLE) AS yhat",
         f"CAST(({yhat}) - ({width}) AS DOUBLE) AS yhat_lower",
         f"CAST(({yhat}) + ({width}) AS DOUBLE) AS yhat_upper",

@@ -130,3 +130,36 @@ def test_decode_stub_callsites_raise_not_fallthrough(spark):
             op(df, "media", "doc_id").collect()
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError)
+
+
+def test_sql_path_interpolates_nan_like_numpy(spark):
+    """Literal NaN (not NULL) in a nullable double column is missing on
+    BOTH paths (r11 review finding): models.interpolate_nulls masks
+    np.isnan, so interpolate_nulls_df must too — before the fix a
+    NaN-bearing series either vanished (all-NaN-tail) or poisoned the
+    folds with NaN yhats while numpy forecast real values."""
+    import numpy as np
+
+    from anofox_forecast_spark.functions import models as M
+    nan = float("nan")
+    ys = [1.0, nan, 3.0, nan, 5.0, 6.0]
+    rows = [("S", dt.date(2024, 1, 1 + i), v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, ds date, y double")
+    for model, params in [("SES", {"alpha": 0.3}), ("Naive", {}),
+                          ("CrostonClassic", {}),
+                          ("Holt", {"alpha": 0.3, "beta": 0.2})]:
+        got = ts_forecast_by(df, "g", "ds", "y", method=model, horizon=3,
+                             frequency="1d", params=dict(params)).collect()
+        got = [r["yhat"] for r in sorted(got,
+                                         key=lambda r: r["forecast_step"])]
+        ref = M.forecast(np.array(ys), 3, model, level=0.90,
+                         params=dict(params))
+        assert got == pytest.approx(list(ref.point), rel=1e-9), model
+        assert not any(np.isnan(v) for v in got), model
+    # all-NaN series: skipped on both paths
+    all_nan = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1 + i), nan) for i in range(5)],
+        "g string, ds date, y double")
+    out = ts_forecast_by(all_nan, "g", "ds", "y", method="SES", horizon=2,
+                         frequency="1d", params={"alpha": 0.3})
+    assert out.count() == 0

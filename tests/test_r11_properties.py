@@ -27,9 +27,11 @@ SLOW = settings(max_examples=6, deadline=None,
                 suppress_health_check=list(HealthCheck))
 
 # value pool biased toward the degenerate shapes: zeros (intermittent
-# models' branch points), a constant, small ints, and NULLs
+# models' branch points), a constant, small ints, NULLs, and literal
+# NaN (missing-like on BOTH paths since the r11 review fix —
+# interpolate_nulls_df masks isnan exactly like models.interpolate_nulls)
 _vals = st.one_of(
-    st.just(0.0), st.just(2.5), st.none(),
+    st.just(0.0), st.just(2.5), st.none(), st.just(float("nan")),
     st.integers(-50, 50).map(float),
     st.floats(min_value=-1e4, max_value=1e4, allow_nan=False,
               allow_infinity=False, width=32).map(float),
@@ -49,6 +51,9 @@ _EDGES = [
     [None] * 5,                                  # all-NULL (skip expected)
     [1.0, 2.0],                                  # n < 3 (skip expected)
     [1.0, 5.0, 2.0, 8.0],                        # m > n for SeasonalES(7)
+    [1.0, float("nan"), 3.0, float("nan"), 5.0],  # interior NaN
+    [float("nan")] * 4,                          # all-NaN (skip expected)
+    [float("nan"), None, 2.0, 4.0, None, 6.0],   # mixed NaN + NULL
 ]
 
 FOLD_MODELS = [
