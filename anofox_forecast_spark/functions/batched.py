@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
+def shuffle_partitions(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, 0 when unreadable
+    (e.g. ``"auto"`` under some AQE / Spark Connect setups). The single
+    home for this parse — ``partition_floor`` and the forecast fold
+    aggregates both gate on it, and the unreadable-conf handling must
+    not drift between them (r11 advice)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 0
+
+
 def partition_floor(df: DataFrame) -> int:
     """Partition count for a CPU-bound per-series stage: the shuffle conf
     floored at the cluster's core count. Users (and the bench) tune
@@ -31,10 +43,7 @@ def partition_floor(df: DataFrame) -> int:
     is readable (e.g. ``"auto"`` shuffle conf on a Spark Connect session,
     where ``sparkContext`` is unavailable) — callers treat 0 as "leave
     the plan alone"."""
-    try:
-        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        shuffle = 0
+    shuffle = shuffle_partitions(df)
     try:
         cores = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001 — Spark Connect has no sparkContext

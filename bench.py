@@ -183,11 +183,24 @@ def _prev_snapshot_bench() -> dict | None:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     wt = None
-    try:
-        commit = subprocess.run(
-            ["git", "log", "--grep", "^round ", "-1", "--format=%H"],
+
+    def _latest_round_commit(rev: str) -> str:
+        # Match the commit SUBJECT only. `git log --grep '^round '`
+        # matches anywhere in the message — r11's A/B silently anchored
+        # on a commit whose BODY contained "round trips: ..." and
+        # compared HEAD against mid-round code (r11 judge finding).
+        out = subprocess.run(
+            ["git", "log", rev, "--format=%H %s"],
             cwd=repo, capture_output=True, text=True, timeout=30,
-        ).stdout.strip()
+        ).stdout
+        for line in out.splitlines():
+            sha, _, subject = line.partition(" ")
+            if re.match(r"^round \d+:", subject):
+                return sha
+        return ""
+
+    try:
+        commit = _latest_round_commit("HEAD")
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"],
             cwd=repo, capture_output=True, text=True, timeout=30,
@@ -196,11 +209,7 @@ def _prev_snapshot_bench() -> dict | None:
             # HEAD itself is the round-N commit (the driver commits per
             # round); comparing HEAD vs HEAD is meaningless — take the
             # previous round snapshot instead.
-            commit = subprocess.run(
-                ["git", "log", "HEAD~1", "--grep", "^round ", "-1",
-                 "--format=%H"],
-                cwd=repo, capture_output=True, text=True, timeout=30,
-            ).stdout.strip()
+            commit = _latest_round_commit("HEAD~1")
         if not commit:
             return None
         wt = tempfile.mkdtemp(prefix="bench_ab_")
