@@ -658,9 +658,17 @@ def _seasonal_es_sql(base: DataFrame, group_col: str, ds_col: str,
     the numpy NaN warm-up: the first hit of a phase seeds its level and
     contributes no residual) plus the shared Welford state — so the
     residual accumulation order matches the numpy loop exactly. The
-    per-step array rebuild costs O(n*m) element copies per series
-    (533x7 ≈ 4k doubles — noise); point for a never-seen phase falls
-    back to the series mean like numpy's nanmean."""
+    per-step ``transform(sequence(1,m), ...)`` level-array rebuild is
+    O(n*m) per series but DELIBERATE (r12 measurement): the slice/
+    concat single-slot replacement (`concat(slice(lv,1,p-1), array(v),
+    slice(lv,p+1,m-p))`) that looks cheaper ran ~2x SLOWER end-to-end
+    (10x-length soak 2.9-3.4 s -> 5.3-5.9 s; sf0.1 likewise) — the
+    transform stays in the codegen'd HOF fast path while slice/concat
+    allocates three intermediate arrays per element. Measured m-sweep
+    on this form: m=24 (hourly) == m=7 within jitter at both sf0.1 and
+    10x length, so the O(m) factor is not a scale concern. Point for a
+    never-seen phase falls back to the series mean like numpy's
+    nanmean."""
     if m < 1:
         raise ValueError("SeasonalES requires seasonal_period >= 1")
     A, B = _dbl(alpha), _dbl(1.0 - alpha)
