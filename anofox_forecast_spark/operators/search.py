@@ -56,14 +56,19 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
     scored = base.join(F.broadcast(stats))
     n = F.col("__n").cast("double")
     avgdl = F.col("__sumdl").cast("double") / n
+    # all-empty corpus edge (r12 property-suite find): avgdl == 0 made
+    # the length norm divide by zero under ANSI mode. Every dl is 0 too,
+    # so the norm's limit is 0 — and every tf is 0, so the score is 0
+    # regardless; the guard is value-identical whenever any doc has words.
+    norm = F.when(F.col("__sumdl") > 0,
+                  F.col("__dl").cast("double") / avgdl).otherwise(F.lit(0.0))
     score = F.lit(0.0)
     for i in range(len(terms)):
         tf = F.col(f"__tf{i}").cast("double")
         dfreq = F.col(f"__df{i}").cast("double")
         idf = F.log(F.lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
         score = score + idf * (tf * (k1 + 1.0)
-                               / (tf + k1 * (1.0 - b + b * F.col("__dl")
-                                             .cast("double") / avgdl)))
+                               / (tf + k1 * (1.0 - b + b * norm)))
     return scored.select(F.col(id_col), score.alias("score"))
 
 
