@@ -103,6 +103,26 @@ def test_nonnullable_float_still_short_circuits_without_nan_semantics(spark):
                                 nan_is_missing=True) is di
 
 
+def test_no_nan_witness_restores_clean_panel_short_circuit(spark):
+    """lineitem_panel carries the by-construction no-NaN witness
+    (sources.NO_NAN_METADATA), so the forecast semantics
+    (nan_is_missing=True) keep the r11 plan win on it, while an
+    untagged non-nullable float panel still takes the corrected path."""
+    from anofox_forecast_spark.sources import NO_NAN_METADATA, lineitem_panel
+    panel = lineitem_panel(spark, "/root/testdata/sf0.001")
+    assert not panel.schema["y"].nullable
+    assert panel.schema["y"].metadata.get(NO_NAN_METADATA) is True
+    assert interpolate_nulls_df(panel, "id", "ds", "y",
+                                nan_is_missing=True) is panel
+    # the witness is honored via the explicit param too (post-CAST
+    # frames lose column metadata; _forecast_sql reads it pre-CAST)
+    df = _nonnull_nan_panel(spark)
+    assert interpolate_nulls_df(df, "g", "ds", "y", nan_is_missing=True,
+                                assume_no_nan=True) is df
+    assert interpolate_nulls_df(df, "g", "ds", "y",
+                                nan_is_missing=True) is not df
+
+
 def test_sql_holt_direct_call_requires_fixed_constants(spark):
     from anofox_forecast_spark.frequency import parse_frequency
     from anofox_forecast_spark.operators.forecast import _forecast_sql
