@@ -469,18 +469,28 @@ def _ses_optimized(y, h, cl, **kw):
 
 def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt", **kw):
     """Holt's linear method; optimizes (alpha, beta) by SSE when not given."""
+    # the serial recursions are the AutoETS/optimizer hot loops (one
+    # evaluation per Nelder-Mead step); plain-Python locals instead of
+    # numpy scalar indexing cut the interpreter overhead ~2-3x with
+    # bit-identical IEEE arithmetic (tolist() round-trips doubles
+    # exactly; hoisted constants preserve the original left-assoc
+    # groupings, e.g. ((1-b)*ph)*trend)
+    yl = np.asarray(y, dtype=float).tolist()
+
     def filt(a, b, ph):
-        n = len(y)
-        level, trend = y[0], (y[1] - y[0]) if n > 1 else 0.0
-        fitted = np.empty(n)
+        n = len(yl)
+        level, trend = yl[0], (yl[1] - yl[0]) if n > 1 else 0.0
+        fitted = [0.0] * n
         fitted[0] = level
+        one_a = 1 - a
+        one_b_ph = (1 - b) * ph
         for t in range(1, n):
             f = level + ph * trend
             fitted[t] = f
-            newl = a * y[t] + (1 - a) * f
-            trend = b * (newl - level) * ph + (1 - b) * ph * trend
+            newl = a * yl[t] + one_a * f
+            trend = b * (newl - level) * ph + one_b_ph * trend
             level = newl
-        return fitted, level, trend
+        return np.asarray(fitted, dtype=float), level, trend
 
     ph = float(phi) if damped else 1.0
     if alpha is None or beta is None:
@@ -515,27 +525,47 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
     if m < 2 or n < 2 * m:
         return _holt(y, h, cl, alpha=alpha, beta=beta, _name=_name)
 
+    # plain-Python hot loop (see _holt.filt): bit-identical arithmetic,
+    # ~2-3x less interpreter overhead per Nelder-Mead evaluation. The
+    # additive/multiplicative branch is hoisted into two specialized
+    # loops with the SAME per-step expressions.
+    yl = np.asarray(y, dtype=float).tolist()
+
     def filt(a, b, g):
         level = float(np.mean(y[:m]))
         trend = (np.mean(y[m:2 * m]) - np.mean(y[:m])) / m
         if multiplicative:
-            seas = np.array([y[i] / level if level != 0 else 1.0 for i in range(m)])
+            seas = [yl[i] / level if level != 0 else 1.0 for i in range(m)]
         else:
-            seas = np.array([y[i] - level for i in range(m)])
-        fitted = np.empty(n)
-        for t in range(n):
-            s = seas[t % m]
-            f = (level + trend) * s if multiplicative else level + trend + s
-            fitted[t] = f
-            if multiplicative:
-                newl = a * (y[t] / s if s != 0 else y[t]) + (1 - a) * (level + trend)
-                seas[t % m] = g * (y[t] / newl if newl != 0 else s) + (1 - g) * s
-            else:
-                newl = a * (y[t] - s) + (1 - a) * (level + trend)
-                seas[t % m] = g * (y[t] - newl) + (1 - g) * s
-            trend = b * (newl - level) + (1 - b) * trend
-            level = newl
-        return fitted, level, trend, seas
+            seas = [yl[i] - level for i in range(m)]
+        fitted = [0.0] * n
+        one_a, one_b, one_g = 1 - a, 1 - b, 1 - g
+        if multiplicative:
+            for t in range(n):
+                i = t % m
+                s = seas[i]
+                lt = level + trend
+                f = lt * s
+                fitted[t] = f
+                yt = yl[t]
+                newl = a * (yt / s if s != 0 else yt) + one_a * lt
+                seas[i] = g * (yt / newl if newl != 0 else s) + one_g * s
+                trend = b * (newl - level) + one_b * trend
+                level = newl
+        else:
+            for t in range(n):
+                i = t % m
+                s = seas[i]
+                lt = level + trend
+                f = lt + s
+                fitted[t] = f
+                yt = yl[t]
+                newl = a * (yt - s) + one_a * lt
+                seas[i] = g * (yt - newl) + one_g * s
+                trend = b * (newl - level) + one_b * trend
+                level = newl
+        return (np.asarray(fitted, dtype=float), level, trend,
+                np.asarray(seas, dtype=float))
 
     if alpha is None or beta is None or gamma is None:
         def sse(x):
@@ -625,7 +655,9 @@ def _log_abs_sum(mu):
     differs in the last ulp on ~25% of inputs, enough to flip an optimizer
     tie-break in the multiplicative-error likelihood)."""
     s = 0.0
-    for v in mu:
+    # iterate Python floats: looping a numpy array boxes one float64
+    # object per element (tolist() round-trips the doubles exactly)
+    for v in (mu.tolist() if isinstance(mu, np.ndarray) else mu):
         s += math.log(abs(v))
     return s
 
@@ -661,11 +693,18 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
             s0 = None
         return l0, b0, s0
 
+    # plain-Python hot loop (see _holt.filt): identical per-step
+    # expressions in the identical order, list locals instead of numpy
+    # scalar indexing (the isfinite guard and the early None return are
+    # unchanged)
+    yl = np.asarray(y, dtype=float).tolist()
+
     def filt(a, b, g, ph):
         level, trend_v, s = init_states()
-        s = None if s is None else s.copy()
-        mu = np.empty(n)
-        e = np.empty(n)
+        s = None if s is None else s.tolist()
+        mu = [0.0] * n
+        e = [0.0] * n
+        isfinite = math.isfinite
         for t in range(n):
             q = level + ph * trend_v if has_trend else level
             if seas == "M":
@@ -677,10 +716,10 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
             else:
                 sv = None
                 m_t = q
-            if m_t == 0 or not math.isfinite(m_t):
+            if m_t == 0 or not isfinite(m_t):
                 return None, None, None
             mu[t] = m_t
-            et = (y[t] - m_t) / m_t
+            et = (yl[t] - m_t) / m_t
             e[t] = et
             if seas == "A":
                 level = q + a * m_t * et
@@ -693,7 +732,9 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
                     trend_v = ph * trend_v + b * q * et
                 if seas == "M":
                     s[t % m] = sv * (1.0 + g * et)
-        return mu, e, (level, trend_v, s)
+        return (np.asarray(mu, dtype=float), np.asarray(e, dtype=float),
+                (level, trend_v, None if s is None
+                 else np.asarray(s, dtype=float)))
 
     def neg2ll(x):
         i = 0
