@@ -432,15 +432,20 @@ def _seasonal_window_average(y, h, cl, season_length=1, window=2, **kw):
 
 
 def _ses_filter(y, alpha, l0=None):
-    n = len(y)
-    fitted = np.empty(n)
-    level = y[0] if l0 is None else l0
+    # plain-Python hot loop (one call per golden-section step in
+    # SESOptimized and inside every Theta variant): list locals, same
+    # left-assoc arithmetic, tolist() round-trips doubles exactly
+    yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
+    n = len(yl)
+    fitted = [0.0] * n
+    level = yl[0] if l0 is None else l0
     fitted[0] = level
+    one_a = 1 - alpha
     for t in range(1, n):
-        level = alpha * y[t - 1] + (1 - alpha) * level
+        level = alpha * yl[t - 1] + one_a * level
         fitted[t] = level
-    final = alpha * y[-1] + (1 - alpha) * level
-    return fitted, final
+    final = alpha * yl[-1] + one_a * level
+    return np.asarray(fitted, dtype=float), final
 
 
 def _ses(y, h, cl, alpha=0.3, _name="SES", **kw):
@@ -1029,20 +1034,97 @@ def _arima_css(x, p, q, max_iter=80):
     mean = _seq_sum(x) / n if n else 0.0
     xc = x - mean
 
+    # plain-Python hot loop (the AutoARIMA grid's dominant cost — one
+    # call per Nelder-Mead step per (p,d,q) candidate): list locals
+    # instead of numpy scalar indexing, identical subtraction order
+    # (AR terms then MA terms), tolist() round-trips doubles exactly
+    xcl = xc.tolist()
+
     def css(params):
-        phi = params[:p]
-        th = params[p:p + q]
-        e = np.zeros(n)
-        for t in range(n):
-            acc = xc[t]
+        phi = params[:p].tolist()
+        th = params[p:p + q].tolist()
+        e = [0.0] * n
+        head = min(n, max(p, q))
+        for t in range(head):
+            acc = xcl[t]
             for i in range(p):
                 if t - i - 1 >= 0:
-                    acc -= phi[i] * xc[t - i - 1]
+                    acc -= phi[i] * xcl[t - i - 1]
             for j in range(q):
                 if t - j - 1 >= 0:
                     acc -= th[j] * e[t - j - 1]
             e[t] = acc
-        return e
+        # steady state (every lag valid): unrolled per (p, q) for the
+        # whole AutoARIMA grid (p <= 3, q <= 2). A chained subtraction
+        # is the SAME left-assoc sequence as the repeated `acc -= ...`,
+        # so the residuals are bit-identical; only the bounds checks and
+        # inner-loop overhead are gone.
+        rng_ = range(head, n)
+        if q == 0 and p == 1:
+            p0, = phi
+            for t in rng_:
+                e[t] = xcl[t] - p0 * xcl[t - 1]
+        elif q == 0 and p == 2:
+            p0, p1 = phi
+            for t in rng_:
+                e[t] = xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+        elif q == 0 and p == 3:
+            p0, p1, p2 = phi
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+                        - p2 * xcl[t - 3])
+        elif q == 1 and p == 0:
+            t0, = th
+            for t in rng_:
+                e[t] = xcl[t] - t0 * e[t - 1]
+        elif q == 1 and p == 1:
+            p0, = phi
+            t0, = th
+            for t in rng_:
+                e[t] = xcl[t] - p0 * xcl[t - 1] - t0 * e[t - 1]
+        elif q == 1 and p == 2:
+            p0, p1 = phi
+            t0, = th
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+                        - t0 * e[t - 1])
+        elif q == 1 and p == 3:
+            p0, p1, p2 = phi
+            t0, = th
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+                        - p2 * xcl[t - 3] - t0 * e[t - 1])
+        elif q == 2 and p == 0:
+            t0, t1 = th
+            for t in rng_:
+                e[t] = xcl[t] - t0 * e[t - 1] - t1 * e[t - 2]
+        elif q == 2 and p == 1:
+            p0, = phi
+            t0, t1 = th
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - t0 * e[t - 1]
+                        - t1 * e[t - 2])
+        elif q == 2 and p == 2:
+            p0, p1 = phi
+            t0, t1 = th
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+                        - t0 * e[t - 1] - t1 * e[t - 2])
+        elif q == 2 and p == 3:
+            p0, p1, p2 = phi
+            t0, t1 = th
+            for t in rng_:
+                e[t] = (xcl[t] - p0 * xcl[t - 1] - p1 * xcl[t - 2]
+                        - p2 * xcl[t - 3] - t0 * e[t - 1] - t1 * e[t - 2])
+        else:  # beyond the grid: generic fallback, same order
+            for t in rng_:
+                acc = xcl[t]
+                for i in range(p):
+                    acc -= phi[i] * xcl[t - i - 1]
+                for j in range(q):
+                    acc -= th[j] * e[t - j - 1]
+                e[t] = acc
+        return np.asarray(e, dtype=float)
 
     if p + q == 0:
         e = xc.copy()
