@@ -2252,42 +2252,37 @@ def _streaming_queries():
 # regression slots for this round's code changes (stats rest_udf, prep NaN
 # semantics, ETS rewrite).
 _WINDOW = [
-    # --- r12 policy (r11 judge directives #1+#2): seat STALEST-FIRST —
-    # all 26 remaining r5 keys + all 21 r7 keys — plus the two keys of
-    # the priced contract swap (audio_features / frame_sample_y4m, paid
-    # by rotating out metric_rmse/metric_rmae: pure derivatives of
-    # keyed siblings, family generatively property-tested) and the
-    # oldest r8 key by first-seen round (forecast_auto_arima, first
-    # driver evidence r1) to fill 50. After this round's green run the
-    # freshness floor rises to r8 per tools/freshness.py --window. All
-    # 240 keys replay vs their exact oracles at HEAD in
-    # test_entry_oracle.py regardless of window membership; this
-    # round's code change (the non-nullable-NaN interpolation guard) is
-    # value-invariant on the contract corpus (nullable parquet panels)
-    # — re-proved by the HEAD replay suite plus 9 fold-path bit audits.
-    # --- stalest cohort, r5 (all 26) ---
-    "conformal_apply", "conformal_apply_profile", "conformal_asymmetric",
-    "conformal_bootstrap", "cv_backtest", "cv_folds", "cv_forecast",
-    "dedup_minhash_lsh", "dedup_minhash_md5", "dedup_simhash",
-    "detect_changepoints_bocpd", "features_sql", "forecast_ets_mam",
-    "forecast_naive_monthly", "hier_aggregate", "instantaneous_period",
-    "mstl_decomposition", "multimodal_features", "peak_timing",
-    "prep_diff", "similarity_topk", "similarity_topk_ivf", "stats_full",
-    "stats_sql", "streaming_windowed_stats", "text_quality",
-    # --- r7 cohort, all 21 ---
-    "analyze_seasonality", "conformal_mean_width_scalar",
-    "cv_estimate_memory", "detect_periods_acf", "detect_periods_aic",
-    "detect_periods_autoperiod", "detect_periods_cfd_autoperiod",
-    "detect_periods_lomb_scargle", "detect_periods_matrix_profile",
-    "detect_periods_multi", "detect_periods_regression",
-    "detect_periods_sazed", "detect_periods_ssa", "detect_periods_stl",
-    "estimate_period_acf", "estimate_period_fft",
-    "features_config_template", "features_list", "forecast_explain_ets",
-    "forecast_explain_mstl", "pipeline_c4",
-    # --- the r12 contract-swap keys (driver evidence on debut) ---
-    "audio_features", "frame_sample_y4m",
-    # --- oldest r8 key by first-seen round (r1) ---
-    "forecast_auto_arima",
+    # --- r13 policy (r12 judge directive #1): seat STALEST-FIRST —
+    # all 45 r8-cohort keys (the events/pipeline/search/regression/
+    # detect bloc, every family now covered by a generative property
+    # suite) + the 5 oldest live r9 keys by first-seen round (all five
+    # first saw driver evidence in r1: forecast_croston, forecast_rwd,
+    # forecast_seasonal_naive, metric_mape, metric_mase) to fill 50.
+    # Contract stays FROZEN at 240 (directive #2). After this round's
+    # green run the freshness floor rises to r9 per
+    # tools/freshness.py --window. All 240 keys replay vs their exact
+    # oracles at HEAD in test_entry_oracle.py regardless of window
+    # membership.
+    # --- stalest cohort, r8 (all 45) ---
+    "cv_hydrate_features", "cv_prepare_regression", "dedup_clusters",
+    "detect_anomalies", "detect_periods", "detect_periods_fft",
+    "events_asof_forward", "events_asof_join", "events_funnel",
+    "events_funnel_capped", "events_overlap_join", "events_range_join",
+    "events_retention", "events_session_stats", "events_sessionize",
+    "events_time_rollup", "events_transitions", "features_full",
+    "forecast_agg_naive", "forecast_explain", "forecast_single",
+    "ols_fit_predict", "pipeline_decontaminate", "pipeline_dedup_lines",
+    "pipeline_dup_span_stats", "pipeline_dup_spans", "pipeline_gopher",
+    "pipeline_mix_sources", "pipeline_pack_chunked",
+    "pipeline_remove_dup_spans", "pipeline_sample_hash",
+    "pipeline_sample_stratified", "pipeline_sample_weighted",
+    "pipeline_token_budget", "ridge_fit_predict", "search_bm25",
+    "search_tfidf", "search_top_terms", "semdedup",
+    "similarity_topk_pq", "stats_group_quantiles", "stats_skew_report",
+    "streaming_conformal", "streaming_sessionize", "text_entropy",
+    # --- 5 oldest live r9 keys by first-seen round (all r1) ---
+    "forecast_croston", "forecast_rwd", "forecast_seasonal_naive",
+    "metric_mape", "metric_mase",
 ]
 
 

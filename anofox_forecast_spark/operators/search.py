@@ -67,8 +67,16 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
         tf = F.col(f"__tf{i}").cast("double")
         dfreq = F.col(f"__df{i}").cast("double")
         idf = F.log(F.lit(1.0) + (n - dfreq + 0.5) / (dfreq + 0.5))
-        score = score + idf * (tf * (k1 + 1.0)
-                               / (tf + k1 * (1.0 - b + b * norm)))
+        # tf == 0 always means zero contribution, but the denominator
+        # tf + k1*(1-b+b*norm) can ALSO be 0 then (b=1 with a
+        # zero-length doc, or the all-empty corpus above) — 0/0 is NULL
+        # under default Spark and an error under ANSI. Guarding the
+        # whole term on tf > 0 covers every zero-denominator case at
+        # once: tf > 0 implies the denominator >= tf > 0.
+        score = score + F.when(
+            tf > 0,
+            idf * (tf * (k1 + 1.0)
+                   / (tf + k1 * (1.0 - b + b * norm)))).otherwise(F.lit(0.0))
     return scored.select(F.col(id_col), score.alias("score"))
 
 

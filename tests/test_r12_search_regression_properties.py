@@ -42,10 +42,15 @@ _DOC_EDGES = ["", "spark", "spark spark spark", "the the scan",
 
 
 @SLOW
+@pytest.mark.parametrize("b", [0.75, 1.0])
 @example(docs=_DOC_EDGES)
 @given(docs=_docs)
-def test_bm25_matches_replay(spark, docs):
-    terms, k1, b = ["spark", "join", "window"], 1.2, 0.75
+def test_bm25_matches_replay(spark, docs, b):
+    # b=1.0 is the r12 advisor's edge: a zero-length doc then has
+    # denominator tf + k1*(1-b+b*norm) == 0 when tf == 0, so the score
+    # term must short-circuit to 0 rather than evaluate 0/0 (NULL under
+    # default Spark, an error under ANSI).
+    terms, k1 = ["spark", "join", "window"], 1.2
     df = spark.createDataFrame(list(enumerate(docs)),
                                "doc_id int, text string")
     got = {r["doc_id"]: r["score"] for r in S.bm25_score(
@@ -57,6 +62,11 @@ def test_bm25_matches_replay(spark, docs):
         score = 0.0
         for t in terms:
             tf = ws.count(t)
+            if tf == 0:
+                # tf==0 always contributes 0; skipping also avoids the
+                # 0/0 denominator at b=1 with dl==0 (same guard as the
+                # operator)
+                continue
             dfreq = sum(1 for other in toks if t in other)
             idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
             # all-empty corpus: the length norm's limit is 0 (see the
@@ -64,6 +74,7 @@ def test_bm25_matches_replay(spark, docs):
             norm = len(ws) / avgdl if avgdl > 0 else 0.0
             denom = tf + k1 * (1.0 - b + b * norm)
             score += idf * (tf * (k1 + 1.0) / denom)
+        assert got[i] is not None, i
         assert got[i] == pytest.approx(score, rel=1e-9, abs=1e-12), i
 
 
