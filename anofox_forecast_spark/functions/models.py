@@ -25,14 +25,33 @@ Conventions shared with the pure-SQL fast path in
 
 from __future__ import annotations
 
+import ctypes
 import math
 from dataclasses import dataclass, field
 
 import numpy as np
 
+from . import cfilters as _cfilters
+
 # ---------------------------------------------------------------------------
 # Small numeric utilities (scipy-free)
 # ---------------------------------------------------------------------------
+
+_DPTR = ctypes.POINTER(ctypes.c_double)
+
+
+def _cf():
+    """The compiled optimizer-loop library, or None (pure-Python fallback).
+
+    The C twins reproduce the Python recursions' IEEE arithmetic exactly
+    (see ``_cfilters.c``); every integration below keeps the Python
+    closure as the no-gcc fallback, so behaviour is identical either way
+    — only the per-Nelder-Mead-step interpreter cost changes."""
+    return _cfilters.get_lib()
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(_DPTR)
 
 def norm_ppf(p: float) -> float:
     """Inverse normal CDF (Acklam's rational approximation, ~1e-9 accurate)."""
@@ -122,32 +141,63 @@ def golden_section(f, lo: float, hi: float, tol: float = 1e-5, max_iter: int = 1
 
 
 def nelder_mead(f, x0, bounds=None, tol: float = 1e-6, max_iter: int = 200):
-    """Tiny deterministic Nelder–Mead with box-bound clipping."""
-    x0 = np.asarray(x0, dtype=float)
-    n = len(x0)
+    """Tiny deterministic Nelder–Mead with box-bound clipping.
 
-    def clip(x):
-        if bounds is None:
+    Pure-Python list arithmetic (r13): every candidate point is built from
+    the same elementwise IEEE operations in the same order as the previous
+    numpy-array form, so the search trajectory is bit-identical — np.clip
+    is elementwise min/max, the stable argsort matches Python's stable
+    sort for the finite objective values the callers guarantee (every
+    objective guards non-finite results to +-1e300), and the centroid's
+    np.mean is a sequential left-to-right sum for fewer than 8 addends
+    (numpy's pairwise summation only blocks at n >= 8; all in-repo
+    problems are 1-5 dimensional, and the >= 8-point case falls back to
+    np.mean itself). Dropping the per-iteration numpy boxing cut the
+    optimizer-loop overhead ~2x on the AutoETS profile."""
+    xs = [float(v) for v in x0]
+    n = len(xs)
+    if bounds is None:
+        def clip(x):
             return x
-        return np.clip(x, [b[0] for b in bounds], [b[1] for b in bounds])
+    else:
+        los = [float(b[0]) for b in bounds]
+        his = [float(b[1]) for b in bounds]
 
-    simplex = [clip(x0)]
+        def clip(x):
+            # np.clip == minimum(maximum(x, lo), hi) elementwise; the
+            # simplex stays finite (bounded after clip), so the NaN
+            # branch of np.minimum/maximum is unreachable
+            return [l if v < l else (h if v > h else v)
+                    for v, l, h in zip(x, los, his)]
+
+    simplex = [clip(xs)]
     for i in range(n):
-        xi = x0.copy()
+        xi = list(xs)
         xi[i] = xi[i] + (0.1 if xi[i] == 0 else 0.1 * abs(xi[i]) + 0.05)
         simplex.append(clip(xi))
     fvals = [f(x) for x in simplex]
+    npts = len(simplex) - 1  # centroid addend count
     for _ in range(max_iter):
-        order = np.argsort(fvals, kind="stable")
+        order = sorted(range(len(fvals)), key=fvals.__getitem__)
         simplex = [simplex[i] for i in order]
         fvals = [fvals[i] for i in order]
         if abs(fvals[-1] - fvals[0]) < tol:
             break
-        centroid = np.mean(simplex[:-1], axis=0)
-        xr = clip(centroid + (centroid - simplex[-1]))
+        if npts <= 7:
+            centroid = []
+            for j in range(n):
+                s = simplex[0][j]
+                for p in simplex[1:-1]:
+                    s += p[j]
+                centroid.append(s / npts)
+        else:  # preserve numpy's pairwise-summation bits beyond 7 addends
+            centroid = [float(v)
+                        for v in np.mean(np.asarray(simplex[:-1]), axis=0)]
+        worst = simplex[-1]
+        xr = clip([c + (c - w) for c, w in zip(centroid, worst)])
         fr = f(xr)
         if fr < fvals[0]:
-            xe = clip(centroid + 2.0 * (centroid - simplex[-1]))
+            xe = clip([c + 2.0 * (c - w) for c, w in zip(centroid, worst)])
             fe = f(xe)
             if fe < fr:
                 simplex[-1], fvals[-1] = xe, fe
@@ -156,16 +206,21 @@ def nelder_mead(f, x0, bounds=None, tol: float = 1e-6, max_iter: int = 200):
         elif fr < fvals[-2]:
             simplex[-1], fvals[-1] = xr, fr
         else:
-            xc = clip(centroid + 0.5 * (simplex[-1] - centroid))
+            xc = clip([c + 0.5 * (w - c) for c, w in zip(centroid, worst)])
             fc = f(xc)
             if fc < fvals[-1]:
                 simplex[-1], fvals[-1] = xc, fc
             else:
                 best = simplex[0]
-                simplex = [best] + [clip(best + 0.5 * (s - best)) for s in simplex[1:]]
+                simplex = [best] + [
+                    clip([bv + 0.5 * (sv - bv) for bv, sv in zip(best, s)])
+                    for s in simplex[1:]]
                 fvals = [fvals[0]] + [f(s) for s in simplex[1:]]
-    i = int(np.argmin(fvals))
-    return simplex[i]
+    best_i = 0
+    for j in range(1, len(fvals)):
+        if fvals[j] < fvals[best_i]:
+            best_i = j
+    return simplex[best_i]
 
 
 # ---------------------------------------------------------------------------
@@ -432,9 +487,18 @@ def _seasonal_window_average(y, h, cl, season_length=1, window=2, **kw):
 
 
 def _ses_filter(y, alpha, l0=None):
-    # plain-Python hot loop (one call per golden-section step in
-    # SESOptimized and inside every Theta variant): list locals, same
-    # left-assoc arithmetic, tolist() round-trips doubles exactly
+    # hot loop (one call per golden-section step in SESOptimized and
+    # inside every Theta variant): C twin when available, else the
+    # list-local Python loop — same left-assoc arithmetic either way
+    lib = _cf()
+    if lib is not None and len(y) > 0:
+        ya = np.ascontiguousarray(y, dtype=float)
+        n = len(ya)
+        fitted = np.empty(n, dtype=float)
+        final = lib.ses_filter(
+            _dp(ya), n, float(alpha),
+            float(ya[0]) if l0 is None else l0, _dp(fitted))
+        return fitted, final
     yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
     n = len(yl)
     fitted = [0.0] * n
@@ -484,10 +548,18 @@ def _ses_sse(yl, alpha):
 
 
 def _ses_optimized(y, h, cl, **kw):
-    yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
+    lib = _cf()
+    if lib is not None and len(y) > 0:
+        ya = np.ascontiguousarray(y, dtype=float)
+        n, p = len(ya), _dp(ya)
 
-    def sse(a):
-        return _ses_sse(yl, a)
+        def sse(a, _keep=ya):
+            return lib.ses_sse(p, n, a)
+    else:
+        yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
+
+        def sse(a):
+            return _ses_sse(yl, a)
     a = golden_section(sse, 0.01, 0.99)
     out = _ses(y, h, cl, alpha=a, _name="SESOptimized")
     return out
@@ -539,8 +611,16 @@ def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt",
 
     ph = float(phi) if damped else 1.0
     if alpha is None or beta is None:
-        def sse(x):
-            return filt_sse(x[0], x[1], ph)
+        lib = _cf()
+        if lib is not None and len(yl) > 0:
+            ya = np.ascontiguousarray(y, dtype=float)
+            n_, p_ = len(ya), _dp(ya)
+
+            def sse(x, _keep=ya):
+                return lib.holt_sse(p_, n_, x[0], x[1], ph)
+        else:
+            def sse(x):
+                return filt_sse(x[0], x[1], ph)
         a, b = nelder_mead(sse, [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
     else:
         a, b = float(alpha), float(beta)
@@ -574,14 +654,23 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
     # additive/multiplicative branch is hoisted into two specialized
     # loops with the SAME per-step expressions.
     yl = np.asarray(y, dtype=float).tolist()
+    # the initial states do not depend on (a, b, g): computed ONCE per
+    # series instead of once per Nelder-Mead evaluation (r13 — same
+    # np.mean values, cached; ~3 np.mean calls and the seasonal warm-up
+    # list removed from every optimizer step, bit-identical). float()
+    # unboxes the np.float64 trend so the loop runs on Python floats —
+    # same IEEE doubles either way.
+    level0 = float(np.mean(y[:m]))
+    trend0 = float((np.mean(y[m:2 * m]) - np.mean(y[:m])) / m)
+    if multiplicative:
+        seas0 = [yl[i] / level0 if level0 != 0 else 1.0 for i in range(m)]
+    else:
+        seas0 = [yl[i] - level0 for i in range(m)]
 
     def filt(a, b, g):
-        level = float(np.mean(y[:m]))
-        trend = (np.mean(y[m:2 * m]) - np.mean(y[:m])) / m
-        if multiplicative:
-            seas = [yl[i] / level if level != 0 else 1.0 for i in range(m)]
-        else:
-            seas = [yl[i] - level for i in range(m)]
+        level = level0
+        trend = trend0
+        seas = seas0[:]
         fitted = [0.0] * n
         one_a, one_b, one_g = 1 - a, 1 - b, 1 - g
         if multiplicative:
@@ -612,14 +701,31 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
                 np.asarray(seas, dtype=float))
 
     if alpha is None or beta is None or gamma is None:
-        # NOT inlined into an SSE-accumulating loop: measured ~17%
-        # SLOWER than filt + the numpy residual tail here (the per-step
-        # NaN branch outweighs the saved array ops — unlike the small
-        # SES/Holt bodies where the inline variant wins ~20%)
-        def sse(x):
-            f, _, _, _ = filt(*x)
-            v = _sq_err(y - f)
-            return v if math.isfinite(v) else 1e300
+        lib = _cf()
+        if lib is not None:
+            # C twin: in-loop SSE over the same recursion (the NaN-skip
+            # accumulation is bit-equal to _sq_err's where-skip — adding
+            # 0.0 never changes a non-negative running sum)
+            ya = np.ascontiguousarray(y, dtype=float)
+            seas0_a = np.asarray(seas0, dtype=float)
+            sbuf = np.empty(m, dtype=float)
+            mult_flag = 1 if multiplicative else 0
+
+            pya, ps0, psb = _dp(ya), _dp(seas0_a), _dp(sbuf)
+
+            def sse(x, _keep=(ya, seas0_a, sbuf)):
+                v = lib.hw_sse(pya, n, m, mult_flag, x[0], x[1], x[2],
+                               level0, trend0, ps0, psb)
+                return v if math.isfinite(v) else 1e300
+        else:
+            # NOT inlined into a Python SSE-accumulating loop: measured
+            # ~17% SLOWER than filt + the numpy residual tail here (the
+            # per-step NaN branch outweighs the saved array ops — unlike
+            # the small SES/Holt bodies where the inline variant wins ~20%)
+            def sse(x):
+                f, _, _, _ = filt(*x)
+                v = _sq_err(y - f)
+                return v if math.isfinite(v) else 1e300
         a, b, g = nelder_mead(sse, [0.3, 0.05, 0.1],
                               bounds=[(0.01, 0.99), (0.01, 0.99), (0.01, 0.99)])
     else:
@@ -661,28 +767,42 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
 
     name = "SeasonalESOptimized" if optimized else "SeasonalES"
     if optimized:
-        # SSE accumulated inside a list-local recursion — see _ses_sse
-        # for the bit-identity argument (warm-up fitted values are NaN
-        # and contribute 0.0, matching _sq_err's where-skip)
-        yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
+        lib = _cf()
+        if lib is not None:
+            ya = np.ascontiguousarray(y, dtype=float)
+            lvbuf = np.empty(m, dtype=float)
 
-        def sse(a):
-            levels = [None] * m
-            s_acc = 0.0
-            one_a = 1 - a
-            for t in range(n):
-                ph = t % m
-                lv = levels[ph]
-                # `lv != lv` re-seeds a NaN level exactly like the
-                # original's np.isnan branch (a NaN y re-seeds its phase)
-                if lv is None or lv != lv:
-                    levels[ph] = yl[t]
-                else:
-                    x = yl[t] - lv
-                    if x == x:
-                        s_acc += x * x
-                    levels[ph] = a * yl[t] + one_a * lv
-            return s_acc
+            pya, plv = _dp(ya), _dp(lvbuf)
+
+            def sse(a, _keep=(ya, lvbuf)):
+                # C twin of the list-local recursion below (NaN level =
+                # unseen phase, NaN residuals skipped)
+                return lib.seasonal_es_sse(pya, n, m, a, plv)
+        else:
+            # SSE accumulated inside a list-local recursion — see
+            # _ses_sse for the bit-identity argument (warm-up fitted
+            # values are NaN and contribute 0.0, matching _sq_err's
+            # where-skip)
+            yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
+
+            def sse(a):
+                levels = [None] * m
+                s_acc = 0.0
+                one_a = 1 - a
+                for t in range(n):
+                    ph = t % m
+                    lv = levels[ph]
+                    # `lv != lv` re-seeds a NaN level exactly like the
+                    # original's np.isnan branch (a NaN y re-seeds its
+                    # phase)
+                    if lv is None or lv != lv:
+                        levels[ph] = yl[t]
+                    else:
+                        x = yl[t] - lv
+                        if x == x:
+                            s_acc += x * x
+                        levels[ph] = a * yl[t] + one_a * lv
+                return s_acc
         alpha = golden_section(sse, 0.01, 0.99)
     a = float(alpha)
     fitted, levels = filt(a)
@@ -763,12 +883,19 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
     # plain-Python hot loop (see _holt.filt): identical per-step
     # expressions in the identical order, list locals instead of numpy
     # scalar indexing (the isfinite guard and the early None return are
-    # unchanged)
+    # unchanged). r13: the initial states do not depend on the smoothing
+    # parameters — computed ONCE per series instead of once per
+    # Nelder-Mead evaluation (same np.mean values, cached; the seasonal
+    # warm-up list is copied per call), and mu/e stay plain lists until
+    # the single post-optimization call converts them (the per-eval
+    # np.asarray round trips were pure overhead).
     yl = np.asarray(y, dtype=float).tolist()
+    l0, b0, s0 = init_states()
+    s0l = None if s0 is None else s0.tolist()
 
     def filt(a, b, g, ph):
-        level, trend_v, s = init_states()
-        s = None if s is None else s.tolist()
+        level, trend_v = l0, b0
+        s = None if s0l is None else s0l[:]
         mu = [0.0] * n
         e = [0.0] * n
         isfinite = math.isfinite
@@ -799,26 +926,54 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
                     trend_v = ph * trend_v + b * q * et
                 if seas == "M":
                     s[t % m] = sv * (1.0 + g * et)
-        return (np.asarray(mu, dtype=float), np.asarray(e, dtype=float),
-                (level, trend_v, None if s is None
-                 else np.asarray(s, dtype=float)))
+        return mu, e, (level, trend_v, s)
 
-    def neg2ll(x):
-        i = 0
-        a = x[i]; i += 1
-        b = x[i] if has_trend else 0.0
-        i += 1 if has_trend else 0
-        g = x[i] if has_seas else 0.0
-        i += 1 if has_seas else 0
-        ph = x[i] if damped else 1.0
-        mu, e, _ = filt(a, b, g, ph)
-        if mu is None:
-            return 1e300
-        se = _seq_sum(e * e)
-        if se <= 0:
-            return -1e300
-        v = n * math.log(se / n) + 2.0 * _log_abs_sum(mu)
-        return v if math.isfinite(v) else 1e300
+    _lib = _cf()
+    if _lib is not None:
+        ya = np.ascontiguousarray(y, dtype=float)
+        s0a = (np.ascontiguousarray(s0, dtype=float)
+               if s0 is not None else np.empty(1, dtype=float))
+        sbuf = np.empty(m if has_seas else 1, dtype=float)
+        seas_kind = 2 if seas == "M" else (1 if seas == "A" else 0)
+        trend_flag = 1 if has_trend else 0
+        pya, ps0, psb = _dp(ya), _dp(s0a), _dp(sbuf)
+
+        def neg2ll(x, _keep=(ya, s0a, sbuf)):
+            i = 0
+            a = x[i]; i += 1
+            b = x[i] if has_trend else 0.0
+            i += 1 if has_trend else 0
+            g = x[i] if has_seas else 0.0
+            i += 1 if has_seas else 0
+            ph = x[i] if damped else 1.0
+            # the C twin runs the same filter recursion, accumulates the
+            # same left-to-right se / ln|mu| sums, and applies the same
+            # guards (early 1e300 abort, se<=0 -> -1e300, isfinite)
+            return _lib.ets_mult_neg2ll(pya, n, m, trend_flag,
+                                        seas_kind, a, b, g, ph, l0, b0,
+                                        ps0, psb)
+    else:
+        def neg2ll(x):
+            i = 0
+            a = x[i]; i += 1
+            b = x[i] if has_trend else 0.0
+            i += 1 if has_trend else 0
+            g = x[i] if has_seas else 0.0
+            i += 1 if has_seas else 0
+            ph = x[i] if damped else 1.0
+            mu, e, _ = filt(a, b, g, ph)
+            if mu is None:
+                return 1e300
+            # sequential left-to-right accumulation == _seq_sum(e * e)
+            # (np.cumsum walks the same order; same multiply-then-add per
+            # element), without boxing the lists into arrays per evaluation
+            se = 0.0
+            for v in e:
+                se += v * v
+            if se <= 0:
+                return -1e300
+            v = n * math.log(se / n) + 2.0 * _log_abs_sum(mu)
+            return v if math.isfinite(v) else 1e300
 
     x0, bounds = [0.3], [(0.01, 0.99)]
     if has_trend:
@@ -836,6 +991,9 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
     i += 1 if has_seas else 0
     ph = float(x[i]) if damped else 1.0
     mu, e, (level, trend_v, s) = filt(a, b or 0.0, g or 0.0, ph)
+    mu = np.asarray(mu, dtype=float)
+    e = np.asarray(e, dtype=float)
+    s = None if s is None else np.asarray(s, dtype=float)
     steps = np.arange(1, h + 1, dtype=float)
     if has_trend:
         phs = np.cumsum(ph ** steps) if damped else steps
@@ -1103,8 +1261,9 @@ def _arima_css(x, p, q, max_iter=80):
     xcl = xc.tolist()
 
     def css(params):
-        phi = params[:p].tolist()
-        th = params[p:p + q].tolist()
+        # params may be a list (nelder_mead) or ndarray (direct callers)
+        phi = [float(v) for v in params[:p]]
+        th = [float(v) for v in params[p:p + q]]
         e = [0.0] * n
         head = min(n, max(p, q))
         for t in range(head):
@@ -1237,10 +1396,29 @@ def _arima_css(x, p, q, max_iter=80):
                 x0[1] = min(max(c1, -0.95), 0.95)
                 x0[2] = min(max(c2, -0.95), 0.95)
 
-    def objective(params):
-        e = css(params)
-        v = _seq_sum(e * e)
-        return v if math.isfinite(v) else 1e300
+    _lib = _cf()
+    if _lib is not None:
+        xa = np.ascontiguousarray(xc, dtype=float)
+        phbuf = np.empty(max(p, 1), dtype=float)
+        thbuf = np.empty(max(q, 1), dtype=float)
+        ebuf = np.empty(max(n, 1), dtype=float)
+        pxa, pph, pth, peb = _dp(xa), _dp(phbuf), _dp(thbuf), _dp(ebuf)
+
+        def objective(params, _keep=(xa, phbuf, thbuf, ebuf)):
+            # same chained-subtraction residual recursion and e*e sum
+            # as css + _seq_sum (the Python steady-state unrolling is
+            # the identical left-assoc sequence)
+            for i in range(p):
+                phbuf[i] = params[i]
+            for j in range(q):
+                thbuf[j] = params[p + j]
+            v = _lib.arima_css_sse(pxa, n, p, q, pph, pth, peb)
+            return v if math.isfinite(v) else 1e300
+    else:
+        def objective(params):
+            e = css(params)
+            v = _seq_sum(e * e)
+            return v if math.isfinite(v) else 1e300
 
     bounds = [(-0.99, 0.99)] * (p + q)
     sol = nelder_mead(objective, x0, bounds=bounds, max_iter=max_iter)

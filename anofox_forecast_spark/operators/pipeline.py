@@ -998,14 +998,21 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: value-identical to composing ``lm_score`` twice (the
     equality is pinned bit-for-bit in tests), but the corpus is exploded
-    to bigrams ONCE and both LMs score that single frame — one raw-count
-    pre-join (inner: self-bigrams are always seen), two LEFT joins for
-    the target backoff, and ONE per-doc position-ordered fold producing
-    both logprob sums. Versus the naive composition that's one corpus
-    explode, one scoring pipeline, and one fold instead of two of each,
-    plus no final leg-join — at 100 TB the corpus-sized stages halve.
-    The target corpus still only contributes count tables. For repeated
-    selection rounds, persist the four count tables.
+    to bigrams ONCE and both LMs score that single frame. r13: the four
+    count tables are built from ONE source-tagged union pass — the raw
+    and target corpora are unioned with a 0/1 tag and each count table
+    carries both sides as conditional counts (exact integers, so every
+    probability is bit-identical to the separate-table form) — and the
+    per-side vocabulary sizes fall out of the same unigram table
+    (``count_if(c > 0)``). That turns 4 count aggregations + 1 inner +
+    2 LEFT corpus-side joins + 2 vocab crossJoins into 2 count
+    aggregations + ONE corpus-side join + 1 crossJoin: at 100 TB the
+    corpus-sized stages halve again (one count explode over corpus +
+    target instead of two over each), and the scoring join crosses the
+    exploded corpus exactly once. ONE per-doc position-ordered fold
+    produces both logprob sums. The target corpus still only
+    contributes count rows. For repeated selection rounds, persist the
+    two count tables.
     """
     if float(k) <= 0:
         raise ValueError("k (smoothing) must be positive")
@@ -1014,40 +1021,43 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("id_col may not be named 'w1' or 'w2'")
     kf = float(k)
 
-    def _lm_tables(corpus):
-        ws = corpus.select(_words(F.col(text_col)).alias("__ws"))
-        uni = (ws.select(F.explode("__ws").alias("w1"))
-                 .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-        vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("V"))
-        bc = (ws.select(F.explode(_word_bigrams_pos(F.col("__ws")))
-                         .alias("__b"))
+    tagged = (df.select(_words(F.col(text_col)).alias("__ws"),
+                        F.lit(0).alias("__src"))
+                .unionAll(target.select(_words(F.col(text_col)).alias("__ws"),
+                                        F.lit(1).alias("__src"))))
+    raw_n = F.count(F.when(F.col("__src") == 0, F.lit(1)))
+    tgt_n = F.count(F.when(F.col("__src") == 1, F.lit(1)))
+    uni = (tagged.select(F.explode("__ws").alias("w1"), "__src")
+                 .groupBy("w1").agg(raw_n.alias("__rc1"),
+                                    tgt_n.alias("__tc1")))
+    bc = (tagged.select(F.explode(_word_bigrams_pos(F.col("__ws")))
+                         .alias("__b"), "__src")
                 .select(F.col("__b.w1").alias("w1"),
-                        F.col("__b.w2").alias("w2"))
-                .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
-        return uni, bc, vocab
-
-    runi, rbc, rvocab = _lm_tables(df)
-    tuni, tbc, tvocab = _lm_tables(target)
+                        F.col("__b.w2").alias("w2"), "__src")
+                .groupBy("w1", "w2").agg(raw_n.alias("__rc12"),
+                                         tgt_n.alias("__tc12")))
+    # per-side vocabulary sizes from the shared unigram table: a word is
+    # in a side's vocabulary iff its count there is positive — the same
+    # number count(*) over that side's own unigram table produced
+    vocab = uni.agg(
+        F.count(F.when(F.col("__rc1") > 0, F.lit(1))).cast("double")
+         .alias("__rV"),
+        F.count(F.when(F.col("__tc1") > 0, F.lit(1))).cast("double")
+         .alias("__tV"))
     doc_bg = (df.select(F.col(id_col),
                         F.explode(_word_bigrams_pos(_words(F.col(text_col))))
                          .alias("__b"))
                 .select(id_col, F.col("__b.pos").alias("__pos"),
                         F.col("__b.w1").alias("w1"),
                         F.col("__b.w2").alias("w2")))
-    # raw LM: self-scoring, so every bigram is in the counts — pre-join
-    # the unigram denominator onto the count table (inner), exactly
-    # lm_score's self path; target LM: the foreign-train backoff LEFTs
-    rdenom = (rbc.join(runi, "w1")
-                 .select("w1", "w2", F.col("c12").alias("__rc12"),
-                         F.col("c1").alias("__rc1")))
-    j = (doc_bg.join(rdenom, ["w1", "w2"])
-               .join(tbc.withColumnRenamed("c12", "__tc12"),
-                     ["w1", "w2"], "left")
-               .join(tuni.withColumnRenamed("c1", "__tc1"), "w1", "left")
-               .crossJoin(F.broadcast(rvocab.select(
-                   F.col("V").alias("__rV"))))
-               .crossJoin(F.broadcast(tvocab.select(
-                   F.col("V").alias("__tV")))))
+    # both denominators pre-joined onto the count table (count-table
+    # sized); the corpus' own bigrams always match (rc12 >= 1), so the
+    # single inner join is exactly lm_score's self path, and the
+    # target's 0-counts reproduce the LEFT-join NULLs through the same
+    # coalesce(.., 0)
+    denom = bc.join(uni, "w1")
+    j = (doc_bg.join(denom, ["w1", "w2"])
+               .crossJoin(F.broadcast(vocab)))
     # try_divide: an empty corpus gives V = 0 and a zero denominator —
     # NULL (not an ANSI DIVIDE_BY_ZERO crash), cascading to the NULL
     # logprob/log_weight the docstring promises; on the normal path the
