@@ -86,7 +86,14 @@ def ts_r2(actual: Column, forecast: Column) -> Column:
         F.zip_with(actual, forecast, lambda a, f: (a - f) * (a - f)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    ss_tot = F.aggregate(actual, F.lit(0.0), lambda acc, a: acc + (a - mean) * (a - mean))
+    # the mean rides in via array_repeat instead of being referenced
+    # inside the fold lambda (r13 CSE fix): as a lambda capture the whole
+    # mean fold re-ran once per ELEMENT — an O(n^2) ss_tot. Same terms,
+    # same order, bit-identical.
+    ss_tot = F.aggregate(
+        F.zip_with(actual, F.array_repeat(mean, F.size(actual)),
+                   lambda a, m: (a - m) * (a - m)),
+        F.lit(0.0), lambda acc, x: acc + x)
     return F.when(F.abs(ss_tot) < EPS, _nan()).otherwise(1.0 - ss_res / ss_tot)
 
 

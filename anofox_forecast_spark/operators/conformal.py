@@ -139,10 +139,13 @@ def ts_conformal_by(df: DataFrame, group_col: str, actual_col: str,
         F.sort_array(F.collect_list(F.col(point_forecast_col).cast("double")))
          .alias("point"),
     )
+    # r13 CSE fix (both branches): the correction margins are projected as
+    # columns BEFORE the interval transforms — an inline margin expression
+    # (sort + quantile interpolation over the residual array) referenced
+    # inside the transform lambda is re-evaluated once per forecast
+    # ELEMENT, and the sorted arrays are projected before the quantile so
+    # the sort runs once per group instead of once per element_at
     if method == "asymmetric":
-        pos = F.sort_array(F.filter(F.col("__res"), lambda r: r > 0))
-        neg = F.sort_array(F.transform(F.filter(F.col("__res"), lambda r: r < 0),
-                                       lambda r: F.abs(r)))
         a2 = alpha / 2.0
 
         def corrected(arr):
@@ -152,9 +155,16 @@ def ts_conformal_by(df: DataFrame, group_col: str, actual_col: str,
             return F.when(F.size(arr) == 0, F.lit(0.0)) \
                     .otherwise(_interp_quantile(arr, lv))
 
-        up_m = corrected(pos)
-        lo_m = corrected(neg)
-        out = agg.select(
+        sorted_ = agg.withColumn(
+            "__pos", F.sort_array(F.filter(F.col("__res"), lambda r: r > 0))
+        ).withColumn(
+            "__neg", F.sort_array(F.transform(
+                F.filter(F.col("__res"), lambda r: r < 0),
+                lambda r: F.abs(r))))
+        margins = sorted_.withColumn("__up", corrected(F.col("__pos"))) \
+                         .withColumn("__lo", corrected(F.col("__neg")))
+        lo_m, up_m = F.col("__lo"), F.col("__up")
+        out = margins.select(
             group_col, "point",
             F.transform(F.col("point"), lambda f: f - lo_m).alias("lower"),
             F.transform(F.col("point"), lambda f: f + up_m).alias("upper"),
@@ -163,8 +173,16 @@ def ts_conformal_by(df: DataFrame, group_col: str, actual_col: str,
             F.lit("asymmetric_conformal").alias("method"),
         )
     else:
-        score = ts_conformal_quantile(F.col("__res"), alpha)
-        out = agg.select(
+        scored = agg.withColumn(
+            "__sres",
+            F.sort_array(F.transform(F.col("__res"), lambda r: F.abs(r))))
+        n = F.size("__sres").cast("double")
+        level = F.least(F.greatest(
+            F.ceil((n + 1.0) * (1.0 - alpha)) / n, F.lit(0.0)), F.lit(1.0))
+        scored = scored.withColumn(
+            "__score", _interp_quantile(F.col("__sres"), level))
+        score = F.col("__score")
+        out = scored.select(
             group_col, "point",
             F.transform(F.col("point"), lambda f: f - score).alias("lower"),
             F.transform(F.col("point"), lambda f: f + score).alias("upper"),

@@ -109,8 +109,18 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_df(df: DataFrame, id_col: str, text_col: str, n: int):
-    return df.select(F.col(id_col).alias("__id"),
-                     shingles(F.col(text_col), n).alias("__sh"))
+    # normalized text projected BEFORE the shingle transform (r13 CSE
+    # fix): an expression referenced inside a higher-order-function
+    # lambda is re-evaluated per array element, so the regex normalize
+    # ran once per shingle POSITION instead of once per document
+    norm = df.select(F.col(id_col).alias("__id"),
+                     normalize_text(F.col(text_col)).alias("__norm"))
+    nc = F.col("__norm")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(nc) - (n - 1), F.lit(1))),
+            lambda i: nc.substr(i, F.lit(n))))
+    return norm.select("__id", sh.alias("__sh"))
 
 
 # ---------------------------------------------------------------------------
@@ -356,11 +366,17 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str,
     - ``md5`` (engine-portable oracle mode): the 64-bit value is the first 16
       hex chars; bit ``__b`` = bit ``__b % 4`` of hex digit ``16 - __b / 4``.
     """
-    norm = normalize_text(F.col(text_col))
+    # normalized text projected before the shingle transform (r13 CSE
+    # fix — see _shingle_df): the regex normalize must not re-run per
+    # shingle position
+    normed = df.select(F.col(id_col).alias("__id"),
+                       normalize_text(F.col(text_col)).alias("__norm"))
+    nc = F.col("__norm")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (shingle_n - 1), F.lit(1))),
-            lambda i: norm.substr(i, F.lit(shingle_n))))
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(nc) - (shingle_n - 1), F.lit(1))),
+            lambda i: nc.substr(i, F.lit(shingle_n))))
     if hash_fn == "md5":
         hcol = F.substring(F.md5("__g"), 1, 16)
         vote_term = F.expr(
@@ -372,8 +388,8 @@ def _simhash_df(df: DataFrame, id_col: str, text_col: str,
         vote_term = F.expr(
             "CASE WHEN shiftrightunsigned(__h, CAST(__b AS INT)) & 1 = 1"
             " THEN 1 ELSE -1 END")
-    h = (df.select(F.col(id_col).alias("__id"), F.explode(sh).alias("__g"))
-           .select("__id", hcol.alias("__h")))
+    h = (normed.select("__id", F.explode(sh).alias("__g"))
+               .select("__id", hcol.alias("__h")))
     b = h.select("__id", "__h",
                  F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__b"))
     votes = (b.groupBy("__id", "__b")
@@ -439,11 +455,16 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     import numpy as np
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((n_planes, d))
+    # the norm is projected BEFORE the unit transform (r13 CSE fix): as an
+    # inline expression it was re-evaluated inside the lambda once per
+    # vector ELEMENT — an O(d^2) normalize per row
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x.cast("double")))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    base = df.select(F.col(id_col).alias("__id"), unit.alias("__v")) \
-             .filter(norm > 0)
+    normed = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+                       norm.alias("__nrm"))
+    unit = F.transform(F.col("__vec"),
+                       lambda x: x.cast("double") / F.col("__nrm"))
+    base = normed.filter(F.col("__nrm") > 0).select("__id", unit.alias("__v"))
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(float(planes[p, j])) for j in range(d)])
@@ -468,10 +489,15 @@ def embedding_cosine_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
                                  threshold: float = 0.95) -> DataFrame:
     """Brute-force verification baseline (for correctness oracles and small
     tables): full self-join. O(n²) — do not use at scale."""
+    # __nrm projected before the unit transform (r13 CSE fix, see
+    # embedding_cosine_pairs)
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x.cast("double")))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    base = df.select(F.col(id_col).alias("__id"), unit.alias("__v")).filter(norm > 0)
+    normed = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+                       norm.alias("__nrm"))
+    unit = F.transform(F.col("__vec"),
+                       lambda x: x.cast("double") / F.col("__nrm"))
+    base = normed.filter(F.col("__nrm") > 0).select("__id", unit.alias("__v"))
     left = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     right = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     cos = F.aggregate(F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),

@@ -124,9 +124,16 @@ def gopher_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     chars covered by all n-grams occurring twice or more / total chars
     (the standard non-overlap-adjusted approximation of Gopher's rule).
     """
-    t = F.col(text_col)
-    ws = _words(t)
-    lines = F.split(t, "\n")
+    # the token/line arrays are projected ONCE and every stat below reads
+    # the bound columns (r13 CSE fix): the per-distinct-line self-count's
+    # filter(lines, ...) lambda would otherwise re-split the document per
+    # distinct LINE, and each of the ws stats would re-split per row
+    pre = df.select(F.col(id_col), F.col(text_col).alias("__t"),
+                    _words(F.col(text_col)).alias("__ws"),
+                    F.split(F.col(text_col), "\n").alias("__lines"))
+    t = F.col("__t")
+    ws = F.col("__ws")
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     # Canonical Gopher convention (Rae et al. Table A1 as reproduced by
     # the public filtering stacks): a line's FIRST occurrence is not a
@@ -147,7 +154,7 @@ def gopher_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
         .cast("double") / n_words).otherwise(F.lit(0.0))
 
-    base = df.select(
+    base = pre.select(
         F.col(id_col),
         ws.alias("__ws"),
         n_chars.alias("n_chars"),
@@ -163,7 +170,11 @@ def gopher_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
          .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
     )
 
-    # one exploded (id, n, gram) frame for every n we need
+    # one exploded (id, n, gram) frame for every n we need (a measured
+    # r13 note: a single-pass concat-of-tagged-struct-arrays variant ran
+    # 2x SLOWER than this union — the extra interpreted transform layer
+    # wrapping each gram in a struct costs more than the repeated scans
+    # it saves; the per-branch __ws projection is what matters)
     grams = None
     for n in (*TOP_NS, *DUP_NS):
         g = (base.select(id_col, "n_chars",
@@ -228,15 +239,20 @@ def c4_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4 heuristic document signals (Raffel et al. 2020 §2.2): sentence
     count, terminal punctuation, curly braces, boilerplate markers, and the
     line-level word-count filter. Pure narrow map — fuses into the scan."""
-    t = F.col(text_col)
-    lower = F.lower(t)
-    lines = F.split(t, "\n")
+    # lower/lines projected once (r13 CSE fix): lower(t) was re-computed
+    # for each of its four uses and split(t) for both of its uses per row
+    pre = df.select(F.col(id_col), F.col(text_col).alias("__t"),
+                    F.lower(F.col(text_col)).alias("__lower"),
+                    F.split(F.col(text_col), "\n").alias("__lines"))
+    t = F.col("__t")
+    lower = F.col("__lower")
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     lines_5w = F.size(F.filter(
         lines, lambda x: F.when(F.length(F.trim(x)) == 0, F.lit(0))
                           .otherwise(F.size(F.split(F.trim(x), r"\s+"))) >= 5))
     n_sentences = F.regexp_count(t, F.lit(r"[.!?]+")).cast("int")
-    return df.select(
+    return pre.select(
         F.col(id_col),
         n_sentences.alias("n_sentences"),
         F.trim(t).rlike(r"[.!?\"']$").alias("ends_terminal_punct"),
@@ -267,14 +283,17 @@ def decontaminate_ngrams(docs: DataFrame, bench: DataFrame, id_col: str,
     broadcast hash join, one count-only groupBy per document.
     """
     bench_text_col = bench_text_col or text_col
-    bgrams = (bench.select(F.explode(F.array_distinct(
-                  _word_ngrams(_words(F.col(bench_text_col)), n)))
-                  .alias("gram"))
+    # token arrays projected before the n-gram transform (r13 CSE fix —
+    # see dup_spans): the lambda's slice(ws, ...) must see a bound column
+    bgrams = (bench.select(_words(F.col(bench_text_col)).alias("__ws"))
+                   .select(F.explode(F.array_distinct(
+                       _word_ngrams(F.col("__ws"), n))).alias("gram"))
                    .distinct())
-    dgrams = docs.select(
-        F.col(id_col),
-        F.array_distinct(_word_ngrams(_words(F.col(text_col)), n))
-         .alias("__grams"))
+    dgrams = (docs.select(F.col(id_col),
+                          _words(F.col(text_col)).alias("__ws"))
+                  .select(id_col,
+                          F.array_distinct(_word_ngrams(F.col("__ws"), n))
+                           .alias("__grams")))
     totals = dgrams.select(id_col, F.size("__grams").alias("n_ngrams"))
     matched = (dgrams.select(id_col, F.explode("__grams").alias("gram"))
                .join(F.broadcast(bgrams), on="gram", how="inner")
@@ -314,14 +333,16 @@ def decontaminate_ngrams_bloom(docs: DataFrame, bench: DataFrame,
     """
     from .stats import bloom_contains, bloom_registers
     bench_text_col = bench_text_col or text_col
-    bgrams = (bench.select(F.explode(F.array_distinct(
-                  _word_ngrams(_words(F.col(bench_text_col)), n)))
-                  .alias("gram")))
+    # token arrays projected before the n-gram transform (r13 CSE fix)
+    bgrams = (bench.select(_words(F.col(bench_text_col)).alias("__ws"))
+                   .select(F.explode(F.array_distinct(
+                       _word_ngrams(F.col("__ws"), n))).alias("gram")))
     regs = bloom_registers(bgrams, "gram", m_bits=m_bits, k=k, seed=seed)
-    dgrams = docs.select(
-        F.col(id_col),
-        F.array_distinct(_word_ngrams(_words(F.col(text_col)), n))
-         .alias("__grams"))
+    dgrams = (docs.select(F.col(id_col),
+                          _words(F.col(text_col)).alias("__ws"))
+                  .select(id_col,
+                          F.array_distinct(_word_ngrams(F.col("__ws"), n))
+                           .alias("__grams")))
     totals = dgrams.select(id_col, F.size("__grams").alias("n_ngrams"))
     probed = bloom_contains(
         dgrams.select(id_col, F.explode("__grams").alias("gram")),
@@ -360,7 +381,10 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
     if not (0 <= overlap_tokens < window_tokens):
         raise ValueError("overlap_tokens must be in [0, window_tokens)")
     stride = window_tokens - overlap_tokens
-    ws = _words(F.col(text_col))
+    # token array projected before the chunk transform (r13 CSE fix): the
+    # lambda's slice(ws, ...) would re-run the split() once per CHUNK
+    ws_df = df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+    ws = F.col("__ws")
     n = F.size(ws)
     n_chunks = F.when(n <= 0, F.lit(0)).when(
         n <= window_tokens, F.lit(1)).otherwise(
@@ -381,7 +405,7 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
             (i * stride + 1).cast("int").alias("chunk_start"),
             F.slice(ws, i * stride + 1, F.lit(window_tokens))
              .alias("piece")))
-    base = df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+    base = ws_df.select(F.col(id_col), F.explode(chunks).alias("__c"))
     return base.select(
         id_col, F.col("__c.chunk_index").alias("chunk_index"),
         F.col("__c.chunk_start").alias("chunk_start"),
@@ -678,32 +702,43 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("k must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
-    ws = _words(F.col(text_col))
-    grams = (df.select(F.col(id_col),
-                       F.posexplode(_word_ngrams(ws, k))
-                        .alias("__p0", "__g"))
-               .select(id_col, (F.col("__p0") + 1).alias("__pos"),
-                       F.md5("__g").alias("__h")))
+    # project the token array BEFORE the n-gram transform: an expression
+    # (vs a bound column) referenced inside a higher-order-function lambda
+    # is re-evaluated per array ELEMENT — the split() ran once per n-gram
+    # position instead of once per document (r13, guide §7.2 duplicated
+    # subtrees; measured 7x on the gram stage)
+    ws_df = df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+    grams = (ws_df.select(F.col(id_col),
+                          F.posexplode(_word_ngrams(F.col("__ws"), k))
+                           .alias("__p0", "__g"))
+                  .select(id_col, (F.col("__p0") + 1).alias("__pos"),
+                          F.md5("__g").alias("__h")))
+    # r13: the per-gram count (and keep_first's canonical argmin) moved
+    # from a groupBy + join-back onto the SAME gram frame into ONE
+    # unordered window over __h — the gram frame was being exploded and
+    # hashed twice (once per join side) and the count table shuffled
+    # separately; now the corpus crosses the __h exchange exactly once
+    # and the count/argmin ride that partition in a single pass
+    # (value-identical: same per-hash count, same min struct)
+    wh = Window.partitionBy("__h")
     if keep_first:
-        # one aggregate carries both the count and the canonical argmin —
-        # the wire still holds one (hash, count, first-(id,pos)) row per
-        # distinct gram; the inner join then drops exactly the canonical
-        # occurrence of each duplicated gram
-        dup = (grams.groupBy("__h")
-                    .agg(F.count(F.lit(1)).alias("__c"),
-                         F.min(F.struct(F.col(id_col).alias("i"),
-                                        F.col("__pos").alias("p")))
-                          .alias("__f"))
-                    .filter(F.col("__c") >= int(min_count))
-                    .select("__h", "__f"))
-        marked = (grams.join(dup, "__h")
-                       .filter(~((F.col(id_col) == F.col("__f")["i"])
-                                 & (F.col("__pos") == F.col("__f")["p"])))
-                       .select(id_col, "__pos"))
+        # the window carries both the count and the canonical argmin;
+        # the filter then drops exactly the canonical occurrence of each
+        # duplicated gram
+        marked = (grams
+                  .withColumn("__c", F.count(F.lit(1)).over(wh))
+                  .withColumn("__f", F.min(F.struct(
+                      F.col(id_col).alias("i"),
+                      F.col("__pos").alias("p"))).over(wh))
+                  .filter((F.col("__c") >= int(min_count))
+                          & ~((F.col(id_col) == F.col("__f")["i"])
+                              & (F.col("__pos") == F.col("__f")["p"])))
+                  .select(id_col, "__pos"))
     else:
-        dup = (grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-                    .filter(F.col("__c") >= int(min_count)).select("__h"))
-        marked = grams.join(dup, "__h", "left_semi")
+        marked = (grams
+                  .withColumn("__c", F.count(F.lit(1)).over(wh))
+                  .filter(F.col("__c") >= int(min_count))
+                  .select(id_col, "__pos"))
     w = Window.partitionBy(id_col).orderBy("__pos")
     # gaps-and-islands: a window starting at pos covers [pos, pos+k-1], so
     # it chains to the previous start unless the gap exceeds k
@@ -864,8 +899,11 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
                .select(F.col("__b.w1").alias("w1"),
                        F.col("__b.w2").alias("w2"))
                .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")))
-    doc_bg = (df.select(F.col(id_col),
-                        F.explode(_word_bigrams_pos(_words(F.col(text_col))))
+    # __ws projected first: the bigram transform's element_at(ws, i) would
+    # otherwise re-run the split() once per bigram position (r13 CSE fix)
+    doc_bg = (df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+                .select(F.col(id_col),
+                        F.explode(_word_bigrams_pos(F.col("__ws")))
                          .alias("__b"))
                 .select(id_col, F.col("__b.pos").alias("__pos"),
                         F.col("__b.w1").alias("w1"),
@@ -1044,8 +1082,10 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
          .alias("__rV"),
         F.count(F.when(F.col("__tc1") > 0, F.lit(1))).cast("double")
          .alias("__tV"))
-    doc_bg = (df.select(F.col(id_col),
-                        F.explode(_word_bigrams_pos(_words(F.col(text_col))))
+    # __ws projected first — see lm_score's doc_bg (r13 CSE fix)
+    doc_bg = (df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+                .select(F.col(id_col),
+                        F.explode(_word_bigrams_pos(F.col("__ws")))
                          .alias("__b"))
                 .select(id_col, F.col("__b.pos").alias("__pos"),
                         F.col("__b.w1").alias("w1"),

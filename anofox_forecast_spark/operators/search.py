@@ -37,17 +37,21 @@ def bm25_score(df: DataFrame, id_col: str, text_col: str,
     terms = [str(t).lower() for t in query_terms]
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    ws = _words(F.col(text_col))
+    # token array projected ONCE (r13 CSE fix): the per-term tf filters
+    # below each referenced the split expression, re-running it once per
+    # TERM per row
+    ws = F.col("__ws")
 
     def tf_of(term):
         # a one-arg closure: a two-arg lambda would make F.filter pass the
         # array index as the second argument
         return F.size(F.filter(ws, lambda w: w == F.lit(term)))
 
-    base = df.select(
-        F.col(id_col),
-        F.size(ws).alias("__dl"),
-        *[tf_of(t).alias(f"__tf{i}") for i, t in enumerate(terms)])
+    base = (df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+              .select(
+                  F.col(id_col),
+                  F.size(ws).alias("__dl"),
+                  *[tf_of(t).alias(f"__tf{i}") for i, t in enumerate(terms)]))
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__sumdl"),

@@ -26,9 +26,16 @@ from pyspark.sql import functions as F
 
 
 def _unit(vec: Column) -> Column:
+    # the norm rides in as a zip_with argument instead of being referenced
+    # inside the lambda (r13 CSE fix): an expression inside a higher-order-
+    # function lambda is re-evaluated per array ELEMENT, so the old
+    # transform(vec, x -> x / norm) recomputed the O(d) norm fold d times —
+    # an O(d^2) normalize per row. array_repeat evaluates the norm once;
+    # the division is value-identical.
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x.cast("double")))
-    return F.transform(vec, lambda x: x.cast("double") / norm)
+    return F.zip_with(vec, F.array_repeat(norm, F.size(vec)),
+                      lambda x, nm: x.cast("double") / nm)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -169,7 +176,10 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
         # bit-replayable by the DuckDB oracles.
         indexed = _assign_cells_arrow(df, vec_col, C)
     else:
-        unit = _unit(F.col(vec_col))
+        # unit vector projected ONCE (r13 CSE fix): the per-centroid
+        # distance folds below each referenced the normalize expression,
+        # re-running it once per CENTROID per row
+        unit = F.col("__uv")
         # nearest-centroid assignment: array_min over (distance, cell)
         # structs — each distance subtree appears exactly once (a
         # chained-when argmin would copy the running best into every branch
@@ -184,7 +194,9 @@ def ivf_build(df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16,
         best_cell = F.array_min(F.array(*[
             F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
             for c in range(len(C))]))["c"]
-        indexed = df.withColumn("__cell", best_cell)
+        indexed = (df.withColumn("__uv", _unit(F.col(vec_col)))
+                     .withColumn("__cell", best_cell)
+                     .drop("__uv"))
     if repartition_by_cell:
         indexed = indexed.repartition(len(C), "__cell")
     return indexed, [[float(x) for x in row] for row in C]
@@ -246,7 +258,9 @@ def pq_build(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
         sub = dim // m
         books = [_kmeans_lite(S[:, j * sub:(j + 1) * sub], n_codes)
                  for j in range(m)]
-    unit = _unit(F.col(vec_col))
+    # unit vector projected ONCE (r13 CSE fix): the m x n_codes distance
+    # folds each referenced the normalize expression per row otherwise
+    unit = F.col("__uv")
     codes = []
     for j, B in enumerate(books):
         subv = F.slice(unit, j * sub + 1, sub)
@@ -259,7 +273,9 @@ def pq_build(df: DataFrame, id_col: str, vec_col: str, m: int = 4,
         codes.append(F.array_min(F.array(*[
             F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
             for c in range(len(B))]))["c"])
-    encoded = df.withColumn("__pq", F.array(*codes))
+    encoded = (df.withColumn("__uv", _unit(F.col(vec_col)))
+                 .withColumn("__pq", F.array(*codes))
+                 .drop("__uv"))
     return encoded, [[list(map(float, row)) for row in B] for B in books]
 
 
@@ -402,7 +418,12 @@ def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
     planes = rng.standard_normal((int(n_tables) * n_planes, d))
 
     def sig_rows(df: DataFrame, id_col: str, out_id: str, out_vec: str):
-        unit = _unit(F.col(vec_col))
+        # unit vector projected ONCE (r13 CSE fix): each of the
+        # n_tables x n_planes dot folds referenced the normalize
+        # expression per row otherwise
+        pre = df.select(F.col(id_col).alias(out_id),
+                        _unit(F.col(vec_col)).alias(out_vec))
+        unit = F.col(out_vec)
         tsigs = []
         for t in range(int(n_tables)):
             sig = F.lit(0).cast("long")
@@ -414,10 +435,10 @@ def knn_join_lsh(left: DataFrame, right: DataFrame, left_id: str, right_id: str,
                     F.when(s > 0, F.lit(2 ** p).cast("long"))
                      .otherwise(F.lit(0).cast("long")))
             tsigs.append(F.struct(F.lit(t).alias("t"), sig.alias("s")))
-        return (df.select(F.col(id_col).alias(out_id), unit.alias(out_vec),
-                          F.explode(F.array(*tsigs)).alias("__ts"))
-                  .select(out_id, out_vec, F.col("__ts.t").alias("__t"),
-                          F.col("__ts.s").alias("__sig")))
+        return (pre.select(out_id, out_vec,
+                           F.explode(F.array(*tsigs)).alias("__ts"))
+                   .select(out_id, out_vec, F.col("__ts.t").alias("__t"),
+                           F.col("__ts.s").alias("__sig")))
 
     lt = sig_rows(left, left_id, "__lid", "__lv")
     rt = sig_rows(right, right_id, "__rid", "__rv")

@@ -225,19 +225,55 @@ def text_entropy(df: DataFrame, text_col: str) -> DataFrame:
     words = F.when(F.length(F.trim(t)) > 0, _words(t)).otherwise(empty)
 
     def entropy(arr):
+        # r13: run-length fold over the SORTED array instead of a
+        # filter-count per distinct symbol — O(n log n) vs O(distinct x n).
+        # Value-identical to the old form: each distinct symbol's term
+        # (c/n)*ln(c/n) is added once, in sorted-symbol order (the sort
+        # groups equal symbols into runs, and runs flush in that same
+        # order), with the same integer count, cast and division, so the
+        # float accumulation sequence is bit-for-bit the old one.
         n = F.size(arr).cast("double")
-        uniq = F.array_sort(F.array_distinct(arr))
-        # + 0.0 normalizes the -0.0 a negated zero-sum produces
-        return F.when(F.size(arr) > 0, -F.aggregate(
-            uniq, F.lit(0.0),
-            lambda acc, u: acc + (
-                F.size(F.filter(arr, lambda x: x == u)).cast("double") / n)
-            * F.log(F.size(F.filter(arr, lambda x: x == u))
-                    .cast("double") / n)) + F.lit(0.0)).otherwise(F.lit(0.0))
 
-    return (df.withColumn("char_entropy", entropy(chars))
-              .withColumn("word_entropy", entropy(words))
+        def term(c):
+            cd = c.cast("double")
+            return (cd / n) * F.log(cd / n)
+
+        def step(st, x):
+            return (F.when(x == st["p"],
+                           F.struct(st["s"].alias("s"), st["p"].alias("p"),
+                                    (st["c"] + F.lit(1).cast("bigint"))
+                                     .alias("c")))
+                     .otherwise(F.struct(
+                         F.when(st["c"] > 0, st["s"] + term(st["c"]))
+                          .otherwise(st["s"]).alias("s"),
+                         x.alias("p"),
+                         F.lit(1).cast("bigint").alias("c"))))
+
+        folded = F.aggregate(
+            F.array_sort(arr),
+            F.struct(F.lit(0.0).alias("s"),
+                     F.lit(None).cast("string").alias("p"),
+                     F.lit(0).cast("bigint").alias("c")),
+            step,
+            lambda st: F.when(st["c"] > 0, st["s"] + term(st["c"]))
+                        .otherwise(st["s"]))
+        # + 0.0 normalizes the -0.0 a negated zero-sum produces
+        return F.when(F.size(arr) > 0, -folded + F.lit(0.0)) \
+                .otherwise(F.lit(0.0))
+
+    # symbol arrays projected ONCE before the folds (r13 CSE fix): an
+    # expression referenced inside a higher-order-function lambda is
+    # re-evaluated per array element, so the per-character transform ran
+    # twice per DISTINCT symbol (O(distinct x length x length) substrs);
+    # bound columns make each filter pass a plain array scan
+    return (df.withColumn("__chars", chars)
+              .withColumn("__words", words)
+              .withColumn("char_entropy", entropy(F.col("__chars")))
+              .withColumn("word_entropy", entropy(F.col("__words")))
               .withColumn("n_distinct_chars",
-                          F.size(F.array_distinct(chars)).cast("bigint"))
+                          F.size(F.array_distinct(F.col("__chars")))
+                           .cast("bigint"))
               .withColumn("n_distinct_words",
-                          F.size(F.array_distinct(words)).cast("bigint")))
+                          F.size(F.array_distinct(F.col("__words")))
+                           .cast("bigint"))
+              .drop("__chars", "__words"))

@@ -27,6 +27,21 @@ def get_spark(app_name: str = "anofox-forecast-spark", master: str | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+        # isnotnull(e)` below every explode/posexplode; predicate
+        # pushdown then re-inlines the generator's FULL child expression
+        # into that (interpreted, un-CSE'd) Filter — for our computed
+        # arrays (n-gram/shingle/bigram builds) that re-evaluates the
+        # tokenize+transform 2x per row, and through an intermediate
+        # projection it duplicated the split() ~6x (measured 6-7x
+        # slowdown on the decontamination query, 20-30% on the LM
+        # scorers; r13, OPTIMIZATION_r13.md). Generate already skips
+        # empty/null arrays, so the rule only pre-prunes rows the
+        # Generate would drop — per-row cost scales with data, so the
+        # exclusion holds at cluster scale too.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # read TIMESTAMP(NANOS) parquet columns as long (Spark has no nanos
         # type); sources convert to microsecond timestamps where needed
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

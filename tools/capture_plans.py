@@ -39,6 +39,9 @@ def main() -> None:
     names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
     qs = entry_mod.queries()
+    if only:
+        # allow capturing ANY contract query, not just bench ones
+        names = sorted(set(names) | (only & set(qs)))
     for name in names:
         if name not in qs or (only and name not in only):
             continue
