@@ -171,7 +171,7 @@ class CvFoldsUDTF:
     """``ts_cv_folds_by(TABLE(t), group_col, ds_col, y_col, n_folds,
     horizon)`` — SQL form of the expanding-window fold generator (ref macro
     ``ts_macros.cpp:1364-1408``); same position-based boundaries as
-    ``operators.cv._fold_spec``."""
+    ``operators.cv._fold_bounds``."""
 
     @staticmethod
     def analyze(table, group_col, ds_col, y_col, n_folds, horizon):

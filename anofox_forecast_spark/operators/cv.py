@@ -46,17 +46,13 @@ def _fold_params(params: dict | None) -> dict:
     }
 
 
-def _fold_spec(df: DataFrame, group_col: str, ds_col: str, n_folds: int,
-               horizon: int, p: dict) -> DataFrame:
-    """One row per (group, fold): position boundaries computed from the
-    per-group length, mirroring ComputeFoldBoundaries."""
+def _fold_bounds(n_folds: int, horizon: int, p: dict):
+    """Fold boundary expressions over ``__n`` (group length) and
+    ``fold_id`` columns, mirroring ComputeFoldBoundaries. Returns
+    ``(train_start, train_end, test_start, test_end, valid)``."""
     h = int(horizon)
     skip = p["skip_length"] if p["skip_length"] > 0 else h
     gap, embargo, min_train = p["gap"], p["embargo"], p["min_train_size"]
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    folds = counts.select(
-        group_col, "__n",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_folds) - 1))).alias("fold_id"))
     n = F.col("__n")
     f = F.col("fold_id")
     if p["initial_train_size"] > 0:
@@ -82,14 +78,7 @@ def _fold_spec(df: DataFrame, group_col: str, ds_col: str, n_folds: int,
             prev_test_end = F.least(prev_test_end, n - 1)
         train_start = F.when(f > 0, F.greatest(train_start, prev_test_end + 1 + embargo)) \
                        .otherwise(train_start)
-    return (folds
-            .withColumn("__train_start", train_start)
-            .withColumn("__train_end", train_end)
-            .withColumn("__test_start", test_start)
-            .withColumn("__test_end", test_end)
-            .filter(valid)
-            .filter(F.col("__train_end") >= F.col("__train_start"))
-            .drop("__n"))
+    return train_start, train_end, test_start, test_end, valid
 
 
 def ts_cv_folds_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
@@ -97,13 +86,35 @@ def ts_cv_folds_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
                    params: dict | None = None) -> DataFrame:
     """Rows tagged (``fold_id``, ``split`` 'train'|'test'); input rows are
     repeated per fold they participate in. Output
-    ``(<group>, <ds>, <y>, fold_id, split)``."""
+    ``(<group>, <ds>, <y>, fold_id, split)``.
+
+    Physical shape (r13): the per-group length rides a second window over
+    the SAME partitioning as the position window (one exchange + sort
+    computes both), and the fold boundaries are evaluated per (row, fold)
+    directly on the explode — the old per-group spec frame cost a second
+    evaluation of the whole upstream panel (its groupBy count) plus a
+    join back onto the rows (two more exchanges at bench scale). Row
+    multiset is identical: the boundary math is per-(group-length,
+    fold_id) either way, and the valid/split filters are the same
+    conjunctions.
+    """
     p = _fold_params(params)
     base = df.select(group_col, ds_col, y_col)
     w = Window.partitionBy(group_col).orderBy(ds_col)
-    rows = base.withColumn("__pos", F.row_number().over(w) - 1)
-    spec = _fold_spec(rows, group_col, ds_col, n_folds, horizon, p)
-    joined = rows.join(spec, on=group_col, how="inner")
+    wn = Window.partitionBy(group_col)
+    rows = (base.withColumn("__pos", F.row_number().over(w) - 1)
+                .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    train_start, train_end, test_start, test_end, valid = \
+        _fold_bounds(n_folds, horizon, p)
+    joined = (rows.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(int(n_folds) - 1)))
+              .alias("fold_id"))
+        .withColumn("__train_start", train_start)
+        .withColumn("__train_end", train_end)
+        .withColumn("__test_start", test_start)
+        .withColumn("__test_end", test_end)
+        .filter(valid)
+        .filter(F.col("__train_end") >= F.col("__train_start")))
     pos = F.col("__pos")
     split = (F.when((pos >= F.col("__train_start")) & (pos <= F.col("__train_end")),
                     F.lit("train"))
