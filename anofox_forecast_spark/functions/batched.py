@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -58,10 +59,34 @@ def batched_grouped_map(
     schema: T.StructType,
     one_group: Callable[[tuple, pd.DataFrame], pd.DataFrame | None],
 ) -> DataFrame:
-    """Apply ``one_group(key_tuple, sorted_pdf) -> DataFrame|None`` to every
-    distinct ``key_cols`` group of ``df``; ``None`` skips the group (error
-    isolation). Rows inside each group arrive sorted by ``order_col``."""
+    """Apply ``one_group(key_tuple, sorted_pdf)`` to every distinct
+    ``key_cols`` group of ``df``; ``None`` skips the group (error
+    isolation). Rows inside each group arrive sorted by ``order_col``.
+
+    ``one_group`` may return either a ``pd.DataFrame`` or — the cheap
+    columnar form (r13) — a tuple of per-column sequences in ``schema``
+    field order. With the tuple form ONE pandas DataFrame is assembled
+    per Arrow batch instead of one per series, which removes the
+    dominant per-series overhead of the Python path (a 14-row DataFrame
+    construction costs ~0.3 ms — 3x a whole SES fit after the C-twin
+    work). Row content is identical either way: the legacy path
+    ``pd.concat``-ed the same per-series pieces in the same order."""
     keys = list(key_cols)
+    names = [f.name for f in schema.fields]
+
+    def assemble(parts: list[tuple]) -> pd.DataFrame:
+        cols = {}
+        for i, nm in enumerate(names):
+            pieces = [p[i] for p in parts]
+            if all(isinstance(x, np.ndarray) for x in pieces):
+                cols[nm] = pieces[0] if len(pieces) == 1 \
+                    else np.concatenate(pieces)
+            else:
+                flat = []
+                for x in pieces:
+                    flat.extend(x)
+                cols[nm] = flat
+        return pd.DataFrame(cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -82,17 +107,26 @@ def batched_grouped_map(
             done = pdf.iloc[:boundary]
             if len(done):
                 out = []
+                tup = []
                 for kt, g in done.groupby(keys, sort=False):
                     kt = kt if isinstance(kt, tuple) else (kt,)
                     r = one_group(kt, g)
-                    if r is not None and len(r):
+                    if r is None:
+                        continue
+                    if isinstance(r, tuple):
+                        tup.append(r)
+                    elif len(r):
                         out.append(r)
+                if tup:
+                    yield assemble(tup)
                 if out:
                     yield pd.concat(out, ignore_index=True)
         if carry is not None and len(carry):
             kt = tuple(carry[k].iloc[0] for k in keys)
             r = one_group(kt, carry)
-            if r is not None and len(r):
+            if isinstance(r, tuple):
+                yield assemble([r])
+            elif r is not None and len(r):
                 yield r
 
     # CPU-bound Python stage: floor the partition count at the cluster's

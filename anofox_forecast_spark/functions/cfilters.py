@@ -53,6 +53,9 @@ _SIGS = {
                          ctypes.c_double, ctypes.c_double, ctypes.c_double,
                          ctypes.POINTER(ctypes.c_double),
                          ctypes.POINTER(ctypes.c_double)], ctypes.c_double),
+    "theta_sse": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                   ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                   ctypes.c_double], ctypes.c_double),
     "seasonal_es_sse": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
                          ctypes.c_long, ctypes.c_double,
                          ctypes.POINTER(ctypes.c_double)], ctypes.c_double),
@@ -61,6 +64,65 @@ _SIGS = {
                        ctypes.POINTER(ctypes.c_double),
                        ctypes.POINTER(ctypes.c_double),
                        ctypes.POINTER(ctypes.c_double)], ctypes.c_double),
+    # whole-optimizer drivers (Nelder-Mead / golden-section run in C)
+    "nm_holt": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                 ctypes.c_double, ctypes.POINTER(ctypes.c_double)], None),
+    "nm_hw": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+               ctypes.c_int, ctypes.c_double, ctypes.c_double,
+               ctypes.POINTER(ctypes.c_double),
+               ctypes.POINTER(ctypes.c_double),
+               ctypes.POINTER(ctypes.c_double)], None),
+    "nm_ets": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double)], ctypes.c_long),
+    "nm_arima": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                  ctypes.c_long, ctypes.c_long,
+                  ctypes.POINTER(ctypes.c_double),
+                  ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                  ctypes.POINTER(ctypes.c_double)], None),
+    "nm_theta": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                  ctypes.c_double, ctypes.c_double,
+                  ctypes.POINTER(ctypes.c_double)], None),
+    "golden_ses": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long],
+                   ctypes.c_double),
+    "golden_seasonal_es": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                            ctypes.c_long, ctypes.POINTER(ctypes.c_double)],
+                           ctypes.c_double),
+    "golden_theta": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                      ctypes.c_double, ctypes.c_double, ctypes.c_double],
+                     ctypes.c_double),
+    "golden_croston": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                        ctypes.POINTER(ctypes.c_double), ctypes.c_long],
+                       ctypes.c_double),
+    # final (post-optimization) filter passes
+    "log_abs_sum": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long],
+                    ctypes.c_double),
+    "holt_filt": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                   ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                   ctypes.POINTER(ctypes.c_double),
+                   ctypes.POINTER(ctypes.c_double)], None),
+    "hw_filt": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                 ctypes.c_long, ctypes.c_int, ctypes.c_double,
+                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                 ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+                 ctypes.POINTER(ctypes.c_double),
+                 ctypes.POINTER(ctypes.c_double),
+                 ctypes.POINTER(ctypes.c_double)], None),
+    "ets_mult_filt": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                       ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                       ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                       ctypes.POINTER(ctypes.c_double),
+                       ctypes.POINTER(ctypes.c_double),
+                       ctypes.POINTER(ctypes.c_double),
+                       ctypes.POINTER(ctypes.c_double),
+                       ctypes.POINTER(ctypes.c_double)], ctypes.c_long),
+    "seasonal_es_filt": ([ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                          ctypes.c_long, ctypes.c_double,
+                          ctypes.POINTER(ctypes.c_double),
+                          ctypes.POINTER(ctypes.c_double)], None),
 }
 
 

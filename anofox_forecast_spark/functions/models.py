@@ -550,17 +550,17 @@ def _ses_sse(yl, alpha):
 def _ses_optimized(y, h, cl, **kw):
     lib = _cf()
     if lib is not None and len(y) > 0:
+        # whole golden-section search in C (r13 second pass): same
+        # bracketing arithmetic, same ses_sse objective — bit-identical
+        # trajectory, zero per-step ctypes crossings
         ya = np.ascontiguousarray(y, dtype=float)
-        n, p = len(ya), _dp(ya)
-
-        def sse(a, _keep=ya):
-            return lib.ses_sse(p, n, a)
+        a = lib.golden_ses(_dp(ya), len(ya))
     else:
         yl = y.tolist() if isinstance(y, np.ndarray) else list(y)
 
-        def sse(a):
-            return _ses_sse(yl, a)
-    a = golden_section(sse, 0.01, 0.99)
+        def sse(a_):
+            return _ses_sse(yl, a_)
+        a = golden_section(sse, 0.01, 0.99)
     out = _ses(y, h, cl, alpha=a, _name="SESOptimized")
     return out
 
@@ -577,6 +577,15 @@ def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt",
 
     def filt(a, b, ph):
         n = len(yl)
+        lib2 = _cf()
+        if lib2 is not None and n > 0:
+            # C twin of the loop below (same recursion as holt_sse,
+            # trajectories stored)
+            ya2 = np.ascontiguousarray(y, dtype=float)
+            fbuf = np.empty(n, dtype=float)
+            st = np.empty(2, dtype=float)
+            lib2.holt_filt(_dp(ya2), n, a, b, ph, _dp(fbuf), _dp(st))
+            return fbuf, float(st[0]), float(st[1])
         level, trend = yl[0], (yl[1] - yl[0]) if n > 1 else 0.0
         fitted = [0.0] * n
         fitted[0] = level
@@ -613,15 +622,19 @@ def _holt(y, h, cl, alpha=None, beta=None, damped=False, phi=0.98, _name="Holt",
     if alpha is None or beta is None:
         lib = _cf()
         if lib is not None and len(yl) > 0:
+            # whole Nelder-Mead in C (r13 second pass): the C nm_run
+            # twins models.nelder_mead step for step (CPython-sort
+            # replica included), objective = holt_sse — bit-identical
+            # search trajectory, zero per-step ctypes crossings
             ya = np.ascontiguousarray(y, dtype=float)
-            n_, p_ = len(ya), _dp(ya)
-
-            def sse(x, _keep=ya):
-                return lib.holt_sse(p_, n_, x[0], x[1], ph)
+            out = np.empty(2, dtype=float)
+            lib.nm_holt(_dp(ya), len(ya), ph, _dp(out))
+            a, b = float(out[0]), float(out[1])
         else:
             def sse(x):
                 return filt_sse(x[0], x[1], ph)
-        a, b = nelder_mead(sse, [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
+            a, b = nelder_mead(sse, [0.5, 0.1],
+                               bounds=[(0.01, 0.99), (0.01, 0.99)])
     else:
         a, b = float(alpha), float(beta)
     fitted, level, trend = filt(a, b, ph)
@@ -668,6 +681,19 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
         seas0 = [yl[i] - level0 for i in range(m)]
 
     def filt(a, b, g):
+        lib2 = _cf()
+        if lib2 is not None:
+            # C twin of the loops below (same recursion as hw_sse,
+            # trajectory stored; seas buffer ends as the final state)
+            ya2 = np.ascontiguousarray(y, dtype=float)
+            s0a2 = np.asarray(seas0, dtype=float)
+            sb = np.empty(m, dtype=float)
+            fbuf = np.empty(n, dtype=float)
+            st = np.empty(2, dtype=float)
+            lib2.hw_filt(_dp(ya2), n, m, 1 if multiplicative else 0,
+                         a, b, g, level0, trend0, _dp(s0a2), _dp(sb),
+                         _dp(fbuf), _dp(st))
+            return fbuf, float(st[0]), float(st[1]), sb
         level = level0
         trend = trend0
         seas = seas0[:]
@@ -703,20 +729,16 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
     if alpha is None or beta is None or gamma is None:
         lib = _cf()
         if lib is not None:
-            # C twin: in-loop SSE over the same recursion (the NaN-skip
-            # accumulation is bit-equal to _sq_err's where-skip — adding
-            # 0.0 never changes a non-negative running sum)
+            # whole Nelder-Mead in C (r13 second pass; see _holt):
+            # objective = hw_sse with the same isfinite -> 1e300 guard
             ya = np.ascontiguousarray(y, dtype=float)
             seas0_a = np.asarray(seas0, dtype=float)
             sbuf = np.empty(m, dtype=float)
             mult_flag = 1 if multiplicative else 0
-
-            pya, ps0, psb = _dp(ya), _dp(seas0_a), _dp(sbuf)
-
-            def sse(x, _keep=(ya, seas0_a, sbuf)):
-                v = lib.hw_sse(pya, n, m, mult_flag, x[0], x[1], x[2],
-                               level0, trend0, ps0, psb)
-                return v if math.isfinite(v) else 1e300
+            out = np.empty(3, dtype=float)
+            lib.nm_hw(_dp(ya), n, m, mult_flag, level0, trend0,
+                      _dp(seas0_a), _dp(sbuf), _dp(out))
+            a, b, g = float(out[0]), float(out[1]), float(out[2])
         else:
             # NOT inlined into a Python SSE-accumulating loop: measured
             # ~17% SLOWER than filt + the numpy residual tail here (the
@@ -726,8 +748,9 @@ def _holt_winters(y, h, cl, season_length=1, alpha=None, beta=None, gamma=None,
                 f, _, _, _ = filt(*x)
                 v = _sq_err(y - f)
                 return v if math.isfinite(v) else 1e300
-        a, b, g = nelder_mead(sse, [0.3, 0.05, 0.1],
-                              bounds=[(0.01, 0.99), (0.01, 0.99), (0.01, 0.99)])
+            a, b, g = nelder_mead(sse, [0.3, 0.05, 0.1],
+                                  bounds=[(0.01, 0.99), (0.01, 0.99),
+                                          (0.01, 0.99)])
     else:
         a, b, g = float(alpha), float(beta), float(gamma)
     fitted, level, trend, seas = filt(a, b, g)
@@ -753,6 +776,15 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
     n = len(y)
 
     def filt(a):
+        lib2 = _cf()
+        if lib2 is not None and n > 0:
+            # C twin of the loop below (same recursion as
+            # seasonal_es_sse, trajectory stored)
+            ya2 = np.ascontiguousarray(y, dtype=float)
+            fbuf = np.empty(n, dtype=float)
+            lvb = np.empty(m, dtype=float)
+            lib2.seasonal_es_filt(_dp(ya2), n, m, a, _dp(fbuf), _dp(lvb))
+            return fbuf, lvb
         levels = np.full(m, np.nan)
         fitted = np.empty(n)
         for t in range(n):
@@ -769,15 +801,12 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
     if optimized:
         lib = _cf()
         if lib is not None:
+            # whole golden-section search in C (r13 second pass; same
+            # seasonal_es_sse objective — NaN level = unseen phase, NaN
+            # residuals skipped)
             ya = np.ascontiguousarray(y, dtype=float)
             lvbuf = np.empty(m, dtype=float)
-
-            pya, plv = _dp(ya), _dp(lvbuf)
-
-            def sse(a, _keep=(ya, lvbuf)):
-                # C twin of the list-local recursion below (NaN level =
-                # unseen phase, NaN residuals skipped)
-                return lib.seasonal_es_sse(pya, n, m, a, plv)
+            alpha = lib.golden_seasonal_es(_dp(ya), n, m, _dp(lvbuf))
         else:
             # SSE accumulated inside a list-local recursion — see
             # _ses_sse for the bit-identity argument (warm-up fitted
@@ -803,7 +832,7 @@ def _seasonal_es(y, h, cl, season_length=1, alpha=0.3, optimized=False, **kw):
                             s_acc += x * x
                         levels[ph] = a * yl[t] + one_a * lv
                 return s_acc
-        alpha = golden_section(sse, 0.01, 0.99)
+            alpha = golden_section(sse, 0.01, 0.99)
     a = float(alpha)
     fitted, levels = filt(a)
     steps = np.arange(1, h + 1)
@@ -840,7 +869,16 @@ def _log_abs_sum(mu):
     """Sequential sum of ln|mu_t| via ``math.log`` — bit-identical to
     DuckDB's ``ln`` fold (glibc log on both sides; np.log's SIMD path
     differs in the last ulp on ~25% of inputs, enough to flip an optimizer
-    tie-break in the multiplicative-error likelihood)."""
+    tie-break in the multiplicative-error likelihood).  C twin when
+    available (same glibc log/fabs, same left-to-right order; mu never
+    holds +-0 on the call paths — the filters abort on m_t == 0 first,
+    so Python's math.log(0) ValueError is unreachable either way)."""
+    lib = _cf()
+    if lib is not None:
+        a = np.ascontiguousarray(mu, dtype=float)
+        if a.size == 0:
+            return 0.0
+        return lib.log_abs_sum(_dp(a), a.size)
     s = 0.0
     # iterate Python floats: looping a numpy array boxes one float64
     # object per element (tolist() round-trips the doubles exactly)
@@ -894,6 +932,28 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
     s0l = None if s0 is None else s0.tolist()
 
     def filt(a, b, g, ph):
+        lib2 = _cf()
+        if lib2 is not None:
+            # C twin of the loop below (same recursion as
+            # ets_mult_neg2ll, trajectories stored); on the early abort
+            # it falls through to the Python loop so the (None, None,
+            # None) return — and the caller's unpack TypeError —
+            # reproduces exactly
+            ya2 = np.ascontiguousarray(y, dtype=float)
+            s0a2 = (np.ascontiguousarray(s0, dtype=float)
+                    if s0 is not None else np.empty(1, dtype=float))
+            sb = np.empty(m if has_seas else 1, dtype=float)
+            mu_b = np.empty(n, dtype=float)
+            e_b = np.empty(n, dtype=float)
+            st = np.empty(2, dtype=float)
+            sk = 2 if seas == "M" else (1 if seas == "A" else 0)
+            rc = lib2.ets_mult_filt(_dp(ya2), n, m,
+                                    1 if has_trend else 0, sk, a, b, g,
+                                    ph, l0, b0, _dp(s0a2), _dp(sb),
+                                    _dp(mu_b), _dp(e_b), _dp(st))
+            if rc == 0:
+                return mu_b, e_b, (float(st[0]), float(st[1]),
+                                   None if s0l is None else sb)
         level, trend_v = l0, b0
         s = None if s0l is None else s0l[:]
         mu = [0.0] * n
@@ -930,28 +990,21 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
 
     _lib = _cf()
     if _lib is not None:
+        # whole Nelder-Mead in C (r13 second pass; see _holt): the C
+        # driver builds the SAME x0/bounds from the spec flags and runs
+        # the same ets_mult_neg2ll objective (internally guarded: early
+        # 1e300 abort, se<=0 -> -1e300, isfinite)
         ya = np.ascontiguousarray(y, dtype=float)
         s0a = (np.ascontiguousarray(s0, dtype=float)
                if s0 is not None else np.empty(1, dtype=float))
         sbuf = np.empty(m if has_seas else 1, dtype=float)
         seas_kind = 2 if seas == "M" else (1 if seas == "A" else 0)
         trend_flag = 1 if has_trend else 0
-        pya, ps0, psb = _dp(ya), _dp(s0a), _dp(sbuf)
-
-        def neg2ll(x, _keep=(ya, s0a, sbuf)):
-            i = 0
-            a = x[i]; i += 1
-            b = x[i] if has_trend else 0.0
-            i += 1 if has_trend else 0
-            g = x[i] if has_seas else 0.0
-            i += 1 if has_seas else 0
-            ph = x[i] if damped else 1.0
-            # the C twin runs the same filter recursion, accumulates the
-            # same left-to-right se / ln|mu| sums, and applies the same
-            # guards (early 1e300 abort, se<=0 -> -1e300, isfinite)
-            return _lib.ets_mult_neg2ll(pya, n, m, trend_flag,
-                                        seas_kind, a, b, g, ph, l0, b0,
-                                        ps0, psb)
+        out = np.empty(4, dtype=float)
+        d = _lib.nm_ets(_dp(ya), n, m, trend_flag, seas_kind,
+                        1 if damped else 0, l0, b0, _dp(s0a), _dp(sbuf),
+                        _dp(out))
+        x = [float(v) for v in out[:d]]
     else:
         def neg2ll(x):
             i = 0
@@ -975,14 +1028,14 @@ def _ets_mult(y, h, cl, trend, seas, damped, m, _name="ETS"):
             v = n * math.log(se / n) + 2.0 * _log_abs_sum(mu)
             return v if math.isfinite(v) else 1e300
 
-    x0, bounds = [0.3], [(0.01, 0.99)]
-    if has_trend:
-        x0.append(0.05); bounds.append((0.01, 0.99))
-    if has_seas:
-        x0.append(0.1); bounds.append((0.01, 0.99))
-    if damped:
-        x0.append(0.95); bounds.append((0.8, 0.995))
-    x = nelder_mead(neg2ll, x0, bounds=bounds)
+        x0, bounds = [0.3], [(0.01, 0.99)]
+        if has_trend:
+            x0.append(0.05); bounds.append((0.01, 0.99))
+        if has_seas:
+            x0.append(0.1); bounds.append((0.01, 0.99))
+        if damped:
+            x0.append(0.95); bounds.append((0.8, 0.995))
+        x = nelder_mead(neg2ll, x0, bounds=bounds)
     i = 0
     a = float(x[i]); i += 1
     b = float(x[i]) if has_trend else None
@@ -1105,14 +1158,17 @@ def _seasonal_decompose_mult(y, m):
     k = m // 2
     ma = np.full(n, np.nan)
     c = np.concatenate([[0.0], np.cumsum(y)])
-    for t in range(k, n - k):
+    # vectorized centered MA (r13): each output element is the same
+    # left-assoc chain of elementwise IEEE ops the scalar loop performed
+    # — no reductions, so the bits are unchanged
+    ts = np.arange(k, n - k)
+    if ts.size:
         if m % 2 == 0:
-            s = (c[t + k] - c[t - k]) - 0.5 * y[t - k] + 0.5 * y[t + k]
             # centered MA of even order: average of two adjacent MAs
-            s = (c[t + k] - c[t - k] + c[t + k + 1] - c[t - k + 1]) / 2.0
-            ma[t] = s / m
+            s = (c[ts + k] - c[ts - k] + c[ts + k + 1] - c[ts - k + 1]) / 2.0
+            ma[ts] = s / m
         else:
-            ma[t] = (c[t + k + 1] - c[t - k]) / m
+            ma[ts] = (c[ts + k + 1] - c[ts - k]) / m
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(ma != 0, y / ma, np.nan)
     idx = np.full(m, 1.0)
@@ -1126,7 +1182,7 @@ def _seasonal_decompose_mult(y, m):
     s = _seq_sum(idx)
     if s != 0:
         idx = idx * m / s
-    seasonal = np.array([idx[t % m] for t in range(n)])
+    seasonal = idx[np.arange(n) % m]  # pure indexing — exact copies
     return seasonal, idx
 
 
@@ -1180,20 +1236,38 @@ def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
         fitted, level = _ses_filter(theta_line, a)
         return theta_line, fitted, level
 
+    # Theta-family optimizer (r13): the whole Nelder-Mead / golden-
+    # section search runs in C when the library is available — the C
+    # theta_sse objective fuses theta-line build, SES filter and
+    # recombination into one pass with the identical IEEE op order, and
+    # the C search loops twin models.nelder_mead / golden_section step
+    # for step (see _cfilters.c), so the trajectory is bit-identical
+    # either way. A fixed th == 0 falls back to Python so the scalar
+    # 1/th ZeroDivisionError reproduces exactly.
+    lib = _cf()
+    c_ok = lib is not None and n > 0
+
+    def _obj_py(th_, a_):
+        theta_line, fitted, _ = run(th_, a_)
+        comb = fitted / th_ + (1 - 1 / th_) * (b0 + b1 * t)
+        return _sq_err(x - comb)
+
     if optimized:
-        def sse(p):
-            th, a = p
-            theta_line, fitted, _ = run(th, a)
-            comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
-            return _sq_err(x - comb)
-        th, a = nelder_mead(sse, [2.0, 0.3], bounds=[(1.0, 5.0), (0.01, 0.99)])
+        if c_ok:
+            _xa = np.ascontiguousarray(x, dtype=float)
+            out = np.empty(2, dtype=float)
+            lib.nm_theta(_dp(_xa), n, b0, b1, _dp(out))
+            th, a = float(out[0]), float(out[1])
+        else:
+            th, a = nelder_mead(lambda p: _obj_py(p[0], p[1]), [2.0, 0.3],
+                                bounds=[(1.0, 5.0), (0.01, 0.99)])
     else:
         th = float(theta)
-        def sse_a(a):
-            theta_line, fitted, _ = run(th, a)
-            comb = fitted / th + (1 - 1 / th) * (b0 + b1 * t)
-            return _sq_err(x - comb)
-        a = golden_section(sse_a, 0.01, 0.99)
+        if c_ok and th != 0.0:
+            _xa = np.ascontiguousarray(x, dtype=float)
+            a = lib.golden_theta(_dp(_xa), n, b0, b1, th)
+        else:
+            a = golden_section(lambda a_: _obj_py(th, a_), 0.01, 0.99)
 
     theta_line, fitted_ses, level = run(th, a)
     steps = np.arange(1, h + 1, dtype=float)
@@ -1206,7 +1280,7 @@ def _theta(y, h, cl, season_length=1, theta=2.0, dynamic=False, optimized=False,
     point_x = ses_fc / th + (1 - 1 / th) * trend_fc
     fitted_x = fitted_ses / th + (1 - 1 / th) * (b0 + b1 * t)
     if seasonal:
-        seas_f = np.array([idx[(nn) % m] for nn in range(n, n + h)])
+        seas_f = idx[np.arange(n, n + h) % m]  # pure indexing
         point = point_x * seas_f
         fitted = fitted_x * seas
     else:
@@ -1397,31 +1471,35 @@ def _arima_css(x, p, q, max_iter=80):
                 x0[2] = min(max(c2, -0.95), 0.95)
 
     _lib = _cf()
-    if _lib is not None:
+    if _lib is not None and p + q <= 6:
+        # whole Nelder-Mead in C (r13 second pass; see _holt): same
+        # chained-subtraction residual recursion and e*e sum as
+        # css + _seq_sum, same isfinite -> 1e300 guard, same x0 — the
+        # dim <= 6 cap matches the C stack buffers (the AutoARIMA grid
+        # tops out at p+q = 5; larger direct calls keep the Python path)
         xa = np.ascontiguousarray(xc, dtype=float)
-        phbuf = np.empty(max(p, 1), dtype=float)
-        thbuf = np.empty(max(q, 1), dtype=float)
+        x0a = np.ascontiguousarray(x0, dtype=float)
         ebuf = np.empty(max(n, 1), dtype=float)
-        pxa, pph, pth, peb = _dp(xa), _dp(phbuf), _dp(thbuf), _dp(ebuf)
-
-        def objective(params, _keep=(xa, phbuf, thbuf, ebuf)):
-            # same chained-subtraction residual recursion and e*e sum
-            # as css + _seq_sum (the Python steady-state unrolling is
-            # the identical left-assoc sequence)
-            for i in range(p):
-                phbuf[i] = params[i]
-            for j in range(q):
-                thbuf[j] = params[p + j]
-            v = _lib.arima_css_sse(pxa, n, p, q, pph, pth, peb)
-            return v if math.isfinite(v) else 1e300
+        out = np.empty(p + q, dtype=float)
+        _lib.nm_arima(_dp(xa), n, p, q, _dp(x0a), _dp(ebuf),
+                      int(max_iter), _dp(out))
+        sol = [float(v) for v in out]
+        if n > 0:
+            # final residual pass through the same C recursion (the
+            # established css twin); its in-loop sum == _seq_sum(e*e)
+            # (same left-to-right order, 0.0 + e0^2 == e0^2)
+            sse_v = _lib.arima_css_sse(
+                _dp(xa), n, p, q, _dp(out),
+                _dp(out[p:]) if q else _dp(out), _dp(ebuf))
+            return sol[:p], sol[p:p + q], mean, ebuf[:n].copy(), sse_v
     else:
         def objective(params):
             e = css(params)
             v = _seq_sum(e * e)
             return v if math.isfinite(v) else 1e300
 
-    bounds = [(-0.99, 0.99)] * (p + q)
-    sol = nelder_mead(objective, x0, bounds=bounds, max_iter=max_iter)
+        bounds = [(-0.99, 0.99)] * (p + q)
+        sol = nelder_mead(objective, x0, bounds=bounds, max_iter=max_iter)
     e = css(sol)
     return sol[:p], sol[p:p + q], mean, e, _seq_sum(e * e)
 
@@ -1548,16 +1626,17 @@ def _stl_lite(y, m, iterations=2):
             vals = detr[ph::m]
             idx[ph] = float(np.mean(vals)) if len(vals) else 0.0
         idx = idx - idx.mean()
-        seasonal = np.array([idx[t % m] for t in range(n)])
+        seasonal = idx[np.arange(n) % m]  # pure indexing — exact copies
         deseas = y - seasonal
-        # trend: centered MA window m (odd-ified)
+        # trend: centered MA window m (odd-ified); vectorized (r13) — the
+        # same elementwise subtraction/division per output element
         w = m if m % 2 == 1 else m + 1
         k = w // 2
         c = np.concatenate([[0.0], np.cumsum(deseas)])
-        trend = np.empty(n)
-        for t in range(n):
-            a_, b_ = max(0, t - k), min(n, t + k + 1)
-            trend[t] = (c[b_] - c[a_]) / (b_ - a_)
+        ts = np.arange(n)
+        a_ = np.maximum(0, ts - k)
+        b_ = np.minimum(n, ts + k + 1)
+        trend = (c[b_] - c[a_]) / (b_ - a_)
     resid = y - trend - seasonal
     return trend, seasonal, resid
 
@@ -1583,7 +1662,7 @@ def _mstl(y, h, cl, season_lengths=None, season_length=1, _name="MSTL", **kw):
         idx = seasonal[:m] if n >= m else np.zeros(m)
         # phase continues from n
         last_cycle = seasonal[n - m:n] if n >= m else np.zeros(m)
-        seas_f = np.array([last_cycle[(s - 1) % m] for s in range(1, h + 1)])
+        seas_f = last_cycle[(np.arange(1, h + 1) - 1) % m]  # pure indexing
         point = point + seas_f
         fitted = fitted + seasonal
     res = y - fitted
@@ -1632,8 +1711,8 @@ def _mfles(y, h, cl, season_lengths=None, season_length=1, iterations=3,
             for ph in range(m):
                 vals = resid[ph::m]
                 idx[ph] = float(np.median(vals)) if len(vals) else 0.0
-            seas = np.array([idx[tt % m] for tt in range(n)])
-            seas_f = np.array([idx[(n + s - 1) % m] for s in range(1, h + 1)])
+            seas = idx[np.arange(n) % m]                       # pure indexing
+            seas_f = idx[(n + np.arange(1, h + 1) - 1) % m]    # pure indexing
             fitted += seas
             point += seas_f
             resid = y - fitted
@@ -1750,11 +1829,21 @@ def _croston(y, h, cl, variant="classic", **kw):
         return ForecastResult(point, point.copy(), point.copy(), name,
                               np.zeros(len(y)), y - 0.0)
     if variant == "optimized":
-        def sse(a):
-            fs, zl = _ses_filter(sizes, a)
-            fi, il = _ses_filter(intervals, a)
-            return _sq_err(sizes - fs) + _sq_err(intervals - fi)
-        alpha = golden_section(sse, 0.01, 0.99)
+        lib = _cf()
+        if lib is not None:
+            # whole golden-section search in C (r13 second pass): each
+            # objective leg is ses_sse == _sq_err(y - _ses_filter(y, a)[0])
+            # (the established in-loop-SSE twin), summed with one double
+            # add exactly like the closure below
+            sz = np.ascontiguousarray(sizes, dtype=float)
+            iv = np.ascontiguousarray(intervals, dtype=float)
+            alpha = lib.golden_croston(_dp(sz), len(sz), _dp(iv), len(iv))
+        else:
+            def sse(a):
+                fs, zl = _ses_filter(sizes, a)
+                fi, il = _ses_filter(intervals, a)
+                return _sq_err(sizes - fs) + _sq_err(intervals - fi)
+            alpha = golden_section(sse, 0.01, 0.99)
     else:
         alpha = 0.1
     _, z = _ses_filter(sizes, alpha)

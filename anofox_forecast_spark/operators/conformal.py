@@ -401,11 +401,9 @@ def ts_bootstrap_intervals_by(df: DataFrame, group_col: str, ds_col: str,
         point = y[-1] + drift * np.arange(1, h + 1)
         lo = np.quantile(paths, (1 - cl) / 2, axis=0)
         up = np.quantile(paths, 1 - (1 - cl) / 2, axis=0)
-        return pd.DataFrame({
-            group_col: [key[0]] * h,
-            "forecast_step": list(range(1, h + 1)),
-            "yhat": point, "yhat_lower": lo, "yhat_upper": up,
-        })
+        # columnar return (see batched_grouped_map): same column values
+        # in the same schema order as the previous per-series DataFrame
+        return ([key[0]] * h, list(range(1, h + 1)), point, lo, up)
 
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))

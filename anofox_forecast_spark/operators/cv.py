@@ -233,29 +233,23 @@ def ts_cv_forecast_by(folds_df: DataFrame, group_col: str, ds_col: str,
         T.StructField("model_name", T.StringType()),
     ])
 
-    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame):
         gval, fold = key
         train = pdf[pdf["split"] == "train"]
         test = pdf[pdf["split"] == "test"]
         h = len(test)
         if h == 0 or len(train) < 3:
-            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
+            return None  # skip — same effect as the old empty DataFrame
         try:
             r = M.forecast(train[y_col].astype(float).to_numpy(), h, model,
                            season_length=season, level=level, params=params)
         except Exception:
-            return pd.DataFrame({c.name: pd.Series(dtype="object") for c in schema})
-        return pd.DataFrame({
-            "fold_id": [fold] * h,
-            group_col: [gval] * h,
-            ds_col: test[ds_col].to_numpy(),
-            y_col: test[y_col].astype(float).to_numpy(),
-            "split": ["test"] * h,
-            "yhat": r.point,
-            "yhat_lower": r.lower,
-            "yhat_upper": r.upper,
-            "model_name": [r.model_name] * h,
-        })
+            return None
+        # columnar return (see batched_grouped_map): same column values
+        # in the same schema order as the previous per-fold DataFrame
+        return ([fold] * h, [gval] * h, test[ds_col].to_numpy(),
+                test[y_col].astype(float).to_numpy(), ["test"] * h,
+                r.point, r.lower, r.upper, [r.model_name] * h)
 
     from ..functions.batched import batched_grouped_map
     return batched_grouped_map(folds_df, [group_col, "fold_id"], ds_col,

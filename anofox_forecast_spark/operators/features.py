@@ -433,9 +433,9 @@ def ts_features_by(df: DataFrame, group_col: str, ds_col: str, y_col: str,
 
     def one(kt, pdf: pd.DataFrame):
         feats = extract_features(pdf[y_col].to_numpy(dtype=float))
-        row = {group_col: kt[0]}
-        row.update({_safe(x): feats[x] for x in selected})
-        return pd.DataFrame([row])
+        # columnar return (see batched_grouped_map): one 118-column
+        # pandas DataFrame per series was the dominant per-series cost
+        return ((kt[0],), *[(feats[x],) for x in selected])
 
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col))

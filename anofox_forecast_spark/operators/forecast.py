@@ -744,13 +744,19 @@ def _add_months_clamped(ts: pd.Timestamp, k: int) -> pd.Timestamp:
                         minute=ts.minute, second=ts.second)
 
 
-def _future_dates_pd(last, h: int, freq: Frequency, is_int: bool):
+def _future_dates_pd(last, h: int, freq: Frequency, is_int: bool,
+                     _tds: list | None = None):
     if is_int or freq.kind == "int":
         n = freq.n if freq.kind == "int" else 1
         return [last + n * s for s in range(1, h + 1)]
     last = pd.Timestamp(last)
     if freq.kind == "month":
         return [_add_months_clamped(last, freq.n * s) for s in range(1, h + 1)]
+    if _tds is not None:
+        # per-query precomputed Timedeltas (they do not depend on `last`);
+        # Timestamp + Timedelta is exact integer-nanosecond arithmetic,
+        # identical to constructing the Timedelta inline
+        return [last + td for td in _tds]
     return [last + pd.Timedelta(seconds=freq.n * s) for s in range(1, h + 1)]
 
 
@@ -781,6 +787,10 @@ def _forecast_udf(df: DataFrame, group_col: str, ds_col: str, y_col: str,
     season = int(params.get("seasonal_period", 0) or 0)
     pars = dict(params)
     steps = list(range(1, h + 1))
+    # second/day frequencies: the step offsets are series-independent —
+    # build the Timedeltas once per query, not once per series
+    tds = ([pd.Timedelta(seconds=freq.n * s) for s in steps]
+           if not is_int_ds and freq.kind not in ("int", "month") else None)
 
     def one_series(key, pdf: pd.DataFrame):
         yv = pdf[y_col].to_numpy(dtype=float)
@@ -791,15 +801,11 @@ def _forecast_udf(df: DataFrame, group_col: str, ds_col: str, y_col: str,
             # error isolation: skip failing groups (ref ts_forecast_native.cpp:666-672)
             return None
         last = pdf[ds_col].iloc[-1]
-        return pd.DataFrame({
-            group_col: [key] * h,
-            "forecast_step": steps,
-            ds_col: _future_dates_pd(last, h, freq, is_int_ds),
-            "yhat": r.point,
-            "yhat_lower": r.lower,
-            "yhat_upper": r.upper,
-            "model_name": [r.model_name] * h,
-        })
+        # columnar return (see batched_grouped_map): same column values
+        # in the same schema order as the previous per-series DataFrame
+        return ([key] * h, steps,
+                _future_dates_pd(last, h, freq, is_int_ds, tds),
+                r.point, r.lower, r.upper, [r.model_name] * h)
 
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
              .filter(F.col(ds_col).isNotNull())

@@ -68,18 +68,30 @@ def _forecast_both(y, model, season, params):
 MODELS = [
     ("SESOptimized", 0, {}),
     ("Holt", 0, {}),
+    ("Holt", 0, {"damped": True}),
     ("HoltWinters", 7, {"seasonal_period": 7}),
+    ("SeasonalES", 7, {"seasonal_period": 7}),
     ("SeasonalESOptimized", 7, {"seasonal_period": 7}),
     ("ETS", 7, {"model": "MAM", "seasonal_period": 7}),
+    ("ETS", 7, {"model": "MAdM", "seasonal_period": 7}),
     ("ETS", 7, {"model": "MNN", "seasonal_period": 7}),
+    ("ETS", 7, {"model": "MNA", "seasonal_period": 7}),
     ("ETS", 7, {"model": "AAdA", "seasonal_period": 7}),
     ("AutoETS", 7, {"seasonal_period": 7}),
     ("Theta", 7, {}),
     ("OptimizedTheta", 7, {}),
+    ("DynamicTheta", 7, {}),
+    ("DynamicOptimizedTheta", 7, {}),
     ("AutoTheta", 7, {}),
     ("ARIMA", 0, {"p": 2, "d": 1, "q": 2}),
+    ("ARIMA", 0, {"p": 0, "d": 1, "q": 2}),
     ("AutoARIMA", 0, {}),
     ("CrostonOptimized", 0, {}),
+    ("MSTL", 12, {"seasonal_period": 12}),
+    ("AutoMSTL", 12, {}),
+    ("MFLES", 12, {"seasonal_period": 12}),
+    ("TBATS", 12, {"seasonal_period": 12}),
+    ("AutoTBATS", 12, {}),
 ]
 
 
@@ -115,6 +127,49 @@ def test_c_path_handles_nan_series_identically():
         # way _auto_ets does to hit the raw loops too
         r_c, r_py = _forecast_both(y, model, season, params)
         assert _snap(r_c) == _snap(r_py), model
+
+
+def test_c_nelder_mead_trajectory_bit_equals_python():
+    # the whole-optimizer C drivers (nm_*, golden_*) must land on the
+    # SAME point as models.nelder_mead / golden_section running the
+    # C objective per step — the trajectory, not just the optimum
+    rng = np.random.RandomState(23)
+    for trial in range(25):
+        n = int(rng.randint(4, 150))
+        y = np.ascontiguousarray(
+            50 + rng.randn(n) * rng.uniform(0.1, 20)
+            + np.linspace(0, rng.uniform(-10, 10), n))
+        p = M._dp(y)
+        # nm_holt vs Python NM over the C holt_sse objective
+        out = np.empty(2)
+        LIB.nm_holt(p, n, 1.0, M._dp(out))
+        ref = M.nelder_mead(lambda x: LIB.holt_sse(p, n, x[0], x[1], 1.0),
+                            [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
+        assert struct.pack("<2d", *out) == struct.pack("<2d", *ref), trial
+        # golden_ses vs Python golden over the C ses_sse objective
+        a_c = LIB.golden_ses(p, n)
+        a_py = M.golden_section(lambda a: LIB.ses_sse(p, n, a), 0.01, 0.99)
+        assert struct.pack("<d", a_c) == struct.pack("<d", a_py), trial
+        # nm_theta vs Python NM over the C theta_sse objective
+        b1, b0 = M._linfit(y)
+        out2 = np.empty(2)
+        LIB.nm_theta(p, n, b0, b1, M._dp(out2))
+        ref2 = M.nelder_mead(
+            lambda x: LIB.theta_sse(p, n, b0, b1, x[0], x[1]),
+            [2.0, 0.3], bounds=[(1.0, 5.0), (0.01, 0.99)])
+        assert struct.pack("<2d", *out2) == struct.pack("<2d", *ref2), trial
+
+
+def test_c_argsort_matches_python_sorted_on_ties():
+    # ties in the simplex objective values exercise the stable-sort
+    # replica: a constant objective must still land on the same point
+    y = np.ascontiguousarray(np.zeros(16))
+    p = M._dp(y)
+    out = np.empty(2)
+    LIB.nm_holt(p, 16, 1.0, M._dp(out))
+    ref = M.nelder_mead(lambda x: LIB.holt_sse(p, 16, x[0], x[1], 1.0),
+                        [0.5, 0.1], bounds=[(0.01, 0.99), (0.01, 0.99)])
+    assert struct.pack("<2d", *out) == struct.pack("<2d", *ref)
 
 
 def test_loader_fallback_is_silent():
