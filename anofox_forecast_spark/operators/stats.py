@@ -750,6 +750,42 @@ def hll_bucket_rho(key_col: str, precision_bits: int = 12,
     return bucket, rho
 
 
+def _hll_bucket_rho_df(df: DataFrame, key_col: str, gcols: list[str],
+                       precision_bits: int, seed: str) -> DataFrame:
+    """Staged (bucket, rho) projection shared by the batch and streaming
+    register builders (r13 CSE fix): composing :func:`hll_bucket_rho`'s
+    Column pair into one Project re-inlined the md5 ~7x and the
+    zero-strip regexp ~5x PER ROW (every reference to a non-cheap alias
+    re-evaluates in Catalyst; codegen subexpression elimination does not
+    recover it). The staged projections bind each multiply-referenced
+    intermediate once — CollapseProject keeps the stages separate
+    exactly because the aliases are non-cheap and multiply referenced.
+    Same expressions over the same values — bit-identical output."""
+    if not (4 <= precision_bits <= 16) or precision_bits % 4 != 0:
+        raise ValueError("precision_bits must be 4, 8, 12, or 16")
+    nib = precision_bits // 4
+    p1 = (df.filter(F.col(key_col).isNotNull())
+            .select(*gcols,
+                    F.md5(F.concat_ws(":", F.lit(seed),
+                                      F.col(key_col).cast("string")))
+                     .alias("__h")))
+    p2 = p1.select(*gcols,
+                   F.conv(F.substring("__h", 1, nib), 16, 10).cast("bigint")
+                    .alias("hll_bucket"),
+                   F.substring("__h", nib + 1, 15).alias("__s"))
+    p3 = p2.select(*gcols, "hll_bucket", "__s",
+                   F.regexp_replace("__s", "^0+", "").alias("__st"))
+    first = F.upper(F.substring("__st", 1, 1))
+    nib_lz = (F.when(first == "1", 3)
+               .when(first.isin("2", "3"), 2)
+               .when(first.isin("4", "5", "6", "7"), 1)
+               .otherwise(0))
+    zchars = F.length("__s") - F.length("__st")
+    rho = (F.when(F.length("__st") == 0, F.lit(61))
+            .otherwise(zchars * 4 + nib_lz + 1)).cast("int")
+    return p3.select(*gcols, "hll_bucket", rho.alias("hll_max_rho"))
+
+
 def hll_registers(df: DataFrame, key_col: str,
                   group_cols: list[str] | None = None,
                   precision_bits: int = 12,
@@ -763,12 +799,9 @@ def hll_registers(df: DataFrame, key_col: str,
     idempotent, so ANY partition of the input into batches yields the
     identical merged sketch (pinned in tests)."""
     gcols = list(group_cols or [])
-    bucket, rho = hll_bucket_rho(key_col, precision_bits, seed)
-    return (df.filter(F.col(key_col).isNotNull())
-              .select(*gcols, bucket.alias("hll_bucket"),
-                      rho.alias("hll_max_rho"))
-              .groupBy(*gcols, "hll_bucket")
-              .agg(F.max("hll_max_rho").alias("hll_max_rho")))
+    return (_hll_bucket_rho_df(df, key_col, gcols, precision_bits, seed)
+            .groupBy(*gcols, "hll_bucket")
+            .agg(F.max("hll_max_rho").alias("hll_max_rho")))
 
 
 def hll_merge_registers(*reg_dfs: DataFrame) -> DataFrame:
@@ -845,6 +878,30 @@ def _bloom_word_mask(key_col: str, i: int, m_bits: int,
     return word, mask
 
 
+def _bloom_positions(key_col: str, k: int, m_bits: int, seed: str) -> Column:
+    """Array of the k bit POSITIONS (r13 CSE fix): building the (word,
+    mask) struct pair from :func:`_bloom_word_mask` re-inlined each
+    hash's md5 twice per row (once into the word, once into the mask).
+    Projecting the positions once and deriving word/mask from the bound
+    value halves the md5 count; the word/mask expressions are the same
+    ops on the same position value — bit-identical output."""
+    return F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(i)),
+                              F.col(key_col).cast("string"))), 1, 15),
+            16, 10).cast("bigint") % m_bits)
+        for i in range(1, k + 1)])
+
+
+def _bloom_word_mask_of(p: Column) -> tuple[Column, Column]:
+    """(word, mask) from a bound bit-position column — the same
+    expressions :func:`_bloom_word_mask` composes inline."""
+    word = (p / 32).cast("bigint")
+    mask = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                           (p % 32).cast("int"))
+    return word, mask
+
+
 def bloom_registers(df: DataFrame, key_col: str,
                     group_cols: list[str] | None = None,
                     m_bits: int = 4096, k: int = 4,
@@ -870,14 +927,12 @@ def bloom_registers(df: DataFrame, key_col: str,
     """
     _bloom_check(m_bits, k)
     gcols = list(group_cols or [])
-    pairs = F.array(*[
-        F.struct(w.alias("w"), m.alias("m"))
-        for w, m in (_bloom_word_mask(key_col, i, m_bits, seed)
-                     for i in range(1, k + 1))])
+    w, m = _bloom_word_mask_of(F.col("__p"))
     return (df.filter(F.col(key_col).isNotNull())
-              .select(*gcols, F.explode(pairs).alias("__p"))
-              .select(*gcols, F.col("__p.w").alias("bloom_word"),
-                      F.col("__p.m").alias("__mask"))
+              .select(*gcols,
+                      F.explode(_bloom_positions(key_col, k, m_bits, seed))
+                       .alias("__p"))
+              .select(*gcols, w.alias("bloom_word"), m.alias("__mask"))
               .groupBy(*gcols, "bloom_word")
               .agg(F.bit_or("__mask").alias("bloom_bits")))
 
@@ -927,13 +982,11 @@ def bloom_contains(df: DataFrame, regs: DataFrame, key_col: str,
     if gcols:
         from pyspark.sql.functions import broadcast
         cols = list(df.columns)
-        pairs = F.array(*[
-            F.struct(w.alias("w"), m.alias("m"))
-            for w, m in (_bloom_word_mask(key_col, i, m_bits, seed)
-                         for i in range(1, k + 1))])
-        probe = (df.select(*cols, F.explode(pairs).alias("__p"))
-                 .select(*cols, F.col("__p.w").alias("bloom_word"),
-                         F.col("__p.m").alias("__mask")))
+        w, m = _bloom_word_mask_of(F.col("__p"))
+        probe = (df.select(*cols,
+                           F.explode(_bloom_positions(key_col, k, m_bits,
+                                                      seed)).alias("__p"))
+                 .select(*cols, w.alias("bloom_word"), m.alias("__mask")))
         joined = probe.join(
             broadcast(regs.select(*gcols, "bloom_word", "bloom_bits")),
             on=[*gcols, "bloom_word"], how="left")
@@ -964,17 +1017,21 @@ def bloom_contains(df: DataFrame, regs: DataFrame, key_col: str,
                 f"the table was built with a different geometry")
         words[w] = int(r["bloom_bits"])
     lit_words = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # positions bound once (r13 CSE fix): each check reads its position
+    # via element_at instead of re-inlining the md5 into word AND mask
+    pre = df.withColumn("__bp", _bloom_positions(key_col, k, m_bits, seed))
     checks = []
     for i in range(1, k + 1):
-        w, m = _bloom_word_mask(key_col, i, m_bits, seed)
+        w, m = _bloom_word_mask_of(F.element_at(F.col("__bp"), i))
         checks.append(
             F.element_at(lit_words, (w + 1).cast("int")).bitwiseAND(m) != 0)
     maybe = checks[0]
     for c in checks[1:]:
         maybe = maybe & c
-    return df.withColumn(
+    return pre.withColumn(
         result_col,
-        F.when(F.col(key_col).isNotNull(), maybe).otherwise(F.lit(None)))
+        F.when(F.col(key_col).isNotNull(), maybe).otherwise(F.lit(None))) \
+        .drop("__bp")
 
 
 def bloom_stats(regs: DataFrame, m_bits: int = 4096, k: int = 4,

@@ -68,15 +68,30 @@ def text_token_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 def text_quality(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / stopword / word-length heuristics composed into
-    ``quality_score`` ∈ [0,1]. All JVM-side expressions."""
+    ``quality_score`` ∈ [0,1]. All JVM-side expressions.
+
+    The count subexpressions are projected ONCE and every ratio/score
+    reads the bound columns (r13 CSE fix): composing the score straight
+    from the builder expressions re-inlined ``split(trim(text))`` ~12x
+    and each regexp count 3-4x into the single output Project —
+    codegen's subexpression elimination does not recover it (measured
+    2.5x on the bench key). CollapseProject keeps the two Projects
+    separate because the aliases are non-cheap and multiply referenced.
+    Ratio/score formulas are unchanged — same ops on the same values."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_words = token_count(t, "whitespace")
-    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
-    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
-    words = F.array_distinct(_words(t))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(words, en_stop))
+    pre = df.withColumn(
+        "__tq_nc", F.length(t)).withColumn(
+        "__tq_nw", token_count(t, "whitespace")).withColumn(
+        "__tq_np", F.regexp_count(t, F.lit(PUNCT_RE))).withColumn(
+        "__tq_na", F.regexp_count(t, F.lit(r"[A-Za-z]"))).withColumn(
+        "__tq_ns", F.size(F.array_intersect(F.array_distinct(_words(t)),
+                                            en_stop)))
+    n_chars = F.col("__tq_nc")
+    n_words = F.col("__tq_nw")
+    n_punct = F.col("__tq_np")
+    n_alpha = F.col("__tq_na")
+    n_stop = F.col("__tq_ns")
     mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words) \
                      .otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars) \
@@ -94,13 +109,14 @@ def text_quality(df: DataFrame, text_col: str) -> DataFrame:
     score = (0.3 * length_score + 0.2 * punct_score + 0.2 * alpha_ratio
              + 0.15 * F.least(stop_ratio * 4.0, F.lit(1.0))
              + 0.15 * word_len_score)
-    return (df.withColumn("n_chars_text", n_chars)
-              .withColumn("n_words", n_words)
-              .withColumn("punct_ratio", punct_ratio)
-              .withColumn("alpha_ratio", alpha_ratio)
-              .withColumn("stopword_ratio", stop_ratio)
-              .withColumn("mean_word_len", mean_word_len)
-              .withColumn("quality_score", score))
+    return (pre.withColumn("n_chars_text", n_chars)
+               .withColumn("n_words", n_words)
+               .withColumn("punct_ratio", punct_ratio)
+               .withColumn("alpha_ratio", alpha_ratio)
+               .withColumn("stopword_ratio", stop_ratio)
+               .withColumn("mean_word_len", mean_word_len)
+               .withColumn("quality_score", score)
+               .drop("__tq_nc", "__tq_nw", "__tq_np", "__tq_na", "__tq_ns"))
 
 
 # ---------------------------------------------------------------------------
@@ -110,8 +126,12 @@ def text_quality(df: DataFrame, text_col: str) -> DataFrame:
 def language_id(df: DataFrame, text_col: str) -> DataFrame:
     """Adds ``lang_pred`` + per-language overlap scores. Deterministic
     tie-break by LANG_PRIORITY order."""
-    words = F.array_distinct(_words(F.col(text_col)))
-    out = df
+    # the distinct-words array is projected ONCE (r13 CSE fix): inlining
+    # it into each score column re-ran split(lower(trim(text))) once per
+    # language per row
+    out = df.withColumn("__li_words",
+                        F.array_distinct(_words(F.col(text_col))))
+    words = F.col("__li_words")
     for lang in LANG_PRIORITY:
         arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         out = out.withColumn(f"score_{lang}", F.size(F.array_intersect(words, arr)))
@@ -123,7 +143,7 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
         cond = s >= best_score
         best = F.when((s > 0) & cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return out.withColumn("lang_pred", best)
+    return out.withColumn("lang_pred", best).drop("__li_words")
 
 
 # ---------------------------------------------------------------------------
@@ -140,9 +160,12 @@ def text_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Adds ``fingerprint`` = md5 of the normalized text (engine-portable,
     exact-dup key) and ``fingerprint64`` = xxhash64 (cheap 64-bit variant for
     shuffle keys)."""
-    norm = normalize_text(F.col(text_col))
-    return (df.withColumn("fingerprint", F.md5(norm))
-              .withColumn("fingerprint64", F.xxhash64(norm)))
+    # normalized text projected once (r13 CSE fix) — the two hash columns
+    # would otherwise each re-run the regexp_replace normalize per row
+    pre = df.withColumn("__fp_norm", normalize_text(F.col(text_col)))
+    return (pre.withColumn("fingerprint", F.md5(F.col("__fp_norm")))
+               .withColumn("fingerprint64", F.xxhash64(F.col("__fp_norm")))
+               .drop("__fp_norm"))
 
 
 def text_analysis(df: DataFrame, text_col: str) -> DataFrame:

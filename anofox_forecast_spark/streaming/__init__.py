@@ -482,14 +482,13 @@ def stream_hll_registers(stream: DataFrame, key_col: str,
     ``update`` output mode; feed the result through
     ``stats.hll_estimate_from_registers`` at read time.
     """
-    from ..operators.stats import hll_bucket_rho
+    from ..operators.stats import _hll_bucket_rho_df
     gcols = list(group_cols or [])
-    bucket, rho = hll_bucket_rho(key_col, precision_bits, seed)
-    return (stream.filter(F.col(key_col).isNotNull())
-                  .select(*gcols, bucket.alias("hll_bucket"),
-                          rho.alias("hll_max_rho"))
-                  .groupBy(*gcols, "hll_bucket")
-                  .agg(F.max("hll_max_rho").alias("hll_max_rho")))
+    # staged projections (r13 CSE fix, see _hll_bucket_rho_df) — stateless
+    # maps, stream-safe; the sketch aggregate below is unchanged
+    return (_hll_bucket_rho_df(stream, key_col, gcols, precision_bits, seed)
+            .groupBy(*gcols, "hll_bucket")
+            .agg(F.max("hll_max_rho").alias("hll_max_rho")))
 
 
 _ZS_SCHEMA = T.StructType([
