@@ -45,15 +45,27 @@ def _interp_quantile(sorted_arr: Column, level: Column) -> Column:
 
 def ts_conformal_quantile(residuals: Column, alpha: float) -> Column:
     """Split-conformal score: corrected quantile of |residuals|
-    (``conformal.rs:118-147``): q_level = clamp(ceil((n+1)(1-α))/n, 0, 1)."""
+    (``conformal.rs:118-147``): q_level = clamp(ceil((n+1)(1-α))/n, 0, 1).
+
+    The sorted array is BOUND via a single-element ``transform`` lambda
+    (r13 CSE fix): composing the quantile straight over the sort
+    expression re-inlined — and re-ran — the O(n log n) sort once per
+    reference (~24x: size/element_at/level each re-evaluate it). A
+    lambda variable is a bound value, so the sort runs once; the
+    interpolation arithmetic is unchanged."""
     a = float(alpha)
     if not (0.0 <= a < 1.0):
         raise ValueError("Alpha must be between 0 and 1 (exclusive)")
     arr = F.sort_array(F.transform(residuals, lambda r: F.abs(r)))
-    n = F.size(arr).cast("double")
-    level = F.least(F.greatest(F.ceil((n + 1.0) * (1.0 - a)) / n, F.lit(0.0)),
-                    F.lit(1.0))
-    return _interp_quantile(arr, level)
+
+    def q(sorted_a: Column) -> Column:
+        n = F.size(sorted_a).cast("double")
+        level = F.least(
+            F.greatest(F.ceil((n + 1.0) * (1.0 - a)) / n, F.lit(0.0)),
+            F.lit(1.0))
+        return _interp_quantile(sorted_a, level)
+
+    return F.element_at(F.transform(F.array(arr), q), 1)
 
 
 def conformal_score_np(res, alpha: float) -> float:

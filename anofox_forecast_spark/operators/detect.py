@@ -1448,11 +1448,17 @@ def ts_detect_anomalies_by(df: DataFrame, group_col: str, ds_col: str,
     out = (df.withColumn("__h", hist)
              .withColumn("rolling_median", F.when(
                  F.size("__h") >= min_obs, med(F.col("__h")))))
+    # r13 CSE fix: the sorted deviation array is projected ONCE — inlining
+    # it into med() re-ran the sort_array(transform(...)) per reference
+    # (~6x per row; every reference to a non-cheap alias re-evaluates).
+    # Unconditional projection is value-identical: rolling_mad's
+    # NULL-median guard is unchanged, it just reads the bound column.
     dev = F.sort_array(F.transform(
         F.col("__h"), lambda v: F.abs(v - F.col("rolling_median"))))
-    out = out.withColumn("rolling_mad",
-                         F.when(F.col("rolling_median").isNotNull(),
-                                med(dev)))
+    out = (out.withColumn("__dev", dev)
+              .withColumn("rolling_mad",
+                          F.when(F.col("rolling_median").isNotNull(),
+                                 med(F.col("__dev")))))
     y = F.col(y_col).cast("double")
     z = F.when(F.col("rolling_mad") > 0,
                F.lit(0.6745) * (y - F.col("rolling_median"))

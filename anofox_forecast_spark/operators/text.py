@@ -214,11 +214,14 @@ def pii_redact(df: DataFrame, text_col: str,
     red = t
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
+    # r13 CSE fix: n_pii sums the BOUND count columns — summing the count
+    # expressions re-ran every PII regex scan a second time per row
+    pre = df.withColumns(counts)
     total = None
-    for c in counts.values():
+    for name in counts:
+        c = F.col(name)
         total = c if total is None else total + c
-    return df.withColumns({**counts, "n_pii": total.cast("int"),
-                           out_col: red})
+    return pre.withColumns({"n_pii": total.cast("int"), out_col: red})
 
 
 def text_entropy(df: DataFrame, text_col: str) -> DataFrame:
