@@ -303,6 +303,14 @@ static void nm_argsort(const double *fv, long *order, long k) {
 static void nm_run(nm_obj_fn f, void *ctx, long dim, const double *x0,
                    const double *los, const double *his, double tol,
                    long max_iter, double *out) {
+    if (dim < 1 || dim > NM_MAXD) {
+        /* fail closed: the stack buffers below are NM_MAXD-sized and the
+         * Python call sites guard dim <= 6; if a future caller doesn't,
+         * emit NaNs (loudly wrong) instead of overwriting the stack. */
+        for (long j = 0; j < dim; j++)
+            out[j] = NAN;
+        return;
+    }
     double simplex[NM_MAXD + 1][NM_MAXD];
     double fvals[NM_MAXD + 1];
     double tmp_s[NM_MAXD + 1][NM_MAXD], tmp_f[NM_MAXD + 1];
@@ -493,6 +501,11 @@ void nm_arima(const double *x, long n, long p, long q, const double *x0,
               double *ebuf, long max_iter, double *out) {
     arima_ctx c = {x, n, p, q, ebuf};
     double lo[NM_MAXD], hi[NM_MAXD];
+    if (p < 0 || q < 0 || p + q < 1 || p + q > NM_MAXD) {
+        for (long i = 0; i < p + q; i++)
+            out[i] = NAN;
+        return;
+    }
     for (long i = 0; i < p + q; i++) { lo[i] = -0.99; hi[i] = 0.99; }
     nm_run(arima_obj, &c, p + q, x0, lo, hi, 1e-6, max_iter, out);
 }

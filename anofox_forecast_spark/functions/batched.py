@@ -118,14 +118,23 @@ def batched_grouped_map(
                     elif len(r):
                         out.append(r)
                 if tup:
-                    yield assemble(tup)
+                    # skip all-empty assemblies (e.g. every group returned
+                    # zero-length columns at h=0) — the legacy DataFrame
+                    # path's len(r) guard never yielded empties, and an
+                    # empty object-dtype frame would lean on Arrow's
+                    # null-array coercion against the typed schema
+                    adf = assemble(tup)
+                    if len(adf):
+                        yield adf
                 if out:
                     yield pd.concat(out, ignore_index=True)
         if carry is not None and len(carry):
             kt = tuple(carry[k].iloc[0] for k in keys)
             r = one_group(kt, carry)
             if isinstance(r, tuple):
-                yield assemble([r])
+                adf = assemble([r])
+                if len(adf):
+                    yield adf
             elif r is not None and len(r):
                 yield r
 

@@ -870,9 +870,13 @@ def _log_abs_sum(mu):
     DuckDB's ``ln`` fold (glibc log on both sides; np.log's SIMD path
     differs in the last ulp on ~25% of inputs, enough to flip an optimizer
     tie-break in the multiplicative-error likelihood).  C twin when
-    available (same glibc log/fabs, same left-to-right order; mu never
-    holds +-0 on the call paths — the filters abort on m_t == 0 first,
-    so Python's math.log(0) ValueError is unreachable either way)."""
+    available (same glibc log/fabs, same left-to-right order).
+
+    Precondition: no element of ``mu`` may be +-0.0 — the in-repo call
+    paths guarantee it (the filters abort on mu_t == 0 first). On a zero
+    the two paths DIVERGE: the C twin returns -inf while the Python
+    fallback raises ValueError from ``math.log(0)``; new callers must
+    enforce the precondition rather than rely on either behavior."""
     lib = _cf()
     if lib is not None:
         a = np.ascontiguousarray(mu, dtype=float)

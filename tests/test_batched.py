@@ -110,3 +110,28 @@ def test_batched_unsorted_input(tiny_batches):
     assert (got["first_y"] == 0.0).all()
     assert (got["last_y"] == 8.0).all()
     assert (got["n"] == 9).all()
+
+
+def test_batched_all_empty_columnar_yields_nothing(tiny_batches):
+    """r14 (ADVICE): a tuple (columnar) return whose columns are ALL
+    zero-length (e.g. horizon 0 for every series) must not emit an empty
+    object-dtype DataFrame — the legacy path's len(r) guard skipped those,
+    and an empty frame would lean on Arrow's null coercion vs the schema."""
+    spark = tiny_batches
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    df = _panel(spark, n_groups=3, n_rows=5)
+
+    def fn(kt, pdf):
+        return ([], [], [], [], [])  # columnar, every column empty
+
+    got = batched_grouped_map(df, ["id"], "ds", SCHEMA, fn)
+    assert got.count() == 0
+    # mixed: one group emits, the rest are empty tuples
+    def fn2(kt, pdf):
+        if kt[0] == "g001":
+            return ([kt[0]], [len(pdf)], [1.0], [2.0], [3.0])
+        return ([], [], [], [], [])
+
+    got2 = batched_grouped_map(df, ["id"], "ds", SCHEMA, fn2).toPandas()
+    assert list(got2["id"]) == ["g001"]
+    assert list(got2["n"]) == [5]
