@@ -230,8 +230,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     r = num_hashes // bands
     band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     sh = _shingle_df(df, id_col, text_col, shingle_n)
-    sig = sh.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes,
-                                                   hash_fn))
+    # r14 (§4/§7): the per-salt `array_min(transform(...))` signature is
+    # INTERPRETED — num_hashes × |shingles| lambda evaluations per doc
+    # with no codegen. The same minima computed as explode + num_hashes
+    # MIN aggregates run inside WholeStageCodegen with map-side partial
+    # aggregation (wire: one num_hashes-wide row per doc). Values are
+    # identical: min over the same distinct-shingle set, same salted hash
+    # expression; explode_outer keeps empty-shingle docs as an all-NULL
+    # signature exactly like array_min over an empty array. (The scalar
+    # `minhash_signature` Column helper keeps the HOF form for arbitrary
+    # array expressions.)
+    def _salted(i: int) -> Column:
+        if hash_fn == "md5":
+            return F.md5(F.concat(F.col("__s"), F.lit(f":{i}")))
+        return F.xxhash64(F.col("__s"), F.lit(i))
+
+    sig = (sh.select("__id", F.explode_outer("__sh").alias("__s"))
+             .groupBy("__id")
+             .agg(*[F.min(_salted(i)).alias(f"__m{i}")
+                    for i in range(num_hashes)])
+             .select("__id", F.array(*[F.col(f"__m{i}")
+                                       for i in range(num_hashes)])
+                      .alias("__sig")))
     # band keys: hash of each signature slice. The explode multiplies row
     # count x bands (16x), so it carries only (id, sig, band, key): the
     # fixed-width 64-long signature rides along (it is needed for

@@ -970,11 +970,10 @@ def ts_analyze_seasonality_by(df: DataFrame, group_col: str, ds_col: str,
         resid = y - (b0 + b1 * t)
         vy = float(np.var(y))
         ts = min(max(1.0 - float(np.var(resid)) / vy, 0.0), 1.0) if vy > 0 else 0.0
-        return pd.DataFrame([{group_col: g,
-                              "detected_periods": [p] if p > 1 else [],
-                              "primary_period": p if p > 1 else 0,
-                              "seasonal_strength": float(s),
-                              "trend_strength": ts}])
+        # columnar return (see batched_grouped_map, r14): one pandas frame
+        # per Arrow batch instead of per series; fields in schema order
+        return ([g], [[p] if p > 1 else []], [p if p > 1 else 0],
+                [float(s)], [ts])
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 
@@ -991,7 +990,9 @@ def ts_classify_seasonality_by(df: DataFrame, group_col: str, ds_col: str,
 
     def build(g, pdf):
         res = classify_seasonality(pdf[y_col].to_numpy(dtype=float), period)
-        return pd.DataFrame([{group_col: g, **res}])
+        # columnar return, dict indexed by schema field names (r14)
+        return ([g], [res["classification"]], [res["additive_strength"]],
+                [res["multiplicative_strength"]])
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 
@@ -1007,7 +1008,7 @@ def ts_seasonal_strength_by(df: DataFrame, group_col: str, ds_col: str,
 
     def build(g, pdf):
         s = seasonal_strength(pdf[y_col].to_numpy(dtype=float), period, method)
-        return pd.DataFrame([{group_col: g, "seasonal_strength": float(s)}])
+        return ([g], [float(s)])  # columnar return (r14)
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 
@@ -1163,7 +1164,12 @@ def ts_analyze_peak_timing_by(df: DataFrame, group_col: str, ds_col: str,
     def build(g, pdf):
         res = analyze_peak_timing(pdf[y_col].to_numpy(dtype=float), period,
                                   float(p.get("min_prominence", 0.0)))
-        return pd.DataFrame([{group_col: g, **res}])
+        # columnar return, dict indexed by schema field names (r14)
+        return ([g], [res["timing_classification"]],
+                [res["modulation_type"]], [res["has_stable_timing"]],
+                [res["timing_variability"]], [res["seasonal_strength"]],
+                [res["is_seasonal"]], [res["cycle_strengths"]],
+                [res["weak_seasons"]])
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 
@@ -1390,12 +1396,9 @@ def ts_detect_amplitude_modulation_by(df: DataFrame, group_col: str, ds_col: str
             kind = "decreasing"
         else:
             kind = "varying"
-        return pd.DataFrame([{group_col: g, "is_seasonal": is_seasonal,
-                              "seasonal_strength": strength,
-                              "has_modulation": has_mod,
-                              "modulation_type": kind,
-                              "modulation_score": score,
-                              "amplitude_trend": trend}])
+        # columnar return, fields in schema order (r14)
+        return ([g], [is_seasonal], [strength], [has_mod], [kind],
+                [score], [trend])
 
     return _grouped_udf(df, group_col, ds_col, y_col, schema, build)
 

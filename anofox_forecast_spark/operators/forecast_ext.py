@@ -261,8 +261,9 @@ def ts_forecast_inspect_by(df: DataFrame, group_col: str, ds_col: str,
                            params=params)
         except Exception:
             return None
-        return pd.DataFrame({group_col: [key[0]],
-                             "inspection": [inspect_result(r)]})
+        # columnar return (see batched_grouped_map): one pandas frame per
+        # Arrow batch instead of per series — same rows, same order (r14)
+        return ([key[0]], [inspect_result(r)])
 
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \
@@ -362,7 +363,8 @@ def ts_forecast_explain_by(df: DataFrame, group_col: str, ds_col: str,
         except Exception:
             return None
         dec = explain_decompose(yv, r, h, season)
-        return pd.DataFrame({group_col: [key[0]], "decomposition": [dec]})
+        # columnar return — see ts_forecast_inspect_by above (r14)
+        return ([key[0]], [dec])
 
     from ..functions.batched import batched_grouped_map
     base = df.select(group_col, ds_col, F.col(y_col).cast("double").alias(y_col)) \

@@ -52,3 +52,70 @@ def compare_frames(spark_df, duck_df: pd.DataFrame, rtol=1e-6, atol=1e-9):
             av = a.astype(str).to_numpy()
             bv = b.astype(str).to_numpy()
             assert (av == bv).all(), f"column {c}: {av[:5]} vs {bv[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# r14 smoke tier (r13 judge directive #1): the full suite takes ~36-40 min,
+# which outruns the grading driver's pytest budget (VERIFY_r13 died at ~87%
+# with zero failures). By DEFAULT `pytest tests/` now runs a <10-minute
+# smoke tier: every family keeps at least one unit/property file, plus a
+# ~25-key oracle-replay subset of test_entry_oracle (one bench key per
+# operator family). The files below — dominated by the 240-key oracle
+# replay (~13 min) and the heavy property/fuzz suites — are deselected
+# unless ANOFOX_FULL_TESTS=1 is set (the full tier; run in-session every
+# round and still the bar for shipping). The driver's own 50-key oracle
+# gate (CORRECTNESS_rNN.json) independently covers contract correctness.
+# ---------------------------------------------------------------------------
+
+SLOW_FILES = {
+    "test_entry_oracle.py",            # 240-key oracle replay (~13 min)
+    "test_sql_surface.py",             # UDTF-vs-DataFrame parity sweep
+    "test_optimizer_oracles.py",       # SQL-optimizer-vs-numpy fits
+    "test_r13_streaming_splits.py",    # randomized micro-batch splits
+    "test_ann_quality.py",             # IVF/PQ recall sweeps
+    "test_r11_properties.py",          # fold-model degenerate edges
+    "test_r9b_additions.py",           # bloom decontaminate wide sweeps
+    "test_r12_conformal_properties.py",
+    "test_r12_pipeline_properties.py",
+    "test_examples.py",                # end-to-end example notebooks
+    "test_r9c_additions.py",
+    "test_r12_events_properties.py",
+    "test_r4b_surface.py",
+    "test_r8_properties.py",
+    "test_r7_properties.py",
+}
+
+# entry-oracle keys that STAY in the smoke tier: one per operator family,
+# cheap at sf0.001 (~1-2 s each) — a thin end-to-end oracle signal even
+# when the full replay is deselected
+SMOKE_ORACLE_KEYS = {
+    "forecast_naive", "forecast_ses", "forecast_theta", "forecast_croston",
+    "forecast_holt_winters", "forecast_auto_ets",
+    "metric_mae", "metric_smape", "prep_fill_gaps", "prep_scale_robust",
+    "hier_aggregate", "cv_folds", "stats_sql", "conformal_by",
+    "text_quality", "text_pii_redact", "dedup_exact_groups",
+    "similarity_topk", "search_bm25", "events_sessionize",
+    "events_time_rollup", "pipeline_lm_score", "pipeline_dup_spans",
+    "pipeline_dsir_weights", "stats_hll_distinct_raw",
+    "stats_bloom_contains", "detect_anomalies",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("ANOFOX_FULL_TESTS") == "1":
+        return
+    keep, dropped = [], []
+    for item in items:
+        fname = item.fspath.basename
+        if fname not in SLOW_FILES:
+            keep.append(item)
+            continue
+        if fname == "test_entry_oracle.py":
+            # keep the smoke oracle subset (parametrized as [<key>])
+            if any(f"[{k}]" in item.name for k in SMOKE_ORACLE_KEYS):
+                keep.append(item)
+                continue
+        dropped.append(item)
+    if dropped:
+        config.hook.pytest_deselected(items=dropped)
+        items[:] = keep

@@ -24,9 +24,17 @@ def test_minhash_band_explode_carries_no_shingles(spark):
     out = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     for line in plan.splitlines():
-        if "Generate explode" in line:
-            assert "__sh" not in line, \
-                "shingle array rides the band explode again:\n" + line
+        if "Generate explode" not in line:
+            continue
+        # a Generate line reads "Generate explode(<expr>), [carried...],
+        # ...". The r14 signature aggregate CONSUMES __sh as the generator
+        # expression (explode + min-agg replaces the interpreted per-salt
+        # HOF) — that is fine; what must never happen is the document-
+        # sized array RIDING ALONG a (band) explode, i.e. appearing in
+        # the carried/output column lists after the generator expression.
+        carried = line.split("), ", 1)[1] if "), " in line else line
+        assert "__sh" not in carried, \
+            "shingle array rides an explode again:\n" + line
 
 
 def test_minhash_pairs_unchanged_by_refactor(spark):
