@@ -748,20 +748,27 @@ def dup_spans(df: DataFrame, id_col: str, text_col: str,
     # per-partition buffering), and AQE's skew-join CAN split a hot probe
     # partition. Value-identical: same per-hash count, same min struct.
     gp = grams.repartition(F.col("__h"))
-    # the min-(id, pos) struct is aggregated on BOTH paths (keep_first
-    # consumes its value; the plain path only its never-null-ness): a
-    # struct constructor is never NULL so min() over the non-empty group
-    # is never NULL and the isNotNull conjunct below is always true —
-    # but Catalyst cannot prove that, so referencing it keeps (id, pos)
-    # in the aggregate branch's pruned columns, making its exchange the
-    # probe branch's exact twin (pruned to [__h] alone it would not be,
-    # and the shared-exchange plan degrades to two corpus explodes)
-    dup = (gp.groupBy("__h")
-             .agg(F.count(F.lit(1)).alias("__c"),
-                  F.min(F.struct(F.col(id_col).alias("i"),
-                                 F.col("__pos").alias("p"))).alias("__f"))
-             .filter((F.col("__c") >= int(min_count))
-                     & F.col("__f").isNotNull())
+    # The count aggregate must REFERENCE (id, pos) or column pruning
+    # narrows this branch's exchange to [__h] alone — no longer the probe
+    # branch's canonical twin, and the shared-exchange plan degrades to
+    # two corpus explodes. keep_first's argmin references both naturally;
+    # the plain path counts through a NULLABLE-typed but never-null
+    # expression over (id, pos) (Catalyst rewrites count(<non-nullable>)
+    # to count(*) and would re-prune; it cannot prove a when() without
+    # otherwise() non-null, yet the branch condition pos >= 1 is always
+    # true and the coalesce value never NULL — so the value is exactly
+    # count(*), including rows whose id is NULL).
+    if keep_first:
+        agg_cols = [F.count(F.lit(1)).alias("__c"),
+                    F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("__pos").alias("p"))).alias("__f")]
+    else:
+        agg_cols = [F.count(F.when(
+            F.col("__pos") >= 1,
+            F.coalesce(F.col(id_col).cast("string"), F.lit(""))))
+            .alias("__c")]
+    dup = (gp.groupBy("__h").agg(*agg_cols)
+             .filter(F.col("__c") >= int(min_count))
              .hint("shuffle_hash"))
     marked = gp.join(dup, "__h")
     if keep_first:
